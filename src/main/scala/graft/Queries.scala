@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.{Catalog, QueryCompiler}
+import graft.functions.CoreFunctions._
+import graft.ir._
+
+/** The engine's query surface, exposed as (SparkSession, sfDir) => DataFrame
+  * pairs with DuckDB oracle SQL. Observability-shaped queries route through
+  * the IR compiler (graft.compile.QueryCompiler) — the Spark-native
+  * equivalent of the reference's renderChartConfig; analytical joins use the
+  * DataFrame API directly.
+  *
+  * Conventions for oracle parity (driver compares column-sorted value
+  * hashes):
+  *  - every aggregate/computed column is aliased identically on both sides
+  *  - big float sums rounded to 2 decimals, averages/quantiles to 4–6
+  *  - time buckets emitted as epoch-second BIGINT named `bucket`
+  *  - every query ends with a fully deterministic ORDER BY
+  */
+object Queries {
+
+  private val JanRange = QueryCompiler.range(
+    "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")
+
+  def cat(spark: SparkSession, dir: String): Catalog =
+    Catalog.forDir(spark, dir)
+
+  /** epoch-seconds BIGINT bucket from the generated __time_bucket column. */
+  private def epochBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .drop(TimeBucketAlias)
+
+  private def compiled(q: Query)(spark: SparkSession, dir: String)
+      : DataFrame =
+    QueryCompiler.compile(q, cat(spark, dir))
+
+  // ================================================================ queries
+
+  /** TPC-H Q1-style pricing summary — the reference's `groupBy + multi-agg`
+    * shape (SURVEY §2.4) on lineitem. */
+  def q1_agg(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(
+        SelectItem("l_quantity", Some("sum_qty"), Some(AggFn.Sum)),
+        SelectItem("l_extendedprice", Some("sum_base_price"), Some(AggFn.Sum)),
+        SelectItem("l_extendedprice*(1-l_discount)", Some("sum_disc_price"),
+          Some(AggFn.Sum)),
+        SelectItem("l_quantity", Some("avg_qty"), Some(AggFn.Avg)),
+        SelectItem("l_extendedprice", Some("avg_price"), Some(AggFn.Avg)),
+        SelectItem("l_discount", Some("avg_disc"), Some(AggFn.Avg)),
+        SelectItem("", Some("count_order"), Some(AggFn.Count))),
+      from = "lineitem",
+      groupBy = Seq("l_returnflag", "l_linestatus"),
+      orderBy = Seq(OrderBy("l_returnflag"), OrderBy("l_linestatus"))))(
+      spark, dir)
+    df.withColumn("sum_qty", round(col("sum_qty"), 2))
+      .withColumn("sum_base_price", round(col("sum_base_price"), 2))
+      .withColumn("sum_disc_price", round(col("sum_disc_price"), 2))
+      .withColumn("avg_qty", round(col("avg_qty"), 6))
+      .withColumn("avg_price", round(col("avg_price"), 6))
+      .withColumn("avg_disc", round(col("avg_disc"), 6))
+  }
+
+  val q1_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(avg(l_quantity),6) AS avg_qty,
+      | round(avg(l_extendedprice),6) AS avg_price,
+      | round(avg(l_discount),6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection (predicate/column pushdown to the parquet scan). */
+  def q2_filter(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(
+        SelectItem("l_orderkey", Some("l_orderkey")),
+        SelectItem("l_linenumber", Some("l_linenumber")),
+        SelectItem("l_quantity", Some("l_quantity"))),
+      from = "lineitem",
+      where = Some(Cond.Sql("l_quantity > 45 AND l_returnflag = 'R'")),
+      orderBy = Seq(OrderBy("l_orderkey"), OrderBy("l_linenumber"))))(
+      spark, dir)
+
+  val q2_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity > 45 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Multi-way join with broadcast dims: revenue per nation (TPC-H Q5-ish;
+    * the engine's cross-source correlation shape, SURVEY §2.6). */
+  def q3_join(spark: SparkSession, dir: String): DataFrame = {
+    val c = cat(spark, dir)
+    val li = c("lineitem").df
+    val ord = c("orders").df
+    val cust = c("customer").df
+    val nat = c("nation").df
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q3_sql: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Hourly time-series aggregation (the reference's core chart shape:
+    * toStartOfInterval bucketing + groupBy, SURVEY §2.4/§2.11). */
+  def q4_timeseries(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("value", Some("sum_val"), Some(AggFn.Sum)),
+        SelectItem("value", Some("avg_val"), Some(AggFn.Avg))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(3600)),
+      dateRange = Some(JanRange),
+      orderBy = Seq(OrderBy("event_type"))))(spark, dir)
+    epochBucket(df)
+      .withColumn("sum_val", round(col("sum_val"), 2))
+      .withColumn("avg_val", round(col("avg_val"), 6))
+      .select("bucket", "event_type", "cnt", "sum_val", "avg_val")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q4_sql: String =
+    """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      | event_type, count(*) AS cnt,
+      | round(sum(value),2) AS sum_val, round(avg(value),6) AS avg_val
+      |FROM events
+      |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
+
+  /** Lucene search language → predicate (SURVEY §2.3): field match +
+    * numeric comparison, implicit AND. */
+  def q5_lucene(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      where = Some(Cond.Lucene("event_type:error value:>100")),
+      groupBy = Seq("user_id"),
+      orderBy = Seq(OrderBy("user_id"))))(spark, dir)
+
+  val q5_sql: String =
+    """SELECT user_id, count(*) AS cnt FROM events
+      |WHERE lower(event_type) LIKE '%error%' AND value > 100
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** JSON dot-path field resolution (reference
+    * buildColumnExpressionFromField → JSONExtractString branch). */
+  def q6_json(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      where = Some(Cond.Lucene("props.k:>50 event_type:purchase")),
+      groupBy = Seq("user_id"),
+      orderBy = Seq(OrderBy("user_id"))))(spark, dir)
+
+  val q6_sql: String =
+    """SELECT user_id, count(*) AS cnt FROM events
+      |WHERE CAST(json_extract_string(props,'$.k') AS DOUBLE) > 50
+      | AND lower(event_type) LIKE '%purchase%'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Conditional aggregation (ClickHouse fnIf / SQL FILTER) + the
+    * OR-of-conditions WHERE pushdown (reference renderWhere :1165-1193). */
+  def q7_conditional(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(
+        SelectItem("", Some("errors"), Some(AggFn.Count),
+          Some(Cond.Sql("event_type = 'error'"))),
+        SelectItem("", Some("purchases"), Some(AggFn.Count),
+          Some(Cond.Sql("event_type = 'purchase'"))),
+        SelectItem("value", Some("purchase_value"), Some(AggFn.Sum),
+          Some(Cond.Sql("event_type = 'purchase'")))),
+      from = "events",
+      groupBy = Seq("user_id"),
+      orderBy = Seq(OrderBy("user_id"))))(spark, dir)
+    df.withColumn("purchase_value", round(col("purchase_value"), 2))
+  }
+
+  val q7_sql: String =
+    """SELECT user_id,
+      | count(*) FILTER (WHERE event_type = 'error') AS errors,
+      | count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+      | round(sum(value) FILTER (WHERE event_type = 'purchase'),2)
+      |   AS purchase_value
+      |FROM events
+      |WHERE event_type = 'error' OR event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Quantiles (ClickHouse quantile(l) → exact percentile for oracle
+    * parity; percentile_approx on the 100 TB path). */
+  def q8_quantile(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(
+        SelectItem("value", Some("p50"), Some(AggFn.Quantile(0.5))),
+        SelectItem("value", Some("p90"), Some(AggFn.Quantile(0.9))),
+        SelectItem("value", Some("p99"), Some(AggFn.Quantile(0.99)))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy("event_type"))))(spark, dir)
+    df.withColumn("p50", round(col("p50"), 4))
+      .withColumn("p90", round(col("p90"), 4))
+      .withColumn("p99", round(col("p99"), 4))
+  }
+
+  val q8_sql: String =
+    """SELECT event_type,
+      | round(quantile_cont(value, 0.5),4) AS p50,
+      | round(quantile_cont(value, 0.9),4) AS p90,
+      | round(quantile_cont(value, 0.99),4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** count_distinct (+ plain count). */
+  def q9_count_distinct(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(
+        SelectItem("user_id", Some("users"), Some(AggFn.CountDistinct)),
+        SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy("event_type"))))(spark, dir)
+
+  val q9_sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS users,
+      | count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HAVING + ORDER BY DESC + LIMIT (top-k users). */
+  def q10_having(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      groupBy = Seq("user_id"),
+      having = Some(Cond.Sql("cnt >= 10")),
+      orderBy = Seq(OrderBy("cnt", desc = true), OrderBy("user_id")),
+      limit = Some(20)))(spark, dir)
+
+  val q10_sql: String =
+    """SELECT user_id, count(*) AS cnt FROM events
+      |GROUP BY user_id HAVING count(*) >= 10
+      |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+
+  /** Top-N series cap via ranked semi-join
+    * (reference __hdx_series_limit CTE, renderChartConfig.ts:1308-1431). */
+  def q11_series_limit(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)),
+      dateRange = Some(JanRange),
+      seriesLimit = Some(3)))(spark, dir)
+    epochBucket(df)
+      .select("bucket", "event_type", "cnt")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q11_sql: String =
+    """WITH agg AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type, count(*) AS cnt
+      |  FROM events
+      |  WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |  GROUP BY bucket, event_type),
+      |top3 AS (
+      |  SELECT event_type FROM (
+      |    SELECT event_type, max(cnt) AS m FROM agg GROUP BY event_type)
+      |  ORDER BY m DESC, event_type LIMIT 3)
+      |SELECT bucket, event_type, cnt FROM agg
+      |WHERE event_type IN (SELECT event_type FROM top3)
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Ratio share_of_total (reference computeResultSetRatio /
+    * buildBucketTotalDenominator — done engine-side with a window). */
+  def q12_ratio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = cat(spark, dir)("events").df
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy("event_type")
+  }
+
+  val q12_sql: String =
+    """SELECT event_type, cnt, round(cnt / sum(cnt) OVER (), 6) AS share
+      |FROM (SELECT event_type, count(*) AS cnt FROM events
+      |      GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ============================================================== registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1_agg _),
+    "q2_filter" -> (q2_filter _),
+    "q3_join" -> (q3_join _),
+    "q4_timeseries" -> (q4_timeseries _),
+    "q5_lucene" -> (q5_lucene _),
+    "q6_json" -> (q6_json _),
+    "q7_conditional" -> (q7_conditional _),
+    "q8_quantile" -> (q8_quantile _),
+    "q9_count_distinct" -> (q9_count_distinct _),
+    "q10_having" -> (q10_having _),
+    "q11_series_limit" -> (q11_series_limit _),
+    "q12_ratio" -> (q12_ratio _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1_sql,
+    "q2_filter" -> q2_sql,
+    "q3_join" -> q3_sql,
+    "q4_timeseries" -> q4_sql,
+    "q5_lucene" -> q5_sql,
+    "q6_json" -> q6_sql,
+    "q7_conditional" -> q7_sql,
+    "q8_quantile" -> q8_sql,
+    "q9_count_distinct" -> q9_sql,
+    "q10_having" -> q10_sql,
+    "q11_series_limit" -> q11_sql,
+    "q12_ratio" -> q12_sql)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.compile.QueryCompiler
+import graft.ir._
+
+/** Local smoke main mirroring the driver's t1 check (entry rows>0) plus a
+  * few edge probes on the lucene front end. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = SparkEntry.entry(spark)
+    val rows = e.collect()
+    println(s"[smoke] entry rows=${rows.length}")
+    rows.take(5).foreach(r => println(s"[smoke]   $r"))
+
+    val cat = Queries.cat(spark, "/root/testdata/sf0.001")
+    def probe(name: String, q: Query): Unit =
+      try {
+        val rows = QueryCompiler.compile(q, cat).collect()
+        println(s"[smoke] probe $name -> ${rows.mkString("; ")}")
+      } catch {
+        case ex: Exception =>
+          println(s"[smoke] probe $name -> ${ex.getClass.getSimpleName}: " +
+            ex.getMessage.linesIterator.next())
+      }
+    val cnt = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count)))
+    // unknown field → lit(false) → 0 rows, no crash
+    probe("unknown-field", Query(cnt, "events",
+      where = Some(Cond.Lucene("nosuchfield:foo"))))
+    // empty lucene query → no-op filter
+    probe("empty-query", Query(cnt, "events",
+      where = Some(Cond.Lucene("   "))))
+    // unbalanced paren → parse error surfaced
+    probe("bad-syntax", Query(cnt, "events",
+      where = Some(Cond.Lucene("(event_type:error"))))
+    // negation + OR + range + json path
+    probe("combo", Query(cnt, "events", where = Some(Cond.Lucene(
+      "NOT event_type:click (value:[10 TO 200] OR props.k:>=90)"))))
+    // quoted phrase on implicit column
+    probe("phrase", Query(cnt, "events",
+      where = Some(Cond.Lucene("\"purch\""))))
+    spark.stop()
+  }
+}
