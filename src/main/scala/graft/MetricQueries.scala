@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+import graft.metrics.{Histograms, MetricCompiler}
+
+/** Metric-semantics queries (SURVEY §2.5) exposed through the driver
+  * contract. The testdata has no OTel metric tables, so each query first
+  * derives a deterministic metric-shaped frame from `events`, then runs the
+  * real pipeline (MetricCompiler / Histograms); the oracle SQL re-derives
+  * the same frame and result with window functions in DuckDB. */
+object MetricQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Queries.cat(spark, dir)("events").df
+
+  private def epochBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .drop(TimeBucketAlias)
+
+  /** Gauge: per-series (user) last value per hour, avg across series per
+    * event_type (reference renderChartConfig.ts:1725-1819). */
+  def q13_gauge(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("value").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(MetricCompiler.gauge(g, 3600, "avg", Seq("ServiceName")))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q13_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type, round(avg(v),6) AS value
+      |FROM last GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Counter rate: cumulative per-user counters (running sum of value),
+    * lag-diff with reset clamp, summed per day
+    * (reference renderChartConfig.ts:1864-1965). */
+  def q14_rate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val counter = events(spark, dir)
+      .withColumn("cum", sum(col("value")).over(w))
+      .select(
+        lit("requests").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        col("cum").as("Value"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"),
+        lit(2).as("AggregationTemporality"),
+        lit(true).as("IsMonotonic"))
+    epochBucket(MetricCompiler.counterRate(counter, 86400))
+      .withColumn("rate", round(col("rate"), 2))
+      .select("bucket", "rate")
+      .orderBy("bucket")
+  }
+
+  val q14_sql: String =
+    """WITH c AS (
+      |  SELECT user_id, ts,
+      |    sum(value) OVER (PARTITION BY user_id ORDER BY ts) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT ts,
+      |    CASE WHEN lag(v) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      THEN 0
+      |      ELSE greatest(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts),
+      |                    0) END AS rate
+      |  FROM c)
+      |SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |  round(sum(rate),2) AS rate
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** increase: per-event_type counters, top-3 groups cap via ranked
+    * semi-join (reference INCREASE_MAX_NUM_GROUPS,
+    * renderChartConfig.ts:1971-2075). */
+  def q15_increase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"))
+    val counter = events(spark, dir)
+      .withColumn("cum", sum(col("value")).over(w))
+      .select(
+        lit("requests").as("MetricName"),
+        col("event_type").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        col("cum").as("Value"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"),
+        lit(2).as("AggregationTemporality"),
+        lit(true).as("IsMonotonic"))
+    epochBucket(
+      MetricCompiler.increase(counter, 86400, Seq("ServiceName"),
+        maxGroups = 3))
+      .withColumn("rate", round(col("rate"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "rate")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q15_sql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, ts, sum(value) OVER
+      |    (PARTITION BY event_type, user_id ORDER BY ts) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, ts,
+      |    CASE WHEN lag(v) OVER
+      |        (PARTITION BY event_type, user_id ORDER BY ts) IS NULL
+      |      THEN 0
+      |      ELSE greatest(v - lag(v) OVER
+      |        (PARTITION BY event_type, user_id ORDER BY ts), 0) END AS rate
+      |  FROM c),
+      |agg AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type, sum(rate) AS rate
+      |  FROM r GROUP BY bucket, event_type),
+      |top3 AS (
+      |  SELECT event_type FROM (
+      |    SELECT event_type, max(rate) AS m FROM agg GROUP BY event_type)
+      |  ORDER BY m DESC, event_type LIMIT 3)
+      |SELECT bucket, event_type, round(rate,2) AS rate FROM agg
+      |WHERE event_type IN (SELECT event_type FROM top3)
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Histogram quantile p50: per-(user, day) explicit-bounds histograms
+    * (bounds 10/50/100/200) merged across series and interpolated
+    * (reference histogram.ts:137-250). */
+  def q16_hist_quantile(spark: SparkSession, dir: String): DataFrame = {
+    val day = timeBucket(col("ts"), 86400)
+    val hist = events(spark, dir)
+      .groupBy(day.as("TimeUnix"), col("user_id"))
+      .agg(array(
+        count_if(col("value") <= 10).cast("long"),
+        count_if(col("value") > 10 && col("value") <= 50).cast("long"),
+        count_if(col("value") > 50 && col("value") <= 100).cast("long"),
+        count_if(col("value") > 100 && col("value") <= 200).cast("long"),
+        count_if(col("value") > 200).cast("long")).as("BucketCounts"))
+      .select(
+        lit("latency").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        lit(1).as("AggregationTemporality"),
+        aggregate(col("BucketCounts"), lit(0L), (a, b) => a + b).as("Count"),
+        col("BucketCounts"),
+        array(lit(10.0), lit(50.0), lit(100.0), lit(200.0))
+          .as("ExplicitBounds"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(Histograms.quantile(hist, 0.5, 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  val q16_sql: String =
+    """WITH h AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    count(*) FILTER (WHERE value <= 10) AS c1,
+      |    count(*) FILTER (WHERE value > 10 AND value <= 50) AS c2,
+      |    count(*) FILTER (WHERE value > 50 AND value <= 100) AS c3,
+      |    count(*) FILTER (WHERE value > 100 AND value <= 200) AS c4,
+      |    count(*) FILTER (WHERE value > 200) AS c5
+      |  FROM events GROUP BY bucket),
+      |p AS (
+      |  SELECT bucket, CAST(c1 AS DOUBLE) AS s1,
+      |    CAST(c1+c2 AS DOUBLE) AS s2, CAST(c1+c2+c3 AS DOUBLE) AS s3,
+      |    CAST(c1+c2+c3+c4 AS DOUBLE) AS s4,
+      |    CAST(c1+c2+c3+c4+c5 AS DOUBLE) AS total
+      |  FROM h)
+      |SELECT bucket, round(CASE
+      |    WHEN s1 > 0.5*total THEN 0 + 10.0*((0.5*total)/s1)
+      |    WHEN s2 > 0.5*total THEN 10 + 40.0*((0.5*total - s1)/(s2-s1))
+      |    WHEN s3 > 0.5*total THEN 50 + 50.0*((0.5*total - s2)/(s3-s2))
+      |    WHEN s4 > 0.5*total THEN 100 + 100.0*((0.5*total - s3)/(s4-s3))
+      |    ELSE 200 END, 6) AS value
+      |FROM p WHERE total > 0 ORDER BY bucket""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_gauge" -> (q13_gauge _),
+    "q14_rate" -> (q14_rate _),
+    "q15_increase" -> (q15_increase _),
+    "q16_hist_quantile" -> (q16_hist_quantile _))
+
+  val oracles: Map[String, String] = Map(
+    "q13_gauge" -> q13_sql,
+    "q14_rate" -> q14_sql,
+    "q15_increase" -> q15_sql,
+    "q16_hist_quantile" -> q16_sql)
+}

@@ -24,9 +24,11 @@ object SparkEntry {
       Queries.cat(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ MetricQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ MetricQueries.oracles
 }

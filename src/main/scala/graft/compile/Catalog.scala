@@ -39,6 +39,10 @@ object Catalog {
     // native type for; read it as a ns long and derive a µs TimestampType
     // column, keeping the raw ns in ts_ns (SURVEY §1.3 fidelity note).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ClickHouse-style permissive coercion (toFloat64OrDefault etc.): a
+    // malformed value yields NULL/default, never a query error. Spark 4's
+    // ANSI default would instead fail the whole query on one bad cast.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     def read(name: String): DataFrame =
       spark.read.parquet(s"$dir/$name.parquet")
     def readEvents: DataFrame =

@@ -1,0 +1,149 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+
+/** Metric-semantics compiler — the Spark-native equivalent of the
+  * reference's `translateMetricChartConfig`
+  * (packages/common-utils/src/core/renderChartConfig.ts:1686-2173).
+  *
+  * Input frames follow the OTel metric shapes (FIXTURES.md §3):
+  * gauge/sum: MetricName, ServiceName, TimeUnix, Value,
+  * ResourceAttributes/ScopeAttributes/Attributes maps,
+  * sum adds AggregationTemporality (1=delta, 2=cumulative), IsMonotonic.
+  *
+  * All passes are window + groupBy pipelines — shuffle once per stage on the
+  * series key, no driver-side loops; at scale the series-key partitioning is
+  * exactly the layout the reference's storage ORDER BY provides.
+  */
+object MetricCompiler {
+
+  /** Opaque per-series key: hash of the attribute maps + identity columns.
+    * The reference uses cityHash64(ScopeAttributes, ResourceAttributes,
+    * Attributes) (renderChartConfig.ts:1774, histogram.ts:56-62) — the value
+    * differs here (xxhash64) but it is only ever used as an opaque key. */
+  def attributesHash(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{MapType, StructType, ArrayType}
+    val parts = Seq("MetricName", "ServiceName", "ScopeAttributes",
+      "ResourceAttributes", "Attributes")
+      .flatMap(c => df.schema.fields.find(_.name == c))
+      .map(f => f.dataType match {
+        case _: MapType | _: StructType | _: ArrayType =>
+          // maps have no canonical order; to_json of a map built by Spark
+          // preserves insertion order, so sort entries first for a stable key
+          to_json(col(f.name))
+        case _ => col(f.name).cast("string")
+      })
+    xxhash64(parts: _*)
+  }
+
+  private val SeriesKey = "__series"
+  private val Bucket = TimeBucketAlias
+
+  private def withSeriesAndBucket(df: DataFrame, stepSeconds: Long)
+      : DataFrame =
+    df.withColumn(SeriesKey, attributesHash(df))
+      .withColumn(Bucket, timeBucket(col("TimeUnix"), stepSeconds))
+
+  // ------------------------------------------------------------------ gauge
+
+  /** Gauge: per-series per-bucket `last_value(Value)`, then the user's
+    * aggregate across series per bucket/group
+    * (reference renderChartConfig.ts:1725-1819). */
+  def gauge(df: DataFrame, stepSeconds: Long, userAgg: String,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val perSeries = withSeriesAndBucket(df, stepSeconds)
+      .groupBy((col(SeriesKey) +: col(Bucket) +: groupBy.map(col)): _*)
+      .agg(max_by(col("Value"), col("TimeUnix")).as("last_value"))
+    applyUserAgg(perSeries, col("last_value"), userAgg, groupBy)
+  }
+
+  /** Gauge delta (`isDelta`): Prometheus-style extrapolated delta per
+    * series/bucket — `(argMax - argMin) * step / date_diff(max,min)`,
+    * 0 when a bucket has a single point
+    * (reference renderDeltaExpression renderChartConfig.ts:1655-1684). */
+  def gaugeDelta(df: DataFrame, stepSeconds: Long, userAgg: String,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val perSeries = withSeriesAndBucket(df, stepSeconds)
+      .groupBy((col(SeriesKey) +: col(Bucket) +: groupBy.map(col)): _*)
+      .agg(
+        max_by(col("Value"), col("TimeUnix")).as("__vmax"),
+        min_by(col("Value"), col("TimeUnix")).as("__vmin"),
+        max(col("TimeUnix")).as("__tmax"), min(col("TimeUnix")).as("__tmin"))
+      .withColumn("__secs",
+        unix_timestamp(col("__tmax")) - unix_timestamp(col("__tmin")))
+      .withColumn("delta",
+        when(col("__secs") === 0, lit(0.0))
+          .otherwise((col("__vmax") - col("__vmin")) * lit(stepSeconds) /
+            col("__secs")))
+    applyUserAgg(perSeries, col("delta"), userAgg, groupBy)
+  }
+
+  // ---------------------------------------------------------------- counter
+
+  /** Counter (sum metric) per-row rate: delta rows pass through, cumulative
+    * rows diff against the previous point of the same series with
+    * counter-reset clamping to 0; first point contributes 0 (NULL lag)
+    * (reference renderChartConfig.ts:1864-1965). */
+  def counterRatePerRow(df: DataFrame): DataFrame = {
+    val src = df.withColumn(SeriesKey, attributesHash(df))
+    val w = Window.partitionBy(col(SeriesKey)).orderBy(col("TimeUnix"))
+    src.withColumn("__prev", lag(col("Value"), 1).over(w))
+      .withColumn("Rate",
+        when(col("AggregationTemporality") === 1, col("Value"))
+          .otherwise(greatest(col("Value") - coalesce(col("__prev"),
+            col("Value")), lit(0.0))))
+      .drop("__prev")
+  }
+
+  /** Counter rate bucketed: sum of per-row rates per bucket/group. */
+  def counterRate(df: DataFrame, stepSeconds: Long,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val rated = counterRatePerRow(df)
+      .withColumn(Bucket, timeBucket(col("TimeUnix"), stepSeconds))
+    rated
+      .groupBy((col(Bucket) +: groupBy.map(col)): _*)
+      .agg(sum(col("Rate")).as("rate"))
+  }
+
+  /** `increase`: sum of rates per user group, capped to the top-N groups by
+    * total increase (reference INCREASE_MAX_NUM_GROUPS=20 + ranking CTE,
+    * renderChartConfig.ts:1971-2075). */
+  def increase(df: DataFrame, stepSeconds: Long, groupBy: Seq[String],
+      maxGroups: Int = 20): DataFrame = {
+    val perBucket = counterRate(df, stepSeconds, groupBy)
+    if (groupBy.isEmpty) perBucket
+    else {
+      val gcols = groupBy.map(col)
+      val top = perBucket.groupBy(gcols: _*)
+        .agg(max(col("rate")).as("__rank_val"))
+        .orderBy(desc("__rank_val") +: gcols.map(_.asc): _*)
+        .limit(maxGroups)
+        .select(gcols: _*)
+      perBucket.join(broadcast(top), groupBy, "left_semi")
+    }
+  }
+
+  // ------------------------------------------------------------------ util
+
+  private def applyUserAgg(perSeries: DataFrame, value: Column,
+      userAgg: String, groupBy: Seq[String]): DataFrame = {
+    val v = toFloat64OrDefault(value)
+    val agg = userAgg match {
+      case "avg" => avg(v)
+      case "sum" => sum(v)
+      case "min" => min(v)
+      case "max" => max(v)
+      case "count" => count(v)
+      case "last_value" => max_by(v, col(Bucket))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported gauge agg: $other")
+    }
+    perSeries
+      .groupBy((col(Bucket) +: groupBy.map(col)): _*)
+      .agg(agg.as("value"))
+  }
+}
