@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators exposed through the driver contract:
+  * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
+  * near-dup), similarity search, and text analysis over the `documents` and
+  * `embeddings` tables.
+  *
+  * Where the testdata has no natural duplicates, a deterministic perturbed
+  * copy of every 10th document is unioned in (reproducible in the oracle
+  * SQL as well), so the dedup paths are exercised on real positives. */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Queries.cat(spark, dir)("documents").df
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Queries.cat(spark, dir)("embeddings").df
+
+  /** documents ∪ perturbed copies of every 10th doc (planted near-dups). */
+  private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" zz9")).as("text")))
+  }
+
+  private val CorpusWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  def q20_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(corpusWithDups(spark, dir), "doc_id", "text")
+      .orderBy("keep_id")
+
+  val q20_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql)
+       |SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keep_id,
+       |  count(*) AS n_dups
+       |FROM corpus GROUP BY text_hash ORDER BY keep_id""".stripMargin
+
+  /** MinHash(16) + LSH(8 bands of 2) candidate pairs, verified with exact
+    * 3-shingle Jaccard ≥ 0.5. With r=2/b=8 the miss probability at the
+    * planted pairs' similarity (~0.95) is ~4e-9, so the all-pairs SQL
+    * oracle is an exact match in practice. */
+  def q24_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(corpusWithDups(spark, dir), "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  val q24_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** n-gram Jaccard of a probe set (doc_id < 50) against the corpus. */
+  def q23_jaccard_probe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.ngramJaccardProbe(d.filter(col("doc_id") < 50), d,
+      "doc_id", "text", n = 3, threshold = 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q23_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+      |FROM (SELECT * FROM sh WHERE doc_id < 50) a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup pairs (hamming ≤ 3, 16-bit blocking) on the planted
+    * corpus. xxhash-dependent → no SQL oracle (rows-only check); recall
+    * covered in DedupSpec. */
+  def q26_simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(corpusWithDups(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-duplicates, exact pair scan (the LSH-bucketed
+    * variant is benchmarked separately). */
+  def q27_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(embs(spark, dir), "vec_id", "embedding",
+      threshold = 0.35, planes = 0)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  val q27_sql: String =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      |s AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(generate_series(1,64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+      |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-5 neighbors for probes vec_id < 10. */
+  def q25_knn_brute(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnBrute(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q25_sql: String =
+    """WITH p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+      |           WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT pid, nid,
+      |    list_sum(list_transform(generate_series(1,64),
+      |      i -> CAST(pv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(pv[i] AS DOUBLE)*CAST(pv[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(cv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM p, c WHERE pid != nid),
+      |r AS (SELECT pid, nid, cos,
+      |        row_number() OVER (PARTITION BY pid
+      |                           ORDER BY cos DESC, nid) AS rk
+      |      FROM s)
+      |SELECT pid AS probe_id, nid AS neighbor_id, round(cos,6) AS cosine
+      |FROM r WHERE rk <= 5 ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** LSH-bucketed approximate KNN (recall vs brute force covered in
+    * SimilaritySpec; hyperplanes are engine-internal → rows-only check). */
+  def q28_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnLsh(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, planes = 2)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------- text
+
+  def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val toks = TextAnalysis.tokens(t)
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens_ws"),
+      TextAnalysis.bpeishTokenCount(t).as("n_tokens_bpeish"),
+      length(t).cast("long").as("n_chars_actual"),
+      round(when(size(toks) === 0, 0.0).otherwise(
+        aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+          size(toks)), 6).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val q21_sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens_ws,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS n_tokens_bpeish,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+      |  round(CAST(list_sum(list_transform(
+      |      string_split_regex(trim(lower(text)), '\s+'),
+      |      t -> length(t))) AS DOUBLE) /
+      |    len(string_split_regex(trim(lower(text)), '\s+')), 6)
+      |    AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality facets aggregated per source. */
+  def q22_quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val facets = TextAnalysis.qualityFacets(t).toMap
+    docs(spark, dir)
+      .select(col("source"),
+        facets("stopword_ratio").as("sw"),
+        facets("punct_ratio").as("pr"),
+        TextAnalysis.qualityScore(t).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("sw")), 6).as("avg_stopword_ratio"),
+        round(avg(col("pr")), 6).as("avg_punct_ratio"),
+        round(avg(col("q")), 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
+  val q22_sql: String = {
+    val en = TextAnalysis.LangProfiles("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT source,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+       |      AS DOUBLE) AS punct,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+       |      AS DOUBLE) AS digits
+       |  FROM documents),
+       |g AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(toks, t -> t IN ($en))) AS DOUBLE)
+       |      / len(toks) AS sw,
+       |    punct / n_chars AS pr,
+       |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+       |      / len(toks) AS mtl,
+       |    digits / n_chars AS dr
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(sw), 6) AS avg_stopword_ratio,
+       |  round(avg(pr), 6) AS avg_punct_ratio,
+       |  round(avg((
+       |    (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+       |       THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN mtl >= 3 AND mtl <= 12 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN pr <= 0.1 THEN 1.0 ELSE 0.0 END) +
+       |    (CASE WHEN dr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4), 6)
+       |    AS avg_quality
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Winnowing fingerprints (xxhash-based → rows-only check; semantics
+    * covered in TextAnalysisSpec). */
+  def q29_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("fp_size"),
+        array_min(col("fp")).as("fp_min"))
+      .orderBy("doc_id")
+
+  // ============================================================= registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> (q20_dedup_exact _),
+    "q21_text_stats" -> (q21_text_stats _),
+    "q22_quality" -> (q22_quality _),
+    "q23_jaccard_probe" -> (q23_jaccard_probe _),
+    "q24_minhash_lsh" -> (q24_minhash_lsh _),
+    "q25_knn_brute" -> (q25_knn_brute _),
+    "q26_simhash" -> (q26_simhash _),
+    "q27_embed_neardup" -> (q27_embed_neardup _),
+    "q28_ann_lsh" -> (q28_ann_lsh _),
+    "q29_fingerprint" -> (q29_fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> q20_sql,
+    "q21_text_stats" -> q21_sql,
+    "q22_quality" -> q22_sql,
+    "q23_jaccard_probe" -> q23_sql,
+    "q24_minhash_lsh" -> q24_sql,
+    "q25_knn_brute" -> q25_sql,
+    "q27_embed_neardup" -> q27_sql)
+}

@@ -25,10 +25,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ MetricQueries.all
+    Queries.all ++ MetricQueries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ MetricQueries.oracles
+    Queries.oracles ++ MetricQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup. Everything is built from codegen'd built-in
+  * functions (no UDFs); pair generation goes through bucket-join patterns
+  * (explode → shuffle on bucket key → self-join) that scale horizontally —
+  * never an O(n²) cross join on the full corpus.
+  */
+object Dedup {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** n-gram shingles (token n-grams joined with spaces), distinct. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, (i + j).cast("int"))): _*)))
+  }
+
+  /** Exact dedup: normalized-text hash, keep the smallest id per group.
+    * Single hash-shuffle; at 100 TB this is the cheapest first pass. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: k permutation-free min-hashes
+    * h_i(S) = min over shingles s of xxhash64(s, i). */
+  def minhashSignature(shinglesCol: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol,
+        s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding: signature split into `bands` bands; docs
+    * sharing any band hash become candidate pairs; candidates verified with
+    * exact shingle Jaccard. Returns (id_a, id_b, est_jaccard, jaccard).
+    *
+    * Scale path: explode to (band_idx, band_hash) — one shuffle on the band
+    * key; bucket sizes are data-dependent but near-dup clusters are small by
+    * construction. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(col("id"), col("sh"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / k)
+      .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+  }
+
+  /** Exact Jaccard over two distinct-shingle arrays. */
+  def exactJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** n-gram Jaccard scoring of a (small, broadcast) probe set against the
+    * corpus: all (probe, doc) pairs with jaccard ≥ threshold. */
+  def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    def prep(d: DataFrame, suffix: String): DataFrame =
+      d.select(col(idCol).as(s"id$suffix"),
+        shingles(col(textCol), n).as(s"sh$suffix"))
+    val p = prep(probes, "_a")
+    val c = prep(corpus, "_b")
+    broadcast(p).join(c, col("id_a") < col("id_b"))
+      .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i of the fingerprint is the
+    * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    (0 until 64).map { i =>
+      val bitSum = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+      when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, blocked on 16-bit
+    * fingerprint quarters (pigeonhole: ≤3 differing bits leaves at least one
+    * of 4 blocks identical, so blocking is lossless for maxHamming ≤ 3). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit blocking is lossless only up to 3")
+    val withFp = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("fp", simhash64(col("text")))
+    val blocked = withFp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("block_idx", "block_val")))
+    val a = blocked.select(col("block_idx"), col("block_val"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = blocked.select(col("block_idx"), col("block_val"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Buckets by random-hyperplane sign signature first (see Similarity) so
+    * the self-join is per-bucket, not full O(n²). With `planes = 0` falls
+    * back to the exact cross-join (test/oracle path). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val paired =
+      if (planes <= 0)
+        base.select(col("id").as("id_a"), col("v").as("v_a"))
+          .join(base.select(col("id").as("id_b"), col("v").as("v_b")),
+            col("id_a") < col("id_b"))
+      else {
+        val sig = Similarity.hyperplaneSignature(col("v"), planes,
+          dim = 64, seed = 7)
+        val withSig = base.withColumn("sig", sig)
+        withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+          .join(withSig.select(col("sig"), col("id").as("id_b"),
+            col("v").as("v_b")), Seq("sig"))
+          .filter(col("id_a") < col("id_b"))
+      }
+    paired
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language-ID (stopword/charset
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish
+  * regex), and winnowing document fingerprints. Pure built-in expressions.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny per-language stopword profiles (top function words). */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es",
+      "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans",
+      "que", "pour", "sur"))
+
+  /** Fraction of tokens found in a stopword list. */
+  def stopwordRatio(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(set, t))).cast("double") /
+        size(toks))
+  }
+
+  /** Heuristic language id: CJK if CJK chars dominate, else the profile
+    * with the highest stopword hit-rate; "und" (undetermined) when no
+    * profile scores > 0. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val toks = tokens(text)
+    val scores = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Heuristic quality facets (the classic Gopher/C4-style signals). */
+  def qualityFacets(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nTokens = size(toks).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val meanTokLen = when(nTokens === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        nTokens)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> meanTokLen,
+      "punct_ratio" -> when(nChars === 0, 0.0).otherwise(punct / nChars),
+      "digit_ratio" -> when(nChars === 0, 0.0).otherwise(digits / nChars),
+      "stopword_ratio" -> stopwordRatio(toks, LangProfiles("en")))
+  }
+
+  /** Composite [0,1] quality score: reasonable length, words neither too
+    * short nor too long, not digit/punct-heavy, some stopwords. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFacets(text).toMap
+    val lenOk = when(f("n_tokens") >= 10 && f("n_tokens") <= 10000, 1.0)
+      .otherwise(0.0)
+    val tokOk = when(f("mean_token_len") >= 3 && f("mean_token_len") <= 12,
+      1.0).otherwise(0.0)
+    val punctOk = when(f("punct_ratio") <= 0.1, 1.0).otherwise(0.0)
+    val digitOk = when(f("digit_ratio") <= 0.2, 1.0).otherwise(0.0)
+    (lenOk + tokOk + punctOk + digitOk) / 4
+  }
+
+  // ------------------------------------------------------------- tokens
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: runs of letters, runs of digits, and
+    * single non-space symbols (a cheap, deterministic stand-in for a real
+    * tokenizer's token count). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+      lit(0)))
+
+  // --------------------------------------------------------- fingerprint
+
+  /** Winnowing fingerprint: hash every n-shingle, take the min hash of each
+    * sliding window of `w` hashes, distinct minima = the fingerprint set
+    * (robust document signature for clone detection). */
+  def winnowingFingerprint(text: Column, n: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(Dedup.shingles(text, n), s => xxhash64(s))
+    val nWin = greatest(size(hashes) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWin),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
+
+  /** Per-document analysis frame: id, lang, token counts, facets, score. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val facets = qualityFacets(col(textCol))
+    df.select(
+      (col(idCol) +:
+        langId(col(textCol)).as("lang_pred") +:
+        tokenCount(col(textCol)).as("n_tokens_ws") +:
+        bpeishTokenCount(col(textCol)).as("n_tokens_bpeish") +:
+        facets.map { case (name, c) => c.as(name) } :+
+        qualityScore(col(textCol)).as("quality")): _*)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "another unrelated document mentioning parquet files and columns"))
+
+  test("exact dedup groups identical normalized text") {
+    val out = Dedup.exact(base.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4) // 1&4 merge
+    val merged = out.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(merged.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashLsh(base.toDF("doc_id", "text"),
+      "doc_id", "text", k = 16, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical text hamming 0; near-dup small hamming") {
+    val pairs = Dedup.simhashPairs(base.toDF("doc_id", "text"),
+      "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 4L)) == 0)
+  }
+
+  test("embedding near-dups via LSH buckets match brute force for clones") {
+    val vecs = Seq(
+      (1L, Seq.fill(8)(1.0f)),
+      (2L, Seq.fill(8)(1.0f).updated(0, 0.9f)), // near clone
+      (3L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9, 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnBrute returns exact top-k; knnLsh recall is high on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute.size == 25)
+    val lsh = Similarity.knnLsh(probes, e, "vec_id", "embedding", 5,
+      planes = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // planes=2 → 4 buckets → candidate set ~1/4; recall won't be 1 but must
+    // be substantial (same-bucket bias toward similar vectors)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low")
+    // every LSH result must be a genuine neighbor pair from the corpus
+    assert(lsh.forall { case (p, n) => p != n })
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the dominant stopword profile; CJK detected") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the walk"),
+      (2L, "der hund ist nicht zu hause und die katze ist mit dem kind"),
+      (3L, "el perro es de la casa y con un gato en el jardin para todos"),
+      (4L, "中文文本处理引擎测试"),
+      (5L, "xyzzy qwerty asdfgh zxcvbn")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "es")
+    assert(out(4L) == "zh")
+    assert(out(5L) == "und")
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq((1L, "hello world42 foo-bar!")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .as[(Int, Int)].head()
+    assert(r._1 == 3)
+    // hello | world | 42 | foo | - | bar | ! → 7
+    assert(r._2 == 7)
+  }
+
+  test("quality score rewards normal prose, punishes garbage") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 ! ! ! !"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+    assert(out(1L) >= 0.75)
+  }
+
+  test("winnowing fingerprint: stable under small suffix change") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t zz"),
+      (3L, "totally different words entirely here now"))
+      .toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val overlap12 = fps(1L).toSet.intersect(fps(2L).toSet).size.toDouble /
+      fps(1L).toSet.union(fps(2L).toSet).size
+    val overlap13 = fps(1L).toSet.intersect(fps(3L).toSet).size.toDouble /
+      fps(1L).toSet.union(fps(3L).toSet).size
+    assert(overlap12 > 0.7)
+    assert(overlap13 == 0.0)
+  }
+}
