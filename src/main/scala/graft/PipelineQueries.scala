@@ -16,7 +16,10 @@ import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 object PipelineQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
+    // the documents parquet is a single input split — spread per-doc text
+    // expressions across cores
     Queries.cat(spark, dir)("documents").df
+      .repartition(spark.sessionState.conf.numShufflePartitions)
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Queries.cat(spark, dir)("embeddings").df
@@ -259,8 +262,12 @@ object PipelineQueries {
   /** Winnowing fingerprints (xxhash-based → rows-only check; semantics
     * covered in TextAnalysisSpec). */
   def q29_fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"),
-      TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.shingleHashes(col("text")).as("hashes"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        TextAnalysis.winnowFromHashes(col("hashes")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("fp_size"),
         array_min(col("fp")).as("fp_min"))
       .orderBy("doc_id")

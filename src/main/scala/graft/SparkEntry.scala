@@ -25,7 +25,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ MetricQueries.all ++ PipelineQueries.all
+    Queries.all ++ MetricQueries.all ++ PipelineQueries.all ++
+      AnalysisQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops. */

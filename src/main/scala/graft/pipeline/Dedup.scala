@@ -15,6 +15,12 @@ object Dedup {
   /** Whitespace tokens of normalized text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Target parallelism for pair-generation stages: the session's shuffle
+    * partition count (testdata parquet often arrives as ONE input split —
+    * without an explicit repartition the whole pipeline runs on one core). */
+  private def defaultParallelism(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** n-gram shingles (token n-grams joined with spaces), distinct. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
@@ -49,11 +55,19 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val withSig = df
+    // Two repartition barriers: (1) spread small/1-partition inputs across
+    // cores, (2) stop CollapseProject from inlining the shingle expression
+    // into the k minhash exprs and the signature into the band exprs —
+    // without the barrier every exploded band row re-tokenizes the text
+    // (k×bands× recompute, catastrophic on wide rows).
+    val withSh = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingles(col("text"), shingleN))
       .filter(size(col("sh")) > 0)
+      .repartition(defaultParallelism(df))
+    val withSig = withSh
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .repartition(defaultParallelism(df))
     val banded = withSig.select(col("id"), col("sh"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",",
@@ -89,9 +103,12 @@ object Dedup {
   def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
+    // barrier: materialize shingles per row before the pair join (see
+    // minhashLsh) — the nested-loop pair scan must only do array ops
     def prep(d: DataFrame, suffix: String): DataFrame =
       d.select(col(idCol).as(s"id$suffix"),
         shingles(col(textCol), n).as(s"sh$suffix"))
+        .repartition(defaultParallelism(d))
     val p = prep(probes, "_a")
     val c = prep(corpus, "_b")
     broadcast(p).join(c, col("id_a") < col("id_b"))
@@ -102,8 +119,9 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: bit i of the fingerprint is the
     * sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
-  def simhash64(text: Column): Column = {
-    val toks = tokens(text)
+  def simhash64(text: Column): Column = simhash64Tokens(tokens(text))
+
+  def simhash64Tokens(toks: Column): Column =
     (0 until 64).map { i =>
       val bitSum = aggregate(toks, lit(0),
         (acc, t) => acc +
@@ -111,7 +129,6 @@ object Dedup {
             .otherwise(-1))
       when(bitSum > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -123,8 +140,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit blocking is lossless only up to 3")
-    val withFp = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("fp", simhash64(col("text")))
+    // tokenize once (barrier), then 64 bit-aggregates over the token
+    // array; without the barrier the tokenizer is inlined into all 64 exprs
+    val withFp = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("toks"))
+      .repartition(defaultParallelism(df))
+      .withColumn("fp", simhash64Tokens(col("toks")))
+      .drop("toks")
+      .repartition(defaultParallelism(df))
     val blocked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -147,24 +170,33 @@ object Dedup {
     * back to the exact cross-join (test/oracle path). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0): DataFrame = {
+    // precompute the norm per row (barrier) so the pair scan does one dot
+    // product per pair instead of re-deriving both norms every time
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(defaultParallelism(df))
     val paired =
       if (planes <= 0)
-        base.select(col("id").as("id_a"), col("v").as("v_a"))
-          .join(base.select(col("id").as("id_b"), col("v").as("v_b")),
-            col("id_a") < col("id_b"))
+        base.select(col("id").as("id_a"), col("v").as("v_a"),
+          col("nrm").as("n_a"))
+          .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
+            col("nrm").as("n_b")), col("id_a") < col("id_b"))
       else {
-        val sig = Similarity.hyperplaneSignature(col("v"), planes,
-          dim = 64, seed = 7)
-        val withSig = base.withColumn("sig", sig)
-        withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+        val withSig = base.withColumn("sig",
+          Similarity.hyperplaneSignature(col("v"), planes, dim = 64,
+            seed = 7))
+        withSig.select(col("sig"), col("id").as("id_a"),
+          col("v").as("v_a"), col("nrm").as("n_a"))
           .join(withSig.select(col("sig"), col("id").as("id_b"),
-            col("v").as("v_b")), Seq("sig"))
+            col("v").as("v_b"), col("nrm").as("n_b")), Seq("sig"))
           .filter(col("id_a") < col("id_b"))
       }
     paired
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        when(col("n_a") * col("n_b") === 0, lit(0.0))
+          .otherwise(Similarity.dot(col("v_a"), col("v_b")) /
+            (col("n_a") * col("n_b"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -47,12 +47,21 @@ object Similarity {
     * against. */
   def knnBrute(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // norms precomputed per row behind a repartition barrier: the pair scan
+    // then costs one dot product, and the (often single-split) parquet input
+    // is spread across cores
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
+      .withColumn("pn", norm(col("pv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .repartition(shuffleN)
     val scored = broadcast(p).join(c, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("cosine",
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -69,8 +78,10 @@ object Similarity {
   def knnLsh(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, tables: Int = 4,
       dim: Int = 64): DataFrame = {
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
     def withSigs(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+        .repartition(shuffleN) // barrier: keep sig exprs off the explode
         .select(col(id), col(vec),
           posexplode(array((0 until tables).map(tbl =>
             hyperplaneSignature(col(vec), planes, dim, seed = 7 + tbl)): _*))

@@ -95,15 +95,25 @@ object TextAnalysis {
 
   // --------------------------------------------------------- fingerprint
 
-  /** Winnowing fingerprint: hash every n-shingle, take the min hash of each
-    * sliding window of `w` hashes, distinct minima = the fingerprint set
-    * (robust document signature for clone detection). */
-  def winnowingFingerprint(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(Dedup.shingles(text, n), s => xxhash64(s))
+  /** Shingle-hash array of a document (the winnowing input). Materialize
+    * this as its own column (behind a repartition barrier) before calling
+    * [[winnowFromHashes]] — inlined, the hash expression would be
+    * re-evaluated once per sliding window. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(Dedup.shingles(text, n), s => xxhash64(s))
+
+  /** Winnowing over a precomputed hash array: min hash of each sliding
+    * window of `w`, distinct minima = the fingerprint set (robust document
+    * signature for clone detection). */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column = {
     val nWin = greatest(size(hashes) - (w - 1), lit(1))
     array_distinct(transform(sequence(lit(1), nWin),
       i => array_min(slice(hashes, i, lit(w)))))
   }
+
+  /** Convenience single-expression form (fine for small docs/tests). */
+  def winnowingFingerprint(text: Column, n: Int = 3, w: Int = 4): Column =
+    winnowFromHashes(shingleHashes(text, n), w)
 
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

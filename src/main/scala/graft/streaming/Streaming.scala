@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+import graft.lucene.{FieldResolver, LuceneCompiler, LuceneContext}
+
+/** Structured Streaming surface — replaces two reference mechanisms:
+  *
+  *  - "live tail": the reference polls with descending batch windows
+  *    (packages/app/src/hooks/useOffsetPaginatedQuery.tsx:91-135,
+  *    searchWindows.ts) because ClickHouse has no push; Spark has a real
+  *    streaming engine, so tail = readStream + the same compiled lucene
+  *    predicate, append mode.
+  *  - incremental rollups: the reference maintains ClickHouse SummingMergeTree
+  *    MVs (00006_otel_logs_rollups.sql); here a watermarked streaming
+  *    aggregation writes the same pre-aggregate continuously.
+  */
+object Streaming {
+
+  /** Live tail: filter a streaming frame with the engine's lucene
+    * compiler — identical semantics to the batch search path. */
+  def liveTail(stream: DataFrame, luceneQuery: String,
+      implicitColumn: Option[String],
+      jsonStringColumns: Set[String] = Set.empty): DataFrame = {
+    val resolver = new FieldResolver(stream.schema, jsonStringColumns)
+    val ctx = LuceneContext(resolver, implicitColumn.map(col))
+    stream.filter(LuceneCompiler.compile(luceneQuery, ctx))
+  }
+
+  /** Tumbling-window rollup with late-data tolerance: the incremental
+    * equivalent of the reference's 15m kv rollup MVs. Output schema:
+    * window_start, groupBy…, cnt, sum_value. */
+  def rollup(stream: DataFrame, tsCol: String, valueCol: Option[String],
+      stepSeconds: Long, groupBy: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as("cnt") +:
+      valueCol.toSeq.flatMap(v => Seq(
+        sum(toFloat64OrDefault(col(v))).as("sum_value"),
+        max(toFloat64OrDefault(col(v))).as("max_value")))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), s"$stepSeconds seconds")
+        .as("w") +: groupBy.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** Facet rollup: per-window map-key/value counts over an attributes map
+    * column — the exact shape of the reference's
+    * otel_logs_kv_rollup_15m MV (00006_otel_logs_rollups.sql). */
+  def kvRollup(stream: DataFrame, tsCol: String, mapCol: String,
+      stepSeconds: Long = 900,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(col(mapCol)).as(Seq("key", "value")))
+      .groupBy(window(col(tsCol), s"$stepSeconds seconds").as("w"),
+        col("key"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("live tail applies lucene predicate on a stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val tail = Streaming.liveTail(stream,
+      "event_type:error value:>50", implicitColumn = Some("event_type"))
+    val q = tail.writeStream.format("memory").queryName("tail_out")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:00:01"), "error", 100.0),
+      (t("2024-01-01 00:00:02"), "error", 10.0), // value too low
+      (t("2024-01-01 00:00:03"), "click", 999.0)) // wrong type
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM tail_out").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(2) == 100.0)
+  }
+
+  test("windowed rollup aggregates per bucket with watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "svc", "value")
+    val roll = Streaming.rollup(stream, "ts", Some("value"),
+      stepSeconds = 60, groupBy = Seq("svc"))
+    val q = roll.writeStream.format("memory").queryName("roll_out")
+      .outputMode("complete").start()
+    mem.addData(
+      (t("2024-01-01 00:00:10"), "a", 1.0),
+      (t("2024-01-01 00:00:50"), "a", 2.0),
+      (t("2024-01-01 00:01:10"), "a", 10.0),
+      (t("2024-01-01 00:00:30"), "b", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT svc, cnt, sum_value FROM roll_out ORDER BY window_start, svc")
+      .as[(String, Long, Double)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 5.0), ("a", 1L, 10.0)))
+  }
+
+  test("kv rollup counts map keys per window") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Map[String, String])]
+    val stream = mem.toDF().toDF("ts", "attrs")
+    val roll = Streaming.kvRollup(stream, "ts", "attrs", stepSeconds = 900)
+    val q = roll.writeStream.format("memory").queryName("kv_out")
+      .outputMode("complete").start()
+    mem.addData(
+      (t("2024-01-01 00:01:00"), Map("host" -> "a", "env" -> "prod")),
+      (t("2024-01-01 00:02:00"), Map("host" -> "a")),
+      (t("2024-01-01 00:03:00"), Map("host" -> "b")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT key, value, cnt FROM kv_out ORDER BY key, value")
+      .as[(String, String, Long)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("env", "prod", 1L), ("host", "a", 2L),
+      ("host", "b", 1L)))
+  }
+}
