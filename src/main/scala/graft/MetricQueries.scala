@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CoreFunctions._
-import graft.metrics.{Histograms, MetricCompiler}
+import graft.metrics.{ExpHistograms, Histograms, MetricCompiler}
 
 /** Metric-semantics queries (SURVEY §2.5) exposed through the driver
   * contract. The testdata has no OTel metric tables, so each query first
@@ -188,15 +188,79 @@ object MetricQueries {
       |    ELSE 200 END, 6) AS value
       |FROM p WHERE total > 0 ORDER BY bucket""".stripMargin
 
+  /** Exponential-histogram quantile p50: per-(user, day) scale-0 exp
+    * histograms of value (bucket i = (2^i, 2^(i+1)], values ≤ 1 dropped),
+    * merged across series and log-linearly interpolated
+    * (reference histogram.ts:252-661). */
+  def q17_exp_quantile(spark: SparkSession, dir: String): DataFrame = {
+    val day = timeBucket(col("ts"), 86400)
+    // bucket i = (2^i, 2^(i+1)] via explicit range comparisons (a float
+    // log2 would misplace exact powers of two by one ulp)
+    val counts = array((0 to 7).map(i =>
+      count_if(col("value") > (1 << i).toDouble &&
+        col("value") <= (1 << (i + 1)).toDouble).cast("long")): _*)
+    val hist = events(spark, dir)
+      .filter(col("value") > 1)
+      .groupBy(day.as("TimeUnix"), col("user_id"))
+      .agg(counts.as("PositiveBucketCounts"))
+      .select(
+        lit("latency").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("TimeUnix").as("StartTimeUnix"),
+        lit(1).as("AggregationTemporality"),
+        lit(0).as("Scale"),
+        aggregate(col("PositiveBucketCounts"), lit(0L), _ + _).as("Count"),
+        lit(0L).as("ZeroCount"),
+        lit(0).as("PositiveOffset"),
+        col("PositiveBucketCounts"),
+        lit(0).as("NegativeOffset"),
+        array().cast("array<long>").as("NegativeBucketCounts"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(ExpHistograms.quantile(hist, 0.5, 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  /** Oracle: same bucketing + the reference's rank-selection/interpolation
+    * unrolled as a CASE chain over the 8 buckets. */
+  val q17_sql: String = {
+    val cs = (0 to 7).map(i =>
+      s"count(*) FILTER (WHERE value > ${1 << i}.0 AND value <= ${1 << (i + 1)}.0) AS c$i")
+      .mkString(",\n    ")
+    val sums = (0 to 7).map(i =>
+      s"CAST(${(0 to i).map(j => s"c$j").mkString("+")} AS DOUBLE) AS s$i")
+      .mkString(",\n    ")
+    val cases = (0 to 7).map { i =>
+      val prev = if (i == 0) "0" else s"s${i - 1}"
+      s"WHEN c$i > 0 AND s$i >= 0.5*s7 THEN pow(2, $i + (0.5*s7 - $prev)/c$i)"
+    }.mkString("\n    ")
+    s"""WITH h AS (
+       |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+       |    $cs
+       |  FROM events WHERE value > 1 GROUP BY bucket),
+       |p AS (
+       |  SELECT bucket, c0, c1, c2, c3, c4, c5, c6, c7,
+       |    $sums
+       |  FROM h)
+       |SELECT bucket, round(CASE
+       |    $cases
+       |    END, 6) AS value
+       |FROM p WHERE s7 > 0 ORDER BY bucket""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_gauge" -> (q13_gauge _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
-    "q16_hist_quantile" -> (q16_hist_quantile _))
+    "q16_hist_quantile" -> (q16_hist_quantile _),
+    "q17_exp_quantile" -> (q17_exp_quantile _))
 
   val oracles: Map[String, String] = Map(
     "q13_gauge" -> q13_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
-    "q16_hist_quantile" -> q16_sql)
+    "q16_hist_quantile" -> q16_sql,
+    "q17_exp_quantile" -> q17_sql)
 }
