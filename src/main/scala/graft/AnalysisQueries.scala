@@ -4,6 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.{EventDeltas, Patterns}
+import graft.compile.{MvRouter, QueryCompiler, Series}
+import graft.functions.CoreFunctions.TimeBucketAlias
+import graft.ir._
 
 /** Sidecar analysis libraries exposed through the driver contract
   * (DRAIN pattern mining and event-delta outlier attribution). Both are
@@ -30,7 +33,83 @@ object AnalysisQueries {
       .withColumn("score", round(col("score"), 6))
   }
 
+  /** MV routing: a daily count/sum/avg query answered from an HOURLY
+    * pre-aggregate rollup instead of the raw table (reference
+    * materializedViews.ts rewrite); the oracle aggregates the raw rows —
+    * equality proves the partial-aggregate composition is lossless. */
+  def q32_mv_routed(spark: SparkSession, dir: String): DataFrame = {
+    val events = Queries.cat(spark, dir)("events").df
+    val rollup = MvRouter.buildRollup(events, "ts", 3600,
+      Seq("event_type"), Seq("value"))
+    val q = Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("value", Some("sum_v"), Some(AggFn.Sum)),
+        SelectItem("value", Some("avg_v"), Some(AggFn.Avg))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)))
+    val routed = MvRouter.tryRoute(q, rollup).getOrElse(
+      throw new IllegalStateException("expected MV routing to apply"))
+    routed
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .drop(TimeBucketAlias)
+      .withColumn("sum_v", round(col("sum_v"), 2))
+      // derive avg from the ROUNDED sum so both engines divide identical
+      // doubles (raw sums differ by an ulp and land on half-boundaries)
+      .withColumn("avg_v", round(col("sum_v") / col("cnt"), 6))
+      .select("bucket", "event_type", "cnt", "sum_v", "avg_v")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q32_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      | event_type, count(*) AS cnt,
+      | round(sum(value),2) AS sum_v,
+      | round(round(sum(value),2) / count(*), 6) AS avg_v
+      |FROM events GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Gap filling: hourly signup counts over a fixed range with missing
+    * buckets zero-filled (reference WITH FILL / client fillNulls). */
+  def q33_gap_fill(spark: SparkSession, dir: String): DataFrame = {
+    val range = QueryCompiler.range(
+      "2024-01-05T00:00:00Z", "2024-01-07T00:00:00Z")
+    val base = QueryCompiler.compile(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      where = Some(Cond.Sql("event_type = 'signup'")),
+      granularity = Some(Granularity.Fixed(3600)),
+      dateRange = Some(range)), Queries.cat(spark, dir))
+    Series.fillGaps(base, TimeBucketAlias, 3600, range, Nil,
+      Map("cnt" -> lit(0L)))
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .select("bucket", "cnt")
+      .orderBy("bucket")
+  }
+
+  val q33_sql: String =
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(1704412800, 1704585600, 3600))
+      |    AS bucket),
+      |agg AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM events
+      |  WHERE event_type = 'signup'
+      |    AND ts >= '2024-01-05T00:00:00Z' AND ts <= '2024-01-07T00:00:00Z'
+      |  GROUP BY bucket)
+      |SELECT s.bucket, coalesce(a.cnt, 0) AS cnt
+      |FROM spine s LEFT JOIN agg a USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
-    "q31_event_deltas" -> (q31_event_deltas _))
+    "q31_event_deltas" -> (q31_event_deltas _),
+    "q32_mv_routed" -> (q32_mv_routed _),
+    "q33_gap_fill" -> (q33_gap_fill _))
+
+  val oracles: Map[String, String] = Map(
+    "q32_mv_routed" -> q32_sql,
+    "q33_gap_fill" -> q33_sql)
 }

@@ -31,5 +31,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ MetricQueries.oracles ++ PipelineQueries.oracles
+    Queries.oracles ++ MetricQueries.oracles ++ PipelineQueries.oracles ++
+      AnalysisQueries.oracles
 }

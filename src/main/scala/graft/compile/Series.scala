@@ -1,0 +1,57 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+import graft.ir.{DateRange, RatioMode}
+
+/** Series post-processing: gap filling and ratio computation — engine-side
+  * versions of what the reference does client-side
+  * (fillNulls types.ts:1211; computeResultSetRatio clickhouse/index.ts:391-485).
+  */
+object Series {
+
+  /** Fill missing time buckets with a constant: generate the full bucket
+    * spine with sequence()+explode, cross with observed group values, left
+    * join (the reference's disabled WITH FILL, renderChartConfig.ts:1637).
+    * `bucketCol` must hold epoch-aligned timestamps at `stepSeconds`. */
+  def fillGaps(df: DataFrame, bucketCol: String, stepSeconds: Long,
+      range: DateRange, groupCols: Seq[String],
+      fill: Map[String, Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val from = range.from.getEpochSecond / stepSeconds * stepSeconds
+    val to = range.to.getEpochSecond
+    val spine = Seq((from, to)).toDF("__from", "__to")
+      .select(explode(sequence(col("__from"), col("__to"),
+        lit(stepSeconds))).as("__epoch"))
+      .select(timestamp_seconds(col("__epoch")).as(bucketCol))
+    val groups =
+      if (groupCols.isEmpty) spine
+      else spine.crossJoin(df.select(groupCols.map(col): _*).distinct())
+    val joined = groups.join(df, bucketCol +: groupCols, "left")
+    fill.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), v))
+    }
+  }
+
+  /** Ratio of two value columns (reference RatioMode):
+    *  - PerGroup: a / b per row
+    *  - ShareOfTotal: a / sum(a) over the same time bucket (denominator =
+    *    bucket total across groups, clickhouse/index.ts:464-485). */
+  def ratio(df: DataFrame, mode: RatioMode, numCol: String,
+      denCol: String, bucketCol: String = TimeBucketAlias,
+      outCol: String = "ratio"): DataFrame = mode match {
+    case RatioMode.PerGroup =>
+      df.withColumn(outCol,
+        when(col(denCol).isNull || col(denCol) === 0, lit(null))
+          .otherwise(col(numCol).cast("double") / col(denCol)))
+    case RatioMode.ShareOfTotal =>
+      import org.apache.spark.sql.expressions.Window
+      val total = sum(col(numCol)).over(Window.partitionBy(col(bucketCol)))
+      df.withColumn(outCol,
+        when(total === 0, lit(null))
+          .otherwise(col(numCol).cast("double") / total))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema/facet introspection services — the engine-service analogue of the
+  * reference's `Metadata` class
+  * (packages/common-utils/src/core/metadata.ts:254-2698): column listing,
+  * map-key discovery, key-value autocomplete, value distributions. Each is
+  * a small capped aggregation (the reference caps discovery scans at 3e6
+  * rows and 15 s — metadata.ts:55-56,816-818; `maxScanRows` mirrors that).
+  */
+object Metadata {
+
+  final case class FieldInfo(path: String, dataType: String,
+      fromMap: Boolean)
+
+  /** All queryable fields: physical columns plus one entry per discovered
+    * map key (reference getAllFields metadata.ts:1422). */
+  def allFields(df: DataFrame, mapKeySample: Int = 1000): Seq[FieldInfo] = {
+    val phys = df.schema.fields.map(f =>
+      FieldInfo(f.name, f.dataType.simpleString, fromMap = false))
+    val mapCols = df.schema.fields.collect {
+      case StructField(n, MapType(StringType, _, _), _, _) => n
+    }
+    val mapFields = mapCols.flatMap { mc =>
+      mapKeys(df, mc, maxScanRows = mapKeySample)
+        .collect().map(r =>
+          FieldInfo(s"$mc.${r.getString(0)}", "string", fromMap = true))
+    }
+    (phys ++ mapFields).toSeq
+  }
+
+  /** Distinct keys of a map column with counts
+    * (reference getMapKeys metadata.ts:641-950). */
+  def mapKeys(df: DataFrame, mapCol: String,
+      maxScanRows: Int = 3000000): DataFrame =
+    df.limit(maxScanRows)
+      .select(explode(map_keys(col(mapCol))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("key"))
+
+  /** Distinct values of one map key (reference getMapValues :1040). */
+  def mapValues(df: DataFrame, mapCol: String, key: String,
+      maxValues: Int = 100, maxScanRows: Int = 3000000): DataFrame =
+    df.limit(maxScanRows)
+      .select(element_at(col(mapCol), key).as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("value"))
+      .limit(maxValues)
+
+  /** Facet autocomplete: top values per column in ONE pass over the scan
+    * (reference getKeyValues :2431 runs one query per key; a single
+    * explode+groupBy is the Spark-native shape). */
+  def keyValues(df: DataFrame, columns: Seq[String],
+      maxValuesPerKey: Int = 20, maxScanRows: Int = 3000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val counted = df.limit(maxScanRows)
+      .select(explode(map(pairs: _*)).as(Seq("key", "value")))
+      .filter(col("value").isNotNull)
+      .groupBy("key", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("key").orderBy(desc("cnt"), col("value"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxValuesPerKey)
+      .groupBy("key")
+      .agg(collect_list(col("value")).as("values"))
+      .orderBy("key")
+  }
+
+  /** Numeric distribution of an expression: count/min/max/avg + quantile
+    * ladder (reference getValuesDistribution :1995). */
+  def valuesDistribution(df: DataFrame, expression: String): DataFrame = {
+    val e = expr(expression).cast("double")
+    df.agg(
+      count(e).as("cnt"),
+      min(e).as("min"), max(e).as("max"), avg(e).as("avg"),
+      percentile_approx(e, lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(e, lit(0.9), lit(10000)).as("p90"),
+      percentile_approx(e, lit(0.99), lit(10000)).as("p99"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.compile
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ir._
+
+class MvRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val raw = Seq(
+    (t("2024-01-01 00:10:00"), "a", 10.0),
+    (t("2024-01-01 00:40:00"), "a", 20.0),
+    (t("2024-01-01 01:10:00"), "b", 5.0),
+    (t("2024-01-02 02:00:00"), "a", 7.0)).toDF("ts", "svc", "v")
+
+  private lazy val rollup =
+    MvRouter.buildRollup(raw, "ts", 3600, Seq("svc"), Seq("v"))
+
+  private val q = Query(
+    select = Seq(
+      SelectItem("", Some("cnt"), Some(AggFn.Count)),
+      SelectItem("v", Some("sum_v"), Some(AggFn.Sum)),
+      SelectItem("v", Some("avg_v"), Some(AggFn.Avg))),
+    from = "raw",
+    groupBy = Seq("svc"),
+    granularity = Some(Granularity.Fixed(86400)))
+
+  test("routable query answered from the rollup matches direct compile") {
+    val routed = MvRouter.tryRoute(q, rollup)
+    assert(routed.isDefined)
+    val got = routed.get
+      .orderBy("__time_bucket", "svc")
+      .select("svc", "cnt", "sum_v", "avg_v")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 30.0, 15.0), ("b", 1L, 5.0, 5.0), ("a", 1L, 7.0, 7.0)))
+  }
+
+  test("vetoes: finer granularity, non-multiple, unknown dim, quantile") {
+    assert(MvRouter.tryRoute(
+      q.copy(granularity = Some(Granularity.Fixed(60))), rollup).isEmpty)
+    assert(MvRouter.tryRoute(
+      q.copy(granularity = Some(Granularity.Fixed(5400))), rollup).isEmpty)
+    assert(MvRouter.tryRoute(q.copy(groupBy = Seq("other")), rollup).isEmpty)
+    assert(MvRouter.tryRoute(q.copy(select = Seq(SelectItem("v", Some("p"),
+      Some(AggFn.Quantile(0.5))))), rollup).isEmpty)
+    assert(MvRouter.tryRoute(q.copy(where = Some(Cond.Sql("v > 1"))),
+      rollup).isEmpty)
+  }
+
+  test("dim filters applied on the rollup") {
+    val routed = MvRouter.tryRoute(
+      q.copy(filters = Seq(Filter.Included("svc", Seq("a")))), rollup)
+    assert(routed.isDefined)
+    val svcs = routed.get.select("svc").distinct().as[String].collect()
+    assert(svcs.toSeq == Seq("a"))
+  }
+}
+
+class SeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillGaps inserts zero rows for missing buckets per group") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 3L),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "a", 5L))
+      .toDF("__time_bucket", "svc", "cnt")
+    val filled = Series.fillGaps(df, "__time_bucket", 60,
+      QueryCompiler.range("2024-01-01T00:00:00Z", "2024-01-01T00:02:00Z"),
+      Seq("svc"), Map("cnt" -> lit(0L)))
+    val rows = filled.orderBy("__time_bucket")
+      .select("cnt").as[Long].collect().toSeq
+    assert(rows == Seq(3L, 0L, 5L))
+  }
+
+  test("ratio per_group and share_of_total") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 8L, 2L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "b", 2L, 0L))
+      .toDF("__time_bucket", "svc", "n", "d")
+    val per = Series.ratio(df, RatioMode.PerGroup, "n", "d")
+      .orderBy("svc").select("ratio").collect()
+    assert(per(0).getDouble(0) == 4.0)
+    assert(per(1).isNullAt(0)) // divide by zero → null
+    val share = Series.ratio(df, RatioMode.ShareOfTotal, "n", "d")
+      .orderBy("svc").select("ratio").as[Double].collect().toSeq
+    assert(share == Seq(0.8, 0.2))
+  }
+}
+
+class MetadataSpec extends SparkSpec {
+
+  test("map keys / values / keyValues / distribution") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Map("env" -> "prod", "host" -> "h1"), 10.0),
+      ("b", Map("env" -> "dev"), 20.0),
+      ("c", Map("env" -> "prod"), 30.0)).toDF("id", "attrs", "v")
+    val keys = graft.meta.Metadata.mapKeys(df, "attrs")
+      .as[(String, Long)].collect().toSeq
+    assert(keys == Seq(("env", 3L), ("host", 1L)))
+    val vals = graft.meta.Metadata.mapValues(df, "attrs", "env")
+      .as[(String, Long)].collect().toSeq
+    assert(vals == Seq(("prod", 2L), ("dev", 1L)))
+    val kv = graft.meta.Metadata.keyValues(df, Seq("id"), 2)
+    assert(kv.collect().head.getSeq[String](1).length == 2)
+    val dist = graft.meta.Metadata.valuesDistribution(df, "v").collect().head
+    assert(dist.getAs[Long]("cnt") == 3L)
+    assert(dist.getAs[Double]("min") == 10.0)
+    val fields = graft.meta.Metadata.allFields(df)
+    assert(fields.exists(f => f.path == "attrs.env" && f.fromMap))
+  }
+}
