@@ -48,6 +48,17 @@ object Smoke {
     // quoted phrase on implicit column
     probe("phrase", Query(cnt, "events",
       where = Some(Cond.Lucene("\"purch\""))))
+
+    // sample-weighted aggregation: events re-bound with user_id as a fake
+    // SampleRate weight — count must equal sum of weights, not row count
+    val weighted = cat.withSource("weighted_events",
+      cat("events").copy(sampleWeightExpression = Some("user_id + 1")))
+    val wq = Query(Seq(
+      SelectItem("", Some("wcnt"), Some(AggFn.Count)),
+      SelectItem("value", Some("wp50"), Some(AggFn.Quantile(0.5)))),
+      from = "weighted_events")
+    val wrow = QueryCompiler.compile(wq, weighted).collect().head
+    println(s"[smoke] weighted count=${wrow.get(0)} p50=${wrow.get(1)}")
     spark.stop()
   }
 }

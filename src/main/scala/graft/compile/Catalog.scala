@@ -16,7 +16,11 @@ final case class Source(
     /** string columns holding JSON documents — dot-paths descend into them. */
     jsonStringColumns: Set[String] = Set.empty,
     /** semantic field aliases (e.g. "service" → "ServiceName"). */
-    fieldAliases: Map[String, String] = Map.empty)
+    fieldAliases: Map[String, String] = Map.empty,
+    /** sample-weight expression (e.g. trace SampleRate): when set, count/
+      * sum/avg/quantile become weighted (reference types.ts:1986-1992,
+      * renderChartConfig.ts:556-624). */
+    sampleWeightExpression: Option[String] = None)
 
 /** Named sources the compiler can reference from `Query.from`. */
 final class Catalog(val sources: Map[String, Source]) {

@@ -189,15 +189,29 @@ object QueryCompiler {
       case Some(p) => when(p, c)
       case None => c
     }
+    // sample weighting (reference :556-624): count → sum(w),
+    // sum → sum(x·w), avg → sum(x·w)/nullIf(sum(w),0), quantile →
+    // weighted; min/max/count_distinct deliberately uncorrected
+    val weight: Option[Column] =
+      source.sampleWeightExpression.map(w => sampleWeight(expr(w)))
     fn match {
       case AggFn.Count =>
-        cond match {
-          case Some(p) => count_if(p)
-          case None => count(lit(1))
+        (cond, weight) match {
+          case (Some(p), Some(w)) => sum(when(p, w).otherwise(0L))
+          case (None, Some(w)) => sum(w)
+          case (Some(p), None) => count_if(p)
+          case (None, None) => count(lit(1))
         }
       case AggFn.CountDistinct => count_distinct(gated(raw))
-      case AggFn.Sum => sum(gated(num))
-      case AggFn.Avg => avg(gated(num))
+      case AggFn.Sum => weight match {
+        case Some(w) => sum(gated(num * w))
+        case None => sum(gated(num))
+      }
+      case AggFn.Avg => weight match {
+        case Some(w) =>
+          sum(gated(num * w)) / nullif(sum(gated(w)), lit(0L))
+        case None => avg(gated(num))
+      }
       case AggFn.Min => min(gated(num))
       case AggFn.Max => max(gated(num))
       case AggFn.AnyValue => first(gated(raw), ignoreNulls = true)
@@ -208,10 +222,15 @@ object QueryCompiler {
             col(tsc)))
           case None => last(gated(raw), ignoreNulls = true)
         }
-      case AggFn.Quantile(level) =>
-        if (opts.approxQuantile)
-          percentile_approx(gated(num), lit(level), lit(opts.approxAccuracy))
-        else callPercentile(gated(num), level)
+      case AggFn.Quantile(level) => weight match {
+        case Some(w) =>
+          graft.functions.WeightedQuantile(level, gated(num), w)
+        case None =>
+          if (opts.approxQuantile)
+            percentile_approx(gated(num), lit(level),
+              lit(opts.approxAccuracy))
+          else callPercentile(gated(num), level)
+      }
       case AggFn.NoAgg => raw
       case AggFn.Increase =>
         throw new IllegalArgumentException(

@@ -68,19 +68,29 @@ object Dedup {
     val withSig = withSh
       .withColumn("sig", minhashSignature(col("sh"), k))
       .repartition(defaultParallelism(df))
+    def bandHash(sig: Column, b: Int): Column =
+      xxhash64(concat_ws(",",
+        slice(sig, b * rows + 1, rows).cast("array<string>")))
     val banded = withSig.select(col("id"), col("sh"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
+        bandHash(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
       col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+    // dedupe without a shuffle: keep a pair only in its FIRST matching
+    // band (all earlier bands must differ) — cheaper at scale than
+    // dropDuplicates, which would shuffle rows carrying both shingle arrays
+    val firstMatch = (0 until bands).map { bi =>
+      col("band_idx") === bi && (0 until bi)
+        .map(j => bandHash(col("sig_a"), j) =!= bandHash(col("sig_b"), j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
       .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
     cand
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -156,12 +166,21 @@ object Dedup {
       col("id").as("id_a"), col("fp").as("fp_a"))
     val b = blocked.select(col("block_idx"), col("block_val"),
       col("id").as("id_b"), col("fp").as("fp_b"))
+    def block(fp: Column, q: Int): Column =
+      shiftright(fp, q * 16).bitwiseAND(lit(0xFFFFL))
+    // first-matching-block filter instead of dropDuplicates (see
+    // minhashLsh) — dedupe without an extra shuffle
+    val firstMatch = (0 until 4).map { q =>
+      col("block_idx") === q && (0 until q)
+        .map(j => block(col("fp_a"), j) =!= block(col("fp_b"), j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     a.join(b, Seq("block_idx", "block_val"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
       .select(col("id_a"), col("id_b"),
         hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
