@@ -103,13 +103,52 @@ object AnalysisQueries {
       |FROM spine s LEFT JOIN agg a USING (bucket)
       |ORDER BY bucket""".stripMargin
 
+  /** Service map: parent↔child span correlation — spans synthesized
+    * deterministically from events (parent = the decade-leader event of the
+    * same user), self-joined on span ids, edges aggregated
+    * (reference useServiceMap.tsx; SURVEY §2.6). Broadcastable at sf0.01;
+    * a shuffle hash join at 100 TB — both fine, Catalyst/AQE picks. */
+  def q34_service_map(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+    val spans = e.select(
+      col("event_id").as("span_id"),
+      when(col("event_id") % 10 =!= 0, col("event_id") - col("event_id") % 10)
+        .otherwise(lit(null)).as("parent_span_id"),
+      col("event_type").as("service"),
+      col("value").as("duration"))
+    val parents = spans.select(col("span_id").as("p_span_id"),
+      col("service").as("parent_service"))
+    spans.filter(col("parent_span_id").isNotNull)
+      .join(parents, col("parent_span_id") === col("p_span_id"))
+      .groupBy(col("parent_service"), col("service").as("child_service"))
+      .agg(count(lit(1)).as("n_calls"),
+        round(avg(col("duration")), 6).as("avg_child_duration"))
+      .orderBy("parent_service", "child_service")
+  }
+
+  val q34_sql: String =
+    """WITH spans AS (
+      |  SELECT event_id AS span_id,
+      |    CASE WHEN event_id % 10 != 0
+      |      THEN event_id - event_id % 10 ELSE NULL END AS parent_span_id,
+      |    event_type AS service, value AS duration
+      |  FROM events)
+      |SELECT p.service AS parent_service, c.service AS child_service,
+      |  count(*) AS n_calls,
+      |  round(avg(c.duration), 6) AS avg_child_duration
+      |FROM spans c JOIN spans p ON c.parent_span_id = p.span_id
+      |GROUP BY parent_service, child_service
+      |ORDER BY parent_service, child_service""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
-    "q33_gap_fill" -> (q33_gap_fill _))
+    "q33_gap_fill" -> (q33_gap_fill _),
+    "q34_service_map" -> (q34_service_map _))
 
   val oracles: Map[String, String] = Map(
     "q32_mv_routed" -> q32_sql,
-    "q33_gap_fill" -> q33_sql)
+    "q33_gap_fill" -> q33_sql,
+    "q34_service_map" -> q34_sql)
 }

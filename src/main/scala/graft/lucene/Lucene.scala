@@ -57,8 +57,9 @@ object LuceneParser {
     private var i = 0
 
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
-    private def eof: Boolean = { ws(); i >= s.length }
-    private def peek: Char = s(i)
+    private def peek: Char =
+      if (i < s.length) s(i)
+      else throw new LuceneParseException("unexpected end of input")
 
     /** Is keyword `kw` next (word boundary, case-sensitive like lucene)? */
     private def matchKw(kw: String): Boolean = {

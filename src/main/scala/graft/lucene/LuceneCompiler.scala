@@ -252,7 +252,12 @@ object LuceneCompiler {
       value match {
         case TermValue.Exists => notEmpty(c)
         case TermValue.Exact(v) => iContains(c, v)
-        case TermValue.Word(v) if v.contains("*") => iLikeWildcard(c, v)
+        case TermValue.Word(v) if v.contains("*") =>
+          // implicit-column wildcards are contains-style: the pattern is
+          // wrapped in % on both sides (reference queryParser.ts:1468-1477
+          // `lower(col) LIKE lower('%t%')`); bare-field wildcards (handled
+          // in compileTermOn) stay prefix/suffix
+          iLikeWildcard(c, "*" + v + "*")
         case TermValue.Word(v) =>
           val tokens = tokenizeTerm(v)
           val tokenMatch =
