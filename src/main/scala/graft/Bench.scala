@@ -34,6 +34,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warm-up: pay JVM/codegen/parquet-footer costs once so the
+    // first measured query isn't inflated by session startup
+    try SparkEntry.queries.get("q1_agg").foreach(f =>
+      f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, f) => run(n, f) }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

@@ -1,0 +1,121 @@
+package graft.compile
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.CoreFunctions
+import graft.ir._
+
+class QueryCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalog: Catalog = {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "api", "error", 100.0),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "api", "ok", 10.0),
+      (Timestamp.valueOf("2024-01-01 01:05:00"), "worker", "ok", 20.0),
+      (Timestamp.valueOf("2024-01-01 01:06:00"), "worker", "error", 200.0),
+      (Timestamp.valueOf("2024-01-01 02:00:00"), "api", "ok", 30.0))
+      .toDF("ts", "svc", "status", "dur")
+    new Catalog(Map("t" -> Source(df, timestampColumn = Some("ts"),
+      implicitColumns = Seq("status"))))
+  }
+
+  private def compile(q: Query) = QueryCompiler.compile(q, catalog)
+
+  test("one-level CTEs: outer query reads the named intermediate") {
+    val inner = Query(
+      select = Seq(
+        SelectItem("svc", Some("svc"), None),
+        SelectItem("dur", Some("dur"), None)),
+      from = "t",
+      where = Some(Cond.Sql("status = 'ok'")))
+    val outer = Query(
+      select = Seq(SelectItem("dur", Some("total"), Some(AggFn.Sum))),
+      from = "oks",
+      groupBy = Seq("svc"),
+      orderBy = Seq(OrderBy("svc")),
+      ctes = Seq("oks" -> inner))
+    val got = compile(outer).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("api", 40.0), ("worker", 20.0)))
+  }
+
+  test("structured filters: include / exclude / numeric range / sql_ast") {
+    def run(f: Filter, or: Boolean = false): Set[Double] =
+      compile(Query(Seq(SelectItem("dur", Some("d"), None)), "t",
+        filters = Seq(f), filtersOr = or)).as[Double].collect().toSet
+    assert(run(Filter.Included("svc", Seq("worker"))) == Set(20.0, 200.0))
+    assert(run(Filter.Excluded("svc", Seq("worker"))) ==
+      Set(100.0, 10.0, 30.0))
+    assert(run(Filter.NumRange("dur", 15, 150)) == Set(100.0, 20.0, 30.0))
+    assert(run(Filter.SqlAst(">=", "dur", "100")) == Set(100.0, 200.0))
+  }
+
+  test("filters OR mode") {
+    val got = compile(Query(Seq(SelectItem("dur", Some("d"), None)), "t",
+      filters = Seq(Filter.Included("svc", Seq("worker")),
+        Filter.NumRange("dur", 90, 110)),
+      filtersOr = true)).as[Double].collect().toSet
+    assert(got == Set(20.0, 200.0, 100.0))
+  }
+
+  test("limit + offset pagination") {
+    def page(offset: Int): Seq[Double] =
+      compile(Query(Seq(SelectItem("dur", Some("d"), None)), "t",
+        orderBy = Seq(OrderBy("dur")), limit = Some(2),
+        offset = Some(offset))).as[Double].collect().toSeq
+    assert(page(0) == Seq(10.0, 20.0))
+    assert(page(2) == Seq(30.0, 100.0))
+    assert(page(4) == Seq(200.0))
+  }
+
+  test("auto granularity picks the ladder step for <=60 buckets") {
+    // 3h range → 3h/60 = 180s → first ladder step ≥ that keeping ≤60
+    // buckets is 5m (10800/300=36 ≤ 60; 60s would give 180 buckets)
+    assert(CoreFunctions.autoGranularitySeconds(3 * 3600) == 300)
+    val q = Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "t",
+      granularity = Some(Granularity.Auto),
+      dateRange = Some(QueryCompiler.range(
+        "2024-01-01T00:00:00Z", "2024-01-01T03:00:00Z")))
+    val buckets = compile(q).count()
+    assert(buckets <= 60)
+  }
+
+  test("lucene having over aggregated aliases") {
+    val q = Query(
+      select = Seq(SelectItem("dur", Some("total"), Some(AggFn.Sum))),
+      from = "t",
+      groupBy = Seq("svc"),
+      having = Some(Cond.Lucene("total:>150")),
+      orderBy = Seq(OrderBy("svc")))
+    val got = compile(q).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("worker", 220.0)))
+  }
+
+  test("time range exclusive end") {
+    val q = Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "t",
+      dateRange = Some(DateRange(
+        java.time.Instant.parse("2024-01-01T00:00:00Z"),
+        java.time.Instant.parse("2024-01-01T02:00:00Z"),
+        inclusiveEnd = false)))
+    assert(compile(q).as[Long].head() == 4L)
+  }
+
+  test("NoAgg passthrough mixes with aggregates being absent") {
+    val q = Query(
+      select = Seq(
+        SelectItem("svc", Some("svc"), Some(AggFn.NoAgg)),
+        SelectItem("dur * 2", Some("dur2"), None)),
+      from = "t",
+      orderBy = Seq(OrderBy("dur2")))
+    val got = compile(q).as[(String, Double)].collect().toSeq
+    assert(got.head == ("api", 20.0))
+    assert(got.length == 5)
+  }
+}
