@@ -1,0 +1,67 @@
+package graft.analysis
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.compile.{Catalog, QueryCompiler}
+import graft.functions.CoreFunctions.TimeBucketAlias
+import graft.ir._
+
+/** End-to-end alert evaluation — the reference's check-alerts task
+  * (SURVEY §3.3): assemble a count-per-bucket ChartConfig from the alert's
+  * saved search, run it through the engine, evaluate thresholds per group
+  * with the consecutive-window state machine. */
+object AlertRunner {
+
+  final case class AlertConfig(
+      source: String,
+      where: Option[Cond],
+      groupBy: Seq[String] = Nil,
+      intervalMinutes: Int = 5,
+      threshold: Double,
+      thresholdType: Alerts.ThresholdType = Alerts.ThresholdType.Above,
+      thresholdMax: Option[Double] = None,
+      numConsecutiveWindows: Int = 1,
+      scheduleOffsetMinutes: Int = 0)
+
+  final case class AlertResult(group: Seq[String], state: Alerts.AlertState,
+      windowValues: Seq[(Instant, Double)])
+
+  /** Evaluate at `now`: queries the lookback window
+    * (numConsecutiveWindows closed windows), compares per group. The
+    * engine query is the reference's ALERT_COUNT_DEFAULT_SELECT — count per
+    * interval bucket (searchChartConfig.ts:48-55). */
+  def evaluate(catalog: Catalog, cfg: AlertConfig, now: Instant)
+      : Seq[AlertResult] = {
+    val windowSecs = cfg.intervalMinutes * 60L
+    val currentStart = Alerts.getScheduledWindowStart(now,
+      cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
+    // closed windows only: [currentStart - n·w, currentStart)
+    val windowStarts = (cfg.numConsecutiveWindows to 1 by -1)
+      .map(i => currentStart.minusSeconds(i * windowSecs))
+    val q = Query(
+      select = Seq(SelectItem("", Some("value"), Some(AggFn.Count))),
+      from = cfg.source,
+      where = cfg.where,
+      groupBy = cfg.groupBy,
+      granularity = Some(Granularity.Fixed(windowSecs)),
+      dateRange = Some(DateRange(windowStarts.head, currentStart,
+        inclusiveEnd = false)))
+    val rows = QueryCompiler.compile(q, catalog).collect()
+    val byGroup = rows.groupBy(r =>
+      cfg.groupBy.map(g => String.valueOf(r.getAs[Any](g))))
+    val groups = if (cfg.groupBy.isEmpty) Map(Seq.empty[String] ->
+      byGroup.values.flatten.toArray) else byGroup
+    groups.map { case (g, rs) =>
+      val series = rs.map { r =>
+        val ts = r.getAs[java.sql.Timestamp](TimeBucketAlias).toInstant
+        ts -> r.getAs[Long]("value").toDouble
+      }.toMap
+      val state = Alerts.evaluate(series, windowStarts, cfg.thresholdType,
+        cfg.threshold, cfg.thresholdMax, cfg.numConsecutiveWindows)
+      AlertResult(g, state,
+        windowStarts.map(w => w -> series.getOrElse(w, 0.0)))
+    }.toSeq.sortBy(_.group.mkString(","))
+  }
+}

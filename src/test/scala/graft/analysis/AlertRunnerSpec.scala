@@ -1,0 +1,76 @@
+package graft.analysis
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.SparkSpec
+import graft.compile.{Catalog, Source}
+import graft.ir._
+
+class AlertRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalog: Catalog = {
+    // errors: 0 in 10:00-10:05, 3 in 10:05-10:10, 4 in 10:10-10:15
+    val rows = Seq(
+      ("2024-01-05 10:06:00", "error"), ("2024-01-05 10:07:00", "error"),
+      ("2024-01-05 10:08:00", "error"),
+      ("2024-01-05 10:11:00", "error"), ("2024-01-05 10:12:00", "error"),
+      ("2024-01-05 10:13:00", "error"), ("2024-01-05 10:14:00", "error"),
+      ("2024-01-05 10:12:30", "ok"))
+      .map { case (t, s) => (Timestamp.valueOf(t), s) }
+    new Catalog(Map("logs" -> Source(
+      rows.toDF("ts", "status"),
+      timestampColumn = Some("ts"),
+      implicitColumns = Seq("status"))))
+  }
+
+  private val now = Instant.parse("2024-01-05T10:16:30Z")
+
+  test("fires when the last window exceeds; respects lucene where") {
+    val r = AlertRunner.evaluate(catalog, AlertRunner.AlertConfig(
+      source = "logs",
+      where = Some(Cond.Lucene("status:error")),
+      intervalMinutes = 5, threshold = 4,
+      numConsecutiveWindows = 1), now)
+    assert(r.length == 1)
+    assert(r.head.state == Alerts.ALERT)
+    assert(r.head.windowValues.map(_._2) == Seq(4.0))
+  }
+
+  test("consecutive windows: 2 needed, only last exceeds -> OK; both -> ALERT") {
+    def eval(threshold: Double) = AlertRunner.evaluate(catalog,
+      AlertRunner.AlertConfig(
+        source = "logs",
+        where = Some(Cond.Lucene("status:error")),
+        intervalMinutes = 5, threshold = threshold,
+        numConsecutiveWindows = 2), now).head
+    // windows 10:05(3) and 10:10(4): threshold 4 → (false,true) → OK
+    assert(eval(4).state == Alerts.OK)
+    // threshold 3 → (true,true) → ALERT
+    assert(eval(3).state == Alerts.ALERT)
+  }
+
+  test("missing windows count as zero (Below fires on silence)") {
+    val r = AlertRunner.evaluate(catalog, AlertRunner.AlertConfig(
+      source = "logs",
+      where = Some(Cond.Lucene("status:nosuchthing")),
+      intervalMinutes = 5, threshold = 1,
+      thresholdType = Alerts.ThresholdType.Below,
+      numConsecutiveWindows = 3), now)
+    assert(r.head.state == Alerts.ALERT)
+    assert(r.head.windowValues.map(_._2) == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("grouped alerts evaluated per group") {
+    val r = AlertRunner.evaluate(catalog, AlertRunner.AlertConfig(
+      source = "logs",
+      where = None,
+      groupBy = Seq("status"),
+      intervalMinutes = 5, threshold = 4,
+      numConsecutiveWindows = 1), now)
+    val states = r.map(x => x.group.head -> x.state).toMap
+    assert(states("error") == Alerts.ALERT)
+    assert(states("ok") == Alerts.OK)
+  }
+}
