@@ -140,15 +140,50 @@ object AnalysisQueries {
       |GROUP BY parent_service, child_service
       |ORDER BY parent_service, child_service""".stripMargin
 
+  /** Ratio per_group: error rate per day = errors / total, computed as two
+    * conditional aggregates in ONE frame then divided (reference ratio
+    * mode per_group, clickhouse/index.ts:391-448 — engine-side, no client
+    * merge). */
+  def q35_ratio_per_group(spark: SparkSession, dir: String): DataFrame = {
+    val compiled = QueryCompiler.compile(Query(
+      select = Seq(
+        SelectItem("", Some("errors"), Some(AggFn.Count),
+          Some(Cond.Sql("event_type = 'error'"))),
+        SelectItem("", Some("total"), Some(AggFn.Count))),
+      from = "events",
+      granularity = Some(Granularity.Fixed(86400)),
+      dateRange = Some(QueryCompiler.range(
+        "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z"))),
+      Queries.cat(spark, dir))
+    Series.ratio(compiled, RatioMode.PerGroup, "errors", "total",
+      outCol = "error_rate")
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .withColumn("error_rate", round(col("error_rate"), 6))
+      .select("bucket", "errors", "total", "error_rate")
+      .orderBy("bucket")
+  }
+
+  val q35_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+      |  count(*) AS total,
+      |  round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+      |        / count(*), 6) AS error_rate
+      |FROM events
+      |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
     "q33_gap_fill" -> (q33_gap_fill _),
-    "q34_service_map" -> (q34_service_map _))
+    "q34_service_map" -> (q34_service_map _),
+    "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
     "q32_mv_routed" -> q32_sql,
     "q33_gap_fill" -> q33_sql,
-    "q34_service_map" -> q34_sql)
+    "q34_service_map" -> q34_sql,
+    "q35_ratio_per_group" -> q35_sql)
 }

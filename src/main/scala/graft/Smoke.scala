@@ -59,6 +59,20 @@ object Smoke {
       from = "weighted_events")
     val wrow = QueryCompiler.compile(wq, weighted).collect().head
     println(s"[smoke] weighted count=${wrow.get(0)} p50=${wrow.get(1)}")
+
+    // alert evaluation end-to-end over the real testdata: daily error
+    // counts vs threshold, 3-window lookback at a pinned clock
+    import graft.analysis.{AlertRunner, Alerts}
+    val alert = AlertRunner.evaluate(cat, AlertRunner.AlertConfig(
+      source = "events",
+      where = Some(Cond.Lucene("event_type:error")),
+      intervalMinutes = 1440,
+      threshold = 5,
+      thresholdType = Alerts.ThresholdType.Above,
+      numConsecutiveWindows = 3),
+      java.time.Instant.parse("2024-01-16T00:00:30Z"))
+    alert.foreach(r => println(s"[smoke] alert state=${r.state} " +
+      s"windows=${r.windowValues.map(w => w._1 + "=" + w._2).mkString(",")}"))
     spark.stop()
   }
 }
