@@ -51,12 +51,13 @@ object PipelineQueries {
        |FROM corpus GROUP BY text_hash ORDER BY keep_id""".stripMargin
 
   /** MinHash(16) + LSH(8 bands of 2) candidate pairs, verified with exact
-    * 3-shingle Jaccard ≥ 0.5. With r=2/b=8 the miss probability at the
-    * planted pairs' similarity (~0.95) is ~4e-9, so the all-pairs SQL
-    * oracle is an exact match in practice. */
+    * 3-shingle Jaccard ≥ 0.7. With r=2/b=8 the LSH miss probability is
+    * ~0.35% at j=0.7 and ~4e-9 at the planted pairs' ~0.95, so the
+    * all-pairs SQL oracle matches deterministically in practice (at a 0.5
+    * threshold, borderline pairs would flake the gate ~10% of the time). */
   def q24_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(corpusWithDups(spark, dir), "doc_id", "text",
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.5)
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -76,7 +77,7 @@ object PipelineQueries {
        |FROM sh a, sh b
        |WHERE a.doc_id < b.doc_id
        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
 
   /** n-gram Jaccard of a probe set (doc_id < 50) against the corpus. */

@@ -25,8 +25,16 @@ object Queries {
   private val JanRange = QueryCompiler.range(
     "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")
 
+  /** Memoized catalog per (session, dir) — the analogue of the reference's
+    * MetadataCache (metadata.ts:153): without it every query re-reads ten
+    * parquet footers for schema discovery. */
+  private val catalogCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Catalog]()
+
   def cat(spark: SparkSession, dir: String): Catalog =
-    Catalog.forDir(spark, dir)
+    catalogCache.computeIfAbsent((spark, dir),
+      _ => Catalog.forDir(spark, dir))
 
   /** epoch-seconds BIGINT bucket from the generated __time_bucket column. */
   private def epochBucket(df: DataFrame): DataFrame =

@@ -73,6 +73,11 @@ object Smoke {
       java.time.Instant.parse("2024-01-16T00:00:30Z"))
     alert.foreach(r => println(s"[smoke] alert state=${r.state} " +
       s"windows=${r.windowValues.map(w => w._1 + "=" + w._2).mkString(",")}"))
+
+    // catalog memoization must key on the data dir: same session, two dirs
+    val n1 = Queries.cat(spark, "/root/testdata/sf0.001")("events").df.count()
+    val n2 = Queries.cat(spark, "/root/testdata/sf0.01")("events").df.count()
+    println(s"[smoke] catalog cache: sf0.001 events=$n1, sf0.01 events=$n2")
     spark.stop()
   }
 }
