@@ -43,6 +43,13 @@ object Dedup {
       i => array_min(transform(shinglesCol,
         s => xxhash64(s, i))))
 
+  /** Same over pre-hashed (long) shingles — re-mixing the hash with the
+    * function index keeps the k functions independent. */
+  def minhashSignatureFromHashes(hashesCol: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashesCol,
+        h => xxhash64(h, i))))
+
   /** MinHash + LSH banding: signature split into `bands` bands; docs
     * sharing any band hash become candidate pairs; candidates verified with
     * exact shingle Jaccard. Returns (id_a, id_b, est_jaccard, jaccard).
@@ -60,28 +67,36 @@ object Dedup {
     // into the k minhash exprs and the signature into the band exprs —
     // without the barrier every exploded band row re-tokenizes the text
     // (k×bands× recompute, catastrophic on wide rows).
+    // Shingles are carried as 64-bit hashes from here on: Jaccard over
+    // long arrays is identical modulo hash collisions (~n²/2⁶⁴) and the
+    // pair scan compares 8-byte values instead of strings.
     val withSh = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), shingleN))
+      .withColumn("sh",
+        array_distinct(transform(shingles(col("text"), shingleN),
+          s => xxhash64(s))))
       .filter(size(col("sh")) > 0)
       .repartition(defaultParallelism(df))
     val withSig = withSh
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
       .repartition(defaultParallelism(df))
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
         slice(sig, b * rows + 1, rows).cast("array<string>")))
-    val banded = withSig.select(col("id"), col("sh"), col("sig"),
+    // the band join carries only (id, sig): duplicating the (possibly
+    // long) shingle array 8× through the explode shuffle would dominate
+    // IO; shingles are re-attached below for surviving candidates only
+    val banded = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+      col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+      col("id").as("id_b"), col("sig").as("sig_b"))
     // dedupe without a shuffle: keep a pair only in its FIRST matching
     // band (all earlier bands must differ) — cheaper at scale than
-    // dropDuplicates, which would shuffle rows carrying both shingle arrays
+    // dropDuplicates
     val firstMatch = (0 until bands).map { bi =>
       col("band_idx") === bi && (0 until bi)
         .map(j => bandHash(col("sig_a"), j) =!= bandHash(col("sig_b"), j))
@@ -90,12 +105,23 @@ object Dedup {
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstMatch)
-      .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
-    cand
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0), (acc, v) => acc + v) / k)
+      // cheap signature-agreement prefilter before the exact set math:
+      // a true pair at j=minJaccard clears est ≥ minJaccard/2 with
+      // probability ≥ 99.5% at k=16, and random band-collision junk
+      // (the bulk of candidates on small-vocabulary corpora) dies here
+      .filter(col("est_jaccard") >= minJaccard / 2)
+      .select("id_a", "id_b", "est_jaccard")
+    // re-attach shingle arrays for the (small) candidate set and verify
+    val shById = withSh.select(col("id"), col("sh"))
+    cand
+      .join(shById.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shById.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
