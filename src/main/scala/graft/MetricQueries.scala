@@ -250,17 +250,60 @@ object MetricQueries {
        |FROM p WHERE s7 > 0 ORDER BY bucket""".stripMargin
   }
 
+  /** Histogram count over CUMULATIVE-temporality series: per-user daily
+    * cumulative observation counts lag-diffed with the histogram reset
+    * rule, summed per bucket (reference histogram.ts:89-135). */
+  def q18_hist_count(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("TimeUnix"))
+    val hist = events(spark, dir)
+      .groupBy(timeBucket(col("ts"), 86400).as("TimeUnix"), col("user_id"))
+      .agg(count(lit(1)).as("__daily"))
+      .withColumn("Count", sum(col("__daily")).over(w))
+      .select(
+        lit("obs").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        lit(2).as("AggregationTemporality"),
+        col("Count"),
+        array(lit(1.0)).as("ExplicitBounds"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(Histograms.count(hist, 86400))
+      .select("bucket", "count")
+      .orderBy("bucket")
+  }
+
+  val q18_sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)/86400)*86400 AS BIGINT)
+      |    AS bucket, count(*) AS c
+      |  FROM events GROUP BY user_id, bucket),
+      |cum AS (
+      |  SELECT user_id, bucket,
+      |    sum(c) OVER (PARTITION BY user_id ORDER BY bucket) AS v
+      |  FROM daily),
+      |d AS (
+      |  SELECT bucket,
+      |    CASE WHEN lag(v) OVER (PARTITION BY user_id ORDER BY bucket)
+      |      IS NULL THEN 0
+      |      ELSE v - lag(v) OVER (PARTITION BY user_id ORDER BY bucket)
+      |      END AS delta
+      |  FROM cum)
+      |SELECT bucket, sum(delta) AS count FROM d
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_gauge" -> (q13_gauge _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
-    "q17_exp_quantile" -> (q17_exp_quantile _))
+    "q17_exp_quantile" -> (q17_exp_quantile _),
+    "q18_hist_count" -> (q18_hist_count _))
 
   val oracles: Map[String, String] = Map(
     "q13_gauge" -> q13_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,
-    "q17_exp_quantile" -> q17_sql)
+    "q17_exp_quantile" -> q17_sql,
+    "q18_hist_count" -> q18_sql)
 }
