@@ -323,6 +323,40 @@ object Queries {
       |      GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** String-typed numeric aggregation (reference toFloat64OrDefault
+    * semantics — FIXTURES §4: numeric aggs over string columns must
+    * coerce) + deterministic last_value via max_by(ts): aggregates over
+    * the JSON-string field props.k. */
+  def q36_string_coercion(spark: SparkSession, dir: String): DataFrame = {
+    val df = compiled(Query(
+      select = Seq(
+        SelectItem("get_json_object(props, '$.k')", Some("sum_k"),
+          Some(AggFn.Sum)),
+        SelectItem("get_json_object(props, '$.k')", Some("min_k"),
+          Some(AggFn.Min)),
+        SelectItem("get_json_object(props, '$.k')", Some("max_k"),
+          Some(AggFn.Max)),
+        SelectItem("get_json_object(props, '$.k')", Some("last_k"),
+          Some(AggFn.LastValue)),
+        SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy("event_type"))))(spark, dir)
+    df.withColumn("sum_k", round(col("sum_k"), 2))
+      .withColumn("last_k", col("last_k").cast("double"))
+  }
+
+  val q36_sql: String =
+    """SELECT event_type,
+      | round(sum(CAST(json_extract_string(props,'$.k') AS DOUBLE)),2)
+      |   AS sum_k,
+      | min(CAST(json_extract_string(props,'$.k') AS DOUBLE)) AS min_k,
+      | max(CAST(json_extract_string(props,'$.k') AS DOUBLE)) AS max_k,
+      | CAST(arg_max(json_extract_string(props,'$.k'), ts) AS DOUBLE)
+      |   AS last_k,
+      | count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ============================================================== registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -337,7 +371,8 @@ object Queries {
     "q9_count_distinct" -> (q9_count_distinct _),
     "q10_having" -> (q10_having _),
     "q11_series_limit" -> (q11_series_limit _),
-    "q12_ratio" -> (q12_ratio _))
+    "q12_ratio" -> (q12_ratio _),
+    "q36_string_coercion" -> (q36_string_coercion _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -351,5 +386,6 @@ object Queries {
     "q9_count_distinct" -> q9_sql,
     "q10_having" -> q10_sql,
     "q11_series_limit" -> q11_sql,
-    "q12_ratio" -> q12_sql)
+    "q12_ratio" -> q12_sql,
+    "q36_string_coercion" -> q36_sql)
 }
