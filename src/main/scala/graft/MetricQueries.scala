@@ -301,13 +301,65 @@ object MetricQueries {
       |SELECT bucket, sum(delta) AS count FROM d
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Exp-histogram count over cumulative series with a mid-series
+    * StartTimeUnix change: the reset rule takes the current count
+    * (reference histogram.ts:279-330). Series restart their StartTimeUnix
+    * every 10 days → deterministic resets in real data. */
+  def q19_exp_count(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("era"))
+      .orderBy(col("TimeUnix"))
+    val hist = events(spark, dir)
+      .withColumn("day", timeBucket(col("ts"), 86400))
+      .withColumn("era", timeBucket(col("ts"), 10 * 86400))
+      .groupBy(col("day").as("TimeUnix"), col("era"), col("user_id"))
+      .agg(count(lit(1)).as("__daily"))
+      .withColumn("Count", sum(col("__daily")).over(w))
+      .select(
+        lit("obs").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("era").as("StartTimeUnix"),
+        lit(2).as("AggregationTemporality"),
+        lit(0).as("Scale"),
+        col("Count"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(ExpHistograms.count(hist, 86400))
+      .select("bucket", "count")
+      .orderBy("bucket")
+  }
+
+  /** Oracle mirrors the reset rules: first point of a series or
+    * StartTimeUnix==TimeUnix → 0; era (start) change → take current. */
+  val q19_sql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    CAST(floor(epoch(ts)/864000)*864000 AS BIGINT) AS era,
+      |    count(*) AS c
+      |  FROM events GROUP BY user_id, bucket, era),
+      |cum AS (
+      |  SELECT user_id, bucket, era,
+      |    sum(c) OVER (PARTITION BY user_id, era ORDER BY bucket) AS v
+      |  FROM daily),
+      |d AS (
+      |  SELECT bucket,
+      |    CASE
+      |      WHEN lag(v) OVER w IS NULL OR era = bucket THEN 0
+      |      WHEN era != lag(era) OVER w OR v < lag(v) OVER w THEN v
+      |      ELSE v - lag(v) OVER w END AS delta
+      |  FROM cum
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+      |SELECT bucket, sum(delta) AS count FROM d
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_gauge" -> (q13_gauge _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
     "q17_exp_quantile" -> (q17_exp_quantile _),
-    "q18_hist_count" -> (q18_hist_count _))
+    "q18_hist_count" -> (q18_hist_count _),
+    "q19_exp_count" -> (q19_exp_count _))
 
   val oracles: Map[String, String] = Map(
     "q13_gauge" -> q13_sql,
@@ -315,5 +367,6 @@ object MetricQueries {
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,
     "q17_exp_quantile" -> q17_sql,
-    "q18_hist_count" -> q18_sql)
+    "q18_hist_count" -> q18_sql,
+    "q19_exp_count" -> q19_sql)
 }

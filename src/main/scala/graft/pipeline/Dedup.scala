@@ -139,11 +139,13 @@ object Dedup {
   def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    // barrier: materialize shingles per row before the pair join (see
-    // minhashLsh) — the nested-loop pair scan must only do array ops
+    // barrier: materialize HASHED shingles per row before the pair join
+    // (see minhashLsh) — the nested-loop pair scan then intersects 8-byte
+    // values; Jaccard is identical modulo ~n²/2⁶⁴ hash collisions
     def prep(d: DataFrame, suffix: String): DataFrame =
       d.select(col(idCol).as(s"id$suffix"),
-        shingles(col(textCol), n).as(s"sh$suffix"))
+        array_distinct(transform(shingles(col(textCol), n),
+          s => xxhash64(s))).as(s"sh$suffix"))
         .repartition(defaultParallelism(d))
     val p = prep(probes, "_a")
     val c = prep(corpus, "_b")
