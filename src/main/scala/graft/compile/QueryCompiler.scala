@@ -25,6 +25,12 @@ object QueryCompiler {
       approxQuantile: Boolean = false,
       /** accuracy for percentile_approx. */
       approxAccuracy: Int = 10000,
+      /** count_distinct via HLL approx_count_distinct — the reference's
+        * `count_distinct_implementation: uniqCombined64` setting
+        * (renderChartConfig.int.test.ts:41-46). At 100 TB exact distinct
+        * counts shuffle every key; HLL is the default posture there. */
+      approxCountDistinct: Boolean = false,
+      approxCountDistinctRsd: Double = 0.01,
       maxAutoBuckets: Int = 60)
 
   def compile(q: Query, catalog: Catalog,
@@ -202,7 +208,10 @@ object QueryCompiler {
           case (Some(p), None) => count_if(p)
           case (None, None) => count(lit(1))
         }
-      case AggFn.CountDistinct => count_distinct(gated(raw))
+      case AggFn.CountDistinct =>
+        if (opts.approxCountDistinct)
+          approx_count_distinct(gated(raw), opts.approxCountDistinctRsd)
+        else count_distinct(gated(raw))
       case AggFn.Sum => weight match {
         case Some(w) => sum(gated(num * w))
         case None => sum(gated(num))

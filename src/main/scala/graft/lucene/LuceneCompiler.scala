@@ -8,9 +8,12 @@ import graft.functions.CoreFunctions._
 
 /** Resolved field: the Column plus enough type info to pick comparison
   * semantics (reference buildColumnExpressionFromField,
-  * packages/common-utils/src/queryParser.ts:1620-1760). */
+  * packages/common-utils/src/queryParser.ts:1620-1760).
+  * `arrayElemField` set → `col` is an array of structs and predicates
+  * apply existentially to element.field. */
 final case class ResolvedField(col: Column, dataType: DataType,
-    fromJsonString: Boolean = false)
+    fromJsonString: Boolean = false,
+    arrayElemField: Option[String] = None)
 
 /** Schema-driven field resolution: exact column name, else dot-path prefix
   * match into Map / Struct / JSON-string / Array columns (reference
@@ -50,6 +53,17 @@ final class FieldResolver(schema: StructType,
 
   private def descend(f: StructField, path: Seq[String])
       : Option[ResolvedField] = f.dataType match {
+    case ArrayType(st: StructType, _) if path.nonEmpty =>
+      // array-of-structs (OTel Events.Name / Links.* nesting): resolve the
+      // field against the element struct; match semantics become
+      // exists(col, e -> pred(e.field)) via ArrayElemField (reference
+      // arrayExists over nested arrays, queryParser.ts:821-908)
+      st.fields.find(_.name.equalsIgnoreCase(path.head)).flatMap { sf =>
+        if (path.length == 1)
+          Some(ResolvedField(col(f.name), sf.dataType,
+            arrayElemField = Some(sf.name)))
+        else None // deeper nesting not supported (matches reference)
+      }
     case MapType(_, vt, _) =>
       // Map['rest-of-path joined back'] — reference joins the remainder as a
       // single key (queryParser.ts:1685-1709)
@@ -130,7 +144,18 @@ object LuceneCompiler {
   private def numericLit(v: String): Option[Double] =
     scala.util.Try(v.toDouble).toOption
 
-  private def compileTermOn(rf: ResolvedField, value: TermValue): Column = {
+  private def compileTermOn(rf: ResolvedField, value: TermValue): Column =
+    rf.arrayElemField match {
+      // array-of-structs: exists(arr, e -> <predicate on e.field>)
+      case Some(field) =>
+        exists(rf.col, e =>
+          compileTermOn(ResolvedField(e.getField(field), rf.dataType),
+            value))
+      case None => compileScalarTermOn(rf, value)
+    }
+
+  private def compileScalarTermOn(rf: ResolvedField,
+      value: TermValue): Column = {
     val c = rf.col
     value match {
       case TermValue.Exists =>

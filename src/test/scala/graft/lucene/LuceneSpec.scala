@@ -105,6 +105,25 @@ class LuceneSpec extends SparkSpec {
     assert(ids("NOT tags:*") == Set(3L))
   }
 
+  test("array-of-structs: OTel Events.* existential matching") {
+    val spans = Seq(
+      (1L, Seq(("exception", 500.0), ("retry", 1.0))),
+      (2L, Seq(("log", 10.0))),
+      (3L, Seq.empty[(String, Double)]))
+      .toDF("id", "raw")
+      .select(col("id"), expr(
+        "transform(raw, r -> named_struct('Name', r._1, 'Value', r._2))")
+        .as("Events"))
+    val ctx2 = LuceneContext(new FieldResolver(spans.schema), None)
+    def ids2(q: String): Set[Long] =
+      spans.filter(LuceneCompiler.compile(q, ctx2))
+        .select("id").as[Long].collect().toSet
+    assert(ids2("Events.Name:exception") == Set(1L))
+    assert(ids2("Events.Value:>100") == Set(1L))
+    assert(ids2("\"x\" OR Events.Name:log") == Set(2L))
+    assert(ids2("NOT Events.Name:retry") == Set(2L, 3L))
+  }
+
   test("unknown field compiles to false, not error") {
     assert(ids("nosuch:field") == Set.empty)
     assert(ids("nosuch:field OR service:worker") == Set(3L, 4L))
