@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -352,7 +352,55 @@ object MetricQueries {
       |SELECT bucket, sum(delta) AS count FROM d
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Exp-histogram quantile over MIXED scales: odd users emit scale-0
+    * histograms, even users scale-1 (√2-boundary buckets) — the pipeline
+    * must downscale the scale-1 series (floor-div index coalescing) before
+    * merging. Coalescing scale-1 counts reproduces the scale-0 bucketing of
+    * the same values, so the oracle is the scale-0 interpolation over all
+    * values (histogram.ts:368-424 normalization exercised at the gate). */
+  def q37_exp_mixed_scale(spark: SparkSession, dir: String): DataFrame = {
+    val day = timeBucket(col("ts"), 86400)
+    // scale 0: bucket i = (2^i, 2^(i+1)], i in 0..7
+    val counts0 = array((0 to 7).map(i =>
+      count_if(col("value") > (1 << i).toDouble &&
+        col("value") <= (1 << (i + 1)).toDouble).cast("long")): _*)
+    // scale 1: bucket j = (2^(j/2), 2^((j+1)/2)], j in 0..15
+    val counts1 = array((0 to 15).map { j =>
+      val lo = math.pow(2.0, j / 2.0)
+      val hi = math.pow(2.0, (j + 1) / 2.0)
+      count_if(col("value") > lo && col("value") <= hi).cast("long")
+    }: _*)
+    val base = events(spark, dir).filter(col("value") > 1)
+    def side(parity: Int, scale: Int, counts: Column) = base
+      .filter(col("user_id") % 2 === parity)
+      .groupBy(day.as("TimeUnix"), col("user_id"))
+      .agg(counts.as("PositiveBucketCounts"))
+      .select(
+        lit("latency").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("TimeUnix").as("StartTimeUnix"),
+        lit(1).as("AggregationTemporality"),
+        lit(scale).as("Scale"),
+        aggregate(col("PositiveBucketCounts"), lit(0L), _ + _).as("Count"),
+        lit(0L).as("ZeroCount"),
+        lit(0).as("PositiveOffset"),
+        col("PositiveBucketCounts"),
+        lit(0).as("NegativeOffset"),
+        array().cast("array<long>").as("NegativeBucketCounts"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    val hist = side(1, 0, counts0).unionByName(side(0, 1, counts1))
+    epochBucket(ExpHistograms.quantile(hist, 0.5, 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  /** Same oracle math as q17 (scale-0 interpolation over all values). */
+  val q37_sql: String = q17_sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_exp_mixed_scale" -> (q37_exp_mixed_scale _),
     "q13_gauge" -> (q13_gauge _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
@@ -368,5 +416,6 @@ object MetricQueries {
     "q16_hist_quantile" -> q16_sql,
     "q17_exp_quantile" -> q17_sql,
     "q18_hist_count" -> q18_sql,
-    "q19_exp_count" -> q19_sql)
+    "q19_exp_count" -> q19_sql,
+    "q37_exp_mixed_scale" -> q37_sql)
 }
