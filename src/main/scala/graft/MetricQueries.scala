@@ -399,7 +399,88 @@ object MetricQueries {
   /** Same oracle math as q17 (scale-0 interpolation over all values). */
   val q37_sql: String = q17_sql
 
+  /** Exp-histogram quantile with NEGATIVE buckets and negative offsets:
+    * values shifted to straddle zero (v−35), bucketed at scale 0 with
+    * indexes −7..7 on both sides plus an exact-zero bucket; exercises the
+    * ordered neg|zero|pos concat, negative-side log interpolation
+    * −exp2((idx+1−frac)·w), and negative-offset handling
+    * (histogram.ts:604-660). */
+  def q38_exp_negative(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value") - 35.0
+    def b(i: Int): Double = // 2^i for i possibly negative
+      math.pow(2.0, i)
+    val posCounts = array((-7 to 7).map(i =>
+      count_if(v > b(i) && v <= b(i + 1)).cast("long")): _*)
+    val negCounts = array((-7 to 7).map(i =>
+      count_if(-v > b(i) && -v <= b(i + 1)).cast("long")): _*)
+    val hist = events(spark, dir)
+      .groupBy(timeBucket(col("ts"), 86400).as("TimeUnix"))
+      .agg(posCounts.as("PositiveBucketCounts"),
+        negCounts.as("NegativeBucketCounts"),
+        count_if(v === 0.0).cast("long").as("ZeroCount"))
+      .select(
+        lit("delta").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("TimeUnix").as("StartTimeUnix"),
+        lit(1).as("AggregationTemporality"),
+        lit(0).as("Scale"),
+        lit(0L).as("Count"),
+        col("ZeroCount"),
+        lit(-7).as("PositiveOffset"),
+        col("PositiveBucketCounts"),
+        lit(-7).as("NegativeOffset"),
+        col("NegativeBucketCounts"),
+        map(lit("k"), lit("v")).as("Attributes"))
+    epochBucket(ExpHistograms.quantile(hist, 0.5, 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  /** Oracle: ordered buckets = negative idx 7..−7, zero, positive −7..7;
+    * generated cumulative-sum CASE chain mirroring the reference's rank
+    * selection and log-linear interpolation. */
+  val q38_sql: String = {
+    def p(i: Int): String = // 2^i literal
+      if (i >= 0) s"${(1L << i)}.0" else s"${math.pow(2.0, i)}"
+    // counts in ascending value order: c0..c14 neg (idx 7 down to -7),
+    // c15 zero, c16..c30 pos (idx -7 up to 7)
+    val negDefs = (0 until 15).map { k =>
+      val i = 7 - k // bucket index
+      s"count(*) FILTER (WHERE -(value-35.0) > ${p(i)} AND -(value-35.0) <= ${p(i + 1)}) AS c$k"
+    }
+    val zeroDef = Seq("count(*) FILTER (WHERE value-35.0 = 0.0) AS c15")
+    val posDefs = (0 until 15).map { k =>
+      val i = k - 7
+      s"count(*) FILTER (WHERE (value-35.0) > ${p(i)} AND (value-35.0) <= ${p(i + 1)}) AS c${16 + k}"
+    }
+    val sums = (0 to 30).map(k =>
+      s"CAST(${(0 to k).map(j => s"c$j").mkString("+")} AS DOUBLE) AS s$k")
+    val cases = (0 to 30).map { k =>
+      val prev = if (k == 0) "0" else s"s${k - 1}"
+      val expr =
+        if (k < 15) { val i = 7 - k; s"-pow(2, ${i + 1} - (0.5*s30 - $prev)/c$k)" }
+        else if (k == 15) "0"
+        else { val i = k - 16 - 7; s"pow(2, $i + (0.5*s30 - $prev)/c$k)" }
+      s"WHEN c$k > 0 AND s$k >= 0.5*s30 THEN $expr"
+    }
+    s"""WITH h AS (
+       |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+       |    ${(negDefs ++ zeroDef ++ posDefs).mkString(",\n    ")}
+       |  FROM events GROUP BY bucket),
+       |p AS (
+       |  SELECT bucket, ${(0 to 30).map(k => s"c$k").mkString(", ")},
+       |    ${sums.mkString(",\n    ")}
+       |  FROM h)
+       |SELECT bucket, round(CASE
+       |    ${cases.mkString("\n    ")}
+       |    END, 6) AS value
+       |FROM p WHERE s30 > 0 ORDER BY bucket""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_exp_negative" -> (q38_exp_negative _),
     "q37_exp_mixed_scale" -> (q37_exp_mixed_scale _),
     "q13_gauge" -> (q13_gauge _),
     "q14_rate" -> (q14_rate _),
@@ -417,5 +498,6 @@ object MetricQueries {
     "q17_exp_quantile" -> q17_sql,
     "q18_hist_count" -> q18_sql,
     "q19_exp_count" -> q19_sql,
-    "q37_exp_mixed_scale" -> q37_sql)
+    "q37_exp_mixed_scale" -> q37_sql,
+    "q38_exp_negative" -> q38_sql)
 }
