@@ -74,6 +74,18 @@ object Smoke {
     alert.foreach(r => println(s"[smoke] alert state=${r.state} " +
       s"windows=${r.windowValues.map(w => w._1 + "=" + w._2).mkString(",")}"))
 
+    // progressive search: newest-first page over the full range must be
+    // satisfied without scanning every ladder window
+    val page = graft.compile.SearchExecutor.paginate(Query(
+      select = Seq(SelectItem("event_id", Some("event_id"), None)),
+      from = "events",
+      dateRange = Some(QueryCompiler.range(
+        "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z")),
+      orderBy = Seq(OrderBy("ts", desc = true)),
+      limit = Some(20)), cat)
+    println(s"[smoke] paginate: rows=${page.rows.length} " +
+      s"windowsScanned=${page.windowsScanned}")
+
     // catalog memoization must key on the data dir: same session, two dirs
     val n1 = Queries.cat(spark, "/root/testdata/sf0.001")("events").df.count()
     val n2 = Queries.cat(spark, "/root/testdata/sf0.01")("events").df.count()
