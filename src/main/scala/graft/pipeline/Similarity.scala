@@ -74,20 +74,36 @@ object Similarity {
     * same-bucket points across tables, deduplicated, then exactly ranked.
     * At scale the bucket join replaces the broadcast cross join; recall ≈
     * 1-(1-p^planes)^tables with p the per-plane agreement probability —
-    * tune `planes` (bucket size) and `tables` (recall) independently. */
+    * tune `planes` (bucket size) and `tables` (recall) independently.
+    * `multiprobe` additionally hashes each PROBE into every bucket one
+    * sign-flip away (×(planes+1) probe rows, corpus side unchanged) — the
+    * standard recall boost without growing the corpus index. */
   def knnLsh(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, tables: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    def withSigs(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+    def withSigs(df: DataFrame, id: String, vec: String,
+        probeSide: Boolean): DataFrame = {
+      val base = df
+        .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
         .repartition(shuffleN) // barrier: keep sig exprs off the explode
+      val sigCols = (0 until tables).flatMap { tbl =>
+        val sig = hyperplaneSignature(col(vec), planes, dim, seed = 7 + tbl)
+        val exact = Seq(struct(lit(tbl).as("tbl"), sig.as("sig")))
+        val flipped =
+          if (probeSide && multiprobe)
+            (0 until planes).map(pl => struct(lit(tbl).as("tbl"),
+              sig.bitwiseXOR(lit(1L << pl)).as("sig")))
+          else Nil
+        exact ++ flipped
+      }
+      base.select(col(id), col(vec),
+        explode(array(sigCols: _*)).as("ts"))
         .select(col(id), col(vec),
-          posexplode(array((0 until tables).map(tbl =>
-            hyperplaneSignature(col(vec), planes, dim, seed = 7 + tbl)): _*))
-            .as(Seq("tbl", "sig")))
-    val p = withSigs(probes, "probe_id", "pv")
-    val c = withSigs(corpus, "neighbor_id", "cv")
+          col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+    }
+    val p = withSigs(probes, "probe_id", "pv", probeSide = true)
+    val c = withSigs(corpus, "neighbor_id", "cv", probeSide = false)
     val cand = p.join(c, Seq("tbl", "sig"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "pv", "neighbor_id", "cv")

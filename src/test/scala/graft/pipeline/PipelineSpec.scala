@@ -70,6 +70,14 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low")
     // every LSH result must be a genuine neighbor pair from the corpus
     assert(lsh.forall { case (p, n) => p != n })
+    // multiprobe (1 sign-flip) must strictly widen the candidate set →
+    // recall at least as high, typically higher
+    val mp = Similarity.knnLsh(probes, e, "vec_id", "embedding", 5,
+      planes = 2, multiprobe = true)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallMp = brute.intersect(mp).size.toDouble / brute.size
+    assert(recallMp >= recall, s"multiprobe recall $recallMp < $recall")
+    assert(recallMp >= 0.8, s"multiprobe recall $recallMp unexpectedly low")
   }
 }
 
