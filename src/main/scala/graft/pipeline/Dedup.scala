@@ -87,13 +87,14 @@ object Dedup {
     // long) shingle array 8× through the explode shuffle would dominate
     // IO; shingles are re-attached below for surviving candidates only
     val banded = withSig.select(col("id"), col("sig"),
+      size(col("sh")).as("sz"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
+      col("id").as("id_a"), col("sig").as("sig_a"), col("sz").as("sz_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+      col("id").as("id_b"), col("sig").as("sig_b"), col("sz").as("sz_b"))
     // dedupe without a shuffle: keep a pair only in its FIRST matching
     // band (all earlier bands must differ) — cheaper at scale than
     // dropDuplicates
@@ -104,6 +105,10 @@ object Dedup {
     }.reduce(_ || _)
     val cand = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      // EXACT prune: J ≤ min(|a|,|b|)/max(|a|,|b|) — a scalar compare
+      // that can never drop a qualifying pair
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= minJaccard)
       .filter(firstMatch)
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
