@@ -357,6 +357,41 @@ object Queries {
       | count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sample-weighted aggregation at the driver gate (reference
+    * renderChartConfig.ts:556-624): user_id%7+1 as the SampleRate weight;
+    * weighted count/sum plus nearest-rank weighted p50 — integer
+    * cumulative weights keep the oracle comparison float-exact. */
+  def q39_weighted(spark: SparkSession, dir: String): DataFrame = {
+    val base = cat(spark, dir)
+    val weighted = base.withSource("weighted_events",
+      base("events").copy(
+        sampleWeightExpression = Some("(user_id % 7) + 1")))
+    val df = QueryCompiler.compile(Query(
+      select = Seq(
+        SelectItem("", Some("wcount"), Some(AggFn.Count)),
+        SelectItem("value", Some("wsum"), Some(AggFn.Sum)),
+        SelectItem("value", Some("wp50"), Some(AggFn.Quantile(0.5)))),
+      from = "weighted_events",
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy("event_type"))), weighted)
+    df.withColumn("wsum", round(col("wsum"), 2))
+  }
+
+  val q39_sql: String =
+    """WITH w AS (
+      |  SELECT event_type, value, (user_id % 7) + 1 AS wt FROM events),
+      |r AS (
+      |  SELECT event_type, value, wt,
+      |    sum(wt) OVER (PARTITION BY event_type ORDER BY value
+      |                  ROWS UNBOUNDED PRECEDING) AS cumw,
+      |    sum(wt) OVER (PARTITION BY event_type) AS total
+      |  FROM w)
+      |SELECT event_type,
+      |  max(total) AS wcount,
+      |  round(sum(value * wt), 2) AS wsum,
+      |  min(value) FILTER (WHERE cumw >= 0.5 * total) AS wp50
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ============================================================== registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,7 +407,8 @@ object Queries {
     "q10_having" -> (q10_having _),
     "q11_series_limit" -> (q11_series_limit _),
     "q12_ratio" -> (q12_ratio _),
-    "q36_string_coercion" -> (q36_string_coercion _))
+    "q36_string_coercion" -> (q36_string_coercion _),
+    "q39_weighted" -> (q39_weighted _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -387,5 +423,6 @@ object Queries {
     "q10_having" -> q10_sql,
     "q11_series_limit" -> q11_sql,
     "q12_ratio" -> q12_sql,
-    "q36_string_coercion" -> q36_sql)
+    "q36_string_coercion" -> q36_sql,
+    "q39_weighted" -> q39_sql)
 }

@@ -31,6 +31,9 @@ object QueryCompiler {
         * counts shuffle every key; HLL is the default posture there. */
       approxCountDistinct: Boolean = false,
       approxCountDistinctRsd: Double = 0.01,
+      /** centroid cap for the weighted-quantile Aggregator: exact while a
+        * group's rows stay under 2× this. */
+      weightedQuantileCompression: Int = 4096,
       maxAutoBuckets: Int = 60)
 
   def compile(q: Query, catalog: Catalog,
@@ -233,7 +236,8 @@ object QueryCompiler {
         }
       case AggFn.Quantile(level) => weight match {
         case Some(w) =>
-          graft.functions.WeightedQuantile(level, gated(num), w)
+          graft.functions.WeightedQuantile(level, gated(num), w,
+            opts.weightedQuantileCompression)
         case None =>
           if (opts.approxQuantile)
             percentile_approx(gated(num), lit(level),

@@ -76,8 +76,9 @@ final case class WeightedQuantileAgg(level: Double, compression: Int = 1024)
 
 object WeightedQuantile {
   /** `weighted_quantile(level)(value, weight)` as a Column aggregate. */
-  def apply(level: Double, value: Column, weight: Column): Column = {
-    val fn = udaf(WeightedQuantileAgg(level))
+  def apply(level: Double, value: Column, weight: Column,
+      compression: Int = 1024): Column = {
+    val fn = udaf(WeightedQuantileAgg(level, compression))
     fn.apply(value.cast("double"), weight.cast("long"))
   }
 }
