@@ -73,6 +73,22 @@ class PromQlSpec extends SparkSpec {
     assert(regex.length == 2)
   }
 
+  test("sum by (label) over rate: per-label counter rates") {
+    val twoHosts = Seq(
+      ("req", "api", t(0), 10.0, Map("host" -> "a"), 2, true),
+      ("req", "api", t(1), 40.0, Map("host" -> "a"), 2, true),
+      ("req", "api", t(0), 5.0, Map("host" -> "b"), 2, true),
+      ("req", "api", t(1), 11.0, Map("host" -> "b"), 2, true))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val out = PromQl.eval(PromQl.withLabels(twoHosts, Seq("host")),
+      "sum by (host) (increase(req[1m]))", 60)
+      .orderBy("__time_bucket", "host")
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    // minute 0: both first points → 0; minute 1: a +30, b +6
+    assert(out == Seq(("a", 0.0), ("b", 0.0), ("a", 30.0), ("b", 6.0)))
+  }
+
   test("rate and increase over a cumulative counter with reset") {
     // per-minute buckets: deltas 0, +60, reset→0 (clamp)
     val inc = PromQl.eval(counters, "increase(requests_total[1m])", 60)
