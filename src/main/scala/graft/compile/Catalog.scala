@@ -20,7 +20,16 @@ final case class Source(
     /** sample-weight expression (e.g. trace SampleRate): when set, count/
       * sum/avg/quantile become weighted (reference types.ts:1986-1992,
       * renderChartConfig.ts:556-624). */
-    sampleWeightExpression: Option[String] = None)
+    sampleWeightExpression: Option[String] = None,
+    /** materialized-column substitution (reference fastifySQL,
+      * renderChartConfig.ts:209-341): logical field path → physical column
+      * that materializes it; the resolver prefers the physical column. */
+    materializedColumns: Map[String, String] = Map.empty,
+    /** date-typed partition column derived from the timestamp: when set,
+      * dateRange filters also emit a predicate on it so Catalyst prunes
+      * partitions/files (reference timestamp-expression optimization,
+      * utils.ts:1012-1041; SURVEY §4). */
+    partitionDateColumn: Option[String] = None)
 
 /** Named sources the compiler can reference from `Query.from`. */
 final class Catalog(val sources: Map[String, Source]) {

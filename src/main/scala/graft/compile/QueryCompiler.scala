@@ -45,7 +45,7 @@ object QueryCompiler {
     val source = cat(q.from)
     val df = source.df
     val resolver = new FieldResolver(df.schema, source.jsonStringColumns,
-      source.fieldAliases)
+      source.fieldAliases, source.materializedColumns)
     val implicitCol = source.implicitColumns match {
       case Nil => None
       case Seq(one) => Some(col(one))
@@ -59,6 +59,13 @@ object QueryCompiler {
     q.dateRange.foreach { dr =>
       source.timestampColumn.foreach { tsc =>
         preds += timeRangeFilter(col(tsc), dr)
+      }
+      // derived predicate on the date partition column → Catalyst prunes
+      // partitions/files (SURVEY §4 timestamp-expression optimization)
+      source.partitionDateColumn.foreach { pdc =>
+        preds += (col(pdc) >=
+          to_date(lit(java.sql.Timestamp.from(dr.from))) &&
+          col(pdc) <= to_date(lit(java.sql.Timestamp.from(dr.to))))
       }
     }
     q.where.foreach(w => preds += compileCond(w, lctx))

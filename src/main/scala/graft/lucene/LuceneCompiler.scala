@@ -24,20 +24,28 @@ final class FieldResolver(schema: StructType,
       * get_json_object), e.g. events.props. */
     jsonStringColumns: Set[String] = Set.empty,
     /** semantic aliases, e.g. "level" -> "SeverityText". */
-    aliases: Map[String, String] = Map.empty) {
+    aliases: Map[String, String] = Map.empty,
+    /** logical path → physical materialized column; takes precedence over
+      * map/JSON descent (reference fastifySQL substitution,
+      * renderChartConfig.ts:209-341) — the physical column carries stats
+      * and pushes down, `element_at` does not. */
+    materialized: Map[String, String] = Map.empty) {
 
   private val byLower: Map[String, StructField] =
     schema.fields.map(f => f.name.toLowerCase -> f).toMap
 
   def resolve(field0: String): Option[ResolvedField] = {
     val field = aliases.getOrElse(field0, field0)
-    byLower.get(field.toLowerCase) match {
+    val mat = materialized.get(field)
+      .flatMap(phys => byLower.get(phys.toLowerCase))
+      .map(f => ResolvedField(col(f.name), f.dataType))
+    mat.orElse(byLower.get(field.toLowerCase) match {
       case Some(f) if jsonStringColumns.contains(f.name) &&
           field.contains(".") =>
         None // handled by prefix path below (shouldn't happen: no dot here)
       case Some(f) => Some(ResolvedField(col(f.name), f.dataType))
       case None => resolvePath(field)
-    }
+    })
   }
 
   /** Longest-prefix match of a dot path against real columns. */
