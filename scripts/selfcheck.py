@@ -36,6 +36,10 @@ def eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    # Mirror the driver's typed hash: int vs float is a mismatch even when
+    # numerically equal (e.g. DuckDB HUGEINT->float64 100.0 vs Spark 100).
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     return a == b
 
 

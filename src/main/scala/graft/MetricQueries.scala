@@ -298,7 +298,7 @@ object MetricQueries {
       |      ELSE v - lag(v) OVER (PARTITION BY user_id ORDER BY bucket)
       |      END AS delta
       |  FROM cum)
-      |SELECT bucket, sum(delta) AS count FROM d
+      |SELECT bucket, CAST(sum(delta) AS BIGINT) AS count FROM d
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Exp-histogram count over cumulative series with a mid-series
@@ -349,7 +349,7 @@ object MetricQueries {
       |      ELSE v - lag(v) OVER w END AS delta
       |  FROM cum
       |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
-      |SELECT bucket, sum(delta) AS count FROM d
+      |SELECT bucket, CAST(sum(delta) AS BIGINT) AS count FROM d
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Exp-histogram quantile over MIXED scales: odd users emit scale-0
@@ -479,7 +479,81 @@ object MetricQueries {
        |FROM p WHERE s30 > 0 ORDER BY bucket""".stripMargin
   }
 
+  /** PromQL at the driver gate: `sum by (ServiceName)
+    * (increase(requests_total[1d]))` goes through the PromQl parser +
+    * compiler over per-(event_type, user) cumulative counters — q15's
+    * semantics without the top-N cap (reference proxies PromQL,
+    * api/src/routers/api/prometheus.ts:413,534; here it compiles onto the
+    * engine's own counter pipeline). */
+  def q40_promql_increase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"))
+    val counter = events(spark, dir)
+      .withColumn("cum", sum(col("value")).over(w))
+      .select(
+        lit("requests_total").as("MetricName"),
+        col("event_type").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        col("cum").as("Value"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"),
+        lit(2).as("AggregationTemporality"),
+        lit(true).as("IsMonotonic"))
+    epochBucket(graft.metrics.PromQl.eval(counter,
+      "sum by (ServiceName) (increase(requests_total[1d]))", 86400))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q40_sql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, ts, sum(value) OVER
+      |    (PARTITION BY event_type, user_id ORDER BY ts) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, ts,
+      |    CASE WHEN lag(v) OVER w IS NULL THEN 0
+      |      ELSE greatest(v - lag(v) OVER w, 0) END AS rate
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts))
+      |SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |  event_type, round(sum(rate),2) AS value
+      |FROM r GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** PromQL gauge with an anchored-regex label matcher resolved from the
+    * Attributes map: `max by (ServiceName) (mem{user=~"[0-9]*[02468]"})` —
+    * per-series last value per hour, max across even-user series. */
+  def q41_promql_gauge(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      """max by (ServiceName) (mem{user=~"[0-9]*[02468]"})""", 3600))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q41_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events WHERE user_id % 2 = 0),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type, max(v) AS value
+      |FROM last GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_promql_increase" -> (q40_promql_increase _),
+    "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
     "q37_exp_mixed_scale" -> (q37_exp_mixed_scale _),
     "q13_gauge" -> (q13_gauge _),
@@ -491,6 +565,8 @@ object MetricQueries {
     "q19_exp_count" -> (q19_exp_count _))
 
   val oracles: Map[String, String] = Map(
+    "q40_promql_increase" -> q40_sql,
+    "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,

@@ -101,7 +101,7 @@ object PipelineQueries {
       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
       |FROM (SELECT * FROM sh WHERE doc_id < 50) a, sh b
-      |WHERE a.doc_id < b.doc_id
+      |WHERE a.doc_id != b.doc_id
       |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin

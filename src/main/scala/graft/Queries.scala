@@ -387,7 +387,7 @@ object Queries {
       |    sum(wt) OVER (PARTITION BY event_type) AS total
       |  FROM w)
       |SELECT event_type,
-      |  max(total) AS wcount,
+      |  CAST(max(total) AS BIGINT) AS wcount,
       |  round(sum(value * wt), 2) AS wsum,
       |  min(value) FILTER (WHERE cumw >= 0.5 * total) AS wp50
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin

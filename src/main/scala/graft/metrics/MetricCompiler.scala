@@ -31,9 +31,11 @@ object MetricCompiler {
       "ResourceAttributes", "Attributes")
       .flatMap(c => df.schema.fields.find(_.name == c))
       .map(f => f.dataType match {
-        case _: MapType | _: StructType | _: ArrayType =>
-          // maps have no canonical order; to_json of a map built by Spark
-          // preserves insertion order, so sort entries first for a stable key
+        case _: MapType =>
+          // maps have no canonical order and to_json preserves stored
+          // insertion order, so hash sorted entries for a stable series key
+          to_json(array_sort(map_entries(col(f.name))))
+        case _: StructType | _: ArrayType =>
           to_json(col(f.name))
         case _ => col(f.name).cast("string")
       })
@@ -106,6 +108,18 @@ object MetricCompiler {
       .withColumn(Bucket, timeBucket(col("TimeUnix"), stepSeconds))
     rated
       .groupBy((col(Bucket) +: groupBy.map(col)): _*)
+      .agg(sum(col("Rate")).as("rate"))
+  }
+
+  /** Counter rate bucketed per series: keeps the series key in the grouping
+    * so an outer aggregation (avg/min/max/count across series) can be applied
+    * on top — PromQL `avg(rate(m[5m]))` semantics. */
+  def counterRatePerSeries(df: DataFrame, stepSeconds: Long,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val rated = counterRatePerRow(df)
+      .withColumn(Bucket, timeBucket(col("TimeUnix"), stepSeconds))
+    rated
+      .groupBy((col(Bucket) +: col(SeriesKey) +: groupBy.map(col)): _*)
       .agg(sum(col("Rate")).as("rate"))
   }
 

@@ -170,11 +170,13 @@ object PromQl {
       : Column = {
     val (label, op, v) = m
     val c = labelCol(label, df)
+    // PromQL regex matchers are fully anchored
+    val anchored = s"^(?:$v)$$"
     op match {
       case "=" => c === v
       case "!=" => c.isNull || c =!= v
-      case "=~" => c.rlike(v)
-      case "!~" => c.isNull || !c.rlike(v)
+      case "=~" => c.rlike(anchored)
+      case "!~" => c.isNull || !c.rlike(anchored)
     }
   }
 
@@ -194,33 +196,29 @@ object PromQl {
         else rated.withColumn("value", col("rate") / step).drop("rate")
       case Aggr(op, by, inner) =>
         // aggregations over selectors/rates aggregate from the source
-        // directly so grouping labels stay available
+        // directly so grouping labels stay available; `by` labels resident
+        // in the Attributes map are materialized first (withLabels is
+        // idempotent for physical columns)
         inner match {
           case sel: Selector =>
-            val src = applySelector(df, sel)
-            val g = MetricCompiler.gauge(src, step, "last_value",
-              groupByLabels(by, src))
-            aggregate0(g, op, by)
+            val src = withLabels(applySelector(df, sel), by)
+            // per-series last_value, then the outer op across series
+            MetricCompiler.gauge(src, step, op, by)
           case Rate(sel, _, increase) =>
-            val src = applySelector(df, sel)
-            val rated = MetricCompiler.counterRate(src, step,
-              groupByLabels(by, src))
+            val src = withLabels(applySelector(df, sel), by)
+            // rate per series (series key kept in the grouping), then the
+            // outer op across series — avg/min/max/count need the
+            // per-series rates, and for sum the result is identical
+            val perSeries =
+              MetricCompiler.counterRatePerSeries(src, step, by)
             val valued =
-              if (increase) rated.withColumnRenamed("rate", "value")
-              else rated.withColumn("value", col("rate") / step)
+              if (increase) perSeries.withColumnRenamed("rate", "value")
+              else perSeries.withColumn("value", col("rate") / step)
                 .drop("rate")
-            // counterRate already sums per (bucket, labels); apply the
-            // outer op across any remaining dimensionality (no-op for sum)
-            valued
+            aggregate0(valued, op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
         }
     }
-
-  /** Labels usable as physical group-bys: known columns pass through,
-    * attribute labels are materialized first. */
-  private def groupByLabels(by: Seq[String], df: DataFrame): Seq[String] =
-    by // gauge/counterRate group on column names; attribute labels need
-       // materialization — handled by evalWithLabels below
 
   private def aggregate0(g: DataFrame, op: String, by: Seq[String])
       : DataFrame = {

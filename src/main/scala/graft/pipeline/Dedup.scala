@@ -154,7 +154,10 @@ object Dedup {
         .repartition(defaultParallelism(d))
     val p = prep(probes, "_a")
     val c = prep(corpus, "_b")
-    broadcast(p).join(c, col("id_a") < col("id_b"))
+    // general probe-vs-corpus contract: every (probe, doc) pair with
+    // distinct ids — when both sides of a pair are probes the mirrored
+    // pair appears too (callers wanting dedup-scan output filter id_a<id_b)
+    broadcast(p).join(c, col("id_a") =!= col("id_b"))
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -89,6 +89,47 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("a", 0.0), ("b", 0.0), ("a", 30.0), ("b", 6.0)))
   }
 
+  test("avg/max/count over rate aggregate across per-series rates") {
+    val twoHosts = Seq(
+      ("req", "api", t(0), 10.0, Map("host" -> "a"), 2, true),
+      ("req", "api", t(1), 40.0, Map("host" -> "a"), 2, true),
+      ("req", "api", t(0), 5.0, Map("host" -> "b"), 2, true),
+      ("req", "api", t(1), 11.0, Map("host" -> "b"), 2, true))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    def run(q: String): Seq[Double] =
+      PromQl.eval(twoHosts, q, 60).orderBy("__time_bucket")
+        .select("value").as[Double].collect().toSeq
+    // minute 1 per-series rates: a 30/60=0.5, b 6/60=0.1
+    assert(run("avg(rate(req[1m]))") == Seq(0.0, 0.3))
+    assert(run("max(rate(req[1m]))") == Seq(0.0, 0.5))
+    assert(run("min(rate(req[1m]))") == Seq(0.0, 0.1))
+    assert(run("count(rate(req[1m]))") == Seq(2.0, 2.0))
+    assert(run("sum(increase(req[1m]))") == Seq(0.0, 36.0))
+  }
+
+  test("avg over a gauge averages per-series last values") {
+    // bucket 0: host a last=30, host b last=50 → avg 40, max 50
+    val avgOut = PromQl.eval(gauges, "avg(mem_usage)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(avgOut == Seq(40.0))
+    val maxOut = PromQl.eval(gauges, "max(mem_usage)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(maxOut == Seq(50.0))
+  }
+
+  test("attributesHash is stable under map entry order") {
+    val f1 = Seq(("m", "s", t(0), 1.0, Map("a" -> "1", "b" -> "2"), 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val f2 = Seq(("m", "s", t(0), 1.0, Map("b" -> "2", "a" -> "1"), 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val h1 = f1.select(MetricCompiler.attributesHash(f1)).head.getLong(0)
+    val h2 = f2.select(MetricCompiler.attributesHash(f2)).head.getLong(0)
+    assert(h1 == h2)
+  }
+
   test("rate and increase over a cumulative counter with reset") {
     // per-minute buckets: deltas 0, +60, reset→0 (clamp)
     val inc = PromQl.eval(counters, "increase(requests_total[1m])", 60)
