@@ -33,6 +33,61 @@ object AnalysisQueries {
       .withColumn("score", round(col("score"), 6))
   }
 
+  /** Oracle mirrors the full pipeline: UNION-ALL melt of the three probe
+    * columns, per-(key,value) outlier/inlier counts, high-cardinality drop
+    * (distinct values ≥ 0.9 × outlier rows), denylist (user_id contains
+    * "id" → excluded), full-outer merge with zero-fill, delta score with
+    * the 1.5× boost for event_type. Integer/integer divisions and the
+    * ±/× score arithmetic are exact-identical doubles on both engines. */
+  val q31_sql: String = {
+    def melt(src: String): String =
+      s"""SELECT 'event_type' AS key, CAST(event_type AS VARCHAR) AS value
+         |  FROM $src
+         |UNION ALL SELECT 'hour', CAST(hour(ts) AS VARCHAR) FROM $src
+         |UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM $src"""
+        .stripMargin
+    s"""WITH o_rows AS (SELECT * FROM events WHERE value > 190),
+       |i_rows AS (SELECT * FROM events WHERE NOT (value > 190)),
+       |o_m AS (${melt("o_rows")}),
+       |i_m AS (${melt("i_rows")}),
+       |o_c AS (SELECT key, value, count(*) AS o_cnt FROM o_m
+       |        WHERE value IS NOT NULL GROUP BY key, value),
+       |i_c AS (SELECT key, value, count(*) AS i_cnt FROM i_m
+       |        WHERE value IS NOT NULL GROUP BY key, value),
+       |n AS (SELECT greatest(CAST((SELECT count(*) FROM o_rows) AS DOUBLE),
+       |               1) AS o_n,
+       |             greatest(CAST((SELECT count(*) FROM i_rows) AS DOUBLE),
+       |               1) AS i_n),
+       |card AS (SELECT key FROM (
+       |    SELECT key, count(DISTINCT value) AS nd FROM o_c GROUP BY key)
+       |  WHERE nd < 0.9 * (SELECT o_n FROM n)),
+       |j AS (
+       |  SELECT key, value, coalesce(o_cnt, 0) AS o_cnt,
+       |    coalesce(i_cnt, 0) AS i_cnt
+       |  FROM o_c FULL JOIN i_c USING (key, value)
+       |  WHERE key IN (SELECT key FROM card)
+       |    AND NOT (contains(lower(key), 'id') OR
+       |             contains(lower(key), 'time') OR
+       |             contains(lower(key), 'timestamp') OR
+       |             contains(lower(key), 'uuid') OR
+       |             contains(lower(key), 'date'))),
+       |s AS (
+       |  SELECT key, value, o_cnt, i_cnt,
+       |    o_cnt / (SELECT o_n FROM n) AS outlier_pct,
+       |    i_cnt / (SELECT i_n FROM n) AS inlier_pct,
+       |    (o_cnt / (SELECT o_n FROM n) - i_cnt / (SELECT i_n FROM n)) *
+       |      (1.0 + (CASE WHEN lower(key) IN ('statuscode', 'severitytext',
+       |        'event_type', 'level', 'status') THEN 1 ELSE 0 END) * 0.5)
+       |      AS score
+       |  FROM j)
+       |SELECT key, value, o_cnt, i_cnt,
+       |  round(outlier_pct, 6) AS outlier_pct,
+       |  round(inlier_pct, 6) AS inlier_pct,
+       |  round(score, 6) AS score
+       |FROM (SELECT * FROM s ORDER BY score DESC, key, value LIMIT 60)
+       |ORDER BY score DESC, key, value""".stripMargin
+  }
+
   /** MV routing: a daily count/sum/avg query answered from an HOURLY
     * pre-aggregate rollup instead of the raw table (reference
     * materializedViews.ts rewrite); the oracle aggregates the raw rows —
@@ -182,6 +237,7 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
+    "q31_event_deltas" -> q31_sql,
     "q32_mv_routed" -> q32_sql,
     "q33_gap_fill" -> q33_sql,
     "q34_service_map" -> q34_sql,

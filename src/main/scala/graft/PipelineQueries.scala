@@ -169,6 +169,19 @@ object PipelineQueries {
       |SELECT pid AS probe_id, nid AS neighbor_id, round(cos,6) AS cosine
       |FROM r WHERE rk <= 5 ORDER BY probe_id, neighbor_id""".stripMargin
 
+  /** IVF-cell KNN run exhaustively (nprobe == nlist): every cell is
+    * scanned, so the result is exactly the brute-force top-k and the q25
+    * oracle applies — the cell plumbing (centroid assignment, cell join,
+    * per-probe rank) is what's under test; the approximate nprobe < nlist
+    * path is recall-checked in SimilaritySpec. */
+  def q42_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.knnIvf(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 16)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   /** LSH-bucketed approximate KNN (recall vs brute force covered in
     * SimilaritySpec; hyperplanes are engine-internal → rows-only check). */
   def q28_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
@@ -285,7 +298,8 @@ object PipelineQueries {
     "q26_simhash" -> (q26_simhash _),
     "q27_embed_neardup" -> (q27_embed_neardup _),
     "q28_ann_lsh" -> (q28_ann_lsh _),
-    "q29_fingerprint" -> (q29_fingerprint _))
+    "q29_fingerprint" -> (q29_fingerprint _),
+    "q42_ann_ivf" -> (q42_ann_ivf _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -294,5 +308,7 @@ object PipelineQueries {
     "q23_jaccard_probe" -> q23_sql,
     "q24_minhash_lsh" -> q24_sql,
     "q25_knn_brute" -> q25_sql,
-    "q27_embed_neardup" -> q27_sql)
+    "q27_embed_neardup" -> q27_sql,
+    // exhaustive IVF == brute force: same oracle as q25
+    "q42_ann_ivf" -> q25_sql)
 }

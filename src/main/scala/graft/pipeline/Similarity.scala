@@ -69,6 +69,55 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic large-scale ANN
+    * layout: the corpus is bucketed into `nlist` cells by nearest centroid,
+    * and a probe scans only its `nprobe` nearest cells, shrinking the
+    * candidate set from n to ~n·nprobe/nlist. Centroids are a deterministic
+    * stable-hash sample of the corpus itself (k-means would sharpen cell
+    * boundaries, but the cell-probe plumbing — the part that matters at
+    * scale — is identical), collected to the driver (nlist·dim doubles, KBs)
+    * and broadcast as literals; cell assignment is one scan, and the
+    * probe→cell join shuffles on the cell id. With `nprobe == nlist` the
+    * scan is exhaustive and matches knnBrute exactly. */
+  def knnIvf(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4)
+      : DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val cents = c0.orderBy(xxhash64(col("neighbor_id"))).limit(nlist)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "empty corpus")
+    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
+    def cellSims(v: Column): Column = transform(centCol, ct => cosine(v, ct))
+    // corpus side: each row lands in exactly one cell (argmax centroid)
+    val assigned = c0.repartition(shuffleN)
+      .withColumn("__sims", cellSims(col("cv")))
+      .withColumn("cell", (array_position(col("__sims"),
+        array_max(col("__sims"))) - 1).cast("int"))
+      .drop("__sims")
+    // probe side: top-nprobe cells by centroid similarity, exploded
+    val probed = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+      .repartition(shuffleN)
+      .withColumn("__ranked", slice(reverse(array_sort(
+        transform(cellSims(col("pv")),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      .withColumn("cell",
+        explode(transform(col("__ranked"), x => x.getField("i"))))
+      .select(col("probe_id"), col("pv"), col("cell"))
+    // no dedup needed: a corpus row lives in exactly one cell
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: `tables` independent sign-signature
     * hash tables (different hyperplane seeds); candidates are the union of
     * same-bucket points across tables, deduplicated, then exactly ranked.

@@ -38,6 +38,7 @@ object Streaming {
     val aggs: Seq[Column] = count(lit(1)).as("cnt") +:
       valueCol.toSeq.flatMap(v => Seq(
         sum(toFloat64OrDefault(col(v))).as("sum_value"),
+        min(toFloat64OrDefault(col(v))).as("min_value"),
         max(toFloat64OrDefault(col(v))).as("max_value")))
     stream
       .withWatermark(tsCol, watermarkDelay)

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recallMp >= recall, s"multiprobe recall $recallMp < $recall")
     assert(recallMp >= 0.8, s"multiprobe recall $recallMp unexpectedly low")
   }
+
+  test("knnIvf: exhaustive nprobe equals brute; partial nprobe recalls") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // nprobe == nlist scans every cell → identical to brute force
+    val full = Similarity.knnIvf(probes, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // scanning half the cells keeps most true neighbors (cell locality)
+    val part = Similarity.knnIvf(probes, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(part).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(part.size <= brute.size)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
