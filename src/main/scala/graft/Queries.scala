@@ -392,6 +392,38 @@ object Queries {
       |  min(value) FILTER (WHERE cumw >= 0.5 * total) AS wp50
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** RawSql chart variant (reference RawSqlChartConfigSchema + replaceMacros
+    * macros.ts:288-369): a user SQL template with `$__sourceTable`,
+    * `$__timeFilter`, `$__timeInterval`, and `$__filters` macros bound to a
+    * dashboard range/granularity/filter set, run via spark.sql. */
+  def q43_rawsql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.compile.RawSql
+    val cfg = RawSql.Config(
+      sqlTemplate = """SELECT $__timeInterval(ts) AS b, count(*) AS cnt,
+                      |  round(sum(value), 2) AS sum_v
+                      |FROM $__sourceTable
+                      |WHERE $__timeFilter(ts) AND $__filters
+                      |GROUP BY 1 ORDER BY 1""".stripMargin,
+      from = Some("events"),
+      dateRange = Some((java.time.Instant.parse("2024-01-01T00:00:00Z"),
+        java.time.Instant.parse("2024-02-01T00:00:00Z"))),
+      stepSeconds = Some(86400),
+      filtersSql = Some("event_type IN ('error', 'click')"))
+    RawSql.run(spark, cfg, cat(spark, dir))
+      .withColumn("bucket", unix_timestamp(col("b")))
+      .select("bucket", "cnt", "sum_v")
+      .orderBy("bucket")
+  }
+
+  val q43_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |  count(*) AS cnt, round(sum(value), 2) AS sum_v
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+      |  AND event_type IN ('error', 'click')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ============================================================== registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -408,7 +440,8 @@ object Queries {
     "q11_series_limit" -> (q11_series_limit _),
     "q12_ratio" -> (q12_ratio _),
     "q36_string_coercion" -> (q36_string_coercion _),
-    "q39_weighted" -> (q39_weighted _))
+    "q39_weighted" -> (q39_weighted _),
+    "q43_rawsql" -> (q43_rawsql _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -424,5 +457,6 @@ object Queries {
     "q11_series_limit" -> q11_sql,
     "q12_ratio" -> q12_sql,
     "q36_string_coercion" -> q36_sql,
-    "q39_weighted" -> q39_sql)
+    "q39_weighted" -> q39_sql,
+    "q43_rawsql" -> q43_sql)
 }
