@@ -551,8 +551,45 @@ object MetricQueries {
       |FROM last GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** PromQL binary operator at the driver gate: per-day error ratio as
+    * `sum(rate(err_total[1d])) / sum(rate(ev_total[1d]))` over two
+    * delta-temporality counters derived from events — the vector/vector
+    * join matches per bucket (PromQL one-to-one matching; buckets with no
+    * error samples drop out of the inner join, mirrored by the oracle's
+    * cerr > 0 filter). */
+  def q44_promql_ratio(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def shaped(metric: String, cond: Column): DataFrame =
+      e.filter(cond).select(
+        lit(metric).as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        lit(1.0).as("Value"),
+        map().cast("map<string,string>").as("Attributes"),
+        lit(1).as("AggregationTemporality"),
+        lit(true).as("IsMonotonic"))
+    val frame = shaped("ev_total", lit(true))
+      .unionByName(shaped("err_total", col("event_type") === "error"))
+    epochBucket(graft.metrics.PromQl.eval(frame,
+      "sum(rate(err_total[1d])) / sum(rate(ev_total[1d]))", 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  val q44_sql: String =
+    """WITH d AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    count(*) AS call,
+      |    count(*) FILTER (WHERE event_type = 'error') AS cerr
+      |  FROM events GROUP BY bucket)
+      |SELECT bucket,
+      |  round((cerr / 86400.0) / (call / 86400.0), 6) AS value
+      |FROM d WHERE cerr > 0 ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
+    "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
     "q37_exp_mixed_scale" -> (q37_exp_mixed_scale _),
@@ -566,6 +603,7 @@ object MetricQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_promql_increase" -> q40_sql,
+    "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,
     "q14_rate" -> q14_sql,

@@ -276,11 +276,8 @@ object PipelineQueries {
   /** Winnowing fingerprints (xxhash-based → rows-only check; semantics
     * covered in TextAnalysisSpec). */
   def q29_fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
-        TextAnalysis.shingleHashes(col("text")).as("hashes"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"),
+    TextAnalysis.shingleHashFrame(docs(spark, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"),
         TextAnalysis.winnowFromHashes(col("hashes")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("fp_size"),
         array_min(col("fp")).as("fp_min"))

@@ -33,7 +33,10 @@ object QueryCompiler {
       approxCountDistinctRsd: Double = 0.01,
       /** centroid cap for the weighted-quantile Aggregator: exact while a
         * group's rows stay under 2× this. */
-      weightedQuantileCompression: Int = 4096,
+      // cap 2× this on (value, weight) centroids (16 B each → ≤ 1 MB per
+      // group); equal values coalesce losslessly first, so quantized value
+      // domains (2-decimal latencies etc.) stay EXACT at any row count
+      weightedQuantileCompression: Int = 32768,
       maxAutoBuckets: Int = 60)
 
   def compile(q: Query, catalog: Catalog,

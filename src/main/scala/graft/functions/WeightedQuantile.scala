@@ -39,14 +39,28 @@ final case class WeightedQuantileAgg(level: Double, compression: Int = 1024)
     a
   }
 
-  /** Sort by value, merge adjacent centroids until ≤ compression. */
+  /** Sort by value; first coalesce EQUAL values (lossless — exactness then
+    * depends on the column's distinct-value cardinality, not row count;
+    * quantized observability values often stay exact at any scale), and
+    * only if still over the cap merge adjacent centroids t-digest-style. */
   private def compress(buf: ArrayBuffer[(Double, Double)]): Unit = {
     val sorted = buf.sortBy(_._1)
+    val coalesced = ArrayBuffer.empty[(Double, Double)]
+    sorted.foreach { case (v, w) =>
+      if (coalesced.nonEmpty && coalesced.last._1 == v) {
+        val last = coalesced.last
+        coalesced(coalesced.length - 1) = (last._1, last._2 + w)
+      } else coalesced += ((v, w))
+    }
+    if (coalesced.length <= compression * 2) {
+      buf.clear(); buf ++= coalesced
+      return
+    }
     val out = ArrayBuffer.empty[(Double, Double)]
     val targetWeight =
-      math.max(sorted.map(_._2).sum / compression, 1e-12)
+      math.max(coalesced.map(_._2).sum / compression, 1e-12)
     var curV = 0.0; var curW = 0.0
-    sorted.foreach { case (v, w) =>
+    coalesced.foreach { case (v, w) =>
       if (curW > 0 && curW + w > targetWeight) {
         out += ((curV / curW, curW)); curV = 0.0; curW = 0.0
       }

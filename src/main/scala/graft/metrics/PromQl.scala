@@ -12,11 +12,17 @@ import graft.functions.CoreFunctions._
   * same query shapes compile onto the engine's own metric pipelines.
   *
   * Supported grammar (the shapes the reference's dashboards emit):
-  *   expr     := aggr | func | selector
+  *   expr     := mul (('+' | '-') mul)*
+  *   mul      := primary (('*' | '/') primary)*
+  *   primary  := aggr | func | selector | number | '(' expr ')'
   *   aggr     := (sum|avg|min|max|count) [by (l1, l2…)] ( expr )
   *   func     := rate( selector [dur] ) | increase( selector [dur] )
   *   selector := metric_name [{ label op "value", … }]   op ∈ {=, !=, =~, !~}
   *   dur      := <n>(s|m|h|d)
+  * Binary ops join vector operands on (bucket, shared labels) — PromQL
+  * one-to-one vector matching on the intersection of output labels;
+  * scalar operands broadcast. Documented deviation: x/0 yields NULL
+  * (Spark division), where PromQL yields ±Inf.
   *
   * Semantics notes (documented deviations): rate/increase evaluate on
   * step-aligned tumbling buckets (the engine's counterRate) rather than a
@@ -32,6 +38,8 @@ object PromQl {
       increase: Boolean) extends Expr
   final case class Aggr(op: String, by: Seq[String], inner: Expr)
       extends Expr
+  final case class BinOp(op: Char, l: Expr, r: Expr) extends Expr
+  final case class ScalarLit(v: Double) extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -45,8 +53,46 @@ object PromQl {
       throw new PromQlParseException(s"$m at $i in '$s'")
 
     def parseExpr(top: Boolean): Expr = {
+      val e = parseAddSub()
       ws()
-      val start = i
+      if (top && i < s.length) fail(s"trailing input '${s.substring(i)}'")
+      e
+    }
+
+    private def parseAddSub(): Expr = {
+      var l = parseMulDiv()
+      ws()
+      while (i < s.length && (s(i) == '+' || s(i) == '-')) {
+        val op = s(i); i += 1
+        l = BinOp(op, l, parseMulDiv())
+        ws()
+      }
+      l
+    }
+
+    private def parseMulDiv(): Expr = {
+      var l = parsePrimary()
+      ws()
+      while (i < s.length && (s(i) == '*' || s(i) == '/')) {
+        val op = s(i); i += 1
+        l = BinOp(op, l, parsePrimary())
+        ws()
+      }
+      l
+    }
+
+    private def parsePrimary(): Expr = {
+      ws()
+      if (i < s.length && s(i) == '(') {
+        i += 1
+        val e = parseAddSub()
+        expect(')')
+        return e
+      }
+      if (i < s.length && (s(i).isDigit || s(i) == '.')) {
+        val n = readWhile(c => c.isDigit || c == '.')
+        return ScalarLit(n.toDouble)
+      }
       val ident = readIdent()
       ws()
       val e: Expr = ident match {
@@ -55,7 +101,7 @@ object PromQl {
             if (s.startsWith("by", i)) { i += 2; ws(); readParenIdents() }
             else Nil
           ws(); expect('(')
-          val inner = parseExpr(top = false)
+          val inner = parseAddSub()
           ws(); expect(')')
           Aggr(ident, by, inner)
         case "rate" | "increase" =>
@@ -67,8 +113,6 @@ object PromQl {
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
-      ws()
-      if (top && i < s.length) fail(s"trailing input '${s.substring(i)}'")
       e
     }
 
@@ -218,6 +262,34 @@ object PromQl {
             aggregate0(valued, op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
         }
+      case BinOp(op, l, r) =>
+        def f(a: Column, b: Column): Column = op match {
+          case '+' => a + b
+          case '-' => a - b
+          case '*' => a * b
+          case '/' => a / b
+        }
+        (l, r) match {
+          case (ScalarLit(_), ScalarLit(_)) =>
+            throw new PromQlParseException(
+              "scalar-only expressions are not queries")
+          case (ScalarLit(a), _) =>
+            compile(df, r, step).withColumn("value", f(lit(a), col("value")))
+          case (_, ScalarLit(b)) =>
+            compile(df, l, step).withColumn("value", f(col("value"), lit(b)))
+          case _ =>
+            // one-to-one vector matching on (bucket ∩ shared labels)
+            val ld = compile(df, l, step).withColumnRenamed("value", "__lv")
+            val rd = compile(df, r, step).withColumnRenamed("value", "__rv")
+            val keys = ld.columns.toSeq
+              .filter(c => c != "__lv" && rd.columns.contains(c))
+            ld.join(rd, keys)
+              .withColumn("value", f(col("__lv"), col("__rv")))
+              .drop("__lv", "__rv")
+        }
+      case ScalarLit(_) =>
+        throw new PromQlParseException(
+          "scalar-only expressions are not queries")
     }
 
   private def aggregate0(g: DataFrame, op: String, by: Seq[String])

@@ -21,13 +21,91 @@ object Dedup {
   private def defaultParallelism(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** n-gram shingles (token n-grams joined with spaces), distinct. */
+  /** n-gram shingles (token n-grams joined with spaces), distinct.
+    * NOTE for hot paths: `toks` is inlined into every lambda element here
+    * (higher-order-function lambdas run interpreted and replicate the
+    * tokenizer n+1×) — the scale pipelines use the `shingleMinhash`
+    * imperative kernel instead. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
         i => concat_ws(" ", (0 until n).map(j =>
           element_at(toks, (i + j).cast("int"))): _*)))
+  }
+
+  // ---------------------------------------------------- imperative kernel
+
+  /** XXH64 of a string's UTF-8 bytes (the same family the xxhash64
+    * expression uses; exact value parity is irrelevant — hashes are only
+    * compared to each other). */
+  private def hashToken(t: String, seed: Long): Long = {
+    val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** Per-partition imperative tokenize → token-hash → n-gram-hash →
+    * minhash-signature kernel. The Column/higher-order-function version of
+    * this pipeline evaluates every lambda interpreted and re-inlines the
+    * argument expression into each element (tokenizer × shingles ×
+    * signatures), which measured ~10× slower end-to-end than this
+    * mapPartitions on the documents corpus — the one place the engine
+    * drops below the DataFrame API (SURVEY §7.2's "last resort" clause,
+    * justified by measurement). Output: (id, sh, sig); rows with no
+    * shingles are dropped. Requires a numeric (long-castable) id. */
+  private[pipeline] def shingleMinhash(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = defaultParallelism(df)
+    df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .repartition(parts)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          val L = toks.length - (shingleN - 1)
+          if (L <= 0) Iterator.empty
+          else {
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) { th(i) = hashToken(toks(i), 42L); i += 1 }
+            val seen = new java.util.HashSet[java.lang.Long](L * 2)
+            val shB = Array.newBuilder[Long]
+            i = 0
+            while (i < L) {
+              var h = 42L
+              var j = 0
+              while (j < shingleN) {
+                h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(th(i + j), h)
+                j += 1
+              }
+              if (seen.add(h)) shB += h
+              i += 1
+            }
+            val sh = shB.result()
+            val sig = new Array[Long](k)
+            var f = 0
+            while (f < k) {
+              var m = Long.MaxValue
+              var s = 0
+              while (s < sh.length) {
+                val hv = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(sh(s), f.toLong)
+                if (hv < m) m = hv
+                s += 1
+              }
+              sig(f) = m
+              f += 1
+            }
+            Iterator.single((id, sh, sig))
+          }
+        }
+      }
+      .toDF("id", "sh", "sig")
   }
 
   /** Exact dedup: normalized-text hash, keep the smallest id per group.
@@ -62,56 +140,46 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    // Two repartition barriers: (1) spread small/1-partition inputs across
-    // cores, (2) stop CollapseProject from inlining the shingle expression
-    // into the k minhash exprs and the signature into the band exprs —
-    // without the barrier every exploded band row re-tokenizes the text
-    // (k×bands× recompute, catastrophic on wide rows).
-    // Shingles are carried as 64-bit hashes from here on: Jaccard over
-    // long arrays is identical modulo hash collisions (~n²/2⁶⁴) and the
-    // pair scan compares 8-byte values instead of strings.
-    val withSh = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh",
-        array_distinct(transform(shingles(col("text"), shingleN),
-          s => xxhash64(s))))
-      .filter(size(col("sh")) > 0)
-      .repartition(defaultParallelism(df))
-    val withSig = withSh
-      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
-      .repartition(defaultParallelism(df))
+    // One imperative pass computes token hashes → distinct n-gram hashes →
+    // k-minhash signature per row (see shingleMinhash for why this beats
+    // the higher-order-function pipeline ~10×). Shingles are 64-bit
+    // hashes: Jaccard over long arrays is identical modulo hash collisions
+    // (~n²/2⁶⁴) and the pair scan compares 8-byte values instead of
+    // strings.
+    val withSig = shingleMinhash(df, idCol, textCol, shingleN, k)
+    val withSh = withSig.select(col("id"), col("sh"))
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
         slice(sig, b * rows + 1, rows).cast("array<string>")))
-    // the band join carries only (id, sig): duplicating the (possibly
-    // long) shingle array 8× through the explode shuffle would dominate
-    // IO; shingles are re-attached below for surviving candidates only
-    val banded = withSig.select(col("id"), col("sig"),
-      size(col("sh")).as("sz"),
+    // the band join carries only (id, size): shipping signature (or
+    // shingle) arrays through the explode shuffle and materializing them
+    // on every band-collision pair dominates the whole pipeline on
+    // small-vocabulary corpora; arrays are re-attached per-id AFTER pair
+    // dedupe instead
+    val banded = withSig.select(col("id"), size(col("sh")).as("sz"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"), col("sz").as("sz_a"))
+      col("id").as("id_a"), col("sz").as("sz_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"), col("sz").as("sz_b"))
-    // dedupe without a shuffle: keep a pair only in its FIRST matching
-    // band (all earlier bands must differ) — cheaper at scale than
-    // dropDuplicates (note: re-deriving band hashes from the carried sig
-    // here measures ~10× faster end-to-end than shipping a precomputed
-    // band-hash array through the explode shuffle)
-    val firstMatch = (0 until bands).map { bi =>
-      col("band_idx") === bi && (0 until bi)
-        .map(j => bandHash(col("sig_a"), j) =!= bandHash(col("sig_b"), j))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    val cand = a.join(b, Seq("band_idx", "band_hash"))
+      col("id").as("id_b"), col("sz").as("sz_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       // EXACT prune: J ≤ min(|a|,|b|)/max(|a|,|b|) — a scalar compare
       // that can never drop a qualifying pair
       .filter(least(col("sz_a"), col("sz_b")).cast("double") /
         greatest(col("sz_a"), col("sz_b")) >= minJaccard)
-      .filter(firstMatch)
+      // multi-band matches collapse via a narrow (id, id) shuffle — 16
+      // bytes per candidate beats dragging signatures through the join
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sigById = withSig.select(col("id"), col("sig"))
+    val cand = pairs
+      .join(sigById.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigById.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1.0).otherwise(0.0)),
@@ -146,14 +214,12 @@ object Dedup {
   def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    // barrier: materialize HASHED shingles per row before the pair join
-    // (see minhashLsh) — the nested-loop pair scan then intersects 8-byte
-    // values; Jaccard is identical modulo ~n²/2⁶⁴ hash collisions
+    // imperative shingle-hash pass (see shingleMinhash) — the nested-loop
+    // pair scan then intersects 8-byte values; Jaccard is identical modulo
+    // ~n²/2⁶⁴ hash collisions
     def prep(d: DataFrame, suffix: String): DataFrame =
-      d.select(col(idCol).as(s"id$suffix"),
-        array_distinct(transform(shingles(col(textCol), n),
-          s => xxhash64(s))).as(s"sh$suffix"))
-        .repartition(defaultParallelism(d))
+      shingleMinhash(d, idCol, textCol, n, k = 1)
+        .select(col("id").as(s"id$suffix"), col("sh").as(s"sh$suffix"))
     val p = prep(probes, "_a")
     val c = prep(corpus, "_b")
     // general probe-vs-corpus contract: every (probe, doc) pair with
@@ -168,6 +234,42 @@ object Dedup {
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Imperative SimHash frame (id, fp): bit-for-bit identical to the
+    * expression form (token hash = XXH64 of UTF-8 bytes, seed 42 — exactly
+    * Spark's xxhash64) but one JVM pass instead of 64 interpreted
+    * bit-aggregates per row. */
+  private[pipeline] def simhashFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .repartition(defaultParallelism(df))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new Array[Int](64)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counts, 0)
+          val toks = text.trim.toLowerCase.split("\\s+")
+          var t = 0
+          while (t < toks.length) {
+            val h = hashToken(toks(t), 42L)
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+              i += 1
+            }
+            t += 1
+          }
+          var fp = 0L
+          var i = 0
+          while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+          (id, fp)
+        }
+      }
+      .toDF("id", "fp")
   }
 
   /** 64-bit SimHash of the token multiset: bit i of the fingerprint is the
@@ -193,14 +295,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit blocking is lossless only up to 3")
-    // tokenize once (barrier), then 64 bit-aggregates over the token
-    // array; without the barrier the tokenizer is inlined into all 64 exprs
-    val withFp = df.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("toks"))
-      .repartition(defaultParallelism(df))
-      .withColumn("fp", simhash64Tokens(col("toks")))
-      .drop("toks")
-      .repartition(defaultParallelism(df))
+    // one imperative pass per row (see simhashFrame) — bit-identical to
+    // the 64 interpreted bit-aggregate expressions, ~10× cheaper
+    val withFp = simhashFrame(df, idCol, textCol)
     val blocked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -115,6 +115,14 @@ object TextAnalysis {
   def winnowingFingerprint(text: Column, n: Int = 3, w: Int = 4): Column =
     winnowFromHashes(shingleHashes(text, n), w)
 
+  /** Imperative shingle-hash frame (id, hashes) for fingerprinting hot
+    * paths — one mapPartitions pass (see Dedup.shingleMinhash) instead of
+    * interpreted per-shingle lambdas; rows with no shingles are dropped. */
+  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    Dedup.shingleMinhash(df, idCol, textCol, n, k = 1)
+      .select(col("id"), col("sh").as("hashes"))
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

@@ -130,6 +130,37 @@ class PromQlSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("binary ops parse with precedence and scalar literals") {
+    import PromQl._
+    assert(parse("a / b") ==
+      BinOp('/', Selector("a", Nil), Selector("b", Nil)))
+    assert(parse("a + b * 2") == BinOp('+', Selector("a", Nil),
+      BinOp('*', Selector("b", Nil), ScalarLit(2.0))))
+    assert(parse("(a + b) * 2") == BinOp('*',
+      BinOp('+', Selector("a", Nil), Selector("b", Nil)), ScalarLit(2.0)))
+    // scalar-only expressions are rejected at compile time
+    intercept[PromQl.PromQlParseException](
+      PromQl.eval(gauges, "1 + 2", 3600))
+  }
+
+  test("vector/vector ratio joins on bucket; scalar broadcasts") {
+    val frame = Seq(
+      ("err", "api", t(0), 10.0, Map.empty[String, String], 2, false),
+      ("all", "api", t(0), 40.0, Map.empty[String, String], 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val ratio = PromQl.eval(frame, "sum(err) / sum(all)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(ratio == Seq(0.25))
+    val scaled = PromQl.eval(frame, "sum(err) * 2 + 5", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(scaled == Seq(25.0))
+    // rate * step == increase
+    val inc = PromQl.eval(counters, "rate(requests_total[1m]) * 60", 60)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(inc == Seq(0.0, 60.0, 0.0))
+  }
+
   test("rate and increase over a cumulative counter with reset") {
     // per-minute buckets: deltas 0, +60, reset→0 (clamp)
     val inc = PromQl.eval(counters, "increase(requests_total[1m])", 60)
