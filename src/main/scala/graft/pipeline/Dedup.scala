@@ -210,30 +210,55 @@ object Dedup {
   }
 
   /** n-gram Jaccard scoring of a (small, broadcast) probe set against the
-    * corpus: all (probe, doc) pairs with jaccard ≥ threshold. */
+    * corpus: all (probe, doc) pairs with distinct ids and jaccard ≥
+    * threshold (when both members of a pair are probes the mirrored pair
+    * appears too; dedup-scan callers filter id_a < id_b).
+    *
+    * Probe shingle sets are collected and broadcast (probes are small by
+    * contract — a handful of query documents); each corpus partition then
+    * scans its rows against them imperatively: exact size-ratio prune
+    * (J ≤ min/max sizes — can never drop a qualifying pair), sorted-merge
+    * intersection over 64-bit shingle hashes. Jaccard identical to the
+    * string-set definition modulo ~n²/2⁶⁴ hash collisions. */
   def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
-    // imperative shingle-hash pass (see shingleMinhash) — the nested-loop
-    // pair scan then intersects 8-byte values; Jaccard is identical modulo
-    // ~n²/2⁶⁴ hash collisions
-    def prep(d: DataFrame, suffix: String): DataFrame =
-      shingleMinhash(d, idCol, textCol, n, k = 1)
-        .select(col("id").as(s"id$suffix"), col("sh").as(s"sh$suffix"))
-    val p = prep(probes, "_a")
-    val c = prep(corpus, "_b")
-    // general probe-vs-corpus contract: every (probe, doc) pair with
-    // distinct ids — when both sides of a pair are probes the mirrored
-    // pair appears too (callers wanting dedup-scan output filter id_a<id_b).
-    // EXACT prune before the set math: J ≤ min(|a|,|b|)/max(|a|,|b|), a
-    // two-long compare that kills most of the nested-loop pairs without
-    // ever dropping a qualifying one
-    broadcast(p).join(c, col("id_a") =!= col("id_b") &&
-        least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
-          greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold)
-      .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def sorted(sh: Array[Long]): Array[Long] = {
+      val s = sh.clone(); java.util.Arrays.sort(s); s
+    }
+    val probeSets: Array[(Long, Array[Long])] =
+      shingleMinhash(probes, idCol, textCol, n, k = 1)
+        .select("id", "sh").as[(Long, Array[Long])]
+        .collect().map { case (id, sh) => (id, sorted(sh)) }
+    val bc = spark.sparkContext.broadcast(probeSets)
+    shingleMinhash(corpus, idCol, textCol, n, k = 1)
+      .select("id", "sh").as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.flatMap { case (cid, shC) =>
+          val c = sorted(shC)
+          ps.iterator.flatMap { case (pid, p) =>
+            val mn = math.min(p.length, c.length).toDouble
+            val mx = math.max(p.length, c.length).toDouble
+            if (pid == cid || mn / mx < threshold) Iterator.empty
+            else {
+              var i = 0; var j = 0; var inter = 0
+              while (i < p.length && j < c.length) {
+                if (p(i) == c(j)) { inter += 1; i += 1; j += 1 }
+                else if (p(i) < c(j)) i += 1
+                else j += 1
+              }
+              val uni = p.length + c.length - inter
+              val jac = inter.toDouble / uni
+              if (jac >= threshold) Iterator.single((pid, cid, jac))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   /** Imperative SimHash frame (id, fp): bit-for-bit identical to the
@@ -331,17 +356,43 @@ object Dedup {
       threshold: Double, planes: Int = 0): DataFrame = {
     // precompute the norm per row (barrier) so the pair scan does one dot
     // product per pair instead of re-deriving both norms every time
-    val base = df.select(col(idCol).as("id"),
+    val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .repartition(defaultParallelism(df))
-    val paired =
-      if (planes <= 0)
-        base.select(col("id").as("id_a"), col("v").as("v_a"),
-          col("nrm").as("n_a"))
-          .join(base.select(col("id").as("id_b"), col("v").as("v_b"),
-            col("nrm").as("n_b")), col("id_a") < col("id_b"))
-      else {
+    if (planes <= 0) {
+      // exact path (oracle/tests; the signature-bucketed branch is the
+      // scale path): imperative broadcast pair scan — the corpus rides a
+      // broadcast variable and each partition scans its rows against it,
+      // summing dot products in ascending index order so the doubles match
+      // the Column-expression form bit-for-bit
+      val spark = df.sparkSession
+      import spark.implicits._
+      val typed = base.as[(Long, Array[Double], Double)]
+      val all = typed.collect()
+      val bc = spark.sparkContext.broadcast(all)
+      return typed.mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (ida, va, na) =>
+          corpus.iterator.flatMap { case (idb, vb, nb) =>
+            if (ida >= idb) Iterator.empty
+            else {
+              val denom = na * nb
+              val cos =
+                if (denom == 0) 0.0
+                else {
+                  var d = 0.0; var i = 0
+                  while (i < va.length) { d += va(i) * vb(i); i += 1 }
+                  d / denom
+                }
+              if (cos >= threshold) Iterator.single((ida, idb, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }.toDF("id_a", "id_b", "cosine")
+    }
+    val paired = {
         val withSig = base.withColumn("sig",
           Similarity.hyperplaneSignature(col("v"), planes, dim = 64,
             seed = 7))
