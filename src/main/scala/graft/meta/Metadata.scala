@@ -51,6 +51,16 @@ object Metadata {
       .orderBy(desc("cnt"), col("value"))
       .limit(maxValues)
 
+  /** Distinct top-level keys of a JSON-string column with counts
+    * (reference getJSONKeys metadata.ts:951); malformed JSON rows
+    * contribute nothing. */
+  def jsonKeys(df: DataFrame, jsonCol: String,
+      maxScanRows: Int = 3000000): DataFrame =
+    df.limit(maxScanRows)
+      .select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("key"))
+
   /** Facet autocomplete: top values per column in ONE pass over the scan
     * (reference getKeyValues :2431 runs one query per key; a single
     * explode+groupBy is the Spark-native shape). */

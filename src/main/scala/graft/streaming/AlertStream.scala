@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+import graft.analysis.Alerts
+
+/** Streaming alert evaluation — the push-based upgrade of the reference's
+  * poll-every-minute check-alerts task (packages/api/src/tasks/checkAlerts):
+  * instead of re-querying closed windows on a schedule, the per-window
+  * values stream through a keyed state machine
+  * (`flatMapGroupsWithState`) that tracks the consecutive-exceed count per
+  * alert and emits only STATE TRANSITIONS (OK→ALERT, ALERT→OK) — exactly
+  * the reference's numConsecutiveWindows semantics, evaluated incrementally
+  * with exactly-once state instead of a Mongo-backed history lookback.
+  *
+  * Input: one row per (alert id, closed window, value) — e.g. a
+  * `Streaming.rollup` keyed by the alert's group. At 100 TB the state is
+  * O(#alerts) longs, trivially partitioned by alert id.
+  */
+object AlertStream {
+
+  final case class AlertSpec(
+      tpe: Alerts.ThresholdType,
+      threshold: Double,
+      thresholdMax: Option[Double] = None,
+      numConsecutive: Int = 1)
+
+  final case class WindowValue(alert_id: String, window_start: Timestamp,
+      value: Double)
+  final case class Transition(alert_id: String, window_start: Timestamp,
+      state: String, value: Double)
+  /** Keyed state: consecutive exceed count + last emitted state. */
+  final case class RunState(consecutive: Int, state: String)
+
+  /** Evaluate a stream (or batch frame) of window values into state
+    * transitions. `configs` maps alert id → threshold spec; rows for
+    * unknown alert ids are ignored. */
+  def transitions(windowValues: DataFrame,
+      configs: Map[String, AlertSpec]): Dataset[Transition] = {
+    val spark = windowValues.sparkSession
+    import spark.implicits._
+    windowValues
+      .selectExpr("alert_id", "window_start", "value")
+      .as[WindowValue]
+      .groupByKey(_.alert_id)
+      .flatMapGroupsWithState[RunState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[WindowValue],
+            state: GroupState[RunState]) =>
+          configs.get(id) match {
+            case None => Iterator.empty
+            case Some(cfg) =>
+              var st = state.getOption.getOrElse(RunState(0, "OK"))
+              // windows may arrive unordered within a micro-batch
+              val out = rows.toSeq.sortBy(_.window_start.getTime)
+                .flatMap { r =>
+                  val exceeded = Alerts.doesExceedThreshold(
+                    cfg.tpe, cfg.threshold, cfg.thresholdMax, r.value)
+                  val consec = if (exceeded) st.consecutive + 1 else 0
+                  val next =
+                    if (consec >= cfg.numConsecutive) "ALERT" else "OK"
+                  val fired = next != st.state
+                  st = RunState(consec, next)
+                  if (fired)
+                    Some(Transition(id, r.window_start, next, r.value))
+                  else None
+                }
+              state.update(st)
+              out.iterator
+          }
+      }
+  }
+}

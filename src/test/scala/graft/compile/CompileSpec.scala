@@ -115,4 +115,15 @@ class MetadataSpec extends SparkSpec {
     val fields = graft.meta.Metadata.allFields(df)
     assert(fields.exists(f => f.path == "attrs.env" && f.fromMap))
   }
+
+  test("json keys over a JSON-string column; malformed rows ignored") {
+    import spark.implicits._
+    val df = Seq(
+      """{"k":1,"env":"prod"}""",
+      """{"k":2}""",
+      "not json").toDF("props")
+    val keys = graft.meta.Metadata.jsonKeys(df, "props")
+      .as[(String, Long)].collect().toSeq
+    assert(keys == Seq(("k", 2L), ("env", 1L)))
+  }
 }

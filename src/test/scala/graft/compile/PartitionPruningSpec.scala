@@ -35,4 +35,17 @@ class PartitionPruningSpec extends SparkSpec {
     assert(filtered.count() == expected)
     assert(expected > 0)
   }
+
+  test("filters push down and projection prunes the parquet ReadSchema") {
+    val events = Catalog.forDir(spark, "/root/testdata/sf0.001")("events").df
+    val q = events.filter(col("user_id") === 7)
+      .select("user_id", "value")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // predicate reaches the scan even through the Catalog's ts projection
+    assert(scan.contains("PushedFilters") && scan.contains("user_id"),
+      scan.take(500))
+    // only the two referenced columns are read — ts_ns/props are pruned
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("props"), scan.take(500))
+  }
 }
