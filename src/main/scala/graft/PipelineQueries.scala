@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators exposed through the driver contract:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -283,6 +283,35 @@ object PipelineQueries {
         array_min(col("fp")).as("fp_min"))
       .orderBy("doc_id")
 
+  /** Multimodal plumbing at the driver gate: documents' text bytes stand in
+    * for opaque media payloads; the frame-sample explode (the per-frame
+    * fan-out shape of real video pipelines) emits one row per 16-byte
+    * pseudo-frame with byte length + content digest. Text is pure ASCII in
+    * the testdata, so DuckDB's char-based substr/md5 equals Spark's
+    * byte-based slicing — a full hash oracle over the stub pipeline. */
+  def q45_multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = docs(spark, dir).select(col("doc_id"),
+      col("text").cast("binary").as("payload"))
+    media.select(col("doc_id"),
+      posexplode(Multimodal.frameSampleStub(col("payload"), n = 4))
+        .as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q45_sql: String =
+    """WITH idx AS (SELECT unnest(generate_series(0, 3)) AS frame_idx),
+      |f AS (
+      |  SELECT doc_id, frame_idx,
+      |    substr(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
+      |  FROM documents CROSS JOIN idx)
+      |SELECT doc_id, frame_idx, length(frame) AS frame_len,
+      |  md5(frame) AS frame_md5
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,7 +325,8 @@ object PipelineQueries {
     "q27_embed_neardup" -> (q27_embed_neardup _),
     "q28_ann_lsh" -> (q28_ann_lsh _),
     "q29_fingerprint" -> (q29_fingerprint _),
-    "q42_ann_ivf" -> (q42_ann_ivf _))
+    "q42_ann_ivf" -> (q42_ann_ivf _),
+    "q45_multimodal" -> (q45_multimodal _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -307,5 +337,6 @@ object PipelineQueries {
     "q25_knn_brute" -> q25_sql,
     "q27_embed_neardup" -> q27_sql,
     // exhaustive IVF == brute force: same oracle as q25
-    "q42_ann_ivf" -> q25_sql)
+    "q42_ann_ivf" -> q25_sql,
+    "q45_multimodal" -> q45_sql)
 }
