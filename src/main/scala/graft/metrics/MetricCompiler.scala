@@ -123,6 +123,23 @@ object MetricCompiler {
       .agg(sum(col("Rate")).as("rate"))
   }
 
+  /** Counter rate over a bounded chart range: the scan is padded one step
+    * EARLIER than the range so the first in-range bucket's lag-delta diffs
+    * against the last pre-range point instead of starting at 0, then the
+    * output is trimmed to the requested buckets (reference
+    * includedDataInterval, renderChartConfig.ts:1838-1860). */
+  def counterRateInRange(df: DataFrame, stepSeconds: Long,
+      fromEpochSec: Long, toEpochSec: Long,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val fromBucket = math.floorDiv(fromEpochSec, stepSeconds) * stepSeconds
+    val padded = df.filter(
+      unix_timestamp(col("TimeUnix")) >= fromBucket - stepSeconds &&
+        unix_timestamp(col("TimeUnix")) <= toEpochSec)
+    counterRate(padded, stepSeconds, groupBy)
+      .filter(unix_timestamp(col(Bucket)) >= fromBucket &&
+        unix_timestamp(col(Bucket)) <= toEpochSec)
+  }
+
   /** `increase`: sum of rates per user group, capped to the top-N groups by
     * total increase (reference INCREASE_MAX_NUM_GROUPS=20 + ranking CTE,
     * renderChartConfig.ts:1971-2075). */

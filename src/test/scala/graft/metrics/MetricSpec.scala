@@ -3,6 +3,7 @@ package graft.metrics
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, unix_timestamp}
 
 import graft.SparkSpec
 
@@ -55,6 +56,25 @@ class MetricSpec extends SparkSpec {
     val rates = MetricCompiler.counterRatePerRow(df)
       .orderBy("TimeUnix").select("Rate").as[Double].collect().toSeq
     assert(rates == Seq(0.0, 15.0, 0.0, 7.0))
+  }
+
+  test("counterRateInRange pads the scan so the first bucket's lag works") {
+    // points at 00:00:30 (pre-range) and per-minute after; range starts
+    // at 00:01:00 — the 00:01 bucket must diff 25-10=15, not report 0
+    val df = metricDf(Seq(
+      ("req", "s", t("2024-01-01 00:00:30"), 10.0, Map.empty[String, String], 2, true),
+      ("req", "s", t("2024-01-01 00:01:30"), 25.0, Map.empty[String, String], 2, true),
+      ("req", "s", t("2024-01-01 00:02:30"), 31.0, Map.empty[String, String], 2, true)))
+    val from = t("2024-01-01 00:01:00").getTime / 1000
+    val to = t("2024-01-01 00:03:00").getTime / 1000
+    val padded = MetricCompiler.counterRateInRange(df, 60, from, to)
+      .orderBy("__time_bucket").select("rate").as[Double].collect().toSeq
+    assert(padded == Seq(15.0, 6.0))
+    // without padding the pre-range point is invisible → first rate 0
+    val unpadded = MetricCompiler.counterRate(
+      df.filter(unix_timestamp(col("TimeUnix")) >= from), 60)
+      .orderBy("__time_bucket").select("rate").as[Double].collect().toSeq
+    assert(unpadded == Seq(0.0, 6.0))
   }
 
   test("counter rate: delta temporality passes through") {
