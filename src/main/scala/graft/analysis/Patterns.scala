@@ -29,6 +29,48 @@ object Patterns {
     (total, sample)
   }
 
+  /** Patterns plus a `buckets`-bucket trend over the sample's time span
+    * (reference mine-patterns.ts 24-bucket trend): sampled rows re-match to
+    * their mined cluster and bucket by timestamp; counts extrapolate by
+    * total/sample like the headline estimate. */
+  def minePatternsWithTrend(spark: SparkSession, df: DataFrame,
+      bodyCol: String, idCol: String, tsCol: String,
+      sampleSize: Int = 10000, buckets: Int = 24): DataFrame = {
+    import spark.implicits._
+    val total = df.count()
+    val sampled = df
+      .select(col(bodyCol).cast("string").as("body"), col(idCol),
+        unix_timestamp(col(tsCol)).as("ts"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleSize)
+      .select("body", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (sampled.isEmpty)
+      return Seq.empty[(Long, String, Long, Long, Seq[Long])]
+        .toDF("patternId", "template", "sampleCount", "estimatedCount",
+          "trend")
+    val drain = new Drain(maxClusters = Some(1000))
+    sampled.foreach { case (b, _) => drain.addLogMessage(Masking.mask(b)) }
+    val n = math.max(sampled.length, 1)
+    val tsMin = sampled.iterator.map(_._2).min
+    val span = math.max(sampled.iterator.map(_._2).max - tsMin + 1, 1L)
+    val perCluster = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    sampled.foreach { case (b, ts) =>
+      drain.matchLogMessage(Masking.mask(b)).foreach { c =>
+        val arr = perCluster.getOrElseUpdate(c.id, new Array[Long](buckets))
+        arr(math.min(((ts - tsMin) * buckets / span).toInt, buckets - 1)) += 1
+      }
+    }
+    val scale = total.toDouble / n
+    drain.allClusters.map { c =>
+      val trend = perCluster.getOrElse(c.id, new Array[Long](buckets))
+        .map(x => math.round(x * scale)).toSeq
+      (c.id, c.template, c.size, math.round(c.size * scale), trend)
+    }.toDF("patternId", "template", "sampleCount", "estimatedCount",
+      "trend")
+      .orderBy(desc("sampleCount"), col("patternId"))
+  }
+
   /** Mine patterns; noiseThreshold drops clusters that hold less than that
     * fraction of the sample (reference noise 0.1 is applied upstream;
     * default 0 keeps all). */

@@ -80,6 +80,31 @@ class PatternsSpec extends SparkSpec {
     assert(r.getAs[Long]("sampleCount") == 500)
     assert(r.getAs[Long]("estimatedCount") == 1000)
   }
+
+  test("trend buckets concentrate where the pattern's rows are") {
+    // pattern A fires in the first hour, pattern B in the last hour of a
+    // 4-hour span → trend mass lands in opposite quarters
+    val df = spark.range(0, 400).select(
+      col("id"),
+      when(col("id") < 200,
+        concat(lit("login ok user "), col("id")))
+        .otherwise(concat(lit("payment failed order "), col("id")))
+        .as("body"),
+      when(col("id") < 200,
+        timestamp_seconds(lit(1704067200L) + col("id")))
+        .otherwise(
+          timestamp_seconds(lit(1704067200L + 3 * 3600) + col("id") - 200))
+        .as("ts"))
+    val out = Patterns.minePatternsWithTrend(spark, df, "body", "id", "ts",
+      sampleSize = 400, buckets = 4)
+    val byTpl = out.collect()
+      .map(r => r.getAs[String]("template") -> r.getSeq[Long](4)).toMap
+    val login = byTpl("login ok user <*>")
+    val pay = byTpl("payment failed order <*>")
+    assert(login.head > 0 && login.last == 0)
+    assert(pay.head == 0 && pay.last > 0)
+    assert(login.sum == 200 && pay.sum == 200)
+  }
 }
 
 class EventDeltasSpec extends SparkSpec {
