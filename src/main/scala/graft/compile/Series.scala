@@ -36,22 +36,30 @@ object Series {
     }
   }
 
-  /** Ratio of two value columns (reference RatioMode):
-    *  - PerGroup: a / b per row
-    *  - ShareOfTotal: a / sum(a) over the same time bucket (denominator =
-    *    bucket total across groups, clickhouse/index.ts:464-485). */
+  /** Ratio of two value columns (reference computeResultSetRatio,
+    * clickhouse/index.ts:391-485):
+    *  - PerGroup: a / b per row;
+    *  - ShareOfTotal: a / sum(b) over the same time bucket — the
+    *    DENOMINATOR column's bucket total across all groups, so grouped
+    *    lines decompose the blended rate and sum to the ungrouped value.
+    * A group absent from the (filtered) numerator contributes ZERO, not
+    * "no data" — a zero-error group reads 0%, not N/A (reference :437-438).
+    * Division by a null/zero denominator yields null. */
   def ratio(df: DataFrame, mode: RatioMode, numCol: String,
       denCol: String, bucketCol: String = TimeBucketAlias,
-      outCol: String = "ratio"): DataFrame = mode match {
-    case RatioMode.PerGroup =>
-      df.withColumn(outCol,
-        when(col(denCol).isNull || col(denCol) === 0, lit(null))
-          .otherwise(col(numCol).cast("double") / col(denCol)))
-    case RatioMode.ShareOfTotal =>
-      import org.apache.spark.sql.expressions.Window
-      val total = sum(col(numCol)).over(Window.partitionBy(col(bucketCol)))
-      df.withColumn(outCol,
-        when(total === 0, lit(null))
-          .otherwise(col(numCol).cast("double") / total))
+      outCol: String = "ratio"): DataFrame = {
+    val num = coalesce(col(numCol).cast("double"), lit(0.0))
+    mode match {
+      case RatioMode.PerGroup =>
+        df.withColumn(outCol,
+          when(col(denCol).isNull || col(denCol) === 0, lit(null))
+            .otherwise(num / col(denCol)))
+      case RatioMode.ShareOfTotal =>
+        import org.apache.spark.sql.expressions.Window
+        val total = sum(col(denCol)).over(Window.partitionBy(col(bucketCol)))
+        df.withColumn(outCol,
+          when(total.isNull || total === 0, lit(null))
+            .otherwise(num / total))
+    }
   }
 }

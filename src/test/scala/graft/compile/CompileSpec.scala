@@ -80,16 +80,19 @@ class SeriesSpec extends SparkSpec {
 
   test("ratio per_group and share_of_total") {
     val df = Seq(
-      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 8L, 2L),
-      (Timestamp.valueOf("2024-01-01 00:00:00"), "b", 2L, 0L))
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", Some(8L), 2L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "b", Some(2L), 0L),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "c", None, 2L))
       .toDF("__time_bucket", "svc", "n", "d")
     val per = Series.ratio(df, RatioMode.PerGroup, "n", "d")
       .orderBy("svc").select("ratio").collect()
     assert(per(0).getDouble(0) == 4.0)
     assert(per(1).isNullAt(0)) // divide by zero → null
+    assert(per(2).getDouble(0) == 0.0) // missing numerator → 0, not N/A
+    // share_of_total divides by the DENOMINATOR's bucket total (2+0+2)
     val share = Series.ratio(df, RatioMode.ShareOfTotal, "n", "d")
       .orderBy("svc").select("ratio").as[Double].collect().toSeq
-    assert(share == Seq(0.8, 0.2))
+    assert(share == Seq(2.0, 0.5, 0.0))
   }
 }
 
