@@ -228,8 +228,48 @@ object AnalysisQueries {
       |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Ratio share_of_total: each event_type's daily high-value events as a
+    * share of the day's TOTAL events across all types — divides by the
+    * denominator's bucket total so the grouped shares decompose the
+    * blended rate (reference buildBucketTotalDenominator,
+    * clickhouse/index.ts:464-485). */
+  def q46_share_of_total(spark: SparkSession, dir: String): DataFrame = {
+    val compiled = QueryCompiler.compile(Query(
+      select = Seq(
+        SelectItem("", Some("hot"), Some(AggFn.Count),
+          Some(Cond.Sql("value > 190"))),
+        SelectItem("", Some("total"), Some(AggFn.Count))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)),
+      dateRange = Some(QueryCompiler.range(
+        "2024-01-01T00:00:00Z", "2024-03-01T00:00:00Z"))),
+      Queries.cat(spark, dir))
+    Series.ratio(compiled, RatioMode.ShareOfTotal, "hot", "total",
+      outCol = "share")
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .withColumn("share", round(col("share"), 6))
+      .select("bucket", "event_type", "hot", "share")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q46_sql: String =
+    """WITH a AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type,
+      |    count(*) FILTER (WHERE value > 190) AS hot,
+      |    count(*) AS total
+      |  FROM events
+      |  WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |  GROUP BY bucket, event_type)
+      |SELECT bucket, event_type, hot,
+      |  round(CAST(hot AS DOUBLE) /
+      |        sum(total) OVER (PARTITION BY bucket), 6) AS share
+      |FROM a ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
+    "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
     "q33_gap_fill" -> (q33_gap_fill _),
@@ -238,6 +278,7 @@ object AnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "q31_event_deltas" -> q31_sql,
+    "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,
     "q33_gap_fill" -> q33_sql,
     "q34_service_map" -> q34_sql,
