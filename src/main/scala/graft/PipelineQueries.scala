@@ -137,6 +137,43 @@ object PipelineQueries {
       |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
       |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
 
+  /** LSH-bucketed embedding near-dup — the scale path (planes > 0) — over a
+    * corpus with planted exact duplicates: copies of vec_id < 20 re-keyed
+    * +100000. Identical vectors produce identical sign signatures, so the
+    * bucketed join finds every planted pair regardless of the hyperplane
+    * draw; threshold 0.9 sits far above the corpus's natural max pairwise
+    * cosine (~0.60 at sf0.1), so the exact answer IS the planted pair list
+    * and the all-pairs SQL oracle applies. */
+  def q47_embed_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(
+      e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDups(planted, "vec_id", "embedding",
+      threshold = 0.9, planes = 4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q47_sql: String =
+    """WITH v0 AS (SELECT vec_id, embedding FROM embeddings),
+      |v AS (SELECT vec_id, embedding FROM v0
+      |      UNION ALL
+      |      SELECT vec_id + 100000 AS vec_id, embedding FROM v0
+      |      WHERE vec_id < 20),
+      |s AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(generate_series(1,64),
+      |      i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 6) AS cosine FROM s
+      |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   // ----------------------------------------------------------- similarity
 
   /** Brute-force cosine top-5 neighbors for probes vec_id < 10. */
@@ -326,7 +363,8 @@ object PipelineQueries {
     "q28_ann_lsh" -> (q28_ann_lsh _),
     "q29_fingerprint" -> (q29_fingerprint _),
     "q42_ann_ivf" -> (q42_ann_ivf _),
-    "q45_multimodal" -> (q45_multimodal _))
+    "q45_multimodal" -> (q45_multimodal _),
+    "q47_embed_lsh" -> (q47_embed_lsh _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -338,5 +376,6 @@ object PipelineQueries {
     "q27_embed_neardup" -> q27_sql,
     // exhaustive IVF == brute force: same oracle as q25
     "q42_ann_ivf" -> q25_sql,
-    "q45_multimodal" -> q45_sql)
+    "q45_multimodal" -> q45_sql,
+    "q47_embed_lsh" -> q47_sql)
 }

@@ -306,14 +306,19 @@ object Queries {
       |ORDER BY bucket, event_type""".stripMargin
 
   /** Ratio share_of_total (reference computeResultSetRatio /
-    * buildBucketTotalDenominator — done engine-side with a window). */
+    * buildBucketTotalDenominator). The grand total comes from a 1-row
+    * aggregate broadcast-cross-joined back onto the per-group frame — an
+    * unpartitioned window (`Window.partitionBy()`) would funnel every row
+    * through a single partition, a trap at scale even when the input is
+    * post-aggregation-small. */
   def q12_ratio(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val events = cat(spark, dir)("events").df
-    events.groupBy(col("event_type"))
+    val perGroup = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("share",
-        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+    val total = perGroup.agg(sum(col("cnt")).as("__total"))
+    perGroup.crossJoin(broadcast(total))
+      .withColumn("share", round(col("cnt") / col("__total"), 6))
+      .drop("__total")
       .orderBy("event_type")
   }
 
@@ -322,6 +327,34 @@ object Queries {
       |FROM (SELECT event_type, count(*) AS cnt FROM events
       |      GROUP BY event_type)
       |ORDER BY event_type""".stripMargin
+
+  /** Unquoted-URL lucene term (reference encodeSpecialTokens
+    * queryParser.ts:32-48): `url:https://example.com/src1/STAR` (STAR =
+    * the wildcard char, which can't appear literally in a Scala comment)
+    * parses as ONE term via the parser's encode/decode pre-pass — no
+    * quoting — and compiles to a wildcard match on a derived url column. */
+  def q49_lucene_url(spark: SparkSession, dir: String): DataFrame = {
+    val base = cat(spark, dir)
+    val withUrl = base("documents").df.withColumn("url",
+      concat(lit("https://example.com/"), col("source"), lit("/"),
+        col("doc_id")))
+    val c = base.withSource("doc_urls",
+      graft.compile.Source(withUrl, implicitColumns = Seq("text")))
+    QueryCompiler.compile(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "doc_urls",
+      where = Some(Cond.Lucene("url:https://example.com/src1/*")),
+      groupBy = Seq("lang"),
+      orderBy = Seq(OrderBy("lang"))), c)
+  }
+
+  val q49_sql: String =
+    """SELECT lang, count(*) AS cnt FROM (
+      |  SELECT lang,
+      |    concat('https://example.com/', source, '/', doc_id) AS url
+      |  FROM documents)
+      |WHERE url LIKE 'https://example.com/src1/%'
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** String-typed numeric aggregation (reference toFloat64OrDefault
     * semantics — FIXTURES §4: numeric aggs over string columns must
@@ -441,7 +474,8 @@ object Queries {
     "q12_ratio" -> (q12_ratio _),
     "q36_string_coercion" -> (q36_string_coercion _),
     "q39_weighted" -> (q39_weighted _),
-    "q43_rawsql" -> (q43_rawsql _))
+    "q43_rawsql" -> (q43_rawsql _),
+    "q49_lucene_url" -> (q49_lucene_url _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -458,5 +492,6 @@ object Queries {
     "q12_ratio" -> q12_sql,
     "q36_string_coercion" -> q36_sql,
     "q39_weighted" -> q39_sql,
-    "q43_rawsql" -> q43_sql)
+    "q43_rawsql" -> q43_sql,
+    "q49_lucene_url" -> q49_sql)
 }

@@ -134,11 +134,10 @@ object CoreFunctions {
   def vectorAdd(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
 
   /** Running cumulative sum of a numeric array (ClickHouse `arrayCumSum`,
-    * histogram.ts:215). Pure higher-order-function implementation:
-    * slice+aggregate per index — O(n²) but n = #histogram bounds (small). */
-  def arrayCumSum(a: Column): Column =
-    transform(a, (_, i) =>
-      aggregate(slice(a, lit(1), i + 1), lit(0.0), (acc, x) => acc + x))
+    * histogram.ts:215) — one codegen'd O(n) pass, value-identical to the
+    * previous slice+aggregate-per-index form (same left-to-right
+    * accumulation; see [[graft.functions.ArrayCumSum]]). */
+  def arrayCumSum(a: Column): Column = VectorOps.cumSum(a)
 
   /** ClickHouse `arraySum`. */
   def arraySum(a: Column): Column =

@@ -46,11 +46,50 @@ final class LuceneParseException(msg: String) extends Exception(msg)
 
 object LuceneParser {
 
-  /** Parse a query; empty/blank input → None. */
+  /** Parse a query; empty/blank input → None. Special tokens (URLs,
+    * `localhost:port`, escaped colons/backslashes) are encoded before the
+    * grammar runs and decoded out of the AST after, so
+    * `url:https://x.com/path` parses without quoting — the reference's
+    * encode/decode pre-pass (queryParser.ts:32-48). */
   def parse(input: String): Option[QNode] = {
     val trimmed = input.trim
     if (trimmed.isEmpty) None
-    else Some(new P(trimmed).parseAll())
+    else Some(decodeNode(new P(encodeSpecialTokens(trimmed)).parseAll()))
+  }
+
+  private[lucene] def encodeSpecialTokens(q: String): String = q
+    .replace("\\\\", "HDX_BACKSLASH_LITERAL")
+    .replace("http://", "http_COLON_//")
+    .replace("https://", "https_COLON_//")
+    .replaceAll("localhost:(\\d{1,5})", "localhost_COLON_$1")
+    .replace("\\:", "HDX_COLON")
+
+  private[lucene] def decodeSpecialTokens(v: String): String = v
+    .replace("\\\"", "\"")
+    .replace("HDX_BACKSLASH_LITERAL", "\\")
+    .replace("http_COLON_//", "http://")
+    .replace("https_COLON_//", "https://")
+    .replaceAll("localhost_COLON_(\\d{1,5})", "localhost:$1")
+    .replace("HDX_COLON", ":")
+
+  private def decodeNode(n: QNode): QNode = n match {
+    case QNode.And(l, r) => QNode.And(decodeNode(l), decodeNode(r))
+    case QNode.Or(l, r) => QNode.Or(decodeNode(l), decodeNode(r))
+    case QNode.Not(x) => QNode.Not(decodeNode(x))
+    case QNode.Group(f, inner) =>
+      QNode.Group(decodeSpecialTokens(f), decodeNode(inner))
+    case QNode.Term(f, v) =>
+      QNode.Term(f.map(decodeSpecialTokens), decodeValue(v))
+  }
+
+  private def decodeValue(v: TermValue): TermValue = v match {
+    case TermValue.Exact(x) => TermValue.Exact(decodeSpecialTokens(x))
+    case TermValue.Word(x) => TermValue.Word(decodeSpecialTokens(x))
+    case TermValue.Cmp(op, x) => TermValue.Cmp(op, decodeSpecialTokens(x))
+    case TermValue.Range(lo, hi, loIncl, hiIncl) =>
+      TermValue.Range(lo.map(decodeSpecialTokens),
+        hi.map(decodeSpecialTokens), loIncl, hiIncl)
+    case TermValue.Exists => TermValue.Exists
   }
 
   private final class P(s: String) {
@@ -218,9 +257,9 @@ object LuceneParser {
       if (v == "*") None else Some(v)
     }
 
-    /** Raw term: up to whitespace / paren / bracket. Keeps `*` wildcards,
-      * dots, colons inside URLs are expected to be quoted (reference encodes
-      * special tokens — queryParser.ts:32-48; we require quoting instead). */
+    /** Raw term: up to whitespace / paren / bracket. Keeps `*` wildcards
+      * and dots; colons inside URLs / localhost:port / escaped `\:` survive
+      * via the encode/decode pre-pass in [[LuceneParser.parse]]. */
     private def readRawTerm(): String = {
       val sb = new StringBuilder
       while (i < s.length && !s(i).isWhitespace &&

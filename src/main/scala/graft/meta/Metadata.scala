@@ -2,6 +2,7 @@ package graft.meta
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 /** Schema/facet introspection services — the engine-service analogue of the
@@ -15,6 +16,19 @@ object Metadata {
 
   final case class FieldInfo(path: String, dataType: String,
       fromMap: Boolean)
+
+  /** Bounded discovery scan: column-pruned select + a per-partition
+    * `LocalLimit` cap. A global `df.limit(n)` would funnel every
+    * partition's rows through ONE task before the downstream
+    * explode/groupBy — the per-partition cap (maxScanRows split across
+    * the scan's partitions) keeps the bound AND the parallelism. */
+  private def cappedScan(df: DataFrame, cols: Seq[Column],
+      maxScanRows: Int): DataFrame = {
+    val pruned = df.select(cols: _*)
+    val parts = math.max(1, pruned.rdd.getNumPartitions)
+    ColumnBridge.localLimit(pruned,
+      math.max(1, (maxScanRows.toLong / parts).toInt))
+  }
 
   /** All queryable fields: physical columns plus one entry per discovered
     * map key (reference getAllFields metadata.ts:1422). */
@@ -36,7 +50,7 @@ object Metadata {
     * (reference getMapKeys metadata.ts:641-950). */
   def mapKeys(df: DataFrame, mapCol: String,
       maxScanRows: Int = 3000000): DataFrame =
-    df.limit(maxScanRows)
+    cappedScan(df, Seq(col(mapCol)), maxScanRows)
       .select(explode(map_keys(col(mapCol))).as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("key"))
@@ -44,22 +58,46 @@ object Metadata {
   /** Distinct values of one map key (reference getMapValues :1040). */
   def mapValues(df: DataFrame, mapCol: String, key: String,
       maxValues: Int = 100, maxScanRows: Int = 3000000): DataFrame =
-    df.limit(maxScanRows)
-      .select(element_at(col(mapCol), key).as("value"))
+    cappedScan(df, Seq(element_at(col(mapCol), key).as("value")),
+      maxScanRows)
       .filter(col("value").isNotNull)
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("value"))
       .limit(maxValues)
 
-  /** Distinct top-level keys of a JSON-string column with counts
-    * (reference getJSONKeys metadata.ts:951); malformed JSON rows
-    * contribute nothing. */
+  /** JSON key discovery with nested paths (reference getJSONKeys
+    * metadata.ts:951 walks nested objects): dotted paths down to
+    * `maxDepth` levels, with per-path occurrence counts. Each level
+    * re-parses the child object strings via `from_json` to a string map
+    * (nested objects render as their JSON text); malformed JSON rows and
+    * non-object values contribute nothing. */
   def jsonKeys(df: DataFrame, jsonCol: String,
-      maxScanRows: Int = 3000000): DataFrame =
-    df.limit(maxScanRows)
-      .select(explode(json_object_keys(col(jsonCol))).as("key"))
-      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      maxScanRows: Int = 3000000, maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val capped = cappedScan(df,
+      Seq(col(jsonCol).cast("string").as("__j")), maxScanRows)
+    // frontier at depth d: (prefix, __j) pairs where __j is the JSON text
+    // of a (possibly nested) object; paths accumulate across levels
+    var frontier = capped.select(lit("").as("__prefix"), col("__j"))
+    var acc: DataFrame = null
+    for (_ <- 1 to maxDepth) {
+      val lv = frontier.select(col("__prefix"),
+        explode(from_json(col("__j"),
+          MapType(StringType, StringType)))
+          .as(Seq("__k", "__v")))
+        .select(
+          when(col("__prefix") === "", col("__k"))
+            .otherwise(concat(col("__prefix"), lit("."), col("__k")))
+            .as("path"),
+          col("__v"))
+      val keys = lv.select(col("path"))
+      acc = if (acc == null) keys else acc.unionAll(keys)
+      frontier = lv.filter(col("__v").startsWith("{"))
+        .select(col("path").as("__prefix"), col("__v").as("__j"))
+    }
+    acc.groupBy(col("path").as("key")).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("key"))
+  }
 
   /** Facet autocomplete: top values per column in ONE pass over the scan
     * (reference getKeyValues :2431 runs one query per key; a single
@@ -68,7 +106,7 @@ object Metadata {
       maxValuesPerKey: Int = 20, maxScanRows: Int = 3000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    val counted = df.limit(maxScanRows)
+    val counted = cappedScan(df, columns.map(col), maxScanRows)
       .select(explode(map(pairs: _*)).as(Seq("key", "value")))
       .filter(col("value").isNotNull)
       .groupBy("key", "value").agg(count(lit(1)).as("cnt"))

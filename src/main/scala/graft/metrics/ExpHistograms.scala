@@ -69,20 +69,13 @@ object ExpHistograms {
   /** Downscale a bucket-count array from its own scale to the normalized
     * scale: normalized index nb sums all original buckets whose
     * floor(index / 2^shift) == nb (equivalent to the reference's
-    * arraySplit-at-divisible-index + arraySum, histogram.ts:368-424). */
+    * arraySplit-at-divisible-index + arraySum, histogram.ts:368-424).
+    * One codegen'd O(B) pass — see [[graft.functions.DownscaleBuckets]];
+    * the previous higher-order-function form was O(B²) per row in
+    * interpreted lambdas and dominated the quantile pipelines. */
   private def downscaled(counts: Column, offset: Column,
-      shift: Column): Column = {
-    val lastIdx = offset + size(counts) - 1
-    val normOff = shiftR(offset, shift)
-    val normLast = shiftR(lastIdx, shift)
-    when(shift === 0, counts.cast("array<long>")).otherwise(
-      when(size(counts) === 0, counts.cast("array<long>")).otherwise(
-        transform(sequence(normOff, normLast), nb =>
-          aggregate(sequence(lit(0), size(counts) - 1), lit(0L),
-            (acc, j) => acc +
-              when(shiftR(offset + j, shift) === nb,
-                element_at(counts, (j + 1).cast("int"))).otherwise(0L)))))
-  }
+      shift: Column): Column =
+    graft.functions.BucketOps.downscaleBuckets(counts, offset, shift)
 
   /** `arrayResize(arrayConcat(zeros(pad), arraySlice(prev, 1+drop)), n)`:
     * align the previous window's counts to the current index window

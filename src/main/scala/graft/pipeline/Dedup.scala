@@ -21,6 +21,37 @@ object Dedup {
   private def defaultParallelism(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Pair pipelines carry ids as primitive 64-bit longs (the imperative
+    * kernels and the narrow (id,id) pair shuffles ship 8 bytes per side).
+    * Integral id columns pass through unchanged; any other type (string /
+    * UUID / decimal / ...) is mapped to a deterministic xxhash64 surrogate
+    * here, and [[restoreIds]] joins the original ids back onto the output
+    * (collision odds ~n²·2⁻⁶⁴; pair ordering `id_a < id_b` is then over
+    * surrogates — consistent but arbitrary). */
+  private[pipeline] def longIds(df: DataFrame, idCol: String)
+      : (DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => (df, None)
+      case _ =>
+        val surr = xxhash64(col(idCol).cast("string"))
+        val mapping = df.select(col(idCol).as("__orig"), surr.as("__surr"))
+          .distinct()
+        (df.withColumn(idCol, surr), Some(mapping))
+    }
+  }
+
+  /** Join original ids back onto a pair output for each surrogate id column
+    * (no-op when [[longIds]] passed the ids through). */
+  private[pipeline] def restoreIds(out: DataFrame,
+      mapping: Option[DataFrame], idCols: Seq[String]): DataFrame =
+    mapping.fold(out) { m =>
+      idCols.foldLeft(out) { (d, c) =>
+        d.join(m.withColumnRenamed("__surr", c), Seq(c))
+          .withColumn(c, col("__orig")).drop("__orig")
+      }
+    }
+
   /** n-gram shingles (token n-grams joined with spaces), distinct.
     * NOTE for hot paths: `toks` is inlined into every lambda element here
     * (higher-order-function lambdas run interpreted and replicate the
@@ -65,7 +96,10 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val toks = text.trim.toLowerCase.split("\\s+")
+          // Locale.ROOT: keep the kernel locale-independent like Spark's
+          // lower() (a tr_TR default locale would dot-strip 'I' otherwise)
+          val toks =
+            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           val L = toks.length - (shingleN - 1)
           if (L <= 0) Iterator.empty
           else {
@@ -140,13 +174,14 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
+    val (dfL, idMap) = longIds(df, idCol)
     // One imperative pass computes token hashes → distinct n-gram hashes →
     // k-minhash signature per row (see shingleMinhash for why this beats
     // the higher-order-function pipeline ~10×). Shingles are 64-bit
     // hashes: Jaccard over long arrays is identical modulo hash collisions
     // (~n²/2⁶⁴) and the pair scan compares 8-byte values instead of
     // strings.
-    val withSig = shingleMinhash(df, idCol, textCol, shingleN, k)
+    val withSig = shingleMinhash(dfL, idCol, textCol, shingleN, k)
     val withSh = withSig.select(col("id"), col("sh"))
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
@@ -192,7 +227,7 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
     // re-attach shingle arrays for the (small) candidate set and verify
     val shById = withSh.select(col("id"), col("sh"))
-    cand
+    val verified = cand
       .join(shById.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(shById.select(col("id").as("id_b"), col("sh").as("sh_b")),
@@ -200,6 +235,7 @@ object Dedup {
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard", "jaccard")
+    restoreIds(verified, idMap, Seq("id_a", "id_b"))
   }
 
   /** Exact Jaccard over two distinct-shingle arrays. */
@@ -225,15 +261,17 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val (probesL, probeMap) = longIds(probes, idCol)
+    val (corpusL, corpusMap) = longIds(corpus, idCol)
     def sorted(sh: Array[Long]): Array[Long] = {
       val s = sh.clone(); java.util.Arrays.sort(s); s
     }
     val probeSets: Array[(Long, Array[Long])] =
-      shingleMinhash(probes, idCol, textCol, n, k = 1)
+      shingleMinhash(probesL, idCol, textCol, n, k = 1)
         .select("id", "sh").as[(Long, Array[Long])]
         .collect().map { case (id, sh) => (id, sorted(sh)) }
     val bc = spark.sparkContext.broadcast(probeSets)
-    shingleMinhash(corpus, idCol, textCol, n, k = 1)
+    val scored = shingleMinhash(corpusL, idCol, textCol, n, k = 1)
       .select("id", "sh").as[(Long, Array[Long])]
       .mapPartitions { it =>
         val ps = bc.value
@@ -259,6 +297,8 @@ object Dedup {
         }
       }
       .toDF("id_a", "id_b", "jaccard")
+    restoreIds(restoreIds(scored, probeMap, Seq("id_a")),
+      corpusMap, Seq("id_b"))
   }
 
   /** Imperative SimHash frame (id, fp): bit-for-bit identical to the
@@ -277,7 +317,8 @@ object Dedup {
         val counts = new Array[Int](64)
         it.map { case (id, text) =>
           java.util.Arrays.fill(counts, 0)
-          val toks = text.trim.toLowerCase.split("\\s+")
+          val toks =
+            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           var t = 0
           while (t < toks.length) {
             val h = hashToken(toks(t), 42L)
@@ -320,9 +361,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "16-bit blocking is lossless only up to 3")
+    val (dfL, idMap) = longIds(df, idCol)
     // one imperative pass per row (see simhashFrame) — bit-identical to
     // the 64 interpreted bit-aggregate expressions, ~10× cheaper
-    val withFp = simhashFrame(df, idCol, textCol)
+    val withFp = simhashFrame(dfL, idCol, textCol)
     val blocked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -340,12 +382,13 @@ object Dedup {
         .map(j => block(col("fp_a"), j) =!= block(col("fp_b"), j))
         .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
-    a.join(b, Seq("block_idx", "block_val"))
+    val out = a.join(b, Seq("block_idx", "block_val"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstMatch)
       .select(col("id_a"), col("id_b"),
         hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    restoreIds(out, idMap, Seq("id_a", "id_b"))
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
@@ -354,43 +397,32 @@ object Dedup {
     * back to the exact cross-join (test/oracle path). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 0): DataFrame = {
+    val (dfL, idMap) = longIds(df, idCol)
     // precompute the norm per row (barrier) so the pair scan does one dot
     // product per pair instead of re-deriving both norms every time
-    val base = df.select(col(idCol).cast("long").as("id"),
+    val base = dfL.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .repartition(defaultParallelism(df))
     if (planes <= 0) {
       // exact path (oracle/tests; the signature-bucketed branch is the
-      // scale path): imperative broadcast pair scan — the corpus rides a
-      // broadcast variable and each partition scans its rows against it,
-      // summing dot products in ascending index order so the doubles match
-      // the Column-expression form bit-for-bit
-      val spark = df.sparkSession
-      import spark.implicits._
-      val typed = base.as[(Long, Array[Double], Double)]
-      val all = typed.collect()
-      val bc = spark.sparkContext.broadcast(all)
-      return typed.mapPartitions { it =>
-        val corpus = bc.value
-        it.flatMap { case (ida, va, na) =>
-          corpus.iterator.flatMap { case (idb, vb, nb) =>
-            if (ida >= idb) Iterator.empty
-            else {
-              val denom = na * nb
-              val cos =
-                if (denom == 0) 0.0
-                else {
-                  var d = 0.0; var i = 0
-                  while (i < va.length) { d += va(i) * vb(i); i += 1 }
-                  d / denom
-                }
-              if (cos >= threshold) Iterator.single((ida, idb, cos))
-              else Iterator.empty
-            }
-          }
-        }
-      }.toDF("id_a", "id_b", "cosine")
+      // scale path): a BroadcastNestedLoopJoin — Spark builds and ships
+      // the build side through its own broadcast machinery (subject to the
+      // engine's broadcast-size guard), never a hand-rolled driver
+      // collect. The dot product is the codegen'd DotProduct expression
+      // (ascending index order — value-identical to the old kernel).
+      val a = base.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a"))
+      val b = base.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b"))
+      val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          when(col("n_a") * col("n_b") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("v_a"), col("v_b")) /
+              (col("n_a") * col("n_b"))))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+      return restoreIds(exact, idMap, Seq("id_a", "id_b"))
     }
     val paired = {
         val withSig = base.withColumn("sig",
@@ -402,12 +434,13 @@ object Dedup {
             col("v").as("v_b"), col("nrm").as("n_b")), Seq("sig"))
           .filter(col("id_a") < col("id_b"))
       }
-    paired
+    val out = paired
       .withColumn("cosine",
         when(col("n_a") * col("n_b") === 0, lit(0.0))
           .otherwise(Similarity.dot(col("v_a"), col("v_b")) /
             (col("n_a") * col("n_b"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    restoreIds(out, idMap, Seq("id_a", "id_b"))
   }
 }

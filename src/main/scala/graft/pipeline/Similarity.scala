@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length double arrays — a native codegen'd
+    * Catalyst expression (see [[graft.functions.VectorOps]]); sums in
+    * ascending index order, value-identical to the previous
+    * `aggregate(zip_with(...))` form. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -129,4 +129,31 @@ class MetadataSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(keys == Seq(("k", 2L), ("env", 1L)))
   }
+
+  test("json keys walks nested objects as dotted paths") {
+    import spark.implicits._
+    val df = Seq(
+      """{"a":{"b":1,"c":{"d":2}},"e":5}""",
+      """{"a":{"b":9}}""").toDF("props")
+    val keys = graft.meta.Metadata.jsonKeys(df, "props")
+      .as[(String, Long)].collect().toMap
+    assert(keys == Map("a" -> 2L, "a.b" -> 2L, "a.c" -> 1L,
+      "a.c.d" -> 1L, "e" -> 1L))
+    // depth cap: maxDepth=1 keeps only top-level keys
+    val flat = graft.meta.Metadata.jsonKeys(df, "props", maxDepth = 1)
+      .as[(String, Long)].collect().toMap
+    assert(flat == Map("a" -> 2L, "e" -> 1L))
+  }
+
+  test("discovery scans plan a per-partition LocalLimit, no global funnel") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"id$i", Map("k" -> s"v$i")))
+      .toDF("id", "attrs")
+    val plan = graft.meta.Metadata.mapKeys(df, "attrs", maxScanRows = 50)
+      .queryExecution.optimizedPlan
+    val hasGlobal = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+    }.nonEmpty
+    assert(!hasGlobal, "discovery scan must not plan a GlobalLimit")
+  }
 }

@@ -159,4 +159,47 @@ class LuceneSpec extends SparkSpec {
     intercept[LuceneParseException](LuceneParser.parse("duration:[1 TO"))
     intercept[LuceneParseException](LuceneParser.parse("\"unclosed"))
   }
+
+  test("special tokens: unquoted URLs parse as one term " +
+      "(reference queryParser.ts:32-48 encode/decode)") {
+    assert(LuceneParser.parse("url:https://x.com/path") ==
+      Some(QNode.Term(Some("url"), TermValue.Word("https://x.com/path"))))
+    assert(LuceneParser.parse("url:http://x.com/a?b=1") ==
+      Some(QNode.Term(Some("url"), TermValue.Word("http://x.com/a?b=1"))))
+    // free-text URL term against the implicit field
+    assert(LuceneParser.parse("https://x.com/path") ==
+      Some(QNode.Term(None, TermValue.Word("https://x.com/path"))))
+    // compound: URL term AND a regular field term
+    assert(LuceneParser.parse("url:https://x.com/p service:api") ==
+      Some(QNode.And(
+        QNode.Term(Some("url"), TermValue.Word("https://x.com/p")),
+        QNode.Term(Some("service"), TermValue.Word("api")))))
+  }
+
+  test("special tokens: localhost:port and escaped colons") {
+    assert(LuceneParser.parse("localhost:8080") ==
+      Some(QNode.Term(None, TermValue.Word("localhost:8080"))))
+    assert(LuceneParser.parse("host:localhost:9200") ==
+      Some(QNode.Term(Some("host"), TermValue.Word("localhost:9200"))))
+    // escaped colon keeps key:value one term
+    assert(LuceneParser.parse("""key\:value""") ==
+      Some(QNode.Term(None, TermValue.Word("key:value"))))
+    // escaped backslash survives round-trip
+    assert(LuceneParser.parse("""path\\dir""") ==
+      Some(QNode.Term(None, TermValue.Word("""path\dir"""))))
+  }
+
+  test("special tokens: URL wildcard filter compiles") {
+    val frame = Seq(
+      (1L, "https://example.com/a/1"),
+      (2L, "https://example.com/b/2"),
+      (3L, "http://example.com/a/3"))
+      .toDF("id", "url")
+    val c = LuceneContext(
+      new FieldResolver(frame.schema), implicitColumn = None)
+    val got = frame
+      .filter(LuceneCompiler.compile("url:https://example.com/a/*", c))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
 }
