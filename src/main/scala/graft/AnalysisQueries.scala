@@ -14,12 +14,30 @@ import graft.ir._
   * covered by AnalysisSpec. */
 object AnalysisQueries {
 
-  /** DRAIN template mining over the documents corpus (deterministic
-    * hash-ordered sample, reference mine-patterns.ts:91-204). */
+  /** DRAIN template mining gated end-to-end on a deterministic corpus:
+    * synthetic log lines derived from events — the numeric `value` token
+    * masks to `<NUM>` before DRAIN (Masking decimal rule), so every line
+    * of an event_type collapses to ONE known template and the mined
+    * template/count table is exact SQL. The sample covers the whole
+    * (bounded) subset, so estimates equal counts. patternId is insertion-
+    * order (sample-order) — excluded from the gate. Natural-corpus mining
+    * behavior stays covered by PatternsSpec/DrainSpec. */
   def q30_patterns(spark: SparkSession, dir: String): DataFrame = {
-    val d = Queries.cat(spark, dir)("documents").df
-    Patterns.minePatterns(spark, d, "text", "doc_id", sampleSize = 2000)
+    val e = Queries.cat(spark, dir)("events").df
+      .filter(col("event_id") < 2000)
+      .withColumn("line", concat(col("event_type"), lit(" handled in "),
+        col("value"), lit(" ms")))
+    Patterns.minePatterns(spark, e, "line", "event_id", sampleSize = 3000)
+      .select("template", "sampleCount", "estimatedCount")
+      .orderBy(desc("sampleCount"), col("template"))
   }
+
+  val q30_sql: String =
+    """SELECT concat(event_type, ' handled in <NUM> ms') AS "template",
+      |  count(*) AS "sampleCount", count(*) AS "estimatedCount"
+      |FROM events WHERE event_id < 2000
+      |GROUP BY event_type
+      |ORDER BY "sampleCount" DESC, "template"""".stripMargin
 
   /** Event-delta attribution: which (column, value) pairs are
     * over-represented among high-value events (reference eventDeltas.ts). */
@@ -116,6 +134,42 @@ object AnalysisQueries {
       .select("bucket", "event_type", "cnt", "sum_v", "avg_v")
       .orderBy("bucket", "event_type")
   }
+
+  /** MV routing for quantile + count_distinct through sketch partials
+    * (reference quantileState/uniqState MV columns,
+    * materializedViews.ts:380-465): an hourly rollup materializes a
+    * value→count histogram and a distinct-user set per cell; the day-level
+    * query re-aggregates ONLY the rollup — quantileMerge/distinctMerge are
+    * lossless, so the answer hash-matches the raw-table oracle. */
+  def q53_mv_quantile(spark: SparkSession, dir: String): DataFrame = {
+    val events = Queries.cat(spark, dir)("events").df
+    val rollup = MvRouter.buildRollup(events, "ts", 3600,
+      Seq("event_type"), Seq("value", "user_id"), withSketches = true)
+    val q = Query(
+      select = Seq(
+        SelectItem("value", Some("p50"), Some(AggFn.Quantile(0.5))),
+        SelectItem("user_id", Some("uniq_users"),
+          Some(AggFn.CountDistinct))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)))
+    val routed = MvRouter.tryRoute(q, rollup).getOrElse(
+      throw new IllegalStateException("expected sketch MV routing to apply"))
+    routed
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .drop(TimeBucketAlias)
+      .withColumn("p50", round(col("p50"), 4))
+      .select("bucket", "event_type", "p50", "uniq_users")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q53_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      | event_type,
+      | round(quantile_cont(value, 0.5), 4) AS p50,
+      | count(DISTINCT user_id) AS uniq_users
+      |FROM events GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
 
   val q32_sql: String =
     """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
@@ -272,14 +326,17 @@ object AnalysisQueries {
     "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
+    "q53_mv_quantile" -> (q53_mv_quantile _),
     "q33_gap_fill" -> (q33_gap_fill _),
     "q34_service_map" -> (q34_service_map _),
     "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
+    "q30_patterns" -> q30_sql,
     "q31_event_deltas" -> q31_sql,
     "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,
+    "q53_mv_quantile" -> q53_sql,
     "q33_gap_fill" -> q33_sql,
     "q34_service_map" -> q34_sql,
     "q35_ratio_per_group" -> q35_sql)

@@ -59,6 +59,43 @@ object MetricQueries {
       |FROM last GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Gauge delta: Prometheus-style extrapolated per-series delta —
+    * `(argMax − argMin) · step / (tmax − tmin)` per (series, hour) bucket,
+    * 0 for single-point buckets — summed across series per event_type
+    * (reference renderDeltaExpression renderChartConfig.ts:1655-1684). */
+  def q48_gauge_delta(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("value").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(
+      MetricCompiler.gaugeDelta(g, 3600, "sum", Seq("ServiceName")))
+      .withColumn("delta_sum", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "delta_sum")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q48_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |d AS (
+      |  SELECT bucket, event_type, user_id,
+      |    arg_max(value, ts) AS vmax, arg_min(value, ts) AS vmin,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) -
+      |      CAST(floor(epoch(min(ts))) AS BIGINT) AS secs
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type,
+      |  round(sum(CASE WHEN secs = 0 THEN 0.0
+      |                 ELSE (vmax - vmin) * 3600 / secs END), 2)
+      |    AS delta_sum
+      |FROM d GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** Counter rate: cumulative per-user counters (running sum of value),
     * lag-diff with reset clamp, summed per day
     * (reference renderChartConfig.ts:1864-1965). */
@@ -522,6 +559,118 @@ object MetricQueries {
       |FROM r GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** PromQL topk over the aggregated increase vector: the 3 highest
+    * event_types per day bucket (rank on unrounded values, label
+    * tie-break — mirrored by the oracle's window rank). */
+  def q50_promql_topk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"))
+    val counter = events(spark, dir)
+      .withColumn("cum", sum(col("value")).over(w))
+      .select(
+        lit("requests_total").as("MetricName"),
+        col("event_type").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        col("cum").as("Value"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"),
+        lit(2).as("AggregationTemporality"),
+        lit(true).as("IsMonotonic"))
+    epochBucket(graft.metrics.PromQl.eval(counter,
+      "topk(3, sum by (ServiceName) (increase(requests_total[1d])))",
+      86400))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q50_sql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, ts, sum(value) OVER
+      |    (PARTITION BY event_type, user_id ORDER BY ts) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, ts,
+      |    CASE WHEN lag(v) OVER w IS NULL THEN 0
+      |      ELSE greatest(v - lag(v) OVER w, 0) END AS rate
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)),
+      |a AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type, sum(rate) AS value
+      |  FROM r GROUP BY bucket, event_type),
+      |k AS (
+      |  SELECT bucket, event_type, value, row_number() OVER
+      |    (PARTITION BY bucket ORDER BY value DESC, event_type) AS rk
+      |  FROM a)
+      |SELECT bucket, event_type, round(value, 2) AS value
+      |FROM k WHERE rk <= 3
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** PromQL histogram_quantile routed through the engine's exp-histogram
+    * quantile pipeline — the same derived frame and semantics as
+    * q17_exp_quantile, driven by PromQL text; the q17 oracle applies. */
+  def q51_promql_histq(spark: SparkSession, dir: String): DataFrame = {
+    val day = timeBucket(col("ts"), 86400)
+    val counts = array((0 to 7).map(i =>
+      count_if(col("value") > (1 << i).toDouble &&
+        col("value") <= (1 << (i + 1)).toDouble).cast("long")): _*)
+    val hist = events(spark, dir)
+      .filter(col("value") > 1)
+      .groupBy(day.as("TimeUnix"), col("user_id"))
+      .agg(counts.as("PositiveBucketCounts"))
+      .select(
+        lit("latency").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("TimeUnix").as("StartTimeUnix"),
+        lit(1).as("AggregationTemporality"),
+        lit(0).as("Scale"),
+        aggregate(col("PositiveBucketCounts"), lit(0L), _ + _).as("Count"),
+        lit(0L).as("ZeroCount"),
+        lit(0).as("PositiveOffset"),
+        col("PositiveBucketCounts"),
+        lit(0).as("NegativeOffset"),
+        array().cast("array<long>").as("NegativeBucketCounts"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(hist,
+      "histogram_quantile(0.5, latency)", 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  /** PromQL offset + range aggregation: per-series hourly max shifted one
+    * hour forward (`offset 1h` evaluates the series an hour in the past),
+    * summed across series. max is float-exact per series, so the oracle
+    * reproduces values bit-for-bit before the final rounded sum. */
+  def q52_promql_offset(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "sum by (ServiceName) (max_over_time(mem[1h] offset 1h))", 3600))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q52_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor((epoch(ts)+3600)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value
+      |  FROM events),
+      |a AS (
+      |  SELECT bucket, event_type, user_id, max(value) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type, round(sum(v), 2) AS value
+      |FROM a GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** PromQL gauge with an anchored-regex label matcher resolved from the
     * Attributes map: `max by (ServiceName) (mem{user=~"[0-9]*[02468]"})` —
     * per-series last value per hour, max across even-user series. */
@@ -594,6 +743,10 @@ object MetricQueries {
     "q38_exp_negative" -> (q38_exp_negative _),
     "q37_exp_mixed_scale" -> (q37_exp_mixed_scale _),
     "q13_gauge" -> (q13_gauge _),
+    "q48_gauge_delta" -> (q48_gauge_delta _),
+    "q50_promql_topk" -> (q50_promql_topk _),
+    "q51_promql_histq" -> (q51_promql_histq _),
+    "q52_promql_offset" -> (q52_promql_offset _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -606,6 +759,10 @@ object MetricQueries {
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,
+    "q48_gauge_delta" -> q48_sql,
+    "q50_promql_topk" -> q50_sql,
+    "q51_promql_histq" -> q17_sql,
+    "q52_promql_offset" -> q52_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

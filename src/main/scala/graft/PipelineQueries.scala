@@ -106,13 +106,27 @@ object PipelineQueries {
       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dup pairs (hamming ≤ 3, 16-bit blocking) on the planted
-    * corpus. xxhash-dependent → no SQL oracle (rows-only check); recall
-    * covered in DedupSpec. */
-  def q26_simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(corpusWithDups(spark, dir), "doc_id", "text",
-      maxHamming = 3)
+  /** SimHash near-dup recall gate: exact copies of doc_id < 25 are planted
+    * (re-keyed +100000); identical texts fingerprint identically, and
+    * 16-bit blocking is lossless at hamming ≤ 3, so the pipeline MUST
+    * emit every planted (orig, copy) pair at hamming 0 — a deterministic
+    * SQL oracle. The output is filtered to the planted pair ids because
+    * natural near-dup pairs depend on xxhash bit patterns no SQL engine
+    * reproduces; precision on natural pairs is covered by DedupSpec. */
+  def q26_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val planted = d.unionByName(d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 100000)
       .orderBy("id_a", "id_b")
+  }
+
+  val q26_sql: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      |  CAST(0 AS INT) AS hamming
+      |FROM documents WHERE doc_id < 25
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding-cosine near-duplicates, exact pair scan (the LSH-bucketed
     * variant is benchmarked separately). */
@@ -219,15 +233,29 @@ object PipelineQueries {
       .orderBy("probe_id", "neighbor_id")
   }
 
-  /** LSH-bucketed approximate KNN (recall vs brute force covered in
-    * SimilaritySpec; hyperplanes are engine-internal → rows-only check). */
+  /** LSH-bucketed approximate KNN, gated on planted-neighbor recall:
+    * exact copies of probe vectors (vec_id < 10, re-keyed +100000) are
+    * planted into the corpus. A copy hashes to the probe's bucket in
+    * EVERY table (identical signatures), so it is always a candidate, and
+    * at cosine 1.0 it always ranks top-1 (natural max pairwise cosine is
+    * ~0.60) — the top-1 result set is deterministic and SQL-expressible.
+    * Full recall-vs-brute behavior stays covered in SimilaritySpec. */
   def q28_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = embs(spark, dir)
-    Similarity.knnLsh(e.filter(col("vec_id") < 10), e,
-      "vec_id", "embedding", k = 5, planes = 2)
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Similarity.knnLsh(probes, corpus, "vec_id", "embedding",
+      k = 1, planes = 2)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("probe_id", "neighbor_id")
   }
+
+  val q28_sql: String =
+    """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY probe_id, neighbor_id""".stripMargin
 
   // ------------------------------------------------------------- text
 
@@ -310,15 +338,35 @@ object PipelineQueries {
        |FROM g GROUP BY source ORDER BY source""".stripMargin
   }
 
-  /** Winnowing fingerprints (xxhash-based → rows-only check; semantics
-    * covered in TextAnalysisSpec). */
+  /** Winnowing fingerprints over md5 shingle hashes: md5 (unlike
+    * xxhash64's engine-specific bit patterns) is bit-identical in any SQL
+    * engine, so the fingerprint VALUES gate against the DuckDB oracle —
+    * shingle hashes ride one imperative pass, the winnowing window-min
+    * runs through the public Column op. The xxhash64-based fast path
+    * stays covered by TextAnalysisSpec. */
   def q29_fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.shingleHashFrame(docs(spark, dir), "doc_id", "text")
+    TextAnalysis.md5ShingleFrame(docs(spark, dir), "doc_id", "text")
       .select(col("id").as("doc_id"),
         TextAnalysis.winnowFromHashes(col("hashes")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("fp_size"),
         array_min(col("fp")).as("fp_min"))
       .orderBy("doc_id")
+
+  val q29_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS hs
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |fp AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(hs)-3, 1)),
+      |    i -> list_min(hs[i:i+3]))) AS f
+      |  FROM sh)
+      |SELECT doc_id, CAST(len(f) AS INT) AS fp_size, list_min(f) AS fp_min
+      |FROM fp ORDER BY doc_id""".stripMargin
 
   /** Multimodal plumbing at the driver gate: documents' text bytes stand in
     * for opaque media payloads; the frame-sample explode (the per-frame
@@ -373,7 +421,10 @@ object PipelineQueries {
     "q23_jaccard_probe" -> q23_sql,
     "q24_minhash_lsh" -> q24_sql,
     "q25_knn_brute" -> q25_sql,
+    "q26_simhash" -> q26_sql,
     "q27_embed_neardup" -> q27_sql,
+    "q28_ann_lsh" -> q28_sql,
+    "q29_fingerprint" -> q29_sql,
     // exhaustive IVF == brute force: same oracle as q25
     "q42_ann_ivf" -> q25_sql,
     "q45_multimodal" -> q45_sql,

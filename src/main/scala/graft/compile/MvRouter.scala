@@ -16,8 +16,13 @@ import graft.ir._
   *
   * Agg-column mapping (reference :380-465): count → sum(cnt_col);
   * sum → sum(sum_col); min/max → min/max of the partial min/max;
-  * avg → sum(sum_col)/sum(cnt of value); count_distinct/quantile are NOT
-  * routable (partials don't compose without sketches) and veto routing.
+  * avg → sum(sum_col)/sum(cnt of value); quantile → quantileMerge over
+  * per-cell value→count histogram partials; count_distinct →
+  * distinctMerge over per-cell distinct-value sets (the reference's
+  * quantileState/uniqState MV columns, materializedViews.ts:380-465 —
+  * see graft.functions.QuantileSketch). Sketch partials are only present
+  * when the rollup was built with `withSketches` (they cost memory per
+  * cell); without them quantile/count_distinct veto routing.
   */
 object MvRouter {
 
@@ -35,7 +40,11 @@ object MvRouter {
       rowsCol: String)
 
   final case class RollupPartials(cnt: String, sum: String, min: String,
-      max: String)
+      max: String,
+      /** value→count histogram column (quantile routing), when built. */
+      hist: Option[String] = None,
+      /** distinct-value set column (count_distinct routing), when built. */
+      distinct: Option[String] = None)
 
   /** Attempt to answer `q` from a rollup. Returns None when the query shape
     * is not routable (the caller then compiles against the base table). */
@@ -59,6 +68,11 @@ object MvRouter {
         case Some(AggFn.Sum) | Some(AggFn.Min) | Some(AggFn.Max) |
             Some(AggFn.Avg) =>
           rollup.partials.contains(s.valueExpression)
+        case Some(AggFn.Quantile(_)) =>
+          rollup.partials.get(s.valueExpression).exists(_.hist.nonEmpty)
+        case Some(AggFn.CountDistinct) =>
+          rollup.partials.get(s.valueExpression)
+            .exists(_.distinct.nonEmpty)
         case _ => false
       })
     }
@@ -89,6 +103,12 @@ object MvRouter {
         case AggFn.Min => min(col(p.get.min))
         case AggFn.Max => max(col(p.get.max))
         case AggFn.Avg => sum(col(p.get.sum)) / sum(col(p.get.cnt))
+        case AggFn.Quantile(level) =>
+          graft.functions.QuantileSketch.quantileMerge(level,
+            col(p.get.hist.get))
+        case AggFn.CountDistinct =>
+          graft.functions.QuantileSketch.distinctMerge(
+            col(p.get.distinct.get))
         case other => throw new IllegalStateException(other.toString)
       }).as(alias)
     }
@@ -97,22 +117,35 @@ object MvRouter {
   }
 
   /** Build a rollup table from a raw frame (the batch equivalent of the
-    * streaming rollup in graft.streaming — used to materialize pre-aggs). */
+    * streaming rollup in graft.streaming — used to materialize pre-aggs).
+    * With `withSketches`, each value column additionally materializes a
+    * value→count histogram and a distinct-value set per cell, enabling
+    * quantile / count_distinct routing (the reference's quantileState /
+    * uniqState MV columns). */
   def buildRollup(df: DataFrame, tsCol: String, granularitySeconds: Long,
-      dims: Seq[String], valueExprs: Seq[String]): Rollup = {
+      dims: Seq[String], valueExprs: Seq[String],
+      withSketches: Boolean = false): Rollup = {
     val bucketed = df.withColumn("__rollup_bucket",
       timeBucket(col(tsCol), granularitySeconds))
     val aggCols = count(lit(1)).as("rows_cnt") +:
       valueExprs.zipWithIndex.flatMap { case (e, i) =>
         val v = toFloat64OrDefault(expr(e))
         Seq(count(v).as(s"cnt_$i"), sum(v).as(s"sum_$i"),
-          min(v).as(s"min_$i"), max(v).as(s"max_$i"))
+          min(v).as(s"min_$i"), max(v).as(s"max_$i")) ++
+          (if (withSketches)
+            Seq(graft.functions.QuantileSketch.histState(v)
+              .as(s"hist_$i"),
+              graft.functions.QuantileSketch.distinctState(v)
+                .as(s"uniq_$i"))
+          else Nil)
       }
     val rolled = bucketed
       .groupBy((col("__rollup_bucket") +: dims.map(col)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     val partials = valueExprs.zipWithIndex.map { case (e, i) =>
-      e -> RollupPartials(s"cnt_$i", s"sum_$i", s"min_$i", s"max_$i")
+      e -> RollupPartials(s"cnt_$i", s"sum_$i", s"min_$i", s"max_$i",
+        hist = if (withSketches) Some(s"hist_$i") else None,
+        distinct = if (withSketches) Some(s"uniq_$i") else None)
     }.toMap
     Rollup(rolled, "__rollup_bucket", granularitySeconds, dims, partials,
       "rows_cnt")

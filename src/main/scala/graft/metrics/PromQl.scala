@@ -16,9 +16,19 @@ import graft.functions.CoreFunctions._
   *   mul      := primary (('*' | '/') primary)*
   *   primary  := aggr | func | selector | number | '(' expr ')'
   *   aggr     := (sum|avg|min|max|count) [by (l1, l2…)] ( expr )
-  *   func     := rate( selector [dur] ) | increase( selector [dur] )
-  *   selector := metric_name [{ label op "value", … }]   op ∈ {=, !=, =~, !~}
+  *   func     := rate( selector [dur] [offset] )
+  *            | increase( selector [dur] [offset] )
+  *            | topk( k, expr ) | bottomk( k, expr )
+  *            | histogram_quantile( φ, selector | sum by (…) (selector) )
+  *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
+  *   selector := metric_name [{ label op "value", … }] [offset]
+  *               op ∈ {=, !=, =~, !~}
+  *   offset   := 'offset' <n>(s|m|h|d)
   *   dur      := <n>(s|m|h|d)
+  * histogram_quantile evaluates the selector against the exp-histogram
+  * frame through the engine's 5-stage quantile pipeline; *_over_time
+  * windows tumble at the range width (documented deviation from the
+  * sliding lookback).
   * Binary ops join vector operands on (bucket, shared labels) — PromQL
   * one-to-one vector matching on the intersection of output labels;
   * scalar operands broadcast. Documented deviation: x/0 yields NULL
@@ -33,13 +43,24 @@ object PromQl {
   // ------------------------------------------------------------------ AST
   sealed trait Expr
   final case class Selector(metric: String,
-      matchers: Seq[(String, String, String)]) extends Expr
+      matchers: Seq[(String, String, String)],
+      offsetSeconds: Long = 0) extends Expr
   final case class Rate(sel: Selector, windowSeconds: Long,
       increase: Boolean) extends Expr
   final case class Aggr(op: String, by: Seq[String], inner: Expr)
       extends Expr
   final case class BinOp(op: Char, l: Expr, r: Expr) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /** topk/bottomk: k series per step bucket ranked by value. */
+  final case class TopK(k: Int, inner: Expr, bottom: Boolean) extends Expr
+  /** histogram_quantile(φ, …) over the exp-histogram frame; `by` comes
+    * from the canonical inner `sum by (…) (selector)` shape. */
+  final case class HistQuantile(phi: Double, sel: Selector,
+      by: Seq[String]) extends Expr
+  /** avg/min/max/sum/count/last `_over_time(sel[w])` per series per
+    * tumbling window. */
+  final case class OverTime(op: String, sel: Selector,
+      windowSeconds: Long) extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -106,10 +127,45 @@ object PromQl {
           Aggr(ident, by, inner)
         case "rate" | "increase" =>
           expect('(')
-          val sel = parseSelector(readIdent())
+          val sel0 = parseSelector(readIdent())
           val w = readDuration()
+          val off = readOffsetOpt()
           ws(); expect(')')
-          Rate(sel, w, increase = ident == "increase")
+          Rate(sel0.copy(offsetSeconds = off), w,
+            increase = ident == "increase")
+        case "topk" | "bottomk" =>
+          expect('(')
+          ws()
+          val k = readWhile(_.isDigit)
+          if (k.isEmpty) fail("expected k")
+          ws(); expect(',')
+          val inner = parseAddSub()
+          ws(); expect(')')
+          TopK(k.toInt, inner, bottom = ident == "bottomk")
+        case "histogram_quantile" =>
+          expect('(')
+          ws()
+          val phi = readWhile(c => c.isDigit || c == '.')
+          if (phi.isEmpty) fail("expected quantile level")
+          ws(); expect(',')
+          val inner = parseAddSub()
+          ws(); expect(')')
+          inner match {
+            case sel: Selector => HistQuantile(phi.toDouble, sel, Nil)
+            case Aggr("sum", by, sel: Selector) =>
+              HistQuantile(phi.toDouble, sel, by)
+            case _ => fail("histogram_quantile expects a selector or " +
+              "sum by (…) (selector)")
+          }
+        case ot if ot.endsWith("_over_time") &&
+            Set("avg", "min", "max", "sum", "count", "last")
+              .contains(ot.dropRight(10)) =>
+          expect('(')
+          val sel0 = parseSelector(readIdent())
+          val w = readDuration()
+          val off = readOffsetOpt()
+          ws(); expect(')')
+          OverTime(ot.dropRight(10), sel0.copy(offsetSeconds = off), w)
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
@@ -140,7 +196,26 @@ object PromQl {
           expect('}')
           ms.result()
         } else Nil
-      Selector(name, matchers)
+      Selector(name, matchers, readOffsetOpt())
+    }
+
+    /** `offset <dur>` modifier (bare duration, no brackets); 0 if absent. */
+    private def readOffsetOpt(): Long = {
+      ws()
+      if (s.startsWith("offset", i) &&
+          (i + 6 >= s.length || !s(i + 6).isLetterOrDigit)) {
+        i += 6; ws()
+        val n = readWhile(_.isDigit)
+        if (n.isEmpty) fail("expected offset duration")
+        val unit = s(i); i += 1
+        n.toLong * durationMult(unit)
+      } else 0L
+    }
+
+    private def durationMult(unit: Char): Long = unit match {
+      case 's' => 1L; case 'm' => 60L; case 'h' => 3600L
+      case 'd' => 86400L
+      case u => fail(s"bad duration unit '$u'")
     }
 
     private def readDuration(): Long = {
@@ -149,12 +224,7 @@ object PromQl {
       if (n.isEmpty) fail("expected duration")
       val unit = s(i); i += 1
       expect(']')
-      val mult = unit match {
-        case 's' => 1L; case 'm' => 60L; case 'h' => 3600L
-        case 'd' => 86400L
-        case u => fail(s"bad duration unit '$u'")
-      }
-      n.toLong * mult
+      n.toLong * durationMult(unit)
     }
 
     private def readParenIdents(): Seq[String] = {
@@ -226,7 +296,13 @@ object PromQl {
 
   private def applySelector(df: DataFrame, sel: Selector): DataFrame = {
     val base = df.filter(col("MetricName") === sel.metric)
-    sel.matchers.foldLeft(base)((d, m) => d.filter(matcherPred(m, d)))
+    val matched =
+      sel.matchers.foldLeft(base)((d, m) => d.filter(matcherPred(m, d)))
+    // `offset d`: evaluate the series d seconds in the past — shifting the
+    // data forward by d lands the historical points in the current buckets
+    if (sel.offsetSeconds == 0) matched
+    else matched.withColumn("TimeUnix",
+      col("TimeUnix") + expr(s"INTERVAL ${sel.offsetSeconds} SECOND"))
   }
 
   private def compile(df: DataFrame, e: Expr, step: Long): DataFrame =
@@ -260,8 +336,33 @@ object PromQl {
               else perSeries.withColumn("value", col("rate") / step)
                 .drop("rate")
             aggregate0(valued, op, by)
+          case ot: OverTime =>
+            aggregate0(overTimePerSeries(df, ot, by), op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
         }
+      case TopK(k, inner, bottom) =>
+        import org.apache.spark.sql.expressions.Window
+        val g = compile(df, inner, step)
+        val labels = g.columns.toSeq
+          .filter(c => c != TimeBucketAlias && c != "value")
+        val order = (if (bottom) col("value").asc else col("value").desc) +:
+          labels.map(col(_).asc)
+        val w = Window.partitionBy(col(TimeBucketAlias)).orderBy(order: _*)
+        g.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .drop("__rk")
+      case HistQuantile(phi, sel, by) =>
+        // routes onto the engine's exp-histogram quantile pipeline — the
+        // reference proxies histogram_quantile to its own histogram
+        // machinery the same way (prometheus.ts:413-534)
+        ExpHistograms.quantile(
+          withLabels(applySelector(df, sel), by), phi, step, by)
+      case ot: OverTime =>
+        // standalone *_over_time mirrors bare-selector semantics
+        // (last_value across series per bucket)
+        val perSeries = overTimePerSeries(df, ot, Nil)
+        perSeries.groupBy(col(TimeBucketAlias))
+          .agg(max_by(col("value"), col(TimeBucketAlias)).as("value"))
       case BinOp(op, l, r) =>
         def f(a: Column, b: Column): Column = op match {
           case '+' => a + b
@@ -302,6 +403,30 @@ object PromQl {
       case "count" => count(col("value"))
     }
     g.groupBy((col(TimeBucketAlias) +: by.map(col)): _*)
+      .agg(agg.as("value"))
+  }
+
+  /** Per-series window aggregate for `*_over_time`: one tumbling window of
+    * the requested range per series (documented deviation: windows tumble
+    * at the range width rather than sliding per step). Output columns:
+    * __series, __time_bucket, by…, value. */
+  private def overTimePerSeries(df: DataFrame, ot: OverTime,
+      by: Seq[String]): DataFrame = {
+    val src = withLabels(applySelector(df, ot.sel), by)
+    val v = col("Value").cast("double")
+    val agg = ot.op match {
+      case "avg" => avg(v)
+      case "min" => min(v)
+      case "max" => max(v)
+      case "sum" => sum(v)
+      case "count" => count(v)
+      case "last" => max_by(v, col("TimeUnix"))
+    }
+    src.withColumn("__series", MetricCompiler.attributesHash(src))
+      .withColumn(TimeBucketAlias,
+        timeBucket(col("TimeUnix"), ot.windowSeconds))
+      .groupBy((col("__series") +: col(TimeBucketAlias) +:
+        by.map(col)): _*)
       .agg(agg.as("value"))
   }
 

@@ -117,11 +117,72 @@ object TextAnalysis {
 
   /** Imperative shingle-hash frame (id, hashes) for fingerprinting hot
     * paths — one mapPartitions pass (see Dedup.shingleMinhash) instead of
-    * interpreted per-shingle lambdas; rows with no shingles are dropped. */
+    * interpreted per-shingle lambdas; rows with no shingles are dropped.
+    *
+    * VALUE-COMPATIBILITY NOTE: this path hashes each shingle by chaining
+    * XXH64 over its token hashes, while the [[shingleHashes]] Column form
+    * hashes the space-joined shingle STRING — the two produce different
+    * hash values for the same text. Each API is internally consistent;
+    * never mix them within one fingerprint comparison. For values a SQL
+    * oracle can reproduce, use [[md5ShingleFrame]]. */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
     Dedup.shingleMinhash(df, idCol, textCol, n, k = 1)
       .select(col("id"), col("sh").as("hashes"))
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      if (v < 16) sb.append('0')
+      sb.append(java.lang.Integer.toHexString(v))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** md5 shingle-hash frame (id, hashes): every token n-gram of the
+    * normalized text, hashed md5-hex, IN DOCUMENT ORDER with repeats —
+    * the classic winnowing input. One imperative pass (the Column form
+    * would re-run the tokenizer per shingle, interpreted); md5 is
+    * engine-portable, so winnowing fingerprints derived from this frame
+    * are reproducible bit-for-bit by any SQL engine. Rows keep an empty
+    * array when the text has fewer than `n` tokens. */
+  def md5ShingleFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks =
+            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val L = math.max(toks.length - (n - 1), 0)
+          val out = new Array[String](L)
+          var i = 0
+          while (i < L) {
+            val sb = new java.lang.StringBuilder
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            out(i) = md5Hex(md, sb.toString)
+            i += 1
+          }
+          (id, out)
+        }
+      }
+      .toDF("id", "hashes")
+  }
 
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {

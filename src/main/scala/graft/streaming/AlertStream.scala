@@ -33,12 +33,18 @@ object AlertStream {
       value: Double)
   final case class Transition(alert_id: String, window_start: Timestamp,
       state: String, value: Double)
-  /** Keyed state: consecutive exceed count + last emitted state. */
-  final case class RunState(consecutive: Int, state: String)
+  /** Keyed state: consecutive exceed count + last emitted state + the last
+    * processed window start (epoch millis), so late windows arriving in a
+    * later micro-batch can't corrupt the consecutive counter. */
+  final case class RunState(consecutive: Int, state: String,
+      lastWindowMillis: Long = Long.MinValue)
 
   /** Evaluate a stream (or batch frame) of window values into state
     * transitions. `configs` maps alert id → threshold spec; rows for
-    * unknown alert ids are ignored. */
+    * unknown alert ids are ignored. Windows are sorted within each
+    * micro-batch; a window at-or-before the last processed one (a late
+    * arrival from an earlier batch) is DROPPED — the counter only ever
+    * advances forward in window time. */
   def transitions(windowValues: DataFrame,
       configs: Map[String, AlertSpec]): Dataset[Transition] = {
     val spark = windowValues.sparkSession
@@ -55,19 +61,25 @@ object AlertStream {
             case None => Iterator.empty
             case Some(cfg) =>
               var st = state.getOption.getOrElse(RunState(0, "OK"))
-              // windows may arrive unordered within a micro-batch
+              // windows may arrive unordered within a micro-batch (sort),
+              // and late windows from PREVIOUS batches are dropped — they
+              // already missed their turn in the consecutive counter
               val out = rows.toSeq.sortBy(_.window_start.getTime)
                 .flatMap { r =>
-                  val exceeded = Alerts.doesExceedThreshold(
-                    cfg.tpe, cfg.threshold, cfg.thresholdMax, r.value)
-                  val consec = if (exceeded) st.consecutive + 1 else 0
-                  val next =
-                    if (consec >= cfg.numConsecutive) "ALERT" else "OK"
-                  val fired = next != st.state
-                  st = RunState(consec, next)
-                  if (fired)
-                    Some(Transition(id, r.window_start, next, r.value))
-                  else None
+                  val wMillis = r.window_start.getTime
+                  if (wMillis <= st.lastWindowMillis) None
+                  else {
+                    val exceeded = Alerts.doesExceedThreshold(
+                      cfg.tpe, cfg.threshold, cfg.thresholdMax, r.value)
+                    val consec = if (exceeded) st.consecutive + 1 else 0
+                    val next =
+                      if (consec >= cfg.numConsecutive) "ALERT" else "OK"
+                    val fired = next != st.state
+                    st = RunState(consec, next, wMillis)
+                    if (fired)
+                      Some(Transition(id, r.window_start, next, r.value))
+                    else None
+                  }
                 }
               state.update(st)
               out.iterator

@@ -60,6 +60,22 @@ class MvRouterSpec extends SparkSpec {
     val svcs = routed.get.select("svc").distinct().as[String].collect()
     assert(svcs.toSeq == Seq("a"))
   }
+
+  test("sketch rollup routes quantile + count_distinct, matching raw") {
+    val sketchy = MvRouter.buildRollup(raw, "ts", 3600, Seq("svc"),
+      Seq("v"), withSketches = true)
+    val sq = q.copy(select = Seq(
+      SelectItem("v", Some("p50"), Some(AggFn.Quantile(0.5))),
+      SelectItem("v", Some("uniq_v"), Some(AggFn.CountDistinct))))
+    val routed = MvRouter.tryRoute(sq, sketchy)
+    assert(routed.isDefined)
+    val got = routed.get.orderBy("__time_bucket", "svc")
+      .select("svc", "p50", "uniq_v")
+      .as[(String, Double, Long)].collect().toSeq
+    // day 1 svc a: values 10, 20 → p50 = 15 (interpolated), 2 distinct;
+    // day 1 svc b: 5 → 5, 1; day 2 svc a: 7 → 7, 1
+    assert(got == Seq(("a", 15.0, 2L), ("b", 5.0, 1L), ("a", 7.0, 1L)))
+  }
 }
 
 class SeriesSpec extends SparkSpec {

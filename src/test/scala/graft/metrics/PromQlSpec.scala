@@ -170,4 +170,49 @@ class PromQlSpec extends SparkSpec {
       .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
     assert(rate == Seq(0.0, 1.0, 0.0)) // 60 per 60s → 1/s
   }
+
+  test("parser: topk, offset, histogram_quantile, *_over_time") {
+    import PromQl._
+    assert(parse("topk(3, sum by (svc) (up))") ==
+      TopK(3, Aggr("sum", Seq("svc"), Selector("up", Nil)),
+        bottom = false))
+    assert(parse("bottomk(2, up)") ==
+      TopK(2, Selector("up", Nil), bottom = true))
+    assert(parse("up offset 5m") == Selector("up", Nil, 300))
+    assert(parse("rate(m[5m] offset 1h)") ==
+      Rate(Selector("m", Nil, 3600), 300, increase = false))
+    assert(parse("histogram_quantile(0.9, latency)") ==
+      HistQuantile(0.9, Selector("latency", Nil), Nil))
+    assert(parse("histogram_quantile(0.5, sum by (svc) (latency))") ==
+      HistQuantile(0.5, Selector("latency", Nil), Seq("svc")))
+    assert(parse("avg_over_time(mem[1h])") ==
+      OverTime("avg", Selector("mem", Nil), 3600))
+    assert(parse("max_over_time(mem[30m] offset 1h)") ==
+      OverTime("max", Selector("mem", Nil, 3600), 1800))
+    // a metric whose name merely ends in _over_time is still a selector
+    assert(parse("custom_over_time") ==
+      Selector("custom_over_time", Nil))
+  }
+
+  test("topk keeps k series per bucket; offset shifts evaluation") {
+    val out = PromQl.eval(gauges,
+      "topk(1, max by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq
+    assert(out.length == 1) // one bucket, top-1 of the two hosts
+    // offset 1h: data lands one bucket later
+    val base = PromQl.eval(gauges, "max(mem_usage)", 3600)
+      .select("__time_bucket").as[java.sql.Timestamp].collect().head
+    val shifted = PromQl.eval(gauges, "max(mem_usage offset 1h)", 3600)
+      .select("__time_bucket").as[java.sql.Timestamp].collect().head
+    assert(shifted.getTime - base.getTime == 3600 * 1000L)
+  }
+
+  test("sum_over_time aggregates raw points per series per window") {
+    // counters frame: one host-a series, 3 points in 3 minute-buckets;
+    // window = 1h → one bucket holding sum 100+160+20
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (sum_over_time(requests_total[1h]))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(280.0))
+  }
 }

@@ -160,4 +160,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap12 > 0.7)
     assert(overlap13 == 0.0)
   }
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "another unrelated document mentioning parquet files and columns"))
+
+  test("string doc ids route through a surrogate and come back intact") {
+    val named = base.map { case (id, text) => (s"doc-$id", text) }
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(named, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect()
+      .map { case (a, b) => Set(a, b) }.toSet
+    // same pair set as the long-id run, with original string ids restored
+    assert(pairs.contains(Set("doc-1", "doc-4")))
+    assert(pairs.contains(Set("doc-1", "doc-2")))
+    assert(!pairs.exists(_.exists(id => id == "doc-3" || id == "doc-5")))
+    val sim = Dedup.simhashPairs(named, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(String, String)].collect()
+      .map { case (a, b) => Set(a, b) }.toSet
+    assert(sim.contains(Set("doc-1", "doc-4")))
+  }
+
+  test("md5 shingle frame matches the expression-form md5 shingles") {
+    val df = base.toDF("doc_id", "text")
+    val kernel = TextAnalysis.md5ShingleFrame(df, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    // expression form: md5 over each (non-distinct, in-order) shingle
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val exprForm = df.select(col("doc_id"),
+      transform(sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+        i => md5(concat_ws(" ", element_at(toks, i.cast("int")),
+          element_at(toks, (i + 1).cast("int")),
+          element_at(toks, (i + 2).cast("int"))))).as("hs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel == exprForm)
+  }
 }

@@ -55,4 +55,26 @@ class AlertStreamSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq(("errors", "ALERT")))
   }
+
+  test("late windows from earlier batches are dropped, not re-applied") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF().toDF("alert_id", "window_start", "value")
+    val q = AlertStream.transitions(stream, configs)
+      .writeStream.format("memory").queryName("alert_out3")
+      .outputMode("append").start()
+    // batch 1: one exceed at minute 2 (consec 1 of 2)
+    mem.addData(("lat_p99", t(2), 9.0))
+    q.processAllAvailable()
+    // batch 2: a LATE below-threshold window at minute 1 — if applied it
+    // would reset the counter; it must be dropped, so the exceed at
+    // minute 3 is the 2nd consecutive → ALERT
+    mem.addData(("lat_p99", t(1), 1.0), ("lat_p99", t(3), 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT window_start, state FROM alert_out3 ORDER BY window_start")
+      .as[(Timestamp, String)].collect().toSeq
+    q.stop()
+    assert(rows == Seq((t(3), "ALERT")))
+  }
 }
