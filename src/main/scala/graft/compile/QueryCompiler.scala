@@ -271,7 +271,7 @@ object QueryCompiler {
 
   /** Structured filters → predicates (reference filters.ts:44-143 and the
     * sql_ast branch renderChartConfig.ts:180-197). */
-  private def compileFilter(f: Filter, lctx: LuceneContext): Column = f match {
+  private[compile] def compileFilter(f: Filter, lctx: LuceneContext): Column = f match {
     case Filter.CondFilter(c) => compileCond(c, lctx)
     case Filter.SqlAst(op, left, right) =>
       val l = expr(left); val r = expr(right)
