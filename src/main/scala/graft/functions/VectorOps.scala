@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `ArrayData`, no per-element allocation.
   *
   * Summation runs in ascending index order — the same order as the
-  * `zip_with`/`aggregate` fold and DuckDB's `list_sum` — so results are
-  * bit-for-bit compatible with both the previous expression form and the
-  * oracle. Null elements contribute 0; mismatched lengths use the shorter
-  * prefix (embeddings are fixed-width by contract, so neither occurs in
-  * practice).
+  * `zip_with`/`aggregate` fold and DuckDB's `list_sum` — so on NULL-FREE
+  * arrays results are bit-for-bit compatible with both the previous
+  * expression form and the oracle. Null-element semantics deliberately
+  * differ: a null element contributes 0 here, where the lambda form's `+`
+  * propagated it to a NULL result; mismatched lengths use the shorter
+  * prefix. Embeddings are fixed-width and null-free by contract, so
+  * neither case arises on the pipeline paths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -77,8 +79,9 @@ case class DotProduct(left: Expression, right: Expression)
 /** Running cumulative sum over an `array<double>` (ClickHouse
   * `arrayCumSum`) as one codegen'd O(n) pass. The higher-order-function
   * form (slice+aggregate per index) is O(n²) in interpreted lambdas.
-  * Prefix i accumulates left-to-right — bit-for-bit the values the
-  * slice+aggregate form produced. Null elements contribute 0. */
+  * Prefix i accumulates left-to-right — on null-free arrays bit-for-bit
+  * the values the slice+aggregate form produced. Null elements contribute
+  * 0 (the lambda form propagated NULL). */
 case class ArrayCumSum(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -21,11 +21,22 @@ object Metadata {
     * `LocalLimit` cap. A global `df.limit(n)` would funnel every
     * partition's rows through ONE task before the downstream
     * explode/groupBy — the per-partition cap (maxScanRows split across
-    * the scan's partitions) keeps the bound AND the parallelism. */
+    * the scan's partitions) keeps the bound AND the parallelism.
+    *
+    * The bound is approximate, which is fine for discovery: with P
+    * partitions the scan reads at most `max(1, maxScanRows/P) · P` rows
+    * (≤ maxScanRows + P−1 when P ≤ maxScanRows; P is clamped so a
+    * many-partition source can't blow past the cap by a partition-count
+    * factor), and skewed partitions can under-fill their share — the
+    * reference's own 3e6-row discovery cap is equally best-effort
+    * (metadata.ts:55-56). Deriving P forces one extra round of physical
+    * planning per discovery call; discovery endpoints are interactive
+    * one-offs, not per-query hot path. */
   private def cappedScan(df: DataFrame, cols: Seq[Column],
       maxScanRows: Int): DataFrame = {
     val pruned = df.select(cols: _*)
-    val parts = math.max(1, pruned.rdd.getNumPartitions)
+    val parts = math.min(math.max(1, pruned.rdd.getNumPartitions),
+      math.max(1, maxScanRows))
     ColumnBridge.localLimit(pruned,
       math.max(1, (maxScanRows.toLong / parts).toInt))
   }

@@ -169,7 +169,10 @@ object MetricCompiler {
       case "min" => min(v)
       case "max" => max(v)
       case "count" => count(v)
-      case "last_value" => max_by(v, col(Bucket))
+      // the bucket is the group key (constant within each group), so the
+      // cross-series pick orders by the series key — deterministic across
+      // runs/partitionings, unlike an arbitrary-row pick
+      case "last_value" => max_by(v, col(SeriesKey))
       case other =>
         throw new IllegalArgumentException(s"unsupported gauge agg: $other")
     }

@@ -128,6 +128,11 @@ object PromQl {
         case "rate" | "increase" =>
           expect('(')
           val sel0 = parseSelector(readIdent())
+          // Prometheus puts `offset` AFTER the range brackets; an offset
+          // consumed by parseSelector means `m offset 1h[5m]` — reject it
+          // rather than silently dropping the modifier
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
           ws(); expect(')')
@@ -162,6 +167,8 @@ object PromQl {
               .contains(ot.dropRight(10)) =>
           expect('(')
           val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
           ws(); expect(')')
@@ -358,11 +365,13 @@ object PromQl {
         ExpHistograms.quantile(
           withLabels(applySelector(df, sel), by), phi, step, by)
       case ot: OverTime =>
-        // standalone *_over_time mirrors bare-selector semantics
-        // (last_value across series per bucket)
+        // standalone *_over_time mirrors bare-selector semantics (one value
+        // across series per bucket); the pick is ordered by the series key —
+        // the bucket itself is constant within the group, which would leave
+        // the choice to partitioning order
         val perSeries = overTimePerSeries(df, ot, Nil)
         perSeries.groupBy(col(TimeBucketAlias))
-          .agg(max_by(col("value"), col(TimeBucketAlias)).as("value"))
+          .agg(max_by(col("value"), col("__series")).as("value"))
       case BinOp(op, l, r) =>
         def f(a: Column, b: Column): Column = op match {
           case '+' => a + b

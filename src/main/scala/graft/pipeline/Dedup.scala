@@ -392,11 +392,28 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
-    * Buckets by random-hyperplane sign signature first (see Similarity) so
-    * the self-join is per-bucket, not full O(n²). With `planes = 0` falls
-    * back to the exact cross-join (test/oracle path). */
+    *
+    * DEFAULT (`planes > 0`) is the scale path: rows bucket by
+    * random-hyperplane sign signature first (see Similarity) so the
+    * self-join is per-bucket, not full O(n²) — approximate (a pair only
+    * surfaces when all plane signs agree; identical vectors always do).
+    *
+    * `planes = 0` is an EXPLICIT exact mode for oracles/tests: a full
+    * O(n²) cross-join with a whole-corpus broadcast. To keep a
+    * defaults-shaped caller from accidentally cross-joining a large
+    * corpus, the exact path requires the input under `exactMaxRows`
+    * (counted on the raw input — a metadata-cheap parquet count). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 0): DataFrame = {
+      threshold: Double, planes: Int = 4,
+      exactMaxRows: Long = 100000L): DataFrame = {
+    if (planes <= 0) {
+      val n = df.count()
+      require(n <= exactMaxRows,
+        s"embeddingNearDups(planes = 0) is the exact O(n²) oracle path; " +
+          s"corpus has $n rows > exactMaxRows = $exactMaxRows — use the " +
+          s"LSH path (planes > 0) at scale, or raise exactMaxRows " +
+          s"explicitly")
+    }
     val (dfL, idMap) = longIds(df, idCol)
     // precompute the norm per row (barrier) so the pair scan does one dot
     // product per pair instead of re-deriving both norms every time

@@ -35,7 +35,15 @@ object AlertStream {
       state: String, value: Double)
   /** Keyed state: consecutive exceed count + last emitted state + the last
     * processed window start (epoch millis), so late windows arriving in a
-    * later micro-batch can't corrupt the consecutive counter. */
+    * later micro-batch can't corrupt the consecutive counter.
+    *
+    * STATE SCHEMA v2: `lastWindowMillis` was added after the initial
+    * release — the flatMapGroupsWithState state encoder derives from this
+    * case class, so a streaming checkpoint written by the 2-field v1 state
+    * cannot be restored by this build (Spark fails the state-store schema
+    * check). Restart such a query from a fresh checkpoint; the input
+    * contract (closed, append-mode windows) makes a replay idempotent for
+    * the emitted transitions. */
   final case class RunState(consecutive: Int, state: String,
       lastWindowMillis: Long = Long.MinValue)
 
@@ -43,8 +51,12 @@ object AlertStream {
     * transitions. `configs` maps alert id → threshold spec; rows for
     * unknown alert ids are ignored. Windows are sorted within each
     * micro-batch; a window at-or-before the last processed one (a late
-    * arrival from an earlier batch) is DROPPED — the counter only ever
-    * advances forward in window time. */
+    * arrival from an earlier batch, or an update-mode REVISION of an
+    * already-counted window) is DROPPED — the counter only ever advances
+    * forward in window time. Feed this operator CLOSED windows (append
+    * mode / watermark-finalized rollups): a source that re-emits revised
+    * values for the same window start would need per-window revert logic,
+    * which this state machine intentionally does not carry. */
   def transitions(windowValues: DataFrame,
       configs: Map[String, AlertSpec]): Dataset[Transition] = {
     val spark = windowValues.sparkSession

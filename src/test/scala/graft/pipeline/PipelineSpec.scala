@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9, 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact == Set((1L, 2L)))
+    // the DEFAULT is the LSH scale path — identical sign signatures for
+    // the clone pair regardless of the hyperplane draw
+    val dflt = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!dflt.contains((1L, 3L)) && !dflt.contains((2L, 3L)))
+  }
+
+  test("exact embedding path (planes=0) refuses a corpus over the cap") {
+    val df = (1L to 8L).map(i => (i, Seq.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9,
+        planes = 0, exactMaxRows = 5L)
+    }
+    assert(e.getMessage.contains("exactMaxRows"))
+    // raising the cap explicitly re-enables the exact path
+    val ok = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.999,
+      planes = 0, exactMaxRows = 8L)
+    assert(ok.count() >= 0L)
   }
 }
 
