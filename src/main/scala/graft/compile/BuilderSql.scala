@@ -95,7 +95,15 @@ object BuilderSql {
           else s"$c$filter AS ${quoteIdent(alias)}"
       }
     }
-    val selectSql = (bucketSel.toSeq ++ selects).mkString(",\n  ")
+    // group-by expressions are echoed into the output (the compiler's
+    // groupBy(...).agg(...) emits group columns first) so the rendered
+    // statement reproduces the compiled frame column-for-column
+    val aggregated = q.select.exists(_.aggFn.exists(_ != AggFn.NoAgg))
+    val groupEcho =
+      if (aggregated) q.groupBy.map(g => s"$g AS ${quoteIdent(g)}")
+      else Nil
+    val selectSql = (bucketSel.toSeq ++ groupEcho ++ selects)
+      .mkString(",\n  ")
 
     // ---- WHERE: time range + where + filters (AND/OR like the compiler)
     val timePred = q.dateRange.map(dr =>

@@ -49,9 +49,14 @@ object CoreFunctions {
     s.toLowerCase.split("[^a-zA-Z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** ClickHouse `hasToken(lower(col), lower(tok))`: token must appear in the
-    * column delimited by non-alphanumerics (reference queryParser.ts:1579-1600). */
-  def hasToken(c: Column, token: String): Column =
-    array_contains(tokenize(c), token.toLowerCase)
+    * column delimited by non-alphanumerics (reference queryParser.ts:1579-1600).
+    * Deliberately lambda-free (no [[tokenize]] empty-filter): a non-empty
+    * token never equals the empty fragments `split` leaves behind, and a
+    * lambda-free tree serializes through `Expression.sql` for BuilderSql. */
+  def hasToken(c: Column, token: String): Column = {
+    require(token.nonEmpty, "hasToken requires a non-empty token")
+    array_contains(split(lower(c), "[^a-zA-Z0-9]+"), token.toLowerCase)
+  }
 
   /** All tokens of the term must appear (hasAllTokens semantics,
     * reference queryParser.ts:1510-1547). */

@@ -11,7 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * to satisfy the `private[sql]` qualifier). */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode → Expression conversion. `ExpressionUtils.expression`
+    * wraps the node lazily (fine inside a plan, where analysis converts it),
+    * but `.sql` on a lazily-wrapped tree prints the wrapper's pretty name
+    * (`columnnodeexpression(...)`) for DSL-built columns — the eager
+    * converter yields the real Catalyst tree for serialization. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** A bare `LocalLimit` (per-partition row cap) with no global collect
     * phase: `df.limit(n)` plans GlobalLimit(LocalLimit(n)) whose global
