@@ -661,7 +661,8 @@ object MetricQueries {
 
   val q52_sql: String =
     """WITH pts AS (
-      |  SELECT CAST(floor((epoch(ts)+3600)/3600)*3600 AS BIGINT) AS bucket,
+      |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) + 7199) // 3600) * 3600
+      |           AS bucket,
       |         event_type, user_id, value
       |  FROM events),
       |a AS (
@@ -699,6 +700,123 @@ object MetricQueries {
       |SELECT bucket, event_type, max(v) AS value
       |FROM last GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
+
+  /** Sliding `*_over_time` with range ≠ step (Prometheus lookback
+    * semantics): per-series max over the (t − 2h, t] window evaluated every
+    * hour — each sample feeds ⌈range/step⌉ = 2 evaluation buckets — then
+    * sum across series per event_type
+    * (reference proxies true PromQL, api/src/routers/api/prometheus.ts:413).
+    */
+  def q56_promql_slide(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "sum by (ServiceName) (max_over_time(mem[2h]))", 3600))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q56_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         event_type, user_id, value
+      |  FROM events),
+      |ex AS (
+      |  SELECT unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                                ((u + 7199) // 3600) * 3600,
+      |                                3600)) AS bucket,
+      |         event_type, user_id, value
+      |  FROM pts),
+      |a AS (
+      |  SELECT bucket, event_type, user_id, max(value) AS v
+      |  FROM ex GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type, round(sum(v), 2) AS value
+      |FROM a GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** quantile_over_time over the sliding window: per-series median of the
+    * samples in (t − 2h, t] per hour step, max across series per
+    * event_type — exact interpolated percentile on both engines, and the
+    * max of exact doubles avoids cross-series float-sum accumulation-order
+    * rounding flips. */
+  def q57_promql_qot(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "max by (ServiceName) (quantile_over_time(0.5, mem[2h]))", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q57_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         event_type, user_id, value
+      |  FROM events),
+      |ex AS (
+      |  SELECT unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                                ((u + 7199) // 3600) * 3600,
+      |                                3600)) AS bucket,
+      |         event_type, user_id, value
+      |  FROM pts),
+      |a AS (
+      |  SELECT bucket, event_type, user_id,
+      |         list_sort(list(value)) AS l, count(*) AS n
+      |  FROM ex GROUP BY bucket, event_type, user_id),
+      |m AS (
+      |  -- Spark percentile interpolation: lower + (higher-lower)*frac
+      |  -- (quantile_cont's a*(1-f)+b*f shape can differ in the last ulp)
+      |  SELECT bucket, event_type,
+      |    CASE WHEN n % 2 = 1 THEN l[(n+1)//2]
+      |         ELSE l[n//2] + (l[n//2+1] - l[n//2]) * 0.5 END AS v
+      |  FROM a)
+      |SELECT bucket, event_type, round(max(v), 6) AS value
+      |FROM m GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** `sum without (label)`: drop the per-user label and group by every
+    * surviving label (ServiceName), serialized as the canonical sorted
+    * `labels` JSON column — per-series last value per hour, summed across
+    * the collapsed user series. */
+  def q58_promql_without(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "sum without (user) (mem)", 3600))
+      .withColumn("value", round(col("value"), 2))
+      .select("bucket", "labels", "value")
+      .orderBy("bucket", "labels")
+  }
+
+  val q58_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket,
+      |  '[{"key":"ServiceName","value":"' || event_type || '"}]' AS labels,
+      |  round(sum(v), 2) AS value
+      |FROM last GROUP BY bucket, event_type
+      |ORDER BY bucket, labels""".stripMargin
 
   /** PromQL binary operator at the driver gate: per-day error ratio as
     * `sum(rate(err_total[1d])) / sum(rate(ev_total[1d]))` over two
@@ -747,6 +865,9 @@ object MetricQueries {
     "q50_promql_topk" -> (q50_promql_topk _),
     "q51_promql_histq" -> (q51_promql_histq _),
     "q52_promql_offset" -> (q52_promql_offset _),
+    "q56_promql_slide" -> (q56_promql_slide _),
+    "q57_promql_qot" -> (q57_promql_qot _),
+    "q58_promql_without" -> (q58_promql_without _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -763,6 +884,9 @@ object MetricQueries {
     "q50_promql_topk" -> q50_sql,
     "q51_promql_histq" -> q17_sql,
     "q52_promql_offset" -> q52_sql,
+    "q56_promql_slide" -> q56_sql,
+    "q57_promql_qot" -> q57_sql,
+    "q58_promql_without" -> q58_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

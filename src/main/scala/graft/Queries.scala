@@ -356,6 +356,48 @@ object Queries {
       |WHERE url LIKE 'https://example.com/src1/%'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** BuilderSql end-to-end: render an IR Query as one raw-SQL statement
+    * (the reference's builderToRawSql,
+    * packages/common-utils/src/core/builderToRawSql.ts:1-176) and EXECUTE
+    * the rendered text with spark.sql — gating that the text path produces
+    * the same answer as the DataFrame compiler path would. Exercises the
+    * time bucket, lucene WHERE, FILTER (WHERE …) conditional aggregation
+    * and group echo of the renderer. */
+  def q54_buildersql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.compile.BuilderSql
+    val c = cat(spark, dir)
+    val q = Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("value", Some("even_v"), Some(AggFn.Sum),
+          Some(Cond.Sql("user_id % 2 = 0"))),
+        SelectItem("value", Some("max_v"), Some(AggFn.Max))),
+      from = "events",
+      where = Some(Cond.Lucene("value:>0.5")),
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)),
+      dateRange = Some(JanRange))
+    val sql = BuilderSql.render(q, c).fold(
+      reason => throw new IllegalStateException(s"not renderable: $reason"),
+      identity)
+    c("events").df.createOrReplaceTempView("events")
+    epochBucket(spark.sql(sql))
+      .withColumn("even_v", round(col("even_v"), 2))
+      .withColumn("max_v", round(col("max_v"), 2))
+      .select("bucket", "event_type", "cnt", "even_v", "max_v")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q54_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      | event_type, count(*) AS cnt,
+      | round(sum(value) FILTER (WHERE user_id % 2 = 0), 2) AS even_v,
+      | round(max(value), 2) AS max_v
+      |FROM events
+      |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |  AND value > 0.5
+      |GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin
+
   /** String-typed numeric aggregation (reference toFloat64OrDefault
     * semantics — FIXTURES §4: numeric aggs over string columns must
     * coerce) + deterministic last_value via max_by(ts): aggregates over
@@ -475,7 +517,8 @@ object Queries {
     "q36_string_coercion" -> (q36_string_coercion _),
     "q39_weighted" -> (q39_weighted _),
     "q43_rawsql" -> (q43_rawsql _),
-    "q49_lucene_url" -> (q49_lucene_url _))
+    "q49_lucene_url" -> (q49_lucene_url _),
+    "q54_buildersql" -> (q54_buildersql _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -493,5 +536,6 @@ object Queries {
     "q36_string_coercion" -> q36_sql,
     "q39_weighted" -> q39_sql,
     "q43_rawsql" -> q43_sql,
-    "q49_lucene_url" -> q49_sql)
+    "q49_lucene_url" -> q49_sql,
+    "q54_buildersql" -> q54_sql)
 }

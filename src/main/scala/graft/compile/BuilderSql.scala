@@ -96,9 +96,13 @@ object BuilderSql {
       }
     }
     // group-by expressions are echoed into the output (the compiler's
-    // groupBy(...).agg(...) emits group columns first) so the rendered
-    // statement reproduces the compiled frame column-for-column
+    // groupBy(...).agg(...) emits group columns first, aliased with their
+    // verbatim IR text) so the rendered statement reproduces the compiled
+    // frame column-for-column
     val aggregated = q.select.exists(_.aggFn.exists(_ != AggFn.NoAgg))
+    if (!aggregated && q.groupBy.nonEmpty)
+      return Left("groupBy without aggregates is ignored by the compiler; " +
+        "remove it (or add an aggregate) to render as SQL")
     val groupEcho =
       if (aggregated) q.groupBy.map(g => s"$g AS ${quoteIdent(g)}")
       else Nil
@@ -121,9 +125,13 @@ object BuilderSql {
     val whereSql =
       if (whereParts.isEmpty) "" else s"\nWHERE ${whereParts.mkString(" AND ")}"
 
-    // ---- GROUP BY (bucket prepended), HAVING, ORDER BY (bucket prepended)
-    val groupCols = (step.map(_ => quoteIdent(TimeBucketAlias)).toSeq ++
-      q.groupBy.map(quoteIdent))
+    // ---- GROUP BY (bucket prepended, aggregated queries only — for a
+    // plain projection the bucket is just a selected column), HAVING,
+    // ORDER BY (bucket prepended)
+    val groupCols =
+      if (!aggregated) Nil
+      else (step.map(_ => quoteIdent(TimeBucketAlias)).toSeq ++
+        q.groupBy.map(quoteIdent))
     val groupSql =
       if (groupCols.isEmpty) "" else s"\nGROUP BY ${groupCols.mkString(", ")}"
     val havingSql = q.having match {

@@ -110,7 +110,13 @@ object QueryCompiler {
       s.aggFn.exists(_ != AggFn.NoAgg))
     val aggregated: DataFrame =
       if (isAggregated) {
-        val groupCols = bucketCols.map(col) ++ q.groupBy.map(expr)
+        // alias every group expression with its verbatim IR text so the
+        // output name is stable for computed expressions too (Spark would
+        // otherwise auto-name them with canonical pretty-SQL, e.g.
+        // groupBy("UPPER(svc)") → column `upper(svc)`) — groupOutputName
+        // and BuilderSql's echo both rely on the verbatim name
+        val groupCols = bucketCols.map(col) ++
+          q.groupBy.map(g => expr(g).as(g))
         val aggExprs = q.select.zipWithIndex.map { case (s, i) =>
           renderAgg(s, lctx, source, opts).as(aliasOf(s, i))
         }

@@ -15,20 +15,37 @@ import graft.functions.CoreFunctions._
   *   expr     := mul (('+' | '-') mul)*
   *   mul      := primary (('*' | '/') primary)*
   *   primary  := aggr | func | selector | number | '(' expr ')'
-  *   aggr     := (sum|avg|min|max|count) [by (l1, l2…)] ( expr )
+  *   aggr     := (sum|avg|min|max|count) [by (l1, l2…) | without (l1…)] ( expr )
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
   *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
+  *            | quantile_over_time( φ, selector [dur] )
+  *            | label_replace( expr, "dst", "repl", "src", "regex" )
   *   selector := metric_name [{ label op "value", … }] [offset]
   *               op ∈ {=, !=, =~, !~}
+  *   binop    := expr op [on (l1…) | ignoring (l1…)] [group_left [(l1…)]] expr
   *   offset   := 'offset' <n>(s|m|h|d)
   *   dur      := <n>(s|m|h|d)
+  * `sum without (l…)` groups by every remaining label: the surviving label
+  * set (ServiceName + Attributes entries minus the dropped names) is
+  * serialized canonically into a `labels` JSON column — the schema stays
+  * static while the label universe stays data-driven.
+  * `label_replace` rewrites the Attributes map before evaluation (fully
+  * anchored regex, capture-group replacement, empty result drops the
+  * label), re-keying series like Prometheus.
+  * Vector matching: `on (l…)` joins on (bucket, listed labels) and keeps
+  * only those labels; `ignoring (l…)` removes the listed labels from the
+  * shared-label join key; `group_left (extra…)` is many-to-one — every
+  * left row keeps its labels and may match the same right row, optionally
+  * copying the listed extra labels from the right side.
   * histogram_quantile evaluates the selector against the exp-histogram
-  * frame through the engine's 5-stage quantile pipeline; *_over_time
-  * windows tumble at the range width (documented deviation from the
-  * sliding lookback).
+  * frame through the engine's 5-stage quantile pipeline. `*_over_time`
+  * range aggregations SLIDE per evaluation step like real Prometheus: a
+  * sample at time u contributes to every step-aligned evaluation time t
+  * with t − range < u ≤ t (sample times quantized to whole seconds;
+  * documented deviation for sub-second samples).
   * Binary ops join vector operands on (bucket, shared labels) — PromQL
   * one-to-one vector matching on the intersection of output labels;
   * scalar operands broadcast. Documented deviation: x/0 yields NULL
@@ -47,9 +64,20 @@ object PromQl {
       offsetSeconds: Long = 0) extends Expr
   final case class Rate(sel: Selector, windowSeconds: Long,
       increase: Boolean) extends Expr
-  final case class Aggr(op: String, by: Seq[String], inner: Expr)
-      extends Expr
-  final case class BinOp(op: Char, l: Expr, r: Expr) extends Expr
+  final case class Aggr(op: String, by: Seq[String], inner: Expr,
+      without: Boolean = false) extends Expr
+  /** Vector-matching modifiers on a binary op: `on`/`ignoring` pick the
+    * join labels; groupLeft allows many-to-one with `extra` labels copied
+    * from the right side. */
+  final case class VectorMatch(on: Option[Seq[String]] = None,
+      ignoring: Seq[String] = Nil, groupLeft: Boolean = false,
+      extra: Seq[String] = Nil)
+  final case class BinOp(op: Char, l: Expr, r: Expr,
+      matching: VectorMatch = VectorMatch()) extends Expr
+  /** label_replace(inner, dst, repl, src, regex): rewrite the Attributes
+    * map before evaluating `inner`. */
+  final case class LabelReplace(inner: Expr, dst: String, repl: String,
+      src: String, regex: String) extends Expr
   final case class ScalarLit(v: Double) extends Expr
   /** topk/bottomk: k series per step bucket ranked by value. */
   final case class TopK(k: Int, inner: Expr, bottom: Boolean) extends Expr
@@ -57,10 +85,11 @@ object PromQl {
     * from the canonical inner `sum by (…) (selector)` shape. */
   final case class HistQuantile(phi: Double, sel: Selector,
       by: Seq[String]) extends Expr
-  /** avg/min/max/sum/count/last `_over_time(sel[w])` per series per
-    * tumbling window. */
+  /** avg/min/max/sum/count/last/quantile `_over_time(sel[w])` per series
+    * per sliding lookback window evaluated at each step; `level` is the φ
+    * of quantile_over_time. */
   final case class OverTime(op: String, sel: Selector,
-      windowSeconds: Long) extends Expr
+      windowSeconds: Long, level: Option[Double] = None) extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -85,7 +114,8 @@ object PromQl {
       ws()
       while (i < s.length && (s(i) == '+' || s(i) == '-')) {
         val op = s(i); i += 1
-        l = BinOp(op, l, parseMulDiv())
+        val m = parseMatching()
+        l = BinOp(op, l, parseMulDiv(), m)
         ws()
       }
       l
@@ -96,11 +126,40 @@ object PromQl {
       ws()
       while (i < s.length && (s(i) == '*' || s(i) == '/')) {
         val op = s(i); i += 1
-        l = BinOp(op, l, parsePrimary())
+        val m = parseMatching()
+        l = BinOp(op, l, parsePrimary(), m)
         ws()
       }
       l
     }
+
+    /** `on (…)` / `ignoring (…)` [+ `group_left [(…)]`] after a binary
+      * operator; the empty VectorMatch when absent. */
+    private def parseMatching(): VectorMatch = {
+      ws()
+      var m = VectorMatch()
+      if (s.startsWith("on", i) && !isIdentChar(i + 2)) {
+        i += 2; ws()
+        m = m.copy(on = Some(readParenIdents()))
+      } else if (s.startsWith("ignoring", i) && !isIdentChar(i + 8)) {
+        i += 8; ws()
+        m = m.copy(ignoring = readParenIdents())
+      }
+      ws()
+      if (s.startsWith("group_left", i) && !isIdentChar(i + 10)) {
+        i += 10; ws()
+        val extra =
+          if (i < s.length && s(i) == '(') readParenIdents() else Nil
+        m = m.copy(groupLeft = true, extra = extra)
+      } else if (s.startsWith("group_right", i)) {
+        fail("group_right is not supported; swap the operands and use " +
+          "group_left")
+      }
+      m
+    }
+
+    private def isIdentChar(at: Int): Boolean =
+      at < s.length && (s(at).isLetterOrDigit || s(at) == '_')
 
     private def parsePrimary(): Expr = {
       ws()
@@ -118,13 +177,17 @@ object PromQl {
       ws()
       val e: Expr = ident match {
         case "sum" | "avg" | "min" | "max" | "count" =>
-          val by =
-            if (s.startsWith("by", i)) { i += 2; ws(); readParenIdents() }
-            else Nil
+          var by: Seq[String] = Nil
+          var without = false
+          if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
+            i += 2; ws(); by = readParenIdents()
+          } else if (s.startsWith("without", i) && !isIdentChar(i + 7)) {
+            i += 7; ws(); by = readParenIdents(); without = true
+          }
           ws(); expect('(')
           val inner = parseAddSub()
           ws(); expect(')')
-          Aggr(ident, by, inner)
+          Aggr(ident, by, inner, without)
         case "rate" | "increase" =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -157,7 +220,7 @@ object PromQl {
           ws(); expect(')')
           inner match {
             case sel: Selector => HistQuantile(phi.toDouble, sel, Nil)
-            case Aggr("sum", by, sel: Selector) =>
+            case Aggr("sum", by, sel: Selector, false) =>
               HistQuantile(phi.toDouble, sel, by)
             case _ => fail("histogram_quantile expects a selector or " +
               "sum by (…) (selector)")
@@ -173,6 +236,33 @@ object PromQl {
           val off = readOffsetOpt()
           ws(); expect(')')
           OverTime(ot.dropRight(10), sel0.copy(offsetSeconds = off), w)
+        case "label_replace" =>
+          expect('(')
+          val inner = parseAddSub()
+          ws(); expect(','); ws()
+          val dst = readString()
+          ws(); expect(','); ws()
+          val repl = readString()
+          ws(); expect(','); ws()
+          val src = readString()
+          ws(); expect(','); ws()
+          val regex = readString()
+          ws(); expect(')')
+          LabelReplace(inner, dst, repl, src, regex)
+        case "quantile_over_time" =>
+          expect('(')
+          ws()
+          val phi = readWhile(c => c.isDigit || c == '.')
+          if (phi.isEmpty) fail("expected quantile level")
+          ws(); expect(','); ws()
+          val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
+          val w = readDuration()
+          val off = readOffsetOpt()
+          ws(); expect(')')
+          OverTime("quantile", sel0.copy(offsetSeconds = off), w,
+            Some(phi.toDouble))
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
@@ -321,7 +411,21 @@ object PromQl {
         val rated = MetricCompiler.counterRate(applySelector(df, sel), step)
         if (increase) rated.withColumnRenamed("rate", "value")
         else rated.withColumn("value", col("rate") / step).drop("rate")
-      case Aggr(op, by, inner) =>
+      case Aggr(op, by, lr: LabelReplace, w) =>
+        // hoist label_replace out of the aggregation: rewrite the frame,
+        // then aggregate the inner expression on it — keeps the selector /
+        // rate / over-time fast paths (and `without`'s surviving-label
+        // computation) working on the REWRITTEN label set
+        compile(applyLabelReplace(df, lr), Aggr(op, by, lr.inner, w), step)
+      case Aggr(op, drop, inner, true) =>
+        // `without (l…)`: group by every surviving label. The surviving set
+        // is serialized into one canonical `labels` JSON column (sorted
+        // entries), added BEFORE recursion so the whole by-path machinery
+        // (gauge / per-series rate / over-time) applies unchanged with
+        // by = Seq("labels") — static schema, data-driven label universe.
+        val df2 = df.withColumn("labels", survivingLabels(df, drop))
+        compile(df2, Aggr(op, Seq("labels"), inner, without = false), step)
+      case Aggr(op, by, inner, _) =>
         // aggregations over selectors/rates aggregate from the source
         // directly so grouping labels stay available; `by` labels resident
         // in the Attributes map are materialized first (withLabels is
@@ -344,7 +448,7 @@ object PromQl {
                 .drop("rate")
             aggregate0(valued, op, by)
           case ot: OverTime =>
-            aggregate0(overTimePerSeries(df, ot, by), op, by)
+            aggregate0(overTimePerSeries(df, ot, by, step), op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
         }
       case TopK(k, inner, bottom) =>
@@ -369,10 +473,10 @@ object PromQl {
         // across series per bucket); the pick is ordered by the series key —
         // the bucket itself is constant within the group, which would leave
         // the choice to partitioning order
-        val perSeries = overTimePerSeries(df, ot, Nil)
+        val perSeries = overTimePerSeries(df, ot, Nil, step)
         perSeries.groupBy(col(TimeBucketAlias))
           .agg(max_by(col("value"), col("__series")).as("value"))
-      case BinOp(op, l, r) =>
+      case BinOp(op, l, r, matching) =>
         def f(a: Column, b: Column): Column = op match {
           case '+' => a + b
           case '-' => a - b
@@ -388,15 +492,42 @@ object PromQl {
           case (_, ScalarLit(b)) =>
             compile(df, l, step).withColumn("value", f(col("value"), lit(b)))
           case _ =>
-            // one-to-one vector matching on (bucket ∩ shared labels)
             val ld = compile(df, l, step).withColumnRenamed("value", "__lv")
             val rd = compile(df, r, step).withColumnRenamed("value", "__rv")
-            val keys = ld.columns.toSeq
+            val shared = ld.columns.toSeq
               .filter(c => c != "__lv" && rd.columns.contains(c))
-            ld.join(rd, keys)
-              .withColumn("value", f(col("__lv"), col("__rv")))
-              .drop("__lv", "__rv")
+            if (matching == VectorMatch()) {
+              // one-to-one vector matching on (bucket ∩ shared labels)
+              ld.join(rd, shared)
+                .withColumn("value", f(col("__lv"), col("__rv")))
+                .drop("__lv", "__rv")
+            } else {
+              // explicit matching: on() fixes the join labels, ignoring()
+              // removes labels from the shared key; the right side
+              // contributes only its value (+ group_left extra labels);
+              // with on() and no group_left the result labels are the on()
+              // set, with group_left the left side keeps all its labels
+              // (documented deviation: the one-to-one duplicate-match check
+              // is not enforced — a duplicate yields joined rows, not an
+              // error)
+              val keys: Seq[String] = matching.on match {
+                case Some(ons) => TimeBucketAlias +: ons
+                case None => shared.filterNot(matching.ignoring.contains)
+              }
+              val rdCols = keys.map(col) ++ matching.extra.map(col) :+
+                col("__rv")
+              val rdSel = rd.select(rdCols: _*)
+              val ldSel =
+                if (matching.on.isDefined && !matching.groupLeft)
+                  ld.select(keys.map(col) :+ col("__lv"): _*)
+                else ld
+              ldSel.join(rdSel, keys)
+                .withColumn("value", f(col("__lv"), col("__rv")))
+                .drop("__lv", "__rv")
+            }
         }
+      case lr: LabelReplace =>
+        compile(applyLabelReplace(df, lr), lr.inner, step)
       case ScalarLit(_) =>
         throw new PromQlParseException(
           "scalar-only expressions are not queries")
@@ -415,12 +546,17 @@ object PromQl {
       .agg(agg.as("value"))
   }
 
-  /** Per-series window aggregate for `*_over_time`: one tumbling window of
-    * the requested range per series (documented deviation: windows tumble
-    * at the range width rather than sliding per step). Output columns:
-    * __series, __time_bucket, by…, value. */
+  /** Per-series sliding range aggregate for `*_over_time`, Prometheus
+    * semantics: at each step-aligned evaluation time t, aggregate the
+    * samples of the series with t − range < u ≤ t. Declared as an
+    * explode-to-contributing-steps + groupBy — each sample lands in at most
+    * ⌈range/step⌉ evaluation buckets, so the fan-out is bounded by the
+    * query shape (not data volume) and the whole pipeline stays one
+    * hash-shuffle on (series, bucket); no per-step window scan. Sample
+    * times quantize to whole seconds (unix_timestamp) on both engine and
+    * oracle sides. Output columns: __series, __time_bucket, by…, value. */
   private def overTimePerSeries(df: DataFrame, ot: OverTime,
-      by: Seq[String]): DataFrame = {
+      by: Seq[String], stepSeconds: Long): DataFrame = {
     val src = withLabels(applySelector(df, ot.sel), by)
     val v = col("Value").cast("double")
     val agg = ot.op match {
@@ -430,13 +566,65 @@ object PromQl {
       case "sum" => sum(v)
       case "count" => count(v)
       case "last" => max_by(v, col("TimeUnix"))
+      case "quantile" => call_function("percentile", v,
+        lit(ot.level.getOrElse(throw new PromQlParseException(
+          "quantile_over_time needs a level"))))
     }
-    src.withColumn("__series", MetricCompiler.attributesHash(src))
-      .withColumn(TimeBucketAlias,
-        timeBucket(col("TimeUnix"), ot.windowSeconds))
+    val range = ot.windowSeconds
+    // integer ceil-division bounds: first eval step ≥ u, last eval step
+    // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
+    val stepped = src
+      .withColumn("__series", MetricCompiler.attributesHash(src))
+      .withColumn("__u", unix_timestamp(col("TimeUnix")))
+      .withColumn("__tmin",
+        expr(s"((__u + ${stepSeconds - 1}) DIV $stepSeconds) * $stepSeconds"))
+      .withColumn("__tmax",
+        expr(s"((__u + ${range - 1}) DIV $stepSeconds) * $stepSeconds"))
+      // range < step can leave a sample between eval steps (no bucket);
+      // explode drops the NULL sequence for those rows
+      .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+        sequence(col("__tmin"), col("__tmax"), lit(stepSeconds)))))
+      .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
+    stepped
       .groupBy((col("__series") +: col(TimeBucketAlias) +:
         by.map(col)): _*)
       .agg(agg.as("value"))
+  }
+
+  /** label_replace as a frame rewrite: fully-anchored match against the
+    * src label, capture-group replacement into dst, empty result drops the
+    * label, no match leaves the vector untouched. dst is written into
+    * Attributes (re-keying series like Prometheus); a physical column of
+    * the same name would shadow it on lookup — documented limitation. */
+  private def applyLabelReplace(df: DataFrame, lr: LabelReplace)
+      : DataFrame = {
+    val anchored = s"^(?:${lr.regex})$$"
+    val srcV = coalesce(labelCol(lr.src, df).cast("string"), lit(""))
+    val newV = regexp_replace(srcV, anchored, lr.repl)
+    val dstRemoved = map_filter(col("Attributes"),
+      (k, _) => k =!= lr.dst)
+    val rewritten = when(!srcV.rlike(anchored), col("Attributes"))
+      .when(newV === "", dstRemoved)
+      .otherwise(map_concat(dstRemoved, map(lit(lr.dst), newV)))
+    df.withColumn("Attributes", rewritten)
+  }
+
+  /** Canonical JSON of the labels surviving a `without (drop…)`:
+    * ServiceName (when present and not dropped) + Attributes entries minus
+    * the dropped names, serialized as sorted (key, value) entries —
+    * identical label sets always produce identical strings, so the column
+    * is a safe grouping key. MetricName is always dropped, like
+    * Prometheus drops __name__ on aggregation. */
+  private def survivingLabels(df: DataFrame, drop: Seq[String]): Column = {
+    val dropArr = array(drop.map(lit): _*)
+    val attrs = map_filter(col("Attributes"),
+      (k, _) => !array_contains(dropArr, k) && k =!= "ServiceName")
+    val withSvc =
+      if (df.columns.contains("ServiceName") && !drop.contains("ServiceName"))
+        map_concat(map(lit("ServiceName"), col("ServiceName").cast("string")),
+          attrs)
+      else attrs
+    to_json(array_sort(map_entries(withSvc)))
   }
 
   /** Pre-materialize attribute labels as columns so `by (label)` grouping

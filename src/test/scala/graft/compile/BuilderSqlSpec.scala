@@ -38,9 +38,17 @@ class BuilderSqlSpec extends SparkSpec {
     val compiled = QueryCompiler.compile(q, catalog)
     assert(viaSql.columns.toSeq == compiled.columns.toSeq,
       s"column drift for:\n$sql")
-    val a = viaSql.collect().map(_.toString).sorted.toSeq
-    val b = compiled.collect().map(_.toString).sorted.toSeq
-    assert(a == b, s"row drift for:\n$sql")
+    // queries with an explicit ORDER BY (the spec corpus orders on unique
+    // keys) must round-trip the row ORDER too, not just the row set
+    if (q.orderBy.nonEmpty) {
+      val a = viaSql.collect().map(_.toString).toSeq
+      val b = compiled.collect().map(_.toString).toSeq
+      assert(a == b, s"row/order drift for:\n$sql")
+    } else {
+      val a = viaSql.collect().map(_.toString).sorted.toSeq
+      val b = compiled.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"row drift for:\n$sql")
+    }
   }
 
   test("projection + sql where + order + limit/offset") {
@@ -142,6 +150,24 @@ class BuilderSqlSpec extends SparkSpec {
       groupBy = Seq("status"),
       having = Some(Cond.Sql("cnt >= 2")),
       orderBy = Seq(OrderBy("status"))))
+  }
+
+  test("computed group expression keeps its verbatim name on both paths") {
+    assertRoundTrip(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "t",
+      groupBy = Seq("upper(svc)"),
+      orderBy = Seq(OrderBy("upper(svc)"))))
+  }
+
+  test("groupBy without aggregates is rejected (compile ignores it)") {
+    val q = Query(
+      select = Seq(SelectItem("dur", Some("dur"))),
+      from = "t",
+      groupBy = Seq("svc"))
+    val reason = BuilderSql.render(q, catalog)
+      .swap.getOrElse(fail("expected Left"))
+    assert(reason.contains("groupBy without aggregates"))
   }
 
   test("non-renderable shapes return the documented reasons") {

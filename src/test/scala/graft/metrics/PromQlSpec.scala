@@ -207,12 +207,106 @@ class PromQlSpec extends SparkSpec {
     assert(shifted.getTime - base.getTime == 3600 * 1000L)
   }
 
-  test("sum_over_time aggregates raw points per series per window") {
-    // counters frame: one host-a series, 3 points in 3 minute-buckets;
-    // window = 1h → one bucket holding sum 100+160+20
+  test("sum_over_time slides per step: (t - range, t] per eval time") {
+    // points at 00:00, 00:01, 00:02; range 1h, step 1h → the point exactly
+    // ON the 00:00 boundary belongs to eval time 00:00 ((−1h, 00:00]); the
+    // later two land at eval time 01:00
     val out = PromQl.eval(counters,
       "sum by (ServiceName) (sum_over_time(requests_total[1h]))", 3600)
+      .orderBy("__time_bucket")
       .select("value").as[Double].collect().toSeq
-    assert(out == Seq(280.0))
+    assert(out == Seq(100.0, 180.0))
+  }
+
+  test("*_over_time with range > step: each sample feeds several steps") {
+    // range 2h, step 1h: the 00:00 sample covers eval times 00:00 and
+    // 01:00; the 00:01/00:02 samples cover 01:00 and 02:00
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (max_over_time(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(100.0, 160.0, 160.0))
+  }
+
+  test("*_over_time with range < step: samples between steps drop out") {
+    // range 1m, step 1h: only the sample exactly on an eval boundary
+    // (00:00) is inside any (t − 1m, t] window
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (count_over_time(requests_total[1m]))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(1.0))
+  }
+
+  test("parser: without, on/ignoring, group_left, label_replace") {
+    import PromQl._
+    assert(parse("sum without (host) (mem)") ==
+      Aggr("sum", Seq("host"), Selector("mem", Nil), without = true))
+    assert(parse("a / on (host) b") ==
+      BinOp('/', Selector("a", Nil), Selector("b", Nil),
+        VectorMatch(on = Some(Seq("host")))))
+    assert(parse("a / ignoring (env) b") ==
+      BinOp('/', Selector("a", Nil), Selector("b", Nil),
+        VectorMatch(ignoring = Seq("env"))))
+    assert(parse("a * on (host) group_left (role) b") ==
+      BinOp('*', Selector("a", Nil), Selector("b", Nil),
+        VectorMatch(on = Some(Seq("host")), groupLeft = true,
+          extra = Seq("role"))))
+    assert(parse("""label_replace(m, "dst", "$1", "src", "(.*)")""") ==
+      LabelReplace(Selector("m", Nil), "dst", "$1", "src", "(.*)"))
+    // metric names starting with on/ignoring prefixes stay selectors
+    assert(parse("a + online") ==
+      BinOp('+', Selector("a", Nil), Selector("online", Nil)))
+    intercept[PromQlParseException](parse("a / on (host) group_right b"))
+  }
+
+  test("sum without (label) groups by the surviving label set") {
+    val out = PromQl.eval(gauges, "sum without (host) (mem_usage)", 3600)
+      .select("labels", "value").as[(String, Double)].collect().toSeq
+    // hosts a,b collapse; ServiceName survives into the canonical JSON
+    assert(out == Seq(
+      ("""[{"key":"ServiceName","value":"api"}]""", 80.0)))
+  }
+
+  test("label_replace rewrites the label and re-keys series") {
+    val out = PromQl.eval(gauges,
+      """sum by (env) (label_replace(mem_usage, "env", "prod-$1", "host", "(a)"))""",
+      3600)
+      .orderBy("env")
+      .select("env", "value").as[(String, Double)].collect().toSeq
+    // host=a matched → env=prod-a (last value 30); host=b unmatched →
+    // env stays unset (null group, value 50)
+    assert(out == Seq((null, 50.0), ("prod-a", 30.0)))
+  }
+
+  test("vector matching: on(), ignoring(), group_left") {
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    val on = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) / on (host) sum by (host) (cpu_usage)",
+      3600)
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(on == Seq(("a", 30.0 / 99.0)))
+
+    val ign = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) / ignoring (host) sum (cpu_usage)", 3600)
+      .orderBy("host")
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(ign == Seq(("a", 30.0 / 99.0), ("b", 50.0 / 99.0)))
+
+    val gl = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) / on () group_left sum (cpu_usage)", 3600)
+      .orderBy("host")
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(gl == Seq(("a", 30.0 / 99.0), ("b", 50.0 / 99.0)))
+  }
+
+  test("quantile_over_time interpolates within the sliding window") {
+    // eval time 01:00, range 2h captures 100, 160, 20 → median 100
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (quantile_over_time(0.5, requests_total[2h]))",
+      3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    // 00:00 → [100]; 01:00 → [100,160,20] median 100; 02:00 → [160,20]
+    assert(out == Seq(100.0, 100.0, 90.0))
   }
 }
