@@ -10,16 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = LocalSession.get(cpus)
 
     def run(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -34,11 +26,21 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // untimed warm-up: pay JVM/codegen/parquet-footer costs once so the
-    // first measured query isn't inflated by session startup
-    try SparkEntry.queries.get("q1_agg").foreach(f =>
-      f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // Untimed warm-up: pay the one-time session costs (Janino/JIT of the
+    // codegen pipeline, shuffle + noop-sink machinery, parquet footers of
+    // every table) before the first measured query. One agg query drives
+    // the scan/shuffle/codegen path; the per-table counts force every
+    // footer read. Deliberately NOT per-query warm-up — each measured
+    // query still pays its own planning and codegen, exactly as a fresh
+    // caller would.
+    try {
+      SparkEntry.queries.get("q1_agg").foreach(f =>
+        f(spark, sfDir).write.format("noop").mode("overwrite").save())
+      graft.compile.Catalog.TableNames.foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").write
+          .format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (n, f) => run(n, f) }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the tuned local-mode session config shared by every
+  * entry point (Bench / Verify / Smoke / Explain / tests).
+  *
+  * Two settings here are load-bearing for single-JVM throughput, found by
+  * thread-dumping a stalled first run:
+  *
+  *  - `spark.sql.artifact.isolation.enabled=false` — with session
+  *    artifact isolation on (the 4.x default), executor-side whole-stage
+  *    codegen compiles resolve speculative Janino class probes through an
+  *    RPC-backed classloader (one blocking file-download round trip per
+  *    miss) while every other task queues on the codegen cache KeyLock.
+  *    First compile of each distinct generated class then costs seconds;
+  *    across ~60 bench queries that multiplies into minutes. We ship no
+  *    per-session artifacts, so isolation buys nothing here.
+  *  - `spark.sql.icu.caseMappings.enabled=false` — the ICU-backed
+  *    `lower()`/`upper()` path allocates ICU case-map machinery per call
+  *    until JIT warms, ~10× the cost of the JVM fast path on our
+  *    all-ASCII corpus, where the two are semantically identical (and
+  *    identical to the DuckDB oracle's `lower`).
+  *
+  * Shuffle partitions default to the core count: local[N] has exactly N
+  * execution slots, so more partitions only add scheduling overhead while
+  * fewer leave cores idle. On a real cluster this knob scales with
+  * executor count × cores (SCALE.md).
+  */
+object LocalSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -9,13 +9,7 @@ import graft.ir._
   * few edge probes on the lucene front end. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.get(8)
 
     val e = SparkEntry.entry(spark)
     val rows = e.collect()

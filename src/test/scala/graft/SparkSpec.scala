@@ -5,18 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites. */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession =
+    LocalSession.builder(8).appName("graft-test").getOrCreate() match {
+      case s => s.sparkContext.setLogLevel("WARN"); s
+    }
 }
 
 trait SparkSpec extends AnyFunSuite {
