@@ -854,6 +854,81 @@ object MetricQueries {
       |  round((cerr / 86400.0) / (call / 86400.0), 6) AS value
       |FROM d WHERE cerr > 0 ORDER BY bucket""".stripMargin
 
+  /** PromQL subquery at the driver gate: the inner expression
+    * `sum by (ServiceName) (mem)` evaluates as its own range query at 1h
+    * resolution, then `max_over_time(…[4h:1h])` slides a 4-hour lookback
+    * over those inner evaluations at each outer step — each inner point
+    * feeds exactly 4 eval buckets
+    * (reference proxies full PromQL, api/src/routers/api/prometheus.ts:413). */
+  def q59_promql_subquery(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "max_over_time(sum by (ServiceName) (mem)[4h:1h])", 3600))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q59_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS u,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT u, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY u, event_type, user_id),
+      |inner_s AS (
+      |  SELECT u, event_type, sum(v) AS sv FROM last GROUP BY u, event_type),
+      |ex AS (
+      |  SELECT unnest(generate_series(u, u + 3*3600, 3600)) AS bucket,
+      |         event_type, sv
+      |  FROM inner_s)
+      |SELECT bucket, event_type, round(max(sv), 2) AS value
+      |FROM ex GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** label_join + clamp_max at the driver gate: re-key series by the
+    * joined (ServiceName, user) label, sum per joined key, cap the vector
+    * — label machinery (join/replace) composing with the clamp family. */
+  def q60_promql_labeljoin(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir)
+      .filter(col("user_id") % 100 === 0)
+      .select(
+        lit("mem").as("MetricName"),
+        col("event_type").as("ServiceName"),
+        col("ts").as("TimeUnix"),
+        col("value").as("Value"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      """clamp_max(sum by (k) (label_join(mem, "k", "-", "ServiceName", "user")), 120)""",
+      3600))
+      .withColumn("value", round(col("value"), 2))
+      .select("bucket", "k", "value")
+      .orderBy("bucket", "k")
+  }
+
+  val q60_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events WHERE user_id % 100 = 0),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |s AS (
+      |  SELECT bucket,
+      |         event_type || '-' || CAST(user_id AS VARCHAR) AS k,
+      |         sum(v) AS sv
+      |  FROM last GROUP BY 1, 2)
+      |SELECT bucket, k, round(least(sv, 120), 2) AS value
+      |FROM s ORDER BY bucket, k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
@@ -868,6 +943,8 @@ object MetricQueries {
     "q56_promql_slide" -> (q56_promql_slide _),
     "q57_promql_qot" -> (q57_promql_qot _),
     "q58_promql_without" -> (q58_promql_without _),
+    "q59_promql_subquery" -> (q59_promql_subquery _),
+    "q60_promql_labeljoin" -> (q60_promql_labeljoin _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -887,6 +964,8 @@ object MetricQueries {
     "q56_promql_slide" -> q56_sql,
     "q57_promql_qot" -> q57_sql,
     "q58_promql_without" -> q58_sql,
+    "q59_promql_subquery" -> q59_sql,
+    "q60_promql_labeljoin" -> q60_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

@@ -173,6 +173,10 @@ object MetricCompiler {
       // cross-series pick orders by the series key — deterministic across
       // runs/partitionings, unlike an arbitrary-row pick
       case "last_value" => max_by(v, col(SeriesKey))
+      // exact interpolated percentile across series (reference aggFnExpr
+      // quantile over gauge last_values, renderChartConfig.ts:648-657)
+      case q if q.startsWith("quantile:") =>
+        call_function("percentile", v, lit(q.drop("quantile:".length).toDouble))
       case other =>
         throw new IllegalArgumentException(s"unsupported gauge agg: $other")
     }

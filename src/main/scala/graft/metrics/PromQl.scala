@@ -16,13 +16,18 @@ import graft.functions.CoreFunctions._
   *   mul      := primary (('*' | '/') primary)*
   *   primary  := aggr | func | selector | number | '(' expr ')'
   *   aggr     := (sum|avg|min|max|count) [by (l1, l2…) | without (l1…)] ( expr )
+  *            | quantile [by (…) | without (…)] ( φ, expr )
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
   *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
-  *            | quantile_over_time( φ, selector [dur] )
+  *            | (…)_over_time( expr [range ':' [substep]] )   — subquery
+  *            | quantile_over_time( φ, selector [dur] | expr [r:s] )
   *            | label_replace( expr, "dst", "repl", "src", "regex" )
+  *            | label_join( expr, "dst", "sep", "src"… )
+  *            | clamp( expr, lo, hi ) | clamp_min( expr, lo )
+  *            | clamp_max( expr, hi ) | absent( selector )
   *   selector := metric_name [{ label op "value", … }] [offset]
   *               op ∈ {=, !=, =~, !~}
   *   binop    := expr op [on (l1…) | ignoring (l1…)] [group_left [(l1…)]] expr
@@ -90,6 +95,22 @@ object PromQl {
     * of quantile_over_time. */
   final case class OverTime(op: String, sel: Selector,
       windowSeconds: Long, level: Option[Double] = None) extends Expr
+  /** `*_over_time(expr[range:subStep])` — a PromQL subquery: evaluate the
+    * inner expression as its own range query at `subStep` resolution, then
+    * aggregate the inner evaluations falling in each outer step's
+    * (t − range, t] lookback. `subStep = 0` inherits the outer step. */
+  final case class OverTimeSub(op: String, inner: Expr,
+      rangeSeconds: Long, subStep: Long,
+      level: Option[Double] = None) extends Expr
+  /** clamp(expr, lo, hi) / clamp_min / clamp_max. */
+  final case class Clamp(inner: Expr, lo: Option[Double],
+      hi: Option[Double]) extends Expr
+  /** absent(selector): 1 at each step bucket where the selector matches no
+    * samples (evaluated over the frame's observed bucket spine). */
+  final case class Absent(sel: Selector) extends Expr
+  /** label_join(inner, dst, sep, src…): dst = join(sep, src values). */
+  final case class LabelJoin(inner: Expr, dst: String, sep: String,
+      srcs: Seq[String]) extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -188,6 +209,25 @@ object PromQl {
           val inner = parseAddSub()
           ws(); expect(')')
           Aggr(ident, by, inner, without)
+        case "quantile" =>
+          // quantile [by (…)|without (…)] ( φ, expr ) — cross-series
+          // percentile per bucket; the level rides inside the op string
+          // ("quantile:φ") so the Aggr shape stays unchanged
+          var by: Seq[String] = Nil
+          var without = false
+          if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
+            i += 2; ws(); by = readParenIdents()
+          } else if (s.startsWith("without", i) && !isIdentChar(i + 7)) {
+            i += 7; ws(); by = readParenIdents(); without = true
+          }
+          ws(); expect('(')
+          ws()
+          val phi = readWhile(c => c.isDigit || c == '.')
+          if (phi.isEmpty) fail("expected quantile level")
+          ws(); expect(',')
+          val inner = parseAddSub()
+          ws(); expect(')')
+          Aggr(s"quantile:$phi", by, inner, without)
         case "rate" | "increase" =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -229,13 +269,7 @@ object PromQl {
             Set("avg", "min", "max", "sum", "count", "last")
               .contains(ot.dropRight(10)) =>
           expect('(')
-          val sel0 = parseSelector(readIdent())
-          if (sel0.offsetSeconds != 0)
-            fail("offset must follow the range selector ([dur] offset d)")
-          val w = readDuration()
-          val off = readOffsetOpt()
-          ws(); expect(')')
-          OverTime(ot.dropRight(10), sel0.copy(offsetSeconds = off), w)
+          parseOverTimeBody(ot.dropRight(10), level = None)
         case "label_replace" =>
           expect('(')
           val inner = parseAddSub()
@@ -254,19 +288,92 @@ object PromQl {
           ws()
           val phi = readWhile(c => c.isDigit || c == '.')
           if (phi.isEmpty) fail("expected quantile level")
+          ws(); expect(',')
+          parseOverTimeBody("quantile", level = Some(phi.toDouble))
+        case "clamp" | "clamp_min" | "clamp_max" =>
+          expect('(')
+          val inner = parseAddSub()
           ws(); expect(','); ws()
-          val sel0 = parseSelector(readIdent())
-          if (sel0.offsetSeconds != 0)
-            fail("offset must follow the range selector ([dur] offset d)")
-          val w = readDuration()
-          val off = readOffsetOpt()
+          val a = readNumber()
+          val e = ident match {
+            case "clamp_min" => Clamp(inner, Some(a), None)
+            case "clamp_max" => Clamp(inner, None, Some(a))
+            case _ =>
+              ws(); expect(','); ws()
+              val b = readNumber()
+              Clamp(inner, Some(a), Some(b))
+          }
           ws(); expect(')')
-          OverTime("quantile", sel0.copy(offsetSeconds = off), w,
-            Some(phi.toDouble))
+          e
+        case "absent" =>
+          expect('(')
+          ws()
+          val sel = parseSelector(readIdent())
+          ws(); expect(')')
+          Absent(sel)
+        case "label_join" =>
+          expect('(')
+          val inner = parseAddSub()
+          ws(); expect(','); ws()
+          val dst = readString()
+          ws(); expect(','); ws()
+          val sep = readString()
+          val srcs = Seq.newBuilder[String]
+          ws()
+          while (i < s.length && s(i) == ',') {
+            i += 1; ws()
+            srcs += readString()
+            ws()
+          }
+          expect(')')
+          LabelJoin(inner, dst, sep, srcs.result())
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
       e
+    }
+
+    /** Body of a `*_over_time(…)` call, after the '(' (and φ, for
+      * quantile): either the classic `selector[dur] [offset d]` range
+      * form, or a subquery `expr[range:substep]` (empty substep inherits
+      * the outer step). */
+    private def parseOverTimeBody(op: String, level: Option[Double])
+        : Expr = {
+      val inner = parseAddSub()
+      ws(); expect('[')
+      val n = readWhile(_.isDigit)
+      if (n.isEmpty) fail("expected duration")
+      val range = n.toLong * durationMult({ val u = s(i); i += 1; u })
+      ws()
+      if (i < s.length && s(i) == ':') {
+        i += 1; ws()
+        val m = readWhile(_.isDigit)
+        val sub =
+          if (m.isEmpty) 0L
+          else m.toLong * durationMult({ val u = s(i); i += 1; u })
+        expect(']')
+        ws(); expect(')')
+        OverTimeSub(op, inner, range, sub, level)
+      } else {
+        expect(']')
+        val off = readOffsetOpt()
+        ws(); expect(')')
+        inner match {
+          case sel: Selector =>
+            if (sel.offsetSeconds != 0)
+              fail("offset must follow the range selector ([dur] offset d)")
+            OverTime(op, sel.copy(offsetSeconds = off), range, level)
+          case _ => fail("a plain [dur] range needs a selector; use " +
+            "[range:step] to aggregate over an expression")
+        }
+      }
+    }
+
+    private def readNumber(): Double = {
+      val sign = if (i < s.length && s(i) == '-') { i += 1; "-" } else ""
+      val n = readWhile(c => c.isDigit || c == '.')
+      if (n.isEmpty) fail("expected number")
+      (sign + n).toDouble
     }
 
     private def parseSelector(name: String): Selector = {
@@ -417,6 +524,9 @@ object PromQl {
         // rate / over-time fast paths (and `without`'s surviving-label
         // computation) working on the REWRITTEN label set
         compile(applyLabelReplace(df, lr), Aggr(op, by, lr.inner, w), step)
+      case Aggr(op, by, lj: LabelJoin, w) =>
+        // label_join hoists identically to label_replace
+        compile(applyLabelJoin(df, lj), Aggr(op, by, lj.inner, w), step)
       case Aggr(op, drop, inner, true) =>
         // `without (l…)`: group by every surviving label. The surviving set
         // is serialized into one canonical `labels` JSON column (sorted
@@ -528,6 +638,68 @@ object PromQl {
         }
       case lr: LabelReplace =>
         compile(applyLabelReplace(df, lr), lr.inner, step)
+      case lj: LabelJoin =>
+        compile(applyLabelJoin(df, lj), lj.inner, step)
+      case ots: OverTimeSub =>
+        // subquery: evaluate the inner expression as its own range query
+        // at subStep resolution, then slide the outer (t − range, t]
+        // lookback over the inner evaluations with the same
+        // explode-to-contributing-steps trick as *_over_time — fan-out
+        // bounded by ⌈range/step⌉, one extra hash shuffle total
+        val sub = if (ots.subStep == 0) step else ots.subStep
+        val inner = compile(df, ots.inner, sub)
+        val labels = inner.columns.toSeq
+          .filterNot(c => c == TimeBucketAlias || c == "value")
+        val v = col("value")
+        val agg = ots.op match {
+          case "avg" => avg(v)
+          case "min" => min(v)
+          case "max" => max(v)
+          case "sum" => sum(v)
+          case "count" => count(v)
+          case "last" => max_by(v, col("__u"))
+          case "quantile" => call_function("percentile", v,
+            lit(ots.level.getOrElse(throw new PromQlParseException(
+              "quantile_over_time needs a level"))))
+        }
+        val range = ots.rangeSeconds
+        inner
+          .withColumn("__u", unix_timestamp(col(TimeBucketAlias)))
+          .withColumn("__tmin",
+            expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+          .withColumn("__tmax",
+            expr(s"((__u + ${range - 1}) DIV $step) * $step"))
+          .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+            sequence(col("__tmin"), col("__tmax"), lit(step)))))
+          .drop(TimeBucketAlias)
+          .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
+          .groupBy((col(TimeBucketAlias) +: labels.map(col)): _*)
+          .agg(agg.as("value"))
+      case Clamp(inner, lo, hi) =>
+        val g = compile(df, inner, step)
+        val clamped = (lo, hi) match {
+          case (Some(l), Some(h)) => least(greatest(col("value"), lit(l)),
+            lit(h))
+          case (Some(l), None) => greatest(col("value"), lit(l))
+          case (None, Some(h)) => least(col("value"), lit(h))
+          case _ => col("value")
+        }
+        g.withColumn("value", clamped)
+      case Absent(sel) =>
+        // 1 at each step bucket of the frame's observed spine where the
+        // selector matches nothing; equality-matcher labels are echoed
+        // like Prometheus (documented deviation: the spine is the frame's
+        // observed buckets, not an explicit query range)
+        val spine = df
+          .select(timeBucket(col("TimeUnix"), step).as(TimeBucketAlias))
+          .distinct()
+        val present = applySelector(df, sel)
+          .select(timeBucket(col("TimeUnix"), step).as(TimeBucketAlias))
+          .distinct()
+        val gaps = spine.join(present, Seq(TimeBucketAlias), "left_anti")
+          .withColumn("value", lit(1.0))
+        sel.matchers.filter(_._2 == "=").foldLeft(gaps)((d, m) =>
+          d.withColumn(m._1, lit(m._3)))
       case ScalarLit(_) =>
         throw new PromQlParseException(
           "scalar-only expressions are not queries")
@@ -541,6 +713,9 @@ object PromQl {
       case "min" => min(col("value"))
       case "max" => max(col("value"))
       case "count" => count(col("value"))
+      case q if q.startsWith("quantile:") =>
+        call_function("percentile", col("value"),
+          lit(q.drop("quantile:".length).toDouble))
     }
     g.groupBy((col(TimeBucketAlias) +: by.map(col)): _*)
       .agg(agg.as("value"))
@@ -606,6 +781,20 @@ object PromQl {
     val rewritten = when(!srcV.rlike(anchored), col("Attributes"))
       .when(newV === "", dstRemoved)
       .otherwise(map_concat(dstRemoved, map(lit(lr.dst), newV)))
+    df.withColumn("Attributes", rewritten)
+  }
+
+  /** label_join as a frame rewrite: dst = sep-joined src label values
+    * (missing labels contribute empty strings, like Prometheus); an
+    * all-empty join result drops dst. Same Attributes re-keying rules as
+    * [[applyLabelReplace]]. */
+  private def applyLabelJoin(df: DataFrame, lj: LabelJoin): DataFrame = {
+    // concat_ws skips NULLs (Prometheus keeps empties), so coalesce first
+    val joined = concat_ws(lj.sep,
+      lj.srcs.map(s => coalesce(labelCol(s, df).cast("string"), lit(""))): _*)
+    val dstRemoved = map_filter(col("Attributes"), (k, _) => k =!= lj.dst)
+    val rewritten = when(joined === "", dstRemoved)
+      .otherwise(map_concat(dstRemoved, map(lit(lj.dst), joined)))
     df.withColumn("Attributes", rewritten)
   }
 

@@ -309,4 +309,96 @@ class PromQlSpec extends SparkSpec {
     // 00:00 → [100]; 01:00 → [100,160,20] median 100; 02:00 → [160,20]
     assert(out == Seq(100.0, 100.0, 90.0))
   }
+
+  test("parser: subquery, clamp, absent, label_join, quantile aggr") {
+    import PromQl._
+    assert(parse("max_over_time(rate(m[5m])[1h:5m])") ==
+      OverTimeSub("max", Rate(Selector("m", Nil), 300, increase = false),
+        3600, 300))
+    assert(parse("avg_over_time(sum(m)[1h:])") ==
+      OverTimeSub("avg", Aggr("sum", Nil, Selector("m", Nil)), 3600, 0))
+    assert(parse("quantile_over_time(0.9, sum(m)[1h:10m])") ==
+      OverTimeSub("quantile", Aggr("sum", Nil, Selector("m", Nil)),
+        3600, 600, Some(0.9)))
+    assert(parse("clamp_min(m, 5)") ==
+      Clamp(Selector("m", Nil), Some(5.0), None))
+    assert(parse("clamp(m, 0, 1)") ==
+      Clamp(Selector("m", Nil), Some(0.0), Some(1.0)))
+    assert(parse("""absent(m{job="x"})""") ==
+      Absent(Selector("m", Seq(("job", "=", "x")))))
+    assert(parse("""label_join(m, "dst", "-", "a", "b")""") ==
+      LabelJoin(Selector("m", Nil), "dst", "-", Seq("a", "b")))
+    assert(parse("quantile by (host) (0.9, m)") ==
+      Aggr("quantile:0.9", Seq("host"), Selector("m", Nil)))
+    // plain range on a non-selector must point at the subquery form
+    intercept[PromQlParseException](parse("max_over_time(sum(m)[1h])"))
+  }
+
+  test("subquery: outer window aggregates inner evaluations") {
+    // inner: sum(requests_total) at 1m steps → 100 @00:00, 160 @00:01,
+    // 20 @00:02 (per-series last value, one series, summed).
+    // outer max_over_time[2h:1m] at 1h steps: eval 00:00 sees the 00:00
+    // inner point; 01:00 sees all three; 02:00 sees the 00:01/00:02 points
+    val out = PromQl.eval(counters,
+      "max_over_time(sum(requests_total)[2h:1m])", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(100.0, 160.0, 160.0))
+  }
+
+  test("subquery with empty substep inherits the outer step") {
+    val a = PromQl.eval(counters,
+      "max_over_time(sum(requests_total)[2h:])", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    val b = PromQl.eval(counters,
+      "max_over_time(sum(requests_total)[2h:1h])", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("subquery keeps the inner expression's labels") {
+    val out = PromQl.eval(gauges,
+      "max_over_time(sum by (ServiceName) (mem_usage)[1h:1h])", 3600)
+      .select("ServiceName", "value").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("api", 80.0)))
+  }
+
+  test("clamp_min / clamp_max bound the vector") {
+    val lo = PromQl.eval(gauges,
+      "clamp_min(sum by (ServiceName) (mem_usage), 100)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(lo == Seq(100.0))
+    val hi = PromQl.eval(gauges,
+      "clamp_max(sum by (ServiceName) (mem_usage), 42)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(hi == Seq(42.0))
+  }
+
+  test("absent: 1 on spine buckets without selector samples") {
+    // cpu_usage only has samples at minute 1 (bucket 00:00) — same bucket
+    // as the whole frame's spine → absent() is empty
+    assert(PromQl.eval(gauges, "absent(cpu_usage)", 3600).count() == 0)
+    // a metric that never occurs → 1 on the one spine bucket, with the
+    // equality matcher echoed as a label
+    val out = PromQl.eval(gauges, """absent(nope{job="x"})""", 3600)
+      .select("value", "job").as[(Double, String)].collect().toSeq
+    assert(out == Seq((1.0, "x")))
+  }
+
+  test("label_join concatenates source labels into dst") {
+    val out = PromQl.eval(gauges,
+      """sum by (k) (label_join(mem_usage, "k", "-", "ServiceName", "host"))""",
+      3600)
+      .orderBy("k")
+      .select("k", "value").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("api-a", 30.0), ("api-b", 50.0)))
+  }
+
+  test("quantile aggregation across series") {
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    // series last-values 30 (a) and 50 (b): p50 interpolates to 40
+    val out = PromQl.eval(withHost, "quantile(0.5, mem_usage)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(40.0))
+  }
 }
