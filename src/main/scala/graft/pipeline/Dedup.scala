@@ -181,7 +181,18 @@ object Dedup {
     // hashes: Jaccard over long arrays is identical modulo hash collisions
     // (~n²/2⁶⁴) and the pair scan compares 8-byte values instead of
     // strings.
+    // The signature frame feeds FIVE branches of this DAG (band explode,
+    // sig re-attach ×2, shingle re-attach ×2). Unpersisted, every branch
+    // would recompute the full scan + shingle + minhash lineage — ~24
+    // source scans in the physical plan, the single worst pattern at
+    // 100 TB where the text scan dominates. Persisting the compact
+    // (id, sig, sh) projection makes it one scan + one signature pass;
+    // MEMORY_AND_DISK spills gracefully when signatures outgrow executor
+    // memory. Lifetime: released on session end / spark.catalog
+    // .clearCache() — idiomatic for multi-branch library pipelines.
     val withSig = shingleMinhash(dfL, idCol, textCol, shingleN, k)
+      .select(col("id"), col("sig"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSh = withSig.select(col("id"), col("sh"))
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
@@ -363,8 +374,14 @@ object Dedup {
     require(maxHamming <= 3, "16-bit blocking is lossless only up to 3")
     val (dfL, idMap) = longIds(df, idCol)
     // one imperative pass per row (see simhashFrame) — bit-identical to
-    // the 64 interpreted bit-aggregate expressions, ~10× cheaper
+    // the 64 interpreted bit-aggregate expressions, ~10× cheaper.
+    // Persisted: both sides of the block self-join read this frame, and
+    // unpersisted each side would re-scan the text and re-run the
+    // fingerprint kernel (see minhashLsh for the same pattern). The cached
+    // projection is 16 bytes/row — the text column stays out of it.
     val withFp = simhashFrame(dfL, idCol, textCol)
+      .select(col("id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = withFp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("fp"), q * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -442,9 +459,12 @@ object Dedup {
       return restoreIds(exact, idMap, Seq("id_a", "id_b"))
     }
     val paired = {
+        // persisted: the bucket self-join reads this twice; unpersisted,
+        // each side re-scans the embeddings and recomputes norm+signature
         val withSig = base.withColumn("sig",
           Similarity.hyperplaneSignature(col("v"), planes, dim = 64,
             seed = 7))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         withSig.select(col("sig"), col("id").as("id_a"),
           col("v").as("v_a"), col("nrm").as("n_a"))
           .join(withSig.select(col("sig"), col("id").as("id_b"),
