@@ -929,6 +929,77 @@ object MetricQueries {
       |SELECT bucket, k, round(least(sv, 120), 2) AS value
       |FROM s ORDER BY bucket, k""".stripMargin
 
+  /** Comparison + bool modifier + math function at the driver gate:
+    * threshold the per-type gauge sum like an alert expression would
+    * (sqrt, then `> bool`, 1/0 output per bucket/type). */
+  def q61_promql_threshold(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "sqrt(sum by (ServiceName) (mem)) > bool 40", 3600))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q61_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id)
+      |SELECT bucket, event_type,
+      |  CASE WHEN sqrt(sum(v)) > 40 THEN 1.0 ELSE 0.0 END AS value
+      |FROM last GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Set-op `unless` at the driver gate: per-type gauge series minus the
+    * (bucket, type) pairs that saw a value-spike sample — the
+    * "alert unless maintenance-window" PromQL idiom. */
+  def q62_promql_unless(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    def shaped(metric: String, src: DataFrame): DataFrame = src.select(
+      lit(metric).as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    val frame = shaped("mem", e)
+      .unionByName(shaped("spike", e.filter(col("value") > 195)))
+    epochBucket(graft.metrics.PromQl.eval(frame,
+      "sum by (ServiceName) (mem) unless sum by (ServiceName) (spike)",
+      3600))
+      .withColumn("value", round(col("value"), 2))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q62_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |base AS (
+      |  SELECT bucket, event_type, round(sum(v), 2) AS value
+      |  FROM last GROUP BY bucket, event_type)
+      |SELECT b.bucket, b.event_type, b.value
+      |FROM base b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts p
+      |  WHERE p.value > 195 AND p.bucket = b.bucket
+      |    AND p.event_type = b.event_type)
+      |ORDER BY b.bucket, b.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
@@ -945,6 +1016,8 @@ object MetricQueries {
     "q58_promql_without" -> (q58_promql_without _),
     "q59_promql_subquery" -> (q59_promql_subquery _),
     "q60_promql_labeljoin" -> (q60_promql_labeljoin _),
+    "q61_promql_threshold" -> (q61_promql_threshold _),
+    "q62_promql_unless" -> (q62_promql_unless _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -966,6 +1039,8 @@ object MetricQueries {
     "q58_promql_without" -> q58_sql,
     "q59_promql_subquery" -> q59_sql,
     "q60_promql_labeljoin" -> q60_sql,
+    "q61_promql_threshold" -> q61_sql,
+    "q62_promql_unless" -> q62_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

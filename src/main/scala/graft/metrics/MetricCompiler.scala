@@ -177,6 +177,9 @@ object MetricCompiler {
       // quantile over gauge last_values, renderChartConfig.ts:648-657)
       case q if q.startsWith("quantile:") =>
         call_function("percentile", v, lit(q.drop("quantile:".length).toDouble))
+      // population statistics (PromQL stddev/stdvar aggregations)
+      case "stddev" => stddev_pop(v)
+      case "stdvar" => var_pop(v)
       case other =>
         throw new IllegalArgumentException(s"unsupported gauge agg: $other")
     }

@@ -11,12 +11,19 @@ import graft.functions.CoreFunctions._
   * function (packages/api/src/routers/api/prometheus.ts:413,534); here the
   * same query shapes compile onto the engine's own metric pipelines.
   *
-  * Supported grammar (the shapes the reference's dashboards emit):
-  *   expr     := mul (('+' | '-') mul)*
-  *   mul      := primary (('*' | '/') primary)*
-  *   primary  := aggr | func | selector | number | '(' expr ')'
-  *   aggr     := (sum|avg|min|max|count) [by (l1, l2…) | without (l1…)] ( expr )
+  * Supported grammar (the shapes the reference's dashboards emit), with
+  * Prometheus precedence (low → high): or; and/unless; comparisons; +/-;
+  * * and /; primary:
+  *   expr     := andU ('or' andU)*
+  *   andU     := cmp (('and' | 'unless') cmp)*
+  *   cmp      := sum (('>' '<' '>=' '<=' '==' '!=') ['bool'] [match] sum)*
+  *   sum      := mul (('+' | '-') [match] mul)*
+  *   mul      := primary (('*' | '/') [match] primary)*
+  *   primary  := aggr | func | mathfn | selector | number | '(' expr ')'
+  *   aggr     := (sum|avg|min|max|count|stddev|stdvar)
+  *                 [by (l1, l2…) | without (l1…)] ( expr )
   *            | quantile [by (…) | without (…)] ( φ, expr )
+  *   mathfn   := (abs|ceil|floor|round|exp|ln|log2|log10|sqrt|sgn)( expr )
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
   *            | topk( k, expr ) | bottomk( k, expr )
@@ -79,6 +86,15 @@ object PromQl {
       extra: Seq[String] = Nil)
   final case class BinOp(op: Char, l: Expr, r: Expr,
       matching: VectorMatch = VectorMatch()) extends Expr
+  /** Comparison binop (`> < >= <= == !=`): filter semantics keep matching
+    * left rows; with the `bool` modifier the result is 1/0 instead. */
+  final case class CmpOp(op: String, l: Expr, r: Expr, bool: Boolean,
+      matching: VectorMatch = VectorMatch()) extends Expr
+  /** Set binops `and` / `or` / `unless` over the shared label columns. */
+  final case class SetOp(op: String, l: Expr, r: Expr) extends Expr
+  /** Unary math function over a vector (abs, ceil, floor, round, exp, ln,
+    * log2, log10, sqrt, sgn). */
+  final case class MathFn(fn: String, inner: Expr) extends Expr
   /** label_replace(inner, dst, repl, src, regex): rewrite the Attributes
     * map before evaluating `inner`. */
   final case class LabelReplace(inner: Expr, dst: String, repl: String,
@@ -124,10 +140,60 @@ object PromQl {
       throw new PromQlParseException(s"$m at $i in '$s'")
 
     def parseExpr(top: Boolean): Expr = {
-      val e = parseAddSub()
+      val e = parseOr()
       ws()
       if (top && i < s.length) fail(s"trailing input '${s.substring(i)}'")
       e
+    }
+
+    /** Consume keyword `w` at the cursor when it is a whole word. */
+    private def kw(w: String): Boolean = {
+      ws()
+      if (s.startsWith(w, i) && !isIdentChar(i + w.length)) {
+        i += w.length; true
+      } else false
+    }
+
+    // Prometheus precedence (low → high): or; and/unless; comparisons;
+    // +/-; */; primary
+    private def parseOr(): Expr = {
+      var l = parseAndUnless()
+      ws()
+      while (kw("or")) { l = SetOp("or", l, parseAndUnless()); ws() }
+      l
+    }
+
+    private def parseAndUnless(): Expr = {
+      var l = parseComparison()
+      ws()
+      var done = false
+      while (!done) {
+        if (kw("and")) l = SetOp("and", l, parseComparison())
+        else if (kw("unless")) l = SetOp("unless", l, parseComparison())
+        else done = true
+        ws()
+      }
+      l
+    }
+
+    private def parseComparison(): Expr = {
+      var l = parseAddSub()
+      ws()
+      var found = true
+      while (found && i < s.length) {
+        val op = Seq(">=", "<=", "==", "!=", ">", "<")
+          .find(o => s.startsWith(o, i))
+        op match {
+          case Some(o) =>
+            i += o.length
+            val bool = kw("bool")
+            val m = parseMatching()
+            l = CmpOp(o, l, parseAddSub(), bool, m)
+            ws()
+          case None => found = false
+        }
+      }
+      l
     }
 
     private def parseAddSub(): Expr = {
@@ -186,7 +252,7 @@ object PromQl {
       ws()
       if (i < s.length && s(i) == '(') {
         i += 1
-        val e = parseAddSub()
+        val e = parseOr()
         expect(')')
         return e
       }
@@ -197,7 +263,8 @@ object PromQl {
       val ident = readIdent()
       ws()
       val e: Expr = ident match {
-        case "sum" | "avg" | "min" | "max" | "count" =>
+        case "sum" | "avg" | "min" | "max" | "count" | "stddev"
+            | "stdvar" =>
           var by: Seq[String] = Nil
           var without = false
           if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
@@ -206,7 +273,7 @@ object PromQl {
             i += 7; ws(); by = readParenIdents(); without = true
           }
           ws(); expect('(')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(')')
           Aggr(ident, by, inner, without)
         case "quantile" =>
@@ -225,7 +292,7 @@ object PromQl {
           val phi = readWhile(c => c.isDigit || c == '.')
           if (phi.isEmpty) fail("expected quantile level")
           ws(); expect(',')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
         case "rate" | "increase" =>
@@ -247,7 +314,7 @@ object PromQl {
           val k = readWhile(_.isDigit)
           if (k.isEmpty) fail("expected k")
           ws(); expect(',')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(')')
           TopK(k.toInt, inner, bottom = ident == "bottomk")
         case "histogram_quantile" =>
@@ -256,7 +323,7 @@ object PromQl {
           val phi = readWhile(c => c.isDigit || c == '.')
           if (phi.isEmpty) fail("expected quantile level")
           ws(); expect(',')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(')')
           inner match {
             case sel: Selector => HistQuantile(phi.toDouble, sel, Nil)
@@ -272,7 +339,7 @@ object PromQl {
           parseOverTimeBody(ot.dropRight(10), level = None)
         case "label_replace" =>
           expect('(')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(','); ws()
           val dst = readString()
           ws(); expect(','); ws()
@@ -292,7 +359,7 @@ object PromQl {
           parseOverTimeBody("quantile", level = Some(phi.toDouble))
         case "clamp" | "clamp_min" | "clamp_max" =>
           expect('(')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(','); ws()
           val a = readNumber()
           val e = ident match {
@@ -313,7 +380,7 @@ object PromQl {
           Absent(sel)
         case "label_join" =>
           expect('(')
-          val inner = parseAddSub()
+          val inner = parseOr()
           ws(); expect(','); ws()
           val dst = readString()
           ws(); expect(','); ws()
@@ -327,6 +394,12 @@ object PromQl {
           }
           expect(')')
           LabelJoin(inner, dst, sep, srcs.result())
+        case fn if Set("abs", "ceil", "floor", "round", "exp", "ln",
+            "log2", "log10", "sqrt", "sgn").contains(fn) =>
+          expect('(')
+          val inner = parseOr()
+          ws(); expect(')')
+          MathFn(fn, inner)
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
@@ -339,7 +412,7 @@ object PromQl {
       * the outer step). */
     private def parseOverTimeBody(op: String, level: Option[Double])
         : Expr = {
-      val inner = parseAddSub()
+      val inner = parseOr()
       ws(); expect('[')
       val n = readWhile(_.isDigit)
       if (n.isEmpty) fail("expected duration")
@@ -640,6 +713,79 @@ object PromQl {
         compile(applyLabelReplace(df, lr), lr.inner, step)
       case lj: LabelJoin =>
         compile(applyLabelJoin(df, lj), lj.inner, step)
+      case MathFn(fn, inner) =>
+        val g = compile(df, inner, step)
+        val v = col("value")
+        val mapped = fn match {
+          case "abs" => abs(v)
+          case "ceil" => ceil(v).cast("double")
+          case "floor" => floor(v).cast("double")
+          case "round" => round(v, 0)
+          case "exp" => exp(v)
+          case "ln" => log(v)
+          case "log2" => log2(v)
+          case "log10" => log10(v)
+          case "sqrt" => sqrt(v)
+          case "sgn" => signum(v)
+        }
+        g.withColumn("value", mapped)
+      case CmpOp(op, l, r, bool, matching) =>
+        def pred(a: Column, b: Column): Column = op match {
+          case ">" => a > b
+          case "<" => a < b
+          case ">=" => a >= b
+          case "<=" => a <= b
+          case "==" => a === b
+          case "!=" => a =!= b
+        }
+        def finish(d: DataFrame, p: Column): DataFrame =
+          if (bool) d.withColumn("value",
+            when(p, 1.0).otherwise(0.0))
+          else d.filter(p)
+        (l, r) match {
+          case (ScalarLit(_), ScalarLit(_)) =>
+            throw new PromQlParseException(
+              "scalar-only expressions are not queries")
+          case (_, ScalarLit(b)) =>
+            finish(compile(df, l, step), pred(col("value"), lit(b)))
+          case (ScalarLit(a), _) =>
+            finish(compile(df, r, step), pred(lit(a), col("value")))
+          case _ =>
+            // vector/vector: one-to-one match on (bucket ∩ shared labels)
+            // (on()/ignoring() adjust the key like arithmetic binops);
+            // filter semantics keep the LEFT side's value
+            val ld = compile(df, l, step).withColumnRenamed("value", "__lv")
+            val rd = compile(df, r, step).withColumnRenamed("value", "__rv")
+            val shared = ld.columns.toSeq
+              .filter(c => c != "__lv" && rd.columns.contains(c))
+            val keys: Seq[String] = matching.on match {
+              case Some(ons) => TimeBucketAlias +: ons
+              case None => shared.filterNot(matching.ignoring.contains)
+            }
+            val joined = ld.join(rd.select((keys.map(col) :+
+              col("__rv")): _*), keys)
+            finish(joined, pred(col("__lv"), col("__rv")))
+              .withColumnRenamed("__lv", "value")
+              .drop("__rv")
+        }
+      case SetOp(op, l, r) =>
+        val ld = compile(df, l, step)
+        val rd = compile(df, r, step)
+        val shared = ld.columns.toSeq
+          .filter(c => c != "value" && rd.columns.contains(c))
+        op match {
+          case "and" => ld.join(rd.select(shared.map(col): _*).distinct(),
+            shared, "left_semi")
+          case "unless" => ld.join(rd.select(shared.map(col): _*)
+            .distinct(), shared, "left_anti")
+          case "or" =>
+            // all left series, plus right series with no left match on the
+            // shared label columns
+            val rightOnly = rd.join(
+              ld.select(shared.map(col): _*).distinct(), shared,
+              "left_anti")
+            ld.unionByName(rightOnly, allowMissingColumns = true)
+        }
       case ots: OverTimeSub =>
         // subquery: evaluate the inner expression as its own range query
         // at subStep resolution, then slide the outer (t − range, t]
@@ -713,6 +859,9 @@ object PromQl {
       case "min" => min(col("value"))
       case "max" => max(col("value"))
       case "count" => count(col("value"))
+      // Prometheus stddev/stdvar are population statistics
+      case "stddev" => stddev_pop(col("value"))
+      case "stdvar" => var_pop(col("value"))
       case q if q.startsWith("quantile:") =>
         call_function("percentile", col("value"),
           lit(q.drop("quantile:".length).toDouble))

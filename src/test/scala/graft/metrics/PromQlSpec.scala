@@ -394,6 +394,76 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("api-a", 30.0), ("api-b", 50.0)))
   }
 
+  test("parser: comparisons, bool, set ops, math fns, stddev") {
+    import PromQl._
+    assert(parse("m > 5") ==
+      CmpOp(">", Selector("m", Nil), ScalarLit(5.0), bool = false))
+    assert(parse("m >= bool 5") ==
+      CmpOp(">=", Selector("m", Nil), ScalarLit(5.0), bool = true))
+    assert(parse("a and b") ==
+      SetOp("and", Selector("a", Nil), Selector("b", Nil)))
+    assert(parse("a unless b or c") ==
+      SetOp("or", SetOp("unless", Selector("a", Nil), Selector("b", Nil)),
+        Selector("c", Nil)))
+    // precedence: comparison binds tighter than and
+    assert(parse("a > 1 and b") ==
+      SetOp("and", CmpOp(">", Selector("a", Nil), ScalarLit(1.0),
+        bool = false), Selector("b", Nil)))
+    assert(parse("abs(m)") == MathFn("abs", Selector("m", Nil)))
+    assert(parse("stddev by (host) (m)") ==
+      Aggr("stddev", Seq("host"), Selector("m", Nil)))
+    // identifiers starting with keyword prefixes stay selectors
+    assert(parse("android + orders") ==
+      BinOp('+', Selector("android", Nil), Selector("orders", Nil)))
+  }
+
+  test("comparison filters the vector; bool maps to 1/0") {
+    val filtered = PromQl.eval(gauges,
+      "sum by (ServiceName) (mem_usage) > 100", 3600).count()
+    assert(filtered == 0) // 80 is not > 100
+    val kept = PromQl.eval(gauges,
+      "sum by (ServiceName) (mem_usage) > 50", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(kept == Seq(80.0))
+    val b = PromQl.eval(gauges,
+      "sum by (ServiceName) (mem_usage) > bool 100", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(b == Seq(0.0))
+  }
+
+  test("set ops: and keeps matches, unless drops them, or unions") {
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    // mem by host = {a: 30, b: 50}; cpu by host = {a: 99}
+    val and = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) and sum by (host) (cpu_usage)", 3600)
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(and == Seq(("a", 30.0)))
+    val unless = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) unless sum by (host) (cpu_usage)", 3600)
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(unless == Seq(("b", 50.0)))
+    val or = PromQl.eval(withHost,
+      "sum by (host) (cpu_usage) or sum by (host) (mem_usage)", 3600)
+      .orderBy("host")
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(or == Seq(("a", 99.0), ("b", 50.0)))
+  }
+
+  test("math functions apply to the value column") {
+    val out = PromQl.eval(gauges,
+      "sqrt(sum by (ServiceName) (mem_usage) + 20)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(10.0))
+  }
+
+  test("stddev across series is the population deviation") {
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    // series last-values 30, 50 → mean 40, population stddev 10
+    val out = PromQl.eval(withHost, "stddev(mem_usage)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(10.0))
+  }
+
   test("quantile aggregation across series") {
     val withHost = PromQl.withLabels(gauges, Seq("host"))
     // series last-values 30 (a) and 50 (b): p50 interpolates to 40
