@@ -397,6 +397,71 @@ object PipelineQueries {
       |  md5(frame) AS frame_md5
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Language-ID at the driver gate: the testdata corpus is English, so a
+    * deterministic planted row per non-English profile (de/es/fr, a CJK
+    * line, and a stopword-free line) exercises every branch of the
+    * heuristic. Oracle replicates the same stopword-ratio math; Spark's
+    * greatest-of-(score, lang) structs is mirrored by the window's
+    * ORDER BY score DESC, lang DESC. */
+  def q63_langid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (2000001L, "der hund und die katze ist nicht auf dem tisch mit der"),
+      (2000002L, "el perro y la casa es una historia que en un libro por"),
+      (2000003L, "le chat et la maison est dans une rue que pour le matin"),
+      (2000004L, "漢字漢字漢字漢字漢字"),
+      (2000005L, "zzz qqq xxx kkk www")).toDF("doc_id", "text")
+    val corpus = docs(spark, dir).select("doc_id", "text")
+      .unionByName(planted)
+    corpus
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+      .orderBy("lang")
+  }
+
+  val q63_sql: String = {
+    val profiles = TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val arms = profiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$lang' AS lang,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> list_contains($lst, t)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM toks""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), text FROM (VALUES
+       |    (2000001, 'der hund und die katze ist nicht auf dem tisch mit der'),
+       |    (2000002, 'el perro y la casa es una historia que en un libro por'),
+       |    (2000003, 'le chat et la maison est dans une rue que pour le matin'),
+       |    (2000004, '漢字漢字漢字漢字漢字'),
+       |    (2000005, 'zzz qqq xxx kkk www')) AS t(doc_id, text)),
+       |toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+       |      AS cjk,
+       |    length(text) AS n
+       |  FROM corpus),
+       |scored AS (
+       |  $arms),
+       |best AS (
+       |  SELECT doc_id, lang, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scored),
+       |lng AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN t.cjk * 2 > t.n THEN 'zh'
+       |         WHEN b.score > 0 THEN b.lang
+       |         ELSE 'und' END AS lang
+       |  FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1)
+       |SELECT lang, count(*) AS n, min(doc_id) AS first_id
+       |FROM lng GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,7 +477,8 @@ object PipelineQueries {
     "q29_fingerprint" -> (q29_fingerprint _),
     "q42_ann_ivf" -> (q42_ann_ivf _),
     "q45_multimodal" -> (q45_multimodal _),
-    "q47_embed_lsh" -> (q47_embed_lsh _))
+    "q47_embed_lsh" -> (q47_embed_lsh _),
+    "q63_langid" -> (q63_langid _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -428,5 +494,6 @@ object PipelineQueries {
     // exhaustive IVF == brute force: same oracle as q25
     "q42_ann_ivf" -> q25_sql,
     "q45_multimodal" -> q45_sql,
-    "q47_embed_lsh" -> q47_sql)
+    "q47_embed_lsh" -> q47_sql,
+    "q63_langid" -> q63_sql)
 }
