@@ -137,9 +137,16 @@ object BuilderSql {
     val havingSql = q.having match {
       case None => ""
       case Some(Cond.Sql(sql)) => s"\nHAVING $sql"
-      case Some(Cond.Lucene(_)) =>
-        return Left("lucene HAVING resolves against output aliases at " +
-          "execution time; use a sql HAVING to render")
+      case Some(lucene @ Cond.Lucene(_)) =>
+        // resolve against the compiled frame's OUTPUT schema — exactly the
+        // resolver the engine builds at execution time (QueryCompiler's
+        // having path), so alias references serialize identically.
+        // Planning the having-less query is schema-only (no action).
+        val aggSchema =
+          QueryCompiler.compile(q.copy(having = None), catalog).schema
+        val hctx = LuceneContext(
+          new graft.lucene.FieldResolver(aggSchema), None)
+        s"\nHAVING ${sqlOf(QueryCompiler.compileCond(lucene, hctx))}"
     }
     val orderItems = step.map(_ => quoteIdent(TimeBucketAlias)).toSeq ++
       q.orderBy.map(o => s"${o.expression}${if (o.desc) " DESC" else ""}")

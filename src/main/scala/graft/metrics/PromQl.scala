@@ -26,6 +26,7 @@ import graft.functions.CoreFunctions._
   *   mathfn   := (abs|ceil|floor|round|exp|ln|log2|log10|sqrt|sgn)( expr )
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
+  *            | delta( selector [dur] [offset] )   — extrapolated gauge delta
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
   *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
@@ -295,6 +296,17 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
+        case "delta" =>
+          // gauge delta over the sliding window, extrapolated to the full
+          // range like Prometheus ((last-first)·range/(tlast-tfirst))
+          expect('(')
+          val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
+          val w = readDuration()
+          val off = readOffsetOpt()
+          ws(); expect(')')
+          OverTime("delta", sel0.copy(offsetSeconds = off), w)
         case "rate" | "increase" =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -883,17 +895,6 @@ object PromQl {
       by: Seq[String], stepSeconds: Long): DataFrame = {
     val src = withLabels(applySelector(df, ot.sel), by)
     val v = col("Value").cast("double")
-    val agg = ot.op match {
-      case "avg" => avg(v)
-      case "min" => min(v)
-      case "max" => max(v)
-      case "sum" => sum(v)
-      case "count" => count(v)
-      case "last" => max_by(v, col("TimeUnix"))
-      case "quantile" => call_function("percentile", v,
-        lit(ot.level.getOrElse(throw new PromQlParseException(
-          "quantile_over_time needs a level"))))
-    }
     val range = ot.windowSeconds
     // integer ceil-division bounds: first eval step ≥ u, last eval step
     // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
@@ -909,10 +910,37 @@ object PromQl {
       .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
         sequence(col("__tmin"), col("__tmax"), lit(stepSeconds)))))
       .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
-    stepped
+    val grouped = stepped
       .groupBy((col("__series") +: col(TimeBucketAlias) +:
         by.map(col)): _*)
-      .agg(agg.as("value"))
+    ot.op match {
+      case "delta" =>
+        // extrapolated gauge delta: (last − first) · range / (tlast −
+        // tfirst), 0 for a single-point window (the engine's gaugeDelta
+        // math evaluated per sliding window)
+        grouped
+          .agg(max_by(v, col("__u")).as("__vl"),
+            min_by(v, col("__u")).as("__vf"),
+            max(col("__u")).as("__ul"), min(col("__u")).as("__uf"))
+          .withColumn("value",
+            when(col("__ul") === col("__uf"), lit(0.0))
+              .otherwise((col("__vl") - col("__vf")) * lit(range) /
+                (col("__ul") - col("__uf"))))
+          .drop("__vl", "__vf", "__ul", "__uf")
+      case op =>
+        val agg = op match {
+          case "avg" => avg(v)
+          case "min" => min(v)
+          case "max" => max(v)
+          case "sum" => sum(v)
+          case "count" => count(v)
+          case "last" => max_by(v, col("TimeUnix"))
+          case "quantile" => call_function("percentile", v,
+            lit(ot.level.getOrElse(throw new PromQlParseException(
+              "quantile_over_time needs a level"))))
+        }
+        grouped.agg(agg.as("value"))
+    }
   }
 
   /** label_replace as a frame rewrite: fully-anchored match against the

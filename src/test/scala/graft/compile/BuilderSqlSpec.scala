@@ -152,6 +152,17 @@ class BuilderSqlSpec extends SparkSpec {
       orderBy = Seq(OrderBy("status"))))
   }
 
+  test("lucene HAVING resolves against output aliases and renders") {
+    assertRoundTrip(Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("dur", Some("total"), Some(AggFn.Sum))),
+      from = "t",
+      groupBy = Seq("status"),
+      having = Some(Cond.Lucene("cnt:>=2 AND total:>20")),
+      orderBy = Seq(OrderBy("status"))))
+  }
+
   test("computed group expression keeps its verbatim name on both paths") {
     assertRoundTrip(Query(
       select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
@@ -185,7 +196,5 @@ class BuilderSqlSpec extends SparkSpec {
       dateRange = Some(QueryCompiler.range(
         "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z"))))
       .contains("auto granularity"))
-    assert(reason(base.copy(groupBy = Seq("svc"),
-      having = Some(Cond.Lucene("cnt:>1")))).contains("lucene"))
   }
 }

@@ -394,6 +394,18 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("api-a", 30.0), ("api-b", 50.0)))
   }
 
+  test("delta extrapolates (last - first) over the sliding window") {
+    // one series; points 100 @00:00, 160 @00:01, 20 @00:02.
+    // eval 00:00: single point → 0
+    // eval 01:00: first 100 @0s, last 20 @120s → (20-100)*7200/120 = -4800
+    // eval 02:00: first 160 @60s, last 20 @120s → (20-160)*7200/60 = -16800
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (delta(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(0.0, -4800.0, -16800.0))
+  }
+
   test("parser: comparisons, bool, set ops, math fns, stddev") {
     import PromQl._
     assert(parse("m > 5") ==
