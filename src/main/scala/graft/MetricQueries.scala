@@ -1000,6 +1000,85 @@ object MetricQueries {
       |    AND p.event_type = b.event_type)
       |ORDER BY b.bucket, b.event_type""".stripMargin
 
+  /** Prometheus-exact sliding rate at the driver gate: a clean cumulative
+    * counter per type (running count of events), increase() over a 4h
+    * lookback at 1h steps with boundary extrapolation — the oracle
+    * replicates extrapolatedRate's gap/threshold/zero-cap math
+    * term-for-term. */
+  def q64_promql_rate_sliding(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(spark, dir)
+    val perSec = e
+      .groupBy(col("event_type"), unix_timestamp(col("ts")).as("u"))
+      .agg(count(lit(1)).as("c"))
+    val cum = perSec.withColumn("v",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("u"))).cast("double"))
+    val shaped = cum.select(
+      lit("ctr").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      timestamp_seconds(col("u")).as("TimeUnix"),
+      col("v").as("Value"),
+      map().cast("map<string,string>").as("Attributes"),
+      lit(2).as("AggregationTemporality"),
+      lit(true).as("IsMonotonic"))
+    epochBucket(graft.metrics.PromQl.eval(shaped,
+      "sum by (ServiceName) (increase(ctr[4h]))", 3600,
+      prometheusRate = true))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q64_sql: String =
+    """WITH sec AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cumt AS (
+      |  SELECT event_type, u,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY u) AS DOUBLE)
+      |      AS v
+      |  FROM sec),
+      |ex AS (
+      |  SELECT event_type, u, v,
+      |    unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                           ((u + 14399) // 3600) * 3600, 3600)) AS t
+      |  FROM cumt),
+      |g AS (
+      |  SELECT t AS bucket, event_type, count(*) AS n,
+      |    min(u) AS tf, max(u) AS tl,
+      |    arg_min(v, u) AS af, arg_max(v, u) AS al
+      |  FROM ex GROUP BY 1, 2
+      |  HAVING count(*) >= 2 AND max(u) > min(u)),
+      |calc AS (
+      |  SELECT bucket, event_type,
+      |    CAST(tl - tf AS DOUBLE) AS sampled,
+      |    CAST(tl - tf AS DOUBLE) / (n - 1) AS avgiv,
+      |    al - af AS delta,
+      |    CAST(tf - (bucket - 14400) AS DOUBLE) AS sgap,
+      |    CAST(bucket - tl AS DOUBLE) AS egap,
+      |    af AS vf
+      |  FROM g),
+      |fin AS (
+      |  SELECT bucket, event_type, delta, sampled,
+      |    CASE WHEN delta > 0 AND vf >= 0
+      |              AND sampled * (vf / delta) <
+      |                  (CASE WHEN sgap >= avgiv * 1.1 THEN avgiv / 2
+      |                        ELSE sgap END)
+      |         THEN sampled * (vf / delta)
+      |         ELSE CASE WHEN sgap >= avgiv * 1.1 THEN avgiv / 2
+      |                   ELSE sgap END
+      |    END AS sdur,
+      |    CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END
+      |      AS edur
+      |  FROM calc)
+      |SELECT bucket, event_type,
+      |  round(delta * (sampled + sdur + edur) / sampled, 6) AS value
+      |FROM fin ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
@@ -1018,6 +1097,7 @@ object MetricQueries {
     "q60_promql_labeljoin" -> (q60_promql_labeljoin _),
     "q61_promql_threshold" -> (q61_promql_threshold _),
     "q62_promql_unless" -> (q62_promql_unless _),
+    "q64_promql_rate_sliding" -> (q64_promql_rate_sliding _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -1041,6 +1121,7 @@ object MetricQueries {
     "q60_promql_labeljoin" -> q60_sql,
     "q61_promql_threshold" -> q61_sql,
     "q62_promql_unless" -> q62_sql,
+    "q64_promql_rate_sliding" -> q64_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

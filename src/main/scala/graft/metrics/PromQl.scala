@@ -77,6 +77,10 @@ object PromQl {
       offsetSeconds: Long = 0) extends Expr
   final case class Rate(sel: Selector, windowSeconds: Long,
       increase: Boolean) extends Expr
+  /** Prometheus-exact sliding rate/increase (extrapolatedRate): produced
+    * by the `prometheusRate` rewrite, never by the parser directly. */
+  final case class RateSliding(sel: Selector, windowSeconds: Long,
+      increase: Boolean) extends Expr
   final case class Aggr(op: String, by: Seq[String], inner: Expr,
       without: Boolean = false) extends Expr
   /** Vector-matching modifiers on a binary op: `on`/`ignoring` pick the
@@ -559,9 +563,39 @@ object PromQl {
 
   /** Evaluate over an OTel metric frame (gauge or sum shape, FIXTURES §3)
     * as a range query at `stepSeconds`. Output: __time_bucket, grouping
-    * labels…, value. */
-  def eval(df: DataFrame, query: String, stepSeconds: Long): DataFrame =
-    compile(df, parse(query), stepSeconds)
+    * labels…, value.
+    *
+    * `prometheusRate = true` switches rate()/increase() to Prometheus's
+    * exact semantics: a sliding (t − range, t] lookback at every step with
+    * counter-reset monotonicization and boundary extrapolation
+    * (extrapolatedRate), instead of the engine's step-aligned tumbling
+    * counterRate (the reference's chart semantics, which stay the
+    * default). */
+  def eval(df: DataFrame, query: String, stepSeconds: Long,
+      prometheusRate: Boolean = false): DataFrame = {
+    val ast = parse(query)
+    compile(df, if (prometheusRate) rewriteRates(ast) else ast, stepSeconds)
+  }
+
+  /** Swap every Rate node for its sliding-semantics twin. */
+  private def rewriteRates(e: Expr): Expr = e match {
+    case Rate(sel, w, inc) => RateSliding(sel, w, inc)
+    case Aggr(op, by, inner, wo) => Aggr(op, by, rewriteRates(inner), wo)
+    case BinOp(op, l, r, m) =>
+      BinOp(op, rewriteRates(l), rewriteRates(r), m)
+    case CmpOp(op, l, r, b, m) =>
+      CmpOp(op, rewriteRates(l), rewriteRates(r), b, m)
+    case SetOp(op, l, r) => SetOp(op, rewriteRates(l), rewriteRates(r))
+    case MathFn(f, i) => MathFn(f, rewriteRates(i))
+    case LabelReplace(i, d, rp, src, rx) =>
+      LabelReplace(rewriteRates(i), d, rp, src, rx)
+    case LabelJoin(i, d, sep, ss) => LabelJoin(rewriteRates(i), d, sep, ss)
+    case TopK(k, i, b) => TopK(k, rewriteRates(i), b)
+    case Clamp(i, lo, hi) => Clamp(rewriteRates(i), lo, hi)
+    case OverTimeSub(op, i, r, s, l) =>
+      OverTimeSub(op, rewriteRates(i), r, s, l)
+    case other => other
+  }
 
   private def labelCol(label: String, df: DataFrame): Column =
     // well-known labels are physical columns; everything else resolves
@@ -603,6 +637,12 @@ object PromQl {
         val rated = MetricCompiler.counterRate(applySelector(df, sel), step)
         if (increase) rated.withColumnRenamed("rate", "value")
         else rated.withColumn("value", col("rate") / step).drop("rate")
+      case RateSliding(sel, range, increase) =>
+        // bare sliding rate mirrors the bare tumbling path: sum across
+        // series per eval bucket
+        slidingRate(df, sel, range, step, Nil, increase)
+          .groupBy(col(TimeBucketAlias))
+          .agg(sum(col("value")).as("value"))
       case Aggr(op, by, lr: LabelReplace, w) =>
         // hoist label_replace out of the aggregation: rewrite the frame,
         // then aggregate the inner expression on it — keeps the selector /
@@ -642,6 +682,9 @@ object PromQl {
               else perSeries.withColumn("value", col("rate") / step)
                 .drop("rate")
             aggregate0(valued, op, by)
+          case RateSliding(sel, range, increase) =>
+            aggregate0(slidingRate(df, sel, range, step, by, increase),
+              op, by)
           case ot: OverTime =>
             aggregate0(overTimePerSeries(df, ot, by, step), op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
@@ -941,6 +984,71 @@ object PromQl {
         }
         grouped.agg(agg.as("value"))
     }
+  }
+
+  /** Prometheus extrapolatedRate per series per sliding (t − range, t]
+    * window: monotonicize cumulative counters (running reset
+    * compensation; delta-temporality rows synthesize the cumulative
+    * series via a running sum), explode each sample to its contributing
+    * eval steps (same bounded fan-out as `*_over_time`), then per window
+    * compute `delta = adjLast − adjFirst` extrapolated to the window
+    * boundaries: gaps shorter than 1.1× the average sample interval
+    * extrapolate fully, longer gaps by half an interval, and a positive
+    * counter never extrapolates past its zero crossing. Windows with
+    * fewer than two samples produce no point, like Prometheus. */
+  private def slidingRate(df: DataFrame, sel: Selector, range: Long,
+      step: Long, by: Seq[String], increase: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = withLabels(applySelector(df, sel), by)
+    val keyed = src
+      .withColumn("__series", MetricCompiler.attributesHash(src))
+      .withColumn("__u", unix_timestamp(col("TimeUnix")))
+      .withColumn("__v", col("Value").cast("double"))
+    val w = Window.partitionBy(col("__series")).orderBy(col("__u"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("__v"), 1).over(w)
+    val resetComp = sum(when(prev > col("__v"), prev).otherwise(lit(0.0)))
+      .over(cum)
+    val runningSum = sum(col("__v")).over(cum)
+    val isDelta =
+      if (keyed.columns.contains("AggregationTemporality"))
+        col("AggregationTemporality") === 1
+      else lit(false)
+    val adj = keyed.withColumn("__adj",
+      when(isDelta, runningSum)
+        .otherwise(col("__v") + coalesce(resetComp, lit(0.0))))
+    val stepped = adj
+      .withColumn("__tmin",
+        expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+      .withColumn("__tmax",
+        expr(s"((__u + ${range - 1}) DIV $step) * $step"))
+      .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+        sequence(col("__tmin"), col("__tmax"), lit(step)))))
+    val g = stepped
+      .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
+      .agg(count(lit(1)).as("__n"),
+        min(col("__u")).as("__tf"), max(col("__u")).as("__tl"),
+        min_by(col("__adj"), col("__u")).as("__af"),
+        max_by(col("__adj"), col("__u")).as("__al"),
+        min_by(col("__v"), col("__u")).as("__vf"))
+      .filter(col("__n") >= 2 && col("__tl") > col("__tf"))
+    val sampled = (col("__tl") - col("__tf")).cast("double")
+    val avgIv = sampled / (col("__n") - 1)
+    val thresh = avgIv * 1.1
+    val delta = col("__al") - col("__af")
+    val startGap = (col("__tf") - (col("__t") - lit(range))).cast("double")
+    val endGap = (col("__t") - col("__tl")).cast("double")
+    val startDur0 = when(startGap >= thresh, avgIv / 2).otherwise(startGap)
+    val zeroDur = sampled * (col("__vf") / delta)
+    val startDur = when(delta > 0 && col("__vf") >= 0 &&
+      zeroDur < startDur0, zeroDur).otherwise(startDur0)
+    val endDur = when(endGap >= thresh, avgIv / 2).otherwise(endGap)
+    val inc = delta * (sampled + startDur + endDur) / sampled
+    g.withColumn("value",
+        if (increase) inc else inc / lit(range.toDouble))
+      .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
+      .select((col("__series") +: col(TimeBucketAlias) +: by.map(col) :+
+        col("value")): _*)
   }
 
   /** label_replace as a frame rewrite: fully-anchored match against the

@@ -394,6 +394,31 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("api-a", 30.0), ("api-b", 50.0)))
   }
 
+  test("prometheusRate: sliding extrapolated increase with reset") {
+    // cumulative series 100 @00:00, 160 @00:01, 20 @00:02 (reset) →
+    // monotonicized 100, 160, 180.
+    // t=00:00: 1 sample → no point.
+    // t=01:00 (window (−1h,1h]): n=3, tf=0 tl=120, delta=80, avg=60,
+    //   startGap=3600→30, zeroCap 120·(100/80)=150 (no), endGap=3480→30,
+    //   factor=(120+60)/120=1.5 → 120
+    // t=02:00 (window (0,2h] excludes u=0): n=2, tf=60 tl=120, delta=20,
+    //   avg=60, startGap=60<66→60, zeroCap 60·(160/20)=480 (no),
+    //   endGap=7080→30, factor=(60+90)/60=2.5 → 50
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (increase(requests_total[2h]))", 3600,
+      prometheusRate = true)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(120.0, 50.0))
+    // rate = increase / range
+    val r = PromQl.eval(counters,
+      "sum by (ServiceName) (rate(requests_total[2h]))", 3600,
+      prometheusRate = true)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(r == Seq(120.0 / 7200, 50.0 / 7200))
+  }
+
   test("delta extrapolates (last - first) over the sliding window") {
     // one series; points 100 @00:00, 160 @00:01, 20 @00:02.
     // eval 00:00: single point → 0
