@@ -27,6 +27,7 @@ import graft.functions.CoreFunctions._
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
   *            | delta( selector [dur] [offset] )   — extrapolated gauge delta
+  *            | irate | idelta ( selector [dur] )  — last-pair instant rate
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
   *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
@@ -300,9 +301,10 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
-        case "delta" =>
-          // gauge delta over the sliding window, extrapolated to the full
-          // range like Prometheus ((last-first)·range/(tlast-tfirst))
+        case "delta" | "irate" | "idelta" =>
+          // delta: gauge delta over the sliding window, extrapolated to
+          // the full range like Prometheus. irate/idelta: instant
+          // rate/difference from the window's last two samples.
           expect('(')
           val sel0 = parseSelector(readIdent())
           if (sel0.offsetSeconds != 0)
@@ -310,7 +312,7 @@ object PromQl {
           val w = readDuration()
           val off = readOffsetOpt()
           ws(); expect(')')
-          OverTime("delta", sel0.copy(offsetSeconds = off), w)
+          OverTime(ident, sel0.copy(offsetSeconds = off), w)
         case "rate" | "increase" =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -939,11 +941,23 @@ object PromQl {
     val src = withLabels(applySelector(df, ot.sel), by)
     val v = col("Value").cast("double")
     val range = ot.windowSeconds
-    // integer ceil-division bounds: first eval step ≥ u, last eval step
-    // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
-    val stepped = src
+    val needsPair = ot.op == "irate" || ot.op == "idelta"
+    val keyed0 = src
       .withColumn("__series", MetricCompiler.attributesHash(src))
       .withColumn("__u", unix_timestamp(col("TimeUnix")))
+    val keyed =
+      if (!needsPair) keyed0
+      else {
+        // pair each sample with its predecessor ONCE per series; the
+        // window pick then just selects the latest in-window pair
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__series")).orderBy(col("__u"))
+        keyed0.withColumn("__pu", lag(col("__u"), 1).over(w))
+          .withColumn("__pv", lag(v, 1).over(w))
+      }
+    // integer ceil-division bounds: first eval step ≥ u, last eval step
+    // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
+    val stepped = keyed
       .withColumn("__tmin",
         expr(s"((__u + ${stepSeconds - 1}) DIV $stepSeconds) * $stepSeconds"))
       .withColumn("__tmax",
@@ -957,6 +971,30 @@ object PromQl {
       .groupBy((col("__series") +: col(TimeBucketAlias) +:
         by.map(col)): _*)
     ot.op match {
+      case "irate" | "idelta" =>
+        // latest sample in the window whose PREDECESSOR is also inside
+        // (both samples of the instant pair must be in range, like
+        // Prometheus); irate clamps counter resets (v < prev ⇒ delta=v)
+        // and divides by the pair's gap, idelta is the raw difference
+        val inWindow = col("__pu").isNotNull &&
+          col("__pu") > col("__t") - lit(range)
+        val pick = max_by(
+          struct(col("__u").as("u"), col("__pu").as("pu"), v.as("v"),
+            col("__pv").as("pv")),
+          when(inWindow, col("__u"))).as("__p")
+        // re-assert the pair predicate on the picked struct: max_by may
+        // fall back to a null-keyed row when no row qualifies
+        val picked = grouped.agg(pick)
+          .filter(col("__p").isNotNull && col("__p.pu").isNotNull &&
+            col("__p.pu") >
+              unix_timestamp(col(TimeBucketAlias)) - lit(range))
+        val d = when(col("__p.v") < col("__p.pv"), col("__p.v"))
+          .otherwise(col("__p.v") - col("__p.pv"))
+        val value = ot.op match {
+          case "irate" => d / (col("__p.u") - col("__p.pu"))
+          case _ => col("__p.v") - col("__p.pv")
+        }
+        picked.withColumn("value", value).drop("__p")
       case "delta" =>
         // extrapolated gauge delta: (last − first) · range / (tlast −
         // tfirst), 0 for a single-point window (the engine's gaugeDelta

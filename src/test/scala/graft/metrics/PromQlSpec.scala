@@ -419,6 +419,25 @@ class PromQlSpec extends SparkSpec {
     assert(r == Seq(120.0 / 7200, 50.0 / 7200))
   }
 
+  test("irate/idelta use the window's last sample pair") {
+    // pairs: (100@0 → 160@60), (160@60 → 20@120 reset).
+    // eval 01:00 (window (-1h,1h]): last pair (160,20@120): reset → d=20,
+    //   gap 60 → irate 1/3
+    // eval 02:00 (window (0,2h]): pair (160@60, 20@120) both in window →
+    //   same; the (100@0,160@60) pair has pu=0 outside (0,7200]... pu must
+    //   be > 0, so only the latest pair qualifies anyway
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (irate(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(20.0 / 60, 20.0 / 60))
+    val id = PromQl.eval(counters,
+      "sum by (ServiceName) (idelta(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    assert(id == Seq(-140.0, -140.0))
+  }
+
   test("delta extrapolates (last - first) over the sliding window") {
     // one series; points 100 @00:00, 160 @00:01, 20 @00:02.
     // eval 00:00: single point → 0
