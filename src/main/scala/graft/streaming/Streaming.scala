@@ -31,15 +31,31 @@ object Streaming {
 
   /** Tumbling-window rollup with late-data tolerance: the incremental
     * equivalent of the reference's 15m kv rollup MVs. Output schema:
-    * window_start, groupBy…, cnt, sum_value. */
+    * window_start, groupBy…, cnt, sum_value[, hist_state, uniq_state].
+    *
+    * `withSketches` additionally maintains the MV-routing sketch partials
+    * (graft.functions.QuantileSketch): the quantile histogram and
+    * distinct-KMV columns MvRouter merges at query time. Both are
+    * BOUNDED-state mergeable Aggregators (≤ ~128 KiB per cell at any
+    * cardinality), so the streaming state store cannot grow past
+    * cells × cap — the streaming twin of the batch
+    * MvRouter.buildRollup(withSketches = true). */
   def rollup(stream: DataFrame, tsCol: String, valueCol: Option[String],
       stepSeconds: Long, groupBy: Seq[String],
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      withSketches: Boolean = false): DataFrame = {
     val aggs: Seq[Column] = count(lit(1)).as("cnt") +:
-      valueCol.toSeq.flatMap(v => Seq(
-        sum(toFloat64OrDefault(col(v))).as("sum_value"),
-        min(toFloat64OrDefault(col(v))).as("min_value"),
-        max(toFloat64OrDefault(col(v))).as("max_value")))
+      valueCol.toSeq.flatMap { v =>
+        val d = toFloat64OrDefault(col(v))
+        Seq(sum(d).as("sum_value"), min(d).as("min_value"),
+          max(d).as("max_value")) ++
+          (if (withSketches)
+            Seq(graft.functions.QuantileSketch.histState(d)
+              .as("hist_state"),
+              graft.functions.QuantileSketch.distinctState(d)
+                .as("uniq_state"))
+          else Nil)
+      }
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy((window(col(tsCol), s"$stepSeconds seconds")

@@ -52,6 +52,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 5.0), ("a", 1L, 10.0)))
   }
 
+  test("rollup with sketches answers quantile/distinct like the raw data") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "svc", "value")
+    val roll = Streaming.rollup(stream, "ts", Some("value"),
+      stepSeconds = 60, groupBy = Seq("svc"), withSketches = true)
+    val q = roll.writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    mem.addData(
+      (t("2024-01-01 00:00:10"), "a", 1.0),
+      (t("2024-01-01 00:00:20"), "a", 2.0),
+      (t("2024-01-01 00:00:30"), "a", 3.0),
+      (t("2024-01-01 00:00:40"), "a", 2.0))
+    q.processAllAvailable()
+    val merged = spark.sql("SELECT * FROM sketch_out")
+      .agg(
+        graft.functions.QuantileSketch
+          .quantileMerge(0.5, col("hist_state")).as("p50"),
+        graft.functions.QuantileSketch
+          .distinctMerge(col("uniq_state")).as("nd"))
+      .as[(Double, Long)].collect().head
+    q.stop()
+    // values 1,2,3,2 → p50 = 2.0 (interpolated exact), 3 distinct
+    assert(merged == ((2.0, 3L)))
+  }
+
   test("kv rollup counts map keys per window") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Map[String, String])]
