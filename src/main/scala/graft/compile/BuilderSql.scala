@@ -52,8 +52,14 @@ object BuilderSql {
       case None => None
       case Some(Granularity.Fixed(s)) => Some(s)
       case Some(Granularity.Auto) =>
-        return Left("auto granularity resolves at execution time; pick a " +
-          "fixed step to render as SQL")
+        // the ladder is a pure function of the date range (the compiler
+        // resolves it the same way), so auto renders as its resolved step
+        q.dateRange match {
+          case Some(dr) => Some(autoGranularitySeconds(
+            dr.to.getEpochSecond - dr.from.getEpochSecond))
+          case None =>
+            return Left("auto granularity requires a dateRange to resolve")
+        }
     }
     val tsCol = source.timestampColumn
     if ((step.nonEmpty || q.dateRange.nonEmpty) && tsCol.isEmpty)

@@ -192,9 +192,16 @@ class BuilderSqlSpec extends SparkSpec {
       .contains("CTE"))
     assert(reason(base.copy(groupBy = Seq("svc"),
       seriesLimit = Some(2))).contains("series-limit"))
-    assert(reason(base.copy(granularity = Some(Granularity.Auto),
+    assert(reason(base.copy(granularity = Some(Granularity.Auto)))
+      .contains("auto granularity"))
+  }
+
+  test("auto granularity resolves from the dateRange like the compiler") {
+    assertRoundTrip(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "t",
+      granularity = Some(Granularity.Auto),
       dateRange = Some(QueryCompiler.range(
         "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z"))))
-      .contains("auto granularity"))
   }
 }
