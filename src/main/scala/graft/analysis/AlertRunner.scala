@@ -49,14 +49,49 @@ object AlertRunner {
       dateRange = Some(DateRange(windowStarts.head, currentStart,
         inclusiveEnd = false)))
     val rows = QueryCompiler.compile(q, catalog).collect()
+    threshold(rows, cfg.groupBy, windowStarts, cfg)
+  }
+
+  /** Evaluate a PromQL expression as the alert source (the metric-side
+    * twin of the chart-config path): the metric frame is scoped to the
+    * closed lookback windows, evaluated at the alert interval, and each
+    * result series (every non-bucket/value column is a group label) runs
+    * through the same consecutive-window threshold machine. */
+  def evaluatePromQl(df: org.apache.spark.sql.DataFrame, promql: String,
+      cfg: AlertConfig, now: Instant,
+      prometheusRate: Boolean = false): Seq[AlertResult] = {
+    val windowSecs = cfg.intervalMinutes * 60L
+    val currentStart = Alerts.getScheduledWindowStart(now,
+      cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
+    val windowStarts = (cfg.numConsecutiveWindows to 1 by -1)
+      .map(i => currentStart.minusSeconds(i * windowSecs))
+    val scoped = df.filter(
+      col("TimeUnix") >= lit(java.sql.Timestamp.from(windowStarts.head)) &&
+        col("TimeUnix") < lit(java.sql.Timestamp.from(currentStart)))
+    val out = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
+      prometheusRate)
+    val groupCols = out.columns.toSeq
+      .filterNot(c => c == TimeBucketAlias || c == "value")
+    threshold(out.collect(), groupCols, windowStarts, cfg)
+  }
+
+  /** Shared per-group consecutive-window threshold evaluation. PromQL
+    * series buckets are window STARTS already; chart buckets likewise. */
+  private def threshold(rows: Array[org.apache.spark.sql.Row],
+      groupCols: Seq[String], windowStarts: Seq[Instant],
+      cfg: AlertConfig): Seq[AlertResult] = {
     val byGroup = rows.groupBy(r =>
-      cfg.groupBy.map(g => String.valueOf(r.getAs[Any](g))))
-    val groups = if (cfg.groupBy.isEmpty) Map(Seq.empty[String] ->
+      groupCols.map(g => String.valueOf(r.getAs[Any](g))))
+    val groups = if (groupCols.isEmpty) Map(Seq.empty[String] ->
       byGroup.values.flatten.toArray) else byGroup
     groups.map { case (g, rs) =>
       val series = rs.map { r =>
         val ts = r.getAs[java.sql.Timestamp](TimeBucketAlias).toInstant
-        ts -> r.getAs[Long]("value").toDouble
+        val v = r.getAs[Any]("value") match {
+          case n: Number => n.doubleValue()
+          case other => String.valueOf(other).toDouble
+        }
+        ts -> v
       }.toMap
       val state = Alerts.evaluate(series, windowStarts, cfg.thresholdType,
         cfg.threshold, cfg.thresholdMax, cfg.numConsecutiveWindows)

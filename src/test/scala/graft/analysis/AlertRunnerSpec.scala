@@ -3,6 +3,8 @@ package graft.analysis
 import java.sql.Timestamp
 import java.time.Instant
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 import graft.compile.{Catalog, Source}
 import graft.ir._
@@ -72,5 +74,28 @@ class AlertRunnerSpec extends SparkSpec {
     val states = r.map(x => x.group.head -> x.state).toMap
     assert(states("error") == Alerts.ALERT)
     assert(states("ok") == Alerts.OK)
+  }
+
+  test("PromQL alert source: per-label threshold over the lookback") {
+    // gauge frame: api last-values 10 (10:05 window) and 99 (10:10
+    // window); db stays at 5
+    val frame = Seq(
+      ("2024-01-05 10:06:00", "api", 10.0),
+      ("2024-01-05 10:11:00", "api", 99.0),
+      ("2024-01-05 10:06:30", "db", 5.0),
+      ("2024-01-05 10:12:00", "db", 5.0))
+      .map { case (t, s, v) => (Timestamp.valueOf(t), s, v) }
+      .toDF("TimeUnix", "ServiceName", "value")
+      .select(lit("mem").as("MetricName"), col("ServiceName"),
+        col("TimeUnix"), col("value").as("Value"),
+        map().cast("map<string,string>").as("Attributes"))
+    val r = AlertRunner.evaluatePromQl(frame,
+      "sum by (ServiceName) (mem)",
+      AlertRunner.AlertConfig(source = "", where = None,
+        intervalMinutes = 5, threshold = 50,
+        numConsecutiveWindows = 1), now)
+    val states = r.map(x => x.group.head -> x.state).toMap
+    assert(states("api") == Alerts.ALERT)
+    assert(states("db") == Alerts.OK)
   }
 }
