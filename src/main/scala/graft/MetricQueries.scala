@@ -1079,6 +1079,74 @@ object MetricQueries {
       |  round(delta * (sampled + sdur + edur) / sampled, 6) AS value
       |FROM fin ORDER BY bucket, event_type""".stripMargin
 
+  /** Classic le-label histogram_quantile at the driver gate: events
+    * explode into cumulative `_bucket` samples (le ∈ {50,100,150,+Inf}),
+    * count_over_time counts per (type, le) per sliding hour, and the
+    * quantile interpolates within the rank bucket — promql
+    * bucketQuantile replicated arm-for-arm in the oracle. */
+  def q65_promql_classic_hist(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = events(spark, dir)
+    val les = Seq("50", "100", "150", "+Inf")
+    val exploded = e
+      .select(col("event_type"), col("ts"), col("value"),
+        explode(array(les.map(lit): _*)).as("le"))
+      .filter(col("le") === "+Inf" ||
+        col("value") <= col("le").cast("double"))
+    val shaped = exploded.select(
+      lit("bkt").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      lit(1.0).as("Value"),
+      map(lit("le"), col("le")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(shaped,
+      "histogram_quantile(0.9, sum by (ServiceName, le) " +
+        "(count_over_time(bkt[1h])))", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q65_sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, value,
+      |    ((CAST(floor(epoch(ts)) AS BIGINT) + 3599) // 3600) * 3600
+      |      AS bucket
+      |  FROM events),
+      |g AS (
+      |  SELECT bucket, event_type,
+      |    CAST(count(*) FILTER (WHERE value <= 50) AS DOUBLE) AS n50,
+      |    CAST(count(*) FILTER (WHERE value <= 100) AS DOUBLE) AS n100,
+      |    CAST(count(*) FILTER (WHERE value <= 150) AS DOUBLE) AS n150,
+      |    CAST(count(*) AS DOUBLE) AS ninf
+      |  FROM pts GROUP BY bucket, event_type),
+      |q AS (
+      |  SELECT bucket, event_type, 0.9 * ninf AS rank,
+      |    n50, n100, n150, ninf
+      |  FROM g)
+      |-- a zero cumulative count means NO sample for that le anywhere in
+      |-- the window, so the series is ABSENT (count_over_time emits no
+      |-- point) and interpolation starts from the previous PRESENT bucket
+      |SELECT bucket, event_type,
+      |  round(CASE
+      |    WHEN n50 >= rank THEN 0.0 + (50.0 - 0.0) * (rank - 0.0)
+      |                          / (n50 - 0.0)
+      |    WHEN n100 >= rank THEN
+      |      (CASE WHEN n50 > 0 THEN 50.0 ELSE 0.0 END)
+      |      + (100.0 - CASE WHEN n50 > 0 THEN 50.0 ELSE 0.0 END)
+      |        * (rank - n50) / (n100 - n50)
+      |    WHEN n150 >= rank THEN
+      |      (CASE WHEN n100 > 0 THEN 100.0 ELSE 0.0 END)
+      |      + (150.0 - CASE WHEN n100 > 0 THEN 100.0 ELSE 0.0 END)
+      |        * (rank - n100) / (n150 - n100)
+      |    ELSE CASE WHEN n150 > 0 THEN 150.0
+      |              WHEN n100 > 0 THEN 100.0
+      |              WHEN n50 > 0 THEN 50.0
+      |              ELSE NULL END
+      |  END, 6) AS value
+      |FROM q ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
@@ -1098,6 +1166,7 @@ object MetricQueries {
     "q61_promql_threshold" -> (q61_promql_threshold _),
     "q62_promql_unless" -> (q62_promql_unless _),
     "q64_promql_rate_sliding" -> (q64_promql_rate_sliding _),
+    "q65_promql_classic_hist" -> (q65_promql_classic_hist _),
     "q14_rate" -> (q14_rate _),
     "q15_increase" -> (q15_increase _),
     "q16_hist_quantile" -> (q16_hist_quantile _),
@@ -1122,6 +1191,7 @@ object MetricQueries {
     "q61_promql_threshold" -> q61_sql,
     "q62_promql_unless" -> q62_sql,
     "q64_promql_rate_sliding" -> q64_sql,
+    "q65_promql_classic_hist" -> q65_sql,
     "q14_rate" -> q14_sql,
     "q15_increase" -> q15_sql,
     "q16_hist_quantile" -> q16_sql,

@@ -112,6 +112,12 @@ object PromQl {
     * from the canonical inner `sum by (…) (selector)` shape. */
   final case class HistQuantile(phi: Double, sel: Selector,
       by: Seq[String]) extends Expr
+  /** Classic Prometheus histogram_quantile over `le`-labelled cumulative
+    * buckets: the inner expression groups by le (+ extra labels); the
+    * quantile interpolates linearly within the bucket containing
+    * rank = φ·total, like promql's bucketQuantile. */
+  final case class ClassicHistQuantile(phi: Double, inner: Expr)
+      extends Expr
   /** avg/min/max/sum/count/last/quantile `_over_time(sel[w])` per series
     * per sliding lookback window evaluated at each step; `level` is the φ
     * of quantile_over_time. */
@@ -344,11 +350,14 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           inner match {
+            // le in the grouping ⇒ classic cumulative-bucket histogram
+            case a @ Aggr("sum", by, _, _) if by.contains("le") =>
+              ClassicHistQuantile(phi.toDouble, a)
             case sel: Selector => HistQuantile(phi.toDouble, sel, Nil)
             case Aggr("sum", by, sel: Selector, false) =>
               HistQuantile(phi.toDouble, sel, by)
-            case _ => fail("histogram_quantile expects a selector or " +
-              "sum by (…) (selector)")
+            case _ => fail("histogram_quantile expects a selector, " +
+              "sum by (…) (selector), or sum by (le, …) (expr)")
           }
         case ot if ot.endsWith("_over_time") &&
             Set("avg", "min", "max", "sum", "count", "last")
@@ -596,6 +605,8 @@ object PromQl {
     case Clamp(i, lo, hi) => Clamp(rewriteRates(i), lo, hi)
     case OverTimeSub(op, i, r, s, l) =>
       OverTimeSub(op, rewriteRates(i), r, s, l)
+    case ClassicHistQuantile(phi, i) =>
+      ClassicHistQuantile(phi, rewriteRates(i))
     case other => other
   }
 
@@ -708,6 +719,43 @@ object PromQl {
         // machinery the same way (prometheus.ts:413-534)
         ExpHistograms.quantile(
           withLabels(applySelector(df, sel), by), phi, step, by)
+      case ClassicHistQuantile(phi, inner) =>
+        // promql bucketQuantile over le-labelled cumulative buckets: sort
+        // the per-group buckets by le, find the bucket containing
+        // rank = φ·total, interpolate linearly from the previous bucket's
+        // upper bound (0 below the first positive bucket; a rank landing
+        // in +Inf returns the largest finite le). Buckets per group are
+        // tiny (≤ dozens), so the interpreted array lambdas are off the
+        // per-row hot path. Deviation: Prometheus's ensureMonotonic
+        // smoothing of float-rate wobble is not applied.
+        val perLe = compile(df, inner, step)
+        val groups = perLe.columns.toSeq
+          .filterNot(c => c == TimeBucketAlias || c == "value" || c == "le")
+        val leNum = when(col("le").isin("+Inf", "Inf", "inf"),
+          lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
+        val g = perLe.withColumn("__le", leNum)
+          .groupBy((col(TimeBucketAlias) +: groups.map(col)): _*)
+          .agg(sort_array(collect_list(struct(col("__le").as("le"),
+            col("value").cast("double").as("c")))).as("__bs"))
+        val bs = col("__bs")
+        val total = element_at(bs, -1).getField("c")
+        val rank = lit(phi) * total
+        val b = element_at(filter(bs, x => x.getField("c") >= rank), 1)
+        val prev = element_at(filter(bs, x => x.getField("c") < rank), -1)
+        val maxFinite = element_at(
+          filter(bs, x => x.getField("le") =!=
+            lit(Double.PositiveInfinity)), -1).getField("le")
+        val start = when(prev.isNull, lit(0.0))
+          .otherwise(prev.getField("le"))
+        val prevC = when(prev.isNull, lit(0.0))
+          .otherwise(prev.getField("c"))
+        val res = when(b.isNull, lit(Double.NaN))
+          .when(b.getField("le") === lit(Double.PositiveInfinity),
+            maxFinite)
+          .when(prev.isNull && b.getField("le") <= 0, b.getField("le"))
+          .otherwise(start + (b.getField("le") - start) *
+            (rank - prevC) / (b.getField("c") - prevC))
+        g.withColumn("value", res).drop("__bs")
       case ot: OverTime =>
         // standalone *_over_time mirrors bare-selector semantics (one value
         // across series per bucket); the pick is ordered by the series key —

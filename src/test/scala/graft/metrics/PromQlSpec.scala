@@ -520,6 +520,26 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(10.0))
   }
 
+  test("classic le-label histogram_quantile interpolates within buckets") {
+    // cumulative gauge buckets at one instant: le 0.1→10, 0.5→50, +Inf→60
+    val frame = Seq(
+      ("b", "api", t(1), 10.0, Map("le" -> "0.1")),
+      ("b", "api", t(1), 50.0, Map("le" -> "0.5")),
+      ("b", "api", t(1), 60.0, Map("le" -> "+Inf")))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes")
+    // φ=0.5: total 60, rank 30 → bucket (0.1, 0.5]:
+    //   0.1 + 0.4·(30−10)/(50−10) = 0.3
+    val out = PromQl.eval(frame,
+      "histogram_quantile(0.5, sum by (ServiceName, le) (b))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out == Seq(0.30000000000000004)) // 0.1 + 0.4*0.5 in doubles
+    // φ=0.99: rank 59.4 lands in +Inf → largest finite le
+    val inf = PromQl.eval(frame,
+      "histogram_quantile(0.99, sum by (ServiceName, le) (b))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(inf == Seq(0.5))
+  }
+
   test("quantile aggregation across series") {
     val withHost = PromQl.withLabels(gauges, Seq("host"))
     // series last-values 30 (a) and 50 (b): p50 interpolates to 40
