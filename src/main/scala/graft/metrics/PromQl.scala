@@ -28,6 +28,8 @@ import graft.functions.CoreFunctions._
   *            | increase( selector [dur] [offset] )
   *            | delta( selector [dur] [offset] )   — extrapolated gauge delta
   *            | irate | idelta ( selector [dur] )  — last-pair instant rate
+  *            | resets | changes ( selector [dur] ) — in-window pair counts
+  *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
   *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
@@ -139,6 +141,9 @@ object PromQl {
   /** label_join(inner, dst, sep, src…): dst = join(sep, src values). */
   final case class LabelJoin(inner: Expr, dst: String, sep: String,
       srcs: Seq[String]) extends Expr
+  /** count_values("label", expr): per bucket/labels, count series per
+    * distinct value, the value echoed as a new label. */
+  final case class CountValues(label: String, inner: Expr) extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -307,10 +312,12 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
-        case "delta" | "irate" | "idelta" =>
+        case "delta" | "irate" | "idelta" | "resets" | "changes" =>
           // delta: gauge delta over the sliding window, extrapolated to
           // the full range like Prometheus. irate/idelta: instant
           // rate/difference from the window's last two samples.
+          // resets/changes: count of in-window consecutive pairs that
+          // reset (drop) / differ.
           expect('(')
           val sel0 = parseSelector(readIdent())
           if (sel0.offsetSeconds != 0)
@@ -421,6 +428,14 @@ object PromQl {
           }
           expect(')')
           LabelJoin(inner, dst, sep, srcs.result())
+        case "count_values" =>
+          expect('(')
+          ws()
+          val label = readString()
+          ws(); expect(',')
+          val inner = parseOr()
+          ws(); expect(')')
+          CountValues(label, inner)
         case fn if Set("abs", "ceil", "floor", "round", "exp", "ln",
             "log2", "log10", "sqrt", "sgn").contains(fn) =>
           expect('(')
@@ -607,6 +622,7 @@ object PromQl {
       OverTimeSub(op, rewriteRates(i), r, s, l)
     case ClassicHistQuantile(phi, i) =>
       ClassicHistQuantile(phi, rewriteRates(i))
+    case CountValues(l, i) => CountValues(l, rewriteRates(i))
     case other => other
   }
 
@@ -818,6 +834,13 @@ object PromQl {
         compile(applyLabelReplace(df, lr), lr.inner, step)
       case lj: LabelJoin =>
         compile(applyLabelJoin(df, lj), lj.inner, step)
+      case CountValues(label, inner) =>
+        val g = compile(df, inner, step)
+        val labels = g.columns.toSeq
+          .filterNot(c => c == TimeBucketAlias || c == "value")
+        g.groupBy((col(TimeBucketAlias) +: labels.map(col) :+
+            col("value").cast("string").as(label)): _*)
+          .agg(count(lit(1)).cast("double").as("value"))
       case MathFn(fn, inner) =>
         val g = compile(df, inner, step)
         val v = col("value")
@@ -989,7 +1012,8 @@ object PromQl {
     val src = withLabels(applySelector(df, ot.sel), by)
     val v = col("Value").cast("double")
     val range = ot.windowSeconds
-    val needsPair = ot.op == "irate" || ot.op == "idelta"
+    val needsPair = Set("irate", "idelta", "resets", "changes")
+      .contains(ot.op)
     val keyed0 = src
       .withColumn("__series", MetricCompiler.attributesHash(src))
       .withColumn("__u", unix_timestamp(col("TimeUnix")))
@@ -1019,6 +1043,16 @@ object PromQl {
       .groupBy((col("__series") +: col(TimeBucketAlias) +:
         by.map(col)): _*)
     ot.op match {
+      case "resets" | "changes" =>
+        // count consecutive in-window pairs that drop (resets) / differ
+        // (changes); a pair whose predecessor precedes the window doesn't
+        // count, like Prometheus
+        val inWindow = col("__pu").isNotNull &&
+          col("__pu") > col("__t") - lit(range)
+        val hit =
+          if (ot.op == "resets") col("__pv") > v else v =!= col("__pv")
+        grouped.agg(sum(when(inWindow && hit, 1L).otherwise(0L))
+          .as("value"))
       case "irate" | "idelta" =>
         // latest sample in the window whose PREDECESSOR is also inside
         // (both samples of the instant pair must be in range, like

@@ -520,6 +520,29 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(10.0))
   }
 
+  test("resets/changes count in-window consecutive pairs") {
+    // pairs: (100→160), (160→20 reset); window 2h @1h steps
+    val ch = PromQl.eval(counters,
+      "sum by (ServiceName) (changes(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    // t=0: one sample, no pair → 0 (Prometheus emits 0, not nothing);
+    // t=1h: both pairs in (-1h,1h] → 2; t=2h: only (160→20) → 1
+    assert(ch == Seq(0.0, 2.0, 1.0))
+    val rs = PromQl.eval(counters,
+      "sum by (ServiceName) (resets(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(rs == Seq(0.0, 1.0, 1.0))
+  }
+
+  test("count_values counts series per distinct value") {
+    val out = PromQl.eval(gauges,
+      """count_values("v", sum by (host) (mem_usage))""", 3600)
+      .orderBy("v")
+      .select("v", "value").as[(String, Double)].collect().toSeq
+    // hosts a=30, b=50 → one series each per value
+    assert(out == Seq(("30.0", 1.0), ("50.0", 1.0)))
+  }
+
   test("classic le-label histogram_quantile interpolates within buckets") {
     // cumulative gauge buckets at one instant: le 0.1→10, 0.5→50, +Inf→60
     val frame = Seq(
