@@ -74,13 +74,13 @@ object Similarity {
   /** IVF (inverted-file) approximate top-k — the classic large-scale ANN
     * layout: the corpus is bucketed into `nlist` cells by nearest centroid,
     * and a probe scans only its `nprobe` nearest cells, shrinking the
-    * candidate set from n to ~n·nprobe/nlist. Centroids are a deterministic
-    * stable-hash sample of the corpus itself (k-means would sharpen cell
-    * boundaries, but the cell-probe plumbing — the part that matters at
-    * scale — is identical), collected to the driver (nlist·dim doubles, KBs)
-    * and broadcast as literals; cell assignment is one scan, and the
-    * probe→cell join shuffles on the cell id. With `nprobe == nlist` the
-    * scan is exhaustive and matches knnBrute exactly. */
+    * candidate set from n to ~n·nprobe/nlist. Centroids train with
+    * spherical k-means on a bounded stable-hash sample of the corpus
+    * (driver-side, deterministic — the way production IVF indexes train
+    * on a sample), and broadcast as literals; cell assignment is one
+    * scan, and the probe→cell join shuffles on the cell id. With
+    * `nprobe == nlist` the scan is exhaustive and matches knnBrute
+    * exactly. */
   def knnIvf(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4)
       : DataFrame = {
@@ -88,9 +88,16 @@ object Similarity {
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val c0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val cents = c0.orderBy(xxhash64(col("neighbor_id"))).limit(nlist)
+    // Train centroids with spherical k-means on a bounded stable-hash
+    // sample (32·nlist vectors — KBs-MBs on the driver, the same way
+    // production IVF indexes train on a sample rather than the corpus).
+    // Deterministic: hash-ordered sample, first-k init, fixed iterations,
+    // first-index tie-breaks.
+    val sample = c0.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(nlist * 32, nlist))
       .select("cv").collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "empty corpus")
+    require(sample.nonEmpty, "empty corpus")
+    val cents = kmeans(sample, nlist, iters = 10)
     val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
     def cellSims(v: Column): Column = transform(centCol, ct => cosine(v, ct))
     // corpus side: each row lands in exactly one cell (argmax centroid)
@@ -118,6 +125,44 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("probe_id", "neighbor_id", "cosine")
+  }
+
+  /** Driver-side spherical k-means over a bounded sample: assign by
+    * cosine, recompute cell means, empty cells keep their centroid.
+    * Pure, deterministic, O(sample·k·dim·iters) on KB-scale data. */
+  private[pipeline] def kmeans(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    var cents = points.take(k).map(_.clone)
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnt = new Array[Int](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestS = Double.NegativeInfinity; var i = 0
+        while (i < cents.length) {
+          val s = cos(p, cents(i))
+          if (s > bestS) { bestS = s; best = i }
+          i += 1
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = cents.indices.map(i =>
+        if (cnt(i) == 0) cents(i)
+        else sums(i).map(_ / cnt(i))).toArray
+      it += 1
+    }
+    cents
   }
 
   /** LSH-bucketed approximate top-k: `tables` independent sign-signature
