@@ -54,6 +54,50 @@ class QuantileSketchSpec extends SparkSpec {
     assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est n=$n")
   }
 
+  test("property: partition-split merges match single-pass (seeded)") {
+    // aggregator-level (no Spark): any split of the input into partials
+    // must finish to the same quantile/distinct answer as one pass,
+    // and below-cap answers must be exact
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2000 + rnd.nextInt(3000)
+      val vals = Array.fill(n)((rnd.nextInt(500) + 1).toDouble)
+      // single pass
+      val one = vals.foldLeft(QuantileSketch.HistState.zero)(
+        (b, v) => QuantileSketch.HistState.reduce(b, v))
+      // random 4-way split, merged
+      val parts = Array.fill(4)(QuantileSketch.HistState.zero)
+      vals.foreach(v => QuantileSketch.HistState.reduce(
+        parts(rnd.nextInt(4)), v))
+      val merged = parts.reduce(QuantileSketch.HistState.merge)
+      val q = QuantileSketch.QuantileMergeAgg(0.9)
+      def fin(h: scala.collection.mutable.Map[Double, Long]) =
+        q.finish(q.reduce(q.zero, h.toMap))
+      assert(fin(one) === fin(merged))
+      // exactness below cap: matches a sorted-array interpolation
+      val sorted = vals.sorted
+      val pos = 0.9 * (n - 1)
+      val lo = sorted(math.floor(pos).toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      val exact = lo + (pos - math.floor(pos)) * (hi - lo)
+      assert(math.abs(fin(one) - exact) < 1e-9)
+
+      val d1 = vals.foldLeft(QuantileSketch.DistinctState.zero)(
+        (b, v) => QuantileSketch.DistinctState.reduce(b, v))
+      val dp = Array.fill(4)(QuantileSketch.DistinctState.zero)
+      vals.foreach(v => QuantileSketch.DistinctState.reduce(
+        dp(rnd.nextInt(4)), v))
+      val dm = dp.reduce(QuantileSketch.DistinctState.merge)
+      def dfin(s: scala.collection.mutable.Set[Long]) =
+        QuantileSketch.DistinctMergeAgg.finish(
+          QuantileSketch.DistinctMergeAgg.reduce(
+            QuantileSketch.DistinctMergeAgg.zero,
+            QuantileSketch.DistinctState.finish(s)))
+      assert(dfin(d1) === dfin(dm))
+      assert(dfin(d1) === vals.distinct.length.toLong)
+    }
+  }
+
   test("merging exact cells stays exact across cell boundaries") {
     // two cells, disjoint value sets, each far under K — union is exact
     val df = (1 to 2000)
