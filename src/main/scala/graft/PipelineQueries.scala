@@ -462,6 +462,43 @@ object PipelineQueries {
        |FROM lng GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Near-dup CLUSTERS at the driver gate: MinHash-LSH pairs (the q24
+    * construction) fed through connected components — transitive chains
+    * (base-corpus exact dups ~ their planted perturbed copies) collapse
+    * to one component. Oracle: recursive-CTE transitive closure over the
+    * same all-pairs Jaccard edge set. */
+  def q66_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(corpusWithDups(spark, dir), "doc_id", "text",
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        .select(col("id_a"), col("id_b")))
+      .orderBy("id")
+
+  val q66_sql: String =
+    s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
+       |SELECT id, least(id, min(r)) AS comp
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,7 +515,8 @@ object PipelineQueries {
     "q42_ann_ivf" -> (q42_ann_ivf _),
     "q45_multimodal" -> (q45_multimodal _),
     "q47_embed_lsh" -> (q47_embed_lsh _),
-    "q63_langid" -> (q63_langid _))
+    "q63_langid" -> (q63_langid _),
+    "q66_dedup_clusters" -> (q66_dedup_clusters _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -495,5 +533,6 @@ object PipelineQueries {
     "q42_ann_ivf" -> q25_sql,
     "q45_multimodal" -> q45_sql,
     "q47_embed_lsh" -> q47_sql,
-    "q63_langid" -> q63_sql)
+    "q63_langid" -> q63_sql,
+    "q66_dedup_clusters" -> q66_sql)
 }

@@ -249,6 +249,53 @@ object Dedup {
     restoreIds(verified, idMap, Seq("id_a", "id_b"))
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep one doc per component).
+    * Hash-min label propagation: every node starts as its own component
+    * and iteratively takes the min component id among itself and its
+    * neighbors; converges in O(cluster diameter) rounds — near-dup
+    * clusters are small by construction, so a handful of bounded
+    * iterations (each one join + one aggregation shuffle over the PAIR
+    * set, not the corpus). Output: (id, comp) for every id appearing in a
+    * pair; unpaired docs are trivially their own component. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("__nmin"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp")))
+            .as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the count both materializes `next` (so unpersisting the parent is
+      // safe) and drives convergence
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard over two distinct-shingle arrays. */
   def exactJaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

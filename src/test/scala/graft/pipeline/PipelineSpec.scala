@@ -70,6 +70,20 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive chains collapse to the min id; islands stay apart") {
+    // chain 1-2-3-4 (no 1-4 edge), island 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = graft.pipeline.Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(comps == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
