@@ -1062,19 +1062,21 @@ object MetricQueries {
       |    CAST(bucket - tl AS DOUBLE) AS egap,
       |    af AS vf
       |  FROM g),
+      |capped AS (
+      |  -- zero-crossing cap BEFORE the extrapolation threshold, like
+      |  -- promql extrapolatedRate
+      |  SELECT bucket, event_type, delta, sampled, avgiv, egap,
+      |    CASE WHEN delta > 0 AND vf >= 0
+      |              AND sampled * (vf / delta) < sgap
+      |         THEN sampled * (vf / delta) ELSE sgap END AS sgap2
+      |  FROM calc),
       |fin AS (
       |  SELECT bucket, event_type, delta, sampled,
-      |    CASE WHEN delta > 0 AND vf >= 0
-      |              AND sampled * (vf / delta) <
-      |                  (CASE WHEN sgap >= avgiv * 1.1 THEN avgiv / 2
-      |                        ELSE sgap END)
-      |         THEN sampled * (vf / delta)
-      |         ELSE CASE WHEN sgap >= avgiv * 1.1 THEN avgiv / 2
-      |                   ELSE sgap END
-      |    END AS sdur,
+      |    CASE WHEN sgap2 >= avgiv * 1.1 THEN avgiv / 2 ELSE sgap2 END
+      |      AS sdur,
       |    CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END
       |      AS edur
-      |  FROM calc)
+      |  FROM capped)
       |SELECT bucket, event_type,
       |  round(delta * (sampled + sdur + edur) / sampled, 6) AS value
       |FROM fin ORDER BY bucket, event_type""".stripMargin

@@ -56,10 +56,18 @@ object AlertRunner {
     * twin of the chart-config path): the metric frame is scoped to the
     * closed lookback windows, evaluated at the alert interval, and each
     * result series (every non-bucket/value column is a group label) runs
-    * through the same consecutive-window threshold machine. */
+    * through the same consecutive-window threshold machine.
+    *
+    * Set `windowEndBuckets = true` for expressions whose top level is a
+    * sliding range function (`*_over_time`, subqueries, delta/irate,
+    * prometheusRate rates) — those emit values at window ENDS, and the
+    * flag re-keys them to the window starts the threshold machine
+    * compares against (instant vectors / tumbling aggregations already
+    * bucket at window starts). */
   def evaluatePromQl(df: org.apache.spark.sql.DataFrame, promql: String,
       cfg: AlertConfig, now: Instant,
-      prometheusRate: Boolean = false): Seq[AlertResult] = {
+      prometheusRate: Boolean = false,
+      windowEndBuckets: Boolean = false): Seq[AlertResult] = {
     val windowSecs = cfg.intervalMinutes * 60L
     val currentStart = Alerts.getScheduledWindowStart(now,
       cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
@@ -68,8 +76,12 @@ object AlertRunner {
     val scoped = df.filter(
       col("TimeUnix") >= lit(java.sql.Timestamp.from(windowStarts.head)) &&
         col("TimeUnix") < lit(java.sql.Timestamp.from(currentStart)))
-    val out = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
+    val out0 = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
       prometheusRate)
+    val out =
+      if (!windowEndBuckets) out0
+      else out0.withColumn(TimeBucketAlias,
+        col(TimeBucketAlias) - expr(s"INTERVAL $windowSecs SECOND"))
     val groupCols = out.columns.toSeq
       .filterNot(c => c == TimeBucketAlias || c == "value")
     threshold(out.collect(), groupCols, windowStarts, cfg)
@@ -85,13 +97,15 @@ object AlertRunner {
     val groups = if (groupCols.isEmpty) Map(Seq.empty[String] ->
       byGroup.values.flatten.toArray) else byGroup
     groups.map { case (g, rs) =>
-      val series = rs.map { r =>
+      // NULL values (x/0, ln of a non-positive, …) are MISSING points,
+      // not zeros and not errors
+      val series = rs.flatMap { r =>
         val ts = r.getAs[java.sql.Timestamp](TimeBucketAlias).toInstant
-        val v = r.getAs[Any]("value") match {
-          case n: Number => n.doubleValue()
-          case other => String.valueOf(other).toDouble
+        r.getAs[Any]("value") match {
+          case null => None
+          case n: Number => Some(ts -> n.doubleValue())
+          case other => Some(ts -> String.valueOf(other).toDouble)
         }
-        ts -> v
       }.toMap
       val state = Alerts.evaluate(series, windowStarts, cfg.thresholdType,
         cfg.threshold, cfg.thresholdMax, cfg.numConsecutiveWindows)

@@ -67,6 +67,14 @@ import graft.functions.CoreFunctions._
   * scalar operands broadcast. Documented deviation: x/0 yields NULL
   * (Spark division), where PromQL yields ±Inf.
   *
+  * Bucket alignment (documented deviation): sliding range functions
+  * (`*_over_time`, subqueries, delta/irate/…, prometheusRate) emit their
+  * value at the window END t of (t − range, t], while instant vectors and
+  * tumbling rate/gauge aggregations bucket at window STARTS. A binary op
+  * mixing the two conventions joins one step apart from Prometheus, which
+  * evaluates both operands at the same instant — keep operand families
+  * consistent within one expression (as every gated query here does).
+  *
   * Semantics notes (documented deviations): rate/increase evaluate on
   * step-aligned tumbling buckets (the engine's counterRate) rather than a
   * sliding lookback at each step; gauges aggregate last-value per bucket.
@@ -279,9 +287,17 @@ object PromQl {
       }
       val ident = readIdent()
       ws()
+      // a known function/aggregation name only parses as a call when a
+      // call actually follows — '(' (or by/without for aggregations);
+      // otherwise the identifier is a metric named like a function
+      val nextIsParen = i < s.length && s(i) == '('
+      val nextIsByWithout =
+        (s.startsWith("by", i) && !isIdentChar(i + 2)) ||
+          (s.startsWith("without", i) && !isIdentChar(i + 7))
+      val callish = nextIsParen || nextIsByWithout
       val e: Expr = ident match {
         case "sum" | "avg" | "min" | "max" | "count" | "stddev"
-            | "stdvar" =>
+            | "stdvar" if callish =>
           var by: Seq[String] = Nil
           var without = false
           if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
@@ -293,7 +309,7 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           Aggr(ident, by, inner, without)
-        case "quantile" =>
+        case "quantile" if callish =>
           // quantile [by (…)|without (…)] ( φ, expr ) — cross-series
           // percentile per bucket; the level rides inside the op string
           // ("quantile:φ") so the Aggr shape stays unchanged
@@ -312,7 +328,8 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
-        case "delta" | "irate" | "idelta" | "resets" | "changes" =>
+        case "delta" | "irate" | "idelta" | "resets" | "changes"
+            if nextIsParen =>
           // delta: gauge delta over the sliding window, extrapolated to
           // the full range like Prometheus. irate/idelta: instant
           // rate/difference from the window's last two samples.
@@ -326,7 +343,7 @@ object PromQl {
           val off = readOffsetOpt()
           ws(); expect(')')
           OverTime(ident, sel0.copy(offsetSeconds = off), w)
-        case "rate" | "increase" =>
+        case "rate" | "increase" if nextIsParen =>
           expect('(')
           val sel0 = parseSelector(readIdent())
           // Prometheus puts `offset` AFTER the range brackets; an offset
@@ -339,7 +356,7 @@ object PromQl {
           ws(); expect(')')
           Rate(sel0.copy(offsetSeconds = off), w,
             increase = ident == "increase")
-        case "topk" | "bottomk" =>
+        case "topk" | "bottomk" if nextIsParen =>
           expect('(')
           ws()
           val k = readWhile(_.isDigit)
@@ -348,7 +365,7 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           TopK(k.toInt, inner, bottom = ident == "bottomk")
-        case "histogram_quantile" =>
+        case "histogram_quantile" if nextIsParen =>
           expect('(')
           ws()
           val phi = readWhile(c => c.isDigit || c == '.')
@@ -366,12 +383,12 @@ object PromQl {
             case _ => fail("histogram_quantile expects a selector, " +
               "sum by (…) (selector), or sum by (le, …) (expr)")
           }
-        case ot if ot.endsWith("_over_time") &&
+        case ot if nextIsParen && ot.endsWith("_over_time") &&
             Set("avg", "min", "max", "sum", "count", "last")
               .contains(ot.dropRight(10)) =>
           expect('(')
           parseOverTimeBody(ot.dropRight(10), level = None)
-        case "label_replace" =>
+        case "label_replace" if nextIsParen =>
           expect('(')
           val inner = parseOr()
           ws(); expect(','); ws()
@@ -384,14 +401,14 @@ object PromQl {
           val regex = readString()
           ws(); expect(')')
           LabelReplace(inner, dst, repl, src, regex)
-        case "quantile_over_time" =>
+        case "quantile_over_time" if nextIsParen =>
           expect('(')
           ws()
           val phi = readWhile(c => c.isDigit || c == '.')
           if (phi.isEmpty) fail("expected quantile level")
           ws(); expect(',')
           parseOverTimeBody("quantile", level = Some(phi.toDouble))
-        case "clamp" | "clamp_min" | "clamp_max" =>
+        case "clamp" | "clamp_min" | "clamp_max" if nextIsParen =>
           expect('(')
           val inner = parseOr()
           ws(); expect(','); ws()
@@ -406,13 +423,13 @@ object PromQl {
           }
           ws(); expect(')')
           e
-        case "absent" =>
+        case "absent" if nextIsParen =>
           expect('(')
           ws()
           val sel = parseSelector(readIdent())
           ws(); expect(')')
           Absent(sel)
-        case "label_join" =>
+        case "label_join" if nextIsParen =>
           expect('(')
           val inner = parseOr()
           ws(); expect(','); ws()
@@ -428,7 +445,7 @@ object PromQl {
           }
           expect(')')
           LabelJoin(inner, dst, sep, srcs.result())
-        case "count_values" =>
+        case "count_values" if nextIsParen =>
           expect('(')
           ws()
           val label = readString()
@@ -436,8 +453,8 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           CountValues(label, inner)
-        case fn if Set("abs", "ceil", "floor", "round", "exp", "ln",
-            "log2", "log10", "sqrt", "sgn").contains(fn) =>
+        case fn if nextIsParen && Set("abs", "ceil", "floor", "round",
+            "exp", "ln", "log2", "log10", "sqrt", "sgn").contains(fn) =>
           expect('(')
           val inner = parseOr()
           ws(); expect(')')
@@ -821,10 +838,17 @@ object PromQl {
               val rdCols = keys.map(col) ++ matching.extra.map(col) :+
                 col("__rv")
               val rdSel = rd.select(rdCols: _*)
-              val ldSel =
+              val ldSel0 =
                 if (matching.on.isDefined && !matching.groupLeft)
                   ld.select(keys.map(col) :+ col("__lv"): _*)
                 else ld
+              // a group_left extra label already present on the left is
+              // OVERWRITTEN by the right side (Prometheus semantics) — a
+              // duplicate column would poison every later reference
+              val ldSel = matching.extra
+                .filterNot(keys.contains)
+                .foldLeft(ldSel0)((d, c) =>
+                  if (d.columns.contains(c)) d.drop(c) else d)
               ldSel.join(rdSel, keys)
                 .withColumn("value", f(col("__lv"), col("__rv")))
                 .drop("__lv", "__rv")
@@ -835,9 +859,15 @@ object PromQl {
       case lj: LabelJoin =>
         compile(applyLabelJoin(df, lj), lj.inner, step)
       case CountValues(label, inner) =>
+        if (label == "value" || label == TimeBucketAlias)
+          throw new PromQlParseException(
+            s"count_values label '$label' collides with a result column")
         val g = compile(df, inner, step)
+        // an existing label of the same name is REPLACED by the value
+        // echo (Prometheus overwrites it)
         val labels = g.columns.toSeq
-          .filterNot(c => c == TimeBucketAlias || c == "value")
+          .filterNot(c => c == TimeBucketAlias || c == "value" ||
+            c == label)
         g.groupBy((col(TimeBucketAlias) +: labels.map(col) :+
             col("value").cast("string").as(label)): _*)
           .agg(count(lit(1)).cast("double").as("value"))
@@ -892,7 +922,14 @@ object PromQl {
             }
             val joined = ld.join(rd.select((keys.map(col) :+
               col("__rv")): _*), keys)
-            finish(joined, pred(col("__lv"), col("__rv")))
+            val p = pred(col("__lv"), col("__rv"))
+            // bool writes the 1/0 INTO the left value slot before the
+            // rename — a separate `value` column would collide with it
+            val decided =
+              if (bool) joined.withColumn("__lv",
+                when(p, 1.0).otherwise(0.0))
+              else joined.filter(p)
+            decided
               .withColumnRenamed("__lv", "value")
               .drop("__rv")
         }
@@ -1158,10 +1195,13 @@ object PromQl {
     val delta = col("__al") - col("__af")
     val startGap = (col("__tf") - (col("__t") - lit(range))).cast("double")
     val endGap = (col("__t") - col("__tl")).cast("double")
-    val startDur0 = when(startGap >= thresh, avgIv / 2).otherwise(startGap)
+    // Prometheus caps the start gap at the zero crossing FIRST, then
+    // applies the extrapolation threshold to the capped gap
     val zeroDur = sampled * (col("__vf") / delta)
-    val startDur = when(delta > 0 && col("__vf") >= 0 &&
-      zeroDur < startDur0, zeroDur).otherwise(startDur0)
+    val startGapCapped = when(delta > 0 && col("__vf") >= 0 &&
+      zeroDur < startGap, zeroDur).otherwise(startGap)
+    val startDur = when(startGapCapped >= thresh, avgIv / 2)
+      .otherwise(startGapCapped)
     val endDur = when(endGap >= thresh, avgIv / 2).otherwise(endGap)
     val inc = delta * (sampled + startDur + endDur) / sampled
     g.withColumn("value",

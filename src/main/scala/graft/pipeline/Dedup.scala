@@ -259,7 +259,7 @@ object Dedup {
     * set, not the corpus). Output: (id, comp) for every id appearing in a
     * pair; unpaired docs are trivially their own component. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
@@ -293,6 +293,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // silent non-convergence would split clusters and KEEP duplicates —
+    // fail loudly instead (a >maxIter-diameter chain is pathological but
+    // possible in templated corpora)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          s"a component's diameter exceeds maxIter; raise maxIter")
     labels
   }
 

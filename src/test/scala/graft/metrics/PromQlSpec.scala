@@ -3,6 +3,7 @@ package graft.metrics
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.SparkSpec
 
@@ -561,6 +562,46 @@ class PromQlSpec extends SparkSpec {
       "histogram_quantile(0.99, sum by (ServiceName, le) (b))", 3600)
       .select("value").as[Double].collect().toSeq
     assert(inf == Seq(0.5))
+  }
+
+  test("metrics named like functions still parse as selectors") {
+    import PromQl._
+    assert(parse("sum(delta)") == Aggr("sum", Nil, Selector("delta", Nil)))
+    assert(parse("rate + 1") ==
+      BinOp('+', Selector("rate", Nil), ScalarLit(1.0)))
+    assert(parse("abs") == Selector("abs", Nil))
+    assert(parse("""count_values{job="x"}""") ==
+      Selector("count_values", Seq(("job", "=", "x"))))
+  }
+
+  test("vector/vector bool comparison yields one clean value column") {
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    val out = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) > bool sum by (host) (cpu_usage)", 3600)
+      .orderBy("host")
+    assert(out.columns.count(_ == "value") == 1)
+    val rows = out.select("host", "value")
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("a", 0.0))) // 30 > 99 is false → 0
+  }
+
+  test("group_left extra label present on the left is overwritten") {
+    val withBoth = PromQl.withLabels(gauges, Seq("host"))
+      .withColumn("role", lit("left-role"))
+    val out = PromQl.eval(withBoth,
+      "sum by (host, role) (mem_usage) * on (host) group_left (role) " +
+        "sum by (host, role) (cpu_usage)", 3600)
+    assert(out.columns.count(_ == "role") == 1)
+    assert(out.select("role").as[String].collect().forall(_ == "left-role"))
+  }
+
+  test("count_values replaces a colliding label; value label rejected") {
+    val out = PromQl.eval(gauges,
+      """count_values("ServiceName", sum by (ServiceName) (mem_usage))""",
+      3600)
+    assert(out.columns.count(_ == "ServiceName") == 1)
+    intercept[PromQl.PromQlParseException](PromQl.eval(gauges,
+      """count_values("value", mem_usage)""", 3600).collect())
   }
 
   test("quantile aggregation across series") {
