@@ -267,9 +267,15 @@ object Dedup {
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint per round: materializes the labels AND cuts
+    // the logical lineage — without it the returned plan nests every
+    // iteration's joins (thousands of plan nodes by round 5, paid at
+    // analysis time even though caches make execution cheap). Trade-off:
+    // checkpointed partitions are not recomputable after executor loss;
+    // the loop re-runs from scratch in that case.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -281,13 +287,10 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("__nmin"), col("comp")))
             .as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the count both materializes `next` (so unpersisting the parent is
-      // safe) and drives convergence
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("comp", "__old"), "id")
         .filter(col("comp") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
