@@ -39,6 +39,7 @@ import graft.functions.CoreFunctions._
   *            | label_join( expr, "dst", "sep", "src"… )
   *            | clamp( expr, lo, hi ) | clamp_min( expr, lo )
   *            | clamp_max( expr, hi ) | absent( selector )
+  *            | absent_over_time( selector [dur] )
   *   selector := metric_name [{ label op "value", … }] [offset]
   *               op ∈ {=, !=, =~, !~}
   *   binop    := expr op [on (l1…) | ignoring (l1…)] [group_left [(l1…)]] expr
@@ -146,6 +147,10 @@ object PromQl {
   /** absent(selector): 1 at each step bucket where the selector matches no
     * samples (evaluated over the frame's observed bucket spine). */
   final case class Absent(sel: Selector) extends Expr
+  /** absent_over_time(selector[range]): 1 at each eval step whose sliding
+    * (t − range, t] lookback holds no selector sample. */
+  final case class AbsentOverTime(sel: Selector, rangeSeconds: Long)
+      extends Expr
   /** label_join(inner, dst, sep, src…): dst = join(sep, src values). */
   final case class LabelJoin(inner: Expr, dst: String, sep: String,
       srcs: Seq[String]) extends Expr
@@ -429,6 +434,13 @@ object PromQl {
           val sel = parseSelector(readIdent())
           ws(); expect(')')
           Absent(sel)
+        case "absent_over_time" if nextIsParen =>
+          expect('(')
+          ws()
+          val sel = parseSelector(readIdent())
+          val w = readDuration()
+          ws(); expect(')')
+          AbsentOverTime(sel, w)
         case "label_join" if nextIsParen =>
           expect('(')
           val inner = parseOr()
@@ -1010,6 +1022,26 @@ object PromQl {
         val gaps = spine.join(present, Seq(TimeBucketAlias), "left_anti")
           .withColumn("value", lit(1.0))
         sel.matchers.filter(_._2 == "=").foldLeft(gaps)((d, m) =>
+          d.withColumn(m._1, lit(m._3)))
+      case AbsentOverTime(sel, range) =>
+        // sliding twin of absent(): explode every sample (whole frame →
+        // spine; selector → present) to the eval steps whose (t − range,
+        // t] window it feeds, then anti-join
+        def windows(d: DataFrame): DataFrame = d
+          .withColumn("__u", unix_timestamp(col("TimeUnix")))
+          .withColumn("__tmin",
+            expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+          .withColumn("__tmax",
+            expr(s"((__u + ${range - 1}) DIV $step) * $step"))
+          .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+            sequence(col("__tmin"), col("__tmax"), lit(step)))))
+          .select(timestamp_seconds(col("__t")).as(TimeBucketAlias))
+          .distinct()
+        val gapsOt = windows(df)
+          .join(windows(applySelector(df, sel)), Seq(TimeBucketAlias),
+            "left_anti")
+          .withColumn("value", lit(1.0))
+        sel.matchers.filter(_._2 == "=").foldLeft(gapsOt)((d, m) =>
           d.withColumn(m._1, lit(m._3)))
       case ScalarLit(_) =>
         throw new PromQlParseException(

@@ -386,6 +386,18 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq((1.0, "x")))
   }
 
+  test("absent_over_time: 1 where the sliding window has no samples") {
+    // cpu samples only at minute 1 → covers eval steps 01:00 and 02:00
+    // with range 2h; the frame's spine (mem at minutes 0-1) covers 00:00
+    // (from u=0), 01:00, 02:00 — absent only at 00:00
+    val out = PromQl.eval(gauges, "absent_over_time(cpu_usage[2h])", 3600)
+      .select("__time_bucket").as[Timestamp].collect().toSeq
+    assert(out == Seq(Timestamp.valueOf("2024-01-01 00:00:00")))
+    // a metric with no samples at all → 1 on every spine step
+    assert(PromQl.eval(gauges, "absent_over_time(nope[2h])", 3600)
+      .count() == 3)
+  }
+
   test("label_join concatenates source labels into dst") {
     val out = PromQl.eval(gauges,
       """sum by (k) (label_join(mem_usage, "k", "-", "ServiceName", "host"))""",
