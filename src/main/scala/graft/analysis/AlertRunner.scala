@@ -63,18 +63,23 @@ object AlertRunner {
     * prometheusRate rates) — those emit values at window ENDS, and the
     * flag re-keys them to the window starts the threshold machine
     * compares against (instant vectors / tumbling aggregations already
-    * bucket at window starts). */
+    * bucket at window starts). For such expressions also set
+    * `lookbackSeconds` to at least the expression's largest range: the
+    * frame is otherwise scoped to exactly the lookback windows, and a
+    * wider function range would silently average over truncated data. */
   def evaluatePromQl(df: org.apache.spark.sql.DataFrame, promql: String,
       cfg: AlertConfig, now: Instant,
       prometheusRate: Boolean = false,
-      windowEndBuckets: Boolean = false): Seq[AlertResult] = {
+      windowEndBuckets: Boolean = false,
+      lookbackSeconds: Long = 0): Seq[AlertResult] = {
     val windowSecs = cfg.intervalMinutes * 60L
     val currentStart = Alerts.getScheduledWindowStart(now,
       cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
     val windowStarts = (cfg.numConsecutiveWindows to 1 by -1)
       .map(i => currentStart.minusSeconds(i * windowSecs))
     val scoped = df.filter(
-      col("TimeUnix") >= lit(java.sql.Timestamp.from(windowStarts.head)) &&
+      col("TimeUnix") >= lit(java.sql.Timestamp.from(
+        windowStarts.head.minusSeconds(lookbackSeconds))) &&
         col("TimeUnix") < lit(java.sql.Timestamp.from(currentStart)))
     val out0 = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
       prometheusRate)
@@ -97,8 +102,10 @@ object AlertRunner {
     val groups = if (groupCols.isEmpty) Map(Seq.empty[String] ->
       byGroup.values.flatten.toArray) else byGroup
     groups.map { case (g, rs) =>
-      // NULL values (x/0, ln of a non-positive, …) are MISSING points,
-      // not zeros and not errors
+      // NULL values (x/0, ln of a non-positive, …) drop out as missing
+      // points rather than erroring; note the threshold machine then
+      // treats a missing window as 0.0 (Alerts.evaluate), matching the
+      // chart path's empty-bucket behavior
       val series = rs.flatMap { r =>
         val ts = r.getAs[java.sql.Timestamp](TimeBucketAlias).toInstant
         r.getAs[Any]("value") match {

@@ -437,10 +437,13 @@ object PromQl {
         case "absent_over_time" if nextIsParen =>
           expect('(')
           ws()
-          val sel = parseSelector(readIdent())
+          val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
+          val off = readOffsetOpt()
           ws(); expect(')')
-          AbsentOverTime(sel, w)
+          AbsentOverTime(sel0.copy(offsetSeconds = off), w)
         case "label_join" if nextIsParen =>
           expect('(')
           val inner = parseOr()
@@ -986,14 +989,9 @@ object PromQl {
               "quantile_over_time needs a level"))))
         }
         val range = ots.rangeSeconds
-        inner
-          .withColumn("__u", unix_timestamp(col(TimeBucketAlias)))
-          .withColumn("__tmin",
-            expr(s"((__u + ${step - 1}) DIV $step) * $step"))
-          .withColumn("__tmax",
-            expr(s"((__u + ${range - 1}) DIV $step) * $step"))
-          .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
-            sequence(col("__tmin"), col("__tmax"), lit(step)))))
+        explodeToSteps(
+          inner.withColumn("__u", unix_timestamp(col(TimeBucketAlias))),
+          range, step)
           .drop(TimeBucketAlias)
           .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
           .groupBy((col(TimeBucketAlias) +: labels.map(col)): _*)
@@ -1021,28 +1019,23 @@ object PromQl {
           .distinct()
         val gaps = spine.join(present, Seq(TimeBucketAlias), "left_anti")
           .withColumn("value", lit(1.0))
-        sel.matchers.filter(_._2 == "=").foldLeft(gaps)((d, m) =>
-          d.withColumn(m._1, lit(m._3)))
+        echoMatchers(gaps, sel)
       case AbsentOverTime(sel, range) =>
         // sliding twin of absent(): explode every sample (whole frame →
         // spine; selector → present) to the eval steps whose (t − range,
         // t] window it feeds, then anti-join
-        def windows(d: DataFrame): DataFrame = d
-          .withColumn("__u", unix_timestamp(col("TimeUnix")))
-          .withColumn("__tmin",
-            expr(s"((__u + ${step - 1}) DIV $step) * $step"))
-          .withColumn("__tmax",
-            expr(s"((__u + ${range - 1}) DIV $step) * $step"))
-          .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
-            sequence(col("__tmin"), col("__tmax"), lit(step)))))
+        // distinct the sample timestamps BEFORE the fan-out: the explode
+        // then runs over |distinct seconds| rows, not the whole frame
+        def windows(d: DataFrame): DataFrame = explodeToSteps(
+          d.select(unix_timestamp(col("TimeUnix")).as("__u")).distinct(),
+          range, step)
           .select(timestamp_seconds(col("__t")).as(TimeBucketAlias))
           .distinct()
         val gapsOt = windows(df)
           .join(windows(applySelector(df, sel)), Seq(TimeBucketAlias),
             "left_anti")
           .withColumn("value", lit(1.0))
-        sel.matchers.filter(_._2 == "=").foldLeft(gapsOt)((d, m) =>
-          d.withColumn(m._1, lit(m._3)))
+        echoMatchers(gapsOt, sel)
       case ScalarLit(_) =>
         throw new PromQlParseException(
           "scalar-only expressions are not queries")
@@ -1066,6 +1059,29 @@ object PromQl {
     g.groupBy((col(TimeBucketAlias) +: by.map(col)): _*)
       .agg(agg.as("value"))
   }
+
+  /** Echo a selector's equality matchers as literal label columns on an
+    * absent() result — skipping names that would clobber the result
+    * columns. */
+  private def echoMatchers(d: DataFrame, sel: Selector): DataFrame =
+    sel.matchers
+      .filter(m => m._2 == "=" && m._1 != "value" &&
+        m._1 != TimeBucketAlias)
+      .foldLeft(d)((acc, m) => acc.withColumn(m._1, lit(m._3)))
+
+  /** Shared window fan-out: explode a frame carrying epoch-second `__u`
+    * to every step-aligned eval time t with t − range < u ≤ t, as `__t`.
+    * Integer ceil-division bounds: first eval step ≥ u, last eval step
+    * ≤ u + range − 1; range < step can leave a sample between eval steps
+    * (no bucket) — the NULL sequence drops those rows. ALL sliding-window
+    * semantics route through here so the (t − range, t] boundary rule has
+    * exactly one implementation. */
+  private def explodeToSteps(d: DataFrame, range: Long, step: Long)
+      : DataFrame = d
+    .withColumn("__tmin", expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+    .withColumn("__tmax", expr(s"((__u + ${range - 1}) DIV $step) * $step"))
+    .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+      sequence(col("__tmin"), col("__tmax"), lit(step)))))
 
   /** Per-series sliding range aggregate for `*_over_time`, Prometheus
     * semantics: at each step-aligned evaluation time t, aggregate the
@@ -1098,15 +1114,7 @@ object PromQl {
       }
     // integer ceil-division bounds: first eval step ≥ u, last eval step
     // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
-    val stepped = keyed
-      .withColumn("__tmin",
-        expr(s"((__u + ${stepSeconds - 1}) DIV $stepSeconds) * $stepSeconds"))
-      .withColumn("__tmax",
-        expr(s"((__u + ${range - 1}) DIV $stepSeconds) * $stepSeconds"))
-      // range < step can leave a sample between eval steps (no bucket);
-      // explode drops the NULL sequence for those rows
-      .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
-        sequence(col("__tmin"), col("__tmax"), lit(stepSeconds)))))
+    val stepped = explodeToSteps(keyed, range, stepSeconds)
       .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
     val grouped = stepped
       .groupBy((col("__series") +: col(TimeBucketAlias) +:
@@ -1206,13 +1214,7 @@ object PromQl {
     val adj = keyed.withColumn("__adj",
       when(isDelta, runningSum)
         .otherwise(col("__v") + coalesce(resetComp, lit(0.0))))
-    val stepped = adj
-      .withColumn("__tmin",
-        expr(s"((__u + ${step - 1}) DIV $step) * $step"))
-      .withColumn("__tmax",
-        expr(s"((__u + ${range - 1}) DIV $step) * $step"))
-      .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
-        sequence(col("__tmin"), col("__tmax"), lit(step)))))
+    val stepped = explodeToSteps(adj, range, step)
     val g = stepped
       .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
       .agg(count(lit(1)).as("__n"),

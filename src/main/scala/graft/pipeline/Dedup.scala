@@ -291,6 +291,10 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("comp", "__old"), "id")
         .filter(col("comp") =!= col("__old")).count()
+      // release the PREVIOUS round's snapshot explicitly (the `changed`
+      // count above was its last reader) — otherwise up to maxIter
+      // checkpointed label copies sit in executor storage until GC
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       converged = changed == 0
       i += 1
@@ -305,6 +309,14 @@ object Dedup {
           s"a component's diameter exceeds maxIter; raise maxIter")
     labels
   }
+
+  /** The materialized RDD behind an eagerly localCheckpoint'ed frame
+    * (LogicalRDD leaf), for explicit storage release. */
+  private def checkpointRdd(d: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    d.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 
   /** Exact Jaccard over two distinct-shingle arrays. */
   def exactJaccard(a: Column, b: Column): Column = {
