@@ -98,4 +98,28 @@ class AlertRunnerSpec extends SparkSpec {
     assert(states("api") == Alerts.ALERT)
     assert(states("db") == Alerts.OK)
   }
+
+  test("PromQL alert with a sliding range: window-end re-keying + lookback") {
+    // samples across 10:00-10:15; alert window [10:10, 10:15) at 10:16.
+    // max_over_time(mem[10m]) at the eval time 10:15 covers (10:05,10:15]
+    // — the 99 at 10:06 needs lookbackSeconds to be in scope
+    val frame = Seq(
+      ("2024-01-05 10:06:00", "api", 99.0),
+      ("2024-01-05 10:12:00", "api", 10.0))
+      .map { case (t, s, v) => (Timestamp.valueOf(t), s, v) }
+      .toDF("TimeUnix", "ServiceName", "value")
+      .select(lit("mem").as("MetricName"), col("ServiceName"),
+        col("TimeUnix"), col("value").as("Value"),
+        map().cast("map<string,string>").as("Attributes"))
+    def eval(lookback: Long) = AlertRunner.evaluatePromQl(frame,
+      "max_over_time(mem[10m])",
+      AlertRunner.AlertConfig(source = "", where = None,
+        intervalMinutes = 5, threshold = 50,
+        numConsecutiveWindows = 1), now,
+      windowEndBuckets = true, lookbackSeconds = lookback).head
+    // without lookback the 10:06 sample is out of scope → max 10 → OK
+    assert(eval(0).state == Alerts.OK)
+    // with a 10m lookback the 99 enters the sliding window → ALERT
+    assert(eval(600).state == Alerts.ALERT)
+  }
 }
