@@ -310,6 +310,29 @@ object Dedup {
     labels
   }
 
+  /** The CLEANED corpus after exact dedup: one row per distinct
+    * normalized text, keeping the smallest-id representative — the output
+    * shape a training pipeline actually feeds downstream ([[exact]]
+    * returns the group table instead). One extra semi-join over the
+    * already-shuffled groups. */
+  def exactDeduped(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.join(exact(df, idCol, textCol)
+        .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
+  /** The CLEANED corpus after near-dup clustering: from pairwise matches
+    * (any of the near-dup passes), collapse transitive clusters with
+    * [[connectedComponents]] and keep each cluster's smallest id plus
+    * every unpaired row. The anti-join removes exactly the ids whose
+    * component representative is a DIFFERENT id. */
+  def clusterDeduped(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** The materialized RDD behind an eagerly localCheckpoint'ed frame
     * (LogicalRDD leaf), for explicit storage release. */
   private def checkpointRdd(d: DataFrame)
@@ -338,9 +361,18 @@ object Dedup {
     * string-set definition modulo ~n²/2⁶⁴ hash collisions. */
   def ngramJaccardProbe(probes: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.2): DataFrame = {
+      threshold: Double = 0.2, maxProbes: Long = 10000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the probe shingle sets are collected and broadcast — enforce the
+    // "small by contract" premise instead of letting a corpus-sized probe
+    // frame OOM the driver (same defaults-shaped-caller guard as
+    // embeddingNearDups' exact path)
+    val nProbes = probes.count()
+    require(nProbes <= maxProbes,
+      s"ngramJaccardProbe broadcasts the probe set; got $nProbes probes " +
+        s"> maxProbes = $maxProbes — use minhashLsh for corpus-vs-corpus " +
+        s"dedup, or raise maxProbes explicitly")
     val (probesL, probeMap) = longIds(probes, idCol)
     val (corpusL, corpusMap) = longIds(corpus, idCol)
     def sorted(sh: Array[Long]): Array[Long] = {

@@ -73,6 +73,29 @@ class DedupSpec extends SparkSpec {
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("exactDeduped keeps one representative per normalized text") {
+    val df = Seq((1L, "Hello World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDeduped(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 3L))
+  }
+
+  test("clusterDeduped drops everything but cluster minima") {
+    val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterDeduped(df, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // cluster {1,2,3} keeps 1; 4 unpaired; cluster {5,6} keeps 5
+    assert(out.map(_._1) == Seq(1L, 4L, 5L))
+  }
+
+  test("probe guard rejects corpus-sized probe sets") {
+    val df = (1L to 50L).map(i => (i, s"some text $i")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.ngramJaccardProbe(df, df, "doc_id", "text", maxProbes = 10))
+  }
+
   test("transitive chains collapse to the min id; islands stay apart") {
     // chain 1-2-3-4 (no 1-4 edge), island 10-11, singleton edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
