@@ -499,6 +499,23 @@ object PipelineQueries {
        |SELECT id, least(id, min(r)) AS comp
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Cleaned-corpus output at the driver gate: exactDeduped keeps the
+    * smallest-id representative per normalized text — the frame a
+    * training pipeline feeds downstream. */
+  def q67_dedup_cleaned(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDeduped(corpusWithDups(spark, dir), "doc_id", "text")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+
+  val q67_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM corpus
+       |  GROUP BY md5(lower(text)))
+       |SELECT c.doc_id, c.text FROM corpus c
+       |JOIN keep k ON k.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -516,7 +533,8 @@ object PipelineQueries {
     "q45_multimodal" -> (q45_multimodal _),
     "q47_embed_lsh" -> (q47_embed_lsh _),
     "q63_langid" -> (q63_langid _),
-    "q66_dedup_clusters" -> (q66_dedup_clusters _))
+    "q66_dedup_clusters" -> (q66_dedup_clusters _),
+    "q67_dedup_cleaned" -> (q67_dedup_cleaned _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -534,5 +552,6 @@ object PipelineQueries {
     "q45_multimodal" -> q45_sql,
     "q47_embed_lsh" -> q47_sql,
     "q63_langid" -> q63_sql,
-    "q66_dedup_clusters" -> q66_sql)
+    "q66_dedup_clusters" -> q66_sql,
+    "q67_dedup_cleaned" -> q67_sql)
 }
