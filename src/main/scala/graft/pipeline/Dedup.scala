@@ -283,19 +283,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("__nmin"))
-      val next = labels.join(msgs, Seq("id"), "left")
+      // old and new labels ride the same row, so convergence is a filter
+      // over the checkpointed result instead of an extra join
+      val stepped = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nmin"), col("comp")))
-            .as("comp"))
+            .as("__newc"),
+          col("comp").as("__oldc"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") =!= col("__old")).count()
-      // release the PREVIOUS round's snapshot explicitly (the `changed`
-      // count above was its last reader) — otherwise up to maxIter
-      // checkpointed label copies sit in executor storage until GC
+      val changed = stepped.filter(col("__newc") =!= col("__oldc")).count()
+      // release the PREVIOUS round's snapshot explicitly (`stepped` was
+      // its last reader) — otherwise up to maxIter checkpointed label
+      // copies sit in executor storage until GC
       checkpointRdd(labels).foreach(_.unpersist(blocking = false))
-      labels = next
+      labels = stepped.select(col("id"), col("__newc").as("comp"))
       converged = changed == 0
       i += 1
     }
