@@ -516,26 +516,90 @@ object MetricQueries {
        |FROM p WHERE s30 > 0 ORDER BY bucket""".stripMargin
   }
 
-  /** PromQL at the driver gate: `sum by (ServiceName)
-    * (increase(requests_total[1d]))` goes through the PromQl parser +
-    * compiler over per-(event_type, user) cumulative counters — q15's
-    * semantics without the top-N cap (reference proxies PromQL,
-    * api/src/routers/api/prometheus.ts:413,534; here it compiles onto the
-    * engine's own counter pipeline). */
-  def q40_promql_increase(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-(event_type, user) cumulative counter frame shared by
+    * q40/q50: per-second value sums (one sample per series-second, so the
+    * sliding first/last picks are deterministic on both engines), then a
+    * running cumulative per series — a clean monotone OTel sum metric. */
+  private def userCounter(spark: SparkSession, dir: String): DataFrame = {
+    val perSec = events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"),
+        unix_timestamp(col("ts")).as("u"))
+      .agg(sum(col("value")).as("c"))
     val w = Window.partitionBy(col("event_type"), col("user_id"))
-      .orderBy(col("ts"))
-    val counter = events(spark, dir)
-      .withColumn("cum", sum(col("value")).over(w))
+      .orderBy(col("u"))
+    perSec.withColumn("v", sum(col("c")).over(w))
       .select(
         lit("requests_total").as("MetricName"),
         col("event_type").as("ServiceName"),
-        col("ts").as("TimeUnix"),
-        col("cum").as("Value"),
+        timestamp_seconds(col("u")).as("TimeUnix"),
+        col("v").as("Value"),
         map(lit("user"), col("user_id").cast("string")).as("Attributes"),
         lit(2).as("AggregationTemporality"),
         lit(true).as("IsMonotonic"))
-    epochBucket(graft.metrics.PromQl.eval(counter,
+  }
+
+  /** The shared oracle CTE chain for q40/q50: Prometheus extrapolatedRate
+    * per (event_type, user) series over (t − 1d, t] windows at 1d steps
+    * (range = step ⇒ each sample feeds exactly one eval time), increase
+    * summed across user series per type, window-start labels. */
+  private val userCounterIncreaseSql: String =
+    """WITH sec AS (
+      |  SELECT event_type, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         sum(value) AS c
+      |  FROM events GROUP BY 1, 2, 3),
+      |cumt AS (
+      |  SELECT event_type, user_id, u,
+      |    sum(c) OVER (PARTITION BY event_type, user_id ORDER BY u) AS v
+      |  FROM sec),
+      |ex AS (
+      |  SELECT event_type, user_id, u, v,
+      |    ((u + 86399) // 86400) * 86400 AS t
+      |  FROM cumt),
+      |g AS (
+      |  SELECT t, event_type, user_id, count(*) AS n,
+      |    min(u) AS tf, max(u) AS tl,
+      |    arg_min(v, u) AS af, arg_max(v, u) AS al
+      |  FROM ex GROUP BY 1, 2, 3
+      |  HAVING count(*) >= 2 AND max(u) > min(u)),
+      |calc AS (
+      |  SELECT t, event_type, user_id,
+      |    CAST(tl - tf AS DOUBLE) AS sampled,
+      |    CAST(tl - tf AS DOUBLE) / (n - 1) AS avgiv,
+      |    al - af AS delta,
+      |    CAST(tf - (t - 86400) AS DOUBLE) AS sgap,
+      |    CAST(t - tl AS DOUBLE) AS egap,
+      |    af AS vf
+      |  FROM g),
+      |capped AS (
+      |  -- zero-crossing cap BEFORE the extrapolation threshold, like
+      |  -- promql extrapolatedRate
+      |  SELECT t, event_type, user_id, delta, sampled, avgiv, egap,
+      |    CASE WHEN delta > 0 AND vf >= 0
+      |              AND sampled * (vf / delta) < sgap
+      |         THEN sampled * (vf / delta) ELSE sgap END AS sgap2
+      |  FROM calc),
+      |fin AS (
+      |  SELECT t, event_type,
+      |    delta * (sampled +
+      |      CASE WHEN sgap2 >= avgiv * 1.1 THEN avgiv / 2 ELSE sgap2 END +
+      |      CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END)
+      |      / sampled AS inc
+      |  FROM capped),
+      |-- eval time minus one step: window-start labels
+      |s AS (
+      |  SELECT t - 86400 AS bucket, event_type, sum(inc) AS sv
+      |  FROM fin GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** PromQL at the driver gate: `sum by (ServiceName)
+    * (increase(requests_total[1d]))` through the parser + compiler over
+    * per-(event_type, user) cumulative counters, under the DEFAULT
+    * Prometheus-exact sliding extrapolatedRate semantics — the oracle
+    * replicates the gap/threshold/zero-cap math per series before the
+    * cross-series sum (reference proxies PromQL,
+    * api/src/routers/api/prometheus.ts:413,534). */
+  def q40_promql_increase(spark: SparkSession, dir: String): DataFrame = {
+    epochBucket(graft.metrics.PromQl.eval(userCounter(spark, dir),
       "sum by (ServiceName) (increase(requests_total[1d]))", 86400))
       .withColumn("value", round(col("value"), 2))
       .withColumnRenamed("ServiceName", "event_type")
@@ -544,38 +608,15 @@ object MetricQueries {
   }
 
   val q40_sql: String =
-    """WITH c AS (
-      |  SELECT event_type, user_id, ts, sum(value) OVER
-      |    (PARTITION BY event_type, user_id ORDER BY ts) AS v
-      |  FROM events),
-      |r AS (
-      |  SELECT event_type, ts,
-      |    CASE WHEN lag(v) OVER w IS NULL THEN 0
-      |      ELSE greatest(v - lag(v) OVER w, 0) END AS rate
-      |  FROM c
-      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts))
-      |SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
-      |  event_type, round(sum(rate),2) AS value
-      |FROM r GROUP BY bucket, event_type
-      |ORDER BY bucket, event_type""".stripMargin
+    userCounterIncreaseSql +
+      """SELECT bucket, event_type, round(sv, 2) AS value
+        |FROM s ORDER BY bucket, event_type""".stripMargin
 
-  /** PromQL topk over the aggregated increase vector: the 3 highest
-    * event_types per day bucket (rank on unrounded values, label
+  /** PromQL topk over the aggregated sliding increase vector: the 3
+    * highest event_types per day bucket (rank on unrounded values, label
     * tie-break — mirrored by the oracle's window rank). */
   def q50_promql_topk(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"), col("user_id"))
-      .orderBy(col("ts"))
-    val counter = events(spark, dir)
-      .withColumn("cum", sum(col("value")).over(w))
-      .select(
-        lit("requests_total").as("MetricName"),
-        col("event_type").as("ServiceName"),
-        col("ts").as("TimeUnix"),
-        col("cum").as("Value"),
-        map(lit("user"), col("user_id").cast("string")).as("Attributes"),
-        lit(2).as("AggregationTemporality"),
-        lit(true).as("IsMonotonic"))
-    epochBucket(graft.metrics.PromQl.eval(counter,
+    epochBucket(graft.metrics.PromQl.eval(userCounter(spark, dir),
       "topk(3, sum by (ServiceName) (increase(requests_total[1d])))",
       86400))
       .withColumn("value", round(col("value"), 2))
@@ -585,27 +626,14 @@ object MetricQueries {
   }
 
   val q50_sql: String =
-    """WITH c AS (
-      |  SELECT event_type, user_id, ts, sum(value) OVER
-      |    (PARTITION BY event_type, user_id ORDER BY ts) AS v
-      |  FROM events),
-      |r AS (
-      |  SELECT event_type, ts,
-      |    CASE WHEN lag(v) OVER w IS NULL THEN 0
-      |      ELSE greatest(v - lag(v) OVER w, 0) END AS rate
-      |  FROM c
-      |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts)),
-      |a AS (
-      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
-      |    event_type, sum(rate) AS value
-      |  FROM r GROUP BY bucket, event_type),
-      |k AS (
-      |  SELECT bucket, event_type, value, row_number() OVER
-      |    (PARTITION BY bucket ORDER BY value DESC, event_type) AS rk
-      |  FROM a)
-      |SELECT bucket, event_type, round(value, 2) AS value
-      |FROM k WHERE rk <= 3
-      |ORDER BY bucket, event_type""".stripMargin
+    userCounterIncreaseSql +
+      """, k AS (
+        |  SELECT bucket, event_type, sv, row_number() OVER
+        |    (PARTITION BY bucket ORDER BY sv DESC, event_type) AS rk
+        |  FROM s)
+        |SELECT bucket, event_type, round(sv, 2) AS value
+        |FROM k WHERE rk <= 3
+        |ORDER BY bucket, event_type""".stripMargin
 
   /** PromQL histogram_quantile routed through the engine's exp-histogram
     * quantile pipeline — the same derived frame and semantics as
@@ -661,8 +689,10 @@ object MetricQueries {
 
   val q52_sql: String =
     """WITH pts AS (
+      |  -- eval time minus one step: sliding values emit at window-start
+      |  -- labels (PromQl bucket convention)
       |  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) + 7199) // 3600) * 3600
-      |           AS bucket,
+      |           - 3600 AS bucket,
       |         event_type, user_id, value
       |  FROM events),
       |a AS (
@@ -736,7 +766,9 @@ object MetricQueries {
       |a AS (
       |  SELECT bucket, event_type, user_id, max(value) AS v
       |  FROM ex GROUP BY bucket, event_type, user_id)
-      |SELECT bucket, event_type, round(sum(v), 2) AS value
+      |-- eval time minus one step: window-start labels
+      |SELECT bucket - 3600 AS bucket, event_type,
+      |  round(sum(v), 2) AS value
       |FROM a GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
@@ -782,7 +814,9 @@ object MetricQueries {
       |    CASE WHEN n % 2 = 1 THEN l[(n+1)//2]
       |         ELSE l[n//2] + (l[n//2+1] - l[n//2]) * 0.5 END AS v
       |  FROM a)
-      |SELECT bucket, event_type, round(max(v), 6) AS value
+      |-- eval time minus one step: window-start labels
+      |SELECT bucket - 3600 AS bucket, event_type,
+      |  round(max(v), 6) AS value
       |FROM m GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
@@ -820,21 +854,26 @@ object MetricQueries {
 
   /** PromQL binary operator at the driver gate: per-day error ratio as
     * `sum(rate(err_total[1d])) / sum(rate(ev_total[1d]))` over two
-    * delta-temporality counters derived from events — the vector/vector
-    * join matches per bucket (PromQL one-to-one matching; buckets with no
-    * error samples drop out of the inner join, mirrored by the oracle's
-    * cerr > 0 filter). */
+    * delta-temporality counters (per-second event counts) under the
+    * DEFAULT sliding extrapolatedRate — the engine synthesizes the
+    * cumulative series via a running sum, the oracle mirrors it; the
+    * vector/vector join matches per window-start bucket (days whose
+    * error series has < 2 samples emit no point and drop out of the
+    * inner join). */
   def q44_promql_ratio(spark: SparkSession, dir: String): DataFrame = {
     val e = events(spark, dir)
     def shaped(metric: String, cond: Column): DataFrame =
-      e.filter(cond).select(
-        lit(metric).as("MetricName"),
-        lit("svc").as("ServiceName"),
-        col("ts").as("TimeUnix"),
-        lit(1.0).as("Value"),
-        map().cast("map<string,string>").as("Attributes"),
-        lit(1).as("AggregationTemporality"),
-        lit(true).as("IsMonotonic"))
+      e.filter(cond)
+        .groupBy(unix_timestamp(col("ts")).as("u"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .select(
+          lit(metric).as("MetricName"),
+          lit("svc").as("ServiceName"),
+          timestamp_seconds(col("u")).as("TimeUnix"),
+          col("c").as("Value"),
+          map().cast("map<string,string>").as("Attributes"),
+          lit(1).as("AggregationTemporality"),
+          lit(true).as("IsMonotonic"))
     val frame = shaped("ev_total", lit(true))
       .unionByName(shaped("err_total", col("event_type") === "error"))
     epochBucket(graft.metrics.PromQl.eval(frame,
@@ -844,15 +883,53 @@ object MetricQueries {
       .orderBy("bucket")
   }
 
+  /** extrapolatedRate over one single-series delta counter: per-second
+    * counts (optionally filtered), running-sum cumulative, one eval time
+    * per sample (range = step = 1d), the same gap/threshold/zero-cap math
+    * as the engine — vf is the RAW first in-window sample (the per-second
+    * count), matching slidingRate's delta-temporality path. */
+  private def deltaRateSql(where: String): String =
+    s"""  SELECT t, delta * (sampled +
+       |      CASE WHEN sgap2 >= avgiv * 1.1 THEN avgiv / 2 ELSE sgap2 END +
+       |      CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END)
+       |      / sampled / 86400.0 AS rate
+       |  FROM (
+       |    SELECT t, delta, sampled, avgiv, egap,
+       |      CASE WHEN delta > 0 AND vf >= 0
+       |                AND sampled * (vf / delta) < sgap
+       |           THEN sampled * (vf / delta) ELSE sgap END AS sgap2
+       |    FROM (
+       |      SELECT t,
+       |        CAST(tl - tf AS DOUBLE) AS sampled,
+       |        CAST(tl - tf AS DOUBLE) / (n - 1) AS avgiv,
+       |        al - af AS delta,
+       |        CAST(tf - (t - 86400) AS DOUBLE) AS sgap,
+       |        CAST(t - tl AS DOUBLE) AS egap, vf
+       |      FROM (
+       |        SELECT t, count(*) AS n, min(u) AS tf, max(u) AS tl,
+       |          arg_min(v, u) AS af, arg_max(v, u) AS al,
+       |          arg_min(c, u) AS vf
+       |        FROM (
+       |          SELECT u, c,
+       |            sum(c) OVER (ORDER BY u) AS v,
+       |            ((u + 86399) // 86400) * 86400 AS t
+       |          FROM (
+       |            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS u,
+       |              CAST(count(*) AS DOUBLE) AS c
+       |            FROM events $where GROUP BY 1))
+       |        GROUP BY t HAVING count(*) >= 2 AND max(u) > min(u))))
+       |""".stripMargin
+
   val q44_sql: String =
-    """WITH d AS (
-      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
-      |    count(*) AS call,
-      |    count(*) FILTER (WHERE event_type = 'error') AS cerr
-      |  FROM events GROUP BY bucket)
-      |SELECT bucket,
-      |  round((cerr / 86400.0) / (call / 86400.0), 6) AS value
-      |FROM d WHERE cerr > 0 ORDER BY bucket""".stripMargin
+    s"""WITH ev AS (
+       |${deltaRateSql("")}),
+       |err AS (
+       |${deltaRateSql("WHERE event_type = 'error'")})
+       |-- eval time minus one step: window-start labels
+       |SELECT ev.t - 86400 AS bucket,
+       |  round(err.rate / ev.rate, 6) AS value
+       |FROM ev JOIN err ON ev.t = err.t
+       |ORDER BY bucket""".stripMargin
 
   /** PromQL subquery at the driver gate: the inner expression
     * `sum by (ServiceName) (mem)` evaluates as its own range query at 1h
@@ -889,7 +966,9 @@ object MetricQueries {
       |  SELECT unnest(generate_series(u, u + 3*3600, 3600)) AS bucket,
       |         event_type, sv
       |  FROM inner_s)
-      |SELECT bucket, event_type, round(max(sv), 2) AS value
+      |-- eval time minus one step: window-start labels
+      |SELECT bucket - 3600 AS bucket, event_type,
+      |  round(max(sv), 2) AS value
       |FROM ex GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
@@ -1077,7 +1156,8 @@ object MetricQueries {
       |    CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END
       |      AS edur
       |  FROM capped)
-      |SELECT bucket, event_type,
+      |-- eval time minus one step: window-start labels
+      |SELECT bucket - 3600 AS bucket, event_type,
       |  round(delta * (sampled + sdur + edur) / sampled, 6) AS value
       |FROM fin ORDER BY bucket, event_type""".stripMargin
 
@@ -1112,9 +1192,11 @@ object MetricQueries {
 
   val q65_sql: String =
     """WITH pts AS (
+      |  -- eval time minus one step: sliding count_over_time emits at
+      |  -- window-start labels
       |  SELECT event_type, value,
       |    ((CAST(floor(epoch(ts)) AS BIGINT) + 3599) // 3600) * 3600
-      |      AS bucket
+      |      - 3600 AS bucket
       |  FROM events),
       |g AS (
       |  SELECT bucket, event_type,
@@ -1149,8 +1231,95 @@ object MetricQueries {
       |  END, 6) AS value
       |FROM q ORDER BY bucket, event_type""".stripMargin
 
+  /** Sliding rate and an instant vector mixed in ONE binary op — the
+    * alignment gate for the unified bucket convention: both families emit
+    * window-start labels, so the join compares the same evaluation
+    * instant like Prometheus — increase over (L + 1h − 4h, L + 1h]
+    * divided by the last cumulative value in [L, L + 1h), per type. */
+  def q68_promql_mixed_align(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSec = events(spark, dir)
+      .groupBy(col("event_type"), unix_timestamp(col("ts")).as("u"))
+      .agg(count(lit(1)).as("c"))
+    val cum = perSec.withColumn("v",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("u"))).cast("double"))
+    val shaped = cum.select(
+      lit("ctr").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      timestamp_seconds(col("u")).as("TimeUnix"),
+      col("v").as("Value"),
+      map().cast("map<string,string>").as("Attributes"),
+      lit(2).as("AggregationTemporality"),
+      lit(true).as("IsMonotonic"))
+    epochBucket(graft.metrics.PromQl.eval(shaped,
+      "sum by (ServiceName) (increase(ctr[4h])) " +
+        "/ sum by (ServiceName) (ctr)", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q68_sql: String =
+    """WITH sec AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cumt AS (
+      |  SELECT event_type, u,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY u) AS DOUBLE)
+      |      AS v
+      |  FROM sec),
+      |ex AS (
+      |  SELECT event_type, u, v,
+      |    unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                           ((u + 14399) // 3600) * 3600, 3600)) AS t
+      |  FROM cumt),
+      |g AS (
+      |  SELECT t, event_type, count(*) AS n,
+      |    min(u) AS tf, max(u) AS tl,
+      |    arg_min(v, u) AS af, arg_max(v, u) AS al
+      |  FROM ex GROUP BY 1, 2
+      |  HAVING count(*) >= 2 AND max(u) > min(u)),
+      |calc AS (
+      |  SELECT t, event_type,
+      |    CAST(tl - tf AS DOUBLE) AS sampled,
+      |    CAST(tl - tf AS DOUBLE) / (n - 1) AS avgiv,
+      |    al - af AS delta,
+      |    CAST(tf - (t - 14400) AS DOUBLE) AS sgap,
+      |    CAST(t - tl AS DOUBLE) AS egap,
+      |    af AS vf
+      |  FROM g),
+      |capped AS (
+      |  SELECT t, event_type, delta, sampled, avgiv, egap,
+      |    CASE WHEN delta > 0 AND vf >= 0
+      |              AND sampled * (vf / delta) < sgap
+      |         THEN sampled * (vf / delta) ELSE sgap END AS sgap2
+      |  FROM calc),
+      |-- eval time minus one step: the sliding increase emits at the
+      |-- window-start label, landing on the SAME bucket as the instant
+      |-- vector's [L, L+1h) last-value — one evaluation instant
+      |inc AS (
+      |  SELECT t - 3600 AS bucket, event_type,
+      |    delta * (sampled +
+      |      CASE WHEN sgap2 >= avgiv * 1.1 THEN avgiv / 2 ELSE sgap2 END +
+      |      CASE WHEN egap >= avgiv * 1.1 THEN avgiv / 2 ELSE egap END)
+      |      / sampled AS v
+      |  FROM capped),
+      |inst AS (
+      |  SELECT (u // 3600) * 3600 AS bucket, event_type,
+      |    arg_max(v, u) AS v
+      |  FROM cumt GROUP BY 1, 2)
+      |SELECT i.bucket, i.event_type, round(i.v / s.v, 6) AS value
+      |FROM inc i JOIN inst s
+      |  ON i.bucket = s.bucket AND i.event_type = s.event_type
+      |ORDER BY i.bucket, i.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
+    "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1178,6 +1347,7 @@ object MetricQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_promql_increase" -> q40_sql,
+    "q68_promql_mixed_align" -> q68_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

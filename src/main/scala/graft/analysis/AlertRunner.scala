@@ -58,35 +58,27 @@ object AlertRunner {
     * result series (every non-bucket/value column is a group label) runs
     * through the same consecutive-window threshold machine.
     *
-    * Set `windowEndBuckets = true` for expressions whose top level is a
-    * sliding range function (`*_over_time`, subqueries, delta/irate,
-    * prometheusRate rates) — those emit values at window ENDS, and the
-    * flag re-keys them to the window starts the threshold machine
-    * compares against (instant vectors / tumbling aggregations already
-    * bucket at window starts). For such expressions also set
-    * `lookbackSeconds` to at least the expression's largest range: the
-    * frame is otherwise scoped to exactly the lookback windows, and a
-    * wider function range would silently average over truncated data. */
+    * The scan padding for sliding range functions is derived from the
+    * parsed expression (`PromQl.maxLookback`) — a `max_over_time(m[1h])`
+    * alert automatically scans one hour before the first window, so edge
+    * windows never aggregate truncated data. All PromQl vector families
+    * bucket at window STARTS, the same convention the threshold machine
+    * compares against — no re-keying flag. */
   def evaluatePromQl(df: org.apache.spark.sql.DataFrame, promql: String,
       cfg: AlertConfig, now: Instant,
-      prometheusRate: Boolean = false,
-      windowEndBuckets: Boolean = false,
-      lookbackSeconds: Long = 0): Seq[AlertResult] = {
+      prometheusRate: Boolean = true): Seq[AlertResult] = {
     val windowSecs = cfg.intervalMinutes * 60L
     val currentStart = Alerts.getScheduledWindowStart(now,
       cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
     val windowStarts = (cfg.numConsecutiveWindows to 1 by -1)
       .map(i => currentStart.minusSeconds(i * windowSecs))
+    val lookback = graft.metrics.PromQl.maxLookback(promql)
     val scoped = df.filter(
       col("TimeUnix") >= lit(java.sql.Timestamp.from(
-        windowStarts.head.minusSeconds(lookbackSeconds))) &&
+        windowStarts.head.minusSeconds(lookback))) &&
         col("TimeUnix") < lit(java.sql.Timestamp.from(currentStart)))
-    val out0 = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
+    val out = graft.metrics.PromQl.eval(scoped, promql, windowSecs,
       prometheusRate)
-    val out =
-      if (!windowEndBuckets) out0
-      else out0.withColumn(TimeBucketAlias,
-        col(TimeBucketAlias) - expr(s"INTERVAL $windowSecs SECOND"))
     val groupCols = out.columns.toSeq
       .filterNot(c => c == TimeBucketAlias || c == "value")
     threshold(out.collect(), groupCols, windowStarts, cfg)

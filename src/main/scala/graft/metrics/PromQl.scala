@@ -68,17 +68,22 @@ import graft.functions.CoreFunctions._
   * scalar operands broadcast. Documented deviation: x/0 yields NULL
   * (Spark division), where PromQL yields ±Inf.
   *
-  * Bucket alignment (documented deviation): sliding range functions
-  * (`*_over_time`, subqueries, delta/irate/…, prometheusRate) emit their
-  * value at the window END t of (t − range, t], while instant vectors and
-  * tumbling rate/gauge aggregations bucket at window STARTS. A binary op
-  * mixing the two conventions joins one step apart from Prometheus, which
-  * evaluates both operands at the same instant — keep operand families
-  * consistent within one expression (as every gated query here does).
+  * Bucket alignment: EVERY vector family labels its output with the step
+  * bucket START. A bucket labeled L holds the evaluation whose data ends
+  * at L + step: instant vectors and tumbling aggregations cover
+  * [L, L + step), and sliding range functions (`*_over_time`, subqueries,
+  * delta/irate/…, sliding rate) cover (L + step − range, L + step] —
+  * their window-END evaluation at t is emitted at label t − step inside
+  * `compile`, so mixing families in one binary op joins the SAME
+  * evaluation instant, like Prometheus (which evaluates both operands at
+  * one time). The only residue vs Prometheus is the half-open boundary of
+  * the tumbling families ([L, L+step) vs (L, L+step]).
   *
-  * Semantics notes (documented deviations): rate/increase evaluate on
-  * step-aligned tumbling buckets (the engine's counterRate) rather than a
-  * sliding lookback at each step; gauges aggregate last-value per bucket.
+  * Semantics notes: rate()/increase() default to Prometheus's sliding
+  * extrapolatedRate (`prometheusRate = true`); pass `prometheusRate =
+  * false` for the reference's chart semantics (step-aligned tumbling
+  * counterRate with first-point-zero; gauges aggregate last-value per
+  * bucket either way).
   */
 object PromQl {
 
@@ -623,14 +628,13 @@ object PromQl {
     * as a range query at `stepSeconds`. Output: __time_bucket, grouping
     * labels…, value.
     *
-    * `prometheusRate = true` switches rate()/increase() to Prometheus's
+    * `prometheusRate` (default true) gives rate()/increase() Prometheus's
     * exact semantics: a sliding (t − range, t] lookback at every step with
     * counter-reset monotonicization and boundary extrapolation
-    * (extrapolatedRate), instead of the engine's step-aligned tumbling
-    * counterRate (the reference's chart semantics, which stay the
-    * default). */
+    * (extrapolatedRate). Pass false for the engine's step-aligned tumbling
+    * counterRate — the reference's chart semantics. */
   def eval(df: DataFrame, query: String, stepSeconds: Long,
-      prometheusRate: Boolean = false): DataFrame = {
+      prometheusRate: Boolean = true): DataFrame = {
     val ast = parse(query)
     compile(df, if (prometheusRate) rewriteRates(ast) else ast, stepSeconds)
   }
@@ -656,6 +660,38 @@ object PromQl {
       ClassicHistQuantile(phi, rewriteRates(i))
     case CountValues(l, i) => CountValues(l, rewriteRates(i))
     case other => other
+  }
+
+  /** Largest lookback (range + offset, seconds) any node of the parsed
+    * expression needs. A caller scoping the input frame to a query range
+    * must extend the scan this far before the range start, or edge
+    * windows silently aggregate truncated data (AlertRunner derives its
+    * scan padding from this — no caller-supplied flag). */
+  def maxLookback(query: String): Long = lookbackOf(parse(query))
+
+  private def lookbackOf(e: Expr): Long = e match {
+    case Selector(_, _, off) => off
+    case Rate(sel, w, _) => sel.offsetSeconds + w
+    case RateSliding(sel, w, _) => sel.offsetSeconds + w
+    case OverTime(_, sel, w, _) => sel.offsetSeconds + w
+    case AbsentOverTime(sel, w) => sel.offsetSeconds + w
+    // the inner expression evaluates at substep over its own lookback,
+    // and the outer window reaches `range` further back
+    case OverTimeSub(_, inner, range, _, _) => range + lookbackOf(inner)
+    case Aggr(_, _, i, _) => lookbackOf(i)
+    case BinOp(_, l, r, _) => math.max(lookbackOf(l), lookbackOf(r))
+    case CmpOp(_, l, r, _, _) => math.max(lookbackOf(l), lookbackOf(r))
+    case SetOp(_, l, r) => math.max(lookbackOf(l), lookbackOf(r))
+    case MathFn(_, i) => lookbackOf(i)
+    case LabelReplace(i, _, _, _, _) => lookbackOf(i)
+    case LabelJoin(i, _, _, _) => lookbackOf(i)
+    case TopK(_, i, _) => lookbackOf(i)
+    case Clamp(i, _, _) => lookbackOf(i)
+    case HistQuantile(_, sel, _) => sel.offsetSeconds
+    case ClassicHistQuantile(_, i) => lookbackOf(i)
+    case CountValues(_, i) => lookbackOf(i)
+    case Absent(sel) => sel.offsetSeconds
+    case ScalarLit(_) => 0L
   }
 
   private def labelCol(label: String, df: DataFrame): Column =
@@ -989,11 +1025,14 @@ object PromQl {
               "quantile_over_time needs a level"))))
         }
         val range = ots.rangeSeconds
+        // window-END eval at __t emits at the window-START label __t − step
+        // (one bucket convention across all families — see header doc)
         explodeToSteps(
           inner.withColumn("__u", unix_timestamp(col(TimeBucketAlias))),
           range, step)
           .drop(TimeBucketAlias)
-          .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
+          .withColumn(TimeBucketAlias,
+            timestamp_seconds(col("__t") - step))
           .groupBy((col(TimeBucketAlias) +: labels.map(col)): _*)
           .agg(agg.as("value"))
       case Clamp(inner, lo, hi) =>
@@ -1029,7 +1068,7 @@ object PromQl {
         def windows(d: DataFrame): DataFrame = explodeToSteps(
           d.select(unix_timestamp(col("TimeUnix")).as("__u")).distinct(),
           range, step)
-          .select(timestamp_seconds(col("__t")).as(TimeBucketAlias))
+          .select(timestamp_seconds(col("__t") - step).as(TimeBucketAlias))
           .distinct()
         val gapsOt = windows(df)
           .join(windows(applySelector(df, sel)), Seq(TimeBucketAlias),
@@ -1091,7 +1130,9 @@ object PromQl {
     * query shape (not data volume) and the whole pipeline stays one
     * hash-shuffle on (series, bucket); no per-step window scan. Sample
     * times quantize to whole seconds (unix_timestamp) on both engine and
-    * oracle sides. Output columns: __series, __time_bucket, by…, value. */
+    * oracle sides. The window-END evaluation at t is emitted at the
+    * window-START label t − step (one bucket convention across families).
+    * Output columns: __series, __time_bucket, by…, value. */
   private def overTimePerSeries(df: DataFrame, ot: OverTime,
       by: Seq[String], stepSeconds: Long): DataFrame = {
     val src = withLabels(applySelector(df, ot.sel), by)
@@ -1113,12 +1154,15 @@ object PromQl {
           .withColumn("__pv", lag(v, 1).over(w))
       }
     // integer ceil-division bounds: first eval step ≥ u, last eval step
-    // ≤ u + range − 1 (t − range < u ≤ t over whole seconds)
+    // ≤ u + range − 1 (t − range < u ≤ t over whole seconds); __t stays
+    // the eval time through the aggregation, the label shifts at the end
     val stepped = explodeToSteps(keyed, range, stepSeconds)
-      .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
     val grouped = stepped
-      .groupBy((col("__series") +: col(TimeBucketAlias) +:
-        by.map(col)): _*)
+      .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
+    def finish(d: DataFrame): DataFrame = d
+      .withColumn(TimeBucketAlias,
+        timestamp_seconds(col("__t") - stepSeconds))
+      .drop("__t")
     ot.op match {
       case "resets" | "changes" =>
         // count consecutive in-window pairs that drop (resets) / differ
@@ -1128,8 +1172,8 @@ object PromQl {
           col("__pu") > col("__t") - lit(range)
         val hit =
           if (ot.op == "resets") col("__pv") > v else v =!= col("__pv")
-        grouped.agg(sum(when(inWindow && hit, 1L).otherwise(0L))
-          .as("value"))
+        finish(grouped.agg(sum(when(inWindow && hit, 1L).otherwise(0L))
+          .as("value")))
       case "irate" | "idelta" =>
         // latest sample in the window whose PREDECESSOR is also inside
         // (both samples of the instant pair must be in range, like
@@ -1145,20 +1189,19 @@ object PromQl {
         // fall back to a null-keyed row when no row qualifies
         val picked = grouped.agg(pick)
           .filter(col("__p").isNotNull && col("__p.pu").isNotNull &&
-            col("__p.pu") >
-              unix_timestamp(col(TimeBucketAlias)) - lit(range))
+            col("__p.pu") > col("__t") - lit(range))
         val d = when(col("__p.v") < col("__p.pv"), col("__p.v"))
           .otherwise(col("__p.v") - col("__p.pv"))
         val value = ot.op match {
           case "irate" => d / (col("__p.u") - col("__p.pu"))
           case _ => col("__p.v") - col("__p.pv")
         }
-        picked.withColumn("value", value).drop("__p")
+        finish(picked.withColumn("value", value).drop("__p"))
       case "delta" =>
         // extrapolated gauge delta: (last − first) · range / (tlast −
         // tfirst), 0 for a single-point window (the engine's gaugeDelta
         // math evaluated per sliding window)
-        grouped
+        finish(grouped
           .agg(max_by(v, col("__u")).as("__vl"),
             min_by(v, col("__u")).as("__vf"),
             max(col("__u")).as("__ul"), min(col("__u")).as("__uf"))
@@ -1166,7 +1209,7 @@ object PromQl {
             when(col("__ul") === col("__uf"), lit(0.0))
               .otherwise((col("__vl") - col("__vf")) * lit(range) /
                 (col("__ul") - col("__uf"))))
-          .drop("__vl", "__vf", "__ul", "__uf")
+          .drop("__vl", "__vf", "__ul", "__uf"))
       case op =>
         val agg = op match {
           case "avg" => avg(v)
@@ -1179,7 +1222,7 @@ object PromQl {
             lit(ot.level.getOrElse(throw new PromQlParseException(
               "quantile_over_time needs a level"))))
         }
-        grouped.agg(agg.as("value"))
+        finish(grouped.agg(agg.as("value")))
     }
   }
 
@@ -1192,7 +1235,9 @@ object PromQl {
     * boundaries: gaps shorter than 1.1× the average sample interval
     * extrapolate fully, longer gaps by half an interval, and a positive
     * counter never extrapolates past its zero crossing. Windows with
-    * fewer than two samples produce no point, like Prometheus. */
+    * fewer than two samples produce no point, like Prometheus. The
+    * window-END evaluation at t emits at the window-START label t − step
+    * (one bucket convention across families — header doc). */
   private def slidingRate(df: DataFrame, sel: Selector, range: Long,
       step: Long, by: Seq[String], increase: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1240,7 +1285,7 @@ object PromQl {
     val inc = delta * (sampled + startDur + endDur) / sampled
     g.withColumn("value",
         if (increase) inc else inc / lit(range.toDouble))
-      .withColumn(TimeBucketAlias, timestamp_seconds(col("__t")))
+      .withColumn(TimeBucketAlias, timestamp_seconds(col("__t") - step))
       .select((col("__series") +: col(TimeBucketAlias) +: by.map(col) :+
         col("value")): _*)
   }

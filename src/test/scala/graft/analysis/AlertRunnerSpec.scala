@@ -99,10 +99,11 @@ class AlertRunnerSpec extends SparkSpec {
     assert(states("db") == Alerts.OK)
   }
 
-  test("PromQL alert with a sliding range: window-end re-keying + lookback") {
+  test("PromQL alert with a sliding range derives its own lookback") {
     // samples across 10:00-10:15; alert window [10:10, 10:15) at 10:16.
-    // max_over_time(mem[10m]) at the eval time 10:15 covers (10:05,10:15]
-    // — the 99 at 10:06 needs lookbackSeconds to be in scope
+    // The window-start bucket 10:10 holds the sliding evaluation over
+    // (10:15 − range, 10:15] — the scan padding for the range comes from
+    // PromQl.maxLookback, no caller flag
     val frame = Seq(
       ("2024-01-05 10:06:00", "api", 99.0),
       ("2024-01-05 10:12:00", "api", 10.0))
@@ -111,15 +112,14 @@ class AlertRunnerSpec extends SparkSpec {
       .select(lit("mem").as("MetricName"), col("ServiceName"),
         col("TimeUnix"), col("value").as("Value"),
         map().cast("map<string,string>").as("Attributes"))
-    def eval(lookback: Long) = AlertRunner.evaluatePromQl(frame,
-      "max_over_time(mem[10m])",
+    def eval(promql: String) = AlertRunner.evaluatePromQl(frame, promql,
       AlertRunner.AlertConfig(source = "", where = None,
         intervalMinutes = 5, threshold = 50,
-        numConsecutiveWindows = 1), now,
-      windowEndBuckets = true, lookbackSeconds = lookback).head
-    // without lookback the 10:06 sample is out of scope → max 10 → OK
-    assert(eval(0).state == Alerts.OK)
-    // with a 10m lookback the 99 enters the sliding window → ALERT
-    assert(eval(600).state == Alerts.ALERT)
+        numConsecutiveWindows = 1), now).head
+    // 10m window (10:05,10:15] reaches the 99 at 10:06 → ALERT, and the
+    // scan was auto-padded to include it
+    assert(eval("max_over_time(mem[10m])").state == Alerts.ALERT)
+    // 4m window (10:11,10:15] sees only the 10 at 10:12 → OK
+    assert(eval("max_over_time(mem[4m])").state == Alerts.OK)
   }
 }

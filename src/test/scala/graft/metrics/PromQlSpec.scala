@@ -83,7 +83,7 @@ class PromQlSpec extends SparkSpec {
       .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
         "AggregationTemporality", "IsMonotonic")
     val out = PromQl.eval(PromQl.withLabels(twoHosts, Seq("host")),
-      "sum by (host) (increase(req[1m]))", 60)
+      "sum by (host) (increase(req[1m]))", 60, prometheusRate = false)
       .orderBy("__time_bucket", "host")
       .select("host", "value").as[(String, Double)].collect().toSeq
     // minute 0: both first points → 0; minute 1: a +30, b +6
@@ -99,7 +99,8 @@ class PromQlSpec extends SparkSpec {
       .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
         "AggregationTemporality", "IsMonotonic")
     def run(q: String): Seq[Double] =
-      PromQl.eval(twoHosts, q, 60).orderBy("__time_bucket")
+      PromQl.eval(twoHosts, q, 60, prometheusRate = false)
+        .orderBy("__time_bucket")
         .select("value").as[Double].collect().toSeq
     // minute 1 per-series rates: a 30/60=0.5, b 6/60=0.1
     assert(run("avg(rate(req[1m]))") == Seq(0.0, 0.3))
@@ -156,18 +157,21 @@ class PromQlSpec extends SparkSpec {
     val scaled = PromQl.eval(frame, "sum(err) * 2 + 5", 3600)
       .select("value").as[Double].collect().toSeq
     assert(scaled == Seq(25.0))
-    // rate * step == increase
-    val inc = PromQl.eval(counters, "rate(requests_total[1m]) * 60", 60)
+    // rate * step == increase (tumbling chart semantics)
+    val inc = PromQl.eval(counters, "rate(requests_total[1m]) * 60", 60,
+      prometheusRate = false)
       .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
     assert(inc == Seq(0.0, 60.0, 0.0))
   }
 
-  test("rate and increase over a cumulative counter with reset") {
+  test("tumbling rate/increase (prometheusRate=false) over a reset") {
     // per-minute buckets: deltas 0, +60, reset→0 (clamp)
-    val inc = PromQl.eval(counters, "increase(requests_total[1m])", 60)
+    val inc = PromQl.eval(counters, "increase(requests_total[1m])", 60,
+      prometheusRate = false)
       .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
     assert(inc == Seq(0.0, 60.0, 0.0))
-    val rate = PromQl.eval(counters, "rate(requests_total[1m])", 60)
+    val rate = PromQl.eval(counters, "rate(requests_total[1m])", 60,
+      prometheusRate = false)
       .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
     assert(rate == Seq(0.0, 1.0, 0.0)) // 60 per 60s → 1/s
   }
@@ -387,12 +391,13 @@ class PromQlSpec extends SparkSpec {
   }
 
   test("absent_over_time: 1 where the sliding window has no samples") {
-    // cpu samples only at minute 1 → covers eval steps 01:00 and 02:00
-    // with range 2h; the frame's spine (mem at minutes 0-1) covers 00:00
-    // (from u=0), 01:00, 02:00 — absent only at 00:00
+    // cpu samples only at minute 1 → cover eval steps 01:00 and 02:00
+    // with range 2h; the frame's spine (mem at minutes 0-1) covers eval
+    // steps 00:00 (from u=0), 01:00, 02:00 — absent only at eval 00:00,
+    // emitted at the window-start label 23:00 the previous day
     val out = PromQl.eval(gauges, "absent_over_time(cpu_usage[2h])", 3600)
       .select("__time_bucket").as[Timestamp].collect().toSeq
-    assert(out == Seq(Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(out == Seq(Timestamp.valueOf("2023-12-31 23:00:00")))
     // a metric with no samples at all → 1 on every spine step
     assert(PromQl.eval(gauges, "absent_over_time(nope[2h])", 3600)
       .count() == 3)
@@ -407,29 +412,54 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("api-a", 30.0), ("api-b", 50.0)))
   }
 
-  test("prometheusRate: sliding extrapolated increase with reset") {
+  test("default rate/increase: sliding extrapolated, reset-compensated") {
     // cumulative series 100 @00:00, 160 @00:01, 20 @00:02 (reset) →
     // monotonicized 100, 160, 180.
-    // t=00:00: 1 sample → no point.
-    // t=01:00 (window (−1h,1h]): n=3, tf=0 tl=120, delta=80, avg=60,
+    // eval t=00:00: 1 sample → no point.
+    // eval t=01:00 (window (−1h,1h]): n=3, tf=0 tl=120, delta=80, avg=60,
     //   startGap=3600→30, zeroCap 120·(100/80)=150 (no), endGap=3480→30,
-    //   factor=(120+60)/120=1.5 → 120
-    // t=02:00 (window (0,2h] excludes u=0): n=2, tf=60 tl=120, delta=20,
-    //   avg=60, startGap=60<66→60, zeroCap 60·(160/20)=480 (no),
-    //   endGap=7080→30, factor=(60+90)/60=2.5 → 50
+    //   factor=(120+60)/120=1.5 → 120, emitted at label 00:00
+    // eval t=02:00 (window (0,2h] excludes u=0): n=2, tf=60 tl=120,
+    //   delta=20, avg=60, startGap=60<66→60, zeroCap 60·(160/20)=480 (no),
+    //   endGap=7080→30, factor=(60+90)/60=2.5 → 50, at label 01:00
     val out = PromQl.eval(counters,
-      "sum by (ServiceName) (increase(requests_total[2h]))", 3600,
-      prometheusRate = true)
+      "sum by (ServiceName) (increase(requests_total[2h]))", 3600)
       .orderBy("__time_bucket")
-      .select("value").as[Double].collect().toSeq
-    assert(out == Seq(120.0, 50.0))
+      .select("__time_bucket", "value").as[(Timestamp, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 120.0),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 50.0)))
     // rate = increase / range
     val r = PromQl.eval(counters,
-      "sum by (ServiceName) (rate(requests_total[2h]))", 3600,
-      prometheusRate = true)
+      "sum by (ServiceName) (rate(requests_total[2h]))", 3600)
       .orderBy("__time_bucket")
       .select("value").as[Double].collect().toSeq
     assert(r == Seq(120.0 / 7200, 50.0 / 7200))
+  }
+
+  test("sliding and instant families join at the same eval instant") {
+    // the evaluation at t=01:00 on both sides of the binop:
+    // sum_over_time[1h] over (00:00,01:00] = 160+20 = 180, and the
+    // instant vector's last-value in [00:00,01:00) = 20 — both emitted at
+    // the window-start label 00:00, so the join compares one instant,
+    // like Prometheus (no one-step misalignment between families)
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (sum_over_time(requests_total[1h])) " +
+        "- sum by (ServiceName) (requests_total)", 3600)
+      .select("__time_bucket", "value").as[(Timestamp, Double)]
+      .collect().toSeq
+    assert(out == Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 160.0)))
+  }
+
+  test("maxLookback derives the scan padding from the expression") {
+    assert(PromQl.maxLookback("sum by (h) (mem)") == 0L)
+    assert(PromQl.maxLookback("max_over_time(mem[10m])") == 600L)
+    assert(PromQl.maxLookback("rate(m[5m] offset 1h)") == 3900L)
+    assert(PromQl.maxLookback(
+      "rate(m[5m]) / max_over_time(sum(m)[1h:10m])") == 3600L)
+    assert(PromQl.maxLookback(
+      "max_over_time(rate(m[30m])[1h:5m])") == 5400L)
   }
 
   test("irate/idelta use the window's last sample pair") {
