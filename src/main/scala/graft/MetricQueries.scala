@@ -1317,9 +1317,51 @@ object MetricQueries {
       |  ON i.bucket = s.bucket AND i.event_type = s.event_type
       |ORDER BY i.bucket, i.event_type""".stripMargin
 
+  /** PromQL IEEE division at the driver gate: per-(type, hour) sum of
+    * values divided by the count of value-spike events — hours with no
+    * spike give x/0 = +Inf like Prometheus (the oracle's CASE arm), the
+    * rest a finite rounded ratio. The denominator is a gauge whose value
+    * is often exactly 0, so the division edge is exercised on real
+    * buckets, not synthetic rows. */
+  def q69_promql_divzero(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir)
+      .groupBy(col("event_type"), timeBucket(col("ts"), 3600).as("hb"))
+      .agg(sum(col("value")).as("n"),
+        count_if(col("value") > 195).cast("double").as("d"))
+    def shaped(metric: String, v: Column): DataFrame = g.select(
+      lit(metric).as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("hb").as("TimeUnix"),
+      v.as("Value"),
+      map().cast("map<string,string>").as("Attributes"))
+    val frame = shaped("valsum", col("n"))
+      .unionByName(shaped("spikes", col("d")))
+    epochBucket(graft.metrics.PromQl.eval(frame,
+      "sum by (ServiceName) (valsum) / sum by (ServiceName) (spikes)",
+      3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q69_sql: String =
+    """WITH g AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    event_type, sum(value) AS n,
+      |    CAST(count(*) FILTER (WHERE value > 195) AS DOUBLE) AS d
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bucket, event_type,
+      |  CASE WHEN d <> 0 THEN round(n / d, 6)
+      |       WHEN n > 0 THEN CAST('infinity' AS DOUBLE)
+      |       WHEN n < 0 THEN CAST('-infinity' AS DOUBLE)
+      |       ELSE CAST('nan' AS DOUBLE) END AS value
+      |FROM g ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
+    "q69_promql_divzero" -> (q69_promql_divzero _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1348,6 +1390,7 @@ object MetricQueries {
   val oracles: Map[String, String] = Map(
     "q40_promql_increase" -> q40_sql,
     "q68_promql_mixed_align" -> q68_sql,
+    "q69_promql_divzero" -> q69_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

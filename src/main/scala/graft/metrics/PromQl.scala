@@ -65,8 +65,9 @@ import graft.functions.CoreFunctions._
   * documented deviation for sub-second samples).
   * Binary ops join vector operands on (bucket, shared labels) — PromQL
   * one-to-one vector matching on the intersection of output labels;
-  * scalar operands broadcast. Documented deviation: x/0 yields NULL
-  * (Spark division), where PromQL yields ±Inf.
+  * scalar operands broadcast. Division follows PromQL's IEEE semantics:
+  * x/0 → ±Inf (sign of x), 0/0 → NaN (Spark SQL division would yield
+  * NULL — the compiler rewrites it).
   *
   * Bucket alignment: EVERY vector family labels its output with the step
   * bucket START. A bucket labeled L holds the evaluation whose data ends
@@ -150,7 +151,8 @@ object PromQl {
   final case class Clamp(inner: Expr, lo: Option[Double],
       hi: Option[Double]) extends Expr
   /** absent(selector): 1 at each step bucket where the selector matches no
-    * samples (evaluated over the frame's observed bucket spine). */
+    * samples (evaluated over the contiguous step spine spanning the
+    * frame's time extent). */
   final case class Absent(sel: Selector) extends Expr
   /** absent_over_time(selector[range]): 1 at each eval step whose sliding
     * (t − range, t] lookback holds no selector sample. */
@@ -340,8 +342,8 @@ object PromQl {
           Aggr(s"quantile:$phi", by, inner, without)
         case "delta" | "irate" | "idelta" | "resets" | "changes"
             if nextIsParen =>
-          // delta: gauge delta over the sliding window, extrapolated to
-          // the full range like Prometheus. irate/idelta: instant
+          // delta: gauge delta over the sliding window with Prometheus's
+          // capped boundary extrapolation. irate/idelta: instant
           // rate/difference from the window's last two samples.
           // resets/changes: count of in-window consecutive pairs that
           // reset (drop) / differ.
@@ -805,22 +807,33 @@ object PromQl {
           withLabels(applySelector(df, sel), by), phi, step, by)
       case ClassicHistQuantile(phi, inner) =>
         // promql bucketQuantile over le-labelled cumulative buckets: sort
-        // the per-group buckets by le, find the bucket containing
-        // rank = φ·total, interpolate linearly from the previous bucket's
-        // upper bound (0 below the first positive bucket; a rank landing
-        // in +Inf returns the largest finite le). Buckets per group are
-        // tiny (≤ dozens), so the interpreted array lambdas are off the
-        // per-row hot path. Deviation: Prometheus's ensureMonotonic
-        // smoothing of float-rate wobble is not applied.
+        // the per-group buckets by le, apply ensureMonotonic (running max
+        // over the cumulative counts — float-rate wobble can make a
+        // cumulative count dip below its predecessor), find the bucket
+        // containing rank = φ·total, interpolate linearly from the
+        // previous bucket's upper bound (0 below the first positive
+        // bucket; a rank landing in +Inf returns the largest finite le).
+        // Buckets per group are tiny (≤ dozens), so the interpreted array
+        // lambdas are off the per-row hot path.
         val perLe = compile(df, inner, step)
         val groups = perLe.columns.toSeq
           .filterNot(c => c == TimeBucketAlias || c == "value" || c == "le")
         val leNum = when(col("le").isin("+Inf", "Inf", "inf"),
           lit(Double.PositiveInfinity)).otherwise(col("le").cast("double"))
-        val g = perLe.withColumn("__le", leNum)
+        val g0 = perLe.withColumn("__le", leNum)
           .groupBy((col(TimeBucketAlias) +: groups.map(col)): _*)
           .agg(sort_array(collect_list(struct(col("__le").as("le"),
-            col("value").cast("double").as("c")))).as("__bs"))
+            col("value").cast("double").as("c")))).as("__bs0"))
+        // ensureMonotonic: rebuild the array with a running max of c
+        val g = g0.withColumn("__bs",
+            aggregate(col("__bs0"),
+              array().cast("array<struct<le:double,c:double>>"),
+              (acc, x) => concat(acc, array(struct(
+                x.getField("le").as("le"),
+                greatest(x.getField("c"),
+                  coalesce(element_at(acc, -1).getField("c"),
+                    x.getField("c"))).as("c"))))))
+          .drop("__bs0")
         val bs = col("__bs")
         val total = element_at(bs, -1).getField("c")
         val rank = lit(phi) * total
@@ -853,7 +866,7 @@ object PromQl {
           case '+' => a + b
           case '-' => a - b
           case '*' => a * b
-          case '/' => a / b
+          case '/' => promDiv(a, b)
         }
         (l, r) match {
           case (ScalarLit(_), ScalarLit(_)) =>
@@ -962,7 +975,10 @@ object PromQl {
           case _ =>
             // vector/vector: one-to-one match on (bucket ∩ shared labels)
             // (on()/ignoring() adjust the key like arithmetic binops);
-            // filter semantics keep the LEFT side's value
+            // filter semantics keep the LEFT side's value and labels.
+            // group_left(extra…) copies the listed labels from the right
+            // side, overwriting a left column of the same name (the
+            // arithmetic BinOp's transfer rule)
             val ld = compile(df, l, step).withColumnRenamed("value", "__lv")
             val rd = compile(df, r, step).withColumnRenamed("value", "__rv")
             val shared = ld.columns.toSeq
@@ -971,8 +987,12 @@ object PromQl {
               case Some(ons) => TimeBucketAlias +: ons
               case None => shared.filterNot(matching.ignoring.contains)
             }
-            val joined = ld.join(rd.select((keys.map(col) :+
-              col("__rv")): _*), keys)
+            val ldSel = matching.extra
+              .filterNot(keys.contains)
+              .foldLeft(ld)((d, c) =>
+                if (d.columns.contains(c)) d.drop(c) else d)
+            val joined = ldSel.join(rd.select((keys.map(col) ++
+              matching.extra.map(col) :+ col("__rv")): _*), keys)
             val p = pred(col("__lv"), col("__rv"))
             // bool writes the 1/0 INTO the left value slot before the
             // rename — a separate `value` column would collide with it
@@ -1046,13 +1066,18 @@ object PromQl {
         }
         g.withColumn("value", clamped)
       case Absent(sel) =>
-        // 1 at each step bucket of the frame's observed spine where the
-        // selector matches nothing; equality-matcher labels are echoed
-        // like Prometheus (documented deviation: the spine is the frame's
-        // observed buckets, not an explicit query range)
-        val spine = df
-          .select(timeBucket(col("TimeUnix"), step).as(TimeBucketAlias))
-          .distinct()
+        // 1 at each step bucket of the CONTIGUOUS spine between the
+        // frame's first and last bucket where the selector matches
+        // nothing — sequence() fills frame gaps, so a metric missing in
+        // the middle of the range is reported absent there too;
+        // equality-matcher labels are echoed like Prometheus (documented
+        // deviation: an entirely-empty frame yields no rows — the engine
+        // has no explicit query range to span)
+        val b = timeBucket(col("TimeUnix"), step)
+        val spine = df.agg(min(b).as("__mn"), max(b).as("__mx"))
+          .filter(col("__mn").isNotNull)
+          .select(explode(sequence(col("__mn"), col("__mx"),
+            expr(s"INTERVAL $step SECOND"))).as(TimeBucketAlias))
         val present = applySelector(df, sel)
           .select(timeBucket(col("TimeUnix"), step).as(TimeBucketAlias))
           .distinct()
@@ -1060,25 +1085,44 @@ object PromQl {
           .withColumn("value", lit(1.0))
         echoMatchers(gaps, sel)
       case AbsentOverTime(sel, range) =>
-        // sliding twin of absent(): explode every sample (whole frame →
-        // spine; selector → present) to the eval steps whose (t − range,
-        // t] window it feeds, then anti-join
-        // distinct the sample timestamps BEFORE the fan-out: the explode
-        // then runs over |distinct seconds| rows, not the whole frame
-        def windows(d: DataFrame): DataFrame = explodeToSteps(
-          d.select(unix_timestamp(col("TimeUnix")).as("__u")).distinct(),
+        // sliding twin of absent(): the spine is every step-aligned eval
+        // time whose (t − range, t] window overlaps the frame's sample
+        // span (a contiguous sequence between the first and last eval
+        // step — frame gaps longer than the range still yield absent
+        // steps); the selector's samples explode to the eval steps they
+        // feed (distinct seconds first, so the fan-out runs over
+        // |distinct seconds| rows), then anti-join
+        val u = unix_timestamp(col("TimeUnix"))
+        val spineOt = df.agg(min(u).as("__mn"), max(u).as("__mx"))
+          .filter(col("__mn").isNotNull)
+          .select(explode(sequence(
+            expr(s"((__mn + ${step - 1}) DIV $step) * $step"),
+            expr(s"((__mx + ${range - 1}) DIV $step) * $step"),
+            lit(step))).as("__t"))
+          .select(timestamp_seconds(col("__t") - step).as(TimeBucketAlias))
+        val present = explodeToSteps(
+          applySelector(df, sel).select(u.as("__u")).distinct(),
           range, step)
           .select(timestamp_seconds(col("__t") - step).as(TimeBucketAlias))
           .distinct()
-        val gapsOt = windows(df)
-          .join(windows(applySelector(df, sel)), Seq(TimeBucketAlias),
-            "left_anti")
+        val gapsOt = spineOt
+          .join(present, Seq(TimeBucketAlias), "left_anti")
           .withColumn("value", lit(1.0))
         echoMatchers(gapsOt, sel)
       case ScalarLit(_) =>
         throw new PromQlParseException(
           "scalar-only expressions are not queries")
     }
+
+  /** PromQL (IEEE-754) division: x/0 → ±Inf by the sign of x, 0/0 → NaN.
+    * Spark SQL's `/` yields NULL on a zero divisor, so the zero case is
+    * rewritten explicitly; NULL operands stay NULL (missing points). */
+  private def promDiv(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(b =!= 0.0, a / b)
+      .when(a > 0.0, lit(Double.PositiveInfinity))
+      .when(a < 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
 
   private def aggregate0(g: DataFrame, op: String, by: Seq[String])
       : DataFrame = {
@@ -1198,18 +1242,31 @@ object PromQl {
         }
         finish(picked.withColumn("value", value).drop("__p"))
       case "delta" =>
-        // extrapolated gauge delta: (last − first) · range / (tlast −
-        // tfirst), 0 for a single-point window (the engine's gaugeDelta
-        // math evaluated per sliding window)
-        finish(grouped
-          .agg(max_by(v, col("__u")).as("__vl"),
+        // Prometheus delta: extrapolatedRate with isCounter=false — the
+        // raw (last − first) extrapolated to the window boundaries with
+        // gaps capped at 1.1× the average sample interval (else half an
+        // interval), like slidingRate but with no monotonicization and
+        // no zero-crossing cap (promql functions.go extrapolatedRate).
+        // Windows with fewer than two samples emit no point.
+        val g = grouped
+          .agg(count(lit(1)).as("__n"),
+            min(col("__u")).as("__tf"), max(col("__u")).as("__tl"),
             min_by(v, col("__u")).as("__vf"),
-            max(col("__u")).as("__ul"), min(col("__u")).as("__uf"))
-          .withColumn("value",
-            when(col("__ul") === col("__uf"), lit(0.0))
-              .otherwise((col("__vl") - col("__vf")) * lit(range) /
-                (col("__ul") - col("__uf"))))
-          .drop("__vl", "__vf", "__ul", "__uf"))
+            max_by(v, col("__u")).as("__vl"))
+          .filter(col("__n") >= 2 && col("__tl") > col("__tf"))
+        val sampled = (col("__tl") - col("__tf")).cast("double")
+        val avgIv = sampled / (col("__n") - 1)
+        val thresh = avgIv * 1.1
+        val startGap =
+          (col("__tf") - (col("__t") - lit(range))).cast("double")
+        val endGap = (col("__t") - col("__tl")).cast("double")
+        val startDur = when(startGap >= thresh, avgIv / 2)
+          .otherwise(startGap)
+        val endDur = when(endGap >= thresh, avgIv / 2).otherwise(endGap)
+        val dv = col("__vl") - col("__vf")
+        finish(g
+          .withColumn("value", dv * (sampled + startDur + endDur) / sampled)
+          .drop("__n", "__tf", "__tl", "__vf", "__vl"))
       case op =>
         val agg = op match {
           case "avg" => avg(v)

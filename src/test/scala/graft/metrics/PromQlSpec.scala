@@ -481,16 +481,130 @@ class PromQlSpec extends SparkSpec {
     assert(id == Seq(-140.0, -140.0))
   }
 
-  test("delta extrapolates (last - first) over the sliding window") {
-    // one series; points 100 @00:00, 160 @00:01, 20 @00:02.
-    // eval 00:00: single point → 0
-    // eval 01:00: first 100 @0s, last 20 @120s → (20-100)*7200/120 = -4800
-    // eval 02:00: first 160 @60s, last 20 @120s → (20-160)*7200/60 = -16800
+  test("delta uses capped boundary extrapolation (non-counter)") {
+    // promql extrapolatedRate with isCounter=false (functions.go): no
+    // monotonicization, no zero-crossing cap; each boundary gap
+    // extrapolates fully below 1.1·avgInterval, else by avgInterval/2.
+    // One series; points 100 @00:00, 160 @00:01, 20 @00:02, range 2h:
+    // eval 00:00: single point → no point (needs ≥ 2 samples)
+    // eval 01:00: n=3 tf=0 tl=120 vf=100 vl=20 → sampled=120 avgIv=60
+    //   thresh=66; startGap=3600→30, endGap=3480→30 →
+    //   −80·(120+30+30)/120 = −120
+    // eval 02:00 (window (0,2h] excludes u=0): n=2 tf=60 tl=120 vf=160
+    //   vl=20 → sampled=60 avgIv=60 thresh=66; startGap=60<66→60,
+    //   endGap=7080→30 → −140·(60+60+30)/60 = −350
     val out = PromQl.eval(counters,
       "sum by (ServiceName) (delta(requests_total[2h]))", 3600)
       .orderBy("__time_bucket")
       .select("value").as[Double].collect().toSeq
-    assert(out == Seq(0.0, -4800.0, -16800.0))
+    assert(out == Seq(-120.0, -350.0))
+  }
+
+  test("extrapolatedRate fixtures: zero-cap, dense full extrapolation") {
+    // hand-computed against promql functions.go extrapolatedRate
+    // (zero-crossing cap applied BEFORE the 1.1·avgInterval threshold).
+    def ctr(pts: (Int, Double)*): DataFrame = pts
+      .map { case (sec, v) =>
+        ("c", "svc", new Timestamp(
+          Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L),
+          v, Map.empty[String, String], 2, true) }
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    // zero-crossing cap active: samples (3000,10),(3200,30),(3500,60),
+    // eval t=3600 window (0,3600]: n=3 tf=3000 tl=3500 → sampled=500,
+    // avgIv=250, thresh=275; delta=50, vf=10; startGap=3000,
+    // zeroDur=500·(10/50)=100 < 3000 → capped 100 < 275 → sdur=100
+    // (NOT avgIv/2=125 — the cap fires first); endGap=100<275→100 →
+    // increase = 50·(500+100+100)/500 = 70
+    val zc = PromQl.eval(
+      ctr((3000, 10.0), (3200, 30.0), (3500, 60.0)),
+      "sum by (ServiceName) (increase(c[1h]))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(zc == Seq(70.0))
+    // dense samples every 300s from 300..3600 (values 3..36): gaps are
+    // below thresh=330 so both boundaries extrapolate fully — increase
+    // over (0,3600] recovers the exact linear growth 36, rate 0.01/s
+    val dense = ctr((1 to 12).map(i => (i * 300, i * 3.0)): _*)
+    val full = PromQl.eval(dense,
+      "sum by (ServiceName) (increase(c[1h]))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(full == Seq(36.0))
+    val rate = PromQl.eval(dense,
+      "sum by (ServiceName) (rate(c[1h]))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(rate == Seq(0.01))
+  }
+
+  test("division by zero: ±Inf by numerator sign, 0/0 is NaN") {
+    // PromQL follows IEEE float division (promql engine binop) where
+    // Spark SQL yields NULL — the compiler rewrites the zero-divisor case
+    val inf = PromQl.eval(gauges,
+      "sum by (host) (mem_usage) / 0", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(inf == Seq(Double.PositiveInfinity, Double.PositiveInfinity))
+    val ninf = PromQl.eval(gauges,
+      "(0 - sum by (host) (mem_usage)) / 0", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(ninf == Seq(Double.NegativeInfinity, Double.NegativeInfinity))
+    val nan = PromQl.eval(gauges,
+      "(sum(mem_usage) - sum(mem_usage)) / 0", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(nan.length == 1 && nan.head.isNaN)
+    // vector/vector: a bool comparison manufactures a zero denominator
+    val vv = PromQl.eval(gauges,
+      "sum by (host) (mem_usage) / (sum by (host) (mem_usage) > bool 1000)",
+      3600)
+      .select("value").as[Double].collect().toSeq
+    assert(vv == Seq(Double.PositiveInfinity, Double.PositiveInfinity))
+  }
+
+  test("absent fills frame gaps on the contiguous step spine") {
+    // mem samples at 00:xx and 03:xx; cpu only at 00:xx — the spine is
+    // the contiguous hours 00..03, so cpu is absent at 01, 02, 03 even
+    // though the frame has no samples at all in hours 01-02
+    val sparse = Seq(
+      ("mem", "api", t(0), 1.0, Map.empty[String, String]),
+      ("mem", "api", Timestamp.valueOf("2024-01-01 03:05:00"), 2.0,
+        Map.empty[String, String]),
+      ("cpu", "api", t(1), 3.0, Map.empty[String, String]))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes")
+    val out = PromQl.eval(sparse, "absent(cpu)", 3600)
+      .orderBy("__time_bucket")
+      .select("__time_bucket").as[Timestamp].collect().toSeq
+    assert(out == Seq(
+      Timestamp.valueOf("2024-01-01 01:00:00"),
+      Timestamp.valueOf("2024-01-01 02:00:00"),
+      Timestamp.valueOf("2024-01-01 03:00:00")))
+  }
+
+  test("classic histogram_quantile applies ensureMonotonic smoothing") {
+    // cumulative counts with a float-wobble dip: le .1→10, .5→8, 1→15,
+    // +Inf→15; ensureMonotonic lifts .5 to 10 (running max), so rank
+    // 12 (φ=0.8) interpolates from (.5, 10): 0.5 + 0.5·(12−10)/(15−10)
+    // = 0.7 — without smoothing prev would be the dipped (.5, 8)
+    // yielding 0.5 + 0.5·4/7 ≈ 0.786
+    val frame = Seq(
+      ("b", "api", t(1), 10.0, Map("le" -> "0.1")),
+      ("b", "api", t(1), 8.0, Map("le" -> "0.5")),
+      ("b", "api", t(1), 15.0, Map("le" -> "1")),
+      ("b", "api", t(1), 15.0, Map("le" -> "+Inf")))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes")
+    val out = PromQl.eval(frame,
+      "histogram_quantile(0.8, sum by (ServiceName, le) (b))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(out.length == 1 && math.abs(out.head - 0.7) < 1e-12)
+  }
+
+  test("group_left on a comparison copies the extra label") {
+    val withBoth = PromQl.withLabels(gauges, Seq("host"))
+      .withColumn("hostgroup", lit("hg1"))
+    val out = PromQl.eval(withBoth,
+      "sum by (host) (mem_usage) < on (host) group_left (hostgroup) " +
+        "sum by (host, hostgroup) (cpu_usage)", 3600)
+      .select("host", "hostgroup", "value")
+      .as[(String, String, Double)].collect().toSeq
+    // host a: mem 30 < cpu 99 → kept with the right side's hostgroup
+    assert(out == Seq(("a", "hg1", 30.0)))
   }
 
   test("parser: comparisons, bool, set ops, math fns, stddev") {
