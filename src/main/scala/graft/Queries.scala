@@ -499,6 +499,48 @@ object Queries {
       |  AND event_type IN ('error', 'click')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Session-replay timeline over the `sessions` source (the last unbound
+    * SourceKind — reference hyperdx_sessions,
+    * docker/otel-collector/schema/seed/00004_hyperdx_sessions.sql:1-30, and
+    * the sessions list query shape, packages/app/src/sessions.ts:100-175):
+    * rrweb event counts per session per hour through the generic log
+    * path — lucene existence on the map-resident `rum.sessionId` (via
+    * field alias), conditional counts on a LogAttributes exact match, a
+    * severity contains-match, and a JSON dot-path into the rrweb Body. */
+  def q55_sessions(spark: SparkSession, dir: String): DataFrame =
+    epochBucket(compiled(Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("", Some("interactions"), Some(AggFn.Count),
+          Some(Cond.Lucene("component:\"user-interaction\""))),
+        SelectItem("", Some("errors"), Some(AggFn.Count),
+          Some(Cond.Lucene("level:error"))),
+        SelectItem("", Some("snapshots"), Some(AggFn.Count),
+          Some(Cond.Lucene("Body.type:2")))),
+      from = "sessions",
+      where = Some(Cond.Lucene("session_id:*")),
+      groupBy = Seq("ResourceAttributes['rum.sessionId']"),
+      granularity = Some(Granularity.Fixed(3600)),
+      dateRange = Some(JanRange)))(spark, dir))
+      .withColumnRenamed("ResourceAttributes['rum.sessionId']",
+        "session_id")
+      .select("bucket", "session_id", "cnt", "interactions", "errors",
+        "snapshots")
+      .orderBy("bucket", "session_id")
+
+  val q55_sql: String =
+    """SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |  'sess-' || CAST(user_id AS VARCHAR) AS session_id,
+      |  count(*) AS cnt,
+      |  count(*) FILTER (WHERE event_type IN ('click', 'purchase'))
+      |    AS interactions,
+      |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+      |  count(*) FILTER (WHERE event_type = 'view') AS snapshots
+      |FROM events
+      |WHERE ts >= '2024-01-01T00:00:00Z' AND ts <= '2024-03-01T00:00:00Z'
+      |GROUP BY bucket, session_id
+      |ORDER BY bucket, session_id""".stripMargin
+
   // ============================================================== registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -518,7 +560,8 @@ object Queries {
     "q39_weighted" -> (q39_weighted _),
     "q43_rawsql" -> (q43_rawsql _),
     "q49_lucene_url" -> (q49_lucene_url _),
-    "q54_buildersql" -> (q54_buildersql _))
+    "q54_buildersql" -> (q54_buildersql _),
+    "q55_sessions" -> (q55_sessions _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1_sql,
@@ -537,5 +580,6 @@ object Queries {
     "q39_weighted" -> q39_sql,
     "q43_rawsql" -> q43_sql,
     "q49_lucene_url" -> q49_sql,
-    "q54_buildersql" -> q54_sql)
+    "q54_buildersql" -> q54_sql,
+    "q55_sessions" -> q55_sql)
 }

@@ -45,6 +45,43 @@ object Catalog {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Session-replay source (reference hyperdx_sessions,
+    * docker/otel-collector/schema/seed/00004_hyperdx_sessions.sql:1-30):
+    * log-shaped rows whose Body holds the serialized rrweb event and whose
+    * ResourceAttributes carry `rum.sessionId`. The testdata has no
+    * sessions parquet, so the frame derives deterministically from events
+    * — one rrweb event per row, one session per user:
+    * view → FullSnapshot (2), click/purchase → IncrementalSnapshot (3),
+    * signup → Meta (4), error → Custom (5), and errors are
+    * SeverityText=error like the SDK's exception events. */
+  private[compile] def sessionsFrame(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rrwebType = when(col("event_type") === "view", 2)
+      .when(col("event_type").isin("click", "purchase"), 3)
+      .when(col("event_type") === "signup", 4)
+      .otherwise(5)
+    events.select(
+      col("ts").as("Timestamp"),
+      md5(concat(lit("tr-"), col("event_id").cast("string"))).as("TraceId"),
+      md5(concat(lit("sp-"), col("event_id").cast("string"))).as("SpanId"),
+      when(col("event_type") === "error", "error").otherwise("info")
+        .as("SeverityText"),
+      when(col("event_type") === "error", 17).otherwise(9)
+        .as("SeverityNumber"),
+      col("event_type").as("ServiceName"),
+      concat(lit("""{"type":"""), rrwebType.cast("string"),
+        lit(""","data":{"source":"""),
+        (col("event_id") % 10).cast("string"),
+        lit("}}")).as("Body"),
+      map(lit("rum.sessionId"),
+        concat(lit("sess-"), col("user_id").cast("string")))
+        .as("ResourceAttributes"),
+      map().cast("map<string,string>").as("ScopeAttributes"),
+      map(lit("component"),
+        when(col("event_type").isin("click", "purchase"),
+          "user-interaction").otherwise("ui")).as("LogAttributes"))
+  }
+
   /** Load the driver testdata directory as a catalog, with semantic bindings
     * for the observability-shaped tables. */
   def forDir(spark: SparkSession, dir: String): Catalog = {
@@ -74,7 +111,15 @@ object Catalog {
       "lineitem" -> Source(read("lineitem"),
         timestampColumn = Some("l_shipdate")),
       "orders" -> Source(read("orders"),
-        timestampColumn = Some("o_orderdate")))
+        timestampColumn = Some("o_orderdate")),
+      "sessions" -> Source(sessionsFrame(readEvents),
+        timestampColumn = Some("Timestamp"),
+        implicitColumns = Seq("Body"),
+        jsonStringColumns = Set("Body"),
+        fieldAliases = Map(
+          "session_id" -> "ResourceAttributes.rum.sessionId",
+          "component" -> "LogAttributes.component",
+          "level" -> "SeverityText")))
     new Catalog(tuned)
   }
 }

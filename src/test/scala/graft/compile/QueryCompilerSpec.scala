@@ -118,4 +118,36 @@ class QueryCompilerSpec extends SparkSpec {
     assert(got.head == ("api", 20.0))
     assert(got.length == 5)
   }
+
+  test("sessions source: rrweb shape + session-id lucene through maps") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:02:00"), 7L, "error", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:03:00"), 8L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sess = Catalog.sessionsFrame(events)
+    // hyperdx_sessions column surface (00004_hyperdx_sessions.sql)
+    assert(Seq("Timestamp", "TraceId", "SpanId", "SeverityText",
+      "ServiceName", "Body", "ResourceAttributes", "LogAttributes")
+      .forall(sess.columns.contains))
+    val cat2 = new Catalog(Map("sessions" -> Source(sess,
+      timestampColumn = Some("Timestamp"),
+      jsonStringColumns = Set("Body"),
+      fieldAliases = Map(
+        "session_id" -> "ResourceAttributes.rum.sessionId"))))
+    // per-session counts: lucene existence via the alias into the map,
+    // rrweb FullSnapshot (type 2 = the 'view' rows) via JSON dot-path
+    val q = Query(
+      select = Seq(
+        SelectItem("", Some("cnt"), Some(AggFn.Count)),
+        SelectItem("", Some("snaps"), Some(AggFn.Count),
+          Some(Cond.Lucene("Body.type:2")))),
+      from = "sessions",
+      where = Some(Cond.Lucene("session_id:*")),
+      groupBy = Seq("ResourceAttributes['rum.sessionId']"),
+      orderBy = Seq(OrderBy("ResourceAttributes['rum.sessionId']")))
+    val got = QueryCompiler.compile(q, cat2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("sess-7", 2L, 0L), ("sess-8", 1L, 1L)))
+  }
 }
