@@ -173,16 +173,27 @@ object Similarity {
     * tune `planes` (bucket size) and `tables` (recall) independently.
     * `multiprobe` additionally hashes each PROBE into every bucket one
     * sign-flip away (×(planes+1) probe rows, corpus side unchanged) — the
-    * standard recall boost without growing the corpus index. */
+    * standard recall boost without growing the corpus index.
+    *
+    * Shuffle discipline (the minhashLsh pattern, Dedup.scala:200-245):
+    * the signatures are computed from the vectors BEFORE the explode, and
+    * only (id, tbl, sig) travels through the ×tables fan-out, the bucket
+    * join, and the pair dedup — the 8-byte-per-row narrow shape. Vectors
+    * re-attach per id afterwards, so the wide payload crosses exactly one
+    * shuffle (keyed by id, proportional to the deduped candidate pairs,
+    * never to pairs × tables). */
   def knnLsh(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, tables: Int = 4,
       dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    def withSigs(df: DataFrame, id: String, vec: String,
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    def sigsOnly(df: DataFrame, id: String, vec: String,
         probeSide: Boolean): DataFrame = {
-      val base = df
-        .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
-        .repartition(shuffleN) // barrier: keep sig exprs off the explode
+      val base = df.repartition(shuffleN) // spread the sig kernel; the
+      // barrier also keeps the sig exprs off the explode
       val sigCols = (0 until tables).flatMap { tbl =>
         val sig = hyperplaneSignature(col(vec), planes, dim, seed = 7 + tbl)
         val exact = Seq(struct(lit(tbl).as("tbl"), sig.as("sig")))
@@ -193,18 +204,22 @@ object Similarity {
           else Nil
         exact ++ flipped
       }
-      base.select(col(id), col(vec),
-        explode(array(sigCols: _*)).as("ts"))
-        .select(col(id), col(vec),
-          col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+      // the vector column is dropped BEFORE the fan-out: only the narrow
+      // (id, tbl, sig) rows explode and shuffle into the bucket join
+      base.select(col(id), explode(array(sigCols: _*)).as("ts"))
+        .select(col(id), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
     }
-    val p = withSigs(probes, "probe_id", "pv", probeSide = true)
-    val c = withSigs(corpus, "neighbor_id", "cv", probeSide = false)
-    val cand = p.join(c, Seq("tbl", "sig"))
+    val p = sigsOnly(pVec, "probe_id", "pv", probeSide = true)
+    val c = sigsOnly(cVec, "neighbor_id", "cv", probeSide = false)
+    val pairs = p.join(c, Seq("tbl", "sig"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "pv", "neighbor_id", "cv")
+      .select("probe_id", "neighbor_id")
       .dropDuplicates("probe_id", "neighbor_id")
-    val scored = cand.withColumn("cosine", cosine(col("pv"), col("cv")))
+    // re-attach vectors per id for exact scoring
+    val scored = pairs
+      .join(pVec, Seq("probe_id"))
+      .join(cVec, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
