@@ -267,15 +267,23 @@ object Dedup {
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager localCheckpoint per round: materializes the labels AND cuts
-    // the logical lineage — without it the returned plan nests every
+    // eager checkpoint per round: materializes the labels AND cuts the
+    // logical lineage — without it the returned plan nests every
     // iteration's joins (thousands of plan nodes by round 5, paid at
-    // analysis time even though caches make execution cheap). Trade-off:
-    // checkpointed partitions are not recomputable after executor loss;
-    // the loop re-runs from scratch in that case.
+    // analysis time even though caches make execution cheap). With a
+    // cluster checkpoint dir configured (sc.setCheckpointDir), rounds
+    // snapshot RELIABLY to that storage and survive executor loss — the
+    // right mode on a preemptible 1000-executor cluster. Without one,
+    // localCheckpoint keeps the snapshot in executor storage: faster,
+    // but not recomputable after executor loss (the loop re-runs from
+    // scratch in that case).
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint(eager = true) else d.localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    labels = snap(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -285,12 +293,11 @@ object Dedup {
         .agg(min(col("comp")).as("__nmin"))
       // old and new labels ride the same row, so convergence is a filter
       // over the checkpointed result instead of an extra join
-      val stepped = labels.join(msgs, Seq("id"), "left")
+      val stepped = snap(labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nmin"), col("comp")))
             .as("__newc"),
-          col("comp").as("__oldc"))
-        .localCheckpoint(true)
+          col("comp").as("__oldc")))
       val changed = stepped.filter(col("__newc") =!= col("__oldc")).count()
       // release the PREVIOUS round's snapshot explicitly (`stepped` was
       // its last reader) — otherwise up to maxIter checkpointed label

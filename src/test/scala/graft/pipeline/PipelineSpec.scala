@@ -105,6 +105,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(comps == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("connectedComponents: reliable-checkpoint mode matches local mode") {
+    // with a checkpoint dir configured the loop snapshots reliably
+    // (survives executor loss on a cluster); labels must be identical
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val localMode = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliableMode = Dedup.connectedComponents(pairs)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(reliableMode == localMode)
+    } finally {
+      // un-set so later suites keep the faster local-checkpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
