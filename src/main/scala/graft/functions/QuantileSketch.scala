@@ -118,8 +118,11 @@ object QuantileSketch {
 
   /** Query-side merge + finish: interpolated quantile over merged
     * value→count histograms — the same `position = level·(N−1)` linear
-    * interpolation as Spark's exact percentile, so routed answers match
-    * the raw path while every cell stayed under the bin cap. */
+    * interpolation as Spark's exact percentile. Routed answers match the
+    * raw path only while BOTH stay exact: every cell under the MaxBins
+    * cap AND the cross-cell union of distinct values under this merge
+    * buffer's own 8·MaxBins cap — a union of many exact cells can exceed
+    * it and compact (approximate) even though no single cell did. */
   final case class QuantileMergeAgg(level: Double)
       extends Aggregator[Map[Double, Long], mutable.Map[Double, Long],
         Double] {
