@@ -1,0 +1,65 @@
+package graft.analysis
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AlertTemplatesSpec extends AnyFunSuite {
+  import AlertTemplates._
+
+  private val cfg = AlertRunner.AlertConfig(source = "logs", where = None,
+    intervalMinutes = 5, threshold = 10,
+    thresholdType = Alerts.ThresholdType.Above)
+
+  private val w = Instant.parse("2024-01-05T10:10:00Z")
+
+  test("ungrouped firing alert renders the violation body") {
+    val r = AlertRunner.AlertResult(Nil, Alerts.ALERT, Seq(w -> 14.0))
+    val m = message("error spike", cfg, r)
+    assert(m.title == "🚨 Alert for \"error spike\" - 14 lines found")
+    assert(m.body ==
+      "14 lines found, which meets or exceeds the threshold of 10 lines\n" +
+        "Time Range (UTC): [2024-01-05 10:10:00 - 2024-01-05 10:15:00)")
+    assert(m.startTime == w &&
+      m.endTime == Instant.parse("2024-01-05T10:15:00Z"))
+  }
+
+  test("grouped alert renders the group line; resolved uses its arm") {
+    val firing = AlertRunner.AlertResult(Seq("api"), Alerts.ALERT,
+      Seq(w -> 12.0))
+    assert(message("err", cfg, firing).body.startsWith(
+      "Group: \"api\"\n12 lines found, which meets or exceeds"))
+    val resolved = AlertRunner.AlertResult(Seq("api"), Alerts.OK,
+      Seq(w -> 2.0))
+    val m = message("err", cfg, resolved)
+    assert(m.title.startsWith("✅ "))
+    assert(m.body ==
+      "Group: \"api\" - The alert has been resolved.\n" +
+        "Time Range (UTC): [2024-01-05 10:10:00 - 2024-01-05 10:15:00)")
+  }
+
+  test("threshold wording covers every type; range text uses both bounds") {
+    import Alerts.ThresholdType._
+    assert(describeThresholdViolation(Below) == "falls below")
+    assert(describeThresholdResolution(Below) == "meets or exceeds")
+    assert(describeThresholdViolation(NotBetween) == "falls outside")
+    assert(describeThreshold(1.5, Some(4.0), Between) == "1.5 and 4")
+    assert(describeThreshold(3.0, None, Above) == "3")
+  }
+
+  test("value formats to the threshold's decimal precision, half-up") {
+    assert(formatValueToMatchThreshold(9.5, 10) == "10")
+    assert(formatValueToMatchThreshold(3.14159, 0.5) == "3.1")
+    assert(formatValueToMatchThreshold(2.0, 0.25) == "2.00")
+  }
+
+  test("webhook payload substitutes the default template") {
+    val m = Message("t", "b", Alerts.ALERT, w, w.plusSeconds(300), "L")
+    val payload = webhookPayload(m, eventId = "e1")
+    assert(payload == "{\"text\": \"t | b | L | ALERT | " +
+      "2024-01-05T10:10:00Z | 2024-01-05T10:15:00Z | e1\"}")
+    // unknown keys render empty; triple-stache accepted
+    assert(render("a {{{title}}} z {{nope}}!", Map("title" -> "X")) ==
+      "a X z !")
+  }
+}
