@@ -1358,10 +1358,64 @@ object MetricQueries {
       |       ELSE CAST('nan' AS DOUBLE) END AS value
       |FROM g ORDER BY bucket, event_type""".stripMargin
 
+  /** PromQL deriv at the driver gate: per-type least-squares slope of the
+    * cumulative event counter over sliding 4h windows at 1h steps —
+    * covar_pop/var_pop on both engines, window-start labels. */
+  def q70_promql_deriv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSec = events(spark, dir)
+      .groupBy(col("event_type"), unix_timestamp(col("ts")).as("u"))
+      .agg(count(lit(1)).as("c"))
+    val cum = perSec.withColumn("v",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("u"))).cast("double"))
+    val shaped = cum.select(
+      lit("ctr").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      timestamp_seconds(col("u")).as("TimeUnix"),
+      col("v").as("Value"),
+      map().cast("map<string,string>").as("Attributes"),
+      lit(2).as("AggregationTemporality"),
+      lit(true).as("IsMonotonic"))
+    epochBucket(graft.metrics.PromQl.eval(shaped,
+      "sum by (ServiceName) (deriv(ctr[4h]))", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q70_sql: String =
+    """WITH sec AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cumt AS (
+      |  SELECT event_type, u,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY u) AS DOUBLE)
+      |      AS v
+      |  FROM sec),
+      |ex AS (
+      |  SELECT event_type, u, v,
+      |    unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                           ((u + 14399) // 3600) * 3600, 3600)) AS t
+      |  FROM cumt),
+      |g AS (
+      |  SELECT t, event_type,
+      |    covar_pop(CAST(u AS DOUBLE), v) AS cov,
+      |    var_pop(CAST(u AS DOUBLE)) AS vr
+      |  FROM ex GROUP BY 1, 2
+      |  HAVING count(*) >= 2 AND var_pop(CAST(u AS DOUBLE)) > 0)
+      |-- eval time minus one step: window-start labels
+      |SELECT t - 3600 AS bucket, event_type,
+      |  round(cov / vr, 6) AS value
+      |FROM g ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
     "q69_promql_divzero" -> (q69_promql_divzero _),
+    "q70_promql_deriv" -> (q70_promql_deriv _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1391,6 +1445,7 @@ object MetricQueries {
     "q40_promql_increase" -> q40_sql,
     "q68_promql_mixed_align" -> q68_sql,
     "q69_promql_divzero" -> q69_sql,
+    "q70_promql_deriv" -> q70_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

@@ -29,6 +29,9 @@ import graft.functions.CoreFunctions._
   *            | delta( selector [dur] [offset] )   — extrapolated gauge delta
   *            | irate | idelta ( selector [dur] )  — last-pair instant rate
   *            | resets | changes ( selector [dur] ) — in-window pair counts
+  *            | deriv( selector [dur] )            — least-squares slope
+  *            | predict_linear( selector [dur], t ) — regression forecast
+  *            | present_over_time( selector [dur] )
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
@@ -341,12 +344,12 @@ object PromQl {
           ws(); expect(')')
           Aggr(s"quantile:$phi", by, inner, without)
         case "delta" | "irate" | "idelta" | "resets" | "changes"
-            if nextIsParen =>
+            | "deriv" if nextIsParen =>
           // delta: gauge delta over the sliding window with Prometheus's
           // capped boundary extrapolation. irate/idelta: instant
           // rate/difference from the window's last two samples.
           // resets/changes: count of in-window consecutive pairs that
-          // reset (drop) / differ.
+          // reset (drop) / differ. deriv: per-window least-squares slope.
           expect('(')
           val sel0 = parseSelector(readIdent())
           if (sel0.offsetSeconds != 0)
@@ -355,6 +358,22 @@ object PromQl {
           val off = readOffsetOpt()
           ws(); expect(')')
           OverTime(ident, sel0.copy(offsetSeconds = off), w)
+        case "predict_linear" if nextIsParen =>
+          // predict_linear(sel[d], t): the window's least-squares value
+          // extrapolated t seconds past the evaluation time; the forecast
+          // horizon rides in `level` like quantile_over_time's φ
+          expect('(')
+          val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
+          val w = readDuration()
+          val off = readOffsetOpt()
+          ws(); expect(',')
+          ws()
+          val horizon = readNumber()
+          ws(); expect(')')
+          OverTime("predict_linear", sel0.copy(offsetSeconds = off), w,
+            Some(horizon))
         case "rate" | "increase" if nextIsParen =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -396,7 +415,7 @@ object PromQl {
               "sum by (…) (selector), or sum by (le, …) (expr)")
           }
         case ot if nextIsParen && ot.endsWith("_over_time") &&
-            Set("avg", "min", "max", "sum", "count", "last")
+            Set("avg", "min", "max", "sum", "count", "last", "present")
               .contains(ot.dropRight(10)) =>
           expect('(')
           parseOverTimeBody(ot.dropRight(10), level = None)
@@ -1040,6 +1059,7 @@ object PromQl {
           case "sum" => sum(v)
           case "count" => count(v)
           case "last" => max_by(v, col("__u"))
+          case "present" => max(lit(1.0))
           case "quantile" => call_function("percentile", v,
             lit(ots.level.getOrElse(throw new PromQlParseException(
               "quantile_over_time needs a level"))))
@@ -1160,11 +1180,16 @@ object PromQl {
     * semantics route through here so the (t − range, t] boundary rule has
     * exactly one implementation. */
   private def explodeToSteps(d: DataFrame, range: Long, step: Long)
-      : DataFrame = d
-    .withColumn("__tmin", expr(s"((__u + ${step - 1}) DIV $step) * $step"))
-    .withColumn("__tmax", expr(s"((__u + ${range - 1}) DIV $step) * $step"))
-    .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
-      sequence(col("__tmin"), col("__tmax"), lit(step)))))
+      : DataFrame =
+    if (range == step)
+      // a sample feeds exactly one eval step when range == step
+      // (tmin == tmax in the general formula below) — skip the Generate
+      d.withColumn("__t", expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+    else d
+      .withColumn("__tmin", expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+      .withColumn("__tmax", expr(s"((__u + ${range - 1}) DIV $step) * $step"))
+      .withColumn("__t", explode(when(col("__tmax") >= col("__tmin"),
+        sequence(col("__tmin"), col("__tmax"), lit(step)))))
 
   /** Per-series sliding range aggregate for `*_over_time`, Prometheus
     * semantics: at each step-aligned evaluation time t, aggregate the
@@ -1267,6 +1292,27 @@ object PromQl {
         finish(g
           .withColumn("value", dv * (sampled + startDur + endDur) / sampled)
           .drop("__n", "__tf", "__tl", "__vf", "__vl"))
+      case "deriv" | "predict_linear" =>
+        // least-squares regression of value on sample time within the
+        // window (promql funcDeriv/funcPredictLinear): slope = cov/var;
+        // predict_linear evaluates the fit `horizon` seconds past the
+        // eval time T — fitting v = a + b·(u − T) gives
+        // a = mean_v + b·(T − mean_u), predicted = a + b·horizon.
+        // Needs ≥ 2 samples at distinct times, like Prometheus.
+        val du = col("__u").cast("double")
+        val g = grouped.agg(count(lit(1)).as("__n"),
+            avg(du).as("__mu"), avg(v).as("__mv"),
+            covar_pop(du, v).as("__cov"), var_pop(du).as("__var"))
+          .filter(col("__n") >= 2 && col("__var") > 0)
+        val slope = col("__cov") / col("__var")
+        val value =
+          if (ot.op == "deriv") slope
+          else col("__mv") + slope *
+            (col("__t").cast("double") - col("__mu") +
+              lit(ot.level.getOrElse(throw new PromQlParseException(
+                "predict_linear needs a horizon"))))
+        finish(g.withColumn("value", value)
+          .drop("__n", "__mu", "__mv", "__cov", "__var"))
       case op =>
         val agg = op match {
           case "avg" => avg(v)
@@ -1275,6 +1321,8 @@ object PromQl {
           case "sum" => sum(v)
           case "count" => count(v)
           case "last" => max_by(v, col("TimeUnix"))
+          // present_over_time: 1 for every series window with a sample
+          case "present" => max(lit(1.0))
           case "quantile" => call_function("percentile", v,
             lit(ot.level.getOrElse(throw new PromQlParseException(
               "quantile_over_time needs a level"))))

@@ -607,6 +607,41 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(("a", "hg1", 30.0)))
   }
 
+  test("deriv and predict_linear fit least squares per sliding window") {
+    import PromQl._
+    assert(parse("deriv(m[5m])") ==
+      OverTime("deriv", Selector("m", Nil), 300))
+    assert(parse("predict_linear(m[1h], 600)") ==
+      OverTime("predict_linear", Selector("m", Nil), 3600, Some(600.0)))
+    // window (−1h,1h] points (0,100),(60,160),(120,20): mean_u=60 (rel),
+    // mean_v=280/3, cov=−1600, var=2400 → slope −2/3;
+    // window (0,2h] points (60,160),(120,20): slope −140/60 = −7/3
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (deriv(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(out.length == 2)
+    assert(math.abs(out(0) - (-2.0 / 3)) < 1e-9)
+    assert(math.abs(out(1) - (-7.0 / 3)) < 1e-9)
+    // predict at eval T + 300: mean_v + slope·(T − mean_u + 300) with
+    // T − mean_u = 3540 in the first window → 280/3 − (2/3)·3840
+    val pl = PromQl.eval(counters,
+      "sum by (ServiceName) (predict_linear(requests_total[2h], 300))",
+      3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(math.abs(pl(0) - (280.0 / 3 - 2.0 / 3 * 3840)) < 1e-6)
+  }
+
+  test("present_over_time marks series windows that hold a sample") {
+    import PromQl._
+    assert(parse("present_over_time(m[1h])") ==
+      OverTime("present", Selector("m", Nil), 3600))
+    val out = PromQl.eval(gauges, "present_over_time(cpu_usage[2h])", 3600)
+      .orderBy("__time_bucket")
+      .select("value").as[Double].collect().toSeq
+    // cpu samples only at minute 1 → two eval windows hold it
+    assert(out == Seq(1.0, 1.0))
+  }
+
   test("parser: comparisons, bool, set ops, math fns, stddev") {
     import PromQl._
     assert(parse("m > 5") ==
