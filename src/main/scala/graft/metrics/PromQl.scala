@@ -32,6 +32,8 @@ import graft.functions.CoreFunctions._
   *            | deriv( selector [dur] )            — least-squares slope
   *            | predict_linear( selector [dur], t ) — regression forecast
   *            | present_over_time( selector [dur] )
+  *            | holt_winters( selector [dur], sf, tf ) — double exp smooth
+  *            | round( expr [, to_nearest] )
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
@@ -119,8 +121,9 @@ object PromQl {
   /** Set binops `and` / `or` / `unless` over the shared label columns. */
   final case class SetOp(op: String, l: Expr, r: Expr) extends Expr
   /** Unary math function over a vector (abs, ceil, floor, round, exp, ln,
-    * log2, log10, sqrt, sgn). */
-  final case class MathFn(fn: String, inner: Expr) extends Expr
+    * log2, log10, sqrt, sgn); `arg` is round's optional to_nearest. */
+  final case class MathFn(fn: String, inner: Expr,
+      arg: Option[Double] = None) extends Expr
   /** label_replace(inner, dst, repl, src, regex): rewrite the Attributes
     * map before evaluating `inner`. */
   final case class LabelReplace(inner: Expr, dst: String, repl: String,
@@ -140,9 +143,11 @@ object PromQl {
       extends Expr
   /** avg/min/max/sum/count/last/quantile `_over_time(sel[w])` per series
     * per sliding lookback window evaluated at each step; `level` is the φ
-    * of quantile_over_time. */
+    * of quantile_over_time / predict_linear's horizon / holt_winters' sf,
+    * `level2` holt_winters' tf. */
   final case class OverTime(op: String, sel: Selector,
-      windowSeconds: Long, level: Option[Double] = None) extends Expr
+      windowSeconds: Long, level: Option[Double] = None,
+      level2: Option[Double] = None) extends Expr
   /** `*_over_time(expr[range:subStep])` — a PromQL subquery: evaluate the
     * inner expression as its own range query at `subStep` resolution, then
     * aggregate the inner evaluations falling in each outer step's
@@ -358,6 +363,26 @@ object PromQl {
           val off = readOffsetOpt()
           ws(); expect(')')
           OverTime(ident, sel0.copy(offsetSeconds = off), w)
+        case "holt_winters" | "double_exponential_smoothing"
+            if nextIsParen =>
+          // double exponential smoothing over each sliding window
+          // (promql funcDoubleExponentialSmoothing; holt_winters is the
+          // v2 name) — sf/tf ride in level/level2
+          expect('(')
+          val sel0 = parseSelector(readIdent())
+          if (sel0.offsetSeconds != 0)
+            fail("offset must follow the range selector ([dur] offset d)")
+          val w = readDuration()
+          val off = readOffsetOpt()
+          ws(); expect(','); ws()
+          val sf = readNumber()
+          ws(); expect(','); ws()
+          val tf = readNumber()
+          ws(); expect(')')
+          if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
+            fail("holt_winters smoothing factors must be in (0, 1)")
+          OverTime("holt", sel0.copy(offsetSeconds = off), w, Some(sf),
+            Some(tf))
         case "predict_linear" if nextIsParen =>
           // predict_linear(sel[d], t): the window's least-squares value
           // extrapolated t seconds past the evaluation time; the forecast
@@ -498,8 +523,14 @@ object PromQl {
             "exp", "ln", "log2", "log10", "sqrt", "sgn").contains(fn) =>
           expect('(')
           val inner = parseOr()
+          ws()
+          // round takes an optional to_nearest argument
+          val arg =
+            if (fn == "round" && i < s.length && s(i) == ',') {
+              i += 1; ws(); Some(readNumber())
+            } else None
           ws(); expect(')')
-          MathFn(fn, inner)
+          MathFn(fn, inner, arg)
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
@@ -669,7 +700,7 @@ object PromQl {
     case CmpOp(op, l, r, b, m) =>
       CmpOp(op, rewriteRates(l), rewriteRates(r), b, m)
     case SetOp(op, l, r) => SetOp(op, rewriteRates(l), rewriteRates(r))
-    case MathFn(f, i) => MathFn(f, rewriteRates(i))
+    case MathFn(f, i, a) => MathFn(f, rewriteRates(i), a)
     case LabelReplace(i, d, rp, src, rx) =>
       LabelReplace(rewriteRates(i), d, rp, src, rx)
     case LabelJoin(i, d, sep, ss) => LabelJoin(rewriteRates(i), d, sep, ss)
@@ -694,7 +725,7 @@ object PromQl {
     case Selector(_, _, off) => off
     case Rate(sel, w, _) => sel.offsetSeconds + w
     case RateSliding(sel, w, _) => sel.offsetSeconds + w
-    case OverTime(_, sel, w, _) => sel.offsetSeconds + w
+    case OverTime(_, sel, w, _, _) => sel.offsetSeconds + w
     case AbsentOverTime(sel, w) => sel.offsetSeconds + w
     // the inner expression evaluates at substep over its own lookback,
     // and the outer window reaches `range` further back
@@ -703,7 +734,7 @@ object PromQl {
     case BinOp(_, l, r, _) => math.max(lookbackOf(l), lookbackOf(r))
     case CmpOp(_, l, r, _, _) => math.max(lookbackOf(l), lookbackOf(r))
     case SetOp(_, l, r) => math.max(lookbackOf(l), lookbackOf(r))
-    case MathFn(_, i) => lookbackOf(i)
+    case MathFn(_, i, _) => lookbackOf(i)
     case LabelReplace(i, _, _, _, _) => lookbackOf(i)
     case LabelJoin(i, _, _, _) => lookbackOf(i)
     case TopK(_, i, _) => lookbackOf(i)
@@ -954,14 +985,19 @@ object PromQl {
         g.groupBy((col(TimeBucketAlias) +: labels.map(col) :+
             col("value").cast("string").as(label)): _*)
           .agg(count(lit(1)).cast("double").as("value"))
-      case MathFn(fn, inner) =>
+      case MathFn(fn, inner, mfArg) =>
         val g = compile(df, inner, step)
         val v = col("value")
         val mapped = fn match {
           case "abs" => abs(v)
           case "ceil" => ceil(v).cast("double")
           case "floor" => floor(v).cast("double")
-          case "round" => round(v, 0)
+          case "round" =>
+            // Prometheus round(v[, to]): nearest multiple of `to`
+            // (default 1), ties rounding UP — floor(v/to + ½)·to, not
+            // SQL's ties-away-from-zero
+            val to = lit(mfArg.getOrElse(1.0))
+            (floor(v / to + lit(0.5)) * to).cast("double")
           case "exp" => exp(v)
           case "ln" => log(v)
           case "log2" => log2(v)
@@ -1292,6 +1328,34 @@ object PromQl {
         finish(g
           .withColumn("value", dv * (sampled + startDur + endDur) / sampled)
           .drop("__n", "__tf", "__tl", "__vf", "__vl"))
+      case "holt" =>
+        // double exponential smoothing (promql
+        // funcDoubleExponentialSmoothing): fold the window's time-ordered
+        // samples with (s, b) state — s₀ = v₁, b₀ = v₂ − v₁, then
+        // s = sf·vᵢ + (1−sf)(s+b); b = tf·(s−s_prev) + (1−tf)·b; the
+        // result is the final smoothed s. Windows hold ≤ the window's
+        // sample count, so the collected array is bounded by query shape.
+        val sf = lit(ot.level.getOrElse(throw new PromQlParseException(
+          "holt_winters needs smoothing factors")))
+        val tf = lit(ot.level2.getOrElse(throw new PromQlParseException(
+          "holt_winters needs smoothing factors")))
+        val arr = sort_array(collect_list(struct(col("__u").as("u"),
+          v.as("v"))))
+        val g = grouped.agg(arr.as("__xs")).filter(size(col("__xs")) >= 2)
+        val vs = transform(col("__xs"), x => x.getField("v"))
+        val x1 = element_at(vs, 1)
+        val x2 = element_at(vs, 2)
+        val init = struct(x1.as("s"), (x2 - x1).as("b"))
+        val folded = aggregate(
+          slice(vs, lit(2), size(vs) - 1), init,
+          (acc, x) => {
+            val s1 = sf * x +
+              (lit(1.0) - sf) * (acc.getField("s") + acc.getField("b"))
+            struct(s1.as("s"),
+              (tf * (s1 - acc.getField("s")) +
+                (lit(1.0) - tf) * acc.getField("b")).as("b"))
+          })
+        finish(g.withColumn("value", folded.getField("s")).drop("__xs"))
       case "deriv" | "predict_linear" =>
         // least-squares regression of value on sample time within the
         // window (promql funcDeriv/funcPredictLinear): slope = cov/var;

@@ -631,6 +631,41 @@ class PromQlSpec extends SparkSpec {
     assert(math.abs(pl(0) - (280.0 / 3 - 2.0 / 3 * 3840)) < 1e-6)
   }
 
+  test("holt_winters folds (s, b) state over the window's samples") {
+    import PromQl._
+    assert(parse("holt_winters(m[1h], 0.5, 0.5)") ==
+      OverTime("holt", Selector("m", Nil), 3600, Some(0.5), Some(0.5)))
+    intercept[PromQlParseException](parse("holt_winters(m[1h], 0, 0.5)"))
+    // window (−1h,1h] samples [100,160,20], sf=tf=0.5 (hand-computed
+    // against funcDoubleExponentialSmoothing):
+    //   s₀=100 b=60; v=160 → s=0.5·160+0.5·160=160, b=0.5·60+0.5·60=60;
+    //   v=20 → s=0.5·20+0.5·220=120 → 120
+    // window (0,2h] samples [160,20]: s₀=160 b=−140 →
+    //   s=0.5·20+0.5·20=20
+    val out = PromQl.eval(counters,
+      "sum by (ServiceName) (holt_winters(requests_total[2h], 0.5, 0.5))",
+      3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(out == Seq(120.0, 20.0))
+  }
+
+  test("round: nearest with ties up; optional to_nearest multiple") {
+    import PromQl._
+    assert(parse("round(m, 5)") ==
+      MathFn("round", Selector("m", Nil), Some(5.0)))
+    // sum by host: a=30, b=50 → round(·, 7): 30/7=4.29→4·7=28; 49
+    val out = PromQl.eval(gauges,
+      "round(sum by (host) (mem_usage), 7)", 3600)
+      .orderBy("host").select("value").as[Double].collect().toSeq
+    assert(out == Seq(28.0, 49.0))
+    // ties round UP (floor(v+½)), not away from zero: −2.5 → −2
+    val neg = PromQl.eval(gauges,
+      "round(0 - (sum by (host) (mem_usage) / 12))", 3600)
+      .orderBy("host").select("value").as[Double].collect().toSeq
+    // −30/12 = −2.5 → −2; −50/12 = −4.1667 → −4
+    assert(neg == Seq(-2.0, -4.0))
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==
