@@ -1411,11 +1411,48 @@ object MetricQueries {
       |  round(cov / vr, 6) AS value
       |FROM g ORDER BY bucket, event_type""".stripMargin
 
+  /** PromQL scalar() at the driver gate: per-type share of the per-bucket
+    * total via `sum by (ServiceName) (mem) / scalar(sum(mem))` — the
+    * label-less scalar frame joins on the bucket alone, broadcasting the
+    * denominator to every type series. */
+  def q71_promql_scalar(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "sum by (ServiceName) (mem) / scalar(sum(mem))", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q71_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |s AS (
+      |  SELECT bucket, event_type, sum(v) AS sv
+      |  FROM last GROUP BY bucket, event_type),
+      |tot AS (
+      |  SELECT bucket, sum(sv) AS tv FROM s GROUP BY bucket)
+      |SELECT s.bucket, s.event_type, round(s.sv / t.tv, 6) AS value
+      |FROM s JOIN tot t ON s.bucket = t.bucket
+      |ORDER BY s.bucket, s.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
     "q69_promql_divzero" -> (q69_promql_divzero _),
     "q70_promql_deriv" -> (q70_promql_deriv _),
+    "q71_promql_scalar" -> (q71_promql_scalar _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1446,6 +1483,7 @@ object MetricQueries {
     "q68_promql_mixed_align" -> q68_sql,
     "q69_promql_divzero" -> q69_sql,
     "q70_promql_deriv" -> q70_sql,
+    "q71_promql_scalar" -> q71_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

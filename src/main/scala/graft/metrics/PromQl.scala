@@ -34,6 +34,9 @@ import graft.functions.CoreFunctions._
   *            | present_over_time( selector [dur] )
   *            | holt_winters( selector [dur], sf, tf ) — double exp smooth
   *            | round( expr [, to_nearest] )
+  *            | scalar( expr ) — 1-series vector → per-step scalar
+  *            | vector( n )    — constant series on the frame's spine
+  *            | time()         — evaluation time as a per-step scalar
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
@@ -172,6 +175,16 @@ object PromQl {
   /** count_values("label", expr): per bucket/labels, count series per
     * distinct value, the value echoed as a new label. */
   final case class CountValues(label: String, inner: Expr) extends Expr
+  /** scalar(expr): the inner vector's value per step when it has exactly
+    * one series, NaN otherwise — compiles to a label-less (bucket, value)
+    * frame, so binops join it on the bucket alone (scalar broadcast). */
+  final case class ScalarOf(inner: Expr) extends Expr
+  /** vector(n): a constant label-less series on the frame's contiguous
+    * bucket spine — the `x or vector(0)` fallback idiom. */
+  final case class VectorOf(v: Double) extends Expr
+  /** time(): the evaluation instant (bucket start + step, epoch seconds)
+    * as a label-less per-step scalar on the frame's spine. */
+  case object TimeFn extends Expr
 
   final class PromQlParseException(msg: String) extends Exception(msg)
 
@@ -511,6 +524,21 @@ object PromQl {
           }
           expect(')')
           LabelJoin(inner, dst, sep, srcs.result())
+        case "scalar" if nextIsParen =>
+          expect('(')
+          val inner = parseOr()
+          ws(); expect(')')
+          ScalarOf(inner)
+        case "vector" if nextIsParen =>
+          expect('(')
+          ws()
+          val n = readNumber()
+          ws(); expect(')')
+          VectorOf(n)
+        case "time" if nextIsParen =>
+          expect('(')
+          ws(); expect(')')
+          TimeFn
         case "count_values" if nextIsParen =>
           expect('(')
           ws()
@@ -711,6 +739,7 @@ object PromQl {
     case ClassicHistQuantile(phi, i) =>
       ClassicHistQuantile(phi, rewriteRates(i))
     case CountValues(l, i) => CountValues(l, rewriteRates(i))
+    case ScalarOf(i) => ScalarOf(rewriteRates(i))
     case other => other
   }
 
@@ -742,6 +771,8 @@ object PromQl {
     case HistQuantile(_, sel, _) => sel.offsetSeconds
     case ClassicHistQuantile(_, i) => lookbackOf(i)
     case CountValues(_, i) => lookbackOf(i)
+    case ScalarOf(i) => lookbackOf(i)
+    case VectorOf(_) | TimeFn => 0L
     case Absent(sel) => sel.offsetSeconds
     case ScalarLit(_) => 0L
   }
@@ -1121,6 +1152,22 @@ object PromQl {
           case _ => col("value")
         }
         g.withColumn("value", clamped)
+      case ScalarOf(inner) =>
+        // per-step scalar: the single series' value, NaN when the inner
+        // vector has 0 or >1 series at that step — the label-less frame
+        // makes every binop join it on the bucket alone
+        compile(df, inner, step)
+          .groupBy(col(TimeBucketAlias))
+          .agg(count(lit(1)).as("__n"), first(col("value")).as("__v"))
+          .withColumn("value", when(col("__n") === 1, col("__v"))
+            .otherwise(lit(Double.NaN)))
+          .select(col(TimeBucketAlias), col("value"))
+      case VectorOf(x) =>
+        bucketSpine(df, step).withColumn("value", lit(x))
+      case TimeFn =>
+        // the evaluation instant of bucket L is L + step (header doc)
+        bucketSpine(df, step).withColumn("value",
+          (unix_timestamp(col(TimeBucketAlias)) + step).cast("double"))
       case Absent(sel) =>
         // 1 at each step bucket of the CONTIGUOUS spine between the
         // frame's first and last bucket where the selector matches
@@ -1129,11 +1176,7 @@ object PromQl {
         // equality-matcher labels are echoed like Prometheus (documented
         // deviation: an entirely-empty frame yields no rows — the engine
         // has no explicit query range to span)
-        val b = timeBucket(col("TimeUnix"), step)
-        val spine = df.agg(min(b).as("__mn"), max(b).as("__mx"))
-          .filter(col("__mn").isNotNull)
-          .select(explode(sequence(col("__mn"), col("__mx"),
-            expr(s"INTERVAL $step SECOND"))).as(TimeBucketAlias))
+        val spine = bucketSpine(df, step)
         val present = applySelector(df, sel)
           .select(timeBucket(col("TimeUnix"), step).as(TimeBucketAlias))
           .distinct()
@@ -1197,6 +1240,16 @@ object PromQl {
     }
     g.groupBy((col(TimeBucketAlias) +: by.map(col)): _*)
       .agg(agg.as("value"))
+  }
+
+  /** Contiguous step-bucket spine spanning the frame's time extent (one
+    * tiny global-agg row exploded to the bucket sequence). */
+  private def bucketSpine(df: DataFrame, step: Long): DataFrame = {
+    val b = timeBucket(col("TimeUnix"), step)
+    df.agg(min(b).as("__mn"), max(b).as("__mx"))
+      .filter(col("__mn").isNotNull)
+      .select(explode(sequence(col("__mn"), col("__mx"),
+        expr(s"INTERVAL $step SECOND"))).as(TimeBucketAlias))
   }
 
   /** Echo a selector's equality matchers as literal label columns on an

@@ -666,6 +666,37 @@ class PromQlSpec extends SparkSpec {
     assert(neg == Seq(-2.0, -4.0))
   }
 
+  test("scalar broadcasts per bucket; vector and time span the spine") {
+    import PromQl._
+    assert(parse("scalar(sum(m))") ==
+      ScalarOf(Aggr("sum", Nil, Selector("m", Nil))))
+    assert(parse("vector(0)") == VectorOf(0.0))
+    assert(parse("time()") == TimeFn)
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    // the scalar() frame is label-less → the binop joins on bucket alone,
+    // broadcasting the total to every host series (share-of-total)
+    val share = PromQl.eval(withHost,
+      "sum by (host) (mem_usage) / scalar(sum(mem_usage))", 3600)
+      .orderBy("host").select("host", "value")
+      .as[(String, Double)].collect().toSeq
+    assert(share == Seq(("a", 30.0 / 80.0), ("b", 50.0 / 80.0)))
+    // >1 series → NaN, like Prometheus
+    val nan = PromQl.eval(withHost,
+      "scalar(sum by (host) (mem_usage))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(nan.length == 1 && nan.head.isNaN)
+    // the `x or vector(0)` fallback fills series-less buckets
+    val filled = PromQl.eval(gauges, "sum(nope) or vector(0)", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(filled == Seq(0.0))
+    // time() = bucket start + step (the evaluation instant)
+    val t = PromQl.eval(gauges, "time()", 3600)
+      .selectExpr("cast(unix_timestamp(__time_bucket) as double) as b",
+        "value")
+      .as[(Double, Double)].collect().toSeq
+    assert(t.length == 1 && t.head._2 == t.head._1 + 3600)
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==
