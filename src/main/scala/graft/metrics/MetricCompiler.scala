@@ -169,6 +169,8 @@ object MetricCompiler {
       case "min" => min(v)
       case "max" => max(v)
       case "count" => count(v)
+      // PromQL `group` aggregation: constant 1 per output group
+      case "group" => max(org.apache.spark.sql.functions.lit(1.0))
       // the bucket is the group key (constant within each group), so the
       // cross-series pick orders by the series key — deterministic across
       // runs/partitionings, unlike an arbitrary-row pick

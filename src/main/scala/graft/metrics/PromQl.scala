@@ -20,9 +20,10 @@ import graft.functions.CoreFunctions._
   *   sum      := mul (('+' | '-') [match] mul)*
   *   mul      := primary (('*' | '/') [match] primary)*
   *   primary  := aggr | func | mathfn | selector | number | '(' expr ')'
-  *   aggr     := (sum|avg|min|max|count|stddev|stdvar)
+  *   aggr     := (sum|avg|min|max|count|group|stddev|stdvar)
   *                 [by (l1, l2…) | without (l1…)] ( expr )
   *            | quantile [by (…) | without (…)] ( φ, expr )
+  *            | (topk|bottomk) [by (l1…)] ( k, expr )
   *   mathfn   := (abs|ceil|floor|round|exp|ln|log2|log10|sqrt|sgn)( expr )
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
@@ -37,6 +38,9 @@ import graft.functions.CoreFunctions._
   *            | scalar( expr ) — 1-series vector → per-step scalar
   *            | vector( n )    — constant series on the frame's spine
   *            | time()         — evaluation time as a per-step scalar
+  *            | (minute|hour|day_of_week|day_of_month|days_in_month
+  *               |month|year)( [expr] )  — UTC components of the value
+  *               as epoch seconds; no argument defaults to time()
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
@@ -132,8 +136,11 @@ object PromQl {
   final case class LabelReplace(inner: Expr, dst: String, repl: String,
       src: String, regex: String) extends Expr
   final case class ScalarLit(v: Double) extends Expr
-  /** topk/bottomk: k series per step bucket ranked by value. */
-  final case class TopK(k: Int, inner: Expr, bottom: Boolean) extends Expr
+  /** topk/bottomk: k series per step bucket ranked by value; with `by`,
+    * k series per (bucket, by-labels) group like Prometheus's grouped
+    * aggregator form. */
+  final case class TopK(k: Int, inner: Expr, bottom: Boolean,
+      by: Seq[String] = Nil) extends Expr
   /** histogram_quantile(φ, …) over the exp-histogram frame; `by` comes
     * from the canonical inner `sum by (…) (selector)` shape. */
   final case class HistQuantile(phi: Double, sel: Selector,
@@ -329,7 +336,7 @@ object PromQl {
           (s.startsWith("without", i) && !isIdentChar(i + 7))
       val callish = nextIsParen || nextIsByWithout
       val e: Expr = ident match {
-        case "sum" | "avg" | "min" | "max" | "count" | "stddev"
+        case "sum" | "avg" | "min" | "max" | "count" | "group" | "stddev"
             | "stdvar" if callish =>
           var by: Seq[String] = Nil
           var without = false
@@ -425,15 +432,20 @@ object PromQl {
           ws(); expect(')')
           Rate(sel0.copy(offsetSeconds = off), w,
             increase = ident == "increase")
-        case "topk" | "bottomk" if nextIsParen =>
-          expect('(')
+        case "topk" | "bottomk" if callish =>
+          // optional `by (l…)` prefix: k per (bucket, labels) group
+          var by: Seq[String] = Nil
+          if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
+            i += 2; ws(); by = readParenIdents()
+          }
+          ws(); expect('(')
           ws()
           val k = readWhile(_.isDigit)
           if (k.isEmpty) fail("expected k")
           ws(); expect(',')
           val inner = parseOr()
           ws(); expect(')')
-          TopK(k.toInt, inner, bottom = ident == "bottomk")
+          TopK(k.toInt, inner, bottom = ident == "bottomk", by)
         case "histogram_quantile" if nextIsParen =>
           expect('(')
           ws()
@@ -559,6 +571,17 @@ object PromQl {
             } else None
           ws(); expect(')')
           MathFn(fn, inner, arg)
+        case fn if nextIsParen && Set("minute", "hour", "day_of_week",
+            "day_of_month", "days_in_month", "month", "year")
+              .contains(fn) =>
+          // UTC calendar component of the value as epoch seconds; the
+          // argument defaults to time() like Prometheus
+          expect('(')
+          ws()
+          val inner =
+            if (i < s.length && s(i) == ')') TimeFn else parseOr()
+          ws(); expect(')')
+          MathFn(fn, inner)
         case name if name.nonEmpty => parseSelector(name)
         case _ => fail("expected expression")
       }
@@ -732,7 +755,7 @@ object PromQl {
     case LabelReplace(i, d, rp, src, rx) =>
       LabelReplace(rewriteRates(i), d, rp, src, rx)
     case LabelJoin(i, d, sep, ss) => LabelJoin(rewriteRates(i), d, sep, ss)
-    case TopK(k, i, b) => TopK(k, rewriteRates(i), b)
+    case TopK(k, i, b, by) => TopK(k, rewriteRates(i), b, by)
     case Clamp(i, lo, hi) => Clamp(rewriteRates(i), lo, hi)
     case OverTimeSub(op, i, r, s, l) =>
       OverTimeSub(op, rewriteRates(i), r, s, l)
@@ -766,7 +789,7 @@ object PromQl {
     case MathFn(_, i, _) => lookbackOf(i)
     case LabelReplace(i, _, _, _, _) => lookbackOf(i)
     case LabelJoin(i, _, _, _) => lookbackOf(i)
-    case TopK(_, i, _) => lookbackOf(i)
+    case TopK(_, i, _, _) => lookbackOf(i)
     case Clamp(i, _, _) => lookbackOf(i)
     case HistQuantile(_, sel, _) => sel.offsetSeconds
     case ClassicHistQuantile(_, i) => lookbackOf(i)
@@ -869,14 +892,16 @@ object PromQl {
             aggregate0(overTimePerSeries(df, ot, by, step), op, by)
           case _ => aggregate0(compile(df, inner, step), op, by)
         }
-      case TopK(k, inner, bottom) =>
+      case TopK(k, inner, bottom, by) =>
         import org.apache.spark.sql.expressions.Window
         val g = compile(df, inner, step)
         val labels = g.columns.toSeq
           .filter(c => c != TimeBucketAlias && c != "value")
         val order = (if (bottom) col("value").asc else col("value").desc) +:
           labels.map(col(_).asc)
-        val w = Window.partitionBy(col(TimeBucketAlias)).orderBy(order: _*)
+        val w = Window
+          .partitionBy((col(TimeBucketAlias) +: by.map(col)): _*)
+          .orderBy(order: _*)
         g.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k)
           .drop("__rk")
@@ -1019,6 +1044,7 @@ object PromQl {
       case MathFn(fn, inner, mfArg) =>
         val g = compile(df, inner, step)
         val v = col("value")
+        lazy val tsOfV = timestamp_seconds(v.cast("long"))
         val mapped = fn match {
           case "abs" => abs(v)
           case "ceil" => ceil(v).cast("double")
@@ -1035,6 +1061,18 @@ object PromQl {
           case "log10" => log10(v)
           case "sqrt" => sqrt(v)
           case "sgn" => signum(v)
+          // calendar components of v as epoch seconds, floored to whole
+          // seconds like promql's time.Unix(int64(v)).UTC(); the session
+          // timezone is UTC in LocalSession — a non-UTC session deviates
+          case "minute" => minute(tsOfV).cast("double")
+          case "hour" => hour(tsOfV).cast("double")
+          // Spark dayofweek is 1=Sunday..7; PromQL 0=Sunday..6
+          case "day_of_week" => (dayofweek(tsOfV) - 1).cast("double")
+          case "day_of_month" => dayofmonth(tsOfV).cast("double")
+          case "days_in_month" =>
+            dayofmonth(last_day(tsOfV)).cast("double")
+          case "month" => month(tsOfV).cast("double")
+          case "year" => year(tsOfV).cast("double")
         }
         g.withColumn("value", mapped)
       case CmpOp(op, l, r, bool, matching) =>
@@ -1231,6 +1269,8 @@ object PromQl {
       case "min" => min(col("value"))
       case "max" => max(col("value"))
       case "count" => count(col("value"))
+      // group: constant 1 per output group (Prometheus's presence aggr)
+      case "group" => max(lit(1.0))
       // Prometheus stddev/stdvar are population statistics
       case "stddev" => stddev_pop(col("value"))
       case "stdvar" => var_pop(col("value"))

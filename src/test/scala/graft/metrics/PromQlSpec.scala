@@ -697,6 +697,39 @@ class PromQlSpec extends SparkSpec {
     assert(t.length == 1 && t.head._2 == t.head._1 + 3600)
   }
 
+  test("calendar functions, group aggregator, topk by") {
+    import PromQl._
+    assert(parse("hour()") == MathFn("hour", TimeFn))
+    assert(parse("day_of_week(time())") == MathFn("day_of_week", TimeFn))
+    // gauges sit in the 2024-01-01 00:00 bucket → eval instant 01:00 UTC;
+    // 2024-01-01 is a Monday (day_of_week 1), January has 31 days
+    def one(q: String): Double = PromQl.eval(gauges, q, 3600)
+      .select("value").as[Double].collect().head
+    assert(one("hour()") == 1.0)
+    assert(one("minute()") == 0.0)
+    assert(one("day_of_week()") == 1.0)
+    assert(one("day_of_month()") == 1.0)
+    assert(one("days_in_month()") == 31.0)
+    assert(one("month()") == 1.0)
+    assert(one("year()") == 2024.0)
+    // group: constant 1 per surviving group
+    val grp = PromQl.eval(PromQl.withLabels(gauges, Seq("host")),
+      "group by (host) (mem_usage)", 3600)
+      .orderBy("host").select("host", "value")
+      .as[(String, Double)].collect().toSeq
+    assert(grp == Seq(("a", 1.0), ("b", 1.0)))
+    // topk by: k per (bucket, by-group) — both hosts survive top-1
+    val withHost = PromQl.withLabels(gauges, Seq("host"))
+    assert(parse("topk by (host) (1, m)") ==
+      TopK(1, Selector("m", Nil), bottom = false, Seq("host")))
+    val per = PromQl.eval(withHost,
+      "topk by (host) (1, sum by (host) (mem_usage))", 3600).count()
+    assert(per == 2)
+    val global = PromQl.eval(withHost,
+      "topk(1, sum by (host) (mem_usage))", 3600).count()
+    assert(global == 1)
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==
