@@ -516,6 +516,74 @@ object PipelineQueries {
        |JOIN keep k ON k.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Corpus-frequency boilerplate removal: 10-word chunks appearing in
+    * more than 2 distinct documents are dropped and every document is
+    * rebuilt from its surviving chunks — the corpusWithDups near-dup
+    * copies make real cross-document repeats. Output is md5(text) so the
+    * compare stays narrow. */
+  def q72_boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scrubBoilerplate(corpusWithDups(spark, dir), "doc_id",
+      "text", chunkWords = 10, maxDocs = 2)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("doc_id")
+
+  val q72_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |w AS (
+       |  -- parallel unnests zip in DuckDB: word with its 1-based index
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS word,
+       |    unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+       |  FROM corpus),
+       |c AS (
+       |  SELECT doc_id, (i - 1) // 10 AS cno,
+       |         string_agg(word, ' ' ORDER BY i) AS chunk
+       |  FROM w GROUP BY 1, 2),
+       |freq AS (
+       |  SELECT chunk, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1),
+       |kept AS (
+       |  SELECT c.doc_id, c.cno, c.chunk FROM c
+       |  JOIN freq f ON f.chunk = c.chunk WHERE f.nd <= 2)
+       |SELECT doc_id,
+       |  md5(string_agg(chunk, ' ' ORDER BY cno)) AS h
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** PII scrub: emails / IPv4s / phone-shaped runs planted onto each
+    * document become typed placeholders; both engines run the identical
+    * portable regexes. */
+  def q73_pii_scrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".17 tel +1 555 01"),
+        (col("doc_id") % 90 + 10).cast("string")).as("text"))
+    planted.select(col("doc_id"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("h"))
+      .orderBy("doc_id")
+  }
+
+  val q73_sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com from 10.0.'
+      |      || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.17 tel +1 555 01'
+      |      || CAST(doc_id % 90 + 10 AS VARCHAR) AS text
+      |  FROM documents)
+      |SELECT doc_id, md5(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |        '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?', '<PHONE>', 'g'))
+      |  AS h
+      |FROM planted ORDER BY doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -534,7 +602,9 @@ object PipelineQueries {
     "q47_embed_lsh" -> (q47_embed_lsh _),
     "q63_langid" -> (q63_langid _),
     "q66_dedup_clusters" -> (q66_dedup_clusters _),
-    "q67_dedup_cleaned" -> (q67_dedup_cleaned _))
+    "q67_dedup_cleaned" -> (q67_dedup_cleaned _),
+    "q72_boilerplate" -> (q72_boilerplate _),
+    "q73_pii_scrub" -> (q73_pii_scrub _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -553,5 +623,7 @@ object PipelineQueries {
     "q47_embed_lsh" -> q47_sql,
     "q63_langid" -> q63_sql,
     "q66_dedup_clusters" -> q66_sql,
-    "q67_dedup_cleaned" -> q67_sql)
+    "q67_dedup_cleaned" -> q67_sql,
+    "q72_boilerplate" -> q72_sql,
+    "q73_pii_scrub" -> q73_sql)
 }

@@ -184,6 +184,62 @@ object TextAnalysis {
       .toDF("id", "hashes")
   }
 
+  // --------------------------------------------------------- PII scrub
+
+  /** Fully-anchored-free PII redaction over a text column: emails, IPv4
+    * addresses, and phone-shaped digit runs become typed placeholders —
+    * the standard pre-training scrub pass. Patterns stay in the portable
+    * regex subset (no lookbehind) so the DuckDB oracle matches them
+    * verbatim. Pure expression — codegen'd, no UDF. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}([ -]\\d{1,4})?", "<PHONE>")
+  }
+
+  // ------------------------------------------- boilerplate chunk removal
+
+  /** C4-style corpus-frequency boilerplate removal, generalized from
+    * lines to fixed-size word chunks (the testdata has no newlines): a
+    * chunk whose exact text appears in more than `maxDocs` DISTINCT
+    * documents is boilerplate; every document is rebuilt from its
+    * surviving chunks in order (documents consisting entirely of
+    * boilerplate drop out).
+    *
+    * Scale shape: one word explode (narrow), a (doc, chunk) hash agg, a
+    * chunk-frequency agg keyed by the 8-byte xxhash64 of the chunk (the
+    * corpus text never rides the frequency shuffle), a left_anti against
+    * the small boilerplate-hash set (broadcastable — boilerplate is rare
+    * by definition), and the per-doc rebuild agg. The chunk frame feeds
+    * both the frequency count and the anti-join, so it is persisted like
+    * the minhash signature projection. */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10, maxDocs: Long = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(chunkWords > 0 && maxDocs > 0, "need chunkWords, maxDocs > 0")
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val chunks = words
+      .groupBy(col(idCol), expr(s"__pos DIV $chunkWords").as("__cno"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__pos").as("p"), col("__w").as("w")))),
+        x => x.getField("w")), " ").as("__chunk"))
+      .withColumn("__h", xxhash64(col("__chunk")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val boilerplate = chunks.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__h")
+    chunks.join(boilerplate, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__cno").as("c"), col("__chunk").as("t")))),
+        x => x.getField("t")), " ").as(textCol))
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

@@ -180,6 +180,30 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scrubPii redacts emails, IPv4s, and phone-shaped runs") {
+    val df = Seq(
+      (1L, "mail a.b@x.co or 192.168.0.1 tel +44 123 4567 now"),
+      (2L, "clean text stays intact")).toDF("id", "text")
+    val out = df.orderBy("id")
+      .select(TextAnalysis.scrubPii(col("text")))
+      .as[String].collect().toSeq
+    assert(out == Seq(
+      "mail <EMAIL> or <IP> tel <PHONE> now",
+      "clean text stays intact"))
+  }
+
+  test("scrubBoilerplate drops chunks repeated across many docs") {
+    // 2-word chunks; "x y" opens docs 1-3 (> maxDocs=2) → boilerplate;
+    // each doc is rebuilt from its surviving chunks, order preserved
+    val df = Seq(
+      (1L, "x y a b"), (2L, "x y c d"), (3L, "x y e f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis
+      .scrubBoilerplate(df, "doc_id", "text", chunkWords = 2, maxDocs = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h")))
+  }
+
   test("langId picks the dominant stopword profile; CJK detected") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),
