@@ -464,9 +464,16 @@ object PromQl {
             case _ => fail("histogram_quantile expects a selector, " +
               "sum by (…) (selector), or sum by (le, …) (expr)")
           }
+        case "sort" | "sort_desc" if nextIsParen =>
+          // presentation ordering of the result frame (value asc/desc);
+          // row order is advisory in a DataFrame result but harmless
+          expect('(')
+          val inner = parseOr()
+          ws(); expect(')')
+          MathFn(ident, inner)
         case ot if nextIsParen && ot.endsWith("_over_time") &&
-            Set("avg", "min", "max", "sum", "count", "last", "present")
-              .contains(ot.dropRight(10)) =>
+            Set("avg", "min", "max", "sum", "count", "last", "present",
+              "stddev", "stdvar").contains(ot.dropRight(10)) =>
           expect('(')
           parseOverTimeBody(ot.dropRight(10), level = None)
         case "label_replace" if nextIsParen =>
@@ -1041,6 +1048,10 @@ object PromQl {
         g.groupBy((col(TimeBucketAlias) +: labels.map(col) :+
             col("value").cast("string").as(label)): _*)
           .agg(count(lit(1)).cast("double").as("value"))
+      case MathFn("sort", inner, _) =>
+        compile(df, inner, step).orderBy(col("value").asc)
+      case MathFn("sort_desc", inner, _) =>
+        compile(df, inner, step).orderBy(col("value").desc)
       case MathFn(fn, inner, mfArg) =>
         val g = compile(df, inner, step)
         val v = col("value")
@@ -1165,6 +1176,8 @@ object PromQl {
           case "count" => count(v)
           case "last" => max_by(v, col("__u"))
           case "present" => max(lit(1.0))
+          case "stddev" => stddev_pop(v)
+          case "stdvar" => var_pop(v)
           case "quantile" => call_function("percentile", v,
             lit(ots.level.getOrElse(throw new PromQlParseException(
               "quantile_over_time needs a level"))))
@@ -1480,6 +1493,9 @@ object PromQl {
           case "last" => max_by(v, col("TimeUnix"))
           // present_over_time: 1 for every series window with a sample
           case "present" => max(lit(1.0))
+          // population statistics, like the cross-series aggregators
+          case "stddev" => stddev_pop(v)
+          case "stdvar" => var_pop(v)
           case "quantile" => call_function("percentile", v,
             lit(ot.level.getOrElse(throw new PromQlParseException(
               "quantile_over_time needs a level"))))

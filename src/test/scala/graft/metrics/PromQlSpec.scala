@@ -730,6 +730,26 @@ class PromQlSpec extends SparkSpec {
     assert(global == 1)
   }
 
+  test("stddev/stdvar_over_time and sort order") {
+    // first window holds the single 100 sample → var 0; the (−1h,1h]
+    // window [100,160,20]: mean 280/3, squared deviations
+    // (20/3)² + (200/3)² + (220/3)² = 88800/9 → population var 88800/27
+    val sv = PromQl.eval(counters,
+      "sum by (ServiceName) (stdvar_over_time(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(sv(0) == 0.0)
+    assert(math.abs(sv(1) - 88800.0 / 27) < 1e-6)
+    val sd = PromQl.eval(counters,
+      "sum by (ServiceName) (stddev_over_time(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(math.abs(sd(1) - math.sqrt(88800.0 / 27)) < 1e-6)
+    // sort_desc orders rows by value
+    val sorted = PromQl.eval(PromQl.withLabels(gauges, Seq("host")),
+      "sort_desc(sum by (host) (mem_usage))", 3600)
+      .select("value").as[Double].collect().toSeq
+    assert(sorted == Seq(50.0, 30.0))
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==
