@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators exposed through the driver contract:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -584,6 +584,145 @@ object PipelineQueries {
       |  AS h
       |FROM planted ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination at the driver gate: every 97th document
+    * plays the eval set; the corpus (with its planted near-dup copies)
+    * is swept for 13-gram overlap. Bench docs flag themselves, their
+    * exact-dup copies flag transitively, and docs shorter than 13 tokens
+    * (the testdata floor is 10) exercise the no-gram edge. */
+  def q74_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val bench = docs(spark, dir).filter(col("doc_id") % 97 === 0)
+    Curation.contaminationHits(corpusWithDups(spark, dir), "doc_id",
+      "text", bench, "text", n = 13)
+      .orderBy("doc_id")
+  }
+
+  val q74_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |bg AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(tk) - 12, 0)),
+       |      i -> array_to_string(tk[i:i+12], ' ')))) AS g
+       |    FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |          FROM documents WHERE doc_id % 97 = 0))),
+       |dg AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(tk) - 12, 0)),
+       |    i -> array_to_string(tk[i:i+12], ' ')))) AS g
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |        FROM corpus))
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM dg WHERE g IN (SELECT g FROM bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition signals: every 20th document gains a
+    * self-concatenated twin (+3000000) whose grams all repeat — strong
+    * positives next to the natural corpus's near-zero signals. */
+  def q75_repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 20 === 0).select(
+      (col("doc_id") + 3000000).as("doc_id"),
+      concat(col("text"), lit(" "), col("text")).as("text")))
+    Curation.repetitionSignals(corpus, "doc_id", "text", chunkWords = 10)
+      .orderBy("doc_id")
+  }
+
+  val q75_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |t AS (SELECT doc_id,
+      |        string_split_regex(trim(lower(text)), '\s+') AS tk
+      |      FROM corpus),
+      |g2 AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, greatest(len(tk) - 1, 0)),
+      |         i -> array_to_string(tk[i:i+1], ' '))) AS g FROM t),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, max(c) AS maxc FROM c2 GROUP BY 1),
+      |g3 AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, greatest(len(tk) - 2, 0)),
+      |         i -> array_to_string(tk[i:i+2], ' '))) AS g FROM t),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |s3 AS (SELECT doc_id,
+      |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+      |         sum(c) AS tot
+      |       FROM c3 GROUP BY 1),
+      |ch AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(0, CAST((len(tk) + 9) // 10 AS INT) - 1),
+      |         c -> array_to_string(tk[c*10+1:c*10+10], ' '))) AS g
+      |       FROM t),
+      |cc AS (SELECT doc_id, g, count(*) AS c FROM ch GROUP BY 1, 2),
+      |sc AS (SELECT doc_id,
+      |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+      |         sum(c) AS tot
+      |       FROM cc GROUP BY 1)
+      |SELECT t.doc_id,
+      |  round(COALESCE(m2.maxc, 0) * 2.0 / len(t.tk), 6)
+      |    AS top_2gram_frac,
+      |  round(CASE WHEN COALESCE(s3.tot, 0) = 0 THEN 0.0
+      |    ELSE CAST(s3.dup AS DOUBLE) / s3.tot END, 6) AS dup_3gram_frac,
+      |  round(CASE WHEN COALESCE(sc.tot, 0) = 0 THEN 0.0
+      |    ELSE CAST(sc.dup AS DOUBLE) / sc.tot END, 6) AS dup_chunk_frac
+      |FROM t
+      |LEFT JOIN m2 USING (doc_id)
+      |LEFT JOIN s3 USING (doc_id)
+      |LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Overlapping token-window chunking (40-token windows, 8-token
+    * overlap → stride 32): the per-sample split a training pipeline
+    * feeds the tokenizer. Chunk text gates as md5 so the compare stays
+    * narrow. */
+  def q76_chunking(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkForTraining(docs(spark, dir), "doc_id", "text",
+      maxTokens = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        md5(col("chunk_text")).as("h"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q76_sql: String =
+    """WITH t AS (SELECT doc_id,
+      |        string_split_regex(trim(lower(text)), '\s+') AS tk
+      |      FROM documents),
+      |n AS (SELECT doc_id, tk,
+      |        greatest(CAST(ceil((len(tk) - 8) / 32.0) AS INT), 1) AS nc
+      |      FROM t),
+      |c AS (SELECT doc_id, tk,
+      |        unnest(generate_series(0, nc - 1)) AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(tk[chunk_idx*32+1 : chunk_idx*32+40]) AS BIGINT)
+      |    AS chunk_tokens,
+      |  md5(array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+40], ' '))
+      |    AS h
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Deterministic domain-mixing sample: per-source keep fractions over
+    * the md5-derived uniform — the same rows survive in any engine, so
+    * the full per-source census gates exactly. */
+  def q77_mixing(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(docs(spark, dir), "source", "doc_id",
+      Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+      defaultFraction = 0.1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+
+  val q77_sql: String =
+    """WITH s AS (
+      |  SELECT * FROM documents
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |          AS BIGINT) / 4294967296.0
+      |    < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+      |        WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+      |SELECT source, count(*) AS n, min(doc_id) AS min_id,
+      |  max(doc_id) AS max_id
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -604,7 +743,11 @@ object PipelineQueries {
     "q66_dedup_clusters" -> (q66_dedup_clusters _),
     "q67_dedup_cleaned" -> (q67_dedup_cleaned _),
     "q72_boilerplate" -> (q72_boilerplate _),
-    "q73_pii_scrub" -> (q73_pii_scrub _))
+    "q73_pii_scrub" -> (q73_pii_scrub _),
+    "q74_decontam" -> (q74_decontam _),
+    "q75_repetition" -> (q75_repetition _),
+    "q76_chunking" -> (q76_chunking _),
+    "q77_mixing" -> (q77_mixing _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -625,5 +768,9 @@ object PipelineQueries {
     "q66_dedup_clusters" -> q66_sql,
     "q67_dedup_cleaned" -> q67_sql,
     "q72_boilerplate" -> q72_sql,
-    "q73_pii_scrub" -> q73_sql)
+    "q73_pii_scrub" -> q73_sql,
+    "q74_decontam" -> q74_sql,
+    "q75_repetition" -> q75_sql,
+    "q76_chunking" -> q76_sql,
+    "q77_mixing" -> q77_sql)
 }

@@ -59,10 +59,14 @@ object Dedup {
     * imperative kernel instead. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
+    val cnt = size(toks) - (n - 1)
+    // guard: sequence(1, cnt) DESCENDS for cnt < 1 (Spark picks step −1),
+    // mis-indexing texts shorter than n tokens — emit no shingles instead
     array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(toks, (i + j).cast("int"))): _*)))
+      when(cnt < 1, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), greatest(cnt, lit(1))),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(toks, (i + j).cast("int"))): _*))))
   }
 
   // ---------------------------------------------------- imperative kernel

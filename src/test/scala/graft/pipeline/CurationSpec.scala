@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles of a text shorter than n is empty, not garbage") {
+    val out = Seq(("a b", 0)).toDF("text", "x")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(out.isEmpty)
+    val ng = Seq(("a b", 0)).toDF("text", "x")
+      .select(Curation.ngramList(col("text"), 13).as("s"))
+      .as[Seq[String]].head()
+    assert(ng.isEmpty)
+  }
+
+  test("ngramList keeps document order and repeats") {
+    val out = Seq(("a b a b", 0)).toDF("text", "x")
+      .select(Curation.ngramList(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "b a", "a b"))
+  }
+
+  test("contaminationHits flags overlap, counts distinct grams") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"), // shares 4-grams w/ bench
+      (2L, "totally different words here nothing shared at all"),
+      (3L, "one two three")) // shorter than n — no grams, never flagged
+      .toDF("doc_id", "text")
+    val bench = Seq("zero one two three four five six seven eight")
+      .toDF("btext")
+    val hits = Curation.contaminationHits(docs, "doc_id", "text",
+      bench, "btext", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 grams: [1-4],[2-5],[3-6],[4-7] — all inside the bench span
+    assert(hits == Map(1L -> 4L))
+  }
+
+  test("decontaminated removes flagged docs only") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bench = Seq("one two three four five six").toDF("btext")
+    val kept = Curation.decontaminated(docs, "doc_id", "text",
+      bench, "btext", n = 5).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("repetitionSignals on a fully repetitive doc") {
+    // "a b a b a b": 2-grams a·b ×3, b·a ×2 → top = 3·2/6 = 1.0;
+    // 3-grams aba ×2, bab ×2 → all 4 instances duplicated → 1.0;
+    // 2-word chunks: "a b" ×3 → 1.0
+    val out = Curation.repetitionSignals(
+      Seq((1L, "a b a b a b")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkWords = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out == ((1L, 1.0, 1.0, 1.0)))
+  }
+
+  test("repetitionSignals on an all-distinct doc is zero except top2") {
+    // every 2-gram unique → max count 1 → top = 1·2/5 = 0.4; no dup
+    // 3-grams; chunks (2 words) all distinct
+    val out = Curation.repetitionSignals(
+      Seq((1L, "v w x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", chunkWords = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out == ((1L, 0.4, 0.0, 0.0)))
+  }
+
+  test("chunkForTraining covers every token; overlap windows align") {
+    // 7 tokens, window 4, overlap 1 → stride 3, ⌈6/3⌉ = 2 chunks
+    val out = Curation.chunkForTraining(
+      Seq((1L, "a b c d e f g")).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 4L, "a b c d"), (1L, 4L, "d e f g")))
+    // short doc → one (possibly short) chunk
+    val short = Curation.chunkForTraining(
+      Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 4, overlap = 1)
+      .select("chunk_tokens", "chunk_text").as[(Long, String)].head()
+    assert(short == ((2L, "a b")))
+  }
+
+  test("stratifiedSample is deterministic and honors fractions") {
+    val df = (1L to 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val frac = Map("src0" -> 1.0, "src1" -> 0.0)
+    def run() = Curation.stratifiedSample(df, "source", "doc_id", frac,
+      defaultFraction = 0.5).select("doc_id").as[Long].collect().toSet
+    val a = run()
+    assert(a == run()) // same rows every time
+    assert(a.count(_ % 4 == 0) == 100) // src0 fully kept
+    assert(!a.exists(_ % 4 == 1)) // src1 dropped
+    val dflt = a.count(i => i % 4 == 2 || i % 4 == 3)
+    assert(dflt > 60 && dflt < 140) // ~0.5 of the 200 default rows
+  }
+
+  test("hashUniform matches the portable md5-prefix definition") {
+    val u = Seq(("42", 0)).toDF("k", "x")
+      .select(Curation.hashUniform(col("k")).as("u")).as[Double].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8")).take(4)
+      .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    assert(math.abs(u - md.toDouble / 4294967296.0) < 1e-12)
+    assert(u >= 0.0 && u < 1.0)
+  }
+}
