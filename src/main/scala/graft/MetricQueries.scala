@@ -1447,12 +1447,67 @@ object MetricQueries {
       |FROM s JOIN tot t ON s.bucket = t.bucket
       |ORDER BY s.bucket, s.event_type""".stripMargin
 
+  /** mad_over_time: the sliding median-absolute-deviation per series —
+    * both medians interpolate exactly like Spark `percentile` / promql
+    * quantile (lower + (higher − lower)·frac), so the oracle mirrors the
+    * float shape term for term. */
+  def q78_promql_mad(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "max by (ServiceName) (mad_over_time(mem[2h]))", 3600))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q78_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS u,
+      |         event_type, user_id, value
+      |  FROM events),
+      |ex AS (
+      |  SELECT unnest(generate_series(((u + 3599) // 3600) * 3600,
+      |                                ((u + 7199) // 3600) * 3600,
+      |                                3600)) AS bucket,
+      |         event_type, user_id, value
+      |  FROM pts),
+      |a AS (
+      |  SELECT bucket, event_type, user_id,
+      |         list_sort(list(value)) AS l, count(*) AS n
+      |  FROM ex GROUP BY bucket, event_type, user_id),
+      |m AS (
+      |  -- interpolated median, Spark-percentile float shape
+      |  SELECT bucket, event_type, user_id, l, n,
+      |    CASE WHEN n % 2 = 1 THEN l[(n+1)//2]
+      |         ELSE l[n//2] + (l[n//2+1] - l[n//2]) * 0.5 END AS med
+      |  FROM a),
+      |d AS (
+      |  SELECT bucket, event_type, n,
+      |    list_sort(list_transform(l, x -> abs(x - med))) AS dl
+      |  FROM m),
+      |md AS (
+      |  SELECT bucket, event_type,
+      |    CASE WHEN n % 2 = 1 THEN dl[(n+1)//2]
+      |         ELSE dl[n//2] + (dl[n//2+1] - dl[n//2]) * 0.5 END AS v
+      |  FROM d)
+      |SELECT bucket - 3600 AS bucket, event_type,
+      |  round(max(v), 6) AS value
+      |FROM md GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
     "q69_promql_divzero" -> (q69_promql_divzero _),
     "q70_promql_deriv" -> (q70_promql_deriv _),
     "q71_promql_scalar" -> (q71_promql_scalar _),
+    "q78_promql_mad" -> (q78_promql_mad _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1484,6 +1539,7 @@ object MetricQueries {
     "q69_promql_divzero" -> q69_sql,
     "q70_promql_deriv" -> q70_sql,
     "q71_promql_scalar" -> q71_sql,
+    "q78_promql_mad" -> q78_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

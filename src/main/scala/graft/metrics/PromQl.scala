@@ -44,7 +44,8 @@ import graft.functions.CoreFunctions._
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
-  *            | (avg|min|max|sum|count|last)_over_time( selector [dur] )
+  *            | (avg|min|max|sum|count|last|stddev|stdvar|mad)_over_time(
+  *                selector [dur] )
   *            | (…)_over_time( expr [range ':' [substep]] )   — subquery
   *            | quantile_over_time( φ, selector [dur] | expr [r:s] )
   *            | label_replace( expr, "dst", "repl", "src", "regex" )
@@ -473,7 +474,7 @@ object PromQl {
           MathFn(ident, inner)
         case ot if nextIsParen && ot.endsWith("_over_time") &&
             Set("avg", "min", "max", "sum", "count", "last", "present",
-              "stddev", "stdvar").contains(ot.dropRight(10)) =>
+              "stddev", "stdvar", "mad").contains(ot.dropRight(10)) =>
           expect('(')
           parseOverTimeBody(ot.dropRight(10), level = None)
         case "label_replace" if nextIsParen =>
@@ -1168,31 +1169,41 @@ object PromQl {
         val labels = inner.columns.toSeq
           .filterNot(c => c == TimeBucketAlias || c == "value")
         val v = col("value")
-        val agg = ots.op match {
-          case "avg" => avg(v)
-          case "min" => min(v)
-          case "max" => max(v)
-          case "sum" => sum(v)
-          case "count" => count(v)
-          case "last" => max_by(v, col("__u"))
-          case "present" => max(lit(1.0))
-          case "stddev" => stddev_pop(v)
-          case "stdvar" => var_pop(v)
-          case "quantile" => call_function("percentile", v,
-            lit(ots.level.getOrElse(throw new PromQlParseException(
-              "quantile_over_time needs a level"))))
-        }
         val range = ots.rangeSeconds
         // window-END eval at __t emits at the window-START label __t − step
         // (one bucket convention across all families — see header doc)
-        explodeToSteps(
+        val grouped = explodeToSteps(
           inner.withColumn("__u", unix_timestamp(col(TimeBucketAlias))),
           range, step)
           .drop(TimeBucketAlias)
           .withColumn(TimeBucketAlias,
             timestamp_seconds(col("__t") - step))
           .groupBy((col(TimeBucketAlias) +: labels.map(col)): _*)
-          .agg(agg.as("value"))
+        ots.op match {
+          case "mad" =>
+            // median absolute deviation needs two ranked passes over the
+            // window's values — collect the (query-shape-bounded) window
+            // and rank in-expression
+            grouped.agg(collect_list(v).as("__vals"))
+              .withColumn("value", madOfArray(col("__vals")))
+              .drop("__vals")
+          case op =>
+            val agg = op match {
+              case "avg" => avg(v)
+              case "min" => min(v)
+              case "max" => max(v)
+              case "sum" => sum(v)
+              case "count" => count(v)
+              case "last" => max_by(v, col("__u"))
+              case "present" => max(lit(1.0))
+              case "stddev" => stddev_pop(v)
+              case "stdvar" => var_pop(v)
+              case "quantile" => call_function("percentile", v,
+                lit(ots.level.getOrElse(throw new PromQlParseException(
+                  "quantile_over_time needs a level"))))
+            }
+            grouped.agg(agg.as("value"))
+        }
       case Clamp(inner, lo, hi) =>
         val g = compile(df, inner, step)
         val clamped = (lo, hi) match {
@@ -1483,6 +1494,13 @@ object PromQl {
                 "predict_linear needs a horizon"))))
         finish(g.withColumn("value", value)
           .drop("__n", "__mu", "__mv", "__cov", "__var"))
+      case "mad" =>
+        // two ranked passes (median, then median of |x − median|) —
+        // collect the window (bounded by ⌈range/interval⌉ samples) and
+        // rank in-expression
+        finish(grouped.agg(collect_list(v).as("__vals"))
+          .withColumn("value", madOfArray(col("__vals")))
+          .drop("__vals"))
       case op =>
         val agg = op match {
           case "avg" => avg(v)
@@ -1502,6 +1520,32 @@ object PromQl {
         }
         finish(grouped.agg(agg.as("value")))
     }
+  }
+
+  /** Prometheus-interpolating quantile over an UNSORTED collected array:
+    * rank φ·(n−1) with linear interpolation between the straddling order
+    * statistics — the same math quantile_over_time's `percentile` uses. */
+  private def arrayQuantile(a: Column, phi: Double): Column = {
+    val srt = array_sort(a)
+    val n = size(srt)
+    val rank = (n - 1).cast("double") * phi
+    val lo = floor(rank).cast("int")
+    val frac = rank - lo.cast("double")
+    // lower + (higher − lower)·frac — the exact float shape of Spark's
+    // `percentile` AND promql's quantile, so oracles mirror it ulp-for-ulp
+    // (a·(1−f) + b·f can differ in the last ulp). The hi index clamps to n:
+    // when frac = 0 the term is weight-0 but must stay in bounds.
+    val lo1 = element_at(srt, lo + 1)
+    when(n === 0, lit(null)).otherwise(
+      lo1 + (element_at(srt, least(lo + 2, n)) - lo1) * frac)
+  }
+
+  /** mad_over_time: median absolute deviation around the window median,
+    * both medians Prometheus-interpolating (promql functions.go
+    * funcMadOverTime). */
+  private def madOfArray(vals: Column): Column = {
+    val med = arrayQuantile(vals, 0.5)
+    arrayQuantile(transform(vals, x => abs(x - med)), 0.5)
   }
 
   /** Prometheus extrapolatedRate per series per sliding (t − range, t]

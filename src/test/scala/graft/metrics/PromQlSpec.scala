@@ -750,6 +750,35 @@ class PromQlSpec extends SparkSpec {
     assert(sorted == Seq(50.0, 30.0))
   }
 
+  test("mad_over_time is the interpolated median absolute deviation") {
+    // windows: [100] → 0; [100,160,20]: median 100, |dev| sorted
+    // [0,60,80] → 60; trailing [160,20]: median 90, |dev| [70,70] → 70
+    val m = PromQl.eval(counters,
+      "sum by (ServiceName) (mad_over_time(requests_total[2h]))", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(m == Seq(0.0, 60.0, 70.0))
+    // subquery form: the minute-spaced samples collapse into ONE hourly
+    // inner evaluation (last value 20), so both sliding windows it feeds
+    // hold a single value → MAD 0 — the wiring, not the spread, is under
+    // test here
+    val s = PromQl.eval(counters,
+      "mad_over_time(sum by (ServiceName) (requests_total)[2h:])", 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(s == Seq(0.0, 0.0))
+    // even count interpolates both medians: [1,2,4,8] → med 3,
+    // |dev| [2,1,1,5] → sorted [1,1,2,5] → 1.5
+    val even = Seq( // off the hour boundary → all four share one window
+      ("m", "s", t(10), 1.0, Map.empty[String, String], 2, false),
+      ("m", "s", t(20), 2.0, Map.empty[String, String], 2, false),
+      ("m", "s", t(30), 4.0, Map.empty[String, String], 2, false),
+      ("m", "s", t(40), 8.0, Map.empty[String, String], 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val e = PromQl.eval(even, "sum by (ServiceName) (mad_over_time(m[1h]))",
+      3600).select("value").as[Double].collect().toSeq
+    assert(e == Seq(1.5))
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==
