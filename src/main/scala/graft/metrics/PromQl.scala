@@ -53,10 +53,15 @@ import graft.functions.CoreFunctions._
   *            | clamp( expr, lo, hi ) | clamp_min( expr, lo )
   *            | clamp_max( expr, hi ) | absent( selector )
   *            | absent_over_time( selector [dur] )
-  *   selector := metric_name [{ label op "value", … }] [offset]
-  *               op ∈ {=, !=, =~, !~}
+  *   selector := metric_name [{ label op "value", … }] [offset] [at]
+  *               op ∈ {=, !=, =~, !~}   (range forms: `sel[dur] [offset]
+  *               [at]` — `at` also follows subquery `[r:s]` brackets)
   *   binop    := expr op [on (l1…) | ignoring (l1…)] [group_left [(l1…)]] expr
   *   offset   := 'offset' <n>(s|m|h|d)
+  *   at       := '@' <unix-seconds> | '@ start()' | '@ end()'
+  *               (pins the subtree's evaluation to one instant and
+  *               replicates it across the output steps; instants
+  *               quantize to the step grid — documented deviation)
   *   dur      := <n>(s|m|h|d)
   * `sum without (l…)` groups by every remaining label: the surviving label
   * set (ServiceName + Attributes entries minus the dropped names) is
@@ -169,6 +174,17 @@ object PromQl {
   /** clamp(expr, lo, hi) / clamp_min / clamp_max. */
   final case class Clamp(inner: Expr, lo: Option[Double],
       hi: Option[Double]) extends Expr
+  /** `@` modifier target: a fixed unix instant, or the frame's first /
+    * last evaluation step (`@ start()` / `@ end()`). */
+  sealed trait AtSpec
+  final case class AtTime(epochSeconds: Long) extends AtSpec
+  case object AtStart extends AtSpec
+  case object AtEnd extends AtSpec
+  /** `sel @ t` / `fn(sel[d] @ t)`: the subtree evaluates at ONE pinned
+    * instant and that evaluation is replicated across every output step
+    * (Prometheus's @ modifier). Instants quantize to the engine's step
+    * grid — documented deviation. */
+  final case class At(inner: Expr, spec: AtSpec) extends Expr
   /** absent(selector): 1 at each step bucket where the selector matches no
     * samples (evaluated over the contiguous step spine spanning the
     * frame's time extent). */
@@ -382,8 +398,9 @@ object PromQl {
             fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
+          val at = readAtOpt()
           ws(); expect(')')
-          OverTime(ident, sel0.copy(offsetSeconds = off), w)
+          wrapAt(OverTime(ident, sel0.copy(offsetSeconds = off), w), at)
         case "holt_winters" | "double_exponential_smoothing"
             if nextIsParen =>
           // double exponential smoothing over each sliding window
@@ -395,6 +412,7 @@ object PromQl {
             fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
+          val at = readAtOpt()
           ws(); expect(','); ws()
           val sf = readNumber()
           ws(); expect(','); ws()
@@ -402,8 +420,8 @@ object PromQl {
           ws(); expect(')')
           if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1)
             fail("holt_winters smoothing factors must be in (0, 1)")
-          OverTime("holt", sel0.copy(offsetSeconds = off), w, Some(sf),
-            Some(tf))
+          wrapAt(OverTime("holt", sel0.copy(offsetSeconds = off), w,
+            Some(sf), Some(tf)), at)
         case "predict_linear" if nextIsParen =>
           // predict_linear(sel[d], t): the window's least-squares value
           // extrapolated t seconds past the evaluation time; the forecast
@@ -414,12 +432,13 @@ object PromQl {
             fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
+          val at = readAtOpt()
           ws(); expect(',')
           ws()
           val horizon = readNumber()
           ws(); expect(')')
-          OverTime("predict_linear", sel0.copy(offsetSeconds = off), w,
-            Some(horizon))
+          wrapAt(OverTime("predict_linear", sel0.copy(offsetSeconds = off),
+            w, Some(horizon)), at)
         case "rate" | "increase" if nextIsParen =>
           expect('(')
           val sel0 = parseSelector(readIdent())
@@ -430,9 +449,10 @@ object PromQl {
             fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
+          val at = readAtOpt()
           ws(); expect(')')
-          Rate(sel0.copy(offsetSeconds = off), w,
-            increase = ident == "increase")
+          wrapAt(Rate(sel0.copy(offsetSeconds = off), w,
+            increase = ident == "increase"), at)
         case "topk" | "bottomk" if callish =>
           // optional `by (l…)` prefix: k per (bucket, labels) group
           var by: Seq[String] = Nil
@@ -526,8 +546,9 @@ object PromQl {
             fail("offset must follow the range selector ([dur] offset d)")
           val w = readDuration()
           val off = readOffsetOpt()
+          val at = readAtOpt()
           ws(); expect(')')
-          AbsentOverTime(sel0.copy(offsetSeconds = off), w)
+          wrapAt(AbsentOverTime(sel0.copy(offsetSeconds = off), w), at)
         case "label_join" if nextIsParen =>
           expect('(')
           val inner = parseOr()
@@ -590,7 +611,8 @@ object PromQl {
             if (i < s.length && s(i) == ')') TimeFn else parseOr()
           ws(); expect(')')
           MathFn(fn, inner)
-        case name if name.nonEmpty => parseSelector(name)
+        case name if name.nonEmpty =>
+          wrapAt(parseSelector(name), readAtOpt())
         case _ => fail("expected expression")
       }
       e
@@ -615,17 +637,20 @@ object PromQl {
           if (m.isEmpty) 0L
           else m.toLong * durationMult({ val u = s(i); i += 1; u })
         expect(']')
+        val at = readAtOpt()
         ws(); expect(')')
-        OverTimeSub(op, inner, range, sub, level)
+        wrapAt(OverTimeSub(op, inner, range, sub, level), at)
       } else {
         expect(']')
         val off = readOffsetOpt()
+        val at = readAtOpt()
         ws(); expect(')')
         inner match {
           case sel: Selector =>
             if (sel.offsetSeconds != 0)
               fail("offset must follow the range selector ([dur] offset d)")
-            OverTime(op, sel.copy(offsetSeconds = off), range, level)
+            wrapAt(OverTime(op, sel.copy(offsetSeconds = off), range,
+              level), at)
           case _ => fail("a plain [dur] range needs a selector; use " +
             "[range:step] to aggregate over an expression")
         }
@@ -678,6 +703,21 @@ object PromQl {
         n.toLong * durationMult(unit)
       } else 0L
     }
+
+    /** Optional `@ <unix-seconds>` / `@ start()` / `@ end()` after a
+      * selector or range form. */
+    private def readAtOpt(): Option[AtSpec] = {
+      ws()
+      if (i < s.length && s(i) == '@') {
+        i += 1; ws()
+        if (s.startsWith("start()", i)) { i += 7; Some(AtStart) }
+        else if (s.startsWith("end()", i)) { i += 5; Some(AtEnd) }
+        else Some(AtTime(readNumber().toLong))
+      } else None
+    }
+
+    private def wrapAt(e: Expr, at: Option[AtSpec]): Expr =
+      at.fold(e)(At(e, _))
 
     private def durationMult(unit: Char): Long = unit match {
       case 's' => 1L; case 'm' => 60L; case 'h' => 3600L
@@ -771,6 +811,7 @@ object PromQl {
       ClassicHistQuantile(phi, rewriteRates(i))
     case CountValues(l, i) => CountValues(l, rewriteRates(i))
     case ScalarOf(i) => ScalarOf(rewriteRates(i))
+    case At(i, spec) => At(rewriteRates(i), spec)
     case other => other
   }
 
@@ -806,6 +847,9 @@ object PromQl {
     case VectorOf(_) | TimeFn => 0L
     case Absent(sel) => sel.offsetSeconds
     case ScalarLit(_) => 0L
+    // @ pins evaluation to an absolute instant the caller's scan range
+    // may not cover — the inner lookback is the best static bound
+    case At(i, _) => lookbackOf(i)
   }
 
   private def labelCol(label: String, df: DataFrame): Column =
@@ -854,6 +898,10 @@ object PromQl {
         slidingRate(df, sel, range, step, Nil, increase)
           .groupBy(col(TimeBucketAlias))
           .agg(sum(col("value")).as("value"))
+      case Aggr(op, by, At(i2, spec), w) =>
+        // @ commutes with per-bucket aggregation: hoist it above so the
+        // label machinery (by/without fast paths) sees the raw inner shape
+        compile(df, At(Aggr(op, by, i2, w), spec), step)
       case Aggr(op, by, lr: LabelReplace, w) =>
         // hoist label_replace out of the aggregation: rewrite the frame,
         // then aggregate the inner expression on it — keeps the selector /
@@ -1204,6 +1252,28 @@ object PromQl {
             }
             grouped.agg(agg.as("value"))
         }
+      case At(inner, spec) =>
+        // @ modifier: evaluate the subtree once at the pinned instant's
+        // step bucket (instants quantize to the step grid — documented
+        // deviation) and replicate that evaluation across the frame's
+        // bucket spine. The pinned frame is one row per series —
+        // broadcast both the pin row and the replication join.
+        val g = compile(df, inner, step)
+        val pinRow = spec match {
+          case AtTime(t) =>
+            val L = Math.floorDiv(t, step) * step
+            g.sparkSession.range(1)
+              .select(timestamp_seconds(lit(L)).as(TimeBucketAlias))
+          case AtStart => bucketSpine(df, step)
+            .agg(min(col(TimeBucketAlias)).as(TimeBucketAlias))
+          case AtEnd => bucketSpine(df, step)
+            .agg(max(col(TimeBucketAlias)).as(TimeBucketAlias))
+        }
+        val pinned = g.join(broadcast(pinRow), Seq(TimeBucketAlias))
+          .drop(TimeBucketAlias)
+        bucketSpine(df, step).crossJoin(broadcast(pinned))
+          .select((col(TimeBucketAlias) +:
+            pinned.columns.toSeq.map(col)): _*)
       case Clamp(inner, lo, hi) =>
         val g = compile(df, inner, step)
         val clamped = (lo, hi) match {

@@ -65,6 +65,24 @@ object Streaming {
       .drop("w")
   }
 
+  /** Streaming ingest dedup: drop records whose key columns repeat within
+    * the watermark horizon — the continuous twin of the batch
+    * `Dedup.exact` pass a training-data ingest runs before anything else.
+    * State is BOUNDED: `dropDuplicatesWithinWatermark` evicts a key's
+    * state once the watermark passes its event time, so long-running
+    * ingest cannot accumulate unbounded key state (a plain
+    * dropDuplicates on a stream would). Emits first-seen records only,
+    * append mode. Dedup by content rather than id: pass a derived
+    * content-hash column (e.g. `md5(lower(text))`) built before the
+    * call. */
+  def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one dedup key column")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Facet rollup: per-window map-key/value counts over an attributes map
     * column — the exact shape of the reference's
     * otel_logs_kv_rollup_15m MV (00006_otel_logs_rollups.sql). */

@@ -779,6 +779,33 @@ class PromQlSpec extends SparkSpec {
     assert(e == Seq(1.5))
   }
 
+  test("@ modifier pins evaluation and replicates across steps") {
+    import PromQl._
+    assert(parse("m @ 1704067200") ==
+      At(Selector("m", Nil), AtTime(1704067200L)))
+    assert(parse("rate(m[5m] @ start())") ==
+      At(Rate(Selector("m", Nil), 300, increase = false), AtStart))
+    assert(parse("avg_over_time(m[1h] @ end())") ==
+      At(OverTime("avg", Selector("m", Nil), 3600), AtEnd))
+    // three hourly buckets with values 1, 5, 9: a pinned evaluation is
+    // constant across the whole spine
+    def hts(h: Int) = Timestamp.valueOf(f"2024-01-01 0$h%d:10:00")
+    val g = Seq(
+      ("m", "s", hts(0), 1.0, Map("host" -> "a"), 2, false),
+      ("m", "s", hts(1), 5.0, Map("host" -> "a"), 2, false),
+      ("m", "s", hts(2), 9.0, Map("host" -> "a"), 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val fr = PromQl.withLabels(g, Seq("host"))
+    def vals(q: String): Seq[Double] = PromQl.eval(fr, q, 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(vals("sum by (host) (m @ end())") == Seq(9.0, 9.0, 9.0))
+    assert(vals("sum by (host) (m @ start())") == Seq(1.0, 1.0, 1.0))
+    // fixed instant inside the middle bucket → that bucket's value
+    val mid = hts(1).toInstant.getEpochSecond
+    assert(vals(s"sum by (host) (m @ $mid)") == Seq(5.0, 5.0, 5.0))
+  }
+
   test("present_over_time marks series windows that hold a sample") {
     import PromQl._
     assert(parse("present_over_time(m[1h])") ==

@@ -78,6 +78,29 @@ class StreamingSpec extends SparkSpec {
     assert(merged == ((2.0, 3L)))
   }
 
+  test("dedupStream keeps first occurrence per content hash") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("h", md5(lower(col("text"))))
+    val deduped = Streaming.dedupStream(stream, "ts", Seq("h"),
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:00:01"), 1L, "Alpha Doc"),
+      (t("2024-01-01 00:00:02"), 2L, "alpha doc"), // dup after normalize
+      (t("2024-01-01 00:00:03"), 3L, "another document"))
+    q.processAllAvailable()
+    mem.addData( // same content arriving within the watermark → dropped
+      (t("2024-01-01 00:10:00"), 4L, "ALPHA DOC"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id FROM dd_out ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(rows == Seq(1L, 3L))
+  }
+
   test("kv rollup counts map keys per window") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Map[String, String])]
