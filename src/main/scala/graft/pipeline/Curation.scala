@@ -22,7 +22,9 @@ object Curation {
 
   /** Token n-grams joined with spaces, IN DOCUMENT ORDER with repeats
     * (unlike Dedup.shingles' distinct set — repetition counting needs the
-    * multiplicity). */
+    * multiplicity). Column reference form; the hot paths use the
+    * imperative kernels below (interpreted lambdas re-run the tokenizer
+    * per element). */
   def ngramList(text: Column, n: Int): Column = {
     val t = toks(text)
     val cnt = size(t) - (n - 1)
@@ -33,6 +35,57 @@ object Curation {
           element_at(t, (i + j).cast("int"))): _*)))
   }
 
+  // --------------------------------------------------- imperative kernels
+
+  /** One-pass (id, gram) emitter of DISTINCT token n-grams per document —
+    * the decontamination hot path. The Column form ([[ngramList]] /
+    * Dedup.shingles) runs its lambdas interpreted and re-evaluates the
+    * tokenizer per gram element; this kernel tokenizes once per row (the
+    * md5ShingleFrame precedent). Ids must be integral (cast to long). */
+  private[pipeline] def distinctGramFrame(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val seen = new java.util.HashSet[String]
+        Iterator.range(0, math.max(toks.length - (n - 1), 0)).flatMap { i =>
+          val g = toks.slice(i, i + n).mkString(" ")
+          if (seen.add(g)) Iterator.single((id, g)) else Iterator.empty
+        }
+      })
+      .toDF(idCol, "__g")
+  }
+
+  /** One-pass (id, n_tokens, kind, gram) emitter of the repetition-signal
+    * gram families: every 2-gram ("g2") and 3-gram ("g3") in document
+    * order with repeats, plus the non-overlapping `chunkWords`-word
+    * chunks ("ch"). Single tokenizer pass per row. */
+  private[pipeline] def repetitionGramFrame(df: DataFrame, idCol: String,
+      textCol: String, chunkWords: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val nt = toks.length
+        def grams(n: Int, kind: String) =
+          Iterator.range(0, math.max(nt - (n - 1), 0)).map(i =>
+            (id, nt, kind, toks.slice(i, i + n).mkString(" ")))
+        val nChunks = math.max((nt + chunkWords - 1) / chunkWords, 1)
+        val chunks = Iterator.range(0, nChunks).map(c =>
+          (id, nt, "ch", toks.slice(c * chunkWords,
+            c * chunkWords + chunkWords).mkString(" ")))
+        grams(2, "g2") ++ grams(3, "g3") ++ chunks
+      })
+      .toDF(idCol, "__nt", "__k", "__g")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** (id, n_hits): documents sharing at least one normalized token
@@ -40,14 +93,15 @@ object Curation {
     * contaminated grams per document. The benchmark gram set rides a
     * broadcast semi-join, so the corpus side never shuffles its text —
     * the only exchange is the per-doc count aggregation. n = 13 is the
-    * classic eval-set decontamination window (GPT-3 appendix C / Llama). */
+    * classic eval-set decontamination window (GPT-3 appendix C / Llama).
+    * Ids must be integral (the gram kernel casts to long); wrap arbitrary
+    * keys with Dedup.longIds first. */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
     val benchGrams = broadcast(
       bench.select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
         .distinct())
-    docs
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+    distinctGramFrame(docs, idCol, textCol, n)
       .join(benchGrams, Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
@@ -80,22 +134,8 @@ object Curation {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 10): DataFrame = {
     require(chunkWords > 0, "need chunkWords > 0")
-    val t = toks(col(textCol))
-    def tagged(kind: String, grams: Column): Column =
-      transform(grams, g => struct(lit(kind).as("k"), g.as("g")))
-    val nChunks = floor((size(t) + lit(chunkWords - 1)) / lit(chunkWords))
-      .cast("int")
-    val chunks = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
-      c => array_join(slice(t, c * chunkWords + 1, lit(chunkWords)), " "))
-    val exploded = df.select(
-      col(idCol), size(t).as("__nt"),
-      explode(concat(
-        tagged("g2", ngramList(col(textCol), 2)),
-        tagged("g3", ngramList(col(textCol), 3)),
-        tagged("ch", chunks))).as("__kg"))
-    val counts = exploded
-      .groupBy(col(idCol), col("__nt"),
-        col("__kg.k").as("__k"), col("__kg.g").as("__g"))
+    val counts = repetitionGramFrame(df, idCol, textCol, chunkWords)
+      .groupBy(col(idCol), col("__nt"), col("__k"), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val c = col("__c")
     def frac(num: Column, den: Column): Column =
