@@ -723,6 +723,125 @@ object PipelineQueries {
       |  max(doc_id) AS max_id
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** End-to-end curation pipeline at the driver gate. Three planted
+    * families each trip exactly one stage: exact copies (+1000000, every
+    * 10th doc) fall to dedup, eval-set members (every 97th doc) fall to
+    * decontamination, self-concatenated twins (+3000000, every 20th doc,
+    * ~every 3-gram duplicated) fall to the repetition gate. Survivors are
+    * scrubbed and chunked (40-token windows, 8 overlap); chunk text gates
+    * as md5. */
+  def q79_curate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 3000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    Curation.curateCorpus(corpus, "doc_id", "text", bench, "text",
+      minQuality = 0.75, maxDup3GramFrac = 0.3,
+      decontamN = 13, chunkTokens = 40, chunkOverlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        md5(col("chunk_text")).as("h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q79_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM corpus
+      |  GROUP BY md5(lower(text))),
+      |d1 AS (
+      |  SELECT c.doc_id, c.text FROM corpus c
+      |  JOIN keep k ON k.doc_id = c.doc_id),
+      |bg AS (
+      |  SELECT DISTINCT g FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 12, 0)),
+      |      i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+      |          FROM documents WHERE doc_id % 97 = 0))),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 12, 0)),
+      |      i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |    FROM (SELECT doc_id,
+      |            string_split_regex(trim(lower(text)), '\s+') AS tk
+      |          FROM d1))
+      |  WHERE g IN (SELECT g FROM bg)),
+      |d2 AS (
+      |  SELECT * FROM d1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |qf AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS tk,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+      |      AS DOUBLE) AS punct,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+      |      AS DOUBLE) AS digits
+      |  FROM d2),
+      |d3 AS (
+      |  SELECT doc_id, text, tk FROM qf
+      |  WHERE ((CASE WHEN len(tk) BETWEEN 10 AND 10000
+      |            THEN 1.0 ELSE 0.0 END) +
+      |         (CASE WHEN CAST(list_sum(list_transform(tk,
+      |              t -> length(t))) AS DOUBLE) / len(tk)
+      |            BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
+      |         (CASE WHEN punct / n_chars <= 0.1 THEN 1.0 ELSE 0.0 END) +
+      |         (CASE WHEN digits / n_chars <= 0.2 THEN 1.0 ELSE 0.0 END))
+      |        / 4 >= 0.75),
+      |g3 AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(tk) - 2, 0)),
+      |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      |  FROM d3),
+      |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+      |      / sum(c) AS dup3
+      |  FROM c3 GROUP BY 1),
+      |d4 AS (
+      |  SELECT d3.doc_id, d3.text FROM d3
+      |  JOIN rep ON rep.doc_id = d3.doc_id
+      |  WHERE rep.dup3 <= 0.3),
+      |scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |          '<EMAIL>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?', '<PHONE>', 'g')
+      |      AS text
+      |  FROM d4),
+      |t AS (SELECT doc_id,
+      |        string_split_regex(trim(lower(text)), '\s+') AS tk
+      |      FROM scrubbed),
+      |n AS (SELECT doc_id, tk,
+      |        greatest(CAST(ceil((len(tk) - 8) / 32.0) AS INT), 1) AS nc
+      |      FROM t),
+      |c AS (SELECT doc_id, tk,
+      |        unnest(generate_series(0, nc - 1)) AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(tk[chunk_idx*32+1 : chunk_idx*32+40]) AS BIGINT)
+      |    AS chunk_tokens,
+      |  md5(array_to_string(tk[chunk_idx*32+1 : chunk_idx*32+40], ' '))
+      |    AS h
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -747,7 +866,8 @@ object PipelineQueries {
     "q74_decontam" -> (q74_decontam _),
     "q75_repetition" -> (q75_repetition _),
     "q76_chunking" -> (q76_chunking _),
-    "q77_mixing" -> (q77_mixing _))
+    "q77_mixing" -> (q77_mixing _),
+    "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -772,5 +892,6 @@ object PipelineQueries {
     "q74_decontam" -> q74_sql,
     "q75_repetition" -> q75_sql,
     "q76_chunking" -> q76_sql,
-    "q77_mixing" -> q77_sql)
+    "q77_mixing" -> q77_sql,
+    "q79_curate" -> q79_sql)
 }

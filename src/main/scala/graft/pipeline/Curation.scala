@@ -184,6 +184,43 @@ object Curation {
         array_join(col("__c"), " ").as("chunk_text"))
   }
 
+  // ------------------------------------------------- end-to-end pipeline
+
+  /** The full pre-training curation pipeline in one call — the frame a
+    * user feeds a tokenizer:
+    *
+    *   1. exact dedup (keep the smallest id per normalized text),
+    *   2. benchmark decontamination (n-gram sweep vs `bench`),
+    *   3. quality filter (TextAnalysis.qualityScore ≥ minQuality — the
+    *      cheap pure-predicate stage runs before the gram pass),
+    *   4. repetition filter (drop docs whose duplicate-3-gram instance
+    *      fraction exceeds maxDup3GramFrac — the Gopher gate),
+    *   5. PII scrub (typed placeholders),
+    *   6. overlapping token-window chunking.
+    *
+    * Emits (id, chunk_idx, chunk_tokens, chunk_text). Every stage is a
+    * shuffle-frugal op documented in SCALE.md; the whole pipeline is
+    * lazily composed, so Catalyst sees one plan end to end. */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      minQuality: Double = 0.75, maxDup3GramFrac: Double = 0.3,
+      decontamN: Int = 13, chunkTokens: Int = 512,
+      chunkOverlap: Int = 64): DataFrame = {
+    val deduped = Dedup.exactDeduped(docs, idCol, textCol)
+      .select(col(idCol), col(textCol))
+    val decon = decontaminated(deduped, idCol, textCol, bench,
+      benchTextCol, decontamN)
+    val quality = decon.filter(
+      TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    val lowRep = repetitionSignals(quality, idCol, textCol)
+      .filter(col("dup_3gram_frac") <= maxDup3GramFrac)
+      .select(col(idCol))
+    val kept = quality.join(lowRep, Seq(idCol), "left_semi")
+    val scrubbed = kept.withColumn(textCol,
+      TextAnalysis.scrubPii(col(textCol)))
+    chunkForTraining(scrubbed, idCol, textCol, chunkTokens, chunkOverlap)
+  }
+
   // ------------------------------------------------------------ sampling
 
   /** Engine-portable uniform in [0,1) from a key: the first 8 hex chars

@@ -102,6 +102,31 @@ class CurationSpec extends SparkSpec {
     assert(dflt > 60 && dflt < 140) // ~0.5 of the 200 default rows
   }
 
+  test("curateCorpus drops each planted family at its stage") {
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, good), // survives
+      (2L, good), // exact dup of 1 → dedup drops
+      (3L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen"), // overlaps bench → decontam drops
+      (4L, "rho sigma tau upsilon phi rho sigma tau upsilon phi " +
+        "rho sigma tau upsilon phi"), // repeated grams → repetition drops
+      (5L, "mu nu xi omicron pi sigma phi chi psi omega lambda kappa"))
+      .toDF("doc_id", "text")
+    val bench = Seq("zero one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen").toDF("btext")
+    val out = Curation.curateCorpus(docs, "doc_id", "text", bench, "btext",
+      minQuality = 0.5, maxDup3GramFrac = 0.3,
+      decontamN = 13, chunkTokens = 8, chunkOverlap = 2)
+    val ids = out.select("doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 5L))
+    // 10/12-token docs, 8-token windows, stride 6 → 2 chunks each
+    val chunks = out.select("doc_id", "chunk_idx", "chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(chunks == Set((1L, 0L, 8L), (1L, 1L, 4L),
+      (5L, 0L, 8L), (5L, 1L, 6L)))
+  }
+
   test("hashUniform matches the portable md5-prefix definition") {
     val u = Seq(("42", 0)).toDF("k", "x")
       .select(Curation.hashUniform(col("k")).as("u")).as[Double].head()
