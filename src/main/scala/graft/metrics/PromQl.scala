@@ -142,10 +142,18 @@ object PromQl {
   final case class LabelReplace(inner: Expr, dst: String, repl: String,
       src: String, regex: String) extends Expr
   final case class ScalarLit(v: Double) extends Expr
+  /* (grammar: topk|bottomk|limitk|limit_ratio [by (l…)] ( k, expr )) */
   /** topk/bottomk: k series per step bucket ranked by value; with `by`,
     * k series per (bucket, by-labels) group like Prometheus's grouped
     * aggregator form. */
   final case class TopK(k: Int, inner: Expr, bottom: Boolean,
+      by: Seq[String] = Nil) extends Expr
+  /** limitk(k, expr) / limit_ratio(r, expr): sample whole SERIES (not
+    * per-step values) deterministically by a label-set hash — limitk
+    * keeps the k hash-smallest series per (bucket, by-group);
+    * limit_ratio keeps series whose hash-uniform < r (negative r keeps
+    * the exact complement, so r and r−1 partition the input). */
+  final case class LimitK(k: Double, inner: Expr, ratio: Boolean,
       by: Seq[String] = Nil) extends Expr
   /** histogram_quantile(φ, …) over the exp-histogram frame; `by` comes
     * from the canonical inner `sum by (…) (selector)` shape. */
@@ -467,6 +475,23 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           TopK(k.toInt, inner, bottom = ident == "bottomk", by)
+        case "limitk" | "limit_ratio" if callish =>
+          // optional `by (l…)` prefix like topk
+          var by: Seq[String] = Nil
+          if (s.startsWith("by", i) && !isIdentChar(i + 2)) {
+            i += 2; ws(); by = readParenIdents()
+          }
+          ws(); expect('(')
+          ws()
+          val k = readNumber()
+          ws(); expect(',')
+          val inner = parseOr()
+          ws(); expect(')')
+          if (ident == "limitk" && (k < 1 || k != k.floor))
+            fail("limitk needs a positive integer k")
+          if (ident == "limit_ratio" && (k < -1 || k > 1))
+            fail("limit_ratio needs r in [-1, 1]")
+          LimitK(k, inner, ratio = ident == "limit_ratio", by)
         case "histogram_quantile" if nextIsParen =>
           expect('(')
           ws()
@@ -804,6 +829,7 @@ object PromQl {
       LabelReplace(rewriteRates(i), d, rp, src, rx)
     case LabelJoin(i, d, sep, ss) => LabelJoin(rewriteRates(i), d, sep, ss)
     case TopK(k, i, b, by) => TopK(k, rewriteRates(i), b, by)
+    case LimitK(k, i, r, by) => LimitK(k, rewriteRates(i), r, by)
     case Clamp(i, lo, hi) => Clamp(rewriteRates(i), lo, hi)
     case OverTimeSub(op, i, r, s, l) =>
       OverTimeSub(op, rewriteRates(i), r, s, l)
@@ -839,6 +865,7 @@ object PromQl {
     case LabelReplace(i, _, _, _, _) => lookbackOf(i)
     case LabelJoin(i, _, _, _) => lookbackOf(i)
     case TopK(_, i, _, _) => lookbackOf(i)
+    case LimitK(_, i, _, _) => lookbackOf(i)
     case Clamp(i, _, _) => lookbackOf(i)
     case HistQuantile(_, sel, _) => sel.offsetSeconds
     case ClassicHistQuantile(_, i) => lookbackOf(i)
@@ -961,6 +988,30 @@ object PromQl {
         g.withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k)
           .drop("__rk")
+      case LimitK(k, inner, ratio, by) =>
+        import org.apache.spark.sql.expressions.Window
+        val g = compile(df, inner, step)
+        val labels = g.columns.toSeq
+          .filter(c => c != TimeBucketAlias && c != "value")
+        // one deterministic draw per SERIES (label set), not per step —
+        // the same series survive at every bucket, like Prometheus; the
+        // control-char separator keeps label concatenations collision-free
+        val seriesKey = xxhash64(concat_ws("\u0001",
+          labels.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+        if (ratio) {
+          // uniform in [0,1) from the top 53 hash bits; negative r keeps
+          // the exact complement so r and r−1 partition the series set
+          val u = (shiftrightunsigned(seriesKey, 11).cast("double") /
+            lit(9007199254740992.0))
+          g.filter(if (k >= 0) u < lit(k) else u >= lit(1 + k))
+        } else {
+          val w = Window
+            .partitionBy((col(TimeBucketAlias) +: by.map(col)): _*)
+            .orderBy(seriesKey.asc +: labels.map(col(_).asc): _*)
+          g.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k.toInt)
+            .drop("__rk")
+        }
       case HistQuantile(phi, sel, by) =>
         // routes onto the engine's exp-histogram quantile pipeline — the
         // reference proxies histogram_quantile to its own histogram

@@ -779,6 +779,38 @@ class PromQlSpec extends SparkSpec {
     assert(e == Seq(1.5))
   }
 
+  test("limitk/limit_ratio sample whole series deterministically") {
+    import PromQl._
+    assert(parse("limitk(2, m)") ==
+      LimitK(2.0, Selector("m", Nil), ratio = false))
+    assert(parse("limit_ratio(-0.5, m)") ==
+      LimitK(-0.5, Selector("m", Nil), ratio = true))
+    val fr = PromQl.withLabels(gauges, Seq("host"))
+    val all = PromQl.eval(fr, "sum by (host) (mem_usage)", 3600)
+      .select("host").as[String].collect().toSeq.sorted
+    // limitk(1): exactly one series per bucket, stable across runs
+    val one = PromQl.eval(fr, "limitk(1, sum by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq
+    assert(one.distinct.size == 1)
+    val again = PromQl.eval(fr,
+      "limitk(1, sum by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq
+    assert(one == again)
+    // limitk(k ≥ series count) is the identity
+    val both = PromQl.eval(fr, "limitk(5, sum by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq.sorted
+    assert(both == all)
+    // limit_ratio(r) and limit_ratio(r − 1) partition the series set
+    val keep = PromQl.eval(fr,
+      "limit_ratio(0.5, sum by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq
+    val rest = PromQl.eval(fr,
+      "limit_ratio(-0.5, sum by (host) (mem_usage))", 3600)
+      .select("host").as[String].collect().toSeq
+    assert((keep ++ rest).sorted == all && keep.toSet.intersect(
+      rest.toSet).isEmpty)
+  }
+
   test("@ modifier pins evaluation and replicates across steps") {
     import PromQl._
     assert(parse("m @ 1704067200") ==
