@@ -199,19 +199,27 @@ object Curation {
     *   6. overlapping token-window chunking.
     *
     * Emits (id, chunk_idx, chunk_tokens, chunk_text). Every stage is a
-    * shuffle-frugal op documented in SCALE.md; the whole pipeline is
-    * lazily composed, so Catalyst sees one plan end to end. */
+    * shuffle-frugal op documented in SCALE.md. The two fan-out frames
+    * (post-dedup, post-quality) are persisted: exactDeduped /
+    * decontaminated / the repetition semi-join each reference their
+    * input from two DAG branches, and unpersisted the upstream lineage
+    * would re-execute once per branch — multiplicatively (the round-5
+    * multi-branch caching finding; the unpersisted q79 plan held 400+
+    * scan nodes). */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
       minQuality: Double = 0.75, maxDup3GramFrac: Double = 0.3,
       decontamN: Int = 13, chunkTokens: Int = 512,
       chunkOverlap: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val deduped = Dedup.exactDeduped(docs, idCol, textCol)
       .select(col(idCol), col(textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val decon = decontaminated(deduped, idCol, textCol, bench,
       benchTextCol, decontamN)
     val quality = decon.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val lowRep = repetitionSignals(quality, idCol, textCol)
       .filter(col("dup_3gram_frac") <= maxDup3GramFrac)
       .select(col(idCol))
