@@ -1501,6 +1501,69 @@ object MetricQueries {
       |FROM md GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Native-histogram accessors at the driver gate: the q19 cumulative
+    * synthesis grows a Sum field (running sum of `value` per era), and
+    * histogram_sum/histogram_count route PromQL onto the shared
+    * delta-with-reset pipeline. The gated frame divides sum by count per
+    * bucket (histogram_avg's join), so all three accessors are exercised
+    * in one gate. */
+  def q80_promql_histsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("era"))
+      .orderBy(col("TimeUnix"))
+    val hist = events(spark, dir)
+      .withColumn("day", timeBucket(col("ts"), 86400))
+      .withColumn("era", timeBucket(col("ts"), 10 * 86400))
+      .groupBy(col("day").as("TimeUnix"), col("era"), col("user_id"))
+      .agg(count(lit(1)).as("__daily"),
+        sum(col("value")).as("__daily_sum"))
+      .withColumn("Count", sum(col("__daily")).over(w))
+      .withColumn("Sum", sum(col("__daily_sum")).over(w))
+      .select(
+        lit("obs").as("MetricName"),
+        lit("svc").as("ServiceName"),
+        col("TimeUnix"),
+        col("era").as("StartTimeUnix"),
+        lit(2).as("AggregationTemporality"),
+        lit(0).as("Scale"),
+        col("Count"), col("Sum"),
+        map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(hist,
+      "histogram_avg(obs)", 86400))
+      // the all-first-points bucket averages 0/0 → NaN (promDiv); the
+      // oracle filters the same zero-count buckets
+      .filter(!isnan(col("value")))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  val q80_sql: String =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    CAST(floor(epoch(ts)/864000)*864000 AS BIGINT) AS era,
+      |    count(*) AS c, sum(value) AS s
+      |  FROM events GROUP BY user_id, bucket, era),
+      |cum AS (
+      |  SELECT user_id, bucket, era,
+      |    sum(c) OVER (PARTITION BY user_id, era ORDER BY bucket) AS vc,
+      |    sum(s) OVER (PARTITION BY user_id, era ORDER BY bucket) AS vs
+      |  FROM daily),
+      |d AS (
+      |  SELECT bucket,
+      |    CASE
+      |      WHEN lag(vc) OVER w IS NULL OR era = bucket THEN 0
+      |      WHEN era != lag(era) OVER w OR vc < lag(vc) OVER w THEN vc
+      |      ELSE vc - lag(vc) OVER w END AS dc,
+      |    CASE
+      |      WHEN lag(vc) OVER w IS NULL OR era = bucket THEN 0.0
+      |      WHEN era != lag(era) OVER w OR vc < lag(vc) OVER w THEN vs
+      |      ELSE vs - lag(vs) OVER w END AS ds
+      |  FROM cum
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+      |SELECT bucket, round(sum(ds) / sum(dc), 6) AS value FROM d
+      |GROUP BY bucket HAVING sum(dc) > 0 ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
@@ -1508,6 +1571,7 @@ object MetricQueries {
     "q70_promql_deriv" -> (q70_promql_deriv _),
     "q71_promql_scalar" -> (q71_promql_scalar _),
     "q78_promql_mad" -> (q78_promql_mad _),
+    "q80_promql_histsum" -> (q80_promql_histsum _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1540,6 +1604,7 @@ object MetricQueries {
     "q70_promql_deriv" -> q70_sql,
     "q71_promql_scalar" -> q71_sql,
     "q78_promql_mad" -> q78_sql,
+    "q80_promql_histsum" -> q80_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

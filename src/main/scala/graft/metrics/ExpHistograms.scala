@@ -41,27 +41,46 @@ object ExpHistograms {
     * changed or count decreased → take current; else diff
     * (reference histogram.ts:279-330). */
   def count(df: DataFrame, stepSeconds: Long, groupBy: Seq[String] = Nil)
+      : DataFrame =
+    deltaAgg(df, col("Count").cast("long"), lit(0L), "count",
+      stepSeconds, groupBy)
+
+  /** Exp-histogram observation sum, same delta/reset machinery as
+    * [[count]] but over the Sum field. Resets are still DETECTED on
+    * Count (the canonical monotone signal — Sum itself may legitimately
+    * decrease under negative observations). */
+  def sumOf(df: DataFrame, stepSeconds: Long, groupBy: Seq[String] = Nil)
+      : DataFrame =
+    deltaAgg(df, col("Sum").cast("double"), lit(0.0), "sum",
+      stepSeconds, groupBy)
+
+  /** Shared lag-delta with exp-histogram reset rules: `value` is what is
+    * accumulated (`zero` its typed zero); resets detect on Count. */
+  private def deltaAgg(df: DataFrame, value: Column, zero: Column,
+      outCol: String, stepSeconds: Long, groupBy: Seq[String])
       : DataFrame = {
     val w = Window
       .partitionBy((col("MetricName") +: col("__series") +:
         col("AggregationTemporality") +: groupBy.map(col)): _*)
       .orderBy(col("TimeUnix"))
     prepared(df)
-      .withColumn("__cur", col("Count").cast("long"))
+      .withColumn("__cur", value)
+      .withColumn("__det", col("Count").cast("long"))
       .withColumn("__prev", lag(col("__cur"), 1).over(w))
+      .withColumn("__prev_det", lag(col("__det"), 1).over(w))
       .withColumn("__prev_start", lag(col("StartTimeUnix"), 1).over(w))
       .withColumn("delta",
         when(col("AggregationTemporality") === 1, col("__cur"))
           .when(col("AggregationTemporality") === 2,
             when(col("__prev").isNull ||
-              col("StartTimeUnix") === col("TimeUnix"), lit(0L))
+              col("StartTimeUnix") === col("TimeUnix"), zero)
               .when(col("StartTimeUnix") =!= col("__prev_start") ||
-                col("__cur") < col("__prev"), col("__cur"))
+                col("__det") < col("__prev_det"), col("__cur"))
               .otherwise(col("__cur") - col("__prev")))
-          .otherwise(lit(0L)))
+          .otherwise(zero))
       .withColumn(Bucket, timeBucket(col("TimeUnix"), stepSeconds))
       .groupBy((col(Bucket) +: groupBy.map(col)): _*)
-      .agg(sum(col("delta")).as("count"))
+      .agg(sum(col("delta")).as(outCol))
   }
 
   // ---------------------------------------------------------------- util

@@ -165,6 +165,14 @@ object PromQl {
     * rank = φ·total, like promql's bucketQuantile. */
   final case class ClassicHistQuantile(phi: Double, inner: Expr)
       extends Expr
+  /** Native-histogram scalar accessors over the exp-histogram frame:
+    * histogram_count / histogram_sum / histogram_avg — per-step observed
+    * count / observation sum / their ratio, through the same
+    * delta-with-reset machinery as the quantile pipeline. `by` comes
+    * from the canonical `sum by (…) (selector)` inner shape, like
+    * HistQuantile. */
+  final case class HistAgg(kind: String, sel: Selector,
+      by: Seq[String]) extends Expr
   /** avg/min/max/sum/count/last/quantile `_over_time(sel[w])` per series
     * per sliding lookback window evaluated at each step; `level` is the φ
     * of quantile_over_time / predict_linear's horizon / holt_winters' sf,
@@ -509,6 +517,21 @@ object PromQl {
               HistQuantile(phi.toDouble, sel, by)
             case _ => fail("histogram_quantile expects a selector, " +
               "sum by (…) (selector), or sum by (le, …) (expr)")
+          }
+        case "histogram_count" | "histogram_sum" | "histogram_avg"
+            if nextIsParen =>
+          // native-histogram scalar accessors; same canonical inner
+          // shapes as histogram_quantile
+          expect('(')
+          val inner = parseOr()
+          ws(); expect(')')
+          val kind = ident.stripPrefix("histogram_")
+          inner match {
+            case sel: Selector => HistAgg(kind, sel, Nil)
+            case Aggr("sum", by, sel: Selector, false) =>
+              HistAgg(kind, sel, by)
+            case _ => fail(s"$ident expects a selector or " +
+              "sum by (…) (selector)")
           }
         case "sort" | "sort_desc" if nextIsParen =>
           // presentation ordering of the result frame (value asc/desc);
@@ -868,6 +891,7 @@ object PromQl {
     case LimitK(_, i, _, _) => lookbackOf(i)
     case Clamp(i, _, _) => lookbackOf(i)
     case HistQuantile(_, sel, _) => sel.offsetSeconds
+    case HistAgg(_, sel, _) => sel.offsetSeconds
     case ClassicHistQuantile(_, i) => lookbackOf(i)
     case CountValues(_, i) => lookbackOf(i)
     case ScalarOf(i) => lookbackOf(i)
@@ -1018,6 +1042,22 @@ object PromQl {
         // machinery the same way (prometheus.ts:413-534)
         ExpHistograms.quantile(
           withLabels(applySelector(df, sel), by), phi, step, by)
+      case HistAgg(kind, sel, by) =>
+        val src = withLabels(applySelector(df, sel), by)
+        kind match {
+          case "count" => ExpHistograms.count(src, step, by)
+            .withColumn("value", col("count").cast("double"))
+            .drop("count")
+          case "sum" => ExpHistograms.sumOf(src, step, by)
+            .withColumnRenamed("sum", "value")
+          case _ => // avg = sum / count per (bucket, by-group)
+            val keys = TimeBucketAlias +: by
+            ExpHistograms.sumOf(src, step, by)
+              .join(ExpHistograms.count(src, step, by), keys)
+              .withColumn("value",
+                promDiv(col("sum"), col("count").cast("double")))
+              .drop("sum", "count")
+        }
       case ClassicHistQuantile(phi, inner) =>
         // promql bucketQuantile over le-labelled cumulative buckets: sort
         // the per-group buckets by le, apply ensureMonotonic (running max

@@ -779,6 +779,24 @@ class PromQlSpec extends SparkSpec {
     assert(e == Seq(1.5))
   }
 
+  test("histogram_count/sum/avg route the exp-histogram delta pipeline") {
+    def hts(h: Int) = Timestamp.valueOf(f"2024-01-01 0$h%d:00:00")
+    // cumulative series: first point → 0; +3 obs (+30 sum); reset
+    // (count drops) → take current
+    val hist = Seq(
+      (hts(0), 5L, 50.0), (hts(1), 8L, 80.0), (hts(2), 2L, 10.0))
+      .map { case (t, c, s) => ("obs", "svc", t, hts(0), 2, 0, c, s,
+        Map("user" -> "a")) }
+      .toDF("MetricName", "ServiceName", "TimeUnix", "StartTimeUnix",
+        "AggregationTemporality", "Scale", "Count", "Sum", "Attributes")
+    def vals(q: String): Seq[Double] = PromQl.eval(hist, q, 3600)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+    assert(vals("histogram_count(obs)") == Seq(0.0, 3.0, 2.0))
+    assert(vals("histogram_sum(obs)") == Seq(0.0, 30.0, 10.0))
+    val avg = vals("histogram_avg(obs)")
+    assert(avg(0).isNaN && avg(1) == 10.0 && avg(2) == 5.0)
+  }
+
   test("limitk/limit_ratio sample whole series deterministically") {
     import PromQl._
     assert(parse("limitk(2, m)") ==
