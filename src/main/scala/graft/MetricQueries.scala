@@ -635,15 +635,15 @@ object MetricQueries {
         |FROM k WHERE rk <= 3
         |ORDER BY bucket, event_type""".stripMargin
 
-  /** PromQL histogram_quantile routed through the engine's exp-histogram
-    * quantile pipeline — the same derived frame and semantics as
-    * q17_exp_quantile, driven by PromQL text; the q17 oracle applies. */
-  def q51_promql_histq(spark: SparkSession, dir: String): DataFrame = {
+  /** Scale-0 delta exp-histogram synthesized from events: per (day,
+    * user) series, positive buckets (2^i, 2^(i+1)] for i = 0..7 over
+    * `value` (values ≤ 1 or > 256 fall outside and are not recorded). */
+  private def eventsExpHist(spark: SparkSession, dir: String): DataFrame = {
     val day = timeBucket(col("ts"), 86400)
     val counts = array((0 to 7).map(i =>
       count_if(col("value") > (1 << i).toDouble &&
         col("value") <= (1 << (i + 1)).toDouble).cast("long")): _*)
-    val hist = events(spark, dir)
+    events(spark, dir)
       .filter(col("value") > 1)
       .groupBy(day.as("TimeUnix"), col("user_id"))
       .agg(counts.as("PositiveBucketCounts"))
@@ -661,12 +661,38 @@ object MetricQueries {
         lit(0).as("NegativeOffset"),
         array().cast("array<long>").as("NegativeBucketCounts"),
         map(lit("user"), col("user_id").cast("string")).as("Attributes"))
-    epochBucket(graft.metrics.PromQl.eval(hist,
+  }
+
+  /** PromQL histogram_quantile routed through the engine's exp-histogram
+    * quantile pipeline — the same derived frame and semantics as
+    * q17_exp_quantile, driven by PromQL text; the q17 oracle applies. */
+  def q51_promql_histq(spark: SparkSession, dir: String): DataFrame = {
+    epochBucket(graft.metrics.PromQl.eval(eventsExpHist(spark, dir),
       "histogram_quantile(0.5, latency)", 86400))
       .withColumn("value", round(col("value"), 6))
       .select("bucket", "value")
       .orderBy("bucket")
   }
+
+  /** PromQL histogram_fraction over the same synthesized exp-histogram.
+    * The bounds 2 and 16 land exactly on scale-0 bucket boundaries, so
+    * the log-linear CDF is exact there and the DuckDB oracle can count
+    * raw observations directly — a genuinely independent check (no
+    * re-derived interpolation on the oracle side). */
+  def q81_promql_histfrac(spark: SparkSession, dir: String): DataFrame = {
+    epochBucket(graft.metrics.PromQl.eval(eventsExpHist(spark, dir),
+      "histogram_fraction(2, 16, latency)", 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+  }
+
+  val q81_sql: String =
+    """SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |  round(CAST(count(*) FILTER (value > 2 AND value <= 16) AS DOUBLE)
+      |    / count(*), 6) AS value
+      |FROM events WHERE value > 1 AND value <= 256
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** PromQL offset + range aggregation: per-series hourly max shifted one
     * hour forward (`offset 1h` evaluates the series an hour in the past),
@@ -1572,6 +1598,7 @@ object MetricQueries {
     "q71_promql_scalar" -> (q71_promql_scalar _),
     "q78_promql_mad" -> (q78_promql_mad _),
     "q80_promql_histsum" -> (q80_promql_histsum _),
+    "q81_promql_histfrac" -> (q81_promql_histfrac _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1605,6 +1632,7 @@ object MetricQueries {
     "q71_promql_scalar" -> q71_sql,
     "q78_promql_mad" -> q78_sql,
     "q80_promql_histsum" -> q80_sql,
+    "q81_promql_histfrac" -> q81_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

@@ -117,12 +117,13 @@ object ExpHistograms {
 
   // ------------------------------------------------------------- quantile
 
-  /** Exp-histogram quantile(level): scale normalization → cumulative→delta
-    * conversion with offset alignment → sumMap merge across series →
-    * ordered negative|zero|positive concat → rank selection → log-linear
-    * interpolation (reference histogram.ts:334-661). */
-  def quantile(df: DataFrame, level: Double, stepSeconds: Long,
-      groupBy: Seq[String] = Nil): DataFrame = {
+  /** Stages shared by [[quantile]] and [[fraction]]: scale normalization
+    * → cumulative→delta conversion with offset alignment → sumMap merge
+    * across series (reference histogram.ts:334-540). Output: one row per
+    * (time bucket, groupBy…) with the merged sparse buckets — `Scale`,
+    * `zero_count`, `pos_map`/`neg_map` (bucket index → count). */
+  private def mergedBuckets(df: DataFrame, stepSeconds: Long,
+      groupBy: Seq[String]): DataFrame = {
     val src = prepared(df)
 
     // ---- stage 1: normalize all series to the minimum scale
@@ -231,7 +232,7 @@ object ExpHistograms {
 
     // ---- stage 3: merge across series (sumMap on sparse indexes)
     val gcols = col(Bucket) +: groupBy.map(col)
-    val summed = deltas
+    deltas
       .withColumn("__pmap", map_from_arrays(col("pos_idx"), col("pos_cnt")))
       .withColumn("__nmap", map_from_arrays(col("neg_idx"), col("neg_cnt")))
       .groupBy(gcols: _*)
@@ -240,6 +241,15 @@ object ExpHistograms {
         sum(col("zero_count")).as("zero_count"),
         MapSum.sumMap(col("__pmap")).as("pos_map"),
         MapSum.sumMap(col("__nmap")).as("neg_map"))
+  }
+
+  /** Exp-histogram quantile(level): [[mergedBuckets]] → ordered
+    * negative|zero|positive concat → rank selection → log-linear
+    * interpolation (reference histogram.ts:334-661). */
+  def quantile(df: DataFrame, level: Double, stepSeconds: Long,
+      groupBy: Seq[String] = Nil): DataFrame = {
+    val summed = mergedBuckets(df, stepSeconds, groupBy)
+    val gcols = col(Bucket) +: groupBy.map(col)
 
     // ---- stage 4: ordered neg|zero|pos arrays, rank selection
     def sortedKeys(m: Column): Column = sort_array(map_keys(m))
@@ -285,6 +295,61 @@ object ExpHistograms {
           .when(col("side") > 0,
             pow(lit(2.0), (col("sel_idx") + col("frac")) * width))
           .otherwise(lit(0.0)))
+      .select((gcols :+ col("value")): _*)
+  }
+
+  /** Exp-histogram fraction of observations in (lower, upper] — the
+    * native-histogram SLO accessor (promql histogram_fraction,
+    * functions.go HistogramFraction): estimated-CDF difference
+    * `(F(upper) − F(lower)) / total` where F(x) = estimated count ≤ x,
+    * with the same log-linear within-bucket interpolation as [[quantile]]
+    * (its exact inverse, so `fraction(-Inf, quantile(φ)) = φ` on the same
+    * frame). Bounds that land on bucket boundaries are exact — no
+    * interpolation error; the interval is half-open (lower, upper] the
+    * way bucket boundaries themselves are.
+    *
+    * Conventions: the zero bucket counts as exactly 0, so it is included
+    * iff lower < 0 ≤ upper; empty step → no row (quantile drops them
+    * too); a degenerate upper < lower clamps to 0. */
+  def fraction(df: DataFrame, lower: Double, upper: Double,
+      stepSeconds: Long, groupBy: Seq[String] = Nil): DataFrame = {
+    val gcols = col(Bucket) +: groupBy.map(col)
+    val width = pow(lit(2.0), -col("Scale")) // 2^-scale
+
+    def mapTotal(m: Column): Column =
+      aggregate(map_values(m), lit(0L), _ + _).cast("double")
+    def clamp01(c: Column): Column =
+      least(greatest(c, lit(0.0)), lit(1.0))
+    // estimated count of observations ≤ x (x a literal bound)
+    def cdf(x: Double): Column =
+      if (x.isPosInfinity)
+        mapTotal(col("neg_map")) + col("zero_count") +
+          mapTotal(col("pos_map"))
+      else if (x.isNegInfinity) lit(0.0)
+      else if (x >= 0) {
+        // positive bucket i covers (2^(i·w), 2^((i+1)·w)]: portion ≤ x is
+        // clamp01(log2(x)/w − i); log2(0) = −Inf → 0, so x = 0 degrades
+        // to negatives + zero bucket exactly
+        val l2 = lit(math.log(x) / math.log(2.0))
+        mapTotal(col("neg_map")) + col("zero_count") +
+          aggregate(map_entries(col("pos_map")), lit(0.0), (acc, e) =>
+            acc + e.getField("value") *
+              clamp01(l2 / width - e.getField("key")))
+      } else {
+        // negative bucket j covers [−2^((j+1)·w), −2^(j·w)): portion ≤ x
+        // is clamp01((j+1) − log2(−x)/w)
+        val l2 = lit(math.log(-x) / math.log(2.0))
+        aggregate(map_entries(col("neg_map")), lit(0.0), (acc, e) =>
+          acc + e.getField("value") *
+            clamp01(e.getField("key") + 1 - l2 / width))
+      }
+
+    mergedBuckets(df, stepSeconds, groupBy)
+      .withColumn("__total", mapTotal(col("neg_map")) +
+        col("zero_count") + mapTotal(col("pos_map")))
+      .filter(col("__total") > 0)
+      .withColumn("value",
+        greatest(cdf(upper) - cdf(lower), lit(0.0)) / col("__total"))
       .select((gcols :+ col("value")): _*)
   }
 }

@@ -44,6 +44,8 @@ import graft.functions.CoreFunctions._
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
+  *            | histogram_(count|sum|avg)( selector | sum by (…) (sel) )
+  *            | histogram_fraction( lo, hi, selector | sum by (…) (sel) )
   *            | (avg|min|max|sum|count|last|stddev|stdvar|mad)_over_time(
   *                selector [dur] )
   *            | (…)_over_time( expr [range ':' [substep]] )   — subquery
@@ -173,6 +175,12 @@ object PromQl {
     * HistQuantile. */
   final case class HistAgg(kind: String, sel: Selector,
       by: Seq[String]) extends Expr
+  /** histogram_fraction(lower, upper, …) over the exp-histogram frame:
+    * estimated fraction of observations in (lower, upper] per step,
+    * log-linear CDF interpolation — the inverse of HistQuantile. Bounds
+    * accept ±Inf literals. */
+  final case class HistFraction(lower: Double, upper: Double,
+      sel: Selector, by: Seq[String]) extends Expr
   /** avg/min/max/sum/count/last/quantile `_over_time(sel[w])` per series
     * per sliding lookback window evaluated at each step; `level` is the φ
     * of quantile_over_time / predict_linear's horizon / holt_winters' sf,
@@ -518,6 +526,21 @@ object PromQl {
             case _ => fail("histogram_quantile expects a selector, " +
               "sum by (…) (selector), or sum by (le, …) (expr)")
           }
+        case "histogram_fraction" if nextIsParen =>
+          expect('(')
+          val lower = readBound()
+          ws(); expect(',')
+          val upper = readBound()
+          ws(); expect(',')
+          val inner = parseOr()
+          ws(); expect(')')
+          inner match {
+            case sel: Selector => HistFraction(lower, upper, sel, Nil)
+            case Aggr("sum", by, sel: Selector, false) =>
+              HistFraction(lower, upper, sel, by)
+            case _ => fail("histogram_fraction expects a selector or " +
+              "sum by (…) (selector)")
+          }
         case "histogram_count" | "histogram_sum" | "histogram_avg"
             if nextIsParen =>
           // native-histogram scalar accessors; same canonical inner
@@ -797,6 +820,23 @@ object PromQl {
 
     private def readIdent(): String =
       readWhile(c => c.isLetterOrDigit || c == '_' || c == ':')
+    /** Signed scalar bound: a plain number or ±Inf (histogram_fraction). */
+    private def readBound(): Double = {
+      ws()
+      val sign = if (i < s.length && (s(i) == '-' || s(i) == '+')) {
+        val neg = s(i) == '-'; i += 1; if (neg) -1.0 else 1.0
+      } else 1.0
+      if (i < s.length && s(i).isLetter) {
+        val w = readWhile(_.isLetter)
+        if (w.equalsIgnoreCase("inf")) sign * Double.PositiveInfinity
+        else fail(s"expected a number or Inf, got '$w'")
+      } else {
+        val n = readWhile(c => c.isDigit || c == '.' || c == 'e' ||
+          c == 'E')
+        if (n.isEmpty) fail("expected a number")
+        sign * n.toDouble
+      }
+    }
     private def readWhile(p: Char => Boolean): String = {
       val start = i
       while (i < s.length && p(s(i))) i += 1
@@ -892,6 +932,7 @@ object PromQl {
     case Clamp(i, _, _) => lookbackOf(i)
     case HistQuantile(_, sel, _) => sel.offsetSeconds
     case HistAgg(_, sel, _) => sel.offsetSeconds
+    case HistFraction(_, _, sel, _) => sel.offsetSeconds
     case ClassicHistQuantile(_, i) => lookbackOf(i)
     case CountValues(_, i) => lookbackOf(i)
     case ScalarOf(i) => lookbackOf(i)
@@ -1042,6 +1083,9 @@ object PromQl {
         // machinery the same way (prometheus.ts:413-534)
         ExpHistograms.quantile(
           withLabels(applySelector(df, sel), by), phi, step, by)
+      case HistFraction(lower, upper, sel, by) =>
+        ExpHistograms.fraction(
+          withLabels(applySelector(df, sel), by), lower, upper, step, by)
       case HistAgg(kind, sel, by) =>
         val src = withLabels(applySelector(df, sel), by)
         kind match {

@@ -167,4 +167,41 @@ class ExpHistogramSpec extends SparkSpec {
       }
     }
   }
+
+  private def runFraction(df: DataFrame, lo: Double, hi: Double)
+      : Seq[Double] =
+    ExpHistograms.fraction(df, lo, hi, 60)
+      .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
+
+  test("fraction: hand-computed CDF over mixed-sign buckets") {
+    val none = Map.empty[String, String]
+    // scale 0: pos buckets (1,2]=1 (2,4]=2 (4,8]=1, zero=1, neg [-2,-1)=1
+    val df = expDf(Seq(("m", t(0), t(0), 1, 0, 6L, 1L, 0,
+      Seq(1L, 2L, 1L), 0, Seq(1L), none)))
+    // F(3) = 1(neg) + 1(zero) + 1(b0) + (log2 3 − 1)·2; F(0) = 2
+    val in03 = (1.0 + (math.log(3) / math.log(2) - 1) * 2) / 6
+    assert(math.abs(runFraction(df, 0, 3).head - in03) < 1e-12)
+    // boundary-aligned bounds are exact: (2,8] = buckets b1+b2 = 3/6
+    assert(runFraction(df, 2, 8).head == 0.5)
+    // (−2, 0] = whole neg bucket + zero bucket = 2/6
+    assert(math.abs(runFraction(df, -2, 0).head - 2.0 / 6) < 1e-12)
+    assert(runFraction(df, Double.NegativeInfinity,
+      Double.PositiveInfinity).head == 1.0)
+    // degenerate upper < lower clamps to 0
+    assert(runFraction(df, 8, 2).head == 0.0)
+  }
+
+  test("fraction inverts quantile: fraction(-Inf, q(φ)) = φ") {
+    val none = Map.empty[String, String]
+    val df = expDf(Seq(("m", t(0), t(0), 1, 2, 9L, 2L, -3,
+      Seq(1L, 0L, 3L, 1L), 1, Seq(1L, 1L), none)))
+    // φ chosen so the rank lands in nonzero-width buckets: inside the
+    // zero bucket (φ ∈ (2/9, 4/9]) the quantile collapses to 0 and the
+    // CDF there is a step, so the identity cannot hold
+    Seq(0.1, 0.2, 0.5, 0.9).foreach { phi =>
+      val q = runQuantile(df, phi).head
+      val frac = runFraction(df, Double.NegativeInfinity, q).head
+      assert(math.abs(frac - phi) < 1e-9, s"phi=$phi q=$q frac=$frac")
+    }
+  }
 }

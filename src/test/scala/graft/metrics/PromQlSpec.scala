@@ -797,6 +797,29 @@ class PromQlSpec extends SparkSpec {
     assert(avg(0).isNaN && avg(1) == 10.0 && avg(2) == 5.0)
   }
 
+  test("histogram_fraction parses bounds and routes the CDF pipeline") {
+    import PromQl._
+    assert(parse("histogram_fraction(0, 0.95, m)") ==
+      HistFraction(0, 0.95, Selector("m", Nil, 0), Nil))
+    assert(parse("histogram_fraction(-Inf, 8, sum by (user) (m))") ==
+      HistFraction(Double.NegativeInfinity, 8,
+        Selector("m", Nil, 0), Seq("user")))
+    // scale-0 delta histogram: buckets (1,2]=1 (2,4]=2 (4,8]=1, zero=1
+    val hts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val hist = Seq(("obs", "svc", hts, hts, 1, 0, 5L, 1L, 0,
+      Seq(1L, 2L, 1L), 0, Seq.empty[Long], Map("user" -> "a")))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "StartTimeUnix",
+        "AggregationTemporality", "Scale", "Count", "ZeroCount",
+        "PositiveOffset", "PositiveBucketCounts", "NegativeOffset",
+        "NegativeBucketCounts", "Attributes")
+    def frac(q: String): Double = PromQl.eval(hist, q, 3600)
+      .select("value").as[Double].collect().head
+    // boundary-aligned (2, 8] = 3 of 5 observations
+    assert(frac("histogram_fraction(2, 8, obs)") == 0.6)
+    assert(frac("histogram_fraction(-Inf, +Inf, obs)") == 1.0)
+    assert(frac("histogram_fraction(0, 2, sum by (user) (obs))") == 0.2)
+  }
+
   test("limitk/limit_ratio sample whole series deterministically") {
     import PromQl._
     assert(parse("limitk(2, m)") ==
