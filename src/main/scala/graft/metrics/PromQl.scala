@@ -24,7 +24,9 @@ import graft.functions.CoreFunctions._
   *                 [by (l1, l2…) | without (l1…)] ( expr )
   *            | quantile [by (…) | without (…)] ( φ, expr )
   *            | (topk|bottomk) [by (l1…)] ( k, expr )
-  *   mathfn   := (abs|ceil|floor|round|exp|ln|log2|log10|sqrt|sgn)( expr )
+  *   mathfn   := (abs|ceil|floor|round|exp|ln|log2|log10|sqrt|sgn
+  *               |sin|cos|tan|asin|acos|atan|sinh|cosh|tanh|asinh|acosh
+  *               |atanh|deg|rad|timestamp)( expr )   — also pi() scalar
   *   func     := rate( selector [dur] [offset] )
   *            | increase( selector [dur] [offset] )
   *            | delta( selector [dur] [offset] )   — extrapolated gauge delta
@@ -659,8 +661,14 @@ object PromQl {
           val inner = parseOr()
           ws(); expect(')')
           CountValues(label, inner)
+        case "pi" if nextIsParen =>
+          expect('('); ws(); expect(')')
+          ScalarLit(math.Pi)
         case fn if nextIsParen && Set("abs", "ceil", "floor", "round",
-            "exp", "ln", "log2", "log10", "sqrt", "sgn").contains(fn) =>
+            "exp", "ln", "log2", "log10", "sqrt", "sgn", "timestamp",
+            "sin", "cos", "tan", "asin", "acos", "atan",
+            "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+            "deg", "rad").contains(fn) =>
           expect('(')
           val inner = parseOr()
           ws()
@@ -1256,6 +1264,26 @@ object PromQl {
           case "log10" => log10(v)
           case "sqrt" => sqrt(v)
           case "sgn" => signum(v)
+          case "sin" => sin(v)
+          case "cos" => cos(v)
+          case "tan" => tan(v)
+          case "asin" => asin(v)
+          case "acos" => acos(v)
+          case "atan" => atan(v)
+          case "sinh" => sinh(v)
+          case "cosh" => cosh(v)
+          case "tanh" => tanh(v)
+          case "asinh" => asinh(v)
+          case "acosh" => acosh(v)
+          case "atanh" => atanh(v)
+          case "deg" => degrees(v)
+          case "rad" => radians(v)
+          // the sample's timestamp: under step evaluation every sample
+          // in the result sits exactly on its step, so this is the
+          // step's epoch second with the inner labels kept (unlike the
+          // label-free time() scalar)
+          case "timestamp" =>
+            unix_timestamp(col(TimeBucketAlias)).cast("double")
           // calendar components of v as epoch seconds, floored to whole
           // seconds like promql's time.Unix(int64(v)).UTC(); the session
           // timezone is UTC in LocalSession — a non-UTC session deviates

@@ -952,6 +952,30 @@ class PromQlSpec extends SparkSpec {
     assert(out == Seq(10.0))
   }
 
+  test("trig functions, pi() scalar, and timestamp()") {
+    def one(q: String): Double = PromQl.eval(gauges, q, 3600)
+      .select("value").as[Double].collect().head
+    // sum by () (mem_usage) = 80 in the single gauges bucket
+    assert(math.abs(one("sin(sum by (ServiceName) (mem_usage))") -
+      math.sin(80.0)) < 1e-12)
+    assert(math.abs(one("atan(tan(sum by (ServiceName) (mem_usage)" +
+      " * 0 + 1))") - 1.0) < 1e-12)
+    assert(math.abs(one("deg(sum by (ServiceName) (mem_usage)) / 80") -
+      math.toDegrees(1.0)) < 1e-12)
+    assert(math.abs(one("rad(deg(sum by (ServiceName) (mem_usage)))") -
+      80.0) < 1e-9)
+    // pi() is a scalar usable in arithmetic
+    assert(math.abs(one("sum by (ServiceName) (mem_usage) * pi()") -
+      80 * math.Pi) < 1e-9)
+    // timestamp() yields the step's epoch second per sample
+    val tsv = PromQl.eval(gauges, "timestamp(mem_usage)", 3600)
+      .selectExpr("value",
+        "cast(unix_timestamp(__time_bucket) as double) as want")
+      .collect()
+    assert(tsv.nonEmpty && tsv.forall(r =>
+      r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("stddev across series is the population deviation") {
     val withHost = PromQl.withLabels(gauges, Seq("host"))
     // series last-values 30, 50 → mean 40, population stddev 10
