@@ -321,8 +321,52 @@ object AnalysisQueries {
       |        sum(total) OVER (PARTITION BY bucket), 6) AS share
       |FROM a ORDER BY bucket, event_type""".stripMargin
 
+  /** As-of join gated against DuckDB's native ASOF LEFT JOIN — a fully
+    * independent implementation of the same semantics. Left = error
+    * events (the "log" side); right = a pseudo metric stream (per-user
+    * 10-minute max of value over the NON-error events, so matches can be
+    * genuinely stale or absent); tolerance nulls matches older than
+    * 30 minutes while keeping the left row. */
+  def q82_asof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val left = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") =!= "error")
+      .groupBy(col("user_id"),
+        graft.functions.CoreFunctions.timeBucket(col("ts"), 600).as("ts"))
+      .agg(max(col("value")).as("mval"))
+    graft.analysis.AsOfJoin
+      .backward(left, right, "ts", Seq("user_id"),
+        tolerance = Some(1800L))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_timestamp(col("right_ts")).as("rt"),
+        round(col("right_mval"), 6).as("mval"))
+      .orderBy("event_id")
+  }
+
+  val q82_sql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'error'),
+      |r AS (
+      |  SELECT user_id,
+      |    to_timestamp(floor(epoch(ts)/600)*600) AS ts,
+      |    max(value) AS mval
+      |  FROM events WHERE event_type <> 'error'
+      |  GROUP BY user_id, 2)
+      |SELECT l.event_id, l.user_id,
+      |  CASE WHEN epoch(l.ts) - epoch(r.ts) > 1800 THEN NULL
+      |    ELSE CAST(epoch(r.ts) AS BIGINT) END AS rt,
+      |  CASE WHEN epoch(l.ts) - epoch(r.ts) > 1800 THEN NULL
+      |    ELSE round(r.mval, 6) END AS mval
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
+    "q82_asof" -> (q82_asof _),
     "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
@@ -333,6 +377,7 @@ object AnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "q30_patterns" -> q30_sql,
+    "q82_asof" -> q82_sql,
     "q31_event_deltas" -> q31_sql,
     "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,
