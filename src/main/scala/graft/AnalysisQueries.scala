@@ -364,9 +364,48 @@ object AnalysisQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** Gap-timeout sessionization gated against a DuckDB window
+    * re-derivation (lag-gap flag → cumulative sum → group): per-user
+    * sessions with a 30-minute timeout over events. Equal-timestamp
+    * ties share a session on both engines (RANGE cumulative frame), so
+    * the grouping is deterministic. */
+  def q83_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    graft.analysis.Sessionize
+      .sessions(ev, "ts", Seq("user_id"), gapSeconds = 1800.0)
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_start")).as("session_start"),
+        unix_timestamp(col("session_end")).as("session_end"),
+        col("events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val q83_sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+      |      ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |  FROM x)
+      |SELECT user_id,
+      |  -- floor, not CAST: DuckDB double→BIGINT rounds, Spark's
+      |  -- unix_timestamp floors
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+      |  count(*) AS events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
     "q82_asof" -> (q82_asof _),
+    "q83_sessionize" -> (q83_sessionize _),
     "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
@@ -378,6 +417,7 @@ object AnalysisQueries {
   val oracles: Map[String, String] = Map(
     "q30_patterns" -> q30_sql,
     "q82_asof" -> q82_sql,
+    "q83_sessionize" -> q83_sql,
     "q31_event_deltas" -> q31_sql,
     "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,

@@ -83,6 +83,29 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Continuous gap-timeout sessionization: Spark's native
+    * session_window (dynamic-gap windows merged in the state store,
+    * watermark-bounded) — the streaming twin of the batch
+    * [[graft.analysis.Sessionize]]. One row per closed session:
+    * session_start/session_end, keys…, events. A session closes when
+    * the watermark passes its last event + gap, so state is bounded by
+    * the number of OPEN sessions, never by history. Note session_end is
+    * Spark's window end = last event + gap (the batch
+    * `Sessionize.sessions` reports the last event itself). */
+  def sessionRollup(stream: DataFrame, tsCol: String, keys: Seq[String],
+      gapSeconds: Long, watermarkDelay: String = "10 minutes")
+      : DataFrame = {
+    require(keys.nonEmpty, "sessionization needs at least one key")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), s"$gapSeconds seconds")
+        .as("w") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("events"))
+      .withColumn("session_start", col("w.start"))
+      .withColumn("session_end", col("w.end"))
+      .drop("w")
+  }
+
   /** Facet rollup: per-window map-key/value counts over an attributes map
     * column — the exact shape of the reference's
     * otel_logs_kv_rollup_15m MV (00006_otel_logs_rollups.sql). */

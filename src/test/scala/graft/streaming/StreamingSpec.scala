@@ -101,6 +101,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L, 3L))
   }
 
+  test("sessionRollup merges events into gap-bounded sessions") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "user")
+    val roll = Streaming.sessionRollup(stream, "ts", Seq("user"),
+      gapSeconds = 600, watermarkDelay = "0 seconds")
+    val q = roll.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "u1"),
+      (t("2024-01-01 00:05:00"), "u1"), // within gap → same session
+      (t("2024-01-01 00:30:00"), "u1"), // 25 min gap → new session
+      (t("2024-01-01 00:00:00"), "u2"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user, session_start, events FROM sess_out " +
+        "ORDER BY user, session_start")
+      .as[(String, Timestamp, Long)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(
+      ("u1", t("2024-01-01 00:00:00"), 2L),
+      ("u1", t("2024-01-01 00:30:00"), 1L),
+      ("u2", t("2024-01-01 00:00:00"), 1L)))
+  }
+
   test("kv rollup counts map keys per window") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Map[String, String])]
