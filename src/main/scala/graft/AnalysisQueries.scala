@@ -402,10 +402,47 @@ object AnalysisQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Heavy-hitters facet: per-day top-3 event_types by count via the
+    * bounded Misra-Gries sketch. Capacity 64 far exceeds the event_type
+    * domain at any SF, so the sketch is provably exact here and the
+    * DuckDB oracle is a plain exact GROUP BY + rank — the same
+    * capacity-exactness contract MvRouter's sketches gate on (q32/q53).
+    * At 100 TB the sketch ships ≤ 64 counters per (day) cell through
+    * the shuffle no matter how many distinct values exist. */
+  def q84_heavy_hitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val day = graft.functions.CoreFunctions.timeBucket(col("ts"), 86400)
+    ev.groupBy(day.as("day"))
+      .agg(graft.functions.FrequentItems
+        .freqItems(col("event_type"), 64).as("m"))
+      .select(unix_timestamp(col("day")).as("bucket"),
+        explode(col("m")).as(Seq("value", "cnt")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+          .orderBy(desc("cnt"), col("value"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy("bucket", "value")
+  }
+
+  val q84_sql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type AS value, count(*) AS cnt
+      |  -- ordinals: a bare `value` in GROUP BY binds to the events
+      |  -- column of that name, not the alias
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT bucket, value, cnt, row_number() OVER
+      |    (PARTITION BY bucket ORDER BY cnt DESC, value) AS rk
+      |  FROM c)
+      |SELECT bucket, value, cnt FROM r WHERE rk <= 3
+      |ORDER BY bucket, value""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
     "q82_asof" -> (q82_asof _),
     "q83_sessionize" -> (q83_sessionize _),
+    "q84_heavy_hitters" -> (q84_heavy_hitters _),
     "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
@@ -418,6 +455,7 @@ object AnalysisQueries {
     "q30_patterns" -> q30_sql,
     "q82_asof" -> q82_sql,
     "q83_sessionize" -> q83_sql,
+    "q84_heavy_hitters" -> q84_sql,
     "q31_event_deltas" -> q31_sql,
     "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,

@@ -129,6 +129,39 @@ object Metadata {
       .orderBy("key")
   }
 
+  /** Bounded-state facet autocomplete: same output shape as [[keyValues]]
+    * but per-key counts come from the Misra-Gries sketch
+    * ([[graft.functions.FrequentItems]]) instead of an exact
+    * groupBy(key, value) — each map-side partial ships at most
+    * `sketchCapacity` counters per key through the shuffle regardless of
+    * the column's cardinality, so a 100-TB facet scan over an id-like
+    * column cannot blow up the exchange the way the exact path's
+    * per-distinct-value rows can. Counts are under-estimates (deficit
+    * ≤ n/(capacity+1)); any value with frequency above that bound is
+    * guaranteed to surface, which is exactly the autocomplete contract.
+    * With `sketchCapacity` ≥ the true distinct count the result is
+    * identical to [[keyValues]]. */
+  def keyValuesSketched(df: DataFrame, columns: Seq[String],
+      maxValuesPerKey: Int = 20, sketchCapacity: Int = 256,
+      maxScanRows: Int = 3000000): DataFrame = {
+    import graft.functions.FrequentItems
+    val pairs = columns.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val sketched = cappedScan(df, columns.map(col), maxScanRows)
+      .select(explode(map(pairs: _*)).as(Seq("key", "value")))
+      .filter(col("value").isNotNull)
+      .groupBy("key")
+      .agg(FrequentItems.freqItems(col("value"), sketchCapacity).as("m"))
+    sketched
+      .select(col("key"), explode(col("m")).as(Seq("value", "cnt")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(desc("cnt"), col("value"))))
+      .filter(col("rk") <= maxValuesPerKey)
+      .groupBy("key")
+      .agg(collect_list(col("value")).as("values"))
+      .orderBy("key")
+  }
+
   /** Numeric distribution of an expression: count/min/max/avg + quantile
     * ladder (reference getValuesDistribution :1995). */
   def valuesDistribution(df: DataFrame, expression: String): DataFrame = {

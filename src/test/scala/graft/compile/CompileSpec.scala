@@ -135,6 +135,24 @@ class MetadataSpec extends SparkSpec {
     assert(fields.exists(f => f.path == "attrs.env" && f.fromMap))
   }
 
+  test("keyValuesSketched matches exact keyValues when capacity covers " +
+      "the domain, and bounds output when it doesn't") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z"))
+      .map(v => (v, s"u_$v")).toDF("a", "b").repartition(4)
+    val exact = graft.meta.Metadata.keyValues(df, Seq("a", "b"), 2)
+      .as[(String, Seq[String])].collect().toSeq
+    val sk = graft.meta.Metadata
+      .keyValuesSketched(df, Seq("a", "b"), 2, sketchCapacity = 16)
+      .as[(String, Seq[String])].collect().toSeq
+    assert(sk == exact)
+    // tiny capacity: heavy value still surfaces, list stays bounded
+    val tight = graft.meta.Metadata
+      .keyValuesSketched(df, Seq("a"), 2, sketchCapacity = 2)
+      .as[(String, Seq[String])].collect().head._2
+    assert(tight.contains("x") && tight.length <= 2)
+  }
+
   test("json keys over a JSON-string column; malformed rows ignored") {
     import spark.implicits._
     val df = Seq(
