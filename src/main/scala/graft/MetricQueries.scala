@@ -646,7 +646,10 @@ object MetricQueries {
     events(spark, dir)
       .filter(col("value") > 1)
       .groupBy(day.as("TimeUnix"), col("user_id"))
-      .agg(counts.as("PositiveBucketCounts"))
+      .agg(counts.as("PositiveBucketCounts"),
+        // observation sum over the SAME population the buckets cover
+        // (values beyond the last bucket are outside the histogram)
+        sum(when(col("value") <= 256.0, col("value"))).as("__obs_sum"))
       .select(
         lit("latency").as("MetricName"),
         lit("svc").as("ServiceName"),
@@ -655,6 +658,7 @@ object MetricQueries {
         lit(1).as("AggregationTemporality"),
         lit(0).as("Scale"),
         aggregate(col("PositiveBucketCounts"), lit(0L), _ + _).as("Count"),
+        coalesce(col("__obs_sum"), lit(0.0)).as("Sum"),
         lit(0L).as("ZeroCount"),
         lit(0).as("PositiveOffset"),
         col("PositiveBucketCounts"),
@@ -693,6 +697,37 @@ object MetricQueries {
       |    / count(*), 6) AS value
       |FROM events WHERE value > 1 AND value <= 256
       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** PromQL histogram_stddev over the derived exp-histogram frame:
+    * per-day spread of the bucketed observations — each merged bucket
+    * contributes its count at the geometric midpoint 2^(i+0.5), against
+    * the true Sum/Count mean (promql functions.go funcHistogramStdDev
+    * math; midpoints, not raw values, so the oracle unrolls the same
+    * eight-bucket sum). */
+  def q85_promql_histstddev(spark: SparkSession, dir: String): DataFrame =
+    epochBucket(graft.metrics.PromQl.eval(eventsExpHist(spark, dir),
+      "histogram_stddev(latency)", 86400))
+      .withColumn("value", round(col("value"), 6))
+      .select("bucket", "value")
+      .orderBy("bucket")
+
+  val q85_sql: String = {
+    val cs = (0 to 7).map(i =>
+      s"count(*) FILTER (WHERE value > ${1 << i}.0 AND value <= ${1 << (i + 1)}.0) AS c$i")
+      .mkString(",\n    ")
+    val terms = (0 to 7)
+      .map(i => s"c$i*pow(pow(2, $i + 0.5) - s/n, 2)")
+      .mkString(" +\n      ")
+    s"""WITH h AS (
+       |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+       |    $cs,
+       |    sum(value) AS s, count(*) AS n
+       |  FROM events WHERE value > 1 AND value <= 256 GROUP BY bucket)
+       |SELECT bucket, round(sqrt((
+       |      $terms
+       |    )/n), 6) AS value
+       |FROM h ORDER BY bucket""".stripMargin
+  }
 
   /** PromQL offset + range aggregation: per-series hourly max shifted one
     * hour forward (`offset 1h` evaluates the series an hour in the past),
@@ -1599,6 +1634,7 @@ object MetricQueries {
     "q78_promql_mad" -> (q78_promql_mad _),
     "q80_promql_histsum" -> (q80_promql_histsum _),
     "q81_promql_histfrac" -> (q81_promql_histfrac _),
+    "q85_promql_histstddev" -> (q85_promql_histstddev _),
     "q44_promql_ratio" -> (q44_promql_ratio _),
     "q41_promql_gauge" -> (q41_promql_gauge _),
     "q38_exp_negative" -> (q38_exp_negative _),
@@ -1633,6 +1669,7 @@ object MetricQueries {
     "q78_promql_mad" -> q78_sql,
     "q80_promql_histsum" -> q80_sql,
     "q81_promql_histfrac" -> q81_sql,
+    "q85_promql_histstddev" -> q85_sql,
     "q44_promql_ratio" -> q44_sql,
     "q41_promql_gauge" -> q41_sql,
     "q13_gauge" -> q13_sql,

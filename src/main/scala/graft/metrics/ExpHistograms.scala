@@ -352,4 +352,38 @@ object ExpHistograms {
         greatest(cdf(upper) - cdf(lower), lit(0.0)) / col("__total"))
       .select((gcols :+ col("value")): _*)
   }
+
+  /** Native-histogram spread (Prometheus `histogram_stddev` /
+    * `histogram_stdvar`, promql functions.go funcHistogramStdDev): each
+    * merged bucket contributes its count at the bucket's GEOMETRIC
+    * midpoint √(lower·upper) = 2^((i+0.5)·2^−s) (negated on the negative
+    * side; the zero bucket sits at 0 — it straddles the origin), the mean
+    * is the true Sum/Count ratio from the same delta/reset machinery as
+    * [[sumOf]]/[[count]], and variance = Σ cntᵇ·(midᵇ − mean)² / total.
+    * Buckets per row are tiny (≤ dozens) so the interpreted array lambdas
+    * are off the per-row hot path — same budget call as [[fraction]]. */
+  def spread(df: DataFrame, stepSeconds: Long,
+      groupBy: Seq[String] = Nil, variance: Boolean = false): DataFrame = {
+    val keys = Bucket +: groupBy
+    val base = mergedBuckets(df, stepSeconds, groupBy)
+      .join(count(df, stepSeconds, groupBy), keys)
+      .join(sumOf(df, stepSeconds, groupBy), keys)
+    val width = pow(lit(2.0), -col("Scale")) // 2^-scale
+    def mid(k: Column): Column =
+      pow(lit(2.0), (k.cast("double") + lit(0.5)) * width)
+    val mean = col("sum") / col("count").cast("double")
+    def side(m: Column, sign: Double): Column =
+      aggregate(map_entries(m), lit(0.0), (acc, e) =>
+        acc + e.getField("value").cast("double") *
+          pow(lit(sign) * mid(e.getField("key")) - mean, 2))
+    val total = aggregate(map_values(col("pos_map")), lit(0L), _ + _) +
+      aggregate(map_values(col("neg_map")), lit(0L), _ + _) +
+      col("zero_count")
+    val varCol = (side(col("pos_map"), 1.0) + side(col("neg_map"), -1.0) +
+      col("zero_count").cast("double") * mean * mean) /
+      total.cast("double")
+    base.filter(total > 0)
+      .withColumn("value", if (variance) varCol else sqrt(varCol))
+      .select((col(Bucket) +: groupBy.map(col) :+ col("value")): _*)
+  }
 }

@@ -40,13 +40,14 @@ import graft.functions.CoreFunctions._
   *            | scalar( expr ) — 1-series vector → per-step scalar
   *            | vector( n )    — constant series on the frame's spine
   *            | time()         — evaluation time as a per-step scalar
-  *            | (minute|hour|day_of_week|day_of_month|days_in_month
-  *               |month|year)( [expr] )  — UTC components of the value
-  *               as epoch seconds; no argument defaults to time()
+  *            | (minute|hour|day_of_week|day_of_month|day_of_year
+  *               |days_in_month|month|year)( [expr] )  — UTC components
+  *               of the value as epoch seconds; defaults to time()
   *            | count_values( "label", expr )       — series-per-value count
   *            | topk( k, expr ) | bottomk( k, expr )
   *            | histogram_quantile( φ, selector | sum by (…) (selector) )
-  *            | histogram_(count|sum|avg)( selector | sum by (…) (sel) )
+  *            | histogram_(count|sum|avg|stddev|stdvar)( selector
+  *                | sum by (…) (sel) )
   *            | histogram_fraction( lo, hi, selector | sum by (…) (sel) )
   *            | (avg|min|max|sum|count|last|stddev|stdvar|mad)_over_time(
   *                selector [dur] )
@@ -543,8 +544,8 @@ object PromQl {
             case _ => fail("histogram_fraction expects a selector or " +
               "sum by (…) (selector)")
           }
-        case "histogram_count" | "histogram_sum" | "histogram_avg"
-            if nextIsParen =>
+        case "histogram_count" | "histogram_sum" | "histogram_avg" |
+            "histogram_stddev" | "histogram_stdvar" if nextIsParen =>
           // native-histogram scalar accessors; same canonical inner
           // shapes as histogram_quantile
           expect('(')
@@ -680,8 +681,8 @@ object PromQl {
           ws(); expect(')')
           MathFn(fn, inner, arg)
         case fn if nextIsParen && Set("minute", "hour", "day_of_week",
-            "day_of_month", "days_in_month", "month", "year")
-              .contains(fn) =>
+            "day_of_month", "day_of_year", "days_in_month", "month",
+            "year").contains(fn) =>
           // UTC calendar component of the value as epoch seconds; the
           // argument defaults to time() like Prometheus
           expect('(')
@@ -1102,6 +1103,9 @@ object PromQl {
             .drop("count")
           case "sum" => ExpHistograms.sumOf(src, step, by)
             .withColumnRenamed("sum", "value")
+          case "stddev" | "stdvar" =>
+            ExpHistograms.spread(src, step, by,
+              variance = kind == "stdvar")
           case _ => // avg = sum / count per (bucket, by-group)
             val keys = TimeBucketAlias +: by
             ExpHistograms.sumOf(src, step, by)
@@ -1292,6 +1296,7 @@ object PromQl {
           // Spark dayofweek is 1=Sunday..7; PromQL 0=Sunday..6
           case "day_of_week" => (dayofweek(tsOfV) - 1).cast("double")
           case "day_of_month" => dayofmonth(tsOfV).cast("double")
+          case "day_of_year" => dayofyear(tsOfV).cast("double")
           case "days_in_month" =>
             dayofmonth(last_day(tsOfV)).cast("double")
           case "month" => month(tsOfV).cast("double")

@@ -797,6 +797,53 @@ class PromQlSpec extends SparkSpec {
     assert(avg(0).isNaN && avg(1) == 10.0 && avg(2) == 5.0)
   }
 
+  test("histogram_stddev/stdvar use geometric bucket midpoints and the " +
+      "true sum/count mean") {
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // one delta-temporality sample, scale 0: obs {0, 3, 3, 5} → zero
+    // bucket 1, bucket idx1 (2,4] ×2, idx2 (4,8] ×1; Sum=11, Count=4
+    val hist = Seq(("obs", "svc", t1, t1, 1, 0, 4L, 11.0, 1L,
+      1, Array(2L, 1L), 0, Array.empty[Long],
+      Map.empty[String, String]))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "StartTimeUnix",
+        "AggregationTemporality", "Scale", "Count", "Sum", "ZeroCount",
+        "PositiveOffset", "PositiveBucketCounts", "NegativeOffset",
+        "NegativeBucketCounts", "Attributes")
+    val mean = 11.0 / 4
+    val mids = Seq(math.pow(2, 1.5) -> 2L, math.pow(2, 2.5) -> 1L,
+      0.0 -> 1L)
+    val expVar =
+      mids.map { case (m, c) => c * (m - mean) * (m - mean) }.sum / 4
+    val sv = PromQl.eval(hist, "histogram_stdvar(obs)", 3600)
+      .select("value").as[Double].collect().head
+    assert(math.abs(sv - expVar) < 1e-9, s"stdvar $sv != $expVar")
+    val sd = PromQl.eval(hist, "histogram_stddev(obs)", 3600)
+      .select("value").as[Double].collect().head
+    assert(math.abs(sd - math.sqrt(expVar)) < 1e-9)
+    // negative buckets mirror: idx1 ×2 on the negative side at −2^1.5
+    val neg = Seq(("obs", "svc", t1, t1, 1, 0, 2L, -2 * math.pow(2, 1.5),
+      0L, 0, Array.empty[Long], 1, Array(2L),
+      Map.empty[String, String]))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "StartTimeUnix",
+        "AggregationTemporality", "Scale", "Count", "Sum", "ZeroCount",
+        "PositiveOffset", "PositiveBucketCounts", "NegativeOffset",
+        "NegativeBucketCounts", "Attributes")
+    val nv = PromQl.eval(neg, "histogram_stdvar(obs)", 3600)
+      .select("value").as[Double].collect().head
+    // both obs sit exactly at the (negated) midpoint → zero variance
+    assert(math.abs(nv) < 1e-9, s"negative-side stdvar $nv != 0")
+  }
+
+  test("day_of_year maps the UTC calendar like the other components") {
+    val t1 = Timestamp.valueOf("2024-02-01 00:00:00") // day 32, leap year
+    val g = Seq(("m", "s", t1, 5.0, Map.empty[String, String], 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes",
+        "AggregationTemporality", "IsMonotonic")
+    val v = PromQl.eval(g, "day_of_year(timestamp(m))", 3600)
+      .select("value").as[Double].collect().head
+    assert(v == 32.0)
+  }
+
   test("histogram_fraction parses bounds and routes the CDF pipeline") {
     import PromQl._
     assert(parse("histogram_fraction(0, 0.95, m)") ==
