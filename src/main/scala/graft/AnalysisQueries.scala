@@ -438,11 +438,42 @@ object AnalysisQueries {
       |SELECT bucket, value, cnt FROM r WHERE rk <= 3
       |ORDER BY bucket, value""".stripMargin
 
+  /** Trace-tree assembly: a deterministic span forest derived from
+    * event_id (ids < 100 are roots, everything else parents to id/7 —
+    * both sides derive it identically), resolved to (root, depth) per
+    * node by [[graft.analysis.Hierarchy]]'s pointer doubling — O(log
+    * depth) join rounds where the oracle's recursive CTE walks one edge
+    * per round. Gate compares the depth histogram + tree fan-out. */
+  def q86_trace_depths(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Queries.cat(spark, dir)("events").df
+      .select(col("event_id").cast("long").as("id"),
+        when(col("event_id") < 100, lit(null).cast("long"))
+          .otherwise(floor(col("event_id") / 7).cast("long"))
+          .as("parent"))
+    graft.analysis.Hierarchy.resolve(nodes)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("nodes"),
+        countDistinct(col("root")).as("roots"))
+      .orderBy("depth")
+  }
+
+  val q86_sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT event_id AS id, event_id AS root, CAST(0 AS BIGINT) AS depth
+      |  FROM events WHERE event_id < 100
+      |  UNION ALL
+      |  SELECT e.event_id, t.root, t.depth + 1
+      |  FROM events e JOIN t ON e.event_id // 7 = t.id
+      |  WHERE e.event_id >= 100)
+      |SELECT depth, count(*) AS nodes, count(DISTINCT root) AS roots
+      |FROM t GROUP BY depth ORDER BY depth""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_patterns" -> (q30_patterns _),
     "q82_asof" -> (q82_asof _),
     "q83_sessionize" -> (q83_sessionize _),
     "q84_heavy_hitters" -> (q84_heavy_hitters _),
+    "q86_trace_depths" -> (q86_trace_depths _),
     "q46_share_of_total" -> (q46_share_of_total _),
     "q31_event_deltas" -> (q31_event_deltas _),
     "q32_mv_routed" -> (q32_mv_routed _),
@@ -456,6 +487,7 @@ object AnalysisQueries {
     "q82_asof" -> q82_sql,
     "q83_sessionize" -> q83_sql,
     "q84_heavy_hitters" -> q84_sql,
+    "q86_trace_depths" -> q86_sql,
     "q31_event_deltas" -> q31_sql,
     "q46_share_of_total" -> q46_sql,
     "q32_mv_routed" -> q32_sql,
