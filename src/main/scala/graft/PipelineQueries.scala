@@ -723,6 +723,45 @@ object PipelineQueries {
       |  max(doc_id) AS max_id
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Sequence packing census: the corpus as one id-ordered token stream
+    * cut into 512-token training windows (Curation.packSequences'
+    * distributed prefix sum). Gates the per-window doc count, token
+    * count, and how many docs straddle into the next window — the
+    * whole layout, since any offset error shifts every downstream
+    * window. Oracle = the same exclusive running sum as a DuckDB window
+    * (safe there: DuckDB parallelizes its ORDER BY window; the engine
+    * avoids Spark's single-task equivalent by construction). */
+  def q87_packing(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(spark, dir).select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+        .as("tok"))
+    Curation.packSequences(withTok, "doc_id", "tok", 512)
+      .groupBy("sample_id")
+      .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("toks"),
+        sum(when(col("end_sample_id") > col("sample_id"), 1L)
+          .otherwise(0L)).as("spans"))
+      .orderBy("sample_id")
+  }
+
+  val q87_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    CAST(sum(tok) OVER (ORDER BY doc_id) - tok AS BIGINT)
+      |      AS start_off
+      |  FROM t)
+      |SELECT CAST(start_off // 512 AS BIGINT) AS sample_id,
+      |  count(*) AS docs,
+      |  CAST(sum(tok) AS BIGINT) AS toks,
+      |  CAST(count(*) FILTER (WHERE
+      |    (start_off + greatest(tok, 1) - 1) // 512 > start_off // 512)
+      |    AS BIGINT) AS spans
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end curation pipeline at the driver gate. Three planted
     * families each trip exactly one stage: exact copies (+1000000, every
     * 10th doc) fall to dedup, eval-set members (every 97th doc) fall to
@@ -867,6 +906,7 @@ object PipelineQueries {
     "q75_repetition" -> (q75_repetition _),
     "q76_chunking" -> (q76_chunking _),
     "q77_mixing" -> (q77_mixing _),
+    "q87_packing" -> (q87_packing _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -893,5 +933,6 @@ object PipelineQueries {
     "q75_repetition" -> q75_sql,
     "q76_chunking" -> q76_sql,
     "q77_mixing" -> q77_sql,
+    "q87_packing" -> q87_sql,
     "q79_curate" -> q79_sql)
 }

@@ -253,4 +253,54 @@ object Curation {
     }
     df.filter(hashUniform(col(keyCol)) < frac)
   }
+
+  /** Concatenate-and-split sequence packing (the GPT-pretraining layout):
+    * the corpus is one virtual token stream in ascending `idCol` order,
+    * cut into fixed `contextLen` windows. Emits per doc its global
+    * `start_off`set in the stream, the window its first token lands in
+    * (`sample_id`) and the window its last token lands in
+    * (`end_sample_id` — a doc may straddle window boundaries).
+    *
+    * The global running offset is a DISTRIBUTED PREFIX SUM, not a global
+    * window: `Window.orderBy` with no partitionBy funnels the whole
+    * corpus through ONE task — the classic packing scale trap. Instead:
+    * range-repartition by id (sorted partitions), per-partition token
+    * subtotals (one P-row aggregate collected to the driver — O(#
+    * partitions), never O(rows)), prefix-sum the subtotals, then each
+    * partition adds its base offset to a partition-local running sum.
+    * Output is independent of the partition count or boundaries: base +
+    * local cumsum IS the global prefix sum under range ordering. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df
+      .select(col(idCol), col(tokenCol).cast("long").as("__tok"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+    ranged.persist()
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col("__tok")).as("__t"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val bases = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.zip(totals)
+      .map { case ((_, base), (pid, _)) => (pid, base) }
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+    val out = ranged
+      .join(baseDf, "__pid")
+      .withColumn("start_off",
+        col("__base") + sum(col("__tok")).over(w) - col("__tok"))
+      .withColumn("sample_id", floor(col("start_off") / contextLen))
+      .withColumn("end_sample_id",
+        floor((col("start_off") + greatest(col("__tok"), lit(1L)) - 1)
+          / contextLen))
+      .select(col(idCol), col("__tok").as("tokens"), col("start_off"),
+        col("sample_id"), col("end_sample_id"))
+    out
+  }
 }

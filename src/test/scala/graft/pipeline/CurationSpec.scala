@@ -127,6 +127,28 @@ class CurationSpec extends SparkSpec {
       (5L, 0L, 8L), (5L, 1L, 6L)))
   }
 
+  test("packSequences lays out the global token stream and marks " +
+      "straddling docs, independent of input partitioning") {
+    import org.apache.spark.sql.functions._
+    // tokens: 4, 3, 5, 2 in id order → offsets 0, 4, 7, 12; ctx=5 →
+    // samples 0,0,1,2; doc 2 (off 7, 5 toks → last tok 11) straddles
+    // windows 1..2, doc 1 (off 4, 3 toks → last 6) straddles 0..1
+    val docs = Seq((1L, 4L), (2L, 3L), (3L, 5L), (4L, 2L))
+      .toDF("id", "tok").repartition(3) // deliberately scrambled
+    val r = Curation.packSequences(docs, "id", "tok", 5)
+      .orderBy("id")
+      .select("id", "start_off", "sample_id", "end_sample_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 0L, 0L, 0L), (2L, 4L, 0L, 1L),
+      (3L, 7L, 1L, 2L), (4L, 12L, 2L, 2L)))
+    // zero-token doc occupies no window beyond its start
+    val z = Curation.packSequences(
+      Seq((1L, 0L), (2L, 7L)).toDF("id", "tok"), "id", "tok", 5)
+      .orderBy("id").select("sample_id", "end_sample_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(z == Seq((0L, 0L), (0L, 1L)))
+  }
+
   test("hashUniform matches the portable md5-prefix definition") {
     val u = Seq(("42", 0)).toDF("k", "x")
       .select(Curation.hashUniform(col("k")).as("u")).as[Double].head()
