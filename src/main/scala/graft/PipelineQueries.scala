@@ -762,6 +762,23 @@ object PipelineQueries {
       |    AS BIGINT) AS spans
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BPE vocabulary induction, stage 1 (the only corpus-scale stage):
+    * the word-frequency dictionary the driver-side merge loop trains on
+    * (Bpe.train — spec-gated with hand-derived Sennrich fixtures; not
+    * SQL-expressible). Top-100 by frequency with a lexicographic
+    * tiebreak so the LIMIT boundary is deterministic both sides. */
+  def q88_wordfreq(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Bpe.wordFrequencies(docs(spark, dir), "text")
+      .orderBy(desc("freq"), asc("word")).limit(100)
+
+  val q88_sql: String =
+    """SELECT word, count(*) AS freq FROM (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |    AS word
+      |  FROM documents)
+      |WHERE word <> ''
+      |GROUP BY 1 ORDER BY freq DESC, word LIMIT 100""".stripMargin
+
   /** End-to-end curation pipeline at the driver gate. Three planted
     * families each trip exactly one stage: exact copies (+1000000, every
     * 10th doc) fall to dedup, eval-set members (every 97th doc) fall to
@@ -907,6 +924,7 @@ object PipelineQueries {
     "q76_chunking" -> (q76_chunking _),
     "q77_mixing" -> (q77_mixing _),
     "q87_packing" -> (q87_packing _),
+    "q88_wordfreq" -> (q88_wordfreq _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -934,5 +952,6 @@ object PipelineQueries {
     "q76_chunking" -> q76_sql,
     "q77_mixing" -> q77_sql,
     "q87_packing" -> q87_sql,
+    "q88_wordfreq" -> q88_sql,
     "q79_curate" -> q79_sql)
 }
