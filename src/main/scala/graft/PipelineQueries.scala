@@ -779,6 +779,70 @@ object PipelineQueries {
       |WHERE word <> ''
       |GROUP BY 1 ORDER BY freq DESC, word LIMIT 100""".stripMargin
 
+  /** DSIR importance resampling at the driver gate: target = src0 docs,
+    * raw = the whole corpus, hashed unigram+bigram models (512 buckets,
+    * Laplace α=1), Gumbel top-25% selection — the per-source census of
+    * the selected sample plus its summed weights. The oracle replicates
+    * EVERY stage in DuckDB (portable md5 hashing end to end), so
+    * feature counts, both smoothed models, the per-doc log ratio, and
+    * the Gumbel cut are all value-checked, not just the row count. */
+  def q89_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val raw = d.select(col("doc_id"), col("text"))
+    val target = d.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val w = graft.pipeline.Dsir.importanceWeights(
+      raw, "doc_id", "text", target, "text", buckets = 512, alpha = 1.0)
+    graft.pipeline.Dsir.resampleTopFrac(w, "doc_id", 0.25)
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"),
+        round(sum(col("logw")), 1).as("w_sel"))
+      .orderBy("source")
+  }
+
+  val q89_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    list_filter(tk, x -> x <> ''),
+      |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1]))) AS g
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS bucket,
+      |    count(*) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |tgt AS (SELECT f.* FROM f JOIN documents d USING (doc_id)
+      |        WHERE d.source = 'src0'),
+      |tb AS (SELECT bucket, sum(cnt) AS c FROM tgt GROUP BY 1),
+      |tt AS (SELECT sum(cnt) AS tot FROM tgt),
+      |rb AS (SELECT bucket, sum(cnt) AS c FROM f GROUP BY 1),
+      |rt AS (SELECT sum(cnt) AS tot FROM f),
+      |w AS (
+      |  SELECT f.doc_id, sum(f.cnt * (
+      |      ln((coalesce(tb.c, 0) + 1.0)
+      |         / ((SELECT tot FROM tt) + 512.0))
+      |    - ln((rb.c + 1.0) / ((SELECT tot FROM rt) + 512.0)))) AS logw
+      |  FROM f LEFT JOIN tb USING (bucket) JOIN rb USING (bucket)
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id, logw, logw + (-ln(-ln(
+      |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |       AS BIGINT) + 0.5) / 4294967296.0))) AS score,
+      |    row_number() OVER (ORDER BY logw + (-ln(-ln(
+      |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |         AS BIGINT) + 0.5) / 4294967296.0))) DESC, doc_id) AS rn
+      |  FROM w),
+      |sel AS (SELECT doc_id, logw FROM s
+      |        WHERE rn <= (SELECT ceil(0.25 * count(*)) FROM w))
+      |SELECT d.source, count(*) AS n_sel, round(sum(sel.logw), 1) AS w_sel
+      |FROM sel JOIN documents d USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end curation pipeline at the driver gate. Three planted
     * families each trip exactly one stage: exact copies (+1000000, every
     * 10th doc) fall to dedup, eval-set members (every 97th doc) fall to
@@ -925,6 +989,7 @@ object PipelineQueries {
     "q77_mixing" -> (q77_mixing _),
     "q87_packing" -> (q87_packing _),
     "q88_wordfreq" -> (q88_wordfreq _),
+    "q89_dsir" -> (q89_dsir _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -953,5 +1018,6 @@ object PipelineQueries {
     "q77_mixing" -> q77_sql,
     "q87_packing" -> q87_sql,
     "q88_wordfreq" -> q88_sql,
+    "q89_dsir" -> q89_sql,
     "q79_curate" -> q79_sql)
 }

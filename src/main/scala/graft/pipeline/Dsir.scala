@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+  * pick raw-corpus documents that look like a small target domain by the
+  * likelihood ratio of two hashed bag-of-n-grams models, then sample
+  * with Gumbel top-k — the standard published recipe for steering a
+  * pretraining mix toward a domain without a trained classifier.
+  *
+  * Scale shape: the raw corpus is touched by exactly two hash shuffles —
+  * per-(doc, bucket) feature counts (pre-aggregated inside the kernel,
+  * so the exchange carries ≤ `buckets` rows per doc, not one per gram)
+  * and the per-doc weight sum. Both bucket-probability models are
+  * `buckets`-row aggregates that ride a broadcast join; the target
+  * corpus is small by definition. Selection is a distributed
+  * TakeOrdered, never a global sort. Every hash is the engine-portable
+  * md5 prefix (Curation.hashUniform's convention), so an independent
+  * engine evaluating the same definitions reproduces the exact sample.
+  */
+object Dsir {
+
+  /** Hashed feature bucket of one gram: first 8 md5 hex chars mod
+    * `buckets` (portable: DuckDB `CAST('0x'||substr(md5(g),1,8) AS
+    * BIGINT) % buckets`). */
+  def gramBucket(gram: Column, buckets: Int): Column =
+    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+
+  /** (id, bucket, cnt): hashed unigram+bigram counts per document, one
+    * tokenizer pass per row, counts pre-aggregated in-kernel so the
+    * downstream exchange is bounded by min(grams, buckets) rows per doc.
+    * Ids must be integral (cast to long). */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(g: String): Long = {
+          val d = md.digest(g.getBytes("UTF-8"))
+          // first 8 hex chars = first 4 bytes, big-endian, unsigned
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          v % buckets
+        }
+        it.flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val counts = new java.util.HashMap[Long, Long]
+          var i = 0
+          while (i < toks.length) {
+            counts.merge(bucket(toks(i)), 1L, Long.box(_) + _)
+            if (i < toks.length - 1)
+              counts.merge(bucket(toks(i) + " " + toks(i + 1)), 1L,
+                Long.box(_) + _)
+            i += 1
+          }
+          val out = Array.newBuilder[(Long, Long, Long)]
+          counts.forEach((b, c) => out += ((id, b, c)))
+          out.result()
+        }
+      }
+      .toDF(idCol, "bucket", "cnt")
+  }
+
+  /** (bucket, logp): Laplace-smoothed log bucket probabilities of a
+    * feature frame — a `buckets`-row aggregate. Buckets with zero count
+    * are NOT materialized; join with [[floorLogProb]] as the default. */
+  def bucketLogProbs(features: DataFrame, buckets: Int,
+      alpha: Double = 1.0): DataFrame = {
+    val tot = features.agg(sum(col("cnt"))).head.getLong(0)
+    features.groupBy("bucket")
+      .agg(log((sum(col("cnt")) + alpha) / (tot + alpha * buckets))
+        .as("logp"))
+  }
+
+  /** log probability of an unseen bucket under the same smoothing. */
+  def floorLogProb(features: DataFrame, buckets: Int,
+      alpha: Double = 1.0): Double = {
+    val tot = features.agg(sum(col("cnt"))).head.getLong(0)
+    math.log(alpha / (tot + alpha * buckets))
+  }
+
+  /** (id, logw): per-document importance weight
+    * Σ_b cnt_b · (log p_target(b) − log p_raw(b)). `target` is the
+    * small wanted-domain sample; its model (and the raw model — both
+    * are ≤ `buckets` rows) broadcasts onto the raw feature frame, which
+    * is the only corpus-scale side. */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+    val rawF = hashedFeatures(raw, idCol, textCol, buckets)
+    rawF.persist()
+    try {
+      val tgtF = hashedFeatures(target, idCol, targetTextCol, buckets)
+      val pT = bucketLogProbs(tgtF, buckets, alpha)
+        .withColumnRenamed("logp", "__lt")
+      val pR = bucketLogProbs(rawF, buckets, alpha)
+        .withColumnRenamed("logp", "__lr")
+      val fT = floorLogProb(tgtF, buckets, alpha)
+      val fR = floorLogProb(rawF, buckets, alpha)
+      rawF
+        .join(broadcast(pT), Seq("bucket"), "left")
+        .join(broadcast(pR), Seq("bucket"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt") * (coalesce(col("__lt"), lit(fT)) -
+          coalesce(col("__lr"), lit(fR)))).as("logw"))
+    } finally rawF.unpersist()
+  }
+
+  /** Gumbel top-k resampling: score = logw/temperature + Gumbel noise
+    * from the portable per-id uniform (deterministic across engines and
+    * runs), keep the ⌈frac·n⌉ best. temperature → 0 approaches plain
+    * top-k by weight; 1.0 is DSIR's sampling-without-replacement. The
+    * k-cut is a distributed TakeOrdered (orderBy+limit), not a global
+    * sort. */
+  def resampleTopFrac(weights: DataFrame, idCol: String, frac: Double,
+      temperature: Double = 1.0): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    require(temperature > 0, "temperature must be positive")
+    val n = weights.count()
+    val k = math.ceil(frac * n).toLong
+    // (hash + 0.5) / 2^32 keeps u strictly inside (0,1)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    weights
+      .withColumn("score",
+        col("logw") / temperature + (-log(-log(u))))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k.toInt)
+  }
+}
