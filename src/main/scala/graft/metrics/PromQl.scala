@@ -1740,23 +1740,65 @@ object PromQl {
           .withColumn("value", madOfArray(col("__vals")))
           .drop("__vals"))
       case op =>
-        val agg = op match {
-          case "avg" => avg(v)
-          case "min" => min(v)
-          case "max" => max(v)
-          case "sum" => sum(v)
-          case "count" => count(v)
-          case "last" => max_by(v, col("TimeUnix"))
-          // present_over_time: 1 for every series window with a sample
-          case "present" => max(lit(1.0))
-          // population statistics, like the cross-series aggregators
-          case "stddev" => stddev_pop(v)
-          case "stdvar" => var_pop(v)
-          case "quantile" => call_function("percentile", v,
-            lit(ot.level.getOrElse(throw new PromQlParseException(
-              "quantile_over_time needs a level"))))
+        // cell-mergeable aggregates pre-aggregate per (series, step cell)
+        // BEFORE the fan-out when each window is an exact union of cells
+        // (range a step multiple): samples pass through Generate + the
+        // map-side hash map once instead of range/step times (the
+        // exchange was bounded either way by partial aggregation). The
+        // per-sample explode only remains for rank-based ops
+        // (quantile/mad) and moment stats kept on Spark's fused
+        // implementations. Partials are per-op minimal so the cell
+        // shuffle carries no dead columns.
+        val cellPartials: Option[(Seq[Column], Column)] = op match {
+          case "sum" => Some((Seq(sum(v).as("__p")), sum(col("__p"))))
+          case "count" => Some((Seq(count(v).as("__p")), sum(col("__p"))))
+          case "avg" => Some((Seq(sum(v).as("__ps"),
+            count(v).as("__pn")),
+            sum(col("__ps")) / sum(col("__pn"))))
+          case "min" => Some((Seq(min(v).as("__p")), min(col("__p"))))
+          case "max" => Some((Seq(max(v).as("__p")), max(col("__p"))))
+          case "last" => Some((Seq(max(col("TimeUnix")).as("__plu"),
+            max_by(v, col("TimeUnix")).as("__plv")),
+            max_by(col("__plv"), col("__plu"))))
+          case "present" => Some((Seq(max(lit(1.0)).as("__p")),
+            max(col("__p"))))
+          case _ => None
         }
-        finish(grouped.agg(agg.as("value")))
+        cellPartials match {
+          case Some((partials, fin))
+              if range != stepSeconds && range % stepSeconds == 0 =>
+            val merged = keyed
+              .withColumn("__c", expr(
+                s"((__u + ${stepSeconds - 1}) DIV $stepSeconds) " +
+                  s"* $stepSeconds"))
+              .groupBy((col("__series") +: col("__c") +:
+                by.map(col)): _*)
+              .agg(partials.head, partials.tail: _*)
+              .withColumn("__t", explode(sequence(col("__c"),
+                col("__c") + lit(range - stepSeconds),
+                lit(stepSeconds))))
+              .groupBy((col("__series") +: col("__t") +:
+                by.map(col)): _*)
+            finish(merged.agg(fin.as("value")))
+          case _ =>
+            val agg = op match {
+              case "avg" => avg(v)
+              case "min" => min(v)
+              case "max" => max(v)
+              case "sum" => sum(v)
+              case "count" => count(v)
+              case "last" => max_by(v, col("TimeUnix"))
+              // present_over_time: 1 per series window with a sample
+              case "present" => max(lit(1.0))
+              // population statistics, like cross-series aggregators
+              case "stddev" => stddev_pop(v)
+              case "stdvar" => var_pop(v)
+              case "quantile" => call_function("percentile", v,
+                lit(ot.level.getOrElse(throw new PromQlParseException(
+                  "quantile_over_time needs a level"))))
+            }
+            finish(grouped.agg(agg.as("value")))
+        }
     }
   }
 
@@ -1819,15 +1861,45 @@ object PromQl {
     val adj = keyed.withColumn("__adj",
       when(isDelta, runningSum)
         .otherwise(col("__v") + coalesce(resetComp, lit(0.0))))
-    val stepped = explodeToSteps(adj, range, step)
-    val g = stepped
-      .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
-      .agg(count(lit(1)).as("__n"),
-        min(col("__u")).as("__tf"), max(col("__u")).as("__tl"),
-        min_by(col("__adj"), col("__u")).as("__af"),
-        max_by(col("__adj"), col("__u")).as("__al"),
-        min_by(col("__v"), col("__u")).as("__vf"))
-      .filter(col("__n") >= 2 && col("__tl") > col("__tf"))
+    // When range is a step multiple, each window is an exact union of
+    // step cells, and every statistic here is cell-mergeable (count sums;
+    // first/last are min_by/max_by selections) — so pre-aggregate per
+    // (series, cell) BEFORE the fan-out. The exchange volume was already
+    // bounded either way (Spark partial-aggregates map-side), but the
+    // per-sample explode pushes samples × range/step rows through
+    // Generate + the map-side hash map; the cell path processes each
+    // sample once and fans out only cell summaries — at
+    // scrape-interval ≪ step density (the 100-TB case) that is k× less
+    // per-row aggregation work, for one extra cell-sized exchange.
+    // Results are bit-identical — the merged statistics are the same
+    // selections.
+    val g0 =
+      if (range != step && range % step == 0)
+        adj
+          .withColumn("__c",
+            expr(s"((__u + ${step - 1}) DIV $step) * $step"))
+          .groupBy((col("__series") +: col("__c") +: by.map(col)): _*)
+          .agg(count(lit(1)).as("__pn"),
+            min(col("__u")).as("__ptf"), max(col("__u")).as("__ptl"),
+            min_by(col("__adj"), col("__u")).as("__paf"),
+            max_by(col("__adj"), col("__u")).as("__pal"),
+            min_by(col("__v"), col("__u")).as("__pvf"))
+          .withColumn("__t", explode(sequence(col("__c"),
+            col("__c") + lit(range - step), lit(step))))
+          .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
+          .agg(sum(col("__pn")).as("__n"),
+            min(col("__ptf")).as("__tf"), max(col("__ptl")).as("__tl"),
+            min_by(col("__paf"), col("__ptf")).as("__af"),
+            max_by(col("__pal"), col("__ptl")).as("__al"),
+            min_by(col("__pvf"), col("__ptf")).as("__vf"))
+      else explodeToSteps(adj, range, step)
+        .groupBy((col("__series") +: col("__t") +: by.map(col)): _*)
+        .agg(count(lit(1)).as("__n"),
+          min(col("__u")).as("__tf"), max(col("__u")).as("__tl"),
+          min_by(col("__adj"), col("__u")).as("__af"),
+          max_by(col("__adj"), col("__u")).as("__al"),
+          min_by(col("__v"), col("__u")).as("__vf"))
+    val g = g0.filter(col("__n") >= 2 && col("__tl") > col("__tf"))
     val sampled = (col("__tl") - col("__tf")).cast("double")
     val avgIv = sampled / (col("__n") - 1)
     val thresh = avgIv * 1.1
