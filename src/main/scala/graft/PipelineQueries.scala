@@ -257,6 +257,29 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY probe_id, neighbor_id""".stripMargin
 
+  /** PQ ANN with the q28 planted-copy gate: an exact copy quantizes to
+    * the minimum-possible ADC distance for its probe (its codes minimize
+    * every subspace term), so it always survives the shortlist, and the
+    * exact re-rank puts it top-1 at cosine 1.0 (natural max pairwise
+    * cosine ~0.60) — deterministic and SQL-expressible. Recall-vs-brute
+    * behavior stays covered in SimilaritySpec. */
+  def q90_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Similarity.knnPq(probes, corpus, "vec_id", "embedding",
+      k = 1, m = 8, ksub = 16, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q90_sql: String =
+    """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY probe_id, neighbor_id""".stripMargin
+
   // ------------------------------------------------------------- text
 
   def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
@@ -990,6 +1013,7 @@ object PipelineQueries {
     "q87_packing" -> (q87_packing _),
     "q88_wordfreq" -> (q88_wordfreq _),
     "q89_dsir" -> (q89_dsir _),
+    "q90_ann_pq" -> (q90_ann_pq _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1019,5 +1043,6 @@ object PipelineQueries {
     "q87_packing" -> q87_sql,
     "q88_wordfreq" -> q88_sql,
     "q89_dsir" -> q89_sql,
+    "q90_ann_pq" -> q90_sql,
     "q79_curate" -> q79_sql)
 }

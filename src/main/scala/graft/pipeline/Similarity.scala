@@ -226,4 +226,138 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("probe_id", "neighbor_id", "cosine")
   }
+
+  /** Product-quantization approximate top-k — the compressed-domain ANN
+    * layout for corpora whose raw vectors are too big to scan (the
+    * IVF-PQ half Faiss pairs with [[knnIvf]]'s cells): the vector space
+    * splits into `m` subspaces, each L2-k-means'd into `ksub` centroids
+    * (driver-side on a bounded stable-hash sample, deterministic like
+    * the IVF trainer), and every corpus vector is encoded as `m` small
+    * code ints. Search = per-probe lookup tables against the codebooks
+    * (asymmetric distance, ADC), a scan that touches ONLY the
+    * (id, codes) frame — m ints per row instead of dim doubles, a
+    * dim·8/m·4 compression of the hot loop (64-dim → 16× here) — then
+    * an exact cosine re-rank of the `shortlist` best codes per probe.
+    *
+    * Shuffle discipline: the ADC scan output is reduced to the
+    * per-probe shortlist in TWO stages (per-partition top-`shortlist`
+    * via sorted-slice partials, then a final merge), so the exchange
+    * carries ≤ partitions × shortlist narrow rows per probe, never the
+    * corpus; full vectors re-attach per id only for the ≤ `shortlist`
+    * re-rank rows (the knnLsh pattern). With `shortlist` ≥ corpus size
+    * the exact re-rank makes the result identical to [[knnBrute]]
+    * regardless of quantization error (SimilaritySpec asserts this). */
+  def knnPq(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 32, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(shortlist >= k, "shortlist must be at least k")
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val dsub = dim / m
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // train per-subspace codebooks on a bounded deterministic sample
+    val sample = cVec.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(ksub * 32, ksub))
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val books: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      kmeansL2(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, 10)
+    }.toArray
+    val cn2: Array[Array[Double]] =
+      books.map(_.map(c => c.map(x => x * x).sum))
+    def subV(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    // encode: argmin_c ||sub − cent_c||² per subspace; the ||sub||² term
+    // is constant within the argmin and dropped. First-min tie-break
+    // (array_position) keeps codes deterministic.
+    val codeCols = (0 until m).map { j =>
+      val s = subV(col("cv"), j)
+      val dists = array((0 until ksub).map { c =>
+        lit(cn2(j)(c)) - lit(2.0) *
+          dot(s, array(books(j)(c).map(lit): _*))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = cVec.repartition(shuffleN)
+      .select(col("neighbor_id"), array(codeCols: _*).as("codes"))
+    // per-probe LUT: lut[j][c] = ||cent||² − 2·sub·cent (the per-probe
+    // ||sub||² constant cancels in the ranking and is dropped)
+    val lutCol = array((0 until m).map { j =>
+      val s = subV(col("pv"), j)
+      array((0 until ksub).map { c =>
+        lit(cn2(j)(c)) - lit(2.0) *
+          dot(s, array(books(j)(c).map(lit): _*))
+      }: _*)
+    }: _*)
+    val pLut = pVec.withColumn("__lut", lutCol).select("probe_id", "__lut")
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = broadcast(pLut)
+      .join(codes, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), adc.as("__adc"))
+    // two-stage bounded top-shortlist (sorted-slice partials, then merge)
+    def topSlice(d: DataFrame, keys: Seq[Column]): DataFrame = d
+      .groupBy(keys: _*)
+      .agg(slice(array_sort(collect_list(
+        struct(col("__adc"), col("neighbor_id")))), 1, shortlist)
+        .as("__xs"))
+      .select((keys :+ explode(col("__xs")).as("__x")): _*)
+      .select((keys :+ col("__x.__adc").as("__adc")
+        :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+    val partial = topSlice(
+      scored.withColumn("__pid", spark_partition_id()),
+      Seq(col("probe_id"), col("__pid")))
+    val short = topSlice(partial, Seq(col("probe_id")))
+      .select("probe_id", "neighbor_id")
+    // exact re-rank of the shortlist only — vectors re-attach per id
+    val reranked = short
+      .join(broadcast(pVec), Seq("probe_id"))
+      .join(cVec, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "cosine")
+  }
+
+  /** Driver-side Euclidean k-means over a bounded sample (the PQ
+    * codebook trainer): first-k init, argmin-L2 assignment with
+    * first-index tie-breaks, empty cells keep their centroid — pure and
+    * deterministic, O(sample·k·dim·iters) on KB-scale data. */
+  private[pipeline] def kmeansL2(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var cents = points.take(k).map(_.clone)
+    val dim = points(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnt = new Array[Int](cents.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue; var i = 0
+        while (i < cents.length) {
+          val d = d2(p, cents(i))
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = cents.indices.map(i =>
+        if (cnt(i) == 0) cents(i)
+        else sums(i).map(_ / cnt(i))).toArray
+      it += 1
+    }
+    cents
+  }
 }

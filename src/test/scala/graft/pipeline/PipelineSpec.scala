@@ -175,6 +175,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
     assert(part.size <= brute.size)
   }
+
+  test("knnPq: full shortlist equals brute exactly; tight shortlist " +
+      "recalls") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count().toInt
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // shortlist covering the corpus → the exact re-rank IS brute force,
+    // independent of quantization error
+    val full = Similarity.knnPq(probes, e, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, shortlist = n)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // a tight shortlist keeps most true neighbors; the testdata
+    // embeddings are near-uniform (hardest case for coarse codes), so
+    // the bar is recall at a 64-deep shortlist, not a 25-deep one
+    val tight = Similarity.knnPq(probes, e, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, shortlist = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(tight).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    assert(tight.size == brute.size) // always fills k from the shortlist
+    // deterministic across runs (stable sample, first-min ties)
+    val again = Similarity.knnPq(probes, e, "vec_id", "embedding", 5,
+      m = 8, ksub = 16, shortlist = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == tight)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
