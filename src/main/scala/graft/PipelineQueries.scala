@@ -866,6 +866,28 @@ object PipelineQueries {
       |FROM sel JOIN documents d USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Training-shard export manifest: the deterministic (portable
+    * md5-hash mod 16) shard layout's per-shard census — the record an
+    * independent engine recomputes to verify an export after transport.
+    * The physical `shard=K/` write is spec-gated (CurationSpec asserts
+    * files match [[Curation.shardOf]] and this manifest). */
+  def q91_shards(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(spark, dir).select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+        .as("tok"))
+    Curation.shardManifest(withTok, "doc_id", "tok", 16)
+      .orderBy("shard")
+  }
+
+  val q91_sql: String =
+    """SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |    AS BIGINT) % 16 AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+      |    AS BIGINT)) AS BIGINT) AS tok_sum,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end curation pipeline at the driver gate. Three planted
     * families each trip exactly one stage: exact copies (+1000000, every
     * 10th doc) fall to dedup, eval-set members (every 97th doc) fall to
@@ -1014,6 +1036,7 @@ object PipelineQueries {
     "q88_wordfreq" -> (q88_wordfreq _),
     "q89_dsir" -> (q89_dsir _),
     "q90_ann_pq" -> (q90_ann_pq _),
+    "q91_shards" -> (q91_shards _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1044,5 +1067,6 @@ object PipelineQueries {
     "q88_wordfreq" -> q88_sql,
     "q89_dsir" -> q89_sql,
     "q90_ann_pq" -> q90_sql,
+    "q91_shards" -> q91_sql,
     "q79_curate" -> q79_sql)
 }

@@ -303,4 +303,43 @@ object Curation {
         col("sample_id"), col("end_sample_id"))
     out
   }
+
+  // --------------------------------------------------------- shard export
+
+  /** Deterministic shard of a key: the portable md5-prefix hash mod
+    * `shards` (same engine-independent convention as [[hashUniform]]) —
+    * any engine recomputes the exact layout, so a resumed or re-run
+    * export never reshuffles docs between shards. */
+  def shardOf(key: Column, shards: Int): Column = {
+    require(shards > 0, "shards must be positive")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards
+  }
+
+  /** Per-shard manifest — (shard, n_docs, tok_sum, min/max id): the
+    * export's integrity record, computable without writing (and by any
+    * other engine, for verification after transport). One hash shuffle. */
+  def shardManifest(df: DataFrame, idCol: String, tokenCol: String,
+      shards: Int): DataFrame =
+    df.withColumn("shard", shardOf(col(idCol), shards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("tok_sum"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** Physical export: one directory per shard (`shard=K/`), each shard's
+    * rows id-sorted within its files. `repartition(shard)` co-locates a
+    * shard's rows before the write so each shard is written by one task
+    * (no tiny-file explosion from every task touching every shard);
+    * `maxRecordsPerFile` bounds file size for the training loader. */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+      shards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("shard", shardOf(col(idCol), shards))
+      .repartition(col("shard"))
+      .sortWithinPartitions(idCol)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(outDir)
 }

@@ -93,23 +93,34 @@ object Dsir {
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 8192, alpha: Double = 1.0): DataFrame = {
+    // persisted: the raw feature frame is read three times (its total,
+    // its bucket model, the weight join) — unpersisted, the gram kernel
+    // would re-scan the corpus for each. The projection is (id, bucket,
+    // cnt) — the text never enters the cache. Left persisted for the
+    // returned frame's execution (the Dedup pattern; callers/benchmarks
+    // release via clearCache)
     val rawF = hashedFeatures(raw, idCol, textCol, buckets)
-    rawF.persist()
-    try {
-      val tgtF = hashedFeatures(target, idCol, targetTextCol, buckets)
-      val pT = bucketLogProbs(tgtF, buckets, alpha)
-        .withColumnRenamed("logp", "__lt")
-      val pR = bucketLogProbs(rawF, buckets, alpha)
-        .withColumnRenamed("logp", "__lr")
-      val fT = floorLogProb(tgtF, buckets, alpha)
-      val fR = floorLogProb(rawF, buckets, alpha)
-      rawF
-        .join(broadcast(pT), Seq("bucket"), "left")
-        .join(broadcast(pR), Seq("bucket"), "left")
-        .groupBy(col(idCol))
-        .agg(sum(col("cnt") * (coalesce(col("__lt"), lit(fT)) -
-          coalesce(col("__lr"), lit(fR)))).as("logw"))
-    } finally rawF.unpersist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgtF = hashedFeatures(target, idCol, targetTextCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action per corpus: the totals both the model and the smoothing
+    // floor need (and the first materialization of each persist)
+    val totR = rawF.agg(sum(col("cnt"))).head.getLong(0)
+    val totT = tgtF.agg(sum(col("cnt"))).head.getLong(0)
+    val pT = tgtF.groupBy("bucket")
+      .agg(log((sum(col("cnt")) + alpha) / (totT + alpha * buckets))
+        .as("__lt"))
+    val pR = rawF.groupBy("bucket")
+      .agg(log((sum(col("cnt")) + alpha) / (totR + alpha * buckets))
+        .as("__lr"))
+    val fT = math.log(alpha / (totT + alpha * buckets))
+    val fR = math.log(alpha / (totR + alpha * buckets))
+    rawF
+      .join(broadcast(pT), Seq("bucket"), "left")
+      .join(broadcast(pR), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * (coalesce(col("__lt"), lit(fT)) -
+        coalesce(col("__lr"), lit(fR)))).as("logw"))
   }
 
   /** Gumbel top-k resampling: score = logw/temperature + Gumbel noise

@@ -149,6 +149,29 @@ class CurationSpec extends SparkSpec {
     assert(z == Seq((0L, 0L), (0L, 1L)))
   }
 
+  test("writeShards lays out shard dirs matching shardOf; manifest " +
+      "agrees with the files") {
+    import org.apache.spark.sql.functions._
+    val dirF = java.nio.file.Files.createTempDirectory("shards").toFile
+    dirF.deleteOnExit()
+    val dir = dirF.getAbsolutePath
+    val docs = (1L to 40L).map(i => (i, i % 7 + 1)).toDF("id", "tok")
+    Curation.writeShards(docs, "id", dir, shards = 4)
+    val back = spark.read.parquet(dir)
+    // every row landed in the shard its id hashes to
+    assert(back.filter(col("shard") =!=
+      Curation.shardOf(col("id"), 4)).count() == 0)
+    assert(back.count() == 40)
+    // the manifest computed WITHOUT writing matches the written files
+    val m = Curation.shardManifest(docs, "id", "tok", 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val fromFiles = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("tok").as("t"),
+        min("id").as("a"), max("id").as("b"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(m == fromFiles)
+  }
+
   test("hashUniform matches the portable md5-prefix definition") {
     val u = Seq(("42", 0)).toDF("k", "x")
       .select(Curation.hashUniform(col("k")).as("u")).as[Double].head()
