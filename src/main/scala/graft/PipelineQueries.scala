@@ -280,6 +280,28 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY probe_id, neighbor_id""".stripMargin
 
+  /** IVF-PQ ANN with the planted-copy gate: an exact copy is assigned
+    * to the probe's own top-1 cell (identical vector → identical argmax
+    * centroid), carries the minimum-possible ADC there, survives the
+    * shortlist, and re-ranks top-1 at cosine 1.0 — deterministic at any
+    * nprobe. Recall/exhaustive-equivalence stays in SimilaritySpec. */
+  def q92_ann_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Similarity.knnIvfPq(probes, corpus, "vec_id", "embedding",
+      k = 1, nlist = 16, nprobe = 4, m = 8, ksub = 16, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q92_sql: String =
+    """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY probe_id, neighbor_id""".stripMargin
+
   // ------------------------------------------------------------- text
 
   def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
@@ -1037,6 +1059,7 @@ object PipelineQueries {
     "q89_dsir" -> (q89_dsir _),
     "q90_ann_pq" -> (q90_ann_pq _),
     "q91_shards" -> (q91_shards _),
+    "q92_ann_ivfpq" -> (q92_ann_ivfpq _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1068,5 +1091,6 @@ object PipelineQueries {
     "q89_dsir" -> q89_sql,
     "q90_ann_pq" -> q90_sql,
     "q91_shards" -> q91_sql,
+    "q92_ann_ivfpq" -> q92_sql,
     "q79_curate" -> q79_sql)
 }

@@ -325,6 +325,105 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine")
   }
 
+  /** IVF-PQ: the two scale mechanisms composed the way production ANN
+    * indexes ship them (Faiss IVFPQ) — [[knnIvf]]'s coarse cells prune
+    * WHICH rows are scanned (~n·nprobe/nlist candidates), [[knnPq]]'s
+    * codes shrink WHAT each scan touches (m ints per row). Vectors are
+    * PQ-encoded directly (no residual rotation — Faiss's
+    * `by_residual=false` layout; documented, not hidden), so one code
+    * frame serves every cell and the per-probe LUT is built once, not
+    * per visited cell. Search: top-`nprobe` cells per probe → cell
+    * equi-join against the (cell, id, codes) frame → ADC → two-stage
+    * bounded shortlist → exact cosine re-rank (the [[knnPq]] discipline;
+    * full vectors only touch the ≤ `shortlist` re-rank rows). An exact
+    * duplicate of a probe lands in the probe's own top-1 cell with
+    * minimum-possible ADC, so the planted-copy gate stays deterministic
+    * at any `nprobe`. */
+  def knnIvfPq(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 32, dim: Int = 64)
+      : DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(shortlist >= k, "shortlist must be at least k")
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val dsub = dim / m
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // one bounded deterministic sample trains BOTH quantizers
+    val sample = cVec.orderBy(xxhash64(col("neighbor_id")))
+      .limit(math.max(math.max(nlist, ksub) * 32, math.max(nlist, ksub)))
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents = kmeans(sample, nlist, iters = 10)
+    val books = (0 until m).map { j =>
+      kmeansL2(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, 10)
+    }.toArray
+    val cn2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
+    def cellSims(v: Column): Column = transform(centCol, ct => cosine(v, ct))
+    def subV(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    def lutRow(v: Column): Seq[Column] = (0 until m).map { j =>
+      val s = subV(v, j)
+      array((0 until ksub).map { c =>
+        lit(cn2(j)(c)) - lit(2.0) *
+          dot(s, array(books(j)(c).map(lit): _*))
+      }: _*)
+    }
+    // corpus: one scan emits (cell, id, codes) — the entire index
+    val codeCols = (0 until m).map { j =>
+      val dists = lutRow(col("cv"))(j)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val indexed = cVec.repartition(shuffleN)
+      .withColumn("__sims", cellSims(col("cv")))
+      .withColumn("cell", (array_position(col("__sims"),
+        array_max(col("__sims"))) - 1).cast("int"))
+      .select(col("neighbor_id"), col("cell"),
+        array(codeCols: _*).as("codes"))
+    // probes: top-nprobe cells, LUT built once per probe
+    val probed = pVec.repartition(shuffleN)
+      .withColumn("__ranked", slice(reverse(array_sort(
+        transform(cellSims(col("pv")),
+          (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
+      .withColumn("cell",
+        explode(transform(col("__ranked"), x => x.getField("i"))))
+      .select(col("probe_id"), col("cell"), array(lutRow(col("pv")): _*)
+        .as("__lut"))
+    val adc = (0 until m).map { j =>
+      element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    // cell equi-join (not the PQ broadcast NLJ) — AQE broadcasts the
+    // probe side at runtime when it is small, like knnIvf's cell join
+    val scored = probed.join(indexed, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), adc.as("__adc"))
+    def topSlice(d: DataFrame, keys: Seq[Column]): DataFrame = d
+      .groupBy(keys: _*)
+      .agg(slice(array_sort(collect_list(
+        struct(col("__adc"), col("neighbor_id")))), 1, shortlist)
+        .as("__xs"))
+      .select((keys :+ explode(col("__xs")).as("__x")): _*)
+      .select((keys :+ col("__x.__adc").as("__adc")
+        :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+    val short = topSlice(topSlice(
+      scored.withColumn("__pid", spark_partition_id()),
+      Seq(col("probe_id"), col("__pid"))), Seq(col("probe_id")))
+      .select("probe_id", "neighbor_id")
+    val reranked = short
+      .join(broadcast(pVec), Seq("probe_id"))
+      .join(cVec, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "cosine")
+  }
+
   /** Driver-side Euclidean k-means over a bounded sample (the PQ
     * codebook trainer): first-k init, argmin-L2 assignment with
     * first-index tie-breaks, empty cells keep their centroid — pure and

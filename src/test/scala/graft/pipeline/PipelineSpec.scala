@@ -205,6 +205,31 @@ class SimilaritySpec extends SparkSpec {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(again == tight)
   }
+
+  test("knnIvfPq: exhaustive cells + full shortlist equals brute; " +
+      "pruned search recalls and is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count().toInt
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every cell visited + corpus-wide shortlist → exact re-rank is brute
+    val full = Similarity.knnIvfPq(probes, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8, m = 8, ksub = 16, shortlist = n)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // pruned cells + tight shortlist still recall most true neighbors
+    val pruned = Similarity.knnIvfPq(probes, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, m = 8, ksub = 16, shortlist = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(pruned).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+    val again = Similarity.knnIvfPq(probes, e, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, m = 8, ksub = 16, shortlist = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == pruned)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
