@@ -302,6 +302,28 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY probe_id, neighbor_id""".stripMargin
 
+  /** SemDeDup at the driver gate: clones of vec_id < 20 planted
+    * (+100000); identical vectors share a k-means cell at any nlist, so
+    * the τ=0.9 within-cell scan finds exactly the planted pairs
+    * (natural max pairwise cosine ~0.60), and the cluster-cleaned
+    * corpus is the original table — a deterministic census oracle.
+    * Subset-of-exact and recall behavior stays in SimilaritySpec. */
+  def q93_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(e.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val pairs = Similarity.semanticNearDupPairs(planted, "vec_id",
+      "embedding", threshold = 0.9, nlist = 16)
+    Dedup.clusterDeduped(planted, "vec_id", pairs)
+      .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_id"),
+        max(col("vec_id")).as("max_id"))
+  }
+
+  val q93_sql: String =
+    """SELECT count(*) AS n_docs, min(vec_id) AS min_id,
+      |  max(vec_id) AS max_id
+      |FROM embeddings""".stripMargin
+
   // ------------------------------------------------------------- text
 
   def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
@@ -1060,6 +1082,7 @@ object PipelineQueries {
     "q90_ann_pq" -> (q90_ann_pq _),
     "q91_shards" -> (q91_shards _),
     "q92_ann_ivfpq" -> (q92_ann_ivfpq _),
+    "q93_semdedup" -> (q93_semdedup _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1092,5 +1115,6 @@ object PipelineQueries {
     "q90_ann_pq" -> q90_sql,
     "q91_shards" -> q91_sql,
     "q92_ann_ivfpq" -> q92_sql,
+    "q93_semdedup" -> q93_sql,
     "q79_curate" -> q79_sql)
 }

@@ -424,6 +424,51 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    * block the corpus into k-means cells (the [[knnIvf]] coarse
+    * quantizer — bounded deterministic sample, argmax-cosine
+    * assignment), then pair-scan WITHIN each cell for cosine ≥
+    * `threshold`. Exact duplicates share a cell by construction
+    * (identical vector → identical argmax), so recall on true clones is
+    * 1.0 at any nlist; cross-cell near-dups are the method's documented
+    * miss class — SemDeDup accepts boundary losses in exchange for
+    * replacing the n² corpus scan with Σ|cell|² (balanced cells →
+    * ~n²/nlist). The within-cell join shuffles each side once on the
+    * cell id with norms precomputed; feed the pairs to
+    * [[Dedup.clusterDeduped]] for the cleaned corpus. */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nlist: Int = 16, dim: Int = 64)
+      : DataFrame = {
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val cVec = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val sample = cVec.orderBy(xxhash64(col("__id")))
+      .limit(math.max(nlist * 32, nlist))
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val cents = kmeans(sample, nlist, iters = 10)
+    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
+    val assigned = cVec.repartition(shuffleN)
+      .withColumn("__sims",
+        transform(centCol, ct => cosine(col("__v"), ct)))
+      .withColumn("__cell", (array_position(col("__sims"),
+        array_max(col("__sims"))) - 1).cast("int"))
+      .withColumn("__n", norm(col("__v")))
+      .select("__id", "__cell", "__v", "__n")
+    val a = assigned.select(col("__cell"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("__cell"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        when(col("__na") * col("__nb") === 0, lit(0.0))
+          .otherwise(dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Driver-side Euclidean k-means over a bounded sample (the PQ
     * codebook trainer): first-k init, argmin-L2 assignment with
     * first-index tie-breaks, empty cells keep their centroid — pure and

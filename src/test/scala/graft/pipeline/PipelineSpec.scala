@@ -230,6 +230,34 @@ class SimilaritySpec extends SparkSpec {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(again == pruned)
   }
+
+  test("semanticNearDupPairs finds every planted clone in-cell; pairs " +
+      "are a subset of the exact all-pairs scan") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = e.unionByName(e.filter(col("vec_id") < 15).select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    // clones share the argmax cell at ANY nlist → recall 1.0 on them
+    val pairs = Similarity.semanticNearDupPairs(planted, "vec_id",
+      "embedding", threshold = 0.9, nlist = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 15L).map(i => (i, i + 100000)).toSet)
+    // at a loose threshold, within-cell pairs ⊆ the exact pair scan
+    val cellPairs = Similarity.semanticNearDupPairs(e, "vec_id",
+      "embedding", threshold = 0.3, nlist = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold = 0.3, planes = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cellPairs.subsetOf(exact))
+    // cleaned corpus drops exactly the planted clones
+    val cleaned = Dedup.clusterDeduped(planted, "vec_id",
+      Similarity.semanticNearDupPairs(planted, "vec_id", "embedding",
+        threshold = 0.9, nlist = 8))
+    assert(cleaned.count() == e.count())
+    assert(cleaned.filter(col("vec_id") >= 100000).count() == 0)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
