@@ -123,25 +123,59 @@ object Dsir {
         coalesce(col("__lr"), lit(fR)))).as("logw"))
   }
 
-  /** Gumbel top-k resampling: score = logw/temperature + Gumbel noise
-    * from the portable per-id uniform (deterministic across engines and
-    * runs), keep the ⌈frac·n⌉ best. temperature → 0 approaches plain
-    * top-k by weight; 1.0 is DSIR's sampling-without-replacement. The
-    * k-cut is a distributed TakeOrdered (orderBy+limit), not a global
-    * sort. */
+  /** Gumbel score for a weight row: logw/temperature + Gumbel noise from
+    * the portable per-id uniform — deterministic across engines and runs
+    * (no RNG state), the shared core of both selection modes below. */
+  private def gumbelScore(idCol: String, temperature: Double): Column = {
+    // (hash + 0.5) / 2^32 keeps u strictly inside (0,1)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    col("logw") / temperature + (-log(-log(u)))
+  }
+
+  /** Exact Gumbel top-k resampling: keep the ⌈frac·n⌉ best scores.
+    * temperature → 0 approaches plain top-k by weight; 1.0 is DSIR's
+    * sampling-without-replacement. The k-cut is a global limit — every
+    * surviving row passes through one task — so the exact mode is
+    * capped (loud `require`): it is for oracle-checkable samples and
+    * moderate selections. Corpus-fraction selections at scale use
+    * [[resampleAboveQuantile]], which cuts by a score threshold and
+    * never funnels rows. */
   def resampleTopFrac(weights: DataFrame, idCol: String, frac: Double,
-      temperature: Double = 1.0): DataFrame = {
+      temperature: Double = 1.0, maxExact: Int = 4194304): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
     require(temperature > 0, "temperature must be positive")
     val n = weights.count()
     val k = math.ceil(frac * n).toLong
-    // (hash + 0.5) / 2^32 keeps u strictly inside (0,1)
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0
+    require(k <= maxExact,
+      s"exact top-k selection of $k rows exceeds maxExact=$maxExact " +
+        "(a global limit single-tasks the survivors); use " +
+        "resampleAboveQuantile for corpus-fraction selections")
     weights
-      .withColumn("score",
-        col("logw") / temperature + (-log(-log(u))))
+      .withColumn("score", gumbelScore(idCol, temperature))
       .orderBy(desc("score"), col(idCol))
       .limit(k.toInt)
+  }
+
+  /** Scale-path Gumbel resampling: estimate the (1 − frac) score
+    * quantile (approxQuantile — bounded-memory Greenwald-Khanna sketch)
+    * and keep rows above it. Selection becomes a PURE FILTER — no
+    * global sort, no single-task limit, the shape that survives a
+    * billion-document corpus — at the cost of ±relErr·n rows around the
+    * target size. The scores themselves stay deterministic; only the
+    * cut point is approximate. */
+  def resampleAboveQuantile(weights: DataFrame, idCol: String,
+      frac: Double, temperature: Double = 1.0,
+      relErr: Double = 0.001): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    require(temperature > 0, "temperature must be positive")
+    val scored = weights
+      .withColumn("score", gumbelScore(idCol, temperature))
+    if (frac == 1.0) scored
+    else {
+      val cut = scored.stat
+        .approxQuantile("score", Array(1.0 - frac), relErr).head
+      scored.filter(col("score") >= cut)
+    }
   }
 }

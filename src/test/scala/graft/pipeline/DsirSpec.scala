@@ -71,5 +71,24 @@ class DsirSpec extends SparkSpec {
     assert(s1.size == 3 &&
       s1 == Dsir.resampleTopFrac(w, "id", 0.6).select("id")
         .as[Long].collect().toSet)
+    // the exact mode refuses selections past its single-task cap
+    val e = intercept[IllegalArgumentException] {
+      Dsir.resampleTopFrac(w, "id", 1.0, maxExact = 3)
+    }
+    assert(e.getMessage.contains("resampleAboveQuantile"))
+  }
+
+  test("resampleAboveQuantile matches the exact top-k at tiny scale") {
+    val w = (1L to 200L).map(i => (i, (i % 17).toDouble))
+      .toDF("id", "logw")
+    val exact = Dsir.resampleTopFrac(w, "id", 0.25).select("id")
+      .as[Long].collect().toSet
+    // the threshold cut lands within one quantile-index convention of
+    // the exact set (all 200 scores distinct: gumbel noise breaks ties)
+    val approx = Dsir.resampleAboveQuantile(w, "id", 0.25,
+      relErr = 0.0001).select("id").as[Long].collect().toSet
+    assert((approx diff exact).size + (exact diff approx).size <= 2,
+      s"exact=${exact.size} approx=${approx.size}")
+    assert(Dsir.resampleAboveQuantile(w, "id", 1.0).count() == 200)
   }
 }
