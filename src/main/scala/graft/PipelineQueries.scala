@@ -324,6 +324,57 @@ object PipelineQueries {
       |  max(vec_id) AS max_id
       |FROM embeddings""".stripMargin
 
+  /** Exact-substring dedup (Lee et al. ExactSubstr): every duplicated
+    * >= 8-token region is removed from all but its first (id, pos)
+    * occurrence. The planted copies (orig text + " zz9") lose their whole
+    * copied prefix and keep the one novel token; originals are first
+    * occurrences and pass through. The oracle replays the identical
+    * rank-and-merge algorithm over gram STRINGS (the engine ranks hashes —
+    * value-identical absent a 2⁻⁶⁴ collision). */
+  def q94_substring_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSubstrings(corpusWithDups(spark, dir),
+      "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  val q94_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |tok AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS t FROM corpus),
+       |g AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(t) - 7)) AS i, t FROM tok),
+       |r AS (SELECT doc_id, i - 1 AS pos,
+       |    row_number() OVER (PARTITION BY array_to_string(t[i : i+7], ' ')
+       |      ORDER BY doc_id, i) AS rn,
+       |    count(*) OVER (PARTITION BY array_to_string(t[i : i+7], ' '))
+       |      AS cnt
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+       |l AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |      OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM l),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+       |  FROM isl GROUP BY doc_id, grp),
+       |st AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+       |  FROM sp GROUP BY doc_id),
+       |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) - 1 AS p,
+       |    t FROM tok),
+       |kept AS (SELECT tp.doc_id, tp.p, tp.t[tp.p + 1] AS tk FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = tp.doc_id AND tp.p >= sp.s AND tp.p < sp.e)),
+       |cl AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS text_clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tok.doc_id, coalesce(cl.text_clean, '') AS text_clean,
+       |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_tokens,
+       |  CAST(len(tok.t) - coalesce(st.removed, 0) AS BIGINT)
+       |    AS kept_tokens
+       |FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id
+       |LEFT JOIN cl ON tok.doc_id = cl.doc_id
+       |ORDER BY tok.doc_id""".stripMargin
+
   // ------------------------------------------------------------- text
 
   def q21_text_stats(spark: SparkSession, dir: String): DataFrame = {
@@ -1083,6 +1134,7 @@ object PipelineQueries {
     "q91_shards" -> (q91_shards _),
     "q92_ann_ivfpq" -> (q92_ann_ivfpq _),
     "q93_semdedup" -> (q93_semdedup _),
+    "q94_substring_dedup" -> (q94_substring_dedup _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1116,5 +1168,6 @@ object PipelineQueries {
     "q91_shards" -> q91_sql,
     "q92_ann_ivfpq" -> q92_sql,
     "q93_semdedup" -> q93_sql,
+    "q94_substring_dedup" -> q94_sql,
     "q79_curate" -> q79_sql)
 }

@@ -593,4 +593,130 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
     restoreIds(out, idMap, Seq("id_a", "id_b"))
   }
+
+  // ------------------------------------ exact-substring dedup (suffix-array
+  // semantics: remove every non-first occurrence of any >= k-token repeat)
+
+  /** Positional k-gram frame (id, pos, __gh): EVERY overlapping token
+    * k-gram in document order (multiplicity and position preserved —
+    * unlike [[shingleMinhash]]'s distinct set, span removal needs to know
+    * WHERE each gram sits). One imperative tokenize + rolling-hash pass
+    * per row; output rows are 20 bytes. Gram identity is the chained
+    * XXH64 over token hashes — two distinct grams colliding (~2⁻⁶⁴)
+    * would spuriously mark a span, the same accepted odds as [[longIds]].
+    * Requires a long-castable id. */
+  private[pipeline] def positionalGramFrame(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .repartition(defaultParallelism(df))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val L = toks.length - (k - 1)
+        if (L <= 0) Iterator.empty
+        else {
+          val th = new Array[Long](toks.length)
+          var i = 0
+          while (i < toks.length) { th(i) = hashToken(toks(i), 42L); i += 1 }
+          Iterator.range(0, L).map { p =>
+            var h = 42L
+            var j = 0
+            while (j < k) {
+              h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(th(p + j), h)
+              j += 1
+            }
+            (id, p, h)
+          }
+        }
+      })
+      .toDF("id", "pos", "__gh")
+  }
+
+  /** Merged token spans of duplicated >= k-token substrings — the
+    * deduplicating-training-data operator (Lee et al. 2022's ExactSubstr,
+    * arXiv:2107.06499) re-expressed for Spark: instead of one giant
+    * suffix array, any repeat of length >= k is witnessed by its
+    * overlapping k-grams, so ranking every positional k-gram occurrence
+    * globally (first occurrence in (id, pos) order is the keeper) and
+    * merging the non-first positions into islands yields exactly the
+    * non-first repeated regions. Emits (idCol, span_start, span_end) —
+    * token indices, end exclusive.
+    *
+    * Scale shape: one narrow (id, pos, hash) gram frame, ONE hash
+    * shuffle on the gram for rank+count (partitions are per-gram — tiny),
+    * then one shuffle on id for the island merge. Never ships text, never
+    * builds a corpus-wide suffix array. Equal-length intervals make the
+    * merge a lag-gap scan: a window overlaps-or-touches its predecessor
+    * iff pos − prev <= k. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 2, s"need k >= 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGramFrame(df, idCol, textCol, k)
+    val perGram = Window.partitionBy("__gh").orderBy("id", "pos")
+    val dup = grams
+      .withColumn("__rn", row_number().over(perGram))
+      .withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy("__gh")))
+      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+      .select("id", "pos")
+    val perDoc = Window.partitionBy("id").orderBy("pos")
+    dup
+      .withColumn("__prev", lag("pos", 1).over(perDoc))
+      .withColumn("__isl", sum(
+        when(col("__prev").isNull || col("pos") - col("__prev") > k, 1)
+          .otherwise(0)).over(perDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).as("span_end"))
+      .select(col("id").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+  }
+
+  /** The corpus with every duplicated >= k-token substring removed from
+    * all but its first (id, pos) occurrence — suffix-array dedup's output
+    * frame. Emits (idCol, text_clean, n_spans, removed_tokens,
+    * kept_tokens); text_clean is NORMALIZED (lowercased, whitespace
+    * collapsed) because spans are defined over normalized tokens.
+    * Untouched docs pass through with n_spans = 0. The span payload rides
+    * one left join keyed on id (a handful of (start, end) pairs per doc);
+    * token filtering is a per-row kernel pass, no token-level explode. */
+  def removeRepeatedSubstrings(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("_1"), col("span_end").as("_2")))).as("__sp"))
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .join(spans, Seq(idCol), "left")
+      .as[(Long, String, Seq[(Long, Long)])]
+      .mapPartitions(_.map { case (id, text, sp) =>
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        if (sp == null || sp.isEmpty)
+          (id, toks.mkString(" "), 0L, 0L, toks.length.toLong)
+        else {
+          val kept = new scala.collection.mutable.ArrayBuffer[String]()
+          val it = sp.iterator
+          var (s, e) = it.next()
+          var p = 0
+          while (p < toks.length) {
+            if (p < s) kept += toks(p)
+            else if (p >= e && it.hasNext) { val n = it.next(); s = n._1; e = n._2
+              if (p < s) kept += toks(p) }
+            else if (p >= e) kept += toks(p)
+            p += 1
+          }
+          (id, kept.mkString(" "), sp.size.toLong,
+            toks.length.toLong - kept.size, kept.size.toLong)
+        }
+      })
+      .toDF(idCol, "text_clean", "n_spans", "removed_tokens", "kept_tokens")
+  }
 }
