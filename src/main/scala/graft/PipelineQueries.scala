@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Perplexity, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators exposed through the driver contract:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -374,6 +374,63 @@ object PipelineQueries {
        |FROM tok LEFT JOIN st ON tok.doc_id = st.doc_id
        |LEFT JOIN cl ON tok.doc_id = cl.doc_id
        |ORDER BY tok.doc_id""".stripMargin
+
+  /** CCNet-style LM quality triage: bigram LM trained on the English
+    * slice, every doc scored by smoothed cross-entropy, corpus split into
+    * head/middle/tail perplexity terciles. The oracle replays the full
+    * closed-form model — counts, Laplace floors, chain-rule events, ntile
+    * — in SQL; ntile ordering uses the ROUNDED ppl (+doc_id tiebreak) so
+    * last-ulp summation differences between engines cannot flip a
+    * boundary assignment. */
+  def q95_perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val model = Perplexity.train(d.filter(col("lang") === "en"),
+      "doc_id", "text")
+    val scored = Perplexity.score(d, "doc_id", "text", model)
+      .withColumn("ppl", round(col("ppl"), 4))
+    Perplexity.bucketExact(scored, "doc_id", nBuckets = 3)
+      .select(col("doc_id"), col("n_tokens"), col("ppl"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q95_sql: String =
+    """WITH tok AS (SELECT doc_id, lang,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |uc AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(t) AS w FROM tok WHERE lang = 'en') GROUP BY w),
+      |tot AS (SELECT sum(c) AS n, count(*) + 1 AS v FROM uc),
+      |bc AS (SELECT g, count(*) AS c FROM (
+      |    SELECT t[i] || ' ' || t[i+1] AS g
+      |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+      |          FROM tok WHERE lang = 'en')) GROUP BY g),
+      |ev AS (
+      |  SELECT doc_id, 'u' AS k, t[1] AS g, '' AS u FROM tok
+      |  WHERE len(t) >= 1
+      |  UNION ALL
+      |  SELECT doc_id, 'b', t[i] || ' ' || t[i+1], t[i]
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, len(t) - 1)) AS i FROM tok)),
+      |sc AS (
+      |  SELECT e.doc_id,
+      |    CASE WHEN e.k = 'u'
+      |      THEN ln((coalesce(uc1.c, 0) + 1.0) / (tot.n + tot.v))
+      |      ELSE CASE WHEN bc.c IS NOT NULL
+      |        THEN ln((bc.c + 1.0) / (ucx.c + tot.v))
+      |        ELSE ln(1.0 / (coalesce(ucx.c, 0) + tot.v)) END
+      |    END AS lp
+      |  FROM ev e
+      |  CROSS JOIN tot
+      |  LEFT JOIN uc uc1 ON e.k = 'u' AND uc1.w = e.g
+      |  LEFT JOIN bc ON e.k = 'b' AND bc.g = e.g
+      |  LEFT JOIN uc ucx ON e.k = 'b' AND ucx.w = e.u),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |    -sum(lp) / count(*) AS h FROM sc GROUP BY doc_id),
+      |p AS (SELECT doc_id, n_tokens, round(exp(h), 4) AS ppl FROM agg)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ppl,
+      |  CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS INT) AS bucket
+      |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- text
 
@@ -1135,6 +1192,7 @@ object PipelineQueries {
     "q92_ann_ivfpq" -> (q92_ann_ivfpq _),
     "q93_semdedup" -> (q93_semdedup _),
     "q94_substring_dedup" -> (q94_substring_dedup _),
+    "q95_perplexity" -> (q95_perplexity _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1169,5 +1227,6 @@ object PipelineQueries {
     "q92_ann_ivfpq" -> q92_sql,
     "q93_semdedup" -> q93_sql,
     "q94_substring_dedup" -> q94_sql,
+    "q95_perplexity" -> q95_sql,
     "q79_curate" -> q79_sql)
 }
