@@ -448,6 +448,10 @@ object Similarity {
     require(sample.nonEmpty, "empty corpus")
     val cents = kmeans(sample, nlist, iters = 10)
     val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
+    // persisted: both sides of the cell self-join read this frame —
+    // unpersisted, the nlist-cosine assignment (an interpreted lambda per
+    // row) and the upstream scan execute twice (the minhashLsh
+    // multi-branch finding; callers/benchmarks release via clearCache)
     val assigned = cVec.repartition(shuffleN)
       .withColumn("__sims",
         transform(centCol, ct => cosine(col("__v"), ct)))
@@ -455,6 +459,7 @@ object Similarity {
         array_max(col("__sims"))) - 1).cast("int"))
       .withColumn("__n", norm(col("__v")))
       .select("__id", "__cell", "__v", "__n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = assigned.select(col("__cell"), col("__id").as("id_b"),
