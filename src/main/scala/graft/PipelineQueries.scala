@@ -898,6 +898,43 @@ object PipelineQueries {
       |  max(doc_id) AS max_id
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Temperature-scaled domain mixing end-to-end: p_d ∝ n_d^(1/2) keep
+    * fractions against a 250-row budget, applied through the portable
+    * md5-uniform sample — fractions AND the realized per-source census
+    * both gate (the oracle recomputes pow/sum/least in SQL). */
+  def q96_temp_mix(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val d = docs(spark, dir)
+    val fr = Curation.temperatureMixFractions(d, "source",
+      temperature = 2.0, budgetRows = 250)
+    val kept = Curation.stratifiedSample(d, "source", "doc_id", fr)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(fr.toSeq.toDF("source", "frac")), Seq("source"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), round(col("frac"), 6)
+        .as("frac"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val q96_sql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents
+      |  GROUP BY source),
+      |f AS (SELECT source, n,
+      |    least(1.0, 250 * (pow(n, 0.5) / (SELECT sum(pow(n, 0.5))
+      |      FROM c)) / n) AS frac FROM c),
+      |k AS (SELECT d.source, count(*) AS n_kept
+      |  FROM documents d JOIN f ON d.source = f.source
+      |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      |          AS BIGINT) / 4294967296.0 < f.frac
+      |  GROUP BY d.source)
+      |SELECT f.source, CAST(f.n AS BIGINT) AS n_docs,
+      |  round(f.frac, 6) AS frac,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM f LEFT JOIN k ON f.source = k.source
+      |ORDER BY f.source""".stripMargin
+
   /** Sequence packing census: the corpus as one id-ordered token stream
     * cut into 512-token training windows (Curation.packSequences'
     * distributed prefix sum). Gates the per-window doc count, token
@@ -1193,6 +1230,7 @@ object PipelineQueries {
     "q93_semdedup" -> (q93_semdedup _),
     "q94_substring_dedup" -> (q94_substring_dedup _),
     "q95_perplexity" -> (q95_perplexity _),
+    "q96_temp_mix" -> (q96_temp_mix _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1228,5 +1266,6 @@ object PipelineQueries {
     "q93_semdedup" -> q93_sql,
     "q94_substring_dedup" -> q94_sql,
     "q95_perplexity" -> q95_sql,
+    "q96_temp_mix" -> q96_sql,
     "q79_curate" -> q79_sql)
 }

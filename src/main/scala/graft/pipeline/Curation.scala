@@ -240,6 +240,28 @@ object Curation {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
 
+  /** Temperature-scaled mixing fractions (the multilingual-sampling
+    * temperature of Arivazhagan et al. 2019, arXiv:1907.05019 §5, and
+    * GPT-3's dataset weights): sampling probability p_d ∝ n_d^(1/T),
+    * realized as per-stratum keep fractions against a row budget —
+    * frac_d = min(1, budget·p_d / n_d). T = 1 reproduces proportional
+    * sampling (every stratum keeps budget/N); T → ∞ approaches equal
+    * rows per stratum. One #strata-row aggregate collected to the
+    * driver; feed the result to [[stratifiedSample]]. */
+  def temperatureMixFractions(df: DataFrame, strataCol: String,
+      temperature: Double, budgetRows: Long): Map[String, Double] = {
+    require(temperature > 0, "temperature must be positive")
+    require(budgetRows > 0, "budgetRows must be positive")
+    val counts = df.groupBy(col(strataCol).cast("string"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (d, n) =>
+      d -> math.pow(n.toDouble, 1.0 / temperature) }
+    val tot = w.values.sum
+    w.map { case (d, wd) =>
+      d -> math.min(1.0, budgetRows * (wd / tot) / counts(d)) }
+  }
+
   /** Deterministic stratified sampling for domain mixing: keep a row iff
     * hashUniform(key) < fraction(stratum). Strata absent from the map
     * keep `defaultFraction` (0 drops them). Pure filter expression — no

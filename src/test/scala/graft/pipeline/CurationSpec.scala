@@ -102,6 +102,30 @@ class CurationSpec extends SparkSpec {
     assert(dflt > 60 && dflt < 140) // ~0.5 of the 200 default rows
   }
 
+  test("temperatureMixFractions realizes the n^(1/T) distribution") {
+    // strata of 300 / 90 / 10 rows
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 300) "big" else if (i <= 390) "mid" else "small"))
+      .toDF("doc_id", "source")
+    // T = 1: proportional — every stratum keeps budget/N
+    val t1 = Curation.temperatureMixFractions(df, "source", 1.0, 100L)
+    assert(t1.values.forall(f => math.abs(f - 0.25) < 1e-12))
+    // T = 2: weights sqrt(n) = (17.32, 9.49, 3.16); small strata keep a
+    // larger share of themselves than big ones
+    val t2 = Curation.temperatureMixFractions(df, "source", 2.0, 100L)
+    val w = Map("big" -> math.sqrt(300.0), "mid" -> math.sqrt(90.0),
+      "small" -> math.sqrt(10.0))
+    val tot = w.values.sum
+    w.foreach { case (d, wd) =>
+      val n = Map("big" -> 300.0, "mid" -> 90.0, "small" -> 10.0)(d)
+      assert(math.abs(t2(d) - math.min(1.0, 100 * (wd / tot) / n)) < 1e-12)
+    }
+    assert(t2("small") > t2("mid") && t2("mid") > t2("big"))
+    // huge budget: fractions cap at 1, never above
+    val cap = Curation.temperatureMixFractions(df, "source", 2.0, 100000L)
+    assert(cap.values.forall(_ == 1.0))
+  }
+
   test("curateCorpus drops each planted family at its stage") {
     val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
