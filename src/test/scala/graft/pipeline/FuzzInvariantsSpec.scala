@@ -79,4 +79,96 @@ class FuzzInvariantsSpec extends SparkSpec {
     // every shard populated at n≫shards (md5 uniformity sanity)
     assert(shards.distinct.sorted.toSeq == (0L to 7L))
   }
+
+  test("removeRepeatedSubstrings matches a sequential ExactSubstr " +
+      "reference on dense random corpora") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3)
+      val vocab = 3 + rnd.nextInt(3) // tiny vocab → dense natural repeats
+      // ≥1 token: a zero-token doc tokenizes to [""] by the engine-wide
+      // split convention (counted, matching the SQL oracle) while this
+      // reference counts none — not the property under test
+      val docs = (1L to (8 + rnd.nextInt(12))).map { i =>
+        val n = 1 + rnd.nextInt(25)
+        (i, (1 to n).map(_ => s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }
+      // sequential reference: rn>1 ⟺ gram seen earlier in (id, pos)
+      // order; islands merge at gap ≤ k; spans [min, max+k) removed
+      val seen = scala.collection.mutable.Set[Seq[String]]()
+      val want = docs.map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val dup = (0 to toks.length - k).filter { p =>
+          !seen.add(toks.slice(p, p + k))
+        }
+        val spans = dup.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, p) if p <= e => (s, p + k) :: rest
+          case (acc, p) => (p, p + k) :: acc
+        }.reverse
+        val covered = spans.flatMap { case (s, e) => s until e }.toSet
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, (kept.mkString(" "), spans.size.toLong,
+          covered.size.toLong, kept.size.toLong))
+      }.toMap
+      val got = Dedup.removeRepeatedSubstrings(
+        docs.toDF("id", "text").repartition(1 + rnd.nextInt(5)),
+        "id", "text", k)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == want, s"trial $trial k=$k vocab=$vocab")
+    }
+  }
+
+  test("Perplexity.score matches a sequential chain-rule reference") {
+    val rnd = new scala.util.Random(31)
+    val mkDoc = (n: Int) =>
+      (1 to n).map(_ => s"w${rnd.nextInt(7)}").mkString(" ")
+    val ref = (1L to 10L).map(i => (i, mkDoc(1 + rnd.nextInt(20))))
+    val corpus = (1L to 25L).map(i => (i, mkDoc(1 + rnd.nextInt(15))))
+    val model = Perplexity.train(ref.toDF("id", "text"), "id", "text")
+    // sequential counts
+    val uni = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    ref.foreach { case (_, t) =>
+      val ts = t.split(" ")
+      ts.foreach(w => uni(w) += 1)
+      ts.sliding(2).filter(_.length == 2).foreach(p => bi((p(0), p(1))) += 1)
+    }
+    val n = uni.values.sum.toDouble
+    val v = uni.size + 1.0
+    assert(model.nTokens == n && model.vocab == v)
+    val got = Perplexity.score(corpus.toDF("id", "text"), "id", "text",
+      model).select("id", "cross_entropy").as[(Long, Double)]
+      .collect().toMap
+    corpus.foreach { case (id, t) =>
+      val ts = t.split(" ")
+      val lps = math.log((uni(ts.head) + 1.0) / (n + v)) +:
+        ts.sliding(2).filter(_.length == 2).map(p =>
+          math.log((bi((p(0), p(1))) + 1.0) / (uni(p(0)) + v))).toSeq
+      val want = -lps.sum / ts.length
+      assert(math.abs(got(id) - want) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("temperature fractions spend exactly the budget when uncapped") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 5) {
+      val sizes = (0 until 3 + rnd.nextInt(4)).map(d =>
+        s"d$d" -> (50 + rnd.nextInt(200))).toMap
+      val rows = sizes.toSeq.flatMap { case (d, n) =>
+        (1 to n).map(i => (s"$d-$i", d))
+      }
+      val temp = 1.0 + rnd.nextDouble() * 3
+      // budget small enough that no stratum can hit the frac=1 cap
+      val budget = 1L + rnd.nextInt(sizes.values.min)
+      val fr = Curation.temperatureMixFractions(
+        rows.toDF("key", "dom"), "dom", temp, budget)
+      assert(fr.values.forall(f => f > 0 && f < 1))
+      val spent = fr.map { case (d, f) => f * sizes(d) }.sum
+      assert(math.abs(spent - budget) < 1e-9,
+        s"trial $trial spent=$spent budget=$budget")
+    }
+  }
 }
