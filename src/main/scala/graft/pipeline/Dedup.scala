@@ -658,11 +658,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val grams = positionalGramFrame(df, idCol, textCol, k)
     val perGram = Window.partitionBy("__gh").orderBy("id", "pos")
+    // rn > 1 already implies the gram occurs ≥ 2 times — one ranked
+    // window pass over the token-scale frame, no separate count pass
     val dup = grams
       .withColumn("__rn", row_number().over(perGram))
-      .withColumn("__cnt",
-        count(lit(1)).over(Window.partitionBy("__gh")))
-      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+      .filter(col("__rn") > 1)
       .select("id", "pos")
     val perDoc = Window.partitionBy("id").orderBy("pos")
     dup
