@@ -935,6 +935,120 @@ object PipelineQueries {
       |FROM f LEFT JOIN k ON f.source = k.source
       |ORDER BY f.source""".stripMargin
 
+  /** Incremental ingestion dedup: a NEW batch (fresh docs ∪ perturbed
+    * copies of kept docs, the q24 planting idiom) matched against the
+    * KEPT corpus with cross-corpus MinHash+LSH. Thresholds per q24's
+    * determinism argument: r=2/b=8 misses ~0.35% at j=0.7 and ~4e-9 at
+    * the planted pairs' ~0.95, so the all-pairs oracle matches. */
+  def q97_cross_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val kept = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .unionByName(d.filter(col("doc_id") % 20 === 1).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text")))
+    Dedup.crossCorpusPairs(batch, kept, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .select("new_id", "kept_id", "jaccard")
+      .orderBy("new_id", "kept_id")
+  }
+
+  val q97_sql: String =
+    """WITH kept AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 20 = 1),
+      |shk AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM kept)),
+      |shn AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM batch))
+      |SELECT n.doc_id AS new_id, k.doc_id AS kept_id,
+      |  round(CAST(len(list_intersect(n.s, k.s)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(n.s, k.s))), 6) AS jaccard
+      |FROM shn n, shk k
+      |WHERE CAST(len(list_intersect(n.s, k.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(n.s, k.s))) >= 0.7
+      |ORDER BY new_id, kept_id""".stripMargin
+
+  /** Hashed TF-IDF feature vectors (sparse triples) for a probe slice,
+    * with corpus-wide N and df_t — the text→vector stage ahead of
+    * ANN/clustering. The probe filter applies AFTER the stats (it cannot
+    * push below the term window), so weights are corpus-calibrated. */
+  def q98_tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedTfIdf(docs(spark, dir), "doc_id", "text", dim = 64)
+      .filter(col("id") % 25 === 0)
+      .select(col("id").as("doc_id"), col("dim_idx"),
+        round(col("weight"), 6).as("weight"))
+      .orderBy("doc_id", "dim_idx")
+
+  val q98_sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+      |          '\s+')) AS term FROM documents)
+      |  GROUP BY doc_id, term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |d AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM tf
+      |      GROUP BY term)
+      |SELECT tf.doc_id,
+      |  CAST(CAST('0x' || substr(md5(tf.term), 1, 8) AS BIGINT) % 64
+      |    AS INT) AS dim_idx,
+      |  round(sum(tf.tf * ln((n.n + 1) / (d.df_t + 1))), 6) AS weight
+      |FROM tf CROSS JOIN n JOIN d ON tf.term = d.term
+      |WHERE tf.doc_id % 25 = 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** BM25 ranking of the corpus against a 3-term query — expression-only
+    * tf, one broadcast stats row (see TextAnalysis.bm25). Every matching
+    * doc is returned ordered by id, so score ties can't flake the gate. */
+  def q99_bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(docs(spark, dir), "doc_id", "text",
+      Seq("spark", "vector", "customer"))
+      .select(col("id").as("doc_id"), col("dl"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+
+  val q99_sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+      |    CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(toks, x -> x = 'customer')) AS DOUBLE)
+      |      AS tf2
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM base)
+      |SELECT b.doc_id, CAST(b.dl AS BIGINT) AS dl,
+      |  round(
+      |    ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * (b.tf0 * 2.2) /
+      |      (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)) +
+      |    ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * (b.tf1 * 2.2) /
+      |      (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)) +
+      |    ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * (b.tf2 * 2.2) /
+      |      (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / s.avgdl)), 6) AS score
+      |FROM base b CROSS JOIN s
+      |WHERE b.tf0 > 0 OR b.tf1 > 0 OR b.tf2 > 0
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Sequence packing census: the corpus as one id-ordered token stream
     * cut into 512-token training windows (Curation.packSequences'
     * distributed prefix sum). Gates the per-window doc count, token
@@ -1231,6 +1345,9 @@ object PipelineQueries {
     "q94_substring_dedup" -> (q94_substring_dedup _),
     "q95_perplexity" -> (q95_perplexity _),
     "q96_temp_mix" -> (q96_temp_mix _),
+    "q97_cross_dedup" -> (q97_cross_dedup _),
+    "q98_tfidf" -> (q98_tfidf _),
+    "q99_bm25" -> (q99_bm25 _),
     "q79_curate" -> (q79_curate _))
 
   val oracles: Map[String, String] = Map(
@@ -1267,5 +1384,8 @@ object PipelineQueries {
     "q94_substring_dedup" -> q94_sql,
     "q95_perplexity" -> q95_sql,
     "q96_temp_mix" -> q96_sql,
+    "q97_cross_dedup" -> q97_sql,
+    "q98_tfidf" -> q98_sql,
+    "q99_bm25" -> q99_sql,
     "q79_curate" -> q79_sql)
 }

@@ -253,6 +253,92 @@ object Dedup {
     restoreIds(verified, idMap, Seq("id_a", "id_b"))
   }
 
+  /** Cross-corpus (incremental) near-dedup: candidate pairs between a NEW
+    * batch and an already-KEPT corpus via the same MinHash+LSH banding as
+    * [[minhashLsh]], verified with exact shingle Jaccard. Returns
+    * (new_id, kept_id, est_jaccard, jaccard) — one row per verified cross
+    * pair; a new doc with no row is genuinely novel ([[dedupAgainst]]
+    * keeps exactly those).
+    *
+    * This is the ingestion-time dedup shape: the kept side is the
+    * accumulated corpus, the new side a small incremental batch. At scale
+    * the kept side's compact (id, sig, sh) projection is what a pipeline
+    * stores between batches (recomputed from text here so the op is
+    * self-contained), and its band explode is the frame one would
+    * band-partition on disk so each batch joins against it without a
+    * kept-side reshuffle. Both band explodes ship only (id, size);
+    * signatures and shingles re-attach per-id AFTER the narrow pair
+    * dedupe, exactly like [[minhashLsh]] — the 100-TB kept text never
+    * enters the join. */
+  def crossCorpusPairs(newDf: DataFrame, keptDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    import org.apache.spark.storage.StorageLevel
+    val rows = k / bands
+    val (newL, newMap) = longIds(newDf, idCol)
+    val (keptL, keptMap) = longIds(keptDf, idCol)
+    // both signature frames feed three branches each (band explode, sig
+    // re-attach, shingle re-attach) — persist the compact projections
+    val newSig = shingleMinhash(newL, idCol, textCol, shingleN, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptSig = shingleMinhash(keptL, idCol, textCol, shingleN, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bandHash(sig: Column, b: Int): Column =
+      xxhash64(concat_ws(",",
+        slice(sig, b * rows + 1, rows).cast("array<string>")))
+    def banded(s: DataFrame): DataFrame =
+      s.select(col("id"), size(col("sh")).as("sz"),
+        posexplode(array((0 until bands).map(b =>
+          bandHash(col("sig"), b)): _*))
+          .as(Seq("band_idx", "band_hash")))
+    val a = banded(newSig).select(col("band_idx"), col("band_hash"),
+      col("id").as("new_id"), col("sz").as("sz_a"))
+    val b = banded(keptSig).select(col("band_idx"), col("band_hash"),
+      col("id").as("kept_id"), col("sz").as("sz_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      // EXACT size prune (can never drop a qualifying pair), then the
+      // narrow (new_id, kept_id) dedupe collapses multi-band matches
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= minJaccard)
+      .select("new_id", "kept_id")
+      .dropDuplicates("new_id", "kept_id")
+    val cand = pairs
+      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")),
+        Seq("new_id"))
+      .join(keptSig.select(col("id").as("kept_id"), col("sig").as("sig_b")),
+        Seq("kept_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / k)
+      .filter(col("est_jaccard") >= minJaccard / 2)
+      .select("new_id", "kept_id", "est_jaccard")
+    val verified = cand
+      .join(newSig.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        Seq("new_id"))
+      .join(keptSig.select(col("id").as("kept_id"), col("sh").as("sh_b")),
+        Seq("kept_id"))
+      .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+    restoreIds(restoreIds(verified, newMap, Seq("new_id")),
+      keptMap, Seq("kept_id"))
+  }
+
+  /** Surviving NEW rows of an incremental batch: anti-join against the
+    * batch's verified cross-corpus matches. Within-batch duplicates are a
+    * separate pass — run [[minhashLsh]] + [[clusterDeduped]] on the
+    * survivors before appending them to the kept corpus. */
+  def dedupAgainst(newDf: DataFrame, keptDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val matched = crossCorpusPairs(newDf, keptDf, idCol, textCol,
+      k, bands, shingleN, minJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    newDf.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-duplicate pairs — the step that turns
     * pairwise matches into dedup CLUSTERS (keep one doc per component).
     * Hash-min label propagation: every node starts as its own component

@@ -184,6 +184,84 @@ object TextAnalysis {
       .toDF("id", "hashes")
   }
 
+  // ------------------------------------- relevance / feature vectors
+
+  /** Hashed TF-IDF document vectors in sparse (id, dim_idx, weight) form —
+    * the text→feature stage in front of the ANN/clustering family. Each
+    * term t contributes tf(d,t)·ln((N+1)/(df_t+1)) to bucket
+    * md5prefix(t) mod dim ([[Curation.hashUniform]]'s engine-portable
+    * hash, so any SQL engine reproduces the exact layout).
+    *
+    * Scale shape: three shuffles, zero joins, nothing driver-side —
+    * (id, term) hash agg with map-side combine over the token explode,
+    * df_t as count-over-term-window on the already-term-clustered tf
+    * frame (no vocabulary join), then the (id, bucket) hash agg. N
+    * arrives as a broadcast one-row cross join, never a collected
+    * scalar. Dense assembly is a downstream `array_agg` when a consumer
+    * wants it; the sparse triple is the honest 100-TB layout. */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf
+      .withColumn("df_t",
+        sum(lit(1L)).over(Window.partitionBy("term")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("double"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * log((col("__n") + 1.0) / (col("df_t") + 1.0)))
+      .withColumn("dim_idx",
+        (conv(substring(md5(col("term")), 1, 8), 16, 10)
+          .cast("long") % dim).cast("int"))
+      .groupBy("id", "dim_idx").agg(sum(col("w")).as("weight"))
+  }
+
+  /** BM25 relevance of every document against a small literal query —
+    * Okapi BM25 with the standard k1/b and the
+    * idf_t = ln(1 + (N−df_t+0.5)/(df_t+0.5)) form.
+    *
+    * Scale shape: per-term tf via `size(filter(tokens))` expressions (the
+    * query is a handful of terms — per-row closed form, no explode, no
+    * shuffle), corpus stats (N, avgdl, df_t) in ONE one-row aggregate
+    * broadcast back as a cross join. Total: two scans of the text column
+    * and zero wide shuffles — at 100 TB the ranking is scan-bound, which
+    * is the floor. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 32,
+      s"bm25 wants a small literal query, got ${queryTerms.size} terms")
+    val terms = queryTerms.distinct
+    def tfOf(t: String): Column =
+      size(filter(tokens(col(textCol)), x => x === lit(t))).cast("double")
+    val baseCols = col(idCol).as("id") +:
+      size(tokens(col(textCol))).cast("double").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }
+    val base = df.select(baseCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .cast("double").as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      val tf = col(s"tf_$i")
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .withColumn("score", score)
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("id"), col("dl").cast("long").as("dl"), col("score"))
+  }
+
   // --------------------------------------------------------- PII scrub
 
   /** Fully-anchored-free PII redaction over a text column: emails, IPv4

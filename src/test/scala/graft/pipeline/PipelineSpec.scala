@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cross-corpus dedup: batch matches kept near-dups; novel docs survive") {
+    val kept = base.toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a genuinely novel document about streaming watermarks and state"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusPairs(batch, kept, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+      .select("new_id", "kept_id").as[(Long, Long)].collect().toSet
+    // 10 duplicates kept docs 1/2/4 (1 and 4 exactly, 2 nearly); 11 nothing
+    assert(pairs.contains((10L, 1L)) && pairs.contains((10L, 4L)))
+    assert(!pairs.exists(_._1 == 11L))
+    val survivors = Dedup.dedupAgainst(batch, kept, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L))
+  }
+
   test("simhash: identical text hamming 0; near-dup small hamming") {
     val pairs = Dedup.simhashPairs(base.toDF("doc_id", "text"),
       "doc_id", "text", maxHamming = 3)
@@ -313,6 +331,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._1 == 3)
     // hello | world | 42 | foo | - | bar | ! → 7
     assert(r._2 == 7)
+  }
+
+  test("hashedTfIdf: hand-computed weights; bucket sums invariant to dim") {
+    val df = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    // N=3, df: a=1 b=2 c=2 → d1: 2·ln(4/2)+ln(4/3), d2: 2·ln(4/3),
+    // d3: 3·ln(4/3); dim=1 collapses every term into bucket 0
+    val one = TextAnalysis.hashedTfIdf(df, "doc_id", "text", dim = 1)
+      .select("id", "weight").as[(Long, Double)].collect().toMap
+    assert(math.abs(one(1L) - (2 * math.log(2.0) + math.log(4.0 / 3))) < 1e-9)
+    assert(math.abs(one(2L) - 2 * math.log(4.0 / 3)) < 1e-9)
+    assert(math.abs(one(3L) - 3 * math.log(4.0 / 3)) < 1e-9)
+    // at dim=64 the sparse triples sum to the same per-doc mass
+    val sums = TextAnalysis.hashedTfIdf(df, "doc_id", "text", dim = 64)
+      .groupBy("id").agg(sum("weight").as("s"))
+      .select("id", "s").as[(Long, Double)].collect().toMap
+    (1L to 3L).foreach(i => assert(math.abs(sums(i) - one(i)) < 1e-9))
+  }
+
+  test("bm25: hand-computed Okapi scores, non-matching docs excluded") {
+    val df = Seq((1L, "x y"), (2L, "x x x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "doc_id", "text", Seq("x"))
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    // N=3, df_x=2, avgdl=2 → idf=ln(1.6); d1: tf1,dl2 → idf·1;
+    // d2: tf3,dl3 → idf·6.6/4.65; d3 excluded
+    val idf = math.log(1.6)
+    assert(out.keySet == Set(1L, 2L))
+    assert(math.abs(out(1L) - idf) < 1e-9)
+    assert(math.abs(out(2L) - idf * (6.6 / 4.65)) < 1e-9)
   }
 
   test("quality score rewards normal prose, punishes garbage") {
