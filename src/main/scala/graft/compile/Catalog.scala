@@ -85,21 +85,41 @@ object Catalog {
   /** Load the driver testdata directory as a catalog, with semantic bindings
     * for the observability-shaped tables. */
   def forDir(spark: SparkSession, dir: String): Catalog = {
-    // testdata events.ts is Parquet TIMESTAMP(NANOS) which Spark has no
-    // native type for; read it as a ns long and derive a µs TimestampType
-    // column, keeping the raw ns in ts_ns (SURVEY §1.3 fidelity note).
+    // Some testdata generations write events.ts as Parquet TIMESTAMP(NANOS)
+    // (no native Spark type — read as a ns long via the legacy flag), others
+    // as TIMESTAMP(MICROS) isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    // Normalize both to the same two columns: `ts` TimestampType (session
+    // tz is UTC, so NTZ wall time == the instant) and `ts_ns` raw ns long
+    // (SURVEY §1.3 fidelity note).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ClickHouse-style permissive coercion (toFloat64OrDefault etc.): a
     // malformed value yields NULL/default, never a query error. Spark 4's
     // ANSI default would instead fail the whole query on one bad cast.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    def read(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name.parquet")
-    def readEvents: DataFrame =
-      read("events")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+    // Parquet isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ; the engine
+    // (and every oracle comparison) works in instants with a UTC session,
+    // so cast NTZ columns to plain TimestampType — same wall time, and
+    // binops against compiler-produced timestamp literals stay well-typed.
+    def read(name: String): DataFrame = {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          f.name
+      }.foldLeft(raw)((d, c) => d.withColumn(c,
+        org.apache.spark.sql.functions.col(c).cast("timestamp")))
+    }
+    def readEvents: DataFrame = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val raw = read("events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      }
+    }
     val plain = TableNames.map(n => n -> Source(read(n))).toMap
     val tuned = plain ++ Map(
       "events" -> Source(readEvents,
