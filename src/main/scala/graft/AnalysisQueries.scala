@@ -468,7 +468,123 @@ object AnalysisQueries {
       |SELECT depth, count(*) AS nodes, count(DISTINCT root) AS roots
       |FROM t GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Interval overlap join gate ([[graft.analysis.Intervals.overlapJoin]]):
+    * user activity sessions (gap 1800 s, +60 s tail grace) range-joined
+    * with global error bursts (error events sessionized at gap 600 s,
+    * +60 s grace) — "which sessions did each incident touch", the
+    * session-replay timeline correlation (reference sessions.ts serves
+    * sessions whose span intersects the requested range). Bounds floor
+    * to whole epoch seconds on both engines (the q83 parity convention)
+    * so the non-equi predicates compare identical integers. The engine
+    * side is the bucketed band join (1 h buckets, first-shared-bucket
+    * dedup — an equi-join Catalyst hash-partitions); the oracle is
+    * DuckDB's native IEJoin over the same predicate. */
+  def q100_session_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val sess = graft.analysis.Sessionize
+      .sessions(ev, "ts", Seq("user_id"), gapSeconds = 1800.0)
+      .select(col("user_id"),
+        unix_timestamp(col("session_start")).as("u_start"),
+        (unix_timestamp(col("session_end")) + 60L).as("u_end"))
+    val bursts = graft.analysis.Sessionize
+      .sessions(ev.filter(col("event_type") === "error"), "ts",
+        Seq("event_type"), gapSeconds = 600.0)
+      .select(unix_timestamp(col("session_start")).as("i_start"),
+        (unix_timestamp(col("session_end")) + 60L).as("i_end"))
+    graft.analysis.Intervals.overlapJoin(sess, bursts,
+        "u_start", "u_end", "i_start", "i_end", bucketSeconds = 3600L)
+      .groupBy(floor(col("i_start") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("overlap_seconds")).cast("long").as("overlap_s"))
+      .orderBy("day")
+  }
+
+  val q100_sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+      |      ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS u_start,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) + 60 AS u_end
+      |  FROM (SELECT user_id, ts,
+      |          sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |        FROM x)
+      |  GROUP BY user_id, sid),
+      |y AS (
+      |  SELECT ts,
+      |    CASE WHEN lag(ts) OVER v IS NULL
+      |      OR epoch(ts) - epoch(lag(ts) OVER v) > 600 THEN 1
+      |      ELSE 0 END AS brk
+      |  FROM events WHERE event_type = 'error'
+      |  WINDOW v AS (ORDER BY ts)),
+      |i AS (
+      |  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS i_start,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) + 60 AS i_end
+      |  FROM (SELECT ts, sum(brk) OVER (ORDER BY ts) AS sid FROM y)
+      |  GROUP BY sid),
+      |p AS (
+      |  SELECT s.user_id, i.i_start,
+      |    least(s.u_end, i.i_end) - greatest(s.u_start, i.i_start) AS ov
+      |  FROM s JOIN i
+      |    ON greatest(s.u_start, i.i_start) < least(s.u_end, i.i_end))
+      |SELECT CAST(floor(i_start / 86400.0) AS BIGINT) AS day,
+      |  count(*) AS n_overlaps,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(ov) AS BIGINT) AS overlap_s
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Concurrency sweep gate ([[graft.analysis.Intervals.concurrency]]):
+    * the exact active-session step function over the same graced user
+    * sessions — every distinct boundary second with the number of
+    * sessions covering [t, next). The engine computes it with the
+    * distributed prefix sum (range partition + per-partition cumsum +
+    * broadcast bases); the oracle is DuckDB's global running-sum window
+    * over the same ±1 deltas. Full-fidelity compare: every boundary row
+    * hashes, so a single misplaced delta anywhere in the sweep fails
+    * the gate. */
+  def q101_concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val sess = graft.analysis.Sessionize
+      .sessions(ev, "ts", Seq("user_id"), gapSeconds = 1800.0)
+      .select(unix_timestamp(col("session_start")).as("s"),
+        (unix_timestamp(col("session_end")) + 60L).as("e"))
+    graft.analysis.Intervals.concurrency(sess, "s", "e")
+      .select(col("t").cast("long").as("t"), col("active"))
+      .orderBy("t")
+  }
+
+  val q101_sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+      |      ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) + 60 AS e
+      |  FROM (SELECT user_id, ts,
+      |          sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |        FROM x)
+      |  GROUP BY user_id, sid),
+      |d AS (
+      |  SELECT s AS t, 1 AS dv FROM s
+      |  UNION ALL
+      |  SELECT e AS t, -1 AS dv FROM s),
+      |g AS (SELECT t, sum(dv) AS dv FROM d GROUP BY t)
+      |SELECT t, CAST(sum(dv) OVER (ORDER BY t) AS BIGINT) AS active
+      |FROM g ORDER BY t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_session_overlap" -> (q100_session_overlap _),
+    "q101_concurrency" -> (q101_concurrency _),
     "q30_patterns" -> (q30_patterns _),
     "q82_asof" -> (q82_asof _),
     "q83_sessionize" -> (q83_sessionize _),
@@ -483,6 +599,8 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
+    "q100_session_overlap" -> q100_sql,
+    "q101_concurrency" -> q101_sql,
     "q30_patterns" -> q30_sql,
     "q82_asof" -> q82_sql,
     "q83_sessionize" -> q83_sql,
