@@ -582,9 +582,89 @@ object AnalysisQueries {
       |SELECT t, CAST(sum(dv) OVER (ORDER BY t) AS BIGINT) AS active
       |FROM g ORDER BY t""".stripMargin
 
+  /** windowFunnel gate ([[graft.analysis.Funnel]]): the view → click →
+    * purchase conversion funnel inside a 6 h window anchored at the
+    * view. The engine runs the greedy per-key array scan (one shuffle +
+    * expression-only HOF); the oracle is the INDEPENDENT classic
+    * formulation — a 3-way self-join existence check per level — so a
+    * shared misreading of windowFunnel semantics cannot pass both
+    * sides. Window comparisons use the identical `later - earlier ≤ W`
+    * subtraction form in both engines. */
+  def q102_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    graft.analysis.Funnel.report(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowSeconds = 21600.0)
+  }
+
+  val q102_sql: String =
+    """WITH se AS (
+      |  SELECT user_id, epoch(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |l1 AS (SELECT DISTINCT user_id FROM se WHERE event_type = 'view'),
+      |l2 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM se v JOIN se c ON c.user_id = v.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND c.t >= v.t AND c.t - v.t <= 21600),
+      |p2 AS (SELECT user_id, t FROM se WHERE event_type = 'purchase'),
+      |l3 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM se v
+      |  JOIN se c ON c.user_id = v.user_id
+      |  JOIN p2 p ON p.user_id = v.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND c.t >= v.t AND c.t - v.t <= 21600
+      |    AND p.t >= c.t AND p.t - v.t <= 21600),
+      |lv AS (
+      |  SELECT a.user_id,
+      |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+      |         WHEN l2.user_id IS NOT NULL THEN 2
+      |         WHEN l1.user_id IS NOT NULL THEN 1
+      |         ELSE 0 END AS level
+      |  FROM (SELECT DISTINCT user_id FROM se) a
+      |  LEFT JOIN l1 USING (user_id)
+      |  LEFT JOIN l2 USING (user_id)
+      |  LEFT JOIN l3 USING (user_id)),
+      |h AS (SELECT level, count(*) AS n_keys FROM lv GROUP BY 1)
+      |SELECT level, n_keys,
+      |  CAST(sum(n_keys) OVER (ORDER BY level DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_at_least
+      |FROM h ORDER BY level""".stripMargin
+
+  /** Cohort retention gate ([[graft.analysis.Retention]]): users
+    * cohorted by first-active day, (cohort × day-offset) active counts
+    * and rates — the ClickHouse retention-function shape as a full
+    * cohort table. Oracle replays the definition directly. */
+  def q103_retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    graft.analysis.Retention.table(ev, "user_id", "ts")
+      .select(col("cohort").cast("string").as("cohort"),
+        col("offset_days"), col("n_active"), col("n_cohort"), col("rate"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  val q103_sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |coh AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1),
+      |a2 AS (
+      |  SELECT act.user_id, coh.cohort, act.d - coh.cohort AS off
+      |  FROM act JOIN coh USING (user_id)),
+      |sz AS (SELECT cohort, count(*) AS n_cohort FROM a2
+      |       WHERE off = 0 GROUP BY 1),
+      |g AS (SELECT cohort, off, count(*) AS n_active FROM a2
+      |      GROUP BY 1, 2)
+      |SELECT CAST(g.cohort AS VARCHAR) AS cohort,
+      |  CAST(off AS BIGINT) AS offset_days, n_active, n_cohort,
+      |  round(n_active * 1.0 / n_cohort, 4) AS rate
+      |FROM g JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
+    "q102_funnel" -> (q102_funnel _),
+    "q103_retention" -> (q103_retention _),
     "q30_patterns" -> (q30_patterns _),
     "q82_asof" -> (q82_asof _),
     "q83_sessionize" -> (q83_sessionize _),
@@ -601,6 +681,8 @@ object AnalysisQueries {
   val oracles: Map[String, String] = Map(
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
+    "q102_funnel" -> q102_sql,
+    "q103_retention" -> q103_sql,
     "q30_patterns" -> q30_sql,
     "q82_asof" -> q82_sql,
     "q83_sessionize" -> q83_sql,
