@@ -113,7 +113,17 @@ object Catalog {
       val raw = read("events")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          raw.withColumnRenamed("ts", "ts_ns")
+          // Unit-robust: a raw int64 epoch column may be s/ms/µs/ns
+          // depending on the writer. Decide per row by magnitude (the
+          // bands are ~6 orders of magnitude apart — epoch seconds reach
+          // ~2e9 while millis start ~1e12 — so misclassification would
+          // need a date before 1971 or after 5000); normalize to ns.
+          raw.withColumn("ts_ns", expr(
+              """CASE WHEN ts > 100000000000000000L THEN ts
+                |     WHEN ts > 100000000000000L THEN ts * 1000L
+                |     WHEN ts > 100000000000L THEN ts * 1000000L
+                |     ELSE ts * 1000000000L END""".stripMargin))
+            .drop("ts")
             .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
         case _ =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
