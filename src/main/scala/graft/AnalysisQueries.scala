@@ -660,7 +660,117 @@ object AnalysisQueries {
       |  round(n_active * 1.0 / n_cohort, 4) AS rate
       |FROM g JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin
 
+  /** Span self-time gate ([[graft.analysis.CriticalPath]]): the
+    * flamegraph aggregation over a deterministic synthetic span forest
+    * (q86's parent scheme — parent = id/7, roots below 100 — with
+    * integral-second intervals s = (id·37) mod 100000, dur = id mod 120
+    * + 5, so siblings overlap parents partially/fully/not-at-all
+    * pseudo-randomly). The engine merges sibling islands per parent;
+    * the oracle is the INDEPENDENT per-second census — each clipped
+    * child explodes to its covered seconds and covered = count(DISTINCT
+    * sec) — so a shared misreading of interval-union semantics cannot
+    * pass both sides. Self time per event_type: where the wall-clock
+    * actually went. */
+  def q104_critical_path(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Queries.cat(spark, dir)("events").df
+      .select(col("event_id").cast("long").as("id"),
+        when(col("event_id") < 100, lit(null).cast("long"))
+          .otherwise(floor(col("event_id") / 7).cast("long"))
+          .as("parent"),
+        col("event_type"),
+        ((col("event_id") * 37) % 100000).cast("long").as("s"))
+      .withColumn("e", col("s") + (col("id") % 120) + lit(5L))
+    graft.analysis.CriticalPath.selfTime(spans)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("sum_dur"),
+        sum(col("covered")).as("sum_covered"),
+        sum(col("self_time")).as("sum_self"))
+      .orderBy("event_type")
+  }
+
+  val q104_sql: String =
+    """WITH spans AS (
+      |  SELECT event_id AS id,
+      |    CASE WHEN event_id < 100 THEN NULL
+      |         ELSE event_id // 7 END AS parent,
+      |    event_type,
+      |    (event_id * 37) % 100000 AS s,
+      |    (event_id * 37) % 100000 + event_id % 120 + 5 AS e
+      |  FROM events),
+      |ch AS (
+      |  SELECT p.id AS pid, greatest(c.s, p.s) AS cs,
+      |    least(c.e, p.e) AS ce
+      |  FROM spans c JOIN spans p ON c.parent = p.id
+      |  WHERE least(c.e, p.e) > greatest(c.s, p.s)),
+      |cov AS (
+      |  SELECT pid, count(DISTINCT sec) AS covered
+      |  FROM ch, LATERAL unnest(generate_series(cs, ce - 1)) AS u(sec)
+      |  GROUP BY pid)
+      |SELECT event_type, count(*) AS n_spans,
+      |  CAST(sum(e - s) AS BIGINT) AS sum_dur,
+      |  CAST(sum(coalesce(covered, 0)) AS BIGINT) AS sum_covered,
+      |  CAST(sum(e - s - coalesce(covered, 0)) AS BIGINT) AS sum_self
+      |FROM spans LEFT JOIN cov ON spans.id = cov.pid
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Multi-window SLO burn-rate gate ([[graft.analysis.Slo]]): error
+    * ratio of ALL events over trailing 5 m / 1 h windows at a 60 s step
+    * against a 10% error budget; `firing` needs both windows above 2×
+    * burn. The engine runs the bounded explode-to-steps sliding plan
+    * (the PromQL machinery's shape); the oracle is DuckDB's RANGE-frame
+    * running window over the gap-filled spine — an independent
+    * formulation of the same trailing sums. Counts are integers on both
+    * sides, so the burn doubles are bit-identical IEEE divisions. */
+  def q105_burn_rate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    graft.analysis.Slo.multiWindowAlert(ev, "ts",
+        col("event_type") === "error", stepSeconds = 60L,
+        shortWindow = 300L, longWindow = 3600L,
+        errorBudget = 0.1, threshold = 2.0)
+      .select(col("bucket"), col("total_300s"), col("err_300s"),
+        col("burn_300s"), col("total_3600s"), col("err_3600s"),
+        col("burn_3600s"), col("firing"))
+      .orderBy("bucket")
+  }
+
+  val q105_sql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS bucket,
+      |    count(*) AS n,
+      |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      |  FROM events GROUP BY 1),
+      |sp AS (
+      |  SELECT unnest(generate_series((SELECT min(bucket) FROM c),
+      |    (SELECT max(bucket) FROM c), 60)) AS bucket),
+      |f AS (
+      |  SELECT sp.bucket, coalesce(n, 0) AS n, coalesce(err, 0) AS err
+      |  FROM sp LEFT JOIN c USING (bucket)),
+      |w AS (
+      |  SELECT bucket,
+      |    sum(n) OVER (ORDER BY bucket
+      |      RANGE BETWEEN 240 PRECEDING AND CURRENT ROW) AS t5,
+      |    sum(err) OVER (ORDER BY bucket
+      |      RANGE BETWEEN 240 PRECEDING AND CURRENT ROW) AS e5,
+      |    sum(n) OVER (ORDER BY bucket
+      |      RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW) AS t60,
+      |    sum(err) OVER (ORDER BY bucket
+      |      RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW) AS e60
+      |  FROM f)
+      |SELECT bucket,
+      |  CAST(t5 AS BIGINT) AS total_300s, CAST(e5 AS BIGINT) AS err_300s,
+      |  CASE WHEN t5 > 0 THEN (e5 * 1.0 / t5) / 0.1 END AS burn_300s,
+      |  CAST(t60 AS BIGINT) AS total_3600s,
+      |  CAST(e60 AS BIGINT) AS err_3600s,
+      |  CASE WHEN t60 > 0 THEN (e60 * 1.0 / t60) / 0.1 END AS burn_3600s,
+      |  CAST(CASE WHEN t5 > 0 AND (e5 * 1.0 / t5) / 0.1 > 2.0
+      |    AND t60 > 0 AND (e60 * 1.0 / t60) / 0.1 > 2.0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS firing
+      |FROM w ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_critical_path" -> (q104_critical_path _),
+    "q105_burn_rate" -> (q105_burn_rate _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -679,6 +789,8 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
+    "q104_critical_path" -> q104_sql,
+    "q105_burn_rate" -> q105_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,
