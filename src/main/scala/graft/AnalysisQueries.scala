@@ -768,9 +768,63 @@ object AnalysisQueries {
       |    THEN 1 ELSE 0 END AS BIGINT) AS firing
       |FROM w ORDER BY bucket""".stripMargin
 
+  /** sequenceMatch gate ([[graft.analysis.Sequence]]): per-user event
+    * patterns over the view/click/purchase condition events —
+    * `(?1)(?t<=900)(?2)` (a click as the VERY NEXT considered event
+    * within 15 min of a view: adjacency + time guard) and
+    * `(?1).*(?2).*(?3)` (the ordered subsequence). The engine runs the
+    * memoized backtracking matcher per key; the oracle formulates each
+    * pattern independently — adjacency as a lead() window over the
+    * identically-ordered considered events, the subsequence as the
+    * classic 3-way self-join existence. Ties order by (ts, mask) on
+    * both sides. */
+  def q106_sequence_match(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val conds = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val adj = graft.analysis.Sequence
+      .matches(ev, "user_id", "ts", conds, "(?1)(?t<=900)(?2)")
+      .select(col("user_id"),
+        when(col("matched"), 1L).otherwise(0L).as("m_adjacent"))
+    val sub = graft.analysis.Sequence
+      .matches(ev, "user_id", "ts", conds, "(?1).*(?2).*(?3)")
+      .select(col("user_id"),
+        when(col("matched"), 1L).otherwise(0L).as("m_subseq"))
+    adj.join(sub, Seq("user_id")).orderBy("user_id")
+  }
+
+  val q106_sql: String =
+    """WITH se AS (
+      |  SELECT user_id, epoch(ts) AS t, event_type AS e,
+      |    CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 4
+      |      ELSE 8 END AS mk
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |ord AS (
+      |  SELECT user_id, t, e, lead(e) OVER w AS ne, lead(t) OVER w AS nt
+      |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY t, mk)),
+      |adj AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN e = 'view' AND ne = 'click' AND nt - t <= 900
+      |      THEN 1 ELSE 0 END) AS m_adjacent
+      |  FROM ord GROUP BY user_id),
+      |sub AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM se v
+      |  JOIN se c ON c.user_id = v.user_id
+      |  JOIN se p ON p.user_id = v.user_id
+      |  WHERE v.e = 'view' AND c.e = 'click' AND p.e = 'purchase'
+      |    AND c.t >= v.t AND p.t >= c.t)
+      |SELECT a.user_id, CAST(a.m_adjacent AS BIGINT) AS m_adjacent,
+      |  CAST(CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS m_subseq
+      |FROM adj a LEFT JOIN sub s ON a.user_id = s.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
+    "q106_sequence_match" -> (q106_sequence_match _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -791,6 +845,7 @@ object AnalysisQueries {
   val oracles: Map[String, String] = Map(
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
+    "q106_sequence_match" -> q106_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,

@@ -92,7 +92,6 @@ object Sequence {
     val toks = out.result()
     if (!toks.exists(_.isInstanceOf[Cond]))
       fail("pattern needs at least one (?N)")
-    toks.collect { case Cond(_, Some(_)) => () }
     // a guard on the FIRST cond token has no previous event to measure
     // against — reject rather than guess
     toks.collectFirst { case c: Cond => c }.foreach { first =>
