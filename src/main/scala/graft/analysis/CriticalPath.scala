@@ -38,6 +38,12 @@ object CriticalPath {
     *
     * Sibling intervals may overlap arbitrarily (async fan-out): the
     * union length is exact, via running-max islands per parent.
+    *
+    * The input frame is read from three plan branches (parent side,
+    * child side, final re-attach) — each a 4-column pruned projection,
+    * so a parquet-backed frame costs three cheap column scans. A spans
+    * frame derived by expensive computation should be persisted by the
+    * caller first (the multi-branch convention, see Dedup).
     */
   def selfTime(spans: DataFrame, idCol: String = "id",
       parentCol: String = "parent", startCol: String = "s",

@@ -43,38 +43,52 @@ object Slo {
     require(windows.nonEmpty && windows.forall(w =>
       w >= stepSeconds && w % stepSeconds == 0),
       s"every window must be a positive multiple of step=$stepSeconds")
+    // the ONLY pass over the data: map-side-combined counts per step
+    // bucket. Persisted because two branches read it (spine bounds +
+    // window fan-out); unpersisted the 100-TB scan and its shuffle
+    // replay per branch. The frame is ≤ range/step rows — KB-scale —
+    // and stays resident until the caller's clearCache (the Dedup
+    // multi-branch convention).
     val counts = events
       .select((floor(unix_timestamp(col(tsCol)) / stepSeconds) *
         stepSeconds).cast("long").as("__b"),
         when(isError, 1L).otherwise(0L).as("__e"))
       .groupBy("__b")
       .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__err"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the step spine: one aggregated (min, max) row exploded to the
     // full grid — O(range/step) rows from a one-row frame
     val spine = counts
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"),
         lit(stepSeconds))).as("bucket"))
-    windows.foldLeft(spine) { (acc, w) =>
-      val k = (w / stepSeconds).toInt
-      // bucket b's counts enter the trailing windows of steps
-      // b .. b+(k−1)·step — bounded fan-out, then one hash agg per step
-      val slid = counts
-        .select(explode(sequence(col("__b"),
-          col("__b") + lit((k - 1) * stepSeconds),
-          lit(stepSeconds))).as("bucket"),
-          col("__n"), col("__err"))
-        .groupBy("bucket")
-        .agg(sum(col("__n")).as(s"total_${w}s"),
-          sum(col("__err")).as(s"err_${w}s"))
-      acc.join(slid, Seq("bucket"), "left")
-        .withColumn(s"total_${w}s",
+    // every window in ONE fan-out (the SloStream shape): bucket b's
+    // counts enter window w's trailing sums for steps b..b+w−step, so
+    // each (bucket, window) pair explodes to its member steps and one
+    // hash aggregation sums every family conditionally — one shuffle
+    // total, fan-out Σ⌈w/step⌉ per bucket row (query shape, not data)
+    val slid = counts
+      .withColumn("__w", explode(array(windows.map(lit(_)): _*)))
+      .select(explode(sequence(col("__b"),
+        col("__b") + col("__w") - lit(stepSeconds),
+        lit(stepSeconds))).as("bucket"),
+        col("__w"), col("__n"), col("__err"))
+      .groupBy("bucket")
+    val fams = windows.flatMap(w => Seq(
+      sum(when(col("__w") === w, col("__n")).otherwise(0L))
+        .as(s"total_${w}s"),
+      sum(when(col("__w") === w, col("__err")).otherwise(0L))
+        .as(s"err_${w}s")))
+    val slidAgg = slid.agg(fams.head, fams.tail: _*)
+    windows.foldLeft(spine.join(slidAgg, Seq("bucket"), "left")) {
+      (acc, w) =>
+        acc.withColumn(s"total_${w}s",
           coalesce(col(s"total_${w}s"), lit(0L)))
-        .withColumn(s"err_${w}s", coalesce(col(s"err_${w}s"), lit(0L)))
-        .withColumn(s"burn_${w}s",
-          when(col(s"total_${w}s") > 0,
-            (col(s"err_${w}s").cast("double") / col(s"total_${w}s")) /
-              errorBudget))
+          .withColumn(s"err_${w}s", coalesce(col(s"err_${w}s"), lit(0L)))
+          .withColumn(s"burn_${w}s",
+            when(col(s"total_${w}s") > 0,
+              (col(s"err_${w}s").cast("double") / col(s"total_${w}s")) /
+                errorBudget))
     }
   }
 
