@@ -112,4 +112,44 @@ object AlertRunner {
         windowStarts.map(w => w -> series.getOrElse(w, 0.0)))
     }.toSeq.sortBy(_.group.mkString(","))
   }
+
+  /** Multi-window burn-rate alert evaluation ([[Slo]] as an alert
+    * source): the SRE-workbook policy is its own state rule — ALERT when
+    * BOTH windows burn above threshold at the last closed step — so it
+    * does not reuse the consecutive-window machine. The scan is scoped
+    * to the long window plus one step before `now` (the [[Slo]] fan-out
+    * then only sees the data it can use); `windowValues` reports the
+    * recent closed steps' SHORT-window burn (the fast-moving signal a
+    * responder watches), most recent last. Missing steps (no traffic)
+    * report burn 0 and never fire. */
+  def evaluateBurnRate(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      isError: org.apache.spark.sql.Column, cfg: AlertConfig, now: Instant,
+      shortWindowSeconds: Long, longWindowSeconds: Long,
+      errorBudget: Double, reportSteps: Int = 3): Seq[AlertResult] = {
+    val step = cfg.intervalMinutes * 60L
+    val currentStart = Alerts.getScheduledWindowStart(now,
+      cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
+    val lastClosed = currentStart.minusSeconds(step)
+    val scoped = df.filter(
+      col(tsCol) >= lit(java.sql.Timestamp.from(
+        lastClosed.minusSeconds(longWindowSeconds - step))) &&
+        col(tsCol) < lit(java.sql.Timestamp.from(currentStart)))
+    val out = Slo.multiWindowAlert(scoped, tsCol, isError, step,
+      shortWindowSeconds, longWindowSeconds, errorBudget, cfg.threshold)
+      .select(col("bucket"), col(s"burn_${shortWindowSeconds}s"),
+        col("firing"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getLong(2)))
+    val byBucket = out.map { case (b, burn, firing) =>
+      b -> (burn, firing) }.toMap
+    val steps = (reportSteps to 1 by -1)
+      .map(i => currentStart.minusSeconds(i * step))
+    val fire = byBucket.get(lastClosed.getEpochSecond)
+      .exists(_._2 == 1L)
+    Seq(AlertResult(Nil,
+      if (fire) Alerts.ALERT else Alerts.OK,
+      steps.map(s => s ->
+        byBucket.get(s.getEpochSecond).map(_._1).getOrElse(0.0))))
+  }
 }

@@ -122,4 +122,38 @@ class AlertRunnerSpec extends SparkSpec {
     // 4m window (10:11,10:15] sees only the 10 at 10:12 → OK
     assert(eval("max_over_time(mem[4m])").state == Alerts.OK)
   }
+
+  test("burn-rate alert: fires only when both windows breach at the last closed step") {
+    import org.apache.spark.sql.functions.col
+    // 1-min step, 2m short / 10m long, budget 0.1, threshold 2 ⇒ fire
+    // needs error ratio > 0.2 in BOTH trailing windows at 10:15.
+    // Sustained errors 10:08-10:14 breach both; with a clean last two
+    // minutes the short window de-asserts even though the long recalls.
+    def ev(rows: Seq[(String, String)]) = rows
+      .map { case (t, s) => (Timestamp.valueOf(t), s) }
+      .toDF("ts", "status")
+    def run(rows: Seq[(String, String)]) = AlertRunner.evaluateBurnRate(
+      ev(rows), "ts", col("status") === "error",
+      AlertRunner.AlertConfig(source = "", where = None,
+        intervalMinutes = 1, threshold = 2.0),
+      now, shortWindowSeconds = 120L, longWindowSeconds = 600L,
+      errorBudget = 0.1).head
+    val burning = (8 to 15).map(m =>
+      (f"2024-01-05 10:$m%02d:10", "error")) :+
+      (("2024-01-05 10:06:20", "ok"))
+    assert(run(burning).state == Alerts.ALERT)
+    // same burn history but the last two minutes are clean traffic:
+    // the short window clears, the alert must NOT fire
+    val recovered = (8 to 13).map(m =>
+      (f"2024-01-05 10:$m%02d:10", "error")) ++ Seq(
+      ("2024-01-05 10:14:10", "ok"), ("2024-01-05 10:14:40", "ok"),
+      ("2024-01-05 10:15:10", "ok"))
+    val r = run(recovered)
+    assert(r.state == Alerts.OK)
+    // windowValues: recent closed steps' short-window burn, most
+    // recent last — the de-asserted step reports burn 0
+    assert(r.windowValues.last._2 == 0.0)
+    // no traffic at all: never fires
+    assert(run(Seq(("2024-01-05 09:00:00", "ok"))).state == Alerts.OK)
+  }
 }
