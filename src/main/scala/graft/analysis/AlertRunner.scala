@@ -115,36 +115,58 @@ object AlertRunner {
 
   /** Multi-window burn-rate alert evaluation ([[Slo]] as an alert
     * source): the SRE-workbook policy is its own state rule — ALERT when
-    * BOTH windows burn above threshold at the last closed step — so it
-    * does not reuse the consecutive-window machine. The scan is scoped
-    * to the long window plus one step before `now` (the [[Slo]] fan-out
-    * then only sees the data it can use); `windowValues` reports the
+    * BOTH windows burn STRICTLY above `cfg.threshold` at the last
+    * closed step (the Slo firing rule; note the count-threshold paths
+    * above fire on `>=`) — so it does not reuse the consecutive-window
+    * machine, and `cfg.groupBy` / `thresholdType` / `thresholdMax`
+    * do not apply (rejected loudly rather than silently ignored; for
+    * per-group burn alerts partition the frame upstream and evaluate
+    * each slice). The scan is scoped to exactly the data the reported
+    * steps and the firing decision can use; `windowValues` reports the
     * recent closed steps' SHORT-window burn (the fast-moving signal a
     * responder watches), most recent last. Missing steps (no traffic)
-    * report burn 0 and never fire. */
+    * report burn 0 and never fire. The [[Slo]] bucket cache is
+    * released before returning, so a repeating scheduler does not
+    * accumulate cache entries. */
   def evaluateBurnRate(df: org.apache.spark.sql.DataFrame, tsCol: String,
       isError: org.apache.spark.sql.Column, cfg: AlertConfig, now: Instant,
       shortWindowSeconds: Long, longWindowSeconds: Long,
       errorBudget: Double, reportSteps: Int = 3): Seq[AlertResult] = {
+    require(cfg.groupBy.isEmpty,
+      "burn-rate alerts are ungrouped — filter the frame per group " +
+        "upstream and evaluate each slice")
+    require(cfg.thresholdType == Alerts.ThresholdType.Above &&
+      cfg.thresholdMax.isEmpty,
+      "burn-rate alerts support only a plain upper threshold")
+    require(reportSteps >= 1, "reportSteps must be at least 1")
     val step = cfg.intervalMinutes * 60L
     val currentStart = Alerts.getScheduledWindowStart(now,
       cfg.intervalMinutes, cfg.scheduleOffsetMinutes)
     val lastClosed = currentStart.minusSeconds(step)
-    val scoped = df.filter(
-      col(tsCol) >= lit(java.sql.Timestamp.from(
-        lastClosed.minusSeconds(longWindowSeconds - step))) &&
-        col(tsCol) < lit(java.sql.Timestamp.from(currentStart)))
-    val out = Slo.multiWindowAlert(scoped, tsCol, isError, step,
-      shortWindowSeconds, longWindowSeconds, errorBudget, cfg.threshold)
-      .select(col("bucket"), col(s"burn_${shortWindowSeconds}s"),
-        col("firing"))
-      .collect()
-      .map(r => (r.getLong(0),
-        if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getLong(2)))
-    val byBucket = out.map { case (b, burn, firing) =>
-      b -> (burn, firing) }.toMap
     val steps = (reportSteps to 1 by -1)
       .map(i => currentStart.minusSeconds(i * step))
+    // the oldest REPORTED step's short window and the last closed
+    // step's long window both bound the scan — truncating either would
+    // silently undercount a burn
+    val scanFrom = Seq(
+      lastClosed.minusSeconds(longWindowSeconds - step),
+      steps.head.minusSeconds(shortWindowSeconds - step)).min
+    val scoped = df.filter(
+      col(tsCol) >= lit(java.sql.Timestamp.from(scanFrom)) &&
+        col(tsCol) < lit(java.sql.Timestamp.from(currentStart)))
+    val (alert, release) = Slo.multiWindowAlertReleasable(scoped, tsCol,
+      isError, step, shortWindowSeconds, longWindowSeconds, errorBudget,
+      cfg.threshold)
+    val out =
+      try alert
+        .select(col("bucket"), col(s"burn_${shortWindowSeconds}s"),
+          col("firing"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) 0.0 else r.getDouble(1), r.getLong(2)))
+      finally release()
+    val byBucket = out.map { case (b, burn, firing) =>
+      b -> (burn, firing) }.toMap
     val fire = byBucket.get(lastClosed.getEpochSecond)
       .exists(_._2 == 1L)
     Seq(AlertResult(Nil,

@@ -177,6 +177,19 @@ object Sequence {
     n
   }
 
+  /** A `(?N)` beyond the supplied condition list can never match —
+    * reject it loudly (ClickHouse errors on such patterns too; a typo'd
+    * index silently returning false-for-everyone is the trap). */
+  private def validateConds(toks: Vector[Tok], conds: Seq[Column],
+      pattern: String): Unit =
+    toks.foreach {
+      case Cond(n, _) if n > conds.size =>
+        throw new IllegalArgumentException(
+          s"sequence pattern '$pattern' references (?$n) but only " +
+            s"${conds.size} conditions were supplied")
+      case _ => ()
+    }
+
   /** The grouped (key, sorted considered events) frame both entry
     * points share: each row of `conds` is a bit in the event's mask;
     * rows with an all-zero mask are dropped before the shuffle. */
@@ -202,6 +215,7 @@ object Sequence {
   def matches(df: DataFrame, keyCol: String, tsCol: String,
       conds: Seq[Column], pattern: String): DataFrame = {
     val toks = parse(pattern)
+    validateConds(toks, conds, pattern)
     val f = udf((ev: Seq[org.apache.spark.sql.Row]) => {
       val ts = ev.map(_.getDouble(0)).toArray
       val mk = ev.map(_.getLong(1)).toArray
@@ -216,6 +230,7 @@ object Sequence {
   def counts(df: DataFrame, keyCol: String, tsCol: String,
       conds: Seq[Column], pattern: String): DataFrame = {
     val toks = parse(pattern)
+    validateConds(toks, conds, pattern)
     val f = udf((ev: Seq[org.apache.spark.sql.Row]) => {
       val ts = ev.map(_.getDouble(0)).toArray
       val mk = ev.map(_.getLong(1)).toArray

@@ -28,30 +28,67 @@ import org.apache.spark.sql.functions._
   */
 object Slo {
 
-  /** Per-step trailing-window burn rates. For each window `w` in
-    * `windows` (seconds, each a multiple of `stepSeconds`), emits
-    * `total_<w>s`, `err_<w>s`, and `burn_<w>s` = (err/total)/budget
-    * (null where the window saw no events) on the gap-filled step spine
-    * of the observed range. Buckets are step-aligned epoch seconds; the
-    * trailing window at step B covers buckets (B − w, B] — the
-    * Prometheus range-selector convention.
-    */
-  def burnRates(events: DataFrame, tsCol: String, isError: Column,
-      stepSeconds: Long, windows: Seq[Long],
-      errorBudget: Double): DataFrame = {
+  /** Step-aligned epoch-second bucket of `tsCol` — the ONE bucketing
+    * expression both the batch and streaming burn-rate twins use
+    * ([[graft.streaming.SloStream]]); a fidelity change here changes
+    * both in lockstep. */
+  private[graft] def stepBucket(tsCol: String, stepSeconds: Long): Column =
+    (floor(unix_timestamp(col(tsCol)) / stepSeconds) * stepSeconds)
+      .cast("long")
+
+  /** The trailing-window membership fan-out both twins share: a bucket
+    * `b` enters window `w`'s trailing sums at steps b .. b+w−step. */
+  private[graft] def memberSteps(bucket: Column, window: Column,
+      stepSeconds: Long): Column =
+    explode(sequence(bucket, bucket + window - lit(stepSeconds),
+      lit(stepSeconds)))
+
+  private[graft] def validateWindows(stepSeconds: Long,
+      windows: Seq[Long]): Unit = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     require(windows.nonEmpty && windows.forall(w =>
       w >= stepSeconds && w % stepSeconds == 0),
       s"every window must be a positive multiple of step=$stepSeconds")
+    require(windows.distinct.size == windows.size,
+      s"windows must be distinct, got $windows — duplicate lengths " +
+        "would collide on output column names")
+  }
+
+  /** Per-step trailing-window burn rates. For each window `w` in
+    * `windows` (seconds, each a multiple of `stepSeconds`, all
+    * distinct), emits `total_<w>s`, `err_<w>s`, and `burn_<w>s` =
+    * (err/total)/budget (null where the window saw no events) on the
+    * gap-filled step spine of the observed range. Buckets are
+    * step-aligned epoch seconds; the trailing window at step B covers
+    * buckets (B − w, B] — the Prometheus range-selector convention.
+    *
+    * The step-bucket count frame is persisted (two plan branches read
+    * it; unpersisted each would replay the full source scan). Library
+    * callers running inside a long-lived service should use
+    * [[burnRatesReleasable]] and release after their action — the
+    * plain entry point leaves the KB-scale cache to the session (the
+    * Dedup multi-branch convention).
+    */
+  def burnRates(events: DataFrame, tsCol: String, isError: Column,
+      stepSeconds: Long, windows: Seq[Long],
+      errorBudget: Double): DataFrame =
+    burnRatesReleasable(events, tsCol, isError, stepSeconds, windows,
+      errorBudget)._1
+
+  /** [[burnRates]] plus a release handle that unpersists the internal
+    * bucket-count cache — call it AFTER the action that consumes the
+    * frame. Repeated schedulers (e.g.
+    * [[AlertRunner.evaluateBurnRate]]) must release, or each
+    * evaluation leaks one cache entry. */
+  def burnRatesReleasable(events: DataFrame, tsCol: String,
+      isError: Column, stepSeconds: Long, windows: Seq[Long],
+      errorBudget: Double): (DataFrame, () => Unit) = {
+    validateWindows(stepSeconds, windows)
     // the ONLY pass over the data: map-side-combined counts per step
-    // bucket. Persisted because two branches read it (spine bounds +
-    // window fan-out); unpersisted the 100-TB scan and its shuffle
-    // replay per branch. The frame is ≤ range/step rows — KB-scale —
-    // and stays resident until the caller's clearCache (the Dedup
-    // multi-branch convention).
+    // bucket, persisted for its two readers (spine bounds + fan-out).
+    // The frame is ≤ range/step rows — KB-scale.
     val counts = events
-      .select((floor(unix_timestamp(col(tsCol)) / stepSeconds) *
-        stepSeconds).cast("long").as("__b"),
+      .select(stepBucket(tsCol, stepSeconds).as("__b"),
         when(isError, 1L).otherwise(0L).as("__e"))
       .groupBy("__b")
       .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__err"))
@@ -62,17 +99,14 @@ object Slo {
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"),
         lit(stepSeconds))).as("bucket"))
-    // every window in ONE fan-out (the SloStream shape): bucket b's
-    // counts enter window w's trailing sums for steps b..b+w−step, so
-    // each (bucket, window) pair explodes to its member steps and one
-    // hash aggregation sums every family conditionally — one shuffle
-    // total, fan-out Σ⌈w/step⌉ per bucket row (query shape, not data)
+    // every window in ONE fan-out (the SloStream shape): each (bucket,
+    // window) pair explodes to its member steps and one hash
+    // aggregation sums every family conditionally — one shuffle total,
+    // fan-out Σ⌈w/step⌉ per bucket row (query shape, not data)
     val slid = counts
       .withColumn("__w", explode(array(windows.map(lit(_)): _*)))
-      .select(explode(sequence(col("__b"),
-        col("__b") + col("__w") - lit(stepSeconds),
-        lit(stepSeconds))).as("bucket"),
-        col("__w"), col("__n"), col("__err"))
+      .select(memberSteps(col("__b"), col("__w"), stepSeconds)
+        .as("bucket"), col("__w"), col("__n"), col("__err"))
       .groupBy("bucket")
     val fams = windows.flatMap(w => Seq(
       sum(when(col("__w") === w, col("__n")).otherwise(0L))
@@ -80,8 +114,8 @@ object Slo {
       sum(when(col("__w") === w, col("__err")).otherwise(0L))
         .as(s"err_${w}s")))
     val slidAgg = slid.agg(fams.head, fams.tail: _*)
-    windows.foldLeft(spine.join(slidAgg, Seq("bucket"), "left")) {
-      (acc, w) =>
+    val out = windows
+      .foldLeft(spine.join(slidAgg, Seq("bucket"), "left")) { (acc, w) =>
         acc.withColumn(s"total_${w}s",
           coalesce(col(s"total_${w}s"), lit(0L)))
           .withColumn(s"err_${w}s", coalesce(col(s"err_${w}s"), lit(0L)))
@@ -89,18 +123,35 @@ object Slo {
             when(col(s"total_${w}s") > 0,
               (col(s"err_${w}s").cast("double") / col(s"total_${w}s")) /
                 errorBudget))
-    }
+      }
+    (out, () => { counts.unpersist(blocking = false); () })
   }
 
   /** The two-window policy: burn rates for (shortWindow, longWindow)
-    * plus `firing` = 1 when BOTH exceed `threshold` (0 otherwise,
-    * including no-data steps). */
+    * plus `firing` = 1 when BOTH exceed `threshold` STRICTLY (0
+    * otherwise, including no-data steps). Note the strict `>`: the
+    * count-threshold alert paths (`Alerts.evaluate` Above) fire on
+    * `>=` — a burn exactly at threshold does NOT fire here. */
   def multiWindowAlert(events: DataFrame, tsCol: String, isError: Column,
       stepSeconds: Long, shortWindow: Long, longWindow: Long,
       errorBudget: Double, threshold: Double): DataFrame =
-    burnRates(events, tsCol, isError, stepSeconds,
-      Seq(shortWindow, longWindow), errorBudget)
-      .withColumn("firing",
-        when(col(s"burn_${shortWindow}s") > threshold &&
-          col(s"burn_${longWindow}s") > threshold, 1L).otherwise(0L))
+    multiWindowAlertReleasable(events, tsCol, isError, stepSeconds,
+      shortWindow, longWindow, errorBudget, threshold)._1
+
+  /** [[multiWindowAlert]] with the cache-release handle of
+    * [[burnRatesReleasable]]. */
+  def multiWindowAlertReleasable(events: DataFrame, tsCol: String,
+      isError: Column, stepSeconds: Long, shortWindow: Long,
+      longWindow: Long, errorBudget: Double, threshold: Double)
+      : (DataFrame, () => Unit) = {
+    require(shortWindow < longWindow,
+      s"shortWindow ($shortWindow) must be strictly shorter than " +
+        s"longWindow ($longWindow)")
+    val (rates, release) = burnRatesReleasable(events, tsCol, isError,
+      stepSeconds, Seq(shortWindow, longWindow), errorBudget)
+    (rates.withColumn("firing",
+      when(col(s"burn_${shortWindow}s") > threshold &&
+        col(s"burn_${longWindow}s") > threshold, 1L).otherwise(0L)),
+      release)
+  }
 }

@@ -42,21 +42,22 @@ object SloStream {
       stepSeconds: Long, shortWindow: Long, longWindow: Long,
       errorBudget: Double, threshold: Double,
       latenessSeconds: Long = 0L): DataFrame = {
-    require(stepSeconds > 0, "stepSeconds must be positive")
-    require(Seq(shortWindow, longWindow).forall(w =>
-      w >= stepSeconds && w % stepSeconds == 0),
-      s"windows must be positive multiples of step=$stepSeconds")
-    require(shortWindow <= longWindow,
-      "shortWindow must not exceed longWindow")
+    graft.analysis.Slo.validateWindows(stepSeconds,
+      Seq(shortWindow, longWindow))
+    require(shortWindow < longWindow,
+      s"shortWindow ($shortWindow) must be strictly shorter than " +
+        s"longWindow ($longWindow)")
     val delay = latenessSeconds + longWindow - stepSeconds
+    // bucketing + membership fan-out shared with the batch twin
+    // (Slo.stepBucket / Slo.memberSteps) so the two stay comparable
     val contrib = stream
-      .select((floor(unix_timestamp(col(tsCol)) / stepSeconds) *
-        stepSeconds).cast("long").as("__b"),
+      .select(graft.analysis.Slo.stepBucket(tsCol, stepSeconds)
+        .as("__b"),
         when(isError, 1L).otherwise(0L).as("__e"))
       .withColumn("__w",
         explode(array(lit(shortWindow), lit(longWindow))))
-      .withColumn("__s", explode(sequence(col("__b"),
-        col("__b") + col("__w") - lit(stepSeconds), lit(stepSeconds))))
+      .withColumn("__s", graft.analysis.Slo.memberSteps(col("__b"),
+        col("__w"), stepSeconds))
       .withColumn("__step_ts", timestamp_seconds(col("__s")))
       .withWatermark("__step_ts", s"$delay seconds")
     def fam(w: Long, err: Boolean): Column = {

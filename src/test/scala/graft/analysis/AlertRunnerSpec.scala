@@ -155,5 +155,13 @@ class AlertRunnerSpec extends SparkSpec {
     assert(r.windowValues.last._2 == 0.0)
     // no traffic at all: never fires
     assert(run(Seq(("2024-01-05 09:00:00", "ok"))).state == Alerts.OK)
+    // unsupported config knobs are rejected loudly, never ignored
+    intercept[IllegalArgumentException] {
+      AlertRunner.evaluateBurnRate(ev(burning), "ts",
+        col("status") === "error",
+        AlertRunner.AlertConfig(source = "", where = None,
+          groupBy = Seq("status"), intervalMinutes = 1, threshold = 2.0),
+        now, 120L, 600L, 0.1)
+    }
   }
 }

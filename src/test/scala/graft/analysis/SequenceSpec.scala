@@ -78,6 +78,9 @@ class SequenceSpec extends SparkSpec {
     for (bad <- Seq("", ".*", "(?t<5)(?1)", "(?1)(?t<5)", "(?1)(?t<5)(?t<6)(?2)",
         "(?0)", "(?64)", "(?1)x", "(?1"))
       intercept[IllegalArgumentException] { m(rows, bad) }
+    // a condition index beyond the supplied list can never match — a
+    // typo'd (?4) must error, not return false for every key
+    intercept[IllegalArgumentException] { m(rows, "(?1)(?4)") }
   }
 
   test("fuzz: guard-free patterns agree with real regex search") {

@@ -69,5 +69,23 @@ class SloSpec extends SparkSpec {
     val df = ev((0L, false))
     intercept[IllegalArgumentException] { run(df, Seq(90L)) }
     intercept[IllegalArgumentException] { run(df, Seq()) }
+    // duplicate lengths would collide on output column names
+    intercept[IllegalArgumentException] { run(df, Seq(120L, 120L)) }
+    // the two-window policy needs genuinely different windows
+    intercept[IllegalArgumentException] {
+      Slo.multiWindowAlert(df, "ts", col("kind") === "error",
+        60L, 300L, 300L, 0.1, 2.0)
+    }
+  }
+
+  test("releasable variant unpersists the bucket cache after the action") {
+    val df = ev((0L, true), (70L, false))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (frame, release) = Slo.burnRatesReleasable(df, "ts",
+      col("kind") === "error", 60L, Seq(120L), 0.1)
+    frame.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 }
