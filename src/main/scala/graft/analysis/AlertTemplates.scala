@@ -138,8 +138,25 @@ object AlertTemplates {
       r.state, lastStart, end, link)
   }
 
+  /** JSON string-literal escaping for substituted values: backslash,
+    * quote, and all control characters. Without it the default title
+    * (embedded quotes) and body (newlines) make every rendered payload
+    * unparseable. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** The generic-webhook JSON payload for a Message via the (default or
-    * user-supplied) body template. */
+    * user-supplied) body template. Values are JSON-string-escaped
+    * before substitution — the template places them inside JSON string
+    * literals (the reference escapes likewise before JSON.parse,
+    * template.ts translateExternalActionsToInternal). */
   def webhookPayload(m: Message,
       template: String = DefaultGenericWebhookBody,
       eventId: String = ""): String =
@@ -150,5 +167,5 @@ object AlertTemplates {
       "state" -> m.state.toString,
       "startTime" -> m.startTime.toString,
       "endTime" -> m.endTime.toString,
-      "eventId" -> eventId))
+      "eventId" -> eventId).view.mapValues(jsonEscape).toMap)
 }

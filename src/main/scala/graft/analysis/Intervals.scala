@@ -61,12 +61,16 @@ object Intervals {
       s"overlapJoin requires disjoint column names; shared: $dup")
 
     def audit(df: DataFrame, s: String, e: String): Unit = {
-      val mx = df.agg(max(col(e).cast("double") - col(s).cast("double")))
-        .head().getDouble(0)
-      val buckets = math.ceil(mx / bucketSeconds).toLong + 1
-      require(buckets <= maxBucketsPerInterval,
-        s"interval spans $buckets buckets of $bucketSeconds s (max " +
-          s"$maxBucketsPerInterval): raise bucketSeconds or the cap")
+      val row = df.agg(max(col(e).cast("double") - col(s).cast("double")))
+        .head()
+      // empty side (or all-null bounds): nothing to audit — the join
+      // below legitimately yields zero pairs
+      if (!row.isNullAt(0)) {
+        val buckets = math.ceil(row.getDouble(0) / bucketSeconds).toLong + 1
+        require(buckets <= maxBucketsPerInterval,
+          s"interval spans $buckets buckets of $bucketSeconds s (max " +
+            s"$maxBucketsPerInterval): raise bucketSeconds or the cap")
+      }
     }
     audit(left, lStart, lEnd)
     audit(right, rStart, rEnd)

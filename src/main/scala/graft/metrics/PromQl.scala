@@ -1282,12 +1282,13 @@ object PromQl {
           case "atanh" => atanh(v)
           case "deg" => degrees(v)
           case "rad" => radians(v)
-          // the sample's timestamp: under step evaluation every sample
-          // in the result sits exactly on its step, so this is the
-          // step's epoch second with the inner labels kept (unlike the
-          // label-free time() scalar)
+          // the sample's timestamp, quantized to the evaluation
+          // instant L+step — the SAME instant time() reports, so the
+          // staleness idiom `time() - timestamp(m)` reads ~0 (the
+          // actual sample time within the bucket is lost to the
+          // aggregation; labels kept, unlike the label-free time())
           case "timestamp" =>
-            unix_timestamp(col(TimeBucketAlias)).cast("double")
+            (unix_timestamp(col(TimeBucketAlias)) + step).cast("double")
           // calendar components of v as epoch seconds, floored to whole
           // seconds like promql's time.Unix(int64(v)).UTC(); the session
           // timezone is UTC in LocalSession — a non-UTC session deviates
@@ -1429,7 +1430,13 @@ object PromQl {
         val g = compile(df, inner, step)
         val pinRow = spec match {
           case AtTime(t) =>
-            val L = Math.floorDiv(t, step) * step
+            // bucket L's evaluation instant is L+step (header doc), so
+            // the pin t selects the bucket whose data ends at the
+            // largest grid instant ≤ t: L = floor(t/step)·step − step.
+            // An on-grid pin is exactly Prometheus; a mid-bucket pin
+            // quantizes DOWN (never sees data after the pin) — the
+            // causal side of the documented step-grid deviation
+            val L = Math.floorDiv(t, step) * step - step
             g.sparkSession.range(1)
               .select(timestamp_seconds(lit(L)).as(TimeBucketAlias))
           case AtStart => bucketSpine(df, step)
@@ -1455,10 +1462,15 @@ object PromQl {
       case ScalarOf(inner) =>
         // per-step scalar: the single series' value, NaN when the inner
         // vector has 0 or >1 series at that step — the label-less frame
-        // makes every binop join it on the bucket alone
-        compile(df, inner, step)
+        // makes every binop join it on the bucket alone. Aggregated
+        // over the full bucket spine (left join), so a step where the
+        // inner vector is EMPTY yields the NaN row Prometheus would
+        // propagate rather than silently vanishing from the result
+        val counted = compile(df, inner, step)
           .groupBy(col(TimeBucketAlias))
           .agg(count(lit(1)).as("__n"), first(col("value")).as("__v"))
+        bucketSpine(df, step)
+          .join(counted, Seq(TimeBucketAlias), "left")
           .withColumn("value", when(col("__n") === 1, col("__v"))
             .otherwise(lit(Double.NaN)))
           .select(col(TimeBucketAlias), col("value"))

@@ -67,12 +67,22 @@ object Dsir {
       .toDF(idCol, "bucket", "cnt")
   }
 
+  /** Total feature count with a loud empty guard: an empty corpus (or
+    * all-empty texts) yields sum(cnt)=null, and a bare getLong would
+    * NPE deep in the job instead of naming the problem. */
+  private def totalCount(features: DataFrame, what: String): Long = {
+    val row = features.agg(sum(col("cnt"))).head
+    require(!row.isNullAt(0),
+      s"DSIR: $what produced no features (empty corpus or all-empty texts)")
+    row.getLong(0)
+  }
+
   /** (bucket, logp): Laplace-smoothed log bucket probabilities of a
     * feature frame — a `buckets`-row aggregate. Buckets with zero count
     * are NOT materialized; join with [[floorLogProb]] as the default. */
   def bucketLogProbs(features: DataFrame, buckets: Int,
       alpha: Double = 1.0): DataFrame = {
-    val tot = features.agg(sum(col("cnt"))).head.getLong(0)
+    val tot = totalCount(features, "bucketLogProbs input")
     features.groupBy("bucket")
       .agg(log((sum(col("cnt")) + alpha) / (tot + alpha * buckets))
         .as("logp"))
@@ -81,7 +91,7 @@ object Dsir {
   /** log probability of an unseen bucket under the same smoothing. */
   def floorLogProb(features: DataFrame, buckets: Int,
       alpha: Double = 1.0): Double = {
-    val tot = features.agg(sum(col("cnt"))).head.getLong(0)
+    val tot = totalCount(features, "floorLogProb input")
     math.log(alpha / (tot + alpha * buckets))
   }
 
@@ -105,8 +115,8 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one action per corpus: the totals both the model and the smoothing
     // floor need (and the first materialization of each persist)
-    val totR = rawF.agg(sum(col("cnt"))).head.getLong(0)
-    val totT = tgtF.agg(sum(col("cnt"))).head.getLong(0)
+    val totR = totalCount(rawF, "raw corpus")
+    val totT = totalCount(tgtF, "target corpus")
     val pT = tgtF.groupBy("bucket")
       .agg(log((sum(col("cnt")) + alpha) / (totT + alpha * buckets))
         .as("__lt"))

@@ -235,7 +235,11 @@ object TextAnalysis {
       : DataFrame = {
     require(queryTerms.nonEmpty && queryTerms.size <= 32,
       s"bm25 wants a small literal query, got ${queryTerms.size} terms")
-    val terms = queryTerms.distinct
+    // tokens() lowercases the corpus side — normalize the query the
+    // same way, or an uppercase query term silently scores tf=0
+    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .distinct
+    require(terms.nonEmpty, "bm25 query is empty after normalization")
     def tfOf(t: String): Column =
       size(filter(tokens(col(textCol)), x => x === lit(t))).cast("double")
     val baseCols = col(idCol).as("id") +:

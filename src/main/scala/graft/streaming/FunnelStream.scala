@@ -22,11 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * source's dropped-late contract, same as every watermarked aggregation
   * here.
   *
-  * State per key is BOUNDED: k chain-start doubles + the pending buffer,
+  * State PER KEY is bounded: k chain-start doubles + the pending buffer,
   * which holds only step events inside the watermark horizon (the
   * non-step corpus is filtered before the shuffle) — O(horizon ×
-  * per-key step rate), the same bound as the engine's other
-  * watermarked state machines, evicted by time rather than count. */
+  * per-key step rate). Total state is O(tracked keys): monotone
+  * per-key emission inherently needs a per-key high-water mark. Two
+  * reliefs: a fully-converted key shrinks to a constant marker (its
+  * buffers clear, folding stops), and `idleTimeoutSeconds` — when set —
+  * REMOVES keys whose last activity is that far behind the watermark,
+  * trading exactness for bounded total state: a removed key that
+  * returns re-reports its levels from scratch (lower-level re-emissions
+  * a consumer must tolerate). Unset, key state lives for the stream's
+  * lifetime, like any per-key monotone tracker. */
 object FunnelStream {
 
   final case class StepEvent(key: String, ts: Timestamp, lvl: Int)
@@ -38,7 +45,8 @@ object FunnelStream {
     * DROPPED rather than folded out of order, keeping the recurrence
     * exact over everything it has consumed. */
   final case class FunnelState(pendingTs: Seq[Long], pendingLvl: Seq[Int],
-      best: Seq[Double], emitted: Int, doneMs: Long = Long.MinValue)
+      best: Seq[Double], emitted: Int, doneMs: Long = Long.MinValue,
+      lastSeenMs: Long = Long.MinValue)
 
   private val NegInf = -1e300
 
@@ -46,10 +54,14 @@ object FunnelStream {
     * `withWatermark` upstream); rows whose `stepCol` is not in `steps`
     * are discarded before the state shuffle. */
   def levelUpdates(stream: DataFrame, keyCol: String, tsCol: String,
-      stepCol: String, steps: Seq[String], windowSeconds: Double)
+      stepCol: String, steps: Seq[String], windowSeconds: Double,
+      idleTimeoutSeconds: Option[Long] = None)
       : Dataset[LevelUpdate] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must differ")
+    require(idleTimeoutSeconds.forall(_ >= windowSeconds),
+      "idleTimeoutSeconds must be at least windowSeconds: a shorter TTL " +
+        "would reset chains the funnel window still allows to extend")
     val k = steps.size
     val spark = stream.sparkSession
     import spark.implicits._
@@ -73,11 +85,33 @@ object FunnelStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[StepEvent],
             state: GroupState[FunnelState]) =>
-          val st = state.getOption.getOrElse(
-            FunnelState(Nil, Nil, Seq.fill(k)(NegInf), 0))
           val wm = state.getCurrentWatermarkMs()
-          val fresh = rows.map(e => (e.ts.getTime, e.lvl))
-            .filter(_._1 > st.doneMs)
+          val blank = FunnelState(Nil, Nil, Seq.fill(k)(NegInf), 0)
+          // materialized per key per batch — bounded by the batch
+          val evs = rows.map(e => (e.ts.getTime, e.lvl)).toSeq
+          // a dormant key is logically expired when (a) the watermark
+          // passed its TTL, or (b) its OWN event stream has a gap of at
+          // least the TTL (the returning event arrives while the
+          // watermark still lags the expiry — event-time dormancy, not
+          // wake-schedule luck). Reset BEFORE folding; safe because
+          // ttl ≥ window means no chain can span the gap anyway.
+          val st = state.getOption match {
+            case Some(s) if idleTimeoutSeconds.exists { ttl =>
+              val expiry = s.lastSeenMs + ttl * 1000L
+              s.pendingTs.isEmpty && s.lastSeenMs != Long.MinValue &&
+                (expiry <= wm ||
+                  (evs.nonEmpty && evs.map(_._1).min >= expiry))
+            } => blank
+            case Some(s) => s
+            case None => blank
+          }
+          val converted = st.emitted >= k
+          val lastSeen =
+            if (evs.isEmpty) st.lastSeenMs
+            else math.max(st.lastSeenMs, evs.map(_._1).max)
+          val fresh =
+            if (converted) Nil // nothing can deepen — skip folding
+            else evs.filter(_._1 > st.doneMs)
           val all = (st.pendingTs.zip(st.pendingLvl) ++ fresh).sorted
           val (ready, pending) = all.partition(_._1 <= wm)
           val best = st.best.toArray
@@ -94,12 +128,25 @@ object FunnelStream {
               Iterator.single(LevelUpdate(key, level,
                 new Timestamp(ready.last._1)))
             else Iterator.empty
-          state.update(FunnelState(pending.map(_._1), pending.map(_._2),
-            best.toSeq, math.max(level, st.emitted), wm))
-          // wake this key when the watermark passes its earliest pending
-          // event (pending > wm by construction, so the call is legal)
+          val emitted = math.max(level, st.emitted)
+          if (emitted >= k)
+            // fully converted: shrink to the constant marker — buffers
+            // gone, future invocations fast-path out
+            state.update(FunnelState(Nil, Nil, Nil, emitted, wm, lastSeen))
+          else
+            state.update(FunnelState(pending.map(_._1),
+              pending.map(_._2), best.toSeq, emitted, wm, lastSeen))
           if (pending.nonEmpty)
+            // wake when the watermark passes the earliest pending event
+            // (pending > wm by construction, so the call is legal)
             state.setTimeoutTimestamp(pending.map(_._1).min)
+          else idleTimeoutSeconds.foreach { ttl =>
+            // idle expiry keys off the key's last EVENT, not the
+            // advancing watermark — a dead key must not re-arm itself
+            val expiry = lastSeen + ttl * 1000L
+            if (expiry <= wm) state.remove()
+            else state.setTimeoutTimestamp(expiry)
+          }
           out
       }
   }

@@ -921,9 +921,16 @@ class PromQlSpec extends SparkSpec {
       .orderBy("__time_bucket").select("value").as[Double].collect().toSeq
     assert(vals("sum by (host) (m @ end())") == Seq(9.0, 9.0, 9.0))
     assert(vals("sum by (host) (m @ start())") == Seq(1.0, 1.0, 1.0))
-    // fixed instant inside the middle bucket → that bucket's value
+    // pin exactly on the grid: the evaluation whose data ends AT the
+    // pin — data up to 02:00 is the 01:xx bucket's value
+    val two = Timestamp.valueOf("2024-01-01 02:00:00")
+      .toInstant.getEpochSecond
+    assert(vals(s"sum by (host) (m @ $two)") == Seq(5.0, 5.0, 5.0))
+    // mid-bucket pin (01:10) quantizes DOWN to the causal grid instant
+    // 01:00 — the engine never reports data from after the pin, even
+    // the same-bucket sample at 01:10 Prometheus itself would see
     val mid = hts(1).toInstant.getEpochSecond
-    assert(vals(s"sum by (host) (m @ $mid)") == Seq(5.0, 5.0, 5.0))
+    assert(vals(s"sum by (host) (m @ $mid)") == Seq(1.0, 1.0, 1.0))
   }
 
   test("present_over_time marks series windows that hold a sample") {
@@ -1014,13 +1021,17 @@ class PromQlSpec extends SparkSpec {
     // pi() is a scalar usable in arithmetic
     assert(math.abs(one("sum by (ServiceName) (mem_usage) * pi()") -
       80 * math.Pi) < 1e-9)
-    // timestamp() yields the step's epoch second per sample
+    // timestamp() yields the evaluation instant L+step — the same
+    // instant time() reports, so time() - timestamp(m) reads 0
     val tsv = PromQl.eval(gauges, "timestamp(mem_usage)", 3600)
       .selectExpr("value",
-        "cast(unix_timestamp(__time_bucket) as double) as want")
+        "cast(unix_timestamp(__time_bucket) + 3600 as double) as want")
       .collect()
     assert(tsv.nonEmpty && tsv.forall(r =>
       r.getDouble(0) == r.getDouble(1)))
+    val stale = PromQl.eval(gauges, "time() - timestamp(mem_usage)", 3600)
+      .select("value").as[Double].collect()
+    assert(stale.nonEmpty && stale.forall(_ == 0.0))
   }
 
   test("stddev across series is the population deviation") {

@@ -361,6 +361,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L))
     assert(math.abs(out(1L) - idf) < 1e-9)
     assert(math.abs(out(2L) - idf * (6.6 / 4.65)) < 1e-9)
+    // query terms normalize like the corpus tokenizer (lowercase/trim):
+    // an uppercase query must NOT silently score tf=0 everywhere
+    val up = TextAnalysis.bm25(df, "doc_id", "text", Seq(" X "))
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(up == out)
   }
 
   test("quality score rewards normal prose, punishes garbage") {

@@ -92,4 +92,38 @@ class FunnelStreamSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq("u1" -> 1))
   }
+
+  test("idle TTL removes dormant keys; a returning key re-reports") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val stream = mem.toDF().toDF("ts", "uid", "ev")
+      .withWatermark("ts", "0 seconds")
+    val ups = FunnelStream.levelUpdates(stream, "uid", "ts", "ev",
+      steps, windowSeconds = 600.0,
+      idleTimeoutSeconds = Some(3600L))
+    val q = ups.writeStream.format("memory").queryName("fn_ttl")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "u1", "view"),
+      (t("2024-01-01 00:01:00"), "u1", "click"))
+    q.processAllAvailable()
+    // finalize u1 (level 2 emits), then idle far past the 1h TTL
+    mem.addData((t("2024-01-01 01:00:00"), "u2", "view"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 06:00:00"), "u2", "scroll"))
+    q.processAllAvailable()
+    // u1's state was removed at TTL: its fresh view re-reports level 1
+    // (the documented at-least-once tradeoff of idleTimeoutSeconds)
+    mem.addData((t("2024-01-01 06:10:00"), "u1", "view"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 08:00:00"), "u3", "view"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 09:00:00"), "u3", "click"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT key, level FROM fn_ttl WHERE key = 'u1' ORDER BY at")
+      .as[(String, Int)].collect().toSeq
+    q.stop()
+    assert(rows == Seq("u1" -> 2, "u1" -> 1), s"got $rows")
+  }
 }
