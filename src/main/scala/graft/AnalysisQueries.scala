@@ -790,7 +790,14 @@ object AnalysisQueries {
       .matches(ev, "user_id", "ts", conds, "(?1).*(?2).*(?3)")
       .select(col("user_id"),
         when(col("matched"), 1L).otherwise(0L).as("m_subseq"))
-    adj.join(sub, Seq("user_id")).orderBy("user_id")
+    // sequenceCount gate: for DISTINCT adjacent conds, non-overlapping
+    // greedy matches can never share an event, so the count equals the
+    // plain adjacency count — which the oracle states with lead()
+    val cnt = graft.analysis.Sequence
+      .counts(ev, "user_id", "ts", conds, "(?1)(?2)")
+      .withColumnRenamed("n_matches", "n_view_click")
+    adj.join(sub, Seq("user_id")).join(cnt, Seq("user_id"))
+      .orderBy("user_id")
   }
 
   val q106_sql: String =
@@ -806,7 +813,9 @@ object AnalysisQueries {
       |adj AS (
       |  SELECT user_id,
       |    max(CASE WHEN e = 'view' AND ne = 'click' AND nt - t <= 900
-      |      THEN 1 ELSE 0 END) AS m_adjacent
+      |      THEN 1 ELSE 0 END) AS m_adjacent,
+      |    CAST(sum(CASE WHEN e = 'view' AND ne = 'click'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click
       |  FROM ord GROUP BY user_id),
       |sub AS (
       |  SELECT DISTINCT v.user_id
@@ -817,7 +826,7 @@ object AnalysisQueries {
       |    AND c.t >= v.t AND p.t >= c.t)
       |SELECT a.user_id, CAST(a.m_adjacent AS BIGINT) AS m_adjacent,
       |  CAST(CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-      |    AS m_subseq
+      |    AS m_subseq, a.n_view_click
       |FROM adj a LEFT JOIN sub s ON a.user_id = s.user_id
       |ORDER BY a.user_id""".stripMargin
 

@@ -1024,11 +1024,13 @@ object MetricQueries {
       |inner_s AS (
       |  SELECT u, event_type, sum(v) AS sv FROM last GROUP BY u, event_type),
       |ex AS (
+      |  -- the inner evaluation labeled u happened at instant u+3600; it
+      |  -- feeds the 4 outer windows ending at u+3600 .. u+4*3600, whose
+      |  -- window-start labels are u .. u+3*3600
       |  SELECT unnest(generate_series(u, u + 3*3600, 3600)) AS bucket,
       |         event_type, sv
       |  FROM inner_s)
-      |-- eval time minus one step: window-start labels
-      |SELECT bucket - 3600 AS bucket, event_type,
+      |SELECT bucket, event_type,
       |  round(max(sv), 2) AS value
       |FROM ex GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
@@ -1085,6 +1087,54 @@ object MetricQueries {
       .select("bucket", "event_type", "value")
       .orderBy("bucket", "event_type")
   }
+
+  /** Anomaly-band gate: flag buckets where the per-type gauge sum
+    * deviates from its trailing-6h mean by more than 2 trailing
+    * stddevs — the rolling-baseline anomaly detection dashboards build
+    * from sliding stats, composed ENTIRELY in PromQL (instant sum,
+    * avg/stddev_over_time subqueries, arithmetic, bool comparison —
+    * exercising the unified bucket alignment across all three
+    * families). Oracle: DuckDB RANGE-frame avg/stddev_pop over the
+    * same per-type hourly sums — an independent sliding-window
+    * formulation. */
+  def q107_promql_anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val g = events(spark, dir).select(
+      lit("mem").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+    epochBucket(graft.metrics.PromQl.eval(g,
+      "abs(sum by (ServiceName) (mem) - " +
+        "avg_over_time(sum by (ServiceName) (mem)[6h:1h])) > bool " +
+        "(2 * stddev_over_time(sum by (ServiceName) (mem)[6h:1h]))",
+      3600))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q107_sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |s AS (
+      |  SELECT bucket, event_type, sum(v) AS sv
+      |  FROM last GROUP BY bucket, event_type),
+      |w AS (
+      |  SELECT bucket, event_type, sv,
+      |    avg(sv) OVER win AS m,
+      |    stddev_pop(sv) OVER win AS sd
+      |  FROM s
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+      |    RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW))
+      |SELECT bucket, event_type,
+      |  CASE WHEN abs(sv - m) > 2 * sd THEN 1.0 ELSE 0.0 END AS value
+      |FROM w ORDER BY bucket, event_type""".stripMargin
 
   val q61_sql: String =
     """WITH pts AS (
@@ -1626,6 +1676,7 @@ object MetricQueries {
       |GROUP BY bucket HAVING sum(dc) > 0 ORDER BY bucket""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_promql_anomaly" -> (q107_promql_anomaly _),
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
     "q69_promql_divzero" -> (q69_promql_divzero _),
@@ -1661,6 +1712,7 @@ object MetricQueries {
     "q19_exp_count" -> (q19_exp_count _))
 
   val oracles: Map[String, String] = Map(
+    "q107_promql_anomaly" -> q107_sql,
     "q40_promql_increase" -> q40_sql,
     "q68_promql_mixed_align" -> q68_sql,
     "q69_promql_divzero" -> q69_sql,

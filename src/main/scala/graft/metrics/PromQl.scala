@@ -1388,9 +1388,15 @@ object PromQl {
         val v = col("value")
         val range = ots.rangeSeconds
         // window-END eval at __t emits at the window-START label __t − step
-        // (one bucket convention across all families — see header doc)
+        // (one bucket convention across all families — see header doc).
+        // explodeToSteps windows on the sample INSTANT: an inner
+        // evaluation labeled u happened at instant u + sub (the inner
+        // frame's own convention) — feeding the label directly would
+        // shift every subquery one step early relative to the raw
+        // *_over_time path
         val grouped = explodeToSteps(
-          inner.withColumn("__u", unix_timestamp(col(TimeBucketAlias))),
+          inner.withColumn("__u",
+            unix_timestamp(col(TimeBucketAlias)) + sub),
           range, step)
           .drop(TimeBucketAlias)
           .withColumn(TimeBucketAlias,

@@ -340,15 +340,17 @@ class PromQlSpec extends SparkSpec {
   }
 
   test("subquery: outer window aggregates inner evaluations") {
-    // inner: sum(requests_total) at 1m steps → 100 @00:00, 160 @00:01,
-    // 20 @00:02 (per-series last value, one series, summed).
-    // outer max_over_time[2h:1m] at 1h steps: eval 00:00 sees the 00:00
-    // inner point; 01:00 sees all three; 02:00 sees the 00:01/00:02 points
+    // inner: sum(requests_total) at 1m steps → labels 00:00/00:01/00:02
+    // = 100/160/20, i.e. inner evaluation INSTANTS 00:01/00:02/00:03.
+    // outer max_over_time[2h:1m] at 1h steps: the eval at 01:00 (label
+    // 00:00) covers instants (−59:00, 01:00] → all three → 160; the
+    // eval at 02:00 (label 01:00) covers (00:00, 02:00] → all three →
+    // 160; the eval at 03:00 would cover (01:00, 03:00] → none → no row
     val out = PromQl.eval(counters,
       "max_over_time(sum(requests_total)[2h:1m])", 3600)
       .orderBy("__time_bucket")
       .select("value").as[Double].collect().toSeq
-    assert(out == Seq(100.0, 160.0, 160.0))
+    assert(out == Seq(160.0, 160.0))
   }
 
   test("subquery with empty substep inherits the outer step") {
