@@ -830,10 +830,70 @@ object AnalysisQueries {
       |FROM adj a LEFT JOIN sub s ON a.user_id = s.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** CUSUM change-point gate ([[graft.analysis.ChangePoint]]): two-sided
+    * tabular CUSUM over the per-type hourly gauge sums (target 150,
+    * slack 20, threshold 100) — sustained level shifts accumulate into
+    * alarms a fixed threshold misses. The engine folds each series'
+    * sorted bucket array through one expression-only HOF; the oracle is
+    * the INDEPENDENT sequential formulation — a DuckDB recursive CTE
+    * stepping row-by-row. Inputs round to 4 decimals before the
+    * recursion so both engines fold bit-identical doubles through the
+    * same op sequence. */
+  def q108_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val x = ev
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600L) * 3600L)
+        .cast("long").as("bucket"),
+        col("event_type"), col("user_id"))
+      .agg(max_by(col("value"), col("ts")).as("v"))
+      .groupBy("bucket", "event_type")
+      .agg(round(sum(col("v")), 4).as("x"))
+    graft.analysis.ChangePoint.cusum(x, Seq("event_type"), "bucket",
+        "x", slack = 20.0, threshold = 100.0, target = Some(150.0))
+      .select(col("bucket"), col("event_type"), col("x"),
+        round(col("s_pos"), 4).as("s_pos"),
+        round(col("s_neg"), 4).as("s_neg"), col("alarm"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q108_sql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |s AS (
+      |  SELECT bucket, event_type, round(sum(v), 4) AS x
+      |  FROM last GROUP BY bucket, event_type),
+      |ord AS (
+      |  SELECT bucket, event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+      |      AS rn
+      |  FROM s),
+      |rec AS (
+      |  SELECT event_type, rn, bucket, x,
+      |    greatest(0, x - 150 - 20) AS sp,
+      |    greatest(0, 150 - x - 20) AS sn
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn, o.bucket, o.x,
+      |    greatest(0, r.sp + (o.x - 150 - 20)),
+      |    greatest(0, r.sn + (150 - o.x - 20))
+      |  FROM ord o JOIN rec r
+      |    ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+      |SELECT bucket, event_type, x,
+      |  round(sp, 4) AS s_pos, round(sn, 4) AS s_neg,
+      |  CAST(CASE WHEN sp > 100 OR sn > 100 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alarm
+      |FROM rec ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
+    "q108_cusum" -> (q108_cusum _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -855,6 +915,7 @@ object AnalysisQueries {
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,
+    "q108_cusum" -> q108_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,

@@ -1,0 +1,83 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-point detection on bucketed series — tabular CUSUM (Page
+  * 1954; the standard SPC two-sided form): per series, against a target
+  * level μ with slack k,
+  *
+  *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))
+  *   S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k))
+  *
+  * and a point alarms when either statistic exceeds the threshold h.
+  * Detects sustained level shifts that a fixed threshold misses (drift
+  * accumulates) while ignoring one-off spikes the slack absorbs — the
+  * classic complement to [[Slo]] burn rates and the PromQL anomaly
+  * bands for observability alerting.
+  *
+  * The recursion is inherently sequential per series, so it runs as an
+  * expression-only `aggregate` HOF over each series' time-sorted bucket
+  * array: one hash shuffle groups the (bucket, value) pairs, the fold
+  * carries (S⁺, S⁻, out-array) and posexplode restores rows. Per-series
+  * state is bounded by the time range / bucket count (the engine's
+  * series contract, same as the PromQL pipelines) — never by raw event
+  * volume, which collapsed to one row per (series, bucket) in the
+  * upstream aggregation the caller did.
+  */
+object ChangePoint {
+
+  /** Two-sided CUSUM per series. Input: one row per (series keys,
+    * bucket) with a numeric `valueCol`; μ defaults to the series' own
+    * mean (self-calibrating — pass `target` to pin it). `slack` and
+    * `threshold` are in value units. Output: the input keys + bucket +
+    * value + `s_pos`, `s_neg`, `alarm` (1/0), one row per input row.
+    *
+    * No post-alarm reset: the statistics keep accumulating (the plain
+    * Page form; a reset variant changes downstream points only after
+    * the first alarm, which monitoring dashboards rarely want). */
+  def cusum(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, slack: Double, threshold: Double,
+      target: Option[Double] = None): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs at least one series key")
+    val keyCs = keyCols.map(col)
+    val grouped = df
+      .select(keyCs :+ col(bucketCol).cast("long").as("__b") :+
+        col(valueCol).cast("double").as("__x"): _*)
+      .groupBy(keyCs: _*)
+      .agg(sort_array(collect_list(struct(col("__b"), col("__x"))))
+        .as("__pts"),
+        avg(col("__x")).as("__mean"))
+    val mu = target.map(lit(_).cast("double"))
+      .getOrElse(col("__mean"))
+    // fold state: [S⁺, S⁻] ++ flattened (sPos, sNeg) per consumed point;
+    // a struct-array accumulator would be cleaner but the flat double
+    // array keeps the whole fold inside one codegen'd HOF
+    val folded = grouped
+      .withColumn("__mu", mu)
+      .withColumn("__st", expr(
+        s"""aggregate(__pts, CAST(array(0.0d, 0.0d) AS ARRAY<DOUBLE>),
+           |  (acc, p) -> concat(
+           |    array(greatest(0.0d, element_at(acc, 1) +
+           |            (p.__x - __mu - $slack)),
+           |          greatest(0.0d, element_at(acc, 2) +
+           |            (__mu - p.__x - $slack))),
+           |    slice(acc, 3, size(acc) - 2),
+           |    array(greatest(0.0d, element_at(acc, 1) +
+           |            (p.__x - __mu - $slack)),
+           |          greatest(0.0d, element_at(acc, 2) +
+           |            (__mu - p.__x - $slack)))),
+           |  acc -> slice(acc, 3, size(acc) - 2))""".stripMargin))
+    folded
+      .select(keyCs ++ Seq(col("__st"),
+        posexplode(col("__pts")).as(Seq("__i", "__p"))): _*)
+      .select(keyCs ++ Seq(
+        col("__p.__b").as(bucketCol),
+        col("__p.__x").as(valueCol),
+        element_at(col("__st"), col("__i") * 2 + 1).as("s_pos"),
+        element_at(col("__st"), col("__i") * 2 + 2).as("s_neg")): _*)
+      .withColumn("alarm",
+        when(col("s_pos") > threshold || col("s_neg") > threshold, 1L)
+          .otherwise(0L))
+  }
+}
