@@ -1310,6 +1310,77 @@ object PipelineQueries {
       |    AS h
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** FastText-style quality/domain classifier at the driver gate: train
+    * closed-form log-count-ratio weights (512 hashed unigram+bigram
+    * buckets, Laplace α=1) on the doc_id%5≠4 split labeled non-en vs en,
+    * score the held-out %5=4 split, and report the confusion census with
+    * summed scores. The oracle replays EVERY stage — feature hashing,
+    * both class models, the smoothing floor for unseen buckets, the doc
+    * prior, the per-doc score — in DuckDB, so the weights themselves are
+    * value-checked, not just the predictions. */
+  def q109_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val labeled = d.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("text"),
+        when(col("lang") =!= "en", 1).otherwise(0).as("y"))
+    val model = graft.pipeline.Classifier.logCountRatio(
+      labeled, "doc_id", "text", "y", buckets = 512)
+    val held = d.filter(col("doc_id") % 5 === 4)
+    graft.pipeline.Classifier.score(
+        held.select("doc_id", "text"), "doc_id", "text", model, 512)
+      .join(held.select(col("doc_id"),
+        (col("lang") =!= "en").cast("int").as("actual")), "doc_id")
+      .groupBy((col("score") > 0).cast("int").as("predicted"),
+        col("actual"))
+      .agg(count(lit(1)).as("n"), round(sum(col("score")), 1).as("score_sum"))
+      .orderBy("predicted", "actual")
+  }
+
+  val q109_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    list_filter(tk, x -> x <> ''),
+      |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1]))) AS g
+      |  FROM t),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS bucket,
+      |    count(*) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT doc_id, CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 5 <> 4),
+      |lf AS (SELECT f.*, lab.y FROM f JOIN lab USING (doc_id)),
+      |cls AS (SELECT y, sum(cnt) AS tot, count(DISTINCT doc_id) AS docs
+      |        FROM lf GROUP BY 1),
+      |wt AS (
+      |  SELECT bucket,
+      |    ln((sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) + 1.0)
+      |       / ((SELECT tot FROM cls WHERE y = 1) + 512.0))
+      |  - ln((sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) + 1.0)
+      |       / ((SELECT tot FROM cls WHERE y = 0) + 512.0)) AS r
+      |  FROM lf GROUP BY 1),
+      |sc AS (
+      |  SELECT f.doc_id,
+      |    ln(CAST((SELECT docs FROM cls WHERE y = 1) AS DOUBLE)
+      |       / (SELECT docs FROM cls WHERE y = 0))
+      |    + sum(f.cnt * coalesce(wt.r,
+      |        ln(1.0 / ((SELECT tot FROM cls WHERE y = 1) + 512.0))
+      |      - ln(1.0 / ((SELECT tot FROM cls WHERE y = 0) + 512.0))))
+      |      AS score
+      |  FROM f LEFT JOIN wt USING (bucket)
+      |  WHERE f.doc_id % 5 = 4
+      |  GROUP BY 1)
+      |SELECT CAST(sc.score > 0 AS INT) AS predicted,
+      |  CAST(d.lang <> 'en' AS INT) AS actual,
+      |  count(*) AS n, round(sum(sc.score), 1) AS score_sum
+      |FROM sc JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1348,7 +1419,8 @@ object PipelineQueries {
     "q97_cross_dedup" -> (q97_cross_dedup _),
     "q98_tfidf" -> (q98_tfidf _),
     "q99_bm25" -> (q99_bm25 _),
-    "q79_curate" -> (q79_curate _))
+    "q79_curate" -> (q79_curate _),
+    "q109_classifier" -> (q109_classifier _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1387,5 +1459,6 @@ object PipelineQueries {
     "q97_cross_dedup" -> q97_sql,
     "q98_tfidf" -> q98_sql,
     "q99_bm25" -> q99_sql,
-    "q79_curate" -> q79_sql)
+    "q79_curate" -> q79_sql,
+    "q109_classifier" -> q109_sql)
 }

@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** FastText-style hashed bag-of-n-grams text classifier — the quality /
+  * domain filter of published curation pipelines (GPT-3's WebText-vs-crawl
+  * classifier, DCLM's fastText filter, fineweb-edu's educational scorer):
+  * train a linear model on a bounded labeled sample, score the whole
+  * corpus, keep what clears a threshold.
+  *
+  * Two trainers over the same hashed feature space ([[Dsir.hashedFeatures]]
+  * — unigram+bigram counts md5-bucketed exactly like fastText's hashing
+  * trick, and portable to independent engines):
+  *
+  *  - [[logCountRatio]]: the closed-form Naive-Bayes log-count-ratio
+  *    weights of Wang & Manning 2012 ("simple but tough to beat") — two
+  *    shuffles end to end, no iteration, every stage replayable in plain
+  *    SQL, which makes corpus-scale scoring oracle-checkable.
+  *  - [[trainLogistic]]: full-batch gradient-descent logistic regression
+  *    (fastText's actual objective, minus the learned embedding). The
+  *    labeled set is bounded by contract (the published recipes label
+  *    10⁵–10⁶ docs); its per-doc feature arrays are cached once and each
+  *    iteration is one broadcast-weights aggregate pass — no shuffle, no
+  *    driver-side data, gradient state is `buckets+1` doubles.
+  *
+  * Scale shape: training touches only the labeled sample. Corpus-scale
+  * work is inference — [[scoreFeatures]] broadcast-joins the ≤`buckets`-row
+  * weight table onto the corpus feature frame and sums per doc: one hash
+  * shuffle on (doc, bucket) inside hashedFeatures, one on doc for the
+  * score, both carrying ≤`buckets` rows per doc. Thresholding is a pure
+  * filter. No stage is ever corpus × corpus or corpus-collect.
+  */
+object Classifier {
+
+  /** Linear model over hashed buckets: score(doc) = prior +
+    * Σ_b cnt_b · r_b, with `unseenR` for buckets absent from the
+    * training frame (Laplace smoothing defines them; 0.0 for logistic).
+    * `weights` is a small (bucket, r) frame — broadcast at scoring. */
+  final case class LinearModel(weights: DataFrame, unseenR: Double,
+      prior: Double)
+
+  /** Closed-form NB log-count-ratio weights: r_b = ln p(b|pos) −
+    * ln p(b|neg), both Laplace-smoothed, prior = ln(Npos/Nneg).
+    * `labelCol` must be 0/1 (1 = positive). The labeled frame is touched
+    * twice (bucket model, doc census) through one persisted (id, bucket,
+    * cnt, y) projection. */
+  def logCountRatio(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 8192,
+      alpha: Double = 1.0): LinearModel = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha must be positive")
+    val f = Dsir.hashedFeatures(
+        labeled.select(col(idCol), col(textCol)), idCol, textCol, buckets)
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast("int").as("__y")), idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one row per class: feature mass + doc count (empty classes are a
+    // caller error — name it, don't divide by zero deep in a plan)
+    val byClass = f.groupBy(col("__y"))
+      .agg(sum(col("cnt")).as("tot"),
+        count_distinct(col(idCol)).as("docs"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    require(byClass.contains(1) && byClass.contains(0),
+      s"logCountRatio needs both classes in $labelCol; saw ${byClass.keySet}")
+    val (posTot, posDocs) = byClass(1)
+    val (negTot, negDocs) = byClass(0)
+    val weights = f.groupBy(col("bucket"))
+      .agg(
+        (log((sum(when(col("__y") === 1, col("cnt")).otherwise(0L)) +
+          alpha) / (posTot + alpha * buckets)) -
+         log((sum(when(col("__y") === 0, col("cnt")).otherwise(0L)) +
+          alpha) / (negTot + alpha * buckets))).as("r"))
+    val unseenR = math.log(alpha / (posTot + alpha * buckets)) -
+      math.log(alpha / (negTot + alpha * buckets))
+    LinearModel(weights, unseenR, math.log(posDocs.toDouble / negDocs))
+  }
+
+  /** (id, score): prior + Σ cnt·r over a corpus feature frame (from
+    * [[Dsir.hashedFeatures]] with the SAME bucket count the model was
+    * trained with). The weight table broadcasts; the corpus side is the
+    * only big frame. */
+  def scoreFeatures(features: DataFrame, idCol: String,
+      model: LinearModel): DataFrame =
+    features
+      .join(broadcast(model.weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(col("cnt") * coalesce(col("r"), lit(model.unseenR))) +
+        model.prior).as("score"))
+
+  /** Convenience: tokenize + hash + score a (id, text) corpus. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      model: LinearModel, buckets: Int = 8192): DataFrame =
+    scoreFeatures(
+      Dsir.hashedFeatures(df.select(col(idCol), col(textCol)), idCol,
+        textCol, buckets),
+      idCol, model)
+
+  /** Trained logistic model: dense weights + bias (driver-side arrays —
+    * `buckets` doubles, KBs by contract). */
+  final case class LogisticModel(bias: Double, w: Array[Double],
+      losses: Array[Double]) {
+    /** As a [[LinearModel]] for the shared broadcast-join scorer. */
+    def linear(spark: org.apache.spark.sql.SparkSession): LinearModel = {
+      import spark.implicits._
+      val wf = w.iterator.zipWithIndex
+        .filter(_._1 != 0.0)
+        .map { case (v, b) => (b.toLong, v) }.toSeq
+        .toDF("bucket", "r")
+      LinearModel(wf, 0.0, bias)
+    }
+  }
+
+  /** Full-batch GD on the logistic loss with L2, over hashed features of
+    * a BOUNDED labeled sample (loud cap — training is not a corpus-scale
+    * stage; see the object doc). Deterministic given the data: fixed
+    * iteration count, fixed init (zeros), and a per-doc pre-aggregated
+    * sparse representation so the gradient is a sum of bounded arrays.
+    * Feature counts are tf-normalized per doc (fastText's mean-of-inputs)
+    * so the step size is document-length-invariant. */
+  def trainLogistic(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 4096, iters: Int = 50,
+      lr: Double = 0.5, l2: Double = 1e-6,
+      maxLabeled: Long = 4194304): LogisticModel = {
+    require(buckets > 0 && iters > 0 && lr > 0 && l2 >= 0,
+      "buckets/iters/lr must be positive, l2 non-negative")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val n = labeled.count()
+    require(n > 0, "trainLogistic: empty labeled frame")
+    require(n <= maxLabeled,
+      s"trainLogistic: $n labeled docs exceeds maxLabeled=$maxLabeled — " +
+        "the published recipes train on a bounded sample; label fewer " +
+        "docs (or raise the cap knowingly)")
+    // (y, buckets[], tf[]) per doc, cached for the iteration loop; the
+    // groupBy is the one shuffle of training
+    val docs = Dsir.hashedFeatures(
+        labeled.select(col(idCol), col(textCol)), idCol, textCol, buckets)
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast("double").as("__y")), idCol)
+      .groupBy(col(idCol), col("__y"))
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
+      .select(col("__y"), col("fs"))
+      .as[(Double, Seq[(Long, Long)])]
+      .map { case (y, fs) =>
+        val tot = fs.iterator.map(_._2).sum.toDouble
+        (y, fs.map(_._1.toInt).toArray, fs.map(_._2 / tot).toArray)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nd = docs.count().toDouble // materialize the cache once
+    var w = new Array[Double](buckets)
+    var bias = 0.0
+    val losses = Array.newBuilder[Double]
+    var it = 0
+    while (it < iters) {
+      val bw = spark.sparkContext.broadcast((w, bias))
+      // (grad[buckets], gradBias, loss) in one pass over the cache
+      val (grad, gBias, loss) = docs.rdd.treeAggregate(
+        (new Array[Double](buckets), 0.0, 0.0))(
+        seqOp = { case ((g, gb, l), (y, bs, tfs)) =>
+          val (wv, b0) = bw.value
+          var m = b0
+          var i = 0
+          while (i < bs.length) { m += wv(bs(i)) * tfs(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-m))
+          val resid = p - y
+          i = 0
+          while (i < bs.length) { g(bs(i)) += resid * tfs(i); i += 1 }
+          // log-loss with the numerically safe log1p(exp) form
+          val ll =
+            if (m >= 0) math.log1p(math.exp(-m)) + (1.0 - y) * m
+            else math.log1p(math.exp(m)) - y * m
+          (g, gb + resid, l + ll)
+        },
+        combOp = { case ((g1, gb1, l1), (g2, gb2, l2)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (g1, gb1 + gb2, l1 + l2)
+        })
+      bw.destroy()
+      val w2 = new Array[Double](buckets)
+      var i = 0
+      while (i < buckets) {
+        w2(i) = w(i) - lr * (grad(i) / nd + l2 * w(i))
+        i += 1
+      }
+      bias -= lr * gBias / nd
+      w = w2
+      losses += loss / nd
+      it += 1
+    }
+    docs.unpersist()
+    LogisticModel(bias, w, losses.result())
+  }
+}
