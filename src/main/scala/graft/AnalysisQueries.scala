@@ -889,11 +889,79 @@ object AnalysisQueries {
       |    AS alarm
       |FROM rec ORDER BY event_type, bucket""".stripMargin
 
+  /** Template novelty/surge triage at the driver gate: masked-template
+    * rate diff between the Jan 1–16 baseline and the Jan 16–Feb 1
+    * current window, with three planted families — `v2_`-prefixed copies
+    * (every 50th current-half event) land as NEW templates, tripled
+    * current-half clicks land as SURGE, and a thinned current-half view
+    * stream (3 of 4 removed) lands as DROP; untouched types stay STEADY.
+    * Lines render `value` into the text so the decimal-mask rule is
+    * exercised distributedly; the oracle rebuilds each template from
+    * event_type (every rendered double masks to `<NUM>`), replaying the
+    * same union, windows, rates, and rounded-ratio thresholds. */
+  def q110_template_novelty(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+    val split = lit(java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-16T00:00:00Z")))
+    val thinned = e.filter(!(col("event_type") === "view" &&
+      col("ts") >= split && col("event_id") % 4 =!= 0))
+    val planted = e.filter(col("ts") >= split && col("event_id") % 50 === 0)
+      .withColumn("event_type", concat(lit("v2_"), col("event_type")))
+    val surged = e.filter(col("ts") >= split &&
+      col("event_type") === "click")
+    val corpus = thinned.unionByName(planted)
+      .unionByName(surged).unionByName(surged)
+      .withColumn("line", concat(col("event_type"), lit(" handled in "),
+        col("value"), lit(" ms")))
+    Patterns.templateDiff(corpus, "line", "ts", "2024-01-01T00:00:00Z",
+      "2024-01-16T00:00:00Z", "2024-02-01T00:00:00Z", surgeRatio = 2.0)
+      .orderBy("template")
+  }
+
+  val q110_sql: String =
+    """WITH ev AS (SELECT event_id, ts, event_type FROM events),
+      |corpus AS (
+      |  SELECT event_type, ts FROM ev
+      |  WHERE NOT (event_type = 'view' AND ts >= TIMESTAMP '2024-01-16'
+      |             AND event_id % 4 <> 0)
+      |  UNION ALL
+      |  SELECT 'v2_' || event_type, ts FROM ev
+      |  WHERE ts >= TIMESTAMP '2024-01-16' AND event_id % 50 = 0
+      |  UNION ALL
+      |  SELECT event_type, ts FROM ev
+      |  WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'click'
+      |  UNION ALL
+      |  SELECT event_type, ts FROM ev
+      |  WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'click'),
+      |agg AS (
+      |  SELECT event_type || ' handled in <NUM> ms' AS template,
+      |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS base_n,
+      |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS cur_n
+      |  FROM corpus
+      |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT template, base_n, cur_n,
+      |    round(base_n / 1296000.0, 6) AS base_rate,
+      |    round(cur_n / 1382400.0, 6) AS cur_rate,
+      |    CASE WHEN base_n > 0 THEN
+      |      round((cur_n / 1382400.0) / (base_n / 1296000.0), 6)
+      |    END AS ratio
+      |  FROM agg)
+      |SELECT template, base_n, cur_n, base_rate, cur_rate, ratio,
+      |  CASE WHEN base_n = 0 THEN 'new' WHEN cur_n = 0 THEN 'gone'
+      |       WHEN ratio >= 2.0 THEN 'surge' WHEN ratio <= 0.5 THEN 'drop'
+      |       ELSE 'steady' END AS status
+      |FROM r ORDER BY template""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
     "q108_cusum" -> (q108_cusum _),
+    "q110_template_novelty" -> (q110_template_novelty _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -916,6 +984,7 @@ object AnalysisQueries {
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,
     "q108_cusum" -> q108_sql,
+    "q110_template_novelty" -> q110_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,

@@ -204,6 +204,10 @@ object Masking {
     "\\b\\d+\\.\\d+\\b" -> "<NUM>",
     "\\b\\d{4,}\\b" -> "<NUM>")
 
+  /** The rule chain, for expression-form re-implementations
+    * ([[Patterns.maskTemplate]]) — order is part of the contract. */
+  def rules: Seq[(String, String)] = Rules
+
   def mask(line: String): String =
     Rules.foldLeft(line) { case (s, (re, repl)) => s.replaceAll(re, repl) }
 }

@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pattern-mining orchestration (reference drain/mine-patterns.ts:91-204):
@@ -69,6 +69,58 @@ object Patterns {
     }.toDF("patternId", "template", "sampleCount", "estimatedCount",
       "trend")
       .orderBy(desc("sampleCount"), col("patternId"))
+  }
+
+  /** Expression-only form of [[Masking.mask]]: the same rule chain as
+    * codegen'd `regexp_replace`s, for DISTRIBUTED template
+    * normalization — every row, not a driver-side sample. DRAIN stays
+    * the fuzzy clusterer; this is the exact-template path that scales
+    * to the full corpus. */
+  def maskTemplate(line: Column): Column =
+    Masking.rules.foldLeft(line.cast("string")) {
+      case (c, (re, repl)) => regexp_replace(c, re, repl)
+    }
+
+  /** Deploy triage: which masked log templates are NEW, GONE, SURGING,
+    * or DROPPING in (split, to] relative to the [from, split) baseline —
+    * the "what changed after the deploy" question, answered over every
+    * row instead of a mined sample.
+    *
+    * Scale shape: one scan of the range, one conditional-agg hash
+    * shuffle keyed on the masked template (map-side combined), then
+    * pure post-agg expressions — template cardinality, not row count,
+    * bounds everything after the exchange. Rates normalize by each
+    * window's length so unequal windows compare honestly; ratio and
+    * rates round to 6 dp and the status thresholds compare the ROUNDED
+    * ratio, so independent engines agree on the boundary. */
+  def templateDiff(df: DataFrame, lineCol: String, tsCol: String,
+      from: String, split: String, to: String,
+      surgeRatio: Double = 2.0): DataFrame = {
+    require(surgeRatio > 1.0, s"surgeRatio must exceed 1, got $surgeRatio")
+    val (fi, si, ti) = (java.time.Instant.parse(from),
+      java.time.Instant.parse(split), java.time.Instant.parse(to))
+    require(fi.isBefore(si) && si.isBefore(ti),
+      s"need from < split < to, got $from / $split / $to")
+    val baseSecs = (si.getEpochSecond - fi.getEpochSecond).toDouble
+    val curSecs = (ti.getEpochSecond - si.getEpochSecond).toDouble
+    val ts = col(tsCol)
+    val inBase = ts < lit(java.sql.Timestamp.from(si))
+    val ratio = when(col("base_n") > 0, round(
+      (col("cur_n") / curSecs) / (col("base_n") / baseSecs), 6))
+    df.filter(ts >= lit(java.sql.Timestamp.from(fi)) &&
+        ts < lit(java.sql.Timestamp.from(ti)))
+      .groupBy(maskTemplate(col(lineCol)).as("template"))
+      .agg(sum(when(inBase, 1L).otherwise(0L)).as("base_n"),
+        sum(when(!inBase, 1L).otherwise(0L)).as("cur_n"))
+      .withColumn("base_rate", round(col("base_n") / baseSecs, 6))
+      .withColumn("cur_rate", round(col("cur_n") / curSecs, 6))
+      .withColumn("ratio", ratio)
+      .withColumn("status",
+        when(col("base_n") === 0, "new")
+          .when(col("cur_n") === 0, "gone")
+          .when(col("ratio") >= surgeRatio, "surge")
+          .when(col("ratio") <= 1.0 / surgeRatio, "drop")
+          .otherwise("steady"))
   }
 
   /** Mine patterns; noiseThreshold drops clusters that hold less than that

@@ -105,6 +105,68 @@ class PatternsSpec extends SparkSpec {
     assert(pay.head == 0 && pay.last > 0)
     assert(login.sum == 200 && pay.sum == 200)
   }
+
+  test("maskTemplate matches the driver-side Masking chain") {
+    import spark.implicits._
+    val lines = Seq(
+      "ip 10.1.2.3:443 id 0xdeadbeef n 12345",
+      "uuid 123e4567-e89b-42d3-a456-426614174000 took 3.75 ms",
+      "small 42 stays but 9999 goes")
+    val got = lines.toDF("l")
+      .select(Patterns.maskTemplate(col("l"))).as[String].collect()
+    assert(got.toSeq == lines.map(Masking.mask))
+  }
+
+  test("templateDiff classifies new / gone / surge / drop / steady") {
+    import spark.implicits._
+    // base window [0, 100)s, current [100, 300)s — 1:2 lengths, so equal
+    // counts mean the rate HALVES (ratio 0.5 → drop boundary, inclusive)
+    def at(s: Long) = java.sql.Timestamp.from(
+      Instant.parse("2024-01-01T00:00:00Z").plusSeconds(s))
+    val rows =
+      // steady: 10 base, 20 cur → ratio 1.0
+      (0L until 10L).map(i => (at(i), s"steady req ${9000 + i} ok")) ++
+      (0L until 20L).map(i => (at(100 + i), s"steady req ${9000 + i} ok")) ++
+      // surge: 2 base, 20 cur → ratio 5.0
+      (0L until 2L).map(i => (at(i), "surge cache miss")) ++
+      (0L until 20L).map(i => (at(100 + i), "surge cache miss")) ++
+      // drop (boundary): 4 base, 4 cur → ratio 0.5 exactly
+      (0L until 4L).map(i => (at(i), "drop old path")) ++
+      (0L until 4L).map(i => (at(100 + i), "drop old path")) ++
+      // new / gone
+      Seq((at(150), "new panic at 0xabcdef99"), (at(5), "gone legacy call")) ++
+      // outside the range entirely: ignored
+      Seq((at(500), "steady req 9001 ok"))
+    val out = Patterns.templateDiff(rows.toDF("ts", "line"), "line", "ts",
+      "2024-01-01T00:00:00Z", "2024-01-01T00:01:40Z",
+      "2024-01-01T00:05:00Z", surgeRatio = 2.0)
+      .collect().map(r => r.getAs[String]("template") ->
+        (r.getAs[Long]("base_n"), r.getAs[Long]("cur_n"),
+          r.getAs[String]("status"))).toMap
+    assert(out("steady req <NUM> ok") == ((10L, 20L, "steady")))
+    assert(out("surge cache miss") == ((2L, 20L, "surge")))
+    assert(out("drop old path") == ((4L, 4L, "drop")))
+    assert(out("new panic at <HEX>") == ((0L, 1L, "new")))
+    assert(out("gone legacy call") == ((1L, 0L, "gone")))
+    // rates normalize by each window's own length
+    val steady = Patterns.templateDiff(rows.toDF("ts", "line"), "line",
+      "ts", "2024-01-01T00:00:00Z", "2024-01-01T00:01:40Z",
+      "2024-01-01T00:05:00Z")
+      .filter(col("template") === "steady req <NUM> ok").head()
+    assert(steady.getAs[Double]("base_rate") == 0.1)
+    assert(steady.getAs[Double]("cur_rate") == 0.1)
+    assert(steady.getAs[Double]("ratio") == 1.0)
+  }
+
+  test("templateDiff validates its window ordering, loudly") {
+    import spark.implicits._
+    val df = Seq((java.sql.Timestamp.from(Instant.EPOCH), "x")).toDF("ts", "line")
+    val e = intercept[IllegalArgumentException] {
+      Patterns.templateDiff(df, "line", "ts", "2024-01-02T00:00:00Z",
+        "2024-01-01T00:00:00Z", "2024-01-03T00:00:00Z")
+    }
+    assert(e.getMessage.contains("from < split < to"))
+  }
 }
 
 class EventDeltasSpec extends SparkSpec {
