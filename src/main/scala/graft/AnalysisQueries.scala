@@ -26,7 +26,7 @@ object AnalysisQueries {
     val e = Queries.cat(spark, dir)("events").df
       .filter(col("event_id") < 2000)
       .withColumn("line", concat(col("event_type"), lit(" handled in "),
-        col("value"), lit(" ms")))
+        col("value").cast("decimal(18,2)"), lit(" ms")))
     Patterns.minePatterns(spark, e, "line", "event_id", sampleSize = 3000)
       .select("template", "sampleCount", "estimatedCount")
       .orderBy(desc("sampleCount"), col("template"))
@@ -911,8 +911,10 @@ object AnalysisQueries {
       col("event_type") === "click")
     val corpus = thinned.unionByName(planted)
       .unionByName(surged).unionByName(surged)
+      // decimal render: doubles outside [1e-3, 1e7) would print in
+      // scientific notation, which no Masking rule collapses
       .withColumn("line", concat(col("event_type"), lit(" handled in "),
-        col("value"), lit(" ms")))
+        col("value").cast("decimal(18,2)"), lit(" ms")))
     Patterns.templateDiff(corpus, "line", "ts", "2024-01-01T00:00:00Z",
       "2024-01-16T00:00:00Z", "2024-02-01T00:00:00Z", surgeRatio = 2.0)
       .orderBy("template")

@@ -1327,7 +1327,7 @@ object PipelineQueries {
       labeled, "doc_id", "text", "y", buckets = 512)
     val held = d.filter(col("doc_id") % 5 === 4)
     graft.pipeline.Classifier.score(
-        held.select("doc_id", "text"), "doc_id", "text", model, 512)
+        held.select("doc_id", "text"), "doc_id", "text", model)
       .join(held.select(col("doc_id"),
         (col("lang") =!= "en").cast("int").as("actual")), "doc_id")
       .groupBy((col("score") > 0).cast("int").as("predicted"),
@@ -1355,8 +1355,8 @@ object PipelineQueries {
       |  SELECT doc_id, CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS y
       |  FROM documents WHERE doc_id % 5 <> 4),
       |lf AS (SELECT f.*, lab.y FROM f JOIN lab USING (doc_id)),
-      |cls AS (SELECT y, sum(cnt) AS tot, count(DISTINCT doc_id) AS docs
-      |        FROM lf GROUP BY 1),
+      |cls AS (SELECT y, sum(cnt) AS tot FROM lf GROUP BY 1),
+      |dc AS (SELECT y, count(*) AS docs FROM lab GROUP BY 1),
       |wt AS (
       |  SELECT bucket,
       |    ln((sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) + 1.0)
@@ -1364,17 +1364,22 @@ object PipelineQueries {
       |  - ln((sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) + 1.0)
       |       / ((SELECT tot FROM cls WHERE y = 0) + 512.0)) AS r
       |  FROM lf GROUP BY 1),
-      |sc AS (
+      |sc0 AS (
       |  SELECT f.doc_id,
-      |    ln(CAST((SELECT docs FROM cls WHERE y = 1) AS DOUBLE)
-      |       / (SELECT docs FROM cls WHERE y = 0))
-      |    + sum(f.cnt * coalesce(wt.r,
+      |    sum(f.cnt * coalesce(wt.r,
       |        ln(1.0 / ((SELECT tot FROM cls WHERE y = 1) + 512.0))
       |      - ln(1.0 / ((SELECT tot FROM cls WHERE y = 0) + 512.0))))
-      |      AS score
+      |      AS wsum
       |  FROM f LEFT JOIN wt USING (bucket)
       |  WHERE f.doc_id % 5 = 4
-      |  GROUP BY 1)
+      |  GROUP BY 1),
+      |sc AS (
+      |  SELECT h.doc_id,
+      |    ln(CAST((SELECT docs FROM dc WHERE y = 1) AS DOUBLE)
+      |       / (SELECT docs FROM dc WHERE y = 0))
+      |    + coalesce(sc0.wsum, 0.0) AS score
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) h
+      |  LEFT JOIN sc0 USING (doc_id))
       |SELECT CAST(sc.score > 0 AS INT) AS predicted,
       |  CAST(d.lang <> 'en' AS INT) AS actual,
       |  count(*) AS n, round(sum(sc.score), 1) AS score_sum

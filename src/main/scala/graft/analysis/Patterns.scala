@@ -101,8 +101,10 @@ object Patterns {
       java.time.Instant.parse(split), java.time.Instant.parse(to))
     require(fi.isBefore(si) && si.isBefore(ti),
       s"need from < split < to, got $from / $split / $to")
-    val baseSecs = (si.getEpochSecond - fi.getEpochSecond).toDouble
-    val curSecs = (ti.getEpochSecond - si.getEpochSecond).toDouble
+    // fractional seconds count: sub-second windows must not truncate to
+    // a zero denominator (Infinity rates, everything "drop")
+    val baseSecs = java.time.Duration.between(fi, si).toNanos / 1e9
+    val curSecs = java.time.Duration.between(si, ti).toNanos / 1e9
     val ts = col(tsCol)
     val inBase = ts < lit(java.sql.Timestamp.from(si))
     val ratio = when(col("base_n") > 0, round(

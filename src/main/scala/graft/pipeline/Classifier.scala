@@ -37,51 +37,62 @@ object Classifier {
   /** Linear model over hashed buckets: score(doc) = prior +
     * Σ_b cnt_b · r_b, with `unseenR` for buckets absent from the
     * training frame (Laplace smoothing defines them; 0.0 for logistic).
-    * `weights` is a small (bucket, r) frame — broadcast at scoring. */
+    * `weights` is a small (bucket, r) frame — broadcast at scoring.
+    * `buckets` is the hash width the model was trained with; scoring
+    * re-hashes with it so a train/score width mismatch is impossible. */
   final case class LinearModel(weights: DataFrame, unseenR: Double,
-      prior: Double)
+      prior: Double, buckets: Int)
 
   /** Closed-form NB log-count-ratio weights: r_b = ln p(b|pos) −
-    * ln p(b|neg), both Laplace-smoothed, prior = ln(Npos/Nneg).
-    * `labelCol` must be 0/1 (1 = positive). The labeled frame is touched
-    * twice (bucket model, doc census) through one persisted (id, bucket,
-    * cnt, y) projection. */
+    * ln p(b|neg), both Laplace-smoothed, prior = ln(Npos/Nneg) over the
+    * LABELED DOC census (gram-less docs still carry their label). The
+    * feature frame is persisted for its two passes (class mass, bucket
+    * model) and released once the ≤`buckets`-row weight table — small by
+    * construction — is pulled local. */
   def logCountRatio(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 8192,
       alpha: Double = 1.0): LinearModel = {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0, "alpha must be positive")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    // doc census straight from the labels (empty classes are a caller
+    // error — name it, don't divide by zero deep in a plan)
+    val docCensus = labeled
+      .groupBy(col(labelCol).cast("int").as("__y"))
+      .agg(count(lit(1)).as("docs"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(docCensus.contains(1) && docCensus.contains(0),
+      s"logCountRatio needs both classes in $labelCol; " +
+        s"saw ${docCensus.keySet}")
     val f = Dsir.hashedFeatures(
         labeled.select(col(idCol), col(textCol)), idCol, textCol, buckets)
       .join(labeled.select(col(idCol),
         col(labelCol).cast("int").as("__y")), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one row per class: feature mass + doc count (empty classes are a
-    // caller error — name it, don't divide by zero deep in a plan)
-    val byClass = f.groupBy(col("__y"))
-      .agg(sum(col("cnt")).as("tot"),
-        count_distinct(col(idCol)).as("docs"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    require(byClass.contains(1) && byClass.contains(0),
-      s"logCountRatio needs both classes in $labelCol; saw ${byClass.keySet}")
-    val (posTot, posDocs) = byClass(1)
-    val (negTot, negDocs) = byClass(0)
-    val weights = f.groupBy(col("bucket"))
+    val mass = f.groupBy(col("__y")).agg(sum(col("cnt")).as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val posTot = mass.getOrElse(1, 0L)
+    val negTot = mass.getOrElse(0, 0L)
+    val weightRows = f.groupBy(col("bucket"))
       .agg(
         (log((sum(when(col("__y") === 1, col("cnt")).otherwise(0L)) +
           alpha) / (posTot + alpha * buckets)) -
          log((sum(when(col("__y") === 0, col("cnt")).otherwise(0L)) +
           alpha) / (negTot + alpha * buckets))).as("r"))
+      .as[(Long, Double)].collect()
+    f.unpersist()
     val unseenR = math.log(alpha / (posTot + alpha * buckets)) -
       math.log(alpha / (negTot + alpha * buckets))
-    LinearModel(weights, unseenR, math.log(posDocs.toDouble / negDocs))
+    LinearModel(weightRows.toSeq.toDF("bucket", "r"), unseenR,
+      math.log(docCensus(1).toDouble / docCensus(0)), buckets)
   }
 
   /** (id, score): prior + Σ cnt·r over a corpus feature frame (from
-    * [[Dsir.hashedFeatures]] with the SAME bucket count the model was
-    * trained with). The weight table broadcasts; the corpus side is the
-    * only big frame. */
+    * [[Dsir.hashedFeatures]] with `model.buckets`). The weight table
+    * broadcasts; the corpus side is the only big frame. Docs absent
+    * from the feature frame (no grams) are absent here too — use
+    * [[score]] for the every-doc contract. */
   def scoreFeatures(features: DataFrame, idCol: String,
       model: LinearModel): DataFrame =
     features
@@ -90,26 +101,35 @@ object Classifier {
       .agg((sum(col("cnt") * coalesce(col("r"), lit(model.unseenR))) +
         model.prior).as("score"))
 
-  /** Convenience: tokenize + hash + score a (id, text) corpus. */
+  /** Tokenize + hash (with the model's own bucket width) + score a
+    * (id, text) corpus. EVERY input doc gets a row: a doc with no grams
+    * (empty/whitespace text) scores exactly `prior` — the empty sum —
+    * instead of silently vanishing from the keep/drop filter. */
   def score(df: DataFrame, idCol: String, textCol: String,
-      model: LinearModel, buckets: Int = 8192): DataFrame =
-    scoreFeatures(
+      model: LinearModel): DataFrame = {
+    val scored = scoreFeatures(
       Dsir.hashedFeatures(df.select(col(idCol), col(textCol)), idCol,
-        textCol, buckets),
+        textCol, model.buckets),
       idCol, model)
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(model.prior)).as("score"))
+  }
 
   /** Trained logistic model: dense weights + bias (driver-side arrays —
     * `buckets` doubles, KBs by contract). */
   final case class LogisticModel(bias: Double, w: Array[Double],
       losses: Array[Double]) {
-    /** As a [[LinearModel]] for the shared broadcast-join scorer. */
+    /** As a [[LinearModel]] for the shared broadcast-join scorer; the
+      * weight array's length IS the trained hash width. */
     def linear(spark: org.apache.spark.sql.SparkSession): LinearModel = {
       import spark.implicits._
       val wf = w.iterator.zipWithIndex
         .filter(_._1 != 0.0)
         .map { case (v, b) => (b.toLong, v) }.toSeq
         .toDF("bucket", "r")
-      LinearModel(wf, 0.0, bias)
+      LinearModel(wf, 0.0, bias, w.length)
     }
   }
 

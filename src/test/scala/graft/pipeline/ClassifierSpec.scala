@@ -42,14 +42,19 @@ class ClassifierSpec extends SparkSpec {
         (10L, "spark executor shuffle"),
         (11L, "butter flour recipe"),
         (12L, "zzz qqq")). // nothing seen in training
-      toDF("id", "text"), "id", "text", m, B)
+      toDF("id", "text"), "id", "text", m)
       .as[(Long, Double)].collect().toMap
     assert(s(10L) > 0 && s(11L) < 0, s"scores: $s")
     // all-unseen doc: prior + Σ cnt·unseenR (3 grams: 2 uni + 1 bi)
     assert(math.abs(s(12L) - (m.prior + 3 * m.unseenR)) < 1e-9)
+    // gram-less doc still gets a row: the empty sum = prior exactly
+    val empty = Classifier.score(Seq((13L, "   "), (14L, "spark"))
+      .toDF("id", "text"), "id", "text", m)
+      .as[(Long, Double)].collect().toMap
+    assert(empty(13L) == m.prior && empty.contains(14L))
     // deterministic across runs
     val again = Classifier.score(Seq((10L, "spark executor shuffle"))
-      .toDF("id", "text"), "id", "text", m, B)
+      .toDF("id", "text"), "id", "text", m)
       .as[(Long, Double)].collect().head._2
     assert(again == s(10L))
   }
@@ -75,7 +80,7 @@ class ClassifierSpec extends SparkSpec {
     val s = Classifier.score(
       Seq((100L, "spark stage shuffle"), (101L, "butter whisk sugar"))
         .toDF("id", "text"),
-      "id", "text", m.linear(spark), 512)
+      "id", "text", m.linear(spark))
       .as[(Long, Double)].collect().toMap
     assert(s(100L) > 0 && s(101L) < 0, s"scores: $s")
   }
