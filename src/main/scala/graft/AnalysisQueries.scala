@@ -179,6 +179,36 @@ object AnalysisQueries {
       |FROM events GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** MV tiering: the q53 query answered from a COMPACTED rollup — hourly
+    * sketch cells re-aggregated to 6-hour cells (ClickHouse TTL GROUP BY
+    * lifecycle) with histogram/KMV partials unioned under their caps —
+    * then routed. Equality against the raw-table oracle proves the
+    * partials are closed under compaction: hourly → 6-hourly → daily
+    * merge loses nothing while cells stay under the caps. */
+  def q111_mv_compacted(spark: SparkSession, dir: String): DataFrame = {
+    val events = Queries.cat(spark, dir)("events").df
+    val hourly = MvRouter.buildRollup(events, "ts", 3600,
+      Seq("event_type"), Seq("value", "user_id"), withSketches = true)
+    val tiered = MvRouter.compactRollup(hourly, 21600)
+    val q = Query(
+      select = Seq(
+        SelectItem("value", Some("p50"), Some(AggFn.Quantile(0.5))),
+        SelectItem("user_id", Some("uniq_users"),
+          Some(AggFn.CountDistinct))),
+      from = "events",
+      groupBy = Seq("event_type"),
+      granularity = Some(Granularity.Fixed(86400)))
+    val routed = MvRouter.tryRoute(q, tiered).getOrElse(
+      throw new IllegalStateException(
+        "expected compacted-rollup routing to apply"))
+    routed
+      .withColumn("bucket", unix_timestamp(col(TimeBucketAlias)))
+      .drop(TimeBucketAlias)
+      .withColumn("p50", round(col("p50"), 4))
+      .select("bucket", "event_type", "p50", "uniq_users")
+      .orderBy("bucket", "event_type")
+  }
+
   /** Gap filling: hourly signup counts over a fixed range with missing
     * buckets zero-filled (reference WITH FILL / client fillNulls). */
   def q33_gap_fill(spark: SparkSession, dir: String): DataFrame = {
@@ -964,6 +994,7 @@ object AnalysisQueries {
     "q106_sequence_match" -> (q106_sequence_match _),
     "q108_cusum" -> (q108_cusum _),
     "q110_template_novelty" -> (q110_template_novelty _),
+    "q111_mv_compacted" -> (q111_mv_compacted _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -987,6 +1018,7 @@ object AnalysisQueries {
     "q106_sequence_match" -> q106_sql,
     "q108_cusum" -> q108_sql,
     "q110_template_novelty" -> q110_sql,
+    "q111_mv_compacted" -> q53_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,

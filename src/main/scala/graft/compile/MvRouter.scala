@@ -150,4 +150,42 @@ object MvRouter {
     Rollup(rolled, "__rollup_bucket", granularitySeconds, dims, partials,
       "rows_cnt")
   }
+
+  /** Tier a rollup to a coarser granularity and/or fewer dims — the
+    * MV-lifecycle step (ClickHouse's TTL GROUP BY re-aggregation: keep
+    * hourly cells for a week, compact to daily for a year) that keeps
+    * long-retention storage bounded without giving up routing. Every
+    * partial is CLOSED under this merge: counts/sums add, min/max nest,
+    * and the histogram / KMV sketch partials union under their own caps
+    * (QuantileSketch.histUnion/distinctUnion), so the compacted rollup
+    * answers exactly the query classes the original did — and stays
+    * EXACT under the same conditions (every merged cell under the
+    * caps). Cost: one hash shuffle over the rollup frame, which is
+    * cells-sized, never raw-data-sized. */
+  def compactRollup(rollup: Rollup, granularitySeconds: Long,
+      dims: Option[Seq[String]] = None): Rollup = {
+    val outDims = dims.getOrElse(rollup.dims)
+    require(granularitySeconds >= rollup.granularitySeconds &&
+      granularitySeconds % rollup.granularitySeconds == 0,
+      s"compaction granularity $granularitySeconds must be a multiple of " +
+        s"the rollup's ${rollup.granularitySeconds}")
+    require(outDims.forall(rollup.dims.contains),
+      s"compaction dims $outDims must be a subset of ${rollup.dims}")
+    val sk = graft.functions.QuantileSketch
+    val aggCols = sum(col(rollup.rowsCol)).as(rollup.rowsCol) +:
+      rollup.partials.values.toSeq.flatMap { p =>
+        Seq(sum(col(p.cnt)).as(p.cnt), sum(col(p.sum)).as(p.sum),
+          min(col(p.min)).as(p.min), max(col(p.max)).as(p.max)) ++
+          p.hist.map(h => sk.histUnion(col(h)).as(h)) ++
+          p.distinct.map(d => sk.distinctUnion(col(d)).as(d))
+      }
+    val rolled = rollup.df
+      .withColumn("__compact_bucket",
+        timeBucket(col(rollup.bucketCol), granularitySeconds))
+      .groupBy((col("__compact_bucket") +: outDims.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumnRenamed("__compact_bucket", rollup.bucketCol)
+    Rollup(rolled, rollup.bucketCol, granularitySeconds, outDims,
+      rollup.partials, rollup.rowsCol)
+  }
 }

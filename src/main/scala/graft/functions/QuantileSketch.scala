@@ -233,6 +233,69 @@ object QuantileSketch {
     lazy val fn = udaf(DistinctMergeAgg)
   }
 
+  /** Compaction-side histogram union that stays a PARTIAL (the
+    * `-MergeState` combinator): sum value→count histograms into one
+    * histogram under the same [[HistState.MaxBins]] cap, so a fine
+    * rollup can tier into a coarser rollup without losing quantile
+    * routability. Exact while the union stays under the cap — the same
+    * contract as [[HistState]] itself. */
+  object HistUnionAgg extends Aggregator[Map[Double, Long],
+      mutable.Map[Double, Long], Map[Double, Long]] {
+    override def zero: mutable.Map[Double, Long] = mutable.Map.empty
+
+    override def reduce(buf: mutable.Map[Double, Long],
+        in: Map[Double, Long]): mutable.Map[Double, Long] = {
+      if (in != null) in.foreach { case (k, v) =>
+        buf.update(k, buf.getOrElse(k, 0L) + v)
+      }
+      if (buf.size > HistState.MaxBins * 2) compact(buf, HistState.MaxBins)
+      else buf
+    }
+
+    override def merge(a: mutable.Map[Double, Long],
+        b: mutable.Map[Double, Long]): mutable.Map[Double, Long] = {
+      b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+      if (a.size > HistState.MaxBins * 2) compact(a, HistState.MaxBins)
+      else a
+    }
+
+    override def finish(r: mutable.Map[Double, Long]): Map[Double, Long] =
+      compact(r, HistState.MaxBins).toMap
+
+    override def bufferEncoder: Encoder[mutable.Map[Double, Long]] =
+      ExpressionEncoder[mutable.Map[Double, Long]]()
+    override def outputEncoder: Encoder[Map[Double, Long]] =
+      ExpressionEncoder[Map[Double, Long]]()
+
+    lazy val fn = udaf(HistUnionAgg)
+  }
+
+  /** Compaction-side KMV union that stays a PARTIAL: union sketch sets
+    * and keep the K smallest hashes — closed under [[DistinctState.K]],
+    * exact while the true union cardinality is below K. */
+  object DistinctUnionAgg extends Aggregator[Seq[Long],
+      mutable.Set[Long], Seq[Long]] {
+    private def trim(buf: mutable.Set[Long]): mutable.Set[Long] =
+      if (buf.size <= DistinctState.K * 2) buf
+      else mutable.Set.from(buf.toArray.sorted.take(DistinctState.K))
+
+    override def zero: mutable.Set[Long] = mutable.Set.empty
+    override def reduce(buf: mutable.Set[Long], in: Seq[Long])
+        : mutable.Set[Long] = {
+      if (in != null) buf ++= in
+      trim(buf)
+    }
+    override def merge(a: mutable.Set[Long], b: mutable.Set[Long])
+        : mutable.Set[Long] = trim(a ++= b)
+    override def finish(r: mutable.Set[Long]): Seq[Long] =
+      r.toArray.sorted.take(DistinctState.K).toSeq
+    override def bufferEncoder: Encoder[mutable.Set[Long]] =
+      ExpressionEncoder[mutable.Set[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+    lazy val fn = udaf(DistinctUnionAgg)
+  }
+
   /** value→count histogram partial of a double column. */
   def histState(v: Column): Column = HistState.fn(v.cast("double"))
 
@@ -241,9 +304,15 @@ object QuantileSketch {
     udaf(QuantileMergeAgg(level),
       ExpressionEncoder[Map[Double, Long]]())(hist)
 
+  /** Histogram partial → histogram partial union (rollup tiering). */
+  def histUnion(hist: Column): Column = HistUnionAgg.fn(hist)
+
   /** Distinct-value KMV partial of a double column. */
   def distinctState(v: Column): Column = DistinctState.fn(v.cast("double"))
 
   /** Distinct count from merged KMV partials. */
   def distinctMerge(sets: Column): Column = DistinctMergeAgg.fn(sets)
+
+  /** KMV partial → KMV partial union (rollup tiering). */
+  def distinctUnion(sets: Column): Column = DistinctUnionAgg.fn(sets)
 }

@@ -76,6 +76,51 @@ class MvRouterSpec extends SparkSpec {
     // day 1 svc b: 5 → 5, 1; day 2 svc a: 7 → 7, 1
     assert(got == Seq(("a", 15.0, 2L), ("b", 5.0, 1L), ("a", 7.0, 1L)))
   }
+
+  test("compacted rollup answers the same query with the same values") {
+    val sketchy = MvRouter.buildRollup(raw, "ts", 3600, Seq("svc"),
+      Seq("v"), withSketches = true)
+    val compacted = MvRouter.compactRollup(sketchy, 21600)
+    assert(compacted.granularitySeconds == 21600)
+    // fewer or equal cells after tiering
+    assert(compacted.df.count() <= sketchy.df.count())
+    val sq = q.copy(select = Seq(
+      SelectItem("", Some("cnt"), Some(AggFn.Count)),
+      SelectItem("v", Some("sum_v"), Some(AggFn.Sum)),
+      SelectItem("v", Some("p50"), Some(AggFn.Quantile(0.5))),
+      SelectItem("v", Some("uniq_v"), Some(AggFn.CountDistinct))))
+    def run(r: MvRouter.Rollup) = MvRouter.tryRoute(sq, r).get
+      .orderBy("__time_bucket", "svc")
+      .select("svc", "cnt", "sum_v", "p50", "uniq_v")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(run(compacted) == run(sketchy))
+    // a finer query than the compacted granularity is vetoed again
+    assert(MvRouter.tryRoute(
+      sq.copy(granularity = Some(Granularity.Fixed(3600))),
+      compacted).isEmpty)
+  }
+
+  test("compaction can aggregate dims away; guards stay loud") {
+    val sketchy = MvRouter.buildRollup(raw, "ts", 3600, Seq("svc"),
+      Seq("v"), withSketches = true)
+    val noDims = MvRouter.compactRollup(sketchy, 86400, Some(Seq.empty))
+    val sq = q.copy(groupBy = Seq.empty, select = Seq(
+      SelectItem("", Some("cnt"), Some(AggFn.Count)),
+      SelectItem("v", Some("uniq_v"), Some(AggFn.CountDistinct))))
+    val got = MvRouter.tryRoute(sq, noDims).get
+      .orderBy("__time_bucket").select("cnt", "uniq_v")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L), (1L, 1L)))
+    // svc-grouped queries no longer route: the dim was aggregated away
+    assert(MvRouter.tryRoute(q.copy(select = Seq(
+      SelectItem("", Some("cnt"), Some(AggFn.Count)))), noDims).isEmpty)
+    intercept[IllegalArgumentException] {
+      MvRouter.compactRollup(sketchy, 5400) // not a multiple
+    }
+    intercept[IllegalArgumentException] {
+      MvRouter.compactRollup(sketchy, 7200, Some(Seq("nope")))
+    }
+  }
 }
 
 class SeriesSpec extends SparkSpec {
