@@ -988,6 +988,49 @@ object AnalysisQueries {
       |       ELSE 'steady' END AS status
       |FROM r ORDER BY template""".stripMargin
 
+  /** Tail-based trace sampling at the driver gate: 10-span traces
+    * synthesized from events (trace = event_id/10), kept when any span
+    * is an error, the trace's max value clears 195, or the portable
+    * md5 uniform of the trace id falls under 10% — the OTel
+    * tailsamplingprocessor policy set with its precedence. The census
+    * counts sampled spans and traces per (reason, event_type); the
+    * oracle replays verdicts, precedence, hash, and the span join. */
+  def q112_tail_sampling(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Queries.cat(spark, dir)("events").df
+      .select(floor(col("event_id") / 10).as("trace"),
+        col("event_id"), col("event_type"), col("value"))
+    graft.analysis.TailSampling.sample(spans, "trace",
+        col("event_type") === "error", col("value"),
+        latencyThreshold = 195.0, keepFraction = 0.1)
+      .groupBy("reason", "event_type")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("trace")).as("n_traces"))
+      .orderBy("reason", "event_type")
+  }
+
+  val q112_sql: String =
+    """WITH spans AS (
+      |  SELECT event_id // 10 AS trace, event_id, event_type, value
+      |  FROM events),
+      |v AS (
+      |  SELECT trace,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+      |    max(value) AS lat
+      |  FROM spans GROUP BY 1),
+      |k AS (
+      |  SELECT trace,
+      |    CASE WHEN err = 1 THEN 'error'
+      |         WHEN lat >= 195.0 THEN 'latency'
+      |         WHEN CAST('0x' || substr(md5(CAST(trace AS VARCHAR)), 1, 8)
+      |             AS BIGINT) / 4294967296.0 < 0.1 THEN 'prob'
+      |    END AS reason
+      |  FROM v)
+      |SELECT k.reason, s.event_type, count(*) AS n_spans,
+      |  count(DISTINCT s.trace) AS n_traces
+      |FROM spans s JOIN k USING (trace)
+      |WHERE k.reason IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
@@ -995,6 +1038,7 @@ object AnalysisQueries {
     "q108_cusum" -> (q108_cusum _),
     "q110_template_novelty" -> (q110_template_novelty _),
     "q111_mv_compacted" -> (q111_mv_compacted _),
+    "q112_tail_sampling" -> (q112_tail_sampling _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -1019,6 +1063,7 @@ object AnalysisQueries {
     "q108_cusum" -> q108_sql,
     "q110_template_novelty" -> q110_sql,
     "q111_mv_compacted" -> q53_sql,
+    "q112_tail_sampling" -> q112_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,
