@@ -31,8 +31,7 @@ object TailSampling {
       keepFraction: Double): DataFrame = {
     require(keepFraction >= 0 && keepFraction <= 1,
       s"keepFraction must be in [0,1], got $keepFraction")
-    val u = conv(substring(md5(col(traceCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val u = graft.pipeline.Curation.hashUniform(col(traceCol))
     spans
       .groupBy(col(traceCol))
       .agg(max(when(error, 1).otherwise(0)).as("__err"),

@@ -15,19 +15,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * precedence and same portable md5 uniform as the batch operator) and
   * either flushed with its reason or discarded.
   *
-  * Late spans (arriving after the decision) follow the OTel contract:
-  * a sampled trace forwards them immediately with the trace's reason; a
-  * dropped trace keeps dropping them. The decision itself NEVER flips —
-  * late spans cannot un-drop a trace, exactly like the collector.
+  * Straggler spans arriving after the decision follow the OTel
+  * contract WITHIN the watermark horizon: a span whose event time is
+  * still ahead of the watermark but whose trace has already decided is
+  * routed by the verdict — kept traces forward it with their reason,
+  * dropped traces keep dropping it, and the decision never flips while
+  * the verdict is retained. Two documented limits: (1) spans with event
+  * time BEHIND the watermark never reach the operator at all — Spark's
+  * stateful-op watermark filter drops them first, the standard
+  * dropped-late contract of every watermarked stage here; (2) the
+  * verdict tombstone is forgotten after `retentionSeconds` of
+  * event-time inactivity (bounded total state — the collector's
+  * num_traces LRU expresses the same tradeoff), after which a returning
+  * straggler is treated as a NEW trace and re-decided from scratch;
+  * size retentionSeconds to the span-arrival tail you need to honor.
   *
   * State per trace: the pending span buffer until decision (bounded by
   * decisionWait × span rate — the same bound the collector's
-  * num_traces×expected-spans memory budget expresses), then a
-  * constant-size verdict tombstone that routes late spans until
-  * `retentionSeconds` of event-time inactivity removes it. Every
+  * num_traces×expected-spans memory budget expresses), then the
+  * constant-size verdict tombstone until retention expiry. Every
   * decision is event-time-driven (EventTimeTimeout), so a trace whose
   * spans simply stop still decides when the watermark passes its
-  * decision point. */
+  * decision point.
+  *
+  * Null tolerance matches the batch operator: a null error flag counts
+  * as false, a null latency never clears the threshold, and rows with a
+  * null event time are dropped before the shuffle (a watermarked stage
+  * cannot place them). */
 object TailSampleStream {
 
   final case class SpanIn(trace: String, ts: Timestamp, err: Boolean,
@@ -68,9 +82,14 @@ object TailSampleStream {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     stream
+      .filter(col(tsCol).isNotNull)
       .select(col(traceCol).cast("string").as("trace"),
-        col(tsCol).as("ts"), col(errCol).cast("boolean").as("err"),
-        col(latCol).cast("double").as("lat"),
+        col(tsCol).as("ts"),
+        coalesce(col(errCol).cast("boolean"), lit(false)).as("err"),
+        // null latency must never clear the threshold (batch max()
+        // ignores nulls the same way); -Inf into a primitive field
+        coalesce(col(latCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("lat"),
         col(payloadCol).cast("string").as("payload"))
       .as[SpanIn]
       .groupByKey(_.trace)
@@ -118,10 +137,17 @@ object TailSampleStream {
                 else if (hashUniform(trace) < keepFraction) "prob"
                 else null
               val decided = if (reason == null) -1 else 1
-              state.update(TraceState(Nil, Nil, Nil, Nil, firstMs,
-                decided, if (reason == null) "" else reason, lastSeen))
-              state.setTimeoutTimestamp(lastSeen +
-                retentionSeconds * 1000L)
+              val expiry = lastSeen + retentionSeconds * 1000L
+              if (expiry <= wm)
+                // the retention window already elapsed in event time —
+                // no tombstone to keep (setTimeoutTimestamp would
+                // throw on a timestamp behind the watermark)
+                state.remove()
+              else {
+                state.update(TraceState(Nil, Nil, Nil, Nil, firstMs,
+                  decided, if (reason == null) "" else reason, lastSeen))
+                state.setTimeoutTimestamp(expiry)
+              }
               if (decided == 1)
                 pMs.indices.iterator.map(i => SampledSpan(trace,
                   new Timestamp(pMs(i)), pPay(i), reason))

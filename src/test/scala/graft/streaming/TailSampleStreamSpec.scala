@@ -74,6 +74,58 @@ class TailSampleStreamSpec extends SparkSpec {
     assert(rows == Seq(("t-err", "e1", "error"), ("t-err", "e9", "error")))
   }
 
+  test("decision fires safely when the watermark already passed retention") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Boolean, Double, String)]
+    val stream = mem.toDF().toDF("ts", "trace", "err", "lat", "payload")
+      .withWatermark("ts", "0 seconds")
+    // retention 0: the tombstone expiry is ALWAYS behind the watermark
+    // at decision time — must remove state, not crash the query
+    val q = TailSampleStream.sample(stream, "trace", "ts", "err", "lat",
+      "payload", decisionWaitSeconds = 60L, latencyThreshold = 500.0,
+      keepFraction = 0.0, retentionSeconds = 0L)
+      .writeStream.format("memory").queryName("ts_ret0")
+      .outputMode("append").start()
+    mem.addData((t("2024-01-01 00:00:00"), "t-err", true, 10.0, "e1"))
+    q.processAllAvailable()
+    // watermark leaps hours past t-err's decision point AND retention
+    mem.addData((t("2024-01-01 05:00:00"), "t-x", false, 1.0, "x"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 06:00:00"), "t-y", false, 1.0, "y"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT trace, payload FROM ts_ret0")
+      .as[(String, String)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("t-err", "e1")))
+  }
+
+  test("null err/lat rows decide like the batch operator, not crash") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, java.lang.Boolean,
+      java.lang.Double, String)]
+    val stream = mem.toDF().toDF("ts", "trace", "err", "lat", "payload")
+      .withWatermark("ts", "0 seconds")
+    val q = TailSampleStream.sample(stream, "trace", "ts", "err", "lat",
+      "payload", decisionWaitSeconds = 60L, latencyThreshold = 500.0,
+      keepFraction = 0.0)
+      .writeStream.format("memory").queryName("ts_null")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "t-n", null, null, "n1"),
+      (t("2024-01-01 00:00:00"), "t-e", null,
+        java.lang.Double.valueOf(900.0), "e1"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 01:00:00"), "t-x",
+      java.lang.Boolean.FALSE, java.lang.Double.valueOf(1.0), "x"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT trace, payload, reason FROM ts_null")
+      .as[(String, String, String)].collect().toSeq
+    q.stop()
+    // all-null trace falls through every policy (dropped at frac 0);
+    // the latency policy still sees real values next to nulls
+    assert(rows == Seq(("t-e", "e1", "latency")))
+  }
+
   test("probabilistic policy matches the batch operator's hash exactly") {
     // streaming kernel hash == batch Column hash for the same ids
     val ids = (1 to 50).map(_.toString)
