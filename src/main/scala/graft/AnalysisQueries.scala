@@ -1031,6 +1031,119 @@ object AnalysisQueries {
       |WHERE k.reason IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** M4 chart downsampling at the driver gate: 400 pixel columns over
+    * the full month, first/last/min/max of `value` per (event_type,
+    * pixel) with (ts, event_id) tie order — the error-free line-chart
+    * reduction of Jugel et al. The oracle replays the pixel arithmetic
+    * and derives first/last via rank windows, independent of Spark's
+    * min_by/max_by. */
+  def q113_m4(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+    graft.analysis.Downsample.m4(e, Seq("event_type"), "ts", "value",
+        "event_id", 1704067200L, 1706659200L, 400)
+      .orderBy("event_type", "pixel")
+  }
+
+  val q113_sql: String =
+    """WITH p AS (
+      |  SELECT event_type, value, event_id, epoch(ts) AS tsec
+      |  FROM events
+      |  WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200),
+      |b AS (
+      |  SELECT *, CAST(least(floor((tsec - 1704067200) * 400
+      |    / 2592000.0), 399) AS BIGINT) AS pixel FROM p),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, pixel
+      |      ORDER BY tsec, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY event_type, pixel
+      |      ORDER BY tsec DESC, event_id DESC) AS rl
+      |  FROM b)
+      |SELECT event_type, pixel, count(*) AS n,
+      |  max(CASE WHEN rf = 1 THEN value END) AS first_v,
+      |  max(CASE WHEN rl = 1 THEN value END) AS last_v,
+      |  min(value) AS min_v, max(value) AS max_v
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** LTTB downsampling at the driver gate: the hourly click-count
+    * series (integer x and y, so every sum/centroid/area is
+    * bit-identical across engines) reduced to 50 points. The oracle is
+    * a DuckDB recursive CTE replaying the greedy selection — previous
+    * kept point + next-bucket centroid + max-area argument with
+    * first-index tie-break — independently of the Scala kernel (which
+    * PatternsSpec-style fuzz already checks against the thesis
+    * pseudocode). */
+  def q114_lttb(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+      .filter(col("event_type") === "click")
+      .filter(unix_timestamp(col("ts")) >= 1704067200L &&
+        unix_timestamp(col("ts")) < 1706659200L)
+    val series = e
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600)
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("double").as("v"))
+      .select(timestamp_seconds(col("bucket")).as("ts"), col("v"))
+      .withColumn("s", lit("click"))
+    graft.analysis.Downsample
+      .lttb(series, Seq("s"), "ts", "v", 1704067200L, 1706659200L, 50)
+      .select(col("idx").cast("long").as("idx"),
+        col("t").cast("long").as("t"), col("v").cast("long").as("v"))
+      .orderBy("idx")
+  }
+
+  val q114_sql: String =
+    """WITH RECURSIVE
+      |s AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS t,
+      |    count(*) AS v
+      |  FROM events WHERE event_type = 'click'
+      |    AND epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200
+      |  GROUP BY 1),
+      |ord AS (
+      |  SELECT t*1.0 AS x, v*1.0 AS y,
+      |    row_number() OVER (ORDER BY t) - 1 AS idx
+      |  FROM s),
+      |nn AS (SELECT count(*) AS n FROM ord),
+      |bk AS (
+      |  SELECT i,
+      |    1 + CAST(floor(i * ((SELECT n FROM nn) - 2) / 48.0)
+      |      AS BIGINT) AS lo,
+      |    least(1 + CAST(floor((i+1) * ((SELECT n FROM nn) - 2) / 48.0)
+      |      AS BIGINT), (SELECT n FROM nn) - 1) AS hi,
+      |    CASE WHEN i = 47 THEN (SELECT n FROM nn)
+      |         ELSE least(1 + CAST(floor((i+2) * ((SELECT n FROM nn) - 2)
+      |           / 48.0) AS BIGINT), (SELECT n FROM nn) - 1) END AS nhi
+      |  FROM generate_series(0, 47) AS g(i)),
+      |cent AS (
+      |  SELECT bk.i, avg(o.x) AS ax, avg(o.y) AS ay
+      |  FROM bk JOIN ord o
+      |    ON o.idx >= bk.hi AND o.idx < greatest(bk.nhi, bk.hi + 1)
+      |  GROUP BY 1),
+      |rec AS (
+      |  SELECT -1 AS i,
+      |    (SELECT x FROM ord WHERE idx = 0) AS px,
+      |    (SELECT y FROM ord WHERE idx = 0) AS py
+      |  UNION ALL
+      |  SELECT bk.i,
+      |    first(o.x ORDER BY abs((rec.px - c.ax) * (o.y - rec.py)
+      |      - (rec.px - o.x) * (c.ay - rec.py)) DESC, o.idx),
+      |    first(o.y ORDER BY abs((rec.px - c.ax) * (o.y - rec.py)
+      |      - (rec.px - o.x) * (c.ay - rec.py)) DESC, o.idx)
+      |  FROM rec
+      |  JOIN bk ON bk.i = rec.i + 1
+      |  JOIN cent c ON c.i = bk.i
+      |  JOIN ord o ON o.idx >= bk.lo AND o.idx < bk.hi
+      |  GROUP BY bk.i, rec.px, rec.py, c.ax, c.ay)
+      |SELECT CAST(i + 1 AS BIGINT) AS idx, CAST(px AS BIGINT) AS t,
+      |  CAST(py AS BIGINT) AS v
+      |FROM rec
+      |UNION ALL
+      |SELECT 49, (SELECT CAST(x AS BIGINT) FROM ord
+      |            WHERE idx = (SELECT n-1 FROM nn)),
+      |  (SELECT CAST(y AS BIGINT) FROM ord
+      |   WHERE idx = (SELECT n-1 FROM nn))
+      |ORDER BY idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
@@ -1039,6 +1152,8 @@ object AnalysisQueries {
     "q110_template_novelty" -> (q110_template_novelty _),
     "q111_mv_compacted" -> (q111_mv_compacted _),
     "q112_tail_sampling" -> (q112_tail_sampling _),
+    "q113_m4" -> (q113_m4 _),
+    "q114_lttb" -> (q114_lttb _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -1064,6 +1179,8 @@ object AnalysisQueries {
     "q110_template_novelty" -> q110_sql,
     "q111_mv_compacted" -> q53_sql,
     "q112_tail_sampling" -> q112_sql,
+    "q113_m4" -> q113_sql,
+    "q114_lttb" -> q114_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,
