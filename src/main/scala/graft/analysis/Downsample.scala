@@ -45,7 +45,15 @@ object Downsample {
     require(toSec > fromSec, s"need from < to, got $fromSec / $toSec")
     val t = unix_timestamp(col(tsCol))
     val orderKey = struct(t, col(tieCol))
-    df.filter(t >= fromSec && t < toSec)
+    // range filter on the raw timestamp column, not unix_timestamp(ts):
+    // the former reaches the parquet scan as PushedFilters (row-group
+    // min/max pruning — THE lever for a charted slice of 100 TB), the
+    // latter stays a post-scan Filter. Equivalent because the pixel
+    // width is whole seconds.
+    df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(fromSec))) &&
+        col(tsCol) < lit(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(toSec))))
       .groupBy((seriesCols.map(col) :+
         bucketCol(t, fromSec, toSec, pixels).as("pixel")): _*)
       .agg(count(lit(1)).as("n"),
@@ -111,9 +119,12 @@ object Downsample {
       threshold: Int): DataFrame = {
     require(threshold >= 3, s"threshold must be >= 3, got $threshold")
     require(toSec > fromSec, s"need from < to, got $fromSec / $toSec")
-    val spark = df.sparkSession
     val t = unix_timestamp(col(tsCol))
-    val grouped = df.filter(t >= fromSec && t < toSec)
+    // pushable range filter — same rationale as in m4
+    val grouped = df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(fromSec))) &&
+        col(tsCol) < lit(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(toSec))))
       .groupBy(seriesCols.map(col): _*)
       .agg(sort_array(collect_list(struct(t.cast("double").as("t"),
         col(valCol).cast("double").as("v")))).as("__pts"))
