@@ -1144,6 +1144,55 @@ object AnalysisQueries {
       |   WHERE idx = (SELECT n-1 FROM nn))
       |ORDER BY idx""".stripMargin
 
+  /** Log-context at the driver gate: ±2 surrounding events (stream
+    * order = (floored second, event_id)) within ±10 minutes of every
+    * value>300 anchor — the log-viewer "show surrounding events" query
+    * through the bucketed band join. The oracle replays the band, the
+    * stream order, and the position-difference offsets with plain
+    * windows over an inequality join. */
+  def q115_context(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+    val rows = e.select(col("event_id").as("rid"), col("ts").as("rts"),
+      col("event_type"))
+    val anchors = e.filter(col("value") > 300)
+      .select(col("event_id").as("aid"), col("ts").as("ats"))
+    graft.analysis.Context.around(rows, "rts", "rid", anchors, "ats",
+        "aid", before = 2, after = 2, maxSpanSec = 600,
+        bucketSeconds = 60)
+      .select(col("aid"), col("offset").cast("long").as("offset"),
+        col("rid"), col("event_type"))
+      .orderBy("aid", "offset")
+  }
+
+  val q115_sql: String =
+    """WITH r AS (
+      |  SELECT event_id AS rid, CAST(floor(epoch(ts)) AS BIGINT) AS rt,
+      |    event_type
+      |  FROM events),
+      |a AS (
+      |  SELECT event_id AS aid, CAST(floor(epoch(ts)) AS BIGINT) AS at
+      |  FROM events WHERE value > 300),
+      |c AS (
+      |  SELECT a.aid, a.at, r.rid, r.rt, r.event_type
+      |  FROM a JOIN r ON r.rt BETWEEN a.at - 600 AND a.at + 600),
+      |o AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY aid ORDER BY rt, rid) AS idx,
+      |    sum(CASE WHEN rt < at OR (rt = at AND rid < aid)
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY aid) AS nb,
+      |    max(CASE WHEN rt = at AND rid = aid THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY aid) AS ap
+      |  FROM c),
+      |f AS (
+      |  SELECT aid,
+      |    CAST(CASE WHEN rt = at AND rid = aid THEN 0
+      |         WHEN rt < at OR (rt = at AND rid < aid) THEN idx - nb - 1
+      |         ELSE idx - nb - ap END AS BIGINT) AS "offset",
+      |    rid, event_type
+      |  FROM o)
+      |SELECT * FROM f WHERE "offset" BETWEEN -2 AND 2
+      |ORDER BY aid, "offset"""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
@@ -1154,6 +1203,7 @@ object AnalysisQueries {
     "q112_tail_sampling" -> (q112_tail_sampling _),
     "q113_m4" -> (q113_m4 _),
     "q114_lttb" -> (q114_lttb _),
+    "q115_context" -> (q115_context _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -1181,6 +1231,7 @@ object AnalysisQueries {
     "q112_tail_sampling" -> q112_sql,
     "q113_m4" -> q113_sql,
     "q114_lttb" -> q114_sql,
+    "q115_context" -> q115_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,
