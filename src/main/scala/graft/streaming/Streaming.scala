@@ -120,4 +120,44 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("window_start", col("w.start"))
       .drop("w")
+
+  /** Bounded-state facet rollup: [[kvRollup]] keys its state on every
+    * DISTINCT (window, key, value) — a high-cardinality attribute
+    * (user id, trace id) grows streaming state without bound. This
+    * variant aggregates a Misra-Gries heavy-hitters sketch per
+    * (window, key) instead: state per cell is ≤ `capacity` counters
+    * regardless of value cardinality, exact whenever a cell's distinct
+    * values fit the capacity (the [[graft.functions.FrequentItems]]
+    * contract), top-`maxValuesPerKey` emitted per cell on window
+    * close. */
+  def kvRollupSketched(stream: DataFrame, tsCol: String, mapCol: String,
+      stepSeconds: Long = 900, capacity: Int = 256,
+      maxValuesPerKey: Int = 20,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxValuesPerKey <= capacity,
+      s"maxValuesPerKey ($maxValuesPerKey) cannot exceed the sketch " +
+        s"capacity ($capacity)")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(col(mapCol)).as(Seq("key", "value")))
+      .filter(col("value").isNotNull)
+      .groupBy(window(col(tsCol), s"$stepSeconds seconds").as("w"),
+        col("key"))
+      .agg(graft.functions.FrequentItems
+        .freqItems(col("value"), capacity).as("m"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+      // top-k via expression-level sort+slice: rank windows are not
+      // allowed downstream of a streaming aggregation
+      .withColumn("__sorted", slice(array_sort(map_entries(col("m")),
+        (l, r) => when(l.getField("value") > r.getField("value"), -1)
+          .when(l.getField("value") < r.getField("value"), 1)
+          .when(l.getField("key") < r.getField("key"), -1)
+          .when(l.getField("key") > r.getField("key"), 1)
+          .otherwise(0)), 1, maxValuesPerKey))
+      .select(col("window_start"), col("key"),
+        explode(col("__sorted")).as("__e"))
+      .select(col("window_start"), col("key"),
+        col("__e.key").as("value"), col("__e.value").as("cnt"))
+  }
 }

@@ -145,4 +145,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(("env", "prod", 1L), ("host", "a", 2L),
       ("host", "b", 1L)))
   }
+
+  test("sketched kv rollup: bounded state, exact under capacity, top-k") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Map[String, String])]
+    val stream = mem.toDF().toDF("ts", "attrs")
+    val roll = Streaming.kvRollupSketched(stream, "ts", "attrs",
+      stepSeconds = 900, capacity = 8, maxValuesPerKey = 2)
+    val q = roll.writeStream.format("memory").queryName("kvs_out")
+      .outputMode("append").start()
+    mem.addData(
+      (t("2024-01-01 00:01:00"), Map("host" -> "a")),
+      (t("2024-01-01 00:02:00"), Map("host" -> "a")),
+      (t("2024-01-01 00:03:00"), Map("host" -> "b")),
+      (t("2024-01-01 00:04:00"), Map("host" -> "b")),
+      (t("2024-01-01 00:05:00"), Map("host" -> "b")),
+      (t("2024-01-01 00:06:00"), Map("host" -> "c")),
+      (t("2024-01-01 00:07:00"), Map("env" -> "prod")))
+    q.processAllAvailable()
+    // advance the watermark so the 00:00 window finalizes (append mode)
+    mem.addData((t("2024-01-01 01:00:00"), Map("host" -> "z")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT key, value, cnt FROM kvs_out ORDER BY key, cnt DESC, value")
+      .as[(String, String, Long)].collect().toSeq
+    q.stop()
+    // distinct values (3) fit capacity 8 -> counts exact; only the top
+    // 2 per key emit, c is cut
+    assert(rows == Seq(("env", "prod", 1L),
+      ("host", "b", 3L), ("host", "a", 2L)))
+    val e = intercept[IllegalArgumentException] {
+      Streaming.kvRollupSketched(stream, "ts", "attrs",
+        capacity = 4, maxValuesPerKey = 9)
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
 }
