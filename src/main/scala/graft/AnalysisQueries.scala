@@ -1046,7 +1046,8 @@ object AnalysisQueries {
 
   val q113_sql: String =
     """WITH p AS (
-      |  SELECT event_type, value, event_id, epoch(ts) AS tsec
+      |  SELECT event_type, value, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
       |  FROM events
       |  WHERE epoch(ts) >= 1704067200 AND epoch(ts) < 1706659200),
       |b AS (
@@ -1104,15 +1105,15 @@ object AnalysisQueries {
       |    row_number() OVER (ORDER BY t) - 1 AS idx
       |  FROM s),
       |nn AS (SELECT count(*) AS n FROM ord),
+      |st AS (SELECT ((SELECT n FROM nn) - 2) / 48.0 AS step),
       |bk AS (
       |  SELECT i,
-      |    1 + CAST(floor(i * ((SELECT n FROM nn) - 2) / 48.0)
-      |      AS BIGINT) AS lo,
-      |    least(1 + CAST(floor((i+1) * ((SELECT n FROM nn) - 2) / 48.0)
+      |    1 + CAST(floor(i * (SELECT step FROM st)) AS BIGINT) AS lo,
+      |    least(1 + CAST(floor((i+1) * (SELECT step FROM st))
       |      AS BIGINT), (SELECT n FROM nn) - 1) AS hi,
       |    CASE WHEN i = 47 THEN (SELECT n FROM nn)
-      |         ELSE least(1 + CAST(floor((i+2) * ((SELECT n FROM nn) - 2)
-      |           / 48.0) AS BIGINT), (SELECT n FROM nn) - 1) END AS nhi
+      |         ELSE least(1 + CAST(floor((i+2) * (SELECT step FROM st))
+      |           AS BIGINT), (SELECT n FROM nn) - 1) END AS nhi
       |  FROM generate_series(0, 47) AS g(i)),
       |cent AS (
       |  SELECT bk.i, avg(o.x) AS ax, avg(o.y) AS ay
@@ -1123,6 +1124,7 @@ object AnalysisQueries {
       |  SELECT -1 AS i,
       |    (SELECT x FROM ord WHERE idx = 0) AS px,
       |    (SELECT y FROM ord WHERE idx = 0) AS py
+      |  WHERE (SELECT n FROM nn) > 50
       |  UNION ALL
       |  SELECT bk.i,
       |    first(o.x ORDER BY abs((rec.px - c.ax) * (o.y - rec.py)
@@ -1142,6 +1144,11 @@ object AnalysisQueries {
       |            WHERE idx = (SELECT n-1 FROM nn)),
       |  (SELECT CAST(y AS BIGINT) FROM ord
       |   WHERE idx = (SELECT n-1 FROM nn))
+      |WHERE (SELECT n FROM nn) > 50
+      |UNION ALL
+      |-- threshold >= n: the kernel passes the series through unchanged
+      |SELECT idx, CAST(x AS BIGINT), CAST(y AS BIGINT) FROM ord
+      |WHERE (SELECT n FROM nn) <= 50
       |ORDER BY idx""".stripMargin
 
   /** Log-context at the driver gate: ±2 surrounding events (stream

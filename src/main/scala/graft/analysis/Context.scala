@@ -48,8 +48,14 @@ object Context {
     val r = rows
       .withColumn("__rts", unix_timestamp(col(tsCol)))
       .withColumn("__re", col("__rts") + 1)
+    // both sides' interval lengths are statically known (2·span+1 and
+    // 1 s), so the fan-out bound is checked here instead of paying
+    // overlapJoin's two audit scan jobs
+    require((2 * maxSpanSec + 1) / bucketSeconds + 1 <= 100000L,
+      s"anchor window spans too many $bucketSeconds s buckets: raise " +
+        "bucketSeconds")
     val cand = Intervals.overlapJoin(a, r, "__as", "__ae", "__rts", "__re",
-      bucketSeconds)
+      bucketSeconds, auditFanOut = false)
     val isBefore = col("__rts") < col("__ats") ||
       (col("__rts") === col("__ats") && col(tieCol) < col(aTieCol))
     val isAnchor = col("__rts") === col("__ats") &&
@@ -66,6 +72,6 @@ object Context {
           .when(isBefore, idx - nBefore - 1)
           .otherwise(idx - nBefore - anchorPresent))
       .filter(col("offset") >= -before && col("offset") <= after)
-      .drop("__ats", "__as", "__ae", "__rts", "__re")
+      .drop("__ats", "__as", "__ae", "__rts", "__re", "overlap_seconds")
   }
 }

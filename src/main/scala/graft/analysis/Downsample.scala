@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
   * partitioning. */
 object Downsample {
 
+  /** Range filter on the raw timestamp column, not unix_timestamp(ts):
+    * the former reaches the parquet scan as PushedFilters (row-group
+    * min/max pruning — THE lever for a charted slice of 100 TB), the
+    * latter stays a post-scan Filter. Equivalent to epoch-second
+    * comparison because bucket widths here are whole seconds. */
+  private def rangeFiltered(df: DataFrame, tsCol: String, fromSec: Long,
+      toSec: Long): DataFrame =
+    df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(fromSec))) &&
+      col(tsCol) < lit(java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(toSec))))
+
   /** Pixel-column index for a timestamp: floor((t−from)/width) clamped
     * to [0, pixels). `from`/`to` are epoch seconds; rows outside
     * [from, to) are dropped. */
@@ -45,15 +57,7 @@ object Downsample {
     require(toSec > fromSec, s"need from < to, got $fromSec / $toSec")
     val t = unix_timestamp(col(tsCol))
     val orderKey = struct(t, col(tieCol))
-    // range filter on the raw timestamp column, not unix_timestamp(ts):
-    // the former reaches the parquet scan as PushedFilters (row-group
-    // min/max pruning — THE lever for a charted slice of 100 TB), the
-    // latter stays a post-scan Filter. Equivalent because the pixel
-    // width is whole seconds.
-    df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
-        java.time.Instant.ofEpochSecond(fromSec))) &&
-        col(tsCol) < lit(java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(toSec))))
+    rangeFiltered(df, tsCol, fromSec, toSec)
       .groupBy((seriesCols.map(col) :+
         bucketCol(t, fromSec, toSec, pixels).as("pixel")): _*)
       .agg(count(lit(1)).as("n"),
@@ -120,11 +124,7 @@ object Downsample {
     require(threshold >= 3, s"threshold must be >= 3, got $threshold")
     require(toSec > fromSec, s"need from < to, got $fromSec / $toSec")
     val t = unix_timestamp(col(tsCol))
-    // pushable range filter — same rationale as in m4
-    val grouped = df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
-        java.time.Instant.ofEpochSecond(fromSec))) &&
-        col(tsCol) < lit(java.sql.Timestamp.from(
-          java.time.Instant.ofEpochSecond(toSec))))
+    val grouped = rangeFiltered(df, tsCol, fromSec, toSec)
       .groupBy(seriesCols.map(col): _*)
       .agg(sort_array(collect_list(struct(t.cast("double").as("t"),
         col(valCol).cast("double").as("v")))).as("__pts"))

@@ -49,12 +49,16 @@ object Intervals {
     * typical interval length. The fan-out is audited with one cheap
     * min/max pass over the boundary columns (`maxBucketsPerInterval`
     * guard) so a degenerate input (one year-long interval with 1 s
-    * buckets) fails loudly instead of exploding the exchange.
+    * buckets) fails loudly instead of exploding the exchange. Callers
+    * whose interval lengths are statically bounded (e.g. unit-interval
+    * points, fixed ±span windows) pass `auditFanOut = false` to skip
+    * the two audit jobs — each is a full scan of its side.
     */
   def overlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketSeconds: Long,
-      maxBucketsPerInterval: Long = 100000L): DataFrame = {
+      maxBucketsPerInterval: Long = 100000L,
+      auditFanOut: Boolean = true): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
@@ -72,8 +76,10 @@ object Intervals {
             s"$maxBucketsPerInterval): raise bucketSeconds or the cap")
       }
     }
-    audit(left, lStart, lEnd)
-    audit(right, rStart, rEnd)
+    if (auditFanOut) {
+      audit(left, lStart, lEnd)
+      audit(right, rStart, rEnd)
+    }
 
     // Explode to covered buckets. End-inclusive coverage (an interval
     // ending exactly on a boundary still emits that bucket) costs one
