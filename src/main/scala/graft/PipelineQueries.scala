@@ -1386,6 +1386,58 @@ object PipelineQueries {
       |FROM sc JOIN documents d USING (doc_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Binary-quantized ANN at the driver gate, shortlist covering the
+    * corpus so the exact re-rank reproduces brute-force ordering while
+    * the carried `hamming` column value-checks the quantization chain —
+    * per-dim exact medians, sign-bit packing, popcount distance — which
+    * the oracle recomputes from scratch on UNPACKED bits (no shared
+    * packing code to mis-read on both sides). */
+  def q116_ann_binary(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+    graft.pipeline.Similarity.knnBinary(probes, e, "vec_id", "embedding",
+        k = 5, shortlistFactor = 100)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q116_sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, g.i AS d, CAST(embedding[g.i+1] AS DOUBLE) AS x
+      |  FROM embeddings, generate_series(0, 63) g(i)),
+      |med AS (SELECT d, quantile_cont(x, 0.5) AS m FROM e GROUP BY d),
+      |bits AS (
+      |  SELECT vec_id, e.d, CASE WHEN x > m THEN 1 ELSE 0 END AS bit
+      |  FROM e JOIN med USING (d)),
+      |ham AS (
+      |  SELECT pb.vec_id AS pid, cb.vec_id AS nid,
+      |    CAST(sum(CASE WHEN pb.bit <> cb.bit THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS hamming
+      |  FROM bits pb JOIN bits cb
+      |    ON pb.d = cb.d AND pb.vec_id < 5 AND pb.vec_id <> cb.vec_id
+      |  GROUP BY 1, 2),
+      |p AS (SELECT vec_id AS pid, embedding AS pv FROM embeddings
+      |      WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+      |s AS (
+      |  SELECT pid, nid,
+      |    list_sum(list_transform(generate_series(1,64),
+      |      i -> CAST(pv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(pv[i] AS DOUBLE)*CAST(pv[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(cv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM p, c WHERE pid != nid),
+      |r AS (SELECT pid, nid, cos,
+      |        row_number() OVER (PARTITION BY pid
+      |                           ORDER BY cos DESC, nid) AS rk
+      |      FROM s)
+      |SELECT r.pid AS probe_id, r.nid AS neighbor_id,
+      |  round(r.cos, 6) AS cosine, ham.hamming
+      |FROM r JOIN ham ON ham.pid = r.pid AND ham.nid = r.nid
+      |WHERE r.rk <= 5 ORDER BY probe_id, neighbor_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1425,7 +1477,8 @@ object PipelineQueries {
     "q98_tfidf" -> (q98_tfidf _),
     "q99_bm25" -> (q99_bm25 _),
     "q79_curate" -> (q79_curate _),
-    "q109_classifier" -> (q109_classifier _))
+    "q109_classifier" -> (q109_classifier _),
+    "q116_ann_binary" -> (q116_ann_binary _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1465,5 +1518,6 @@ object PipelineQueries {
     "q98_tfidf" -> q98_sql,
     "q99_bm25" -> q99_sql,
     "q79_curate" -> q79_sql,
-    "q109_classifier" -> q109_sql)
+    "q109_classifier" -> q109_sql,
+    "q116_ann_binary" -> q116_sql)
 }

@@ -509,4 +509,92 @@ object Similarity {
     }
     cents
   }
+
+  /** Per-dimension MEDIAN thresholds for 1-bit quantization, computed
+    * EXACTLY (interpolated percentile — order-independent, unlike a
+    * mean's parallel float sum, so signatures are bit-identical across
+    * engines, retries, and partitionings). One posexplode + dim-keyed
+    * aggregate; the result is `dim` doubles on the driver. Medians also
+    * balance the bit distribution, the standard binary-quantization
+    * choice. */
+  def binaryThresholds(corpus: DataFrame, vecCol: String,
+      dim: Int): Array[Double] = {
+    require(dim > 0, "dim must be positive")
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("d", "x")))
+      .groupBy("d").agg(expr("percentile(x, 0.5)").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(rows.size == dim,
+      s"expected $dim dims, saw ${rows.size} (ragged vectors?)")
+    Array.tabulate(dim)(rows)
+  }
+
+  /** Packed sign signature: bit b of word w set when
+    * v[w·64+b] > thresholds(w·64+b). ⌈dim/64⌉ longs per row — the 32×
+    * (vs float) compression that lets the shortlist stage scan
+    * signatures instead of vectors. Expression-only. */
+  def binarySignature(v: Column, thresholds: Array[Double]): Column = {
+    val words = (thresholds.length + 63) / 64
+    array((0 until words).map { w =>
+      (0 until 64).filter(b => w * 64 + b < thresholds.length).map { b =>
+        val j = w * 64 + b
+        when(element_at(v, j + 1) > thresholds(j), lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed signatures: Σ popcount(xor). */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized ANN — the 1-bit-per-dimension rerank layout
+    * modern vector stores ship: a Hamming-distance scan over packed
+    * sign signatures shortlists `k·shortlistFactor` candidates per
+    * probe (touching 1/32 of the float bytes), then the shortlist —
+    * and ONLY the shortlist — re-attaches full vectors for the exact
+    * cosine top-k. Signatures threshold on per-dim corpus medians
+    * ([[binaryThresholds]]). A shortlistFactor covering the corpus
+    * makes the result exactly [[knnBrute]]'s. */
+  def knnBinary(probes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlistFactor: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(k > 0 && shortlistFactor > 0,
+      "k and shortlistFactor must be positive")
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val med = binaryThresholds(corpus, vecCol, dim)
+    // narrow signature frames: (id, sig) only — vectors re-attach after
+    // the shortlist (the minhashLsh pattern)
+    val cs = corpus.select(col(idCol).as("neighbor_id"),
+        binarySignature(col(vecCol).cast("array<double>"), med).as("cs"))
+      .repartition(shuffleN)
+    val ps = probes.select(col(idCol).as("probe_id"),
+      binarySignature(col(vecCol).cast("array<double>"), med).as("ps"))
+    val shortN = k * shortlistFactor
+    val wh = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val shortlist = broadcast(ps)
+      .join(cs, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hamming(col("ps"), col("cs")))
+      .withColumn("rk", row_number().over(wh))
+      .filter(col("rk") <= shortN)
+      .select("probe_id", "neighbor_id", "hamming")
+    // exact re-rank: vectors join the ids, not the scan
+    val pv = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val wr = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    shortlist
+      .join(broadcast(pv), "probe_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cosine", cosine(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "hamming")
+  }
 }

@@ -224,6 +224,44 @@ class SimilaritySpec extends SparkSpec {
     assert(again == tight)
   }
 
+  test("knnBinary: signature packing, hamming, full shortlist == brute") {
+    // hand case: 3 dims, thresholds (0, 0, 0) → bits from sign
+    val df = Seq((1L, Seq(1.0, -1.0, 2.0)), (2L, Seq(-1.0, 1.0, 3.0)))
+      .toDF("id", "v")
+    val sig = df.select(col("id"),
+      Similarity.binarySignature(col("v"), Array(0.0, 0.0, 0.0)).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == Seq((1L << 0) | (1L << 2))) // dims 0 and 2 positive
+    assert(sig(2L) == Seq((1L << 1) | (1L << 2)))
+    val h = df.as[(Long, Seq[Double])].collect().toMap
+    val ham = Seq((sig(1L), sig(2L))).toDF("a", "b")
+      .select(Similarity.hamming(col("a"), col("b")))
+      .as[Long].collect().head
+    assert(ham == 2L) // bits 0 and 1 differ
+    // full shortlist → exact re-rank is brute force
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count().toInt
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.knnBinary(probes, e, "vec_id", "embedding", 5,
+      shortlistFactor = n / 5 + 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // a tight shortlist recalls most true neighbors and is deterministic
+    val tight = Similarity.knnBinary(probes, e, "vec_id", "embedding", 5,
+      shortlistFactor = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(tight).size.toDouble / brute.size
+    assert(recall >= 0.5, s"binary recall $recall too low")
+    assert(tight.size == brute.size)
+    val again = Similarity.knnBinary(probes, e, "vec_id", "embedding", 5,
+      shortlistFactor = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == tight)
+  }
+
   test("knnIvfPq: exhaustive cells + full shortlist equals brute; " +
       "pruned search recalls and is deterministic") {
     val dir = "/root/testdata/sf0.001"
