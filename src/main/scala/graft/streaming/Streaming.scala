@@ -65,6 +65,31 @@ object Streaming {
       .drop("w")
   }
 
+  /** Streaming M4 — live-chart downsampling as a watermarked
+    * aggregation: per (pixel window, series) keep n/first/last/min/max
+    * of the value, the error-free line-rendering set of
+    * [[graft.analysis.Downsample.m4]], with first/last made
+    * deterministic by (event time, tie) order. State per cell is five
+    * scalars; total state is pixels × series × open windows, never
+    * event volume — the live twin of the batch M4. */
+  def m4Rollup(stream: DataFrame, tsCol: String, valCol: String,
+      tieCol: String, pixelSeconds: Long, seriesCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(pixelSeconds > 0, "pixelSeconds must be positive")
+    val orderKey = struct(col(tsCol), col(tieCol))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), s"$pixelSeconds seconds")
+        .as("w") +: seriesCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        min_by(col(valCol), orderKey).as("first_v"),
+        max_by(col(valCol), orderKey).as("last_v"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Streaming ingest dedup: drop records whose key columns repeat within
     * the watermark horizon — the continuous twin of the batch
     * `Dedup.exact` pass a training-data ingest runs before anything else.

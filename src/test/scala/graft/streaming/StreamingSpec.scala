@@ -146,6 +146,45 @@ class StreamingSpec extends SparkSpec {
       ("host", "b", 1L)))
   }
 
+  test("streaming M4 matches the batch downsampler on finalized pixels") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("ts", "id", "v")
+      .withColumn("s", lit("a"))
+    val roll = Streaming.m4Rollup(stream, "ts", "v", "id",
+      pixelSeconds = 60, seriesCols = Seq("s"),
+      watermarkDelay = "0 seconds")
+    val q = roll.writeStream.format("memory").queryName("m4_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      (t("2024-01-01 00:00:05"), 1L, 5.0),
+      (t("2024-01-01 00:00:15"), 2L, 9.0),
+      (t("2024-01-01 00:00:25"), 3L, 1.0),
+      (t("2024-01-01 00:00:35"), 4L, 7.0),
+      (t("2024-01-01 00:01:10"), 5L, 4.0),
+      (t("2024-01-01 00:01:10"), 6L, 2.0)) // tie second: id decides
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 01:00:00"), 9L, 0.0)) // finalize windows
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT n, first_v, last_v, min_v, max_v FROM m4_out " +
+        "WHERE window_start < timestamp'2024-01-01 00:05:00' " +
+        "ORDER BY window_start")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    q.stop()
+    assert(got == Seq((4L, 5.0, 7.0, 1.0, 9.0), (2L, 4.0, 2.0, 2.0, 4.0)))
+    // equal to the batch M4 of the same finalized rows (60 s pixels
+    // over [00:00, 00:02))
+    val batch = graft.analysis.Downsample.m4(
+      rows.toDF("ts", "id", "v").withColumn("s", lit("a")),
+      Seq("s"), "ts", "v", "id", 1704067200L, 1704067320L, 2)
+      .orderBy("pixel")
+      .select("n", "first_v", "last_v", "min_v", "max_v")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(batch == got)
+  }
+
   test("sketched kv rollup: bounded state, exact under capacity, top-k") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Map[String, String])]
