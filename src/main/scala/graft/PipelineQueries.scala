@@ -1395,8 +1395,11 @@ object PipelineQueries {
   def q116_ann_binary(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val probes = e.filter(col("vec_id") < 5)
+    // derive corpus coverage instead of hard-coding it: the brute-force
+    // oracle parity requires k·factor ≥ corpus−1 at ANY scale factor
+    val n = e.count().toInt
     graft.pipeline.Similarity.knnBinary(probes, e, "vec_id", "embedding",
-        k = 5, shortlistFactor = 100)
+        k = 5, shortlistFactor = (n + 4) / 5)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("probe_id", "neighbor_id")
   }

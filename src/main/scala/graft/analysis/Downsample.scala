@@ -47,6 +47,21 @@ object Downsample {
     least(floor((tsSec - from) * pixels / (to - from)), lit(pixels - 1))
       .cast("long")
 
+  /** The M4 aggregate set over one cell — shared by the batch operator
+    * and the streaming twin so their first/last semantics cannot drift.
+    * The order key is (FLOORED second, tie): second-resolution stream
+    * order with the tie column deciding within a second — deterministic
+    * and replayable by engines that compare epoch seconds. */
+  private[graft] def m4Aggs(valCol: String, tsCol: String,
+      tieCol: String): Seq[org.apache.spark.sql.Column] = {
+    val orderKey = struct(unix_timestamp(col(tsCol)), col(tieCol))
+    Seq(count(lit(1)).as("n"),
+      min_by(col(valCol), orderKey).as("first_v"),
+      max_by(col(valCol), orderKey).as("last_v"),
+      min(col(valCol)).as("min_v"),
+      max(col(valCol)).as("max_v"))
+  }
+
   /** M4 per (series, pixel): row count, first/last value by (ts, tie)
     * order, min/max value. `tieCol` makes first/last deterministic when
     * timestamps collide (pass a unique id). */
@@ -56,15 +71,11 @@ object Downsample {
     require(pixels > 0, "pixels must be positive")
     require(toSec > fromSec, s"need from < to, got $fromSec / $toSec")
     val t = unix_timestamp(col(tsCol))
-    val orderKey = struct(t, col(tieCol))
+    val aggs = m4Aggs(valCol, tsCol, tieCol)
     rangeFiltered(df, tsCol, fromSec, toSec)
       .groupBy((seriesCols.map(col) :+
         bucketCol(t, fromSec, toSec, pixels).as("pixel")): _*)
-      .agg(count(lit(1)).as("n"),
-        min_by(col(valCol), orderKey).as("first_v"),
-        max_by(col(valCol), orderKey).as("last_v"),
-        min(col(valCol)).as("min_v"),
-        max(col(valCol)).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** LTTB kernel over one series' time-ordered points: always keeps the

@@ -76,16 +76,14 @@ object Streaming {
       tieCol: String, pixelSeconds: Long, seriesCols: Seq[String],
       watermarkDelay: String = "10 minutes"): DataFrame = {
     require(pixelSeconds > 0, "pixelSeconds must be positive")
-    val orderKey = struct(col(tsCol), col(tieCol))
+    // the SAME aggregate set (incl. the floored-second order key) as
+    // batch Downsample.m4 — parity by construction, not by copy
+    val aggs = graft.analysis.Downsample.m4Aggs(valCol, tsCol, tieCol)
     stream
       .withWatermark(tsCol, watermarkDelay)
       .groupBy((window(col(tsCol), s"$pixelSeconds seconds")
         .as("w") +: seriesCols.map(col)): _*)
-      .agg(count(lit(1)).as("n"),
-        min_by(col(valCol), orderKey).as("first_v"),
-        max_by(col(valCol), orderKey).as("last_v"),
-        min(col(valCol)).as("min_v"),
-        max(col(valCol)).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", col("w.start"))
       .drop("w")
   }

@@ -233,7 +233,6 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sig(1L) == Seq((1L << 0) | (1L << 2))) // dims 0 and 2 positive
     assert(sig(2L) == Seq((1L << 1) | (1L << 2)))
-    val h = df.as[(Long, Seq[Double])].collect().toMap
     val ham = Seq((sig(1L), sig(2L))).toDF("a", "b")
       .select(Similarity.hamming(col("a"), col("b")))
       .as[Long].collect().head
