@@ -1200,6 +1200,44 @@ object AnalysisQueries {
       |SELECT * FROM f WHERE "offset" BETWEEN -2 AND 2
       |ORDER BY aid, "offset"""".stripMargin
 
+  /** Recording-rule fleet at the driver gate: three rules with
+    * different predicates, groups, and steps — hourly error counts,
+    * daily high-value sums by type, 6-hourly clicks by user cohort —
+    * evaluated in ONE scan + ONE shuffle; the oracle evaluates each
+    * rule independently and unions them, so the tagged-union fan-out
+    * is value-checked against the straightforward per-rule plan. */
+  def q117_recording_rules(spark: SparkSession, dir: String): DataFrame = {
+    val e = Queries.cat(spark, dir)("events").df
+    import graft.analysis.RecordingRules.Rule
+    graft.analysis.RecordingRules.evaluate(e, "ts", Seq(
+        Rule("errors_hourly", col("event_type") === "error",
+          lit("all"), lit(1.0), 3600),
+        Rule("hivalue_daily", col("value") > 100,
+          col("event_type"), col("value"), 86400),
+        Rule("clicks_cohort", col("event_type") === "click",
+          col("user_id") % 5, lit(1.0), 21600)))
+      .withColumn("sum_v", round(col("sum_v"), 2))
+      .orderBy("rule", "bucket", "grp")
+  }
+
+  val q117_sql: String =
+    """SELECT 'errors_hourly' AS rule,
+      |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |  'all' AS grp, count(*) AS n, round(count(*) * 1.0, 2) AS sum_v
+      |FROM events WHERE event_type = 'error' GROUP BY 2
+      |UNION ALL
+      |SELECT 'hivalue_daily',
+      |  CAST(floor(epoch(ts)/86400)*86400 AS BIGINT),
+      |  event_type, count(*), round(sum(value), 2)
+      |FROM events WHERE value > 100 GROUP BY 2, 3
+      |UNION ALL
+      |SELECT 'clicks_cohort',
+      |  CAST(floor(epoch(ts)/21600)*21600 AS BIGINT),
+      |  CAST(user_id % 5 AS VARCHAR), count(*),
+      |  round(count(*) * 1.0, 2)
+      |FROM events WHERE event_type = 'click' GROUP BY 2, 3
+      |ORDER BY rule, bucket, grp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
@@ -1211,6 +1249,7 @@ object AnalysisQueries {
     "q113_m4" -> (q113_m4 _),
     "q114_lttb" -> (q114_lttb _),
     "q115_context" -> (q115_context _),
+    "q117_recording_rules" -> (q117_recording_rules _),
     "q100_session_overlap" -> (q100_session_overlap _),
     "q101_concurrency" -> (q101_concurrency _),
     "q102_funnel" -> (q102_funnel _),
@@ -1239,6 +1278,7 @@ object AnalysisQueries {
     "q113_m4" -> q113_sql,
     "q114_lttb" -> q114_sql,
     "q115_context" -> q115_sql,
+    "q117_recording_rules" -> q117_sql,
     "q100_session_overlap" -> q100_sql,
     "q101_concurrency" -> q101_sql,
     "q102_funnel" -> q102_sql,
