@@ -84,6 +84,40 @@ object AlertRunner {
     threshold(out.collect(), groupCols, windowStarts, cfg)
   }
 
+  /** Template-novelty alert — the deploy-triage question "did a log
+    * shape appear that did not exist before?" as a scheduled
+    * evaluation: masked templates ([[Patterns.templateDiff]]) whose
+    * status is `new` (plus `surge` when `includeSurge`) in the current
+    * window [now − current, now) versus the baseline window before it,
+    * with at least `minCount` current occurrences (one noisy line is
+    * not an incident). One scan bounded to baseline+current; one
+    * AlertResult per offending template (group = the template, state
+    * ALERT, windowValue = the current window's count), worst templates
+    * first, capped at `maxTemplates`. */
+  def evaluateNovelty(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      lineCol: String, now: Instant, baselineSeconds: Long,
+      currentSeconds: Long, minCount: Long = 3,
+      includeSurge: Boolean = false, surgeRatio: Double = 2.0,
+      maxTemplates: Int = 100): Seq[AlertResult] = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(maxTemplates >= 1, "maxTemplates must be at least 1")
+    val split = now.minusSeconds(currentSeconds)
+    val from = split.minusSeconds(baselineSeconds)
+    val statuses = if (includeSurge) Seq("new", "surge") else Seq("new")
+    val offenders = Patterns.templateDiff(df, lineCol, tsCol,
+        from.toString, split.toString, now.toString, surgeRatio)
+      .filter(col("status").isin(statuses: _*) &&
+        col("cur_n") >= minCount)
+      .orderBy(desc("cur_n"), col("template"))
+      .limit(maxTemplates)
+      .select("template", "cur_n")
+      .collect()
+    offenders.toSeq.map { r =>
+      AlertResult(Seq(r.getString(0)), Alerts.ALERT,
+        Seq(split -> r.getLong(1).toDouble))
+    }
+  }
+
   /** Shared per-group consecutive-window threshold evaluation. PromQL
     * series buckets are window STARTS already; chart buckets likewise. */
   private def threshold(rows: Array[org.apache.spark.sql.Row],

@@ -29,6 +29,43 @@ class AlertRunnerSpec extends SparkSpec {
 
   private val now = Instant.parse("2024-01-05T10:16:30Z")
 
+  test("novelty alert fires on new templates, not baseline or rare ones") {
+    // baseline [10:00, 10:10): "old path" lines; current [10:10, 10:20):
+    // the old shape continues, one NEW shape repeats 3x, another new
+    // shape appears only once (below minCount)
+    val rows = Seq(
+      ("2024-01-05 10:01:00", "old path took 12.5 ms"),
+      ("2024-01-05 10:05:00", "old path took 13.5 ms"),
+      ("2024-01-05 10:11:00", "old path took 14.5 ms"),
+      ("2024-01-05 10:12:00", "panic at 0xdeadbeef in worker"),
+      ("2024-01-05 10:13:00", "panic at 0xcafebabe in worker"),
+      ("2024-01-05 10:14:00", "panic at 0xabad1dea in worker"),
+      ("2024-01-05 10:15:00", "lonely warning 9999"))
+      .map { case (t, l) => (Timestamp.valueOf(t), l) }
+      .toDF("ts", "line")
+    val r = AlertRunner.evaluateNovelty(rows, "ts", "line",
+      Instant.parse("2024-01-05T10:20:00Z"),
+      baselineSeconds = 600, currentSeconds = 600, minCount = 3)
+    assert(r.map(_.group) == Seq(Seq("panic at <HEX> in worker")))
+    assert(r.head.state == Alerts.ALERT)
+    assert(r.head.windowValues ==
+      Seq(Instant.parse("2024-01-05T10:10:00Z") -> 3.0))
+    // surge opt-in: quadruple the old shape's rate in the current window
+    val surged = rows.unionByName(Seq(
+      ("2024-01-05 10:16:00", "old path took 1.5 ms"),
+      ("2024-01-05 10:17:00", "old path took 2.5 ms"),
+      ("2024-01-05 10:18:00", "old path took 3.5 ms"),
+      ("2024-01-05 10:19:00", "old path took 4.5 ms"))
+      .map { case (t, l) => (Timestamp.valueOf(t), l) }
+      .toDF("ts", "line"))
+    val r2 = AlertRunner.evaluateNovelty(surged, "ts", "line",
+      Instant.parse("2024-01-05T10:20:00Z"),
+      baselineSeconds = 600, currentSeconds = 600, minCount = 3,
+      includeSurge = true)
+    assert(r2.map(_.group.head).toSet ==
+      Set("panic at <HEX> in worker", "old path took <NUM> ms"))
+  }
+
   test("fires when the last window exceeds; respects lucene where") {
     val r = AlertRunner.evaluate(catalog, AlertRunner.AlertConfig(
       source = "logs",
