@@ -101,11 +101,20 @@ object AlertRunner {
       maxTemplates: Int = 100): Seq[AlertResult] = {
     require(minCount >= 1, "minCount must be at least 1")
     require(maxTemplates >= 1, "maxTemplates must be at least 1")
-    val split = now.minusSeconds(currentSeconds)
+    require(baselineSeconds > 0 && currentSeconds > 0,
+      "baselineSeconds and currentSeconds must be positive")
+    // snap to the window grid like every evaluate* here: the CLOSED
+    // current window ending at the last currentSeconds boundary, so a
+    // retry within the same tick sees the identical windows (no
+    // boundary flapping)
+    val end = Instant.ofEpochSecond(
+      math.floorDiv(now.getEpochSecond, currentSeconds) * currentSeconds)
+    val split = end.minusSeconds(currentSeconds)
     val from = split.minusSeconds(baselineSeconds)
     val statuses = if (includeSurge) Seq("new", "surge") else Seq("new")
-    val offenders = Patterns.templateDiff(df, lineCol, tsCol,
-        from.toString, split.toString, now.toString, surgeRatio)
+    val offenders = Patterns.templateDiff(df.filter(col(lineCol).isNotNull),
+        lineCol, tsCol, from.toString, split.toString, end.toString,
+        surgeRatio)
       .filter(col("status").isin(statuses: _*) &&
         col("cur_n") >= minCount)
       .orderBy(desc("cur_n"), col("template"))

@@ -36,13 +36,13 @@ object RecordingRules {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
-    val t = unix_timestamp(col(tsCol))
-    // one tag struct per MATCHING rule; non-matches contribute nothing
+    // one tag struct per MATCHING rule; non-matches contribute nothing.
+    // Bucketing reuses the engine's one timeBucket definition.
     val tags = array(rules.map { r =>
       when(r.where, struct(
         lit(r.name).as("rule"),
-        (floor(t / r.stepSeconds) * r.stepSeconds).cast("long")
-          .as("bucket"),
+        unix_timestamp(graft.functions.CoreFunctions
+          .timeBucket(col(tsCol), r.stepSeconds)).as("bucket"),
         r.group.cast("string").as("grp"),
         r.value.cast("double").as("v")))
     }: _*)
@@ -52,6 +52,9 @@ object RecordingRules {
       .select(col("__tag.rule").as("rule"), col("__tag.bucket").as("bucket"),
         col("__tag.grp").as("grp"), col("__tag.v").as("v"))
       .groupBy("rule", "bucket", "grp")
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      // n counts NON-NULL value samples (SQL AVG semantics, so
+      // sum_v / n is a correct average even for nullable values; with
+      // value = lit(1.0) it is exactly the matching-row count)
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sum_v"))
   }
 }
