@@ -543,6 +543,38 @@ object Queries {
 
   // ============================================================== registry
 
+  /** Compare-to-previous-period overlay at the driver gate: daily
+    * per-type counts joined with the same series seven days earlier,
+    * week-over-week ratio where a previous point exists — the chart
+    * toggle as one co-partitioned self-join (Series.compareWindow).
+    * The oracle replays it as a plain SQL self-join. */
+  def q118_compare_window(spark: SparkSession, dir: String): DataFrame = {
+    val e = cat(spark, dir)("events").df
+    val daily = e.groupBy(
+        (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long")
+          .as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("value"))
+    graft.compile.Series
+      .compareWindow(daily, "bucket", "value", 7 * 86400L,
+        Seq("event_type"))
+      .withColumn("wow", when(col("prev_value") > 0,
+        round(col("value") / col("prev_value"), 6)))
+      .orderBy("bucket", "event_type")
+  }
+
+  val q118_sql: String =
+    """WITH d AS (
+      |  SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket,
+      |    event_type, count(*) AS value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT d.bucket, d.event_type, d.value, p.value AS prev_value,
+      |  CASE WHEN p.value > 0
+      |    THEN round(d.value * 1.0 / p.value, 6) END AS wow
+      |FROM d LEFT JOIN d p
+      |  ON p.bucket = d.bucket - 604800 AND p.event_type = d.event_type
+      |ORDER BY d.bucket, d.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),
     "q2_filter" -> (q2_filter _),
@@ -561,6 +593,7 @@ object Queries {
     "q43_rawsql" -> (q43_rawsql _),
     "q49_lucene_url" -> (q49_lucene_url _),
     "q54_buildersql" -> (q54_buildersql _),
+    "q118_compare_window" -> (q118_compare_window _),
     "q55_sessions" -> (q55_sessions _))
 
   val oracles: Map[String, String] = Map(
@@ -581,5 +614,6 @@ object Queries {
     "q43_rawsql" -> q43_sql,
     "q49_lucene_url" -> q49_sql,
     "q54_buildersql" -> q54_sql,
+    "q118_compare_window" -> q118_sql,
     "q55_sessions" -> q55_sql)
 }

@@ -45,6 +45,31 @@ object Series {
     * A group absent from the (filtered) numerator contributes ZERO, not
     * "no data" — a zero-error group reads 0%, not N/A (reference :437-438).
     * Division by a null/zero denominator yields null. */
+  /** "Compare to previous period" overlay: join each (bucket, group)
+    * point with the SAME series `offsetSeconds` earlier — the chart
+    * toggle that draws last week under this week. One self-join on the
+    * shifted bucket key (both sides hash on it — co-partitioned, no
+    * extra scan when the input is a computed series frame); points
+    * whose previous period is missing keep a null `prevCol`, and the
+    * delta/percent math is left to the caller (it depends on the
+    * metric's semantics). `bucketCol` must hold epoch-second numbers
+    * (the engine's `bucket` convention — unix_timestamp a timestamp
+    * bucket first), so the shift is exact integer arithmetic. */
+  def compareWindow(df: DataFrame, bucketCol: String, valueCol: String,
+      offsetSeconds: Long, groupCols: Seq[String] = Nil,
+      prevCol: String = "prev_value"): DataFrame = {
+    require(offsetSeconds > 0, "offsetSeconds must be positive")
+    require(df.schema(bucketCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$bucketCol must be an epoch-second numeric column " +
+        "(unix_timestamp timestamps first)")
+    val prev = df.select(
+      (col(bucketCol) + offsetSeconds).as(bucketCol) +:
+        col(valueCol).as(prevCol) +:
+        groupCols.map(col): _*)
+    df.join(prev, bucketCol +: groupCols, "left")
+  }
+
   def ratio(df: DataFrame, mode: RatioMode, numCol: String,
       denCol: String, bucketCol: String = TimeBucketAlias,
       outCol: String = "ratio"): DataFrame = {

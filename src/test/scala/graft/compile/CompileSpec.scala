@@ -126,6 +126,26 @@ class MvRouterSpec extends SparkSpec {
 class SeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compareWindow overlays the previous period per group") {
+    val df = Seq(
+      (0L, "a", 10L), (0L, "b", 1L),
+      (600L, "a", 20L),
+      (1200L, "a", 30L), (1200L, "b", 3L)).toDF("bucket", "s", "value")
+    val out = Series.compareWindow(df, "bucket", "value", 600, Seq("s"))
+      .select("bucket", "s", "value", "prev_value")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (0L, "a", 10L, None), (0L, "b", 1L, None),
+      (600L, "a", 20L, Some(10L)),
+      (1200L, "a", 30L, Some(20L)), (1200L, "b", 3L, None)))
+    val e = intercept[IllegalArgumentException] {
+      Series.compareWindow(
+        Seq((Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+          .toDF("bucket", "value"), "bucket", "value", 600)
+    }
+    assert(e.getMessage.contains("epoch-second"))
+  }
+
   test("fillGaps inserts zero rows for missing buckets per group") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 3L),
