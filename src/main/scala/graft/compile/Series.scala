@@ -45,31 +45,6 @@ object Series {
     * A group absent from the (filtered) numerator contributes ZERO, not
     * "no data" — a zero-error group reads 0%, not N/A (reference :437-438).
     * Division by a null/zero denominator yields null. */
-  /** "Compare to previous period" overlay: join each (bucket, group)
-    * point with the SAME series `offsetSeconds` earlier — the chart
-    * toggle that draws last week under this week. One self-join on the
-    * shifted bucket key (both sides hash on it — co-partitioned, no
-    * extra scan when the input is a computed series frame); points
-    * whose previous period is missing keep a null `prevCol`, and the
-    * delta/percent math is left to the caller (it depends on the
-    * metric's semantics). `bucketCol` must hold epoch-second numbers
-    * (the engine's `bucket` convention — unix_timestamp a timestamp
-    * bucket first), so the shift is exact integer arithmetic. */
-  def compareWindow(df: DataFrame, bucketCol: String, valueCol: String,
-      offsetSeconds: Long, groupCols: Seq[String] = Nil,
-      prevCol: String = "prev_value"): DataFrame = {
-    require(offsetSeconds > 0, "offsetSeconds must be positive")
-    require(df.schema(bucketCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$bucketCol must be an epoch-second numeric column " +
-        "(unix_timestamp timestamps first)")
-    val prev = df.select(
-      (col(bucketCol) + offsetSeconds).as(bucketCol) +:
-        col(valueCol).as(prevCol) +:
-        groupCols.map(col): _*)
-    df.join(prev, bucketCol +: groupCols, "left")
-  }
-
   def ratio(df: DataFrame, mode: RatioMode, numCol: String,
       denCol: String, bucketCol: String = TimeBucketAlias,
       outCol: String = "ratio"): DataFrame = {
@@ -86,5 +61,49 @@ object Series {
           when(total.isNull || total === 0, lit(null))
             .otherwise(num / total))
     }
+  }
+
+  /** "Compare to previous period" overlay: each (bucket, group) point
+    * next to the SAME series `offsetSeconds` earlier — the chart
+    * toggle that draws last week under this week. Implemented as ONE
+    * pass over the series frame: every row projects twice (at its own
+    * bucket as the current value, at bucket+offset as the previous-
+    * period contribution) and one hash aggregate pairs them — no
+    * self-join, so the series' upstream lineage (scan + aggregation)
+    * is NOT computed twice. Points whose previous period is missing
+    * keep a null `prevCol`; delta/percent math is the caller's (it
+    * depends on the metric's semantics). Contract: one row per
+    * (bucket, groups) — a series frame — and `bucketCol` holds
+    * epoch-second numbers (unix_timestamp a timestamp bucket first),
+    * so the shift is exact integer arithmetic. */
+  def compareWindow(df: DataFrame, bucketCol: String, valueCol: String,
+      offsetSeconds: Long, groupCols: Seq[String] = Nil,
+      prevCol: String = "prev_value"): DataFrame = {
+    require(offsetSeconds > 0, "offsetSeconds must be positive")
+    require(df.schema(bucketCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$bucketCol must be an epoch-second numeric column " +
+        "(unix_timestamp timestamps first)")
+    val keep = df.columns.filterNot(c =>
+      c == bucketCol || c == valueCol || groupCols.contains(c))
+    require(keep.isEmpty,
+      s"compareWindow expects only bucket/value/group columns; extra: " +
+        keep.mkString(", "))
+    val cur = df.select(col(bucketCol) +: col(valueCol).as("__v") +:
+      lit(1).as("__cur") +: groupCols.map(col): _*)
+    val shifted = df.select(
+      (col(bucketCol) + offsetSeconds).as(bucketCol) +:
+        col(valueCol).as("__v") +: lit(0).as("__cur") +:
+        groupCols.map(col): _*)
+    cur.unionByName(shifted)
+      .groupBy((col(bucketCol) +: groupCols.map(col)): _*)
+      .agg(
+        max(when(col("__cur") === 1, col("__v"))).as(valueCol),
+        max(when(col("__cur") === 0, col("__v"))).as(prevCol),
+        max(col("__cur")).as("__has"))
+      // rows that exist only as a shifted contribution (their target
+      // bucket has no current point) are not part of the overlay
+      .filter(col("__has") === 1)
+      .drop("__has")
   }
 }
