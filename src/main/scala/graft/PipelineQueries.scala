@@ -987,7 +987,8 @@ object PipelineQueries {
   /** Hashed TF-IDF feature vectors (sparse triples) for a probe slice,
     * with corpus-wide N and df_t — the text→vector stage ahead of
     * ANN/clustering. The probe filter applies AFTER the stats (it cannot
-    * push below the term window), so weights are corpus-calibrated. */
+    * push below the df_t aggregate+join), so weights are
+    * corpus-calibrated. */
   def q98_tfidf(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.hashedTfIdf(docs(spark, dir), "doc_id", "text", dim = 64)
       .filter(col("id") % 25 === 0)
@@ -1389,9 +1390,11 @@ object PipelineQueries {
   /** Binary-quantized ANN at the driver gate, shortlist covering the
     * corpus so the exact re-rank reproduces brute-force ordering while
     * the carried `hamming` column value-checks the quantization chain —
-    * per-dim exact medians, sign-bit packing, popcount distance — which
-    * the oracle recomputes from scratch on UNPACKED bits (no shared
-    * packing code to mis-read on both sides). */
+    * per-dim medians over the bounded md5-ordered trainer sample,
+    * sign-bit packing, popcount distance — which the oracle recomputes
+    * from scratch on UNPACKED bits (no shared packing code to mis-read
+    * on both sides), mirroring the sample with
+    * `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024`. */
   def q116_ann_binary(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val probes = e.filter(col("vec_id") < 5)
@@ -1405,10 +1408,16 @@ object PipelineQueries {
   }
 
   val q116_sql: String =
-    """WITH e AS (
+    """WITH samp AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1024),
+      |se AS (
+      |  SELECT vec_id, g.i AS d, CAST(embedding[g.i+1] AS DOUBLE) AS x
+      |  FROM samp, generate_series(0, 63) g(i)),
+      |med AS (SELECT d, quantile_cont(x, 0.5) AS m FROM se GROUP BY d),
+      |e AS (
       |  SELECT vec_id, g.i AS d, CAST(embedding[g.i+1] AS DOUBLE) AS x
       |  FROM embeddings, generate_series(0, 63) g(i)),
-      |med AS (SELECT d, quantile_cont(x, 0.5) AS m FROM e GROUP BY d),
       |bits AS (
       |  SELECT vec_id, e.d, CASE WHEN x > m THEN 1 ELSE 0 END AS bit
       |  FROM e JOIN med USING (d)),

@@ -155,13 +155,20 @@ object Classifier {
         "the published recipes train on a bounded sample; label fewer " +
         "docs (or raise the cap knowingly)")
     // (y, buckets[], tf[]) per doc, cached for the iteration loop; the
-    // groupBy is the one shuffle of training
-    val docs = Dsir.hashedFeatures(
-        labeled.select(col(idCol), col(textCol)), idCol, textCol, buckets)
-      .join(labeled.select(col(idCol),
-        col(labelCol).cast("double").as("__y")), idCol)
+    // groupBy is the one shuffle of training. Labels LEFT-join features
+    // so a labeled doc with no grams (empty/whitespace text) still
+    // trains as a bias-only example — fastText's behavior, and score()'s
+    // every-doc contract — instead of silently dropping out of nd, the
+    // bias gradient, and the loss.
+    val docs = labeled
+      .select(col(idCol), col(labelCol).cast("double").as("__y"))
+      .join(Dsir.hashedFeatures(
+          labeled.select(col(idCol), col(textCol)), idCol, textCol,
+          buckets),
+        Seq(idCol), "left")
       .groupBy(col(idCol), col("__y"))
-      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
+      .agg(collect_list(when(col("bucket").isNotNull,
+        struct(col("bucket"), col("cnt")))).as("fs"))
       .select(col("__y"), col("fs"))
       .as[(Double, Seq[(Long, Long)])]
       .map { case (y, fs) =>

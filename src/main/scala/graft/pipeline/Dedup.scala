@@ -732,23 +732,31 @@ object Dedup {
     * non-first repeated regions. Emits (idCol, span_start, span_end) —
     * token indices, end exclusive.
     *
-    * Scale shape: one narrow (id, pos, hash) gram frame, ONE hash
-    * shuffle on the gram for rank+count (partitions are per-gram — tiny),
-    * then one shuffle on id for the island merge. Never ships text, never
-    * builds a corpus-wide suffix array. Equal-length intervals make the
-    * merge a lag-gap scan: a window overlaps-or-touches its predecessor
-    * iff pos − prev <= k. */
+    * Scale shape: one narrow (id, pos, hash) gram frame; the keeper per
+    * gram is `min(struct(id, pos))` — a HASH aggregate with map-side
+    * combine, so the hottest boilerplate gram (the operator's raison
+    * d'être — a gram can repeat millions of times) reduces to one row
+    * per input partition before the exchange, never a single-task
+    * per-gram rank sort. Non-first occurrences fall out of a gram-keyed
+    * join against that one-keeper-per-gram frame (AQE's skew-join
+    * splits the hot gram's probe side); then one shuffle on id for the
+    * island merge. Never ships text, never builds a corpus-wide suffix
+    * array. Equal-length intervals make the merge a lag-gap scan: a
+    * window overlaps-or-touches its predecessor iff pos − prev <= k. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 2, s"need k >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
     val grams = positionalGramFrame(df, idCol, textCol, k)
-    val perGram = Window.partitionBy("__gh").orderBy("id", "pos")
-    // rn > 1 already implies the gram occurs ≥ 2 times — one ranked
-    // window pass over the token-scale frame, no separate count pass
+    // first (id, pos) occurrence per gram — struct min ≡ lexicographic
+    // (id, pos) order, the same keeper row_number over (id, pos) picks;
+    // a row is a duplicate occurrence iff it is not its gram's keeper,
+    // which already implies the gram occurs ≥ 2 times
+    val firsts = grams.groupBy("__gh")
+      .agg(min(struct(col("id"), col("pos"))).as("__first"))
     val dup = grams
-      .withColumn("__rn", row_number().over(perGram))
-      .filter(col("__rn") > 1)
+      .join(firsts, "__gh")
+      .filter(struct(col("id"), col("pos")) =!= col("__first"))
       .select("id", "pos")
     val perDoc = Window.partitionBy("id").orderBy("pos")
     dup

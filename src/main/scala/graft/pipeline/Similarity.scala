@@ -247,6 +247,35 @@ object Similarity {
     * re-rank rows (the knnLsh pattern). With `shortlist` ≥ corpus size
     * the exact re-rank makes the result identical to [[knnBrute]]
     * regardless of quantization error (SimilaritySpec asserts this). */
+  /** One stage of the bounded top-n shortlist shared by the quantized
+    * ANN paths ([[knnPq]], [[knnIvfPq]], [[knnBinary]]): per group-key
+    * tuple, keep the `n` smallest `(score, neighbor_id)` structs via
+    * sorted-slice aggregation. Called twice — once keyed on
+    * `(probe_id, spark_partition_id)` so no task ever gathers more than
+    * one partition's candidates for a probe, then once on `probe_id`
+    * over the ≤ partitions × n partials — this replaces the
+    * single-task-per-probe `row_number` window a global top-k would
+    * need. Struct ordering breaks score ties on `neighbor_id`, keeping
+    * the shortlist deterministic across partitionings. */
+  private def topSliceStage(d: DataFrame, keys: Seq[Column],
+      score: String, n: Int): DataFrame = d
+    .groupBy(keys: _*)
+    .agg(slice(array_sort(collect_list(
+      struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
+    .select((keys :+ explode(col("__xs")).as("__x")): _*)
+    .select((keys :+ col("__x." + score).as(score)
+      :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+
+  /** Two-stage bounded top-n: partition-local partials, then the final
+    * per-probe merge. See [[topSliceStage]]. */
+  private def topShortlist(scored: DataFrame, score: String, n: Int)
+      : DataFrame = {
+    val partial = topSliceStage(
+      scored.withColumn("__pid", spark_partition_id()),
+      Seq(col("probe_id"), col("__pid")), score, n)
+    topSliceStage(partial, Seq(col("probe_id")), score, n)
+  }
+
   def knnPq(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
       shortlist: Int = 32, dim: Int = 64): DataFrame = {
@@ -300,18 +329,7 @@ object Similarity {
       .join(codes, col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), adc.as("__adc"))
     // two-stage bounded top-shortlist (sorted-slice partials, then merge)
-    def topSlice(d: DataFrame, keys: Seq[Column]): DataFrame = d
-      .groupBy(keys: _*)
-      .agg(slice(array_sort(collect_list(
-        struct(col("__adc"), col("neighbor_id")))), 1, shortlist)
-        .as("__xs"))
-      .select((keys :+ explode(col("__xs")).as("__x")): _*)
-      .select((keys :+ col("__x.__adc").as("__adc")
-        :+ col("__x.neighbor_id").as("neighbor_id")): _*)
-    val partial = topSlice(
-      scored.withColumn("__pid", spark_partition_id()),
-      Seq(col("probe_id"), col("__pid")))
-    val short = topSlice(partial, Seq(col("probe_id")))
+    val short = topShortlist(scored, "__adc", shortlist)
       .select("probe_id", "neighbor_id")
     // exact re-rank of the shortlist only — vectors re-attach per id
     val reranked = short
@@ -401,17 +419,7 @@ object Similarity {
     val scored = probed.join(indexed, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), adc.as("__adc"))
-    def topSlice(d: DataFrame, keys: Seq[Column]): DataFrame = d
-      .groupBy(keys: _*)
-      .agg(slice(array_sort(collect_list(
-        struct(col("__adc"), col("neighbor_id")))), 1, shortlist)
-        .as("__xs"))
-      .select((keys :+ explode(col("__xs")).as("__x")): _*)
-      .select((keys :+ col("__x.__adc").as("__adc")
-        :+ col("__x.neighbor_id").as("neighbor_id")): _*)
-    val short = topSlice(topSlice(
-      scored.withColumn("__pid", spark_partition_id()),
-      Seq(col("probe_id"), col("__pid"))), Seq(col("probe_id")))
+    val short = topShortlist(scored, "__adc", shortlist)
       .select("probe_id", "neighbor_id")
     val reranked = short
       .join(broadcast(pVec), Seq("probe_id"))
@@ -437,8 +445,9 @@ object Similarity {
     * cell id with norms precomputed; feed the pairs to
     * [[Dedup.clusterDeduped]] for the cleaned corpus. */
   def semanticNearDupPairs(corpus: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, nlist: Int = 16, dim: Int = 64)
-      : DataFrame = {
+      vecCol: String, threshold: Double, nlist: Int = 16, dim: Int = 64,
+      maxCellRows: Long = 1000000L): DataFrame = {
+    require(maxCellRows > 0, "maxCellRows must be positive")
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cVec = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
@@ -460,6 +469,19 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
       .select("__id", "__cell", "__v", "__n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cell-size audit (the Intervals.overlapJoin fan-out guard): a
+    // degenerate corpus (many identical / zero vectors) collapses into
+    // one cell and the within-cell self-join silently goes |cell|² —
+    // fail loudly instead. One cheap count over the persisted frame.
+    val hot = assigned.groupBy("__cell").count()
+      .agg(max("count")).head()
+    if (!hot.isNullAt(0)) {
+      val biggest = hot.getLong(0)
+      require(biggest <= maxCellRows,
+        s"hottest k-means cell holds $biggest rows (max $maxCellRows): " +
+          "the within-cell pair scan would be quadratic in it — raise " +
+          "nlist (more, smaller cells) or maxCellRows")
+    }
     val a = assigned.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = assigned.select(col("__cell"), col("__id").as("id_b"),
@@ -510,24 +532,40 @@ object Similarity {
     cents
   }
 
-  /** Per-dimension MEDIAN thresholds for 1-bit quantization, computed
-    * EXACTLY (interpolated percentile — order-independent, unlike a
-    * mean's parallel float sum, so signatures are bit-identical across
-    * engines, retries, and partitionings). One posexplode + dim-keyed
-    * aggregate; the result is `dim` doubles on the driver. Medians also
-    * balance the bit distribution, the standard binary-quantization
-    * choice. */
-  def binaryThresholds(corpus: DataFrame, vecCol: String,
-      dim: Int): Array[Double] = {
+  /** Per-dimension MEDIAN thresholds for 1-bit quantization, trained on
+    * a BOUNDED deterministic sample — the `sampleCap` rows with the
+    * smallest `md5(id)` (id tie-break), the same trainer discipline as
+    * the PQ / IVF codebooks above. An exact full-corpus percentile
+    * would buffer every corpus value per dimension inside one
+    * aggregation state (unbounded at 100 TB); the hash-ordered sample
+    * keeps the trainer O(sampleCap · dim) on the driver while staying
+    * bit-deterministic across partitionings, retries, and engines
+    * (md5 ordering is data-, not placement-, defined; DuckDB's
+    * `ORDER BY md5(CAST(id AS VARCHAR))` reproduces it verbatim for the
+    * oracle). Medians are interpolated (`lo + (hi−lo)·0.5`), matching
+    * `percentile`/`quantile_cont`; they balance the bit distribution,
+    * the standard binary-quantization choice. Quantization error never
+    * leaks into result ordering — [[knnBinary]]'s exact cosine re-rank
+    * sees only WHICH candidates the Hamming scan shortlists. */
+  def binaryThresholds(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, sampleCap: Int = 1024): Array[Double] = {
     require(dim > 0, "dim must be positive")
-    val rows = corpus
-      .select(posexplode(col(vecCol).cast("array<double>"))
-        .as(Seq("d", "x")))
-      .groupBy("d").agg(expr("percentile(x, 0.5)").as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    require(rows.size == dim,
-      s"expected $dim dims, saw ${rows.size} (ragged vectors?)")
-    Array.tabulate(dim)(rows)
+    require(sampleCap > 0, "sampleCap must be positive")
+    val sample = corpus
+      .select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(md5(col("__id").cast("string").cast("binary")), col("__id"))
+      .limit(sampleCap)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    sample.foreach(v => require(v.length == dim,
+      s"expected $dim dims, saw ${v.length} (ragged vectors?)"))
+    Array.tabulate(dim) { d =>
+      val xs = sample.map(_(d)).sorted
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2)
+      else { val lo = xs(n / 2 - 1); lo + (xs(n / 2) - lo) * 0.5 }
+    }
   }
 
   /** Packed sign signature: bit b of word w set when
@@ -565,7 +603,7 @@ object Similarity {
     require(k > 0 && shortlistFactor > 0,
       "k and shortlistFactor must be positive")
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val med = binaryThresholds(corpus, vecCol, dim)
+    val med = binaryThresholds(corpus, idCol, vecCol, dim)
     // narrow signature frames: (id, sig) only — vectors re-attach after
     // the shortlist (the minhashLsh pattern)
     val cs = corpus.select(col(idCol).as("neighbor_id"),
@@ -574,14 +612,15 @@ object Similarity {
     val ps = probes.select(col(idCol).as("probe_id"),
       binarySignature(col(vecCol).cast("array<double>"), med).as("ps"))
     val shortN = k * shortlistFactor
-    val wh = Window.partitionBy(col("probe_id"))
-      .orderBy(col("hamming").asc, col("neighbor_id"))
-    val shortlist = broadcast(ps)
+    // Hamming scan → two-stage bounded shortlist (the knnPq topSlice
+    // discipline): no per-probe corpus-wide window, no single-task
+    // gather — each stage-1 task ranks only its own partition's
+    // candidates for a probe.
+    val scored = broadcast(ps)
       .join(cs, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("hamming", hamming(col("ps"), col("cs")))
-      .withColumn("rk", row_number().over(wh))
-      .filter(col("rk") <= shortN)
-      .select("probe_id", "neighbor_id", "hamming")
+      .select(col("probe_id"), col("neighbor_id"),
+        hamming(col("ps"), col("cs")).as("hamming"))
+    val shortlist = topShortlist(scored, "hamming", shortN)
     // exact re-rank: vectors join the ids, not the scan
     val pv = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))

@@ -192,25 +192,27 @@ object TextAnalysis {
     * md5prefix(t) mod dim ([[Curation.hashUniform]]'s engine-portable
     * hash, so any SQL engine reproduces the exact layout).
     *
-    * Scale shape: three shuffles, zero joins, nothing driver-side —
-    * (id, term) hash agg with map-side combine over the token explode,
-    * df_t as count-over-term-window on the already-term-clustered tf
-    * frame (no vocabulary join), then the (id, bucket) hash agg. N
+    * Scale shape: nothing driver-side — (id, term) hash agg with
+    * map-side combine over the token explode, df_t as a term-keyed
+    * HASH aggregate (map-side combine, so the hottest stopword reduces
+    * to one row per partition before the exchange — never a window that
+    * buffers every (id, "the") row in one task) joined back on term
+    * (AQE splits any residual skew), then the (id, bucket) hash agg. N
     * arrives as a broadcast one-row cross join, never a collected
     * scalar. Dense assembly is a downstream `array_agg` when a consumer
     * wants it; the sparse triple is the honest 100-TB layout. */
   def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
       dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    // document frequency: one row per vocabulary term. tf already has
+    // one row per (id, term), so counting rows per term IS df_t.
+    val dfT = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df_t"))
     tf
-      .withColumn("df_t",
-        sum(lit(1L)).over(Window.partitionBy("term")
-          .rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).cast("double"))
+      .join(dfT, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("w",
         col("tf") * log((col("__n") + 1.0) / (col("df_t") + 1.0)))

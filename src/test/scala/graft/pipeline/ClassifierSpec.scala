@@ -133,6 +133,27 @@ class ClassifierSpec extends SparkSpec {
     assert(maxDiff < 1e-9, s"weight divergence $maxDiff")
   }
 
+  test("trainLogistic trains bias on gram-less docs instead of " +
+      "dropping them") {
+    // one empty positive doc alone: the old inner-join shape dropped it
+    // (nd = 0 → NaN model); a bias-only gradient must push bias > 0
+    val solo = Classifier.trainLogistic(
+      Seq((1L, "   ", 1)).toDF("id", "text", "y"),
+      "id", "text", "y", buckets = 64, iters = 20, lr = 0.5)
+    assert(solo.bias > 0, s"bias ${solo.bias}")
+    assert(solo.losses.forall(l => !l.isNaN))
+    // mixed corpus: the empty negative doc shifts the bias DOWN vs the
+    // same corpus without it — it participates in nd and the gradient
+    val base = Seq((1L, "spark shuffle", 1), (2L, "butter sugar", 0))
+    val without = Classifier.trainLogistic(base.toDF("id", "text", "y"),
+      "id", "text", "y", buckets = 64, iters = 20, lr = 0.5)
+    val withEmpty = Classifier.trainLogistic(
+      (base :+ ((3L, "", 0))).toDF("id", "text", "y"),
+      "id", "text", "y", buckets = 64, iters = 20, lr = 0.5)
+    assert(withEmpty.bias < without.bias,
+      s"${withEmpty.bias} !< ${without.bias}")
+  }
+
   test("trainLogistic caps the labeled sample, loudly") {
     val e = intercept[IllegalArgumentException] {
       Classifier.trainLogistic(

@@ -261,6 +261,50 @@ class SimilaritySpec extends SparkSpec {
     assert(again == tight)
   }
 
+  test("binaryThresholds: deterministic across partitionings, bounded " +
+      "sample, interpolated medians") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t1 = Similarity.binaryThresholds(e, "vec_id", "embedding", 64)
+    // repartitioning (placement) must not change a single bit — the
+    // sample is md5-of-id-ordered, data-defined not placement-defined
+    val t2 = Similarity.binaryThresholds(e.repartition(7), "vec_id",
+      "embedding", 64)
+    val t3 = Similarity.binaryThresholds(e.repartition(1).sort(desc(
+      "vec_id")), "vec_id", "embedding", 64)
+    assert(t1.toSeq == t2.toSeq && t1.toSeq == t3.toSeq)
+    // the sampleCap bounds the trainer: a cap of 4 uses exactly the 4
+    // smallest-md5 rows; hand-compute the interpolated dim-0 median
+    val capped = Similarity.binaryThresholds(e, "vec_id", "embedding",
+      64, sampleCap = 4)
+    val picked = e.select(col("vec_id").cast("string").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(md5(col("id").cast("binary")), col("id"))
+      .limit(4).select("v").collect().map(_.getSeq[Double](0))
+    val xs = picked.map(_.head).sorted
+    val want = xs(1) + (xs(2) - xs(1)) * 0.5
+    assert(capped(0) == want)
+  }
+
+  test("semanticNearDupPairs fails loudly on a degenerate corpus that " +
+      "collapses into one quadratic cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // every row the same vector → every row lands in one argmax cell
+    val one = e.limit(1).select(col("embedding").as("clone"))
+    val degenerate = e.crossJoin(one)
+      .select(col("vec_id"), col("clone").as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semanticNearDupPairs(degenerate, "vec_id", "embedding",
+        threshold = 0.9, nlist = 8, maxCellRows = 100L).collect()
+    }
+    assert(ex.getMessage.contains("hottest k-means cell"))
+    // the same cap passes a healthy corpus (cells stay small)
+    val ok = Similarity.semanticNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.9, nlist = 8, maxCellRows = 400L)
+    assert(ok.count() >= 0L)
+  }
+
   test("knnIvfPq: exhaustive cells + full shortlist equals brute; " +
       "pruned search recalls and is deterministic") {
     val dir = "/root/testdata/sf0.001"
