@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1), forcing full execution through the
   * noop sink (a bare count() would let Catalyst prune the projections), and
   * prints one JSON line: {"metric":"total","value":N,"unit":"sec",
-  * "queries":{...},"sf":...}. */
+  * "queries":{...},"sf":...}. The same line is also written to
+  * `bench_out.json` in the working directory — at 118 queries the line
+  * outgrew a log-tail capture once; the file is the loss-proof copy. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,8 +63,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file first, stdout last: the stdout line is the driver's parse
+    // target, the file survives any log-tail truncation
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -544,10 +544,12 @@ object Queries {
   // ============================================================== registry
 
   /** Compare-to-previous-period overlay at the driver gate: daily
-    * per-type counts joined with the same series seven days earlier,
+    * per-type counts overlaid with the same series seven days earlier,
     * week-over-week ratio where a previous point exists — the chart
-    * toggle as one co-partitioned self-join (Series.compareWindow).
-    * The oracle replays it as a plain SQL self-join. */
+    * toggle as Series.compareWindow's one-pass union + single hash
+    * aggregate (each point re-keyed to the bucket it informs; no
+    * self-join). The oracle replays it as a plain SQL self-join —
+    * a genuinely different formulation. */
   def q118_compare_window(spark: SparkSession, dir: String): DataFrame = {
     val e = cat(spark, dir)("events").df
     val daily = e.groupBy(
