@@ -45,12 +45,7 @@ object BuilderSql {
     val resolver = new graft.lucene.FieldResolver(source.df.schema,
       source.jsonStringColumns, source.fieldAliases,
       source.materializedColumns)
-    val implicitCol = source.implicitColumns match {
-      case Nil => None
-      case Seq(one) => Some(col(one))
-      case many => Some(concat_ws(";", many.map(col): _*))
-    }
-    val lctx = LuceneContext(resolver, implicitCol)
+    val lctx = LuceneContext(resolver, source.implicitSearchColumn)
 
     val step: Option[Long] = q.granularity match {
       case None => None

@@ -9,10 +9,15 @@ final case class Source(
     df: DataFrame,
     /** timestamp column for dateRange filters / time bucketing. */
     timestampColumn: Option[String] = None,
-    /** implicit (body) columns searched by free-text lucene terms; several
-      * are combined with concat_ws(";", …) like the reference's multi-column
+    /** implicit columns searched by free-text lucene terms; several are
+      * combined with concat_ws(";", …) like the reference's multi-column
       * implicit field (queryParser.ts:1873-1934). */
     implicitColumns: Seq[String] = Nil,
+    /** body columns — the fallback when no implicit column is configured
+      * (reference getColumnForField's chain `implicitColumnExpression ||
+      * bodyExpression`, queryParser.ts:1873-1896): an admin who sets only
+      * the Body Expression can still run bare-text search. */
+    bodyColumns: Seq[String] = Nil,
     /** string columns holding JSON documents — dot-paths descend into them. */
     jsonStringColumns: Set[String] = Set.empty,
     /** semantic field aliases (e.g. "service" → "ServiceName"). */
@@ -29,7 +34,25 @@ final case class Source(
       * dateRange filters also emit a predicate on it so Catalyst prunes
       * partitions/files (reference timestamp-expression optimization,
       * utils.ts:1012-1041; SURVEY §4). */
-    partitionDateColumn: Option[String] = None)
+    partitionDateColumn: Option[String] = None) {
+
+  /** The column bare-text lucene terms search: implicit columns first,
+    * body columns as the fallback (the reference's resolution chain,
+    * queryParser.ts:1873-1896); several columns concat with ';'. A
+    * per-query override is the caller constructing LuceneContext with
+    * its own column — that path never multi-column-concats, mirroring
+    * the reference's isSourceImplicit guard. None → free-text terms
+    * raise (the reference throws 'Can not search bare text…'). */
+  def implicitSearchColumn: Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    def combine(cols: Seq[String]) = cols match {
+      case Nil => None
+      case Seq(one) => Some(col(one))
+      case many => Some(concat_ws(";", many.map(col): _*))
+    }
+    combine(implicitColumns).orElse(combine(bodyColumns))
+  }
+}
 
 /** Named sources the compiler can reference from `Query.from`. */
 final class Catalog(val sources: Map[String, Source]) {

@@ -49,12 +49,7 @@ object QueryCompiler {
     val df = source.df
     val resolver = new FieldResolver(df.schema, source.jsonStringColumns,
       source.fieldAliases, source.materializedColumns)
-    val implicitCol = source.implicitColumns match {
-      case Nil => None
-      case Seq(one) => Some(col(one))
-      case many => Some(concat_ws(";", many.map(col): _*))
-    }
-    val lctx = LuceneContext(resolver, implicitCol)
+    val lctx = LuceneContext(resolver, source.implicitSearchColumn)
 
     // ---- WHERE assembly (reference renderWhere :1141-1282): AND of
     // time-filter + where + filters + aggCondition pushdown

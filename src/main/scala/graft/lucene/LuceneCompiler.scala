@@ -10,10 +10,15 @@ import graft.functions.CoreFunctions._
   * semantics (reference buildColumnExpressionFromField,
   * packages/common-utils/src/queryParser.ts:1620-1760).
   * `arrayElemField` set → `col` is an array of structs and predicates
-  * apply existentially to element.field. */
+  * apply existentially to element.field; `arrayElemMapKey` set → `col`
+  * is an array of maps and predicates apply existentially to
+  * element[key] (reference Array(Map(String,String)) dispatch,
+  * queryParser.ts:821-908 — the path remainder joins back into one
+  * key, `Events.Attributes.message.subkey` → el['message.subkey']). */
 final case class ResolvedField(col: Column, dataType: DataType,
     fromJsonString: Boolean = false,
-    arrayElemField: Option[String] = None)
+    arrayElemField: Option[String] = None,
+    arrayElemMapKey: Option[String] = None)
 
 /** Schema-driven field resolution: exact column name, else dot-path prefix
   * match into Map / Struct / JSON-string / Array columns (reference
@@ -72,9 +77,24 @@ final class FieldResolver(schema: StructType,
             arrayElemField = Some(sf.name)))
         else None // deeper nesting not supported (matches reference)
       }
+    case ArrayType(MapType(_, vt, _), _) if path.nonEmpty =>
+      // array-of-maps (OTel Events.Attributes): existential el[key] match
+      // with the path remainder joined back into a single key (reference
+      // arrayExists(el -> el['message.subkey'] …), queryParser.ts:854-871)
+      Some(ResolvedField(col(f.name), vt,
+        arrayElemMapKey = Some(path.mkString("."))))
+    case MapType(_, StringType, _) =>
+      // Map['rest-of-path joined back'] — reference joins the remainder as
+      // a single key (queryParser.ts:1685-1709). A missing key reads as ''
+      // (ClickHouse Map default-value semantics): negated predicates and
+      // empty-string equality then MATCH rows without the key, exactly as
+      // the reference's `map['k'] != 'v'` / missing-key tests pin
+      // (queryParser.test.ts:2596-2619).
+      Some(ResolvedField(
+        coalesce(element_at(col(f.name), path.mkString(".")), lit("")),
+        StringType))
     case MapType(_, vt, _) =>
-      // Map['rest-of-path joined back'] — reference joins the remainder as a
-      // single key (queryParser.ts:1685-1709)
+      // typed map values keep SQL null semantics (no portable default)
       Some(ResolvedField(element_at(col(f.name), path.mkString(".")), vt))
     case st: StructType =>
       // walk struct fields
@@ -94,10 +114,14 @@ final class FieldResolver(schema: StructType,
       if (ok) Some(ResolvedField(cur, curType)) else None
     case StringType if jsonStringColumns.contains(f.name) =>
       // JSON-string path → get_json_object (reference JSONExtractString,
-      // queryParser.ts:1727-1739)
+      // queryParser.ts:1727-1739). Missing path reads as '' — ClickHouse
+      // JSONExtractString returns the type default, so negations and
+      // empty-string equality match rows without the key (same contract
+      // as the Map branch above).
       val jsonPath = "$." + path.mkString(".")
-      Some(ResolvedField(get_json_object(col(f.name), jsonPath), StringType,
-        fromJsonString = true))
+      Some(ResolvedField(
+        coalesce(get_json_object(col(f.name), jsonPath), lit("")),
+        StringType, fromJsonString = true))
     case ArrayType(et, _) if path.isEmpty =>
       Some(ResolvedField(col(f.name), f.dataType))
     case _ => None
@@ -129,19 +153,33 @@ object LuceneCompiler {
     case QNode.Not(x) => !compileNode(x, ctx, boundField)
     case QNode.Group(field, inner) => compileNode(inner, ctx, Some(field))
     case QNode.Term(fieldOpt, value) =>
-      fieldOpt.orElse(boundField) match {
-        case Some(field) => compileFieldTerm(field, value, ctx)
-        case None => compileImplicitTerm(value, ctx)
+      (fieldOpt, boundField) match {
+        // a term with its OWN field keeps top-level semantics even inside
+        // a group — `foo:(bar:(baz) qux)` binds baz to bar, qux to foo
+        case (Some(field), _) => compileFieldTerm(field, value, ctx,
+          inGroup = false)
+        // a bare term inside `foo:(...)` — the group REBINDS the implicit
+        // field to foo, and the term takes IMPLICIT-STYLE semantics on
+        // that column (reference createSerializerContext,
+        // queryParser.ts:2035-2060 + fieldSearch's implicit branch):
+        // quoted phrases become CONTAINS (never exact-eq —
+        // `ServiceName:("foo bar")` is ILIKE '%foo bar%' while
+        // `ServiceName:"foo bar"` is equality), and edge wildcards are
+        // honored (`foo:(bar*)` starts-with, where top-level `foo:bar*`
+        // collapses to contains)
+        case (None, Some(field)) => compileFieldTerm(field, value, ctx,
+          inGroup = true)
+        case (None, None) => compileImplicitTerm(value, ctx)
       }
   }
 
   // ------------------------------------------------------- field-scoped
 
   private def compileFieldTerm(field: String, value: TermValue,
-      ctx: LuceneContext): Column =
+      ctx: LuceneContext, inGroup: Boolean): Column =
     ctx.resolver.resolve(field) match {
       case None => lit(false) // unknown field (NOT_FOUND_QUERY)
-      case Some(rf) => compileTermOn(rf, value)
+      case Some(rf) => compileTermOn(rf, value, inGroup)
     }
 
   private def isNumericType(dt: DataType): Boolean = dt match {
@@ -152,48 +190,56 @@ object LuceneCompiler {
   private def numericLit(v: String): Option[Double] =
     scala.util.Try(v.toDouble).toOption
 
-  private def compileTermOn(rf: ResolvedField, value: TermValue): Column =
+  private def compileTermOn(rf: ResolvedField, value: TermValue,
+      inGroup: Boolean): Column =
     rf.arrayElemField match {
       // array-of-structs: exists(arr, e -> <predicate on e.field>)
       case Some(field) =>
         exists(rf.col, e =>
-          compileTermOn(ResolvedField(e.getField(field), rf.dataType),
-            value))
-      case None => compileScalarTermOn(rf, value)
+          compileScalarTermOn(
+            ResolvedField(e.getField(field), rf.dataType), value, inGroup))
+      case None => rf.arrayElemMapKey match {
+        // array-of-maps: exists(arr, e -> <predicate on e[key]>), missing
+        // key reading as '' (the Map-branch default-value contract)
+        case Some(key) =>
+          exists(rf.col, e => {
+            val elem =
+              if (rf.dataType == StringType)
+                coalesce(element_at(e, key), lit(""))
+              else element_at(e, key)
+            compileScalarTermOn(ResolvedField(elem, rf.dataType), value,
+              inGroup)
+          })
+        case None => compileScalarTermOn(rf, value, inGroup)
+      }
     }
 
   private def compileScalarTermOn(rf: ResolvedField,
-      value: TermValue): Column = {
+      value: TermValue, inGroup: Boolean): Column = {
     val c = rf.col
     value match {
-      case TermValue.Exists =>
-        // notEmpty(col) (reference isNotNull queryParser.ts:546-588)
-        rf.dataType match {
-          case _: ArrayType => c.isNotNull && size(c) > 0
-          case _: MapType => c.isNotNull && size(c) > 0
-          case StringType => notEmpty(c)
-          case _ => c.isNotNull
-        }
+      case TermValue.Exists => existsMatch(rf)
 
-      case TermValue.Exact(v) => exactMatch(rf, v)
+      // quoted term: exact at top level, CONTAINS inside a group (the
+      // reference's implicit-branch dispatch — nodeTerm only routes to
+      // eq() when the node's own field is explicit, queryParser.ts:1963)
+      case TermValue.Exact(v) =>
+        if (inGroup) wordMatch(rf, v, honorEdgeWildcards = false)
+        else exactMatch(rf, v)
 
       case TermValue.Word(v) =>
-        rf.dataType match {
-          case dt if isNumericType(dt) =>
-            numericLit(v) match {
-              case Some(d) => c.cast("double") === lit(d)
-              case None => lit(false)
-            }
-          case BooleanType => bool(v).map(b => c === lit(b)).getOrElse(lit(false))
-          case _: ArrayType => arrayMatch(rf, v)
-          case _ =>
-            // unquoted word on an explicit field: contains / wildcard
-            // (reference :1604-1608 ILIKE '%substr%'; wildcards :1468-1477)
-            if (v.contains("*")) iLikeWildcard(c, v)
-            else iContains(c, v)
-        }
+        // edge wildcards are honored only in group position; a top-level
+        // `foo:*bar` strips them and collapses to contains (reference
+        // nodeTerm strips prefix/suffix stars :1997-2006 and the explicit
+        // ILIKE branch ignores the flags :1604-1608)
+        wordMatch(rf, v, honorEdgeWildcards = inGroup)
 
       case TermValue.Cmp(op, v) =>
+        // reference rejects ordering comparisons on whole array columns
+        // ('>= comparison is not supported for Array-type fields',
+        // queryParser.ts:521-544) — loud beats a silently-false cast
+        require(!rf.dataType.isInstanceOf[ArrayType],
+          s"'$op' comparison is not supported for array fields")
         val (left, right) = comparisonSides(rf, v)
         op match {
           case ">" => left > right
@@ -203,6 +249,9 @@ object LuceneCompiler {
         }
 
       case TermValue.Range(lo, hi, loIncl, hiIncl) =>
+        require(!rf.dataType.isInstanceOf[ArrayType] ||
+            (lo.isEmpty && hi.isEmpty),
+          "range comparison is not supported for array fields")
         val conds = Seq(
           lo.map { v =>
             val (l, r) = comparisonSides(rf, v)
@@ -212,8 +261,82 @@ object LuceneCompiler {
             val (l, r) = comparisonSides(rf, v)
             if (hiIncl) l <= r else l < r
           }).flatten
-        if (conds.isEmpty) c.isNotNull else conds.reduce(_ && _)
+        // `[* TO *]` ≡ existence (reference notEmpty, queryParser.test.ts
+        // range case `ServiceName:[* TO *]`)
+        if (conds.isEmpty) existsMatch(rf) else conds.reduce(_ && _)
     }
+  }
+
+  /** `field:*` / `field:[* TO *]` — notEmpty semantics
+    * (reference isNotNull queryParser.ts:546-588). */
+  private def existsMatch(rf: ResolvedField): Column = {
+    val c = rf.col
+    rf.dataType match {
+      case _: ArrayType => c.isNotNull && size(c) > 0
+      case _: MapType => c.isNotNull && size(c) > 0
+      case StringType => notEmpty(c)
+      case _ => c.isNotNull
+    }
+  }
+
+  /** Unquoted-word semantics on an explicit or group-bound field:
+    * numeric/bool → typed equality; arrays → existential ELEMENT
+    * CONTAINS (reference arrayExists-ILIKE, exact `has()` only for
+    * quoted terms); strings → contains, with edge wildcards honored in
+    * group position (`%` only where the `*` was) and collapsed to
+    * contains at top level. Interior `*` stays a wildcard — a
+    * deliberate superset of the reference, which matches interior
+    * asterisks literally (real Lucene semantics; documented in
+    * LuceneSpec). */
+  private def wordMatch(rf: ResolvedField, v: String,
+      honorEdgeWildcards: Boolean): Column = {
+    val c = rf.col
+    rf.dataType match {
+      case dt if isNumericType(dt) =>
+        numericLit(stripEdgeStars(v)._1) match {
+          case Some(d) => c.cast("double") === lit(d)
+          case None => lit(false)
+        }
+      case BooleanType =>
+        bool(v).map(b => c === lit(b)).getOrElse(lit(false))
+      case at: ArrayType => arrayWordMatch(rf, at, v)
+      case _ =>
+        val (term, prefix, suffix) = stripEdgeStars(v)
+        if (term.isEmpty) lit(true) // bare `*` handled as Exists upstream
+        else if (honorEdgeWildcards && (prefix || suffix))
+          iLikeEdges(c, term, prefix, suffix)
+        else iLikeEdges(c, term, prefixWildcard = true,
+          suffixWildcard = true) // contains
+    }
+  }
+
+  /** Strip leading/trailing `*` into (term, prefixWildcard,
+    * suffixWildcard) — reference nodeTerm queryParser.ts:1997-2006. */
+  private def stripEdgeStars(v: String): (String, Boolean, Boolean) = {
+    var t = v
+    val prefix = t.startsWith("*")
+    if (prefix) t = t.drop(1)
+    val suffix = t.endsWith("*")
+    if (suffix) t = t.dropLast
+    (t, prefix, suffix)
+  }
+
+  private implicit class StrOps(private val s: String) {
+    def dropLast: String = if (s.isEmpty) s else s.substring(0, s.length - 1)
+  }
+
+  /** `lower(col) LIKE lower(pattern)` with `%` only at the flagged edges
+    * (reference fieldSearch wildcard branch, queryParser.ts:1468-1477);
+    * interior `*` becomes `%` (documented superset), LIKE metachars in
+    * the literal parts escaped. */
+  private def iLikeEdges(c: Column, term: String, prefixWildcard: Boolean,
+      suffixWildcard: Boolean): Column = {
+    val body = term
+      .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace("*", "%")
+    val pattern = (if (prefixWildcard) "%" else "") + body +
+      (if (suffixWildcard) "%" else "")
+    lower(c).like(pattern.toLowerCase)
   }
 
   /** Pick comparison representation: numeric column → numeric compare;
@@ -246,30 +369,56 @@ object LuceneCompiler {
           case None => lit(false)
         }
       case BooleanType => bool(v).map(b => c === lit(b)).getOrElse(lit(false))
-      case _: ArrayType => arrayMatch(rf, v) // has(col, v)
+      case at: ArrayType => exactArrayMatch(rf, at, v) // has(col, v)
       case _ => c === lit(v)
     }
   }
 
-  /** Array columns: `has(col, v)` exact element match; numeric elements cast
-    * (reference renderArrayFieldExpression queryParser.ts:821-908). */
-  private def arrayMatch(rf: ResolvedField, v: String): Column = {
-    val et = rf.dataType.asInstanceOf[ArrayType].elementType
-    et match {
-      case t if isNumericType(t) =>
-        numericLit(v) match {
-          case Some(d) => array_contains(rf.col.cast("array<double>"), d)
-          case None => lit(false)
-        }
-      case MapType(_, _, _) =>
-        // array-of-maps handled only with full path at resolve time; fall
-        // back to false like the reference's unknown branch
-        lit(false)
-      case _ =>
-        if (v.contains("*"))
-          exists(rf.col, el => iLikeWildcard(el, v))
-        else array_contains(rf.col, v)
-    }
+  /** Quoted term on an array column: `has(col, v)` exact element match;
+    * numeric/bool elements typed, other non-string elements compare by
+    * their string rendering (reference `has(...)` / `arrayExists(el ->
+    * toString(el) = v)` dispatch, queryParser.ts:821-908). */
+  private def exactArrayMatch(rf: ResolvedField, at: ArrayType,
+      v: String): Column = at.elementType match {
+    case t if isNumericType(t) =>
+      numericLit(v) match {
+        case Some(d) => array_contains(rf.col.cast("array<double>"), d)
+        case None => lit(false)
+      }
+    case BooleanType =>
+      bool(v).map(b => array_contains(rf.col, b)).getOrElse(lit(false))
+    case MapType(_, _, _) =>
+      // array-of-maps requires a key path (resolved upstream); bare
+      // match falls to false like the reference's unknown branch
+      lit(false)
+    case StringType => array_contains(rf.col, v)
+    case _ => exists(rf.col, el => el.cast("string") === lit(v))
+  }
+
+  /** Unquoted term on an array column: existential ELEMENT CONTAINS for
+    * string-ish elements — `Events.Name:foo` is `arrayExists(el -> el
+    * ILIKE '%foo%')`, NOT exact `has()` (reference
+    * queryParser.test.ts:2060-2075); edge wildcards collapse to
+    * contains there too. Numeric/bool elements stay typed-equality. */
+  private def arrayWordMatch(rf: ResolvedField, at: ArrayType,
+      v: String): Column = at.elementType match {
+    case t if isNumericType(t) =>
+      numericLit(stripEdgeStars(v)._1) match {
+        case Some(d) => array_contains(rf.col.cast("array<double>"), d)
+        case None => lit(false)
+      }
+    case BooleanType =>
+      bool(v).map(b => array_contains(rf.col, b)).getOrElse(lit(false))
+    case MapType(_, _, _) => lit(false)
+    case et =>
+      val (term, _, _) = stripEdgeStars(v)
+      if (term.isEmpty) exists(rf.col, el => el.isNotNull)
+      else {
+        val elemStr: Column => Column =
+          if (et == StringType) identity else _.cast("string")
+        exists(rf.col, el => iLikeEdges(elemStr(el), term,
+          prefixWildcard = true, suffixWildcard = true))
+      }
   }
 
   // ------------------------------------------------------- implicit field
@@ -280,17 +429,27 @@ object LuceneCompiler {
     * ILIKE; quoted phrase → substring. */
   private def compileImplicitTerm(value: TermValue, ctx: LuceneContext)
       : Column = ctx.implicitColumn match {
-    case None => lit(false)
+    case None => throw new IllegalArgumentException(
+      // the reference throws the same way (queryParser.ts:1881-1884)
+      // rather than silently matching nothing
+      "Can not search bare text without an implicit column set.")
     case Some(c) =>
       value match {
         case TermValue.Exists => notEmpty(c)
         case TermValue.Exact(v) => iContains(c, v)
         case TermValue.Word(v) if v.contains("*") =>
-          // implicit-column wildcards are contains-style: the pattern is
-          // wrapped in % on both sides (reference queryParser.ts:1468-1477
-          // `lower(col) LIKE lower('%t%')`); bare-field wildcards (handled
-          // in compileTermOn) stay prefix/suffix
-          iLikeWildcard(c, "*" + v + "*")
+          // edge wildcards anchor: `*bar` is ends-with, `bar*` is
+          // starts-with — `%` appears ONLY where the `*` was (reference
+          // fieldSearch queryParser.ts:1468-1477). A term with interior
+          // stars only (`time*ut`) matches contains-style with the
+          // interior star as a wildcard — a documented superset of the
+          // reference, which routes such terms to token search with the
+          // asterisk literal
+          val (term, prefix, suffix) = stripEdgeStars(v)
+          if (term.isEmpty) notEmpty(c)
+          else if (prefix || suffix) iLikeEdges(c, term, prefix, suffix)
+          else iLikeEdges(c, term, prefixWildcard = true,
+            suffixWildcard = true)
         case TermValue.Word(v) =>
           val tokens = tokenizeTerm(v)
           val tokenMatch =

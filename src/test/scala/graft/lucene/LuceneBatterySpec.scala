@@ -1,0 +1,480 @@
+package graft.lucene
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Port of the reference's queryParser test battery
+  * (packages/common-utils/src/__tests__/queryParser.test.ts, 95 cases) as
+  * behavior checks: each reference lucene→SQL assertion becomes a
+  * compiled-predicate row-set assertion on a frame engineered so the
+  * pinned semantics discriminate. The ClickHouse-index-selection suites
+  * (bloom_filter/text-index/KV-items version gates) pick WHICH physical
+  * token function to emit and have no Spark analogue — the engine's one
+  * token path covers them; everything semantic is here.
+  *
+  * Deliberate divergences from the reference (each asserted below):
+  *   - interior `*` is a wildcard (`time*ut` matches "timeout") — real
+  *     Lucene semantics; the reference matches interior asterisks
+  *     literally via its token path (queryParser.ts:1579-1600).
+  *   - ordering comparisons on Map/JSON values are NUMERIC when the
+  *     literal is numeric (`LogAttributes.n:>9` excludes "10" in the
+  *     reference's lexicographic `> '9'`, includes it here) — the
+  *     reference itself is inconsistent (its range form `[1 TO 5]`
+  *     compares numerically).
+  */
+class LuceneBatterySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ fixtures
+
+  /** Body-search + explicit-field frame (the json-suite testCases). */
+  private lazy val logs: DataFrame = Seq(
+    (1L, "foo bar baz end", "foo bar baz", 120.0, 9),
+    (2L, "only foo here", "foofoo", 450.0, 17),
+    (3L, "bar alone", "somefoo", 100.0, 9),
+    (4L, "abc def", "abc and def", 500.0, 9),
+    (5L, "user_service started", "user_service", 700.0, 9),
+    (6L, "userXservice started", "100% userXservice", 50.0, 9),
+    (7L, "ends with bar", "qux", 12.0, 9),
+    (8L, "red and blue", "red", 1.0, 9))
+    .toDF("id", "Body", "ServiceName", "Duration", "SeverityNumber")
+
+  private lazy val ctx = LuceneContext(
+    new FieldResolver(logs.schema), implicitColumn = Some(col("Body")))
+
+  private def ids(q: String): Set[Long] =
+    logs.filter(LuceneCompiler.compile(q, ctx))
+      .select("id").as[Long].collect().toSet
+
+  // ------------------------------- quoted vs bare vs group (json suite)
+
+  test("explicit field, quoted phrase: EXACT equality " +
+      "(ref: ServiceName:\"foo bar baz\" -> =)") {
+    assert(ids("ServiceName:\"foo bar baz\"") == Set(1L))
+    // unquoted first token + body tokens (ref: ServiceName:foo bar baz)
+    assert(ids("ServiceName:foo bar baz") == Set(1L))
+  }
+
+  test("field-scoped group, quoted phrase: CONTAINS, not equality " +
+      "(ref: ServiceName:(\"foo bar baz\") -> ILIKE)") {
+    // equality would match only row 1; contains must also admit a row
+    // whose ServiceName embeds the phrase — none here besides 1, so
+    // build the discriminating case on a prefix phrase:
+    assert(ids("ServiceName:(\"foo bar\")") == Set(1L))
+    assert(ids("ServiceName:\"foo bar\"") == Set.empty) // exact: no row
+  }
+
+  test("field-scoped group: each bare term is CONTAINS on the bound " +
+      "column (ref: ServiceName:(abc def))") {
+    assert(ids("ServiceName:(abc def)") == Set(4L))
+    assert(ids("ServiceName:(abc miss)") == Set.empty)
+  }
+
+  test("bare-field term is contains (ref: foo:bar -> ILIKE '%bar%')") {
+    assert(ids("ServiceName:foo") == Set(1L, 2L, 3L)) // substring, all
+    assert(ids("ServiceName:qux") == Set(7L))
+  }
+
+  test("group + trailing bare term: group binds its field, the bare " +
+      "term stays implicit (ref: foo:(bar) baz)") {
+    assert(ids("ServiceName:(qux) with") == Set(7L))
+    assert(ids("ServiceName:(qux) missingword") == Set.empty)
+  }
+
+  test("nested field-scoped group rebinds inner, outer field resumes " +
+      "(ref: foo:(bar:(baz) qux))") {
+    // inner group binds ServiceName, outer binds Body… build with two
+    // real fields: Body:(ServiceName:(qux) ends) — 'ends' must hit Body
+    assert(ids("Body:(ServiceName:(qux) ends)") == Set(7L))
+    assert(ids("Body:(ServiceName:(qux) absent)") == Set.empty)
+  }
+
+  // --------------------------------------------------- negation shapes
+
+  test("negated field term (ref: -foo:bar -> NOT ILIKE)") {
+    assert(ids("-ServiceName:foo") == ids("NOT ServiceName:foo"))
+    assert(ids("-ServiceName:foo") ==
+      Set(4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("negated field-scoped group (ref: -foo:(bar baz) -> NOT(AND))") {
+    assert(ids("-ServiceName:(abc def)") == ids("NOT ServiceName:(abc def)"))
+    assert(ids("-ServiceName:(abc def)") ==
+      Set(1L, 2L, 3L, 5L, 6L, 7L, 8L))
+  }
+
+  test("double negation in a group (ref: -foo:(-bar))") {
+    assert(ids("-ServiceName:(-abc)") == Set(4L))
+  }
+
+  test("leading negation in binary expressions (ref HDX-2655: " +
+      "NOT red AND NOT blue / OR / implicit AND)") {
+    val notBoth = ids("NOT red AND NOT blue")
+    assert(notBoth == ids("NOT red NOT blue"))
+    assert(!notBoth.contains(8L) && notBoth.contains(1L))
+    val either = ids("NOT red OR NOT blue")
+    // row 8 has BOTH red and blue → excluded; every other row lacks one
+    assert(either == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  // ----------------------------------------------------------- wildcards
+
+  test("implicit prefix wildcard anchors: *bar is ENDS-WITH, not " +
+      "contains (ref: '*bar' -> LIKE '%bar')") {
+    assert(ids("*bar") == Set(7L)) // only 'ends with bar'
+    // row 1 'foo bar baz end' contains bar but does not END with it
+    assert(!ids("*bar").contains(1L))
+  }
+
+  test("implicit suffix wildcard anchors: user_* is STARTS-WITH " +
+      "(ref: 'user_*' -> LIKE 'user\\_%', underscore literal)") {
+    assert(ids("user_*") == Set(5L)) // not 6 (userXservice) — literal _
+  }
+
+  test("explicit-field edge wildcards collapse to contains " +
+      "(ref: foo:*bar and foo:*bar* -> ILIKE '%bar%')") {
+    assert(ids("ServiceName:*foo") == ids("ServiceName:foo"))
+    assert(ids("ServiceName:foo*") == ids("ServiceName:foo"))
+    assert(ids("ServiceName:*foo*") == ids("ServiceName:foo"))
+  }
+
+  test("in-group edge wildcards are honored: foo:(bar*) starts-with, " +
+      "foo:(*bar) ends-with (ref group cases)") {
+    assert(ids("ServiceName:(foo*)") == Set(1L, 2L)) // not 'somefoo'
+    assert(ids("ServiceName:(*foo)") == Set(2L, 3L)) // not 'foo bar baz'
+    assert(ids("ServiceName:(*foo*)") == Set(1L, 2L, 3L))
+  }
+
+  test("DIVERGENCE (documented): interior * is a wildcard, not a " +
+      "literal — real Lucene semantics") {
+    assert(ids("Body:f*o") == Set(1L, 2L)) // 'foo' via f%o
+    assert(ids("u*Xservice") == Set(6L)) // implicit interior wildcard
+  }
+
+  // ------------------------------------------------- LIKE metacharacters
+
+  test("underscore in a term matches literally " +
+      "(ref: ServiceName:user_service -> ILIKE '%user\\_service%')") {
+    assert(ids("ServiceName:user_service") == Set(5L))
+    assert(ids("-ServiceName:user_service") ==
+      (logs.select("id").as[Long].collect().toSet - 5L))
+  }
+
+  test("percent in a term matches literally (ref: ServiceName:100%)") {
+    assert(ids("ServiceName:100%") == Set(6L))
+  }
+
+  test("free-text term with separators: tokens AND the literal " +
+      "substring (ref: 'user_service' -> hasToken x2 + LIKE)") {
+    assert(ids("user_service") == Set(5L))
+    // row 6 has tokens user+service ('userXservice' does NOT tokenize
+    // to user/service — X is alphanumeric) so neither check passes
+    assert(!ids("user_service").contains(6L))
+  }
+
+  // -------------------------------------------------------- range bounds
+
+  private lazy val spans: DataFrame = Seq(
+    (1L, 100.0, "2024-01-01 00:00:00", "api", "150"),
+    (2L, 300.0, "2024-03-01 00:00:00", "", "99"),
+    (3L, 500.0, "2024-06-01 00:00:00", "worker", "501"),
+    (4L, 700.0, "2024-07-01 00:00:00", "db", "400"))
+    .toDF("id", "Duration", "ts", "ServiceName", "dms")
+    .select(col("id"), col("Duration"),
+      to_timestamp(col("ts")).as("Timestamp"), col("ServiceName"),
+      map(lit("duration_ms"), col("dms")).as("LogAttributes"))
+
+  private lazy val rctx = LuceneContext(
+    new FieldResolver(spans.schema), implicitColumn = None)
+
+  private def rids(q: String): Set[Long] =
+    spans.filter(LuceneCompiler.compile(q, rctx))
+      .select("id").as[Long].collect().toSet
+
+  test("inclusive / unbounded ranges (ref: [100 TO 500], [* TO 500], " +
+      "[100 TO *], -[* TO 500])") {
+    assert(rids("Duration:[100 TO 500]") == Set(1L, 2L, 3L))
+    assert(rids("Duration:[* TO 500]") == Set(1L, 2L, 3L))
+    assert(rids("Duration:[100 TO *]") == Set(1L, 2L, 3L, 4L))
+    assert(rids("-Duration:[* TO 500]") == Set(4L))
+  }
+
+  test("exclusive and mixed bounds (ref: {100 TO 500}, [100 TO 500}, " +
+      "{100 TO 500], -{100 TO 500})") {
+    assert(rids("Duration:{100 TO 500}") == Set(2L))
+    assert(rids("Duration:[100 TO 500}") == Set(1L, 2L))
+    assert(rids("Duration:{100 TO 500]") == Set(2L, 3L))
+    assert(rids("-Duration:{100 TO 500}") == Set(1L, 3L, 4L))
+  }
+
+  test("[* TO *] on a string column is notEmpty " +
+      "(ref: ServiceName:[* TO *] -> notEmpty = 1)") {
+    assert(rids("ServiceName:[* TO *]") == Set(1L, 3L, 4L)) // not ''
+  }
+
+  test("timestamp ranges parse date literals " +
+      "(ref: Timestamp:[2024-01-01 TO 2024-06-01])") {
+    assert(rids("Timestamp:[2024-01-01 TO 2024-06-01]") == Set(1L, 2L, 3L))
+    assert(rids("Timestamp:{2024-01-01 TO 2024-06-01}") == Set(2L))
+  }
+
+  test("map-path range (ref: LogAttributes.duration_ms:{100 TO 500}) — " +
+      "numeric, including the documented lexicographic divergence") {
+    // numeric compare: "150" and "400" are in (100, 500); "99" is below
+    // numerically but would be INSIDE lexicographically ('99' > '100')
+    assert(rids("LogAttributes.duration_ms:{100 TO 500}") == Set(1L, 4L))
+  }
+
+  // ----------------------------------- map missing-key (CH default '')
+
+  private lazy val mapped: DataFrame = Seq(
+    (1L, Map("error.message" -> "Failed to fetch")),
+    (2L, Map("error.message" -> "ok")),
+    (3L, Map("other" -> "x")), // key missing
+    (4L, Map("error.message" -> ""))) // key present, empty value
+    .toDF("id", "LogAttributes")
+
+  private lazy val mctx = LuceneContext(
+    new FieldResolver(mapped.schema), implicitColumn = None)
+
+  private def mids(q: String): Set[Long] =
+    mapped.filter(LuceneCompiler.compile(q, mctx))
+      .select("id").as[Long].collect().toSet
+
+  test("positive map-path match requires the key " +
+      "(ref: LogAttributes.error.message:Failed)") {
+    assert(mids("LogAttributes.error.message:Failed") == Set(1L))
+    assert(mids("LogAttributes.error.message:\"Failed to fetch\"") ==
+      Set(1L))
+  }
+
+  test("negated map-path match INCLUDES missing-key rows — ClickHouse " +
+      "default-value semantics (ref: -LogAttributes.error.message:Failed " +
+      "-> map[...] NOT ILIKE, missing key reads '')") {
+    assert(mids("-LogAttributes.error.message:Failed") == Set(2L, 3L, 4L))
+    assert(mids("-LogAttributes.error.message:\"Failed to fetch\"") ==
+      Set(2L, 3L, 4L))
+  }
+
+  test("empty-string equality matches missing keys (ref KV-items " +
+      "missing-key semantics, queryParser.test.ts:2596-2619)") {
+    assert(mids("LogAttributes.error.message:\"\"") == Set(3L, 4L))
+    assert(mids("-LogAttributes.error.message:\"\"") == Set(1L, 2L))
+  }
+
+  test("map-path existence and its negation " +
+      "(ref: LogAttributes.error.message:* -> notEmpty)") {
+    assert(mids("LogAttributes.error.message:*") == Set(1L, 2L))
+    assert(mids("-LogAttributes.error.message:*") == Set(3L, 4L))
+  }
+
+  test("map-path group phrase is contains " +
+      "(ref: LogAttributes.error.message:(\"A B\") -> ILIKE '%A B%')") {
+    assert(mids("LogAttributes.error.message:(\"to fet\")") == Set(1L))
+  }
+
+  // -------------------------------------------------------- JSON paths
+
+  private lazy val jsonLogs: DataFrame = Seq(
+    (1L, """{"error": {"severity": 30, "msg": "Failed to fetch"}}"""),
+    (2L, """{"error": {"severity": 5, "msg": "ok"}}"""),
+    (3L, """{"other": 1}"""),
+    (4L, """{"error": {"severity": "30", "msg": ""}}"""))
+    .toDF("id", "props")
+
+  private lazy val jctx = LuceneContext(
+    new FieldResolver(jsonLogs.schema, jsonStringColumns = Set("props")),
+    implicitColumn = None)
+
+  private def jids(q: String): Set[Long] =
+    jsonLogs.filter(LuceneCompiler.compile(q, jctx))
+      .select("id").as[Long].collect().toSet
+
+  test("JSON dot-path contains + quoted equality " +
+      "(ref: ResourceAttributesJSON.error.message cases)") {
+    assert(jids("props.error.msg:Failed") == Set(1L))
+    assert(jids("props.error.msg:\"Failed to fetch\"") == Set(1L))
+    assert(jids("props.error.msg:(\"to fet\")") == Set(1L))
+  }
+
+  test("negated JSON path includes missing-path rows (default '')") {
+    assert(jids("-props.error.msg:Failed") == Set(2L, 3L, 4L))
+  }
+
+  test("JSON numeric comparison applies the numeric guard " +
+      "(ref: ...error.severity:>10 with dynamicType IN numerics). " +
+      "DIVERGENCE (documented): Spark's JSON extraction is type-erasing, " +
+      "so a string-typed \"30\" also matches — the reference's " +
+      "dynamicType guard would exclude it") {
+    assert(jids("props.error.severity:>10") == Set(1L, 4L))
+    assert(jids("props.error.severity:>=30") == Set(1L, 4L))
+    assert(jids("props.error.severity:<10") == Set(2L))
+  }
+
+  test("JSON path existence via notEmpty: empty-string value is ABSENT " +
+      "(ref: notEmpty(toString(...)))") {
+    assert(jids("props.error.msg:*") == Set(1L, 2L))
+  }
+
+  // ------------------------------------------------- arrays and nesting
+
+  private lazy val arr: DataFrame = Seq(
+    (1L, Seq("foobar", "x"), Seq(5L, 9L), Seq(true),
+      Seq(Map("message" -> "key1 key2", "message.subkey" -> "key1")),
+      Seq("2025-01-01 10:00:00")),
+    (2L, Seq("foo"), Seq(4L), Seq(false),
+      Seq(Map("message" -> "other")), Seq("2024-06-15 00:00:00")),
+    (3L, Seq.empty[String], Seq.empty[Long], Seq.empty[Boolean],
+      Seq(Map("nope" -> "v")), Seq.empty[String]))
+    .toDF("id", "Names", "Counts", "Avail", "Attrs", "rawTs")
+    .select(col("id"), col("Names"), col("Counts"), col("Avail"),
+      col("Attrs"),
+      expr("transform(rawTs, t -> to_timestamp(t))").as("Stamps"))
+
+  private lazy val actx = LuceneContext(
+    new FieldResolver(arr.schema), implicitColumn = None)
+
+  private def aids(q: String): Set[Long] =
+    arr.filter(LuceneCompiler.compile(q, actx))
+      .select("id").as[Long].collect().toSet
+
+  test("string array: unquoted word is ELEMENT CONTAINS " +
+      "(ref: Events.Name:foo -> arrayExists ILIKE), quoted is exact " +
+      "has() (ref: Events.Name:\"foo\")") {
+    assert(aids("Names:foo") == Set(1L, 2L)) // 'foobar' contains foo
+    assert(aids("Names:\"foo\"") == Set(2L)) // exact element only
+    assert(aids("-Names:foo") == Set(3L))
+    assert(aids("-Names:\"foo\"") == Set(1L, 3L))
+  }
+
+  test("string array: edge wildcards collapse to element contains " +
+      "(ref: Events.Name:foo*/*foo/*foo*)") {
+    assert(aids("Names:foo*") == aids("Names:foo"))
+    assert(aids("Names:*foo") == aids("Names:foo"))
+    assert(aids("Names:*foo*") == aids("Names:foo"))
+  }
+
+  test("numeric array: typed has() for quoted and unquoted " +
+      "(ref: Events.Count:5, Events.Count:\"4\")") {
+    assert(aids("Counts:5") == Set(1L))
+    assert(aids("Counts:\"4\"") == Set(2L))
+    assert(aids("-Counts:5") == Set(2L, 3L))
+  }
+
+  test("boolean array: has(col, true/false) " +
+      "(ref: Events.IsAvailable cases)") {
+    assert(aids("Avail:true") == Set(1L))
+    assert(aids("Avail:false") == Set(2L))
+    assert(aids("-Avail:true") == Set(2L, 3L))
+  }
+
+  test("array of maps: el[key] contains / exact / subkey / group " +
+      "phrase (ref: Events.Attributes.message cases)") {
+    assert(aids("Attrs.message:key1") == Set(1L))
+    assert(aids("Attrs.message:\"key1 key2\"") == Set(1L))
+    assert(aids("Attrs.message:\"key1\"") == Set.empty) // exact ≠ phrase
+    assert(aids("Attrs.message.subkey:\"key1\"") == Set(1L))
+    assert(aids("Attrs.message:(\"key1 key2\")") == Set(1L))
+    assert(aids("Attrs.message:key1*") == Set(1L))
+  }
+
+  test("array of maps: per-element existence and whole-array existence " +
+      "(ref: Events.Attributes.message:* / Events.Attributes:*)") {
+    assert(aids("Attrs.message:*") == Set(1L, 2L))
+    assert(aids("-Attrs.message:*") == Set(3L))
+    assert(aids("Attrs:*") == Set(1L, 2L, 3L))
+    assert(aids("Names:*") == Set(1L, 2L)) // row 3 empty
+  }
+
+  test("non-string array elements match via their string rendering " +
+      "(ref: Events.Timestamp:\"2025-01-01\" -> toString(el) compare)") {
+    assert(aids("Stamps:2025-01-01") == Set(1L)) // contains
+    assert(aids("Stamps:\"2025-01-01 10:00:00\"") == Set(1L)) // exact
+  }
+
+  test("ordering comparisons on whole array columns raise " +
+      "(ref: '>= comparison is not supported for Array-type fields')") {
+    val e = intercept[IllegalArgumentException] {
+      arr.filter(LuceneCompiler.compile("Names:>30", actx)).count()
+    }
+    assert(e.getMessage.contains("not supported for array"))
+    val e2 = intercept[IllegalArgumentException] {
+      arr.filter(LuceneCompiler.compile("Counts:[2 TO 5]", actx)).count()
+    }
+    assert(e2.getMessage.contains("not supported for array"))
+    // [* TO *] stays existence, not a comparison
+    assert(aids("Counts:[* TO *]") == Set(1L, 2L))
+  }
+
+  // ------------------------------------- implicit / body fallback chain
+
+  test("bare-text search falls back to bodyColumns when " +
+      "implicitColumns is unset (ref HDX-4376 fallback chain)") {
+    val src = graft.compile.Source(logs, bodyColumns = Seq("Body"))
+    val c = LuceneContext(new FieldResolver(logs.schema),
+      src.implicitSearchColumn)
+    val got = logs.filter(LuceneCompiler.compile("red", c))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(8L))
+  }
+
+  test("implicitColumns wins over bodyColumns when both are set " +
+      "(ref: 'implicit wins over body')") {
+    // implicit=ServiceName, body=Body: 'red' appears in row 8's Body AND
+    // ServiceName, 'blue' only in Body → blue must NOT match
+    val src = graft.compile.Source(logs,
+      implicitColumns = Seq("ServiceName"), bodyColumns = Seq("Body"))
+    val c = LuceneContext(new FieldResolver(logs.schema),
+      src.implicitSearchColumn)
+    def g(q: String): Set[Long] =
+      logs.filter(LuceneCompiler.compile(q, c))
+        .select("id").as[Long].collect().toSet
+    assert(g("red") == Set(8L))
+    assert(g("blue") == Set.empty)
+  }
+
+  test("multi-column implicit search concatenates with ';' " +
+      "(ref: concatWithSeparator(';', Body, OtherColumn))") {
+    val src = graft.compile.Source(logs,
+      implicitColumns = Seq("Body", "ServiceName"))
+    val c = LuceneContext(new FieldResolver(logs.schema),
+      src.implicitSearchColumn)
+    def g(q: String): Set[Long] =
+      logs.filter(LuceneCompiler.compile(q, c))
+        .select("id").as[Long].collect().toSet
+    assert(g("somefoo") == Set(3L)) // lives only in ServiceName
+    assert(g("alone") == Set(3L)) // lives only in Body
+  }
+
+  test("throws when neither implicit nor body is set " +
+      "(ref: 'Can not search bare text without an implicit column')") {
+    val src = graft.compile.Source(logs)
+    assert(src.implicitSearchColumn.isEmpty)
+    val c = LuceneContext(new FieldResolver(logs.schema), None)
+    val e = intercept[IllegalArgumentException] {
+      LuceneCompiler.compile("red", c)
+    }
+    assert(e.getMessage.contains("implicit column"))
+    // field-scoped terms still compile without an implicit column
+    assert(logs.filter(LuceneCompiler.compile("ServiceName:red", c))
+      .select("id").as[Long].collect().toSet == Set(8L))
+  }
+
+  // -------------------------------------------- value-negation nuance
+
+  test("negation binds to the FIELD only before the colon: 'f:-5' " +
+      "searches for -5, '-f:5' negates (ref nodeTerm prefix rules)") {
+    val nums = Seq((1L, -5.0), (2L, 5.0)).toDF("id", "v")
+    val c = LuceneContext(new FieldResolver(nums.schema), None)
+    def g(q: String): Set[Long] =
+      nums.filter(LuceneCompiler.compile(q, c))
+        .select("id").as[Long].collect().toSet
+    assert(g("v:-5") == Set(1L))
+    assert(g("-v:5") == Set(1L))
+    assert(g("-v:-5") == Set(2L))
+  }
+}

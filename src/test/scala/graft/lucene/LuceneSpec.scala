@@ -120,8 +120,13 @@ class LuceneSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet
     assert(ids2("Events.Name:exception") == Set(1L))
     assert(ids2("Events.Value:>100") == Set(1L))
-    assert(ids2("\"x\" OR Events.Name:log") == Set(2L))
     assert(ids2("NOT Events.Name:retry") == Set(2L, 3L))
+    // bare text with no implicit column configured raises, like the
+    // reference's 'Can not search bare text…' (queryParser.ts:1881-1884)
+    val e = intercept[IllegalArgumentException] {
+      LuceneCompiler.compile("\"x\" OR Events.Name:log", ctx2)
+    }
+    assert(e.getMessage.contains("implicit column"))
   }
 
   test("unknown field compiles to false, not error") {
