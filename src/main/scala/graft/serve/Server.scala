@@ -1,0 +1,128 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.compile.{Catalog, QueryCompiler}
+
+/** Tiny JSON-string helpers for responses (requests parse via Jackson in
+  * [[QueryJson]]; responses are assembled, not reflected). */
+private[serve] object QueryJsonOut {
+  def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+}
+
+/** The engine's process boundary — the box the reference draws as
+  * "browser ⇄ ClickHouse HTTP interface" (packages/common-utils/src/
+  * clickhouse/browser.ts), restated as a thin HTTP front on the compile
+  * pipeline so a dashboard (or curl) can run ChartConfig JSON without
+  * linking Spark:
+  *
+  *   GET  /health          → {"status":"ok"}
+  *   POST /validate        → [[Validator.validate]]: {valid, error?,
+  *                           estimatedRows?, estimatedBytes?} — analysis
+  *                           only, no job runs
+  *   POST /query           → compile + execute; {"rows":[...]} with each
+  *                           row rendered by Spark's own JSON encoder
+  *                           (df.toJSON — types/nulls handled once)
+  *
+  * Error contract: 400 with {"error": …} for bad configs (parse or
+  * analysis), 404 for unknown paths, 500 with the message for runtime
+  * failures. The server holds ONE SparkSession; queries execute on the
+  * caller's thread (HttpServer's default executor) — concurrency policy
+  * belongs to the deployment, not the library.
+  *
+  * A result cap (`maxRows`, default 100k) guards the process boundary:
+  * the driver-side collect is the browser-bound result, not a data
+  * export — bulk movement belongs to the parquet sinks. */
+final class Server(spark: SparkSession, catalog: Catalog, port: Int,
+    maxRows: Int = 100000) {
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Actual bound port (useful when constructed with port 0). */
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): Unit = {
+    http.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, """{"status":"ok"}"""))
+    http.createContext("/validate", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val q = QueryJson.parseQuery(body)
+        (200, Validator.validate(q, catalog, spark).toJson)
+      })
+    http.createContext("/query", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val q = QueryJson.parseQuery(body)
+        val df = QueryCompiler.compile(q, catalog)
+        val rows = df.limit(maxRows).toJSON.collect()
+        (200, rows.mkString("""{"rows":[""", ",", "]}"))
+      })
+    http.start()
+  }
+
+  def stop(): Unit = http.stop(0)
+
+  private def handle(ex: HttpExchange)(f: String => (Int, String)): Unit = {
+    val out =
+      try {
+        if (ex.getRequestMethod != "POST")
+          (405, """{"error":"POST required"}""")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          f(body)
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: org.apache.spark.sql.AnalysisException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: Exception =>
+          (500, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+      }
+    respond(ex, out._1, out._2)
+  }
+
+  private def msg(e: Exception): String =
+    Option(e.getMessage).getOrElse(e.toString)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
+
+/** `sbt "runMain graft.serve.Server [port]"` — serves the testdata
+  * catalog at SPARK_GRAFT_SF_DIR (default sf0.001). */
+object Server {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val spark = graft.LocalSession.get(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val server = new Server(spark, Catalog.forDir(spark, dir), port)
+    server.start()
+    println(s"[serve] listening on :${server.boundPort} over $dir")
+    Thread.currentThread().join()
+  }
+}

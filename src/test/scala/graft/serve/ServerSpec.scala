@@ -1,0 +1,122 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.compile.Catalog
+import graft.ir._
+
+/** Drives [[Server]] over a real TCP socket — request JSON in, rows/
+  * validation JSON out — the reference's browser⇄engine HTTP contract
+  * (clickhouse/browser.ts) at Smoke depth, plus [[Validator]] unit
+  * checks (the `testChartConfigValidity` analogue). */
+class ServerSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val catalog =
+    Catalog.forDir(spark, "/root/testdata/sf0.001")
+  private lazy val server = {
+    val s = new Server(spark, catalog, port = 0)
+    s.start()
+    s
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+      .build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("health endpoint answers") {
+    val (code, body) = get("/health")
+    assert(code == 200 && body.contains("\"ok\""))
+  }
+
+  test("POST /query compiles ChartConfig JSON and returns rows") {
+    val (code, body) = post("/query",
+      """{"from": "events",
+        |  "select": [
+        |    {"valueExpression": "*", "aggFn": "count", "alias": "n"}],
+        |  "groupBy": ["event_type"],
+        |  "orderBy": [{"expression": "n", "desc": true}],
+        |  "limit": 3}""".stripMargin)
+    assert(code == 200, body)
+    assert(body.startsWith("""{"rows":["""))
+    assert(body.contains("\"n\":"), body)
+    assert(body.contains("\"event_type\":"), body)
+  }
+
+  test("POST /query with a lucene where filters rows over the wire") {
+    val all = post("/query",
+      """{"from":"events","select":[
+        |  {"valueExpression":"*","aggFn":"count","alias":"n"}]}"""
+        .stripMargin)._2
+    val filtered = post("/query",
+      """{"from":"events","select":[
+        |  {"valueExpression":"*","aggFn":"count","alias":"n"}],
+        | "where":{"lucene":"event_type:error"}}""".stripMargin)._2
+    def n(s: String): Long =
+      "\"n\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    assert(n(filtered) > 0 && n(filtered) < n(all))
+  }
+
+  test("POST /validate flags a bad column without running a job") {
+    val (code, body) = post("/validate",
+      """{"from":"events","select":[
+        |  {"valueExpression":"no_such_column","aggFn":"sum"}]}"""
+        .stripMargin)
+    assert(code == 200, body)
+    assert(body.contains("\"valid\":false"))
+    assert(body.toLowerCase.contains("no_such_column"))
+  }
+
+  test("POST /validate accepts a good config with a row estimate") {
+    val (code, body) = post("/validate",
+      """{"from":"events","select":[
+        |  {"valueExpression":"*","aggFn":"count","alias":"n"}]}"""
+        .stripMargin)
+    assert(code == 200, body)
+    assert(body.contains("\"valid\":true"))
+    assert(body.contains("estimatedBytes"))
+  }
+
+  test("malformed JSON and unknown sources are 400s, not 500s") {
+    assert(post("/query", "{nope")._1 == 400)
+    assert(post("/query",
+      """{"from":"zzz","select":[{"valueExpression":"*"}]}""")._1 == 400)
+    assert(post("/query", """{"from":"events"}""")._1 == 400) // no select
+  }
+
+  test("Validator directly: analysis errors carry the message, stats " +
+      "come from parquet footers") {
+    val bad = Validator.validate(
+      Query(select = Seq(SelectItem("bogus_col", aggFn = Some(AggFn.Sum))),
+        from = "events"),
+      catalog, spark)
+    assert(!bad.valid && bad.error.exists(_.nonEmpty))
+    val good = Validator.validate(
+      Query(select = Seq(SelectItem("*", aggFn = Some(AggFn.Count),
+        alias = Some("n"))), from = "events"),
+      catalog, spark)
+    assert(good.valid && good.estimatedBytes.exists(_ > 0))
+  }
+}
