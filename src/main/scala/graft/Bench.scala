@@ -66,9 +66,16 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // file first, stdout last: the stdout line is the driver's parse
-    // target, the file survives any log-tail truncation
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // target, the file survives any log-tail truncation. The file is
+    // the BACKUP channel — a write failure (read-only cwd, full disk)
+    // must never cost the stdout line after the full run
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] bench_out.json write failed: $e")
+    }
     println(line)
     spark.stop()
   }

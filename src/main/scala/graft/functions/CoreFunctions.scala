@@ -73,15 +73,6 @@ object CoreFunctions {
   def iContains(c: Column, s: String): Column =
     lower(c).contains(lit(s.toLowerCase))
 
-  /** ILIKE with user-supplied wildcard pattern (`*` → `%`), metachars in the
-    * literal parts escaped. */
-  def iLikeWildcard(c: Column, pattern: String): Column = {
-    val escaped = pattern
-      .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-      .replace("*", "%")
-    lower(c).like(escaped.toLowerCase)
-  }
-
   /** ClickHouse `notEmpty(toString(col))`-style existence check
     * (reference queryParser.ts:546-588). */
   def notEmpty(c: Column): Column = c.isNotNull && c.cast("string") =!= ""

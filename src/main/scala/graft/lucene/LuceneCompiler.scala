@@ -222,9 +222,13 @@ object LuceneCompiler {
 
       // quoted term: exact at top level, CONTAINS inside a group (the
       // reference's implicit-branch dispatch — nodeTerm only routes to
-      // eq() when the node's own field is explicit, queryParser.ts:1963)
+      // eq() when the node's own field is explicit, queryParser.ts:1963).
+      // Quoting makes the phrase LITERAL: an asterisk inside quotes is a
+      // character, never a wildcard (the reference escapes the quoted
+      // phrase straight into ILIKE '%literal%')
       case TermValue.Exact(v) =>
-        if (inGroup) wordMatch(rf, v, honorEdgeWildcards = false)
+        if (inGroup) wordMatch(rf, v, honorEdgeWildcards = false,
+          literal = true)
         else exactMatch(rf, v)
 
       case TermValue.Word(v) =>
@@ -232,7 +236,7 @@ object LuceneCompiler {
         // `foo:*bar` strips them and collapses to contains (reference
         // nodeTerm strips prefix/suffix stars :1997-2006 and the explicit
         // ILIKE branch ignores the flags :1604-1608)
-        wordMatch(rf, v, honorEdgeWildcards = inGroup)
+        wordMatch(rf, v, honorEdgeWildcards = inGroup, literal = false)
 
       case TermValue.Cmp(op, v) =>
         // reference rejects ordering comparisons on whole array columns
@@ -289,20 +293,23 @@ object LuceneCompiler {
     * asterisks literally (real Lucene semantics; documented in
     * LuceneSpec). */
   private def wordMatch(rf: ResolvedField, v: String,
-      honorEdgeWildcards: Boolean): Column = {
+      honorEdgeWildcards: Boolean, literal: Boolean): Column = {
     val c = rf.col
     rf.dataType match {
       case dt if isNumericType(dt) =>
-        numericLit(stripEdgeStars(v)._1) match {
+        numericLit(if (literal) v else stripEdgeStars(v)._1) match {
           case Some(d) => c.cast("double") === lit(d)
           case None => lit(false)
         }
       case BooleanType =>
         bool(v).map(b => c === lit(b)).getOrElse(lit(false))
-      case at: ArrayType => arrayWordMatch(rf, at, v)
+      case at: ArrayType => arrayWordMatch(rf, at, v, literal)
+      case _ if literal => iContains(c, v) // quoted: every char literal
       case _ =>
         val (term, prefix, suffix) = stripEdgeStars(v)
-        if (term.isEmpty) lit(true) // bare `*` handled as Exists upstream
+        // all-stars term (`**`): same existence semantics as bare `*`
+        // (only exactly "*" parses to Exists upstream)
+        if (term.isEmpty) existsMatch(rf)
         else if (honorEdgeWildcards && (prefix || suffix))
           iLikeEdges(c, term, prefix, suffix)
         else iLikeEdges(c, term, prefixWildcard = true,
@@ -401,9 +408,9 @@ object LuceneCompiler {
     * queryParser.test.ts:2060-2075); edge wildcards collapse to
     * contains there too. Numeric/bool elements stay typed-equality. */
   private def arrayWordMatch(rf: ResolvedField, at: ArrayType,
-      v: String): Column = at.elementType match {
+      v: String, literal: Boolean): Column = at.elementType match {
     case t if isNumericType(t) =>
-      numericLit(stripEdgeStars(v)._1) match {
+      numericLit(if (literal) v else stripEdgeStars(v)._1) match {
         case Some(d) => array_contains(rf.col.cast("array<double>"), d)
         case None => lit(false)
       }
@@ -411,12 +418,14 @@ object LuceneCompiler {
       bool(v).map(b => array_contains(rf.col, b)).getOrElse(lit(false))
     case MapType(_, _, _) => lit(false)
     case et =>
-      val (term, _, _) = stripEdgeStars(v)
-      if (term.isEmpty) exists(rf.col, el => el.isNotNull)
+      val elemStr: Column => Column =
+        if (et == StringType) identity else _.cast("string")
+      if (literal) // quoted-in-group: element contains, stars literal
+        exists(rf.col, el => iContains(elemStr(el), v))
       else {
-        val elemStr: Column => Column =
-          if (et == StringType) identity else _.cast("string")
-        exists(rf.col, el => iLikeEdges(elemStr(el), term,
+        val (term, _, _) = stripEdgeStars(v)
+        if (term.isEmpty) existsMatch(rf)
+        else exists(rf.col, el => iLikeEdges(elemStr(el), term,
           prefixWildcard = true, suffixWildcard = true))
       }
   }

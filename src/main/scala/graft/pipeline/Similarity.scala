@@ -477,10 +477,16 @@ object Similarity {
       .agg(max("count")).head()
     if (!hot.isNullAt(0)) {
       val biggest = hot.getLong(0)
-      require(biggest <= maxCellRows,
-        s"hottest k-means cell holds $biggest rows (max $maxCellRows): " +
-          "the within-cell pair scan would be quadratic in it — raise " +
-          "nlist (more, smaller cells) or maxCellRows")
+      if (biggest > maxCellRows) {
+        // release the cache before failing — a caller probing corpora
+        // for degeneracy must not strand a corpus-sized cached frame
+        // per rejected call
+        assigned.unpersist()
+        throw new IllegalArgumentException(
+          s"hottest k-means cell holds $biggest rows (max $maxCellRows): " +
+            "the within-cell pair scan would be quadratic in it — raise " +
+            "nlist (more, smaller cells) or maxCellRows")
+      }
     }
     val a = assigned.select(col("__cell"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))

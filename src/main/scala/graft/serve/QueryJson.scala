@@ -51,8 +51,8 @@ object QueryJson {
             opt(e, "desc").exists(_.asBoolean(false)))
         }.toSeq
       },
-      limit = opt(n, "limit").map(_.asInt),
-      offset = opt(n, "offset").map(_.asInt),
+      limit = opt(n, "limit").map(num(_, "limit").asInt),
+      offset = opt(n, "offset").map(num(_, "offset").asInt),
       granularity = opt(n, "granularity").map { g =>
         if (g.isNumber) Granularity.Fixed(g.asLong)
         else if (g.asText == "auto") Granularity.Auto
@@ -64,7 +64,7 @@ object QueryJson {
           Instant.parse(reqText(d, "to")),
           opt(d, "inclusiveEnd").forall(_.asBoolean(true)))
       },
-      seriesLimit = opt(n, "seriesLimit").map(_.asInt),
+      seriesLimit = opt(n, "seriesLimit").map(num(_, "seriesLimit").asInt),
       ctes = opt(n, "ctes").toSeq.flatMap { c =>
         require(c.isObject, "ctes must be an object of name -> query")
         c.properties().asScala.map(e => e.getKey -> queryFrom(e.getValue))
@@ -76,7 +76,7 @@ object QueryJson {
     valueExpression = reqText(n, "valueExpression"),
     alias = opt(n, "alias").map(_.asText),
     aggFn = opt(n, "aggFn").map(a => aggFn(a.asText,
-      opt(n, "level").map(_.asDouble))),
+      opt(n, "level").map(num(_, "level").asDouble))),
     aggCondition = opt(n, "aggCondition").map(cond))
 
   /** Names mirror the reference's AggregateFunctionSchema
@@ -115,7 +115,7 @@ object QueryJson {
       case "excluded" =>
         Filter.Excluded(reqText(n, "field"), strings(n, "values"))
       case "range" => Filter.NumRange(reqText(n, "field"),
-        req(n, "lo").asDouble, req(n, "hi").asDouble)
+        num(req(n, "lo"), "lo").asDouble, num(req(n, "hi"), "hi").asDouble)
       case other => throw bad(s"unknown filter type '$other'")
     }
 
@@ -131,6 +131,14 @@ object QueryJson {
     val v = req(n, field)
     require(v.isTextual, s"'$field' must be a string")
     v.asText
+  }
+
+  /** Jackson's asInt/asDouble coerce non-numbers to 0 — a "limit":
+    * "abc" would silently become limit 0 (an empty result) without this
+    * guard, breaking the fail-loudly contract. */
+  private def num(v: JsonNode, field: String): JsonNode = {
+    require(v.isNumber, s"'$field' must be a number")
+    v
   }
 
   private def strings(n: JsonNode, field: String): Seq[String] =

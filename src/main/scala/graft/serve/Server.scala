@@ -87,14 +87,27 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           f(body)
         }
       } catch {
+        // bad-config family → 400 (the class-doc error contract): IR
+        // field errors, JSON parse, lucene parse, timestamp parse, and
+        // Catalyst analysis all describe the CONFIG, not the engine
         case e: IllegalArgumentException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: com.fasterxml.jackson.core.JacksonException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: graft.lucene.LuceneParseException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: java.time.format.DateTimeParseException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: org.apache.spark.sql.AnalysisException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: Exception =>
           (500, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        // a Throwable (StackOverflowError from a degenerate nested
+        // query, OOM) must still answer the exchange — an unanswered
+        // socket hangs the client until timeout
+        case t: Throwable =>
+          (500, s"""{"error":${QueryJsonOut.quote(
+            Option(t.getMessage).getOrElse(t.getClass.getName))}}""")
       }
     respond(ex, out._1, out._2)
   }

@@ -155,6 +155,20 @@ class LuceneBatterySpec extends SparkSpec {
     assert(ids("u*Xservice") == Set(6L)) // implicit interior wildcard
   }
 
+  test("QUOTING is literal: a star inside a quoted group phrase is a " +
+      "character, never a wildcard") {
+    // 'userXservice' would match user*service if the star were a
+    // wildcard — quoted, it must not
+    assert(ids("ServiceName:(\"user*service\")") == Set.empty)
+    assert(ids("ServiceName:(\"user_service\")") == Set(5L))
+  }
+
+  test("an all-stars term means existence, like bare * " +
+      "(ServiceName:** ≡ ServiceName:*)") {
+    assert(ids("ServiceName:**") == ids("ServiceName:*"))
+    assert(ids("-ServiceName:**") == ids("-ServiceName:*"))
+  }
+
   // ------------------------------------------------- LIKE metacharacters
 
   test("underscore in a term matches literally " +

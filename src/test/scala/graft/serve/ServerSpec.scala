@@ -106,6 +106,21 @@ class ServerSpec extends SparkSpec
     assert(post("/query", """{"from":"events"}""")._1 == 400) // no select
   }
 
+  test("lucene / timestamp parse errors and non-numeric limits are " +
+      "400s too (the whole bad-config family)") {
+    val base = """"select":[{"valueExpression":"*","aggFn":"count"}]"""
+    assert(post("/query",
+      s"""{"from":"events",$base,
+         | "where":{"lucene":"Duration:[100 TO"}}""".stripMargin)._1
+      == 400)
+    assert(post("/query",
+      s"""{"from":"events",$base,
+         | "dateRange":{"from":"2024-01-01","to":"2024-02-01"}}"""
+        .stripMargin)._1 == 400) // not ISO instants
+    assert(post("/query",
+      s"""{"from":"events",$base,"limit":"abc"}""")._1 == 400)
+  }
+
   test("Validator directly: analysis errors carry the message, stats " +
       "come from parquet footers") {
     val bad = Validator.validate(
