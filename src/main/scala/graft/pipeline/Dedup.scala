@@ -752,8 +752,14 @@ object Dedup {
     // (id, pos) order, the same keeper row_number over (id, pos) picks;
     // a row is a duplicate occurrence iff it is not its gram's keeper,
     // which already implies the gram occurs ≥ 2 times
+    // keep only grams that occur ≥ 2 times: in a typical corpus most
+    // grams are unique, so this prunes the join's match side to the
+    // duplicated minority before any row pairs up (an inner join to the
+    // pruned frame drops unique-gram rows — exactly the rows rn=1 kept)
     val firsts = grams.groupBy("__gh")
-      .agg(min(struct(col("id"), col("pos"))).as("__first"))
+      .agg(min(struct(col("id"), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
     val dup = grams
       .join(firsts, "__gh")
       .filter(struct(col("id"), col("pos")) =!= col("__first"))
