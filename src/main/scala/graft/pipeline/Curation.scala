@@ -350,18 +350,38 @@ object Curation {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
   /** Physical export: one directory per shard (`shard=K/`), each shard's
-    * rows id-sorted within its files. `repartition(shard)` co-locates a
-    * shard's rows before the write so each shard is written by one task
-    * (no tiny-file explosion from every task touching every shard);
-    * `maxRecordsPerFile` bounds file size for the training loader. */
+    * rows id-sorted within its files. Co-locating on the shard key
+    * before the write avoids the tiny-file explosion of every task
+    * touching every shard; `maxRecordsPerFile` bounds file size for the
+    * training loader.
+    *
+    * `writersPerShard` controls write parallelism WITHIN a shard: at
+    * 100 TB / 1024 shards, one task per shard means ~100 GB per writer —
+    * a deterministic id-hash salt splits each shard across that many
+    * tasks while `partitionBy` keeps the on-disk `shard=K/` layout
+    * identical (each writer emits its own id-sorted files into the
+    * shard's directory; readers see the same directory contract, just
+    * more files). The salt is data-defined (xxhash64 of the id), so a
+    * re-run produces the same file contents. Default 1 preserves the
+    * one-sorted-run-per-shard layout for small exports. */
   def writeShards(df: DataFrame, idCol: String, outDir: String,
-      shards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
-    df.withColumn("shard", shardOf(col(idCol), shards))
-      .repartition(col("shard"))
+      shards: Int, maxRecordsPerFile: Long = 1000000L,
+      writersPerShard: Int = 1): Unit = {
+    require(writersPerShard > 0, "writersPerShard must be positive")
+    val sharded = df.withColumn("shard", shardOf(col(idCol), shards))
+    // explicit partition count (shards × writers): a column-only
+    // repartition lets AQE coalesce small shuffles back into few tasks,
+    // silently serializing the writers this knob exists to parallelize
+    val arranged =
+      if (writersPerShard == 1) sharded.repartition(col("shard"))
+      else sharded.repartition(shards * writersPerShard, col("shard"),
+        pmod(xxhash64(col(idCol)), lit(writersPerShard)))
+    arranged
       .sortWithinPartitions(idCol)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .mode("overwrite")
       .parquet(outDir)
+  }
 }

@@ -9,21 +9,92 @@ import graft.ir.{DateRange, OrderBy}
 
 class EnglishSpec extends AnyFunSuite {
 
-  test("english explanations cover the operator surface") {
-    assert(EnglishSerializer.explain("") == "matches all events")
-    assert(EnglishSerializer.explain("error") ==
-      "the event contains 'error'")
-    assert(EnglishSerializer.explain("service:api duration:>100") ==
-      "'service' contains 'api' and 'duration' is greater than 100")
-    assert(EnglishSerializer.explain("NOT level:error") ==
-      "not ('level' contains 'error')")
-    assert(EnglishSerializer.explain("a OR b") ==
-      "(the event contains 'a' or the event contains 'b')")
-    assert(EnglishSerializer.explain("duration:[1 TO 5}") ==
-      "'duration' is between 1 (inclusive) and 5 (exclusive)")
-    assert(EnglishSerializer.explain("f:*") == "'f' is present")
-    assert(EnglishSerializer.explain("svc:(a b)") ==
-      "'svc' contains 'a' and 'svc' contains 'b'")
+  private def e(q: String): String = EnglishSerializer.explain(q)
+
+  test("implicit-field phrasings match the reference battery") {
+    assert(e("") == "matches all events")
+    assert(e("bar") == "event has whole word bar")
+    assert(e("foo bar baz") == "event has whole word foo AND " +
+      "event has whole word bar AND event has whole word baz")
+    assert(e("\"foo bar baz\"") == "event has whole word \"foo bar baz\"")
+    assert(e("*bar") == "event ends with bar")
+    assert(e("bar*") == "event starts with bar")
+    assert(e("*bar*") == "event contains bar")
+    assert(e("NOT red AND NOT blue") ==
+      "event does not have whole word red AND " +
+        "event does not have whole word blue")
+    assert(e("NOT red OR NOT blue") ==
+      "event does not have whole word red OR " +
+        "event does not have whole word blue")
+  }
+
+  test("explicit-field phrasings match the reference battery") {
+    assert(e("foo:bar") == "'foo' contains bar")
+    assert(e("-foo:bar") == "'foo' does not contain bar")
+    assert(e("ServiceName:\"foo bar baz\"") ==
+      "'ServiceName' is foo bar baz")
+    assert(e("-ServiceName:\"x\"") == "'ServiceName' is not x")
+    assert(e("SeverityNumber:>10") ==
+      "'SeverityNumber' is greater than 10")
+    assert(e("n:>=1") == "'n' is greater than or equal to 1")
+    assert(e("n:<1") == "'n' is less than 1")
+    assert(e("n:<=1") == "'n' is less than or equal to 1")
+    assert(e("f:*") == "'f' is not null")
+    assert(e("-f:*") == "'f' is null")
+  }
+
+  test("group phrasings parenthesize and drop the field quotes") {
+    assert(e("foo:(bar)") == "(foo contains bar)")
+    assert(e("ServiceName:(abc def)") ==
+      "(ServiceName contains abc AND ServiceName contains def)")
+    assert(e("ServiceName:(\"foo bar baz\")") ==
+      "(ServiceName contains \"foo bar baz\")")
+    // bare parens (no field) normalize away in the AST — same semantics,
+    // unparenthesized render (reference keeps the cosmetic parens)
+    assert(e("(abc def)") == "event has whole word abc AND " +
+      "event has whole word def")
+    assert(e("foo:(bar) baz") ==
+      "(foo contains bar) AND event has whole word baz")
+    assert(e("NOT foo:(bar baz)") ==
+      "NOT ((foo contains bar AND foo contains baz))")
+    assert(e("-foo:(-bar)") == "NOT ((foo does not contain bar))")
+    assert(e("foo:(bar*)") == "(foo starts with bar)")
+    assert(e("foo:(*bar)") == "(foo ends with bar)")
+  }
+
+  test("range phrasings annotate exclusive bounds like the reference") {
+    assert(e("Duration:[100 TO 500]") == "Duration is between 100 and 500")
+    assert(e("Duration:{100 TO 500}") ==
+      "Duration is between 100 (exclusive) and 500 (exclusive)")
+    assert(e("Duration:[100 TO 500}") ==
+      "Duration is between 100 and 500 (exclusive)")
+    assert(e("Duration:{100 TO 500]") ==
+      "Duration is between 100 (exclusive) and 500")
+    assert(e("-Duration:{100 TO 500}") ==
+      "Duration is not between 100 (exclusive) and 500 (exclusive)")
+    assert(e("Duration:[100 TO *]") == "Duration is at least 100")
+    assert(e("Duration:[* TO 500]") == "Duration is at most 500")
+  }
+
+  test("array phrasings appear when a resolver types the field") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("Names", ArrayType(StringType)),
+      StructField("Attrs", ArrayType(
+        MapType(StringType, StringType)))))
+    val res = Some(new FieldResolver(schema))
+    def er(q: String): String = EnglishSerializer.explain(q, res)
+    assert(er("Names:foo") ==
+      "'Names' contains an element containing foo")
+    assert(er("-Names:foo") ==
+      "'Names' does not contain an element containing foo")
+    assert(er("Names:\"foo\"") == "'Names' contains foo")
+    assert(er("Attrs.message:key1") ==
+      "'Attrs' contains an element with key message and value key1")
+    assert(er("Attrs.message:*") ==
+      "'Attrs' contains an element with non-null message")
+    assert(er("-Attrs.message:*") ==
+      "'Attrs' does not contain an element with non-null message")
   }
 }
 

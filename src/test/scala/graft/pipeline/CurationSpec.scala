@@ -196,6 +196,38 @@ class CurationSpec extends SparkSpec {
     assert(m == fromFiles)
   }
 
+  test("writeShards with writersPerShard splits a shard across tasks " +
+      "but keeps the shard=K layout and contents") {
+    import org.apache.spark.sql.functions._
+    val dirF = java.nio.file.Files.createTempDirectory("shardsp").toFile
+    dirF.deleteOnExit()
+    val dir = dirF.getAbsolutePath
+    val docs = (1L to 400L).map(i => (i, i % 7 + 1)).toDF("id", "tok")
+    Curation.writeShards(docs, "id", dir, shards = 2,
+      maxRecordsPerFile = 1000000L, writersPerShard = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 400)
+    assert(back.filter(col("shard") =!=
+      Curation.shardOf(col("id"), 2)).count() == 0)
+    // parallel writers → more than one file per shard directory (the
+    // salt is id-hash-deterministic, so this layout is stable)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(files.keySet == Set("shard=0", "shard=1"))
+    assert(files.values.forall(_ > 1), s"expected parallel files: $files")
+    // identical logical content to the single-writer layout
+    val single = java.nio.file.Files.createTempDirectory("shards1").toFile
+    single.deleteOnExit()
+    Curation.writeShards(docs, "id", single.getAbsolutePath, shards = 2)
+    val a = back.orderBy("id").collect().toSeq
+    val b = spark.read.parquet(single.getAbsolutePath)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
   test("hashUniform matches the portable md5-prefix definition") {
     val u = Seq(("42", 0)).toDF("k", "x")
       .select(Curation.hashUniform(col("k")).as("u")).as[Double].head()
