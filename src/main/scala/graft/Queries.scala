@@ -577,6 +577,34 @@ object Queries {
       |  ON p.bucket = d.bucket - 604800 AND p.event_type = d.event_type
       |ORDER BY d.bucket, d.event_type""".stripMargin
 
+  /** Round-7 Lucene semantics at the driver gate — the reference-parity
+    * behaviors LuceneBatterySpec pins, driven through the FULL
+    * compile+oracle path: in-group EDGE-ANCHORED wildcards
+    * (`event_type:(vi* OR *up)` = starts-with 'vi' OR ends-with 'up' —
+    * a contains reading would also admit 'view'⊃'vi'… identical here,
+    * but 'click'/'error'/'purchase' discriminate the OR), a NEGATED
+    * JSON dot-path with the ClickHouse '' default (missing path reads
+    * as empty string, so negation can never null-poison the AND), and
+    * a missing-key existence check (`NOT props.zz:*` is TRUE when the
+    * key is absent — the KV missing-key semantics). The oracle restates
+    * each as explicit LIKE/json_extract SQL. */
+  def q119_lucene_semantics(spark: SparkSession, dir: String): DataFrame =
+    compiled(Query(
+      select = Seq(SelectItem("", Some("cnt"), Some(AggFn.Count))),
+      from = "events",
+      where = Some(Cond.Lucene(
+        "event_type:(vi* OR *up) -props.k:4* NOT props.zz:*")),
+      groupBy = Seq("event_type"),
+      orderBy = Seq(OrderBy("event_type"))))(spark, dir)
+
+  val q119_sql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |WHERE (lower(event_type) LIKE 'vi%' OR lower(event_type) LIKE '%up')
+      |  AND NOT (lower(coalesce(json_extract_string(props,'$.k'), ''))
+      |           LIKE '%4%')
+      |  AND NOT (coalesce(json_extract_string(props,'$.zz'), '') <> '')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1_agg _),
     "q2_filter" -> (q2_filter _),
@@ -596,6 +624,7 @@ object Queries {
     "q49_lucene_url" -> (q49_lucene_url _),
     "q54_buildersql" -> (q54_buildersql _),
     "q118_compare_window" -> (q118_compare_window _),
+    "q119_lucene_semantics" -> (q119_lucene_semantics _),
     "q55_sessions" -> (q55_sessions _))
 
   val oracles: Map[String, String] = Map(
@@ -617,5 +646,6 @@ object Queries {
     "q49_lucene_url" -> q49_sql,
     "q54_buildersql" -> q54_sql,
     "q118_compare_window" -> q118_sql,
+    "q119_lucene_semantics" -> q119_sql,
     "q55_sessions" -> q55_sql)
 }

@@ -92,8 +92,24 @@ object LuceneParser {
     case TermValue.Exists => TermValue.Exists
   }
 
+  /** Max grouping/negation nesting. A recursive-descent parser with no
+    * bound turns `(((((…` into a StackOverflowError — an Error, not an
+    * exception, so it would escape normal handling (and in a serving
+    * context leave the request unanswered). 64 is far beyond any real
+    * query; past it the parser fails as a normal parse error. */
+  private val MaxDepth = 64
+
   private final class P(s: String) {
     private var i = 0
+    private var depth = 0
+
+    private def push(): Unit = {
+      depth += 1
+      if (depth > MaxDepth)
+        throw new LuceneParseException(
+          s"query nesting exceeds $MaxDepth levels")
+    }
+    private def pop(): Unit = depth -= 1
 
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek: Char =
@@ -160,10 +176,16 @@ object LuceneParser {
 
     private def parseUnary(): QNode = {
       ws()
-      if (matchKw("NOT")) QNode.Not(parseUnary())
-      else if (i < s.length && (peek == '-' || peek == '!') &&
+      if (matchKw("NOT")) {
+        push()
+        val n = QNode.Not(parseUnary())
+        pop(); n
+      } else if (i < s.length && (peek == '-' || peek == '!') &&
           i + 1 < s.length && !s(i + 1).isWhitespace) {
-        i += 1; QNode.Not(parseUnary())
+        i += 1
+        push()
+        val n = QNode.Not(parseUnary())
+        pop(); n
       } else parsePrimary()
     }
 
@@ -172,7 +194,9 @@ object LuceneParser {
       if (i >= s.length) throw new LuceneParseException("unexpected end")
       if (peek == '(') {
         i += 1
+        push()
         val n = parseOr()
+        pop()
         expect(')')
         n
       } else {
@@ -207,7 +231,9 @@ object LuceneParser {
       peek match {
         case '(' =>
           i += 1
+          push()
           val inner = parseOr()
+          pop()
           expect(')')
           QNode.Group(field, inner)
         case _ =>
