@@ -29,14 +29,18 @@ object EnglishSerializer {
       s"${node(l, bound, res)} AND ${node(r, bound, res)}"
     case QNode.Or(l, r) =>
       s"${node(l, bound, res)} OR ${node(r, bound, res)}"
+    // in-group semantics apply only to terms that INHERIT the group's
+    // field (f = None) — a term with its own field keeps top-level
+    // semantics in the compiler (LuceneCompiler.compileNode), and the
+    // explanation must describe the predicate that actually runs
     case QNode.Not(QNode.Term(f, v)) =>
-      term(f.orElse(bound), v, negated = true, inGroup = bound.isDefined,
-        res)
+      term(f.orElse(bound), v, negated = true,
+        inGroup = f.isEmpty && bound.isDefined, res)
     case QNode.Not(x) => s"NOT (${node(x, bound, res)})"
     case QNode.Group(f, inner) => s"(${node(inner, Some(f), res)})"
     case QNode.Term(f, v) =>
-      term(f.orElse(bound), v, negated = false, inGroup = bound.isDefined,
-        res)
+      term(f.orElse(bound), v, negated = false,
+        inGroup = f.isEmpty && bound.isDefined, res)
   }
 
   /** Array element info when the resolver types the field as an array:
@@ -73,9 +77,11 @@ object EnglishSerializer {
               s"${subject(f)} is ${if (negated) "" else "not "}null"
           }
           case TermValue.Exact(s) => arr match {
-            case Some(Some(k)) =>
-              s"${subject(f)} ${neg(negated, "contains")} $s"
-            case Some(None) =>
+            // quoted array terms keep the dotted path as subject — the
+            // reference's own phrasing ("'Events.Attributes.message'
+            // contains key1" for the quoted form, element-with-key
+            // phrasing only for the unquoted form)
+            case Some(_) =>
               s"${subject(f)} ${neg(negated, "contains")} $s"
             case None =>
               if (inGroup) // group phrase = contains, quoted render
@@ -101,12 +107,12 @@ object EnglishSerializer {
             }
           case TermValue.Cmp(op, s) =>
             val rel = op match {
-              case ">" => "is greater than"
-              case ">=" => "is greater than or equal to"
-              case "<" => "is less than"
-              case "<=" => "is less than or equal to"
+              case ">" => "greater than"
+              case ">=" => "greater than or equal to"
+              case "<" => "less than"
+              case "<=" => "less than or equal to"
             }
-            s"${subject(f)} ${if (negated) "NOT " else ""}$rel $s"
+            s"${subject(f)} is ${if (negated) "not " else ""}$rel $s"
           case TermValue.Range(lo, hi, loIncl, hiIncl) =>
             (lo, hi) match {
               case (Some(a), Some(b)) =>
@@ -159,12 +165,8 @@ object EnglishSerializer {
       case other => s"does not $other"
     }
 
-  private def stripStars(s: String): (String, Boolean, Boolean) = {
-    var t = s
-    val prefix = t.startsWith("*")
-    if (prefix) t = t.drop(1)
-    val suffix = t.endsWith("*")
-    if (suffix && t.nonEmpty) t = t.substring(0, t.length - 1)
-    (t, prefix, suffix)
-  }
+  /** The compiler's own edge-star split — the explanation must
+    * describe wildcards with exactly the compiled semantics. */
+  private def stripStars(s: String): (String, Boolean, Boolean) =
+    LuceneCompiler.stripEdgeStars(s)
 }

@@ -99,9 +99,20 @@ object LuceneParser {
     * query; past it the parser fails as a normal parse error. */
   private val MaxDepth = 64
 
+  /** Max terms in one query. The parser itself builds flat AND/OR
+    * chains iteratively, but every downstream AST walk (decode, the
+    * Column compiler, the English serializer) recurses once per chain
+    * link — a 20k-term query (a pasted log dump) would blow THEIR
+    * stacks even with the paren bound. 1024 terms is far beyond any
+    * real search and keeps the deepest downstream recursion near
+    * ~100 KB of stack — safe on the thinnest executor/server threads;
+    * past it the parser fails loudly. */
+  private val MaxTerms = 1024
+
   private final class P(s: String) {
     private var i = 0
     private var depth = 0
+    private var terms = 0
 
     private def push(): Unit = {
       depth += 1
@@ -110,6 +121,13 @@ object LuceneParser {
           s"query nesting exceeds $MaxDepth levels")
     }
     private def pop(): Unit = depth -= 1
+
+    private def countTerm(): Unit = {
+      terms += 1
+      if (terms > MaxTerms)
+        throw new LuceneParseException(
+          s"query exceeds $MaxTerms terms")
+    }
 
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek: Char =
@@ -205,9 +223,11 @@ object LuceneParser {
         ws()
         if (i < s.length && s(i) == ':' && word.nonEmpty) {
           i += 1 // consume ':'
+          countTerm()
           parseFieldValue(word)
         } else {
           i = start
+          countTerm()
           QNode.Term(None, readTermValue())
         }
       }

@@ -318,8 +318,11 @@ object LuceneCompiler {
   }
 
   /** Strip leading/trailing `*` into (term, prefixWildcard,
-    * suffixWildcard) — reference nodeTerm queryParser.ts:1997-2006. */
-  private def stripEdgeStars(v: String): (String, Boolean, Boolean) = {
+    * suffixWildcard) — reference nodeTerm queryParser.ts:1997-2006.
+    * Package-private: the English serializer must describe wildcards
+    * with EXACTLY this split or the UI text diverges from the
+    * compiled predicate. */
+  private[lucene] def stripEdgeStars(v: String): (String, Boolean, Boolean) = {
     var t = v
     val prefix = t.startsWith("*")
     if (prefix) t = t.drop(1)

@@ -369,13 +369,21 @@ object Curation {
       writersPerShard: Int = 1): Unit = {
     require(writersPerShard > 0, "writersPerShard must be positive")
     val sharded = df.withColumn("shard", shardOf(col(idCol), shards))
-    // explicit partition count (shards × writers): a column-only
-    // repartition lets AQE coalesce small shuffles back into few tasks,
-    // silently serializing the writers this knob exists to parallelize
+    // Range-partition on a DENSE writer index (shard × writers + salt):
+    // hash-partitioning (shard, salt) into shards×writers partitions
+    // leaves ~1/e of writer slots empty and stacks 3-4 groups on hot
+    // tasks (balls-in-bins), so effective parallelism lands well under
+    // writersPerShard; range partitioning over the 0..n-1 index gives
+    // ~one group per task. The explicit partition count also keeps AQE
+    // from coalescing small shuffles back into few tasks.
     val arranged =
       if (writersPerShard == 1) sharded.repartition(col("shard"))
-      else sharded.repartition(shards * writersPerShard, col("shard"),
-        pmod(xxhash64(col(idCol)), lit(writersPerShard)))
+      else sharded
+        .withColumn("__writer",
+          col("shard") * writersPerShard +
+            pmod(xxhash64(col(idCol)), lit(writersPerShard)))
+        .repartitionByRange(shards * writersPerShard, col("__writer"))
+        .drop("__writer")
     arranged
       .sortWithinPartitions(idCol)
       .write

@@ -41,6 +41,20 @@ class EnglishSpec extends AnyFunSuite {
     assert(e("n:<=1") == "'n' is less than or equal to 1")
     assert(e("f:*") == "'f' is not null")
     assert(e("-f:*") == "'f' is null")
+    // negated comparisons keep grammatical word order
+    assert(e("-duration:>100") == "'duration' is not greater than 100")
+    assert(e("-n:<=5") == "'n' is not less than or equal to 5")
+  }
+
+  test("a term with its OWN field inside a group keeps top-level " +
+      "semantics in the explanation, matching the compiler") {
+    // code:"404" compiles to exact equality even inside svc:(…) —
+    // the prose must say "is", not "contains"
+    assert(e("svc:(code:\"404\" qux)") ==
+      "('code' is 404 AND svc contains qux)")
+    // an own-field wildcard collapses to contains at top level —
+    // the prose must not claim starts-with
+    assert(e("svc:(code:abc*)") == "('code' contains abc)")
   }
 
   test("group phrasings parenthesize and drop the field quotes") {

@@ -69,4 +69,15 @@ class LuceneFuzzSpec extends AnyFunSuite {
     // 60 levels is fine (just under the bound)
     assert(LuceneParser.parse("(" * 60 + "a" + ")" * 60).nonEmpty)
   }
+
+  test("flat mega-queries fail loudly too — downstream AST walks " +
+      "recurse once per implicit-AND link") {
+    val flat = Array.fill(20000)("a").mkString(" ")
+    val e = intercept[LuceneParseException](LuceneParser.parse(flat))
+    assert(e.getMessage.contains("terms"))
+    // 1000 terms still parses, decodes, and explains
+    val ok = Array.fill(1000)("a").mkString(" ")
+    assert(LuceneParser.parse(ok).nonEmpty)
+    assert(EnglishSerializer.explain(ok).nonEmpty)
+  }
 }
