@@ -39,6 +39,8 @@ private[serve] object QueryJsonOut {
   *   POST /query           → compile + execute; {"rows":[...]} with each
   *                           row rendered by Spark's own JSON encoder
   *                           (df.toJSON — types/nulls handled once)
+  *   POST /explain         → {"plan": "<formatted physical plan>"} —
+  *                           compile + explain only, no job runs
   *
   * Error contract: 400 with {"error": …} for bad configs (parse or
   * analysis), 404 for unknown paths, 500 with the message for runtime
@@ -71,6 +73,17 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         val df = QueryCompiler.compile(q, catalog)
         val rows = df.limit(maxRows).toJSON.collect()
         (200, rows.mkString("""{"rows":[""", ",", "]}"))
+      })
+    // the EXPLAIN face of the boundary: formatted physical plan for a
+    // config, no job run — what an operator pastes into a ticket when a
+    // dashboard panel is slow
+    http.createContext("/explain", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val q = QueryJson.parseQuery(body)
+        val df = QueryCompiler.compile(q, catalog)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        (200, s"""{"plan":${QueryJsonOut.quote(plan)}}""")
       })
     http.start()
   }

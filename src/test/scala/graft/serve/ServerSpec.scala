@@ -99,6 +99,17 @@ class ServerSpec extends SparkSpec
     assert(body.contains("estimatedBytes"))
   }
 
+  test("POST /explain returns the formatted plan without running a job") {
+    val (code, body) = post("/explain",
+      """{"from":"events","select":[
+        |  {"valueExpression":"*","aggFn":"count","alias":"n"}],
+        | "groupBy":["event_type"]}""".stripMargin)
+    assert(code == 200, body)
+    assert(body.startsWith("""{"plan":"""))
+    assert(body.contains("HashAggregate") || body.contains("Aggregate"),
+      body.take(400))
+  }
+
   test("malformed JSON and unknown sources are 400s, not 500s") {
     assert(post("/query", "{nope")._1 == 400)
     assert(post("/query",
