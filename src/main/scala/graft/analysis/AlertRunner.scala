@@ -23,10 +23,30 @@ object AlertRunner {
       thresholdType: Alerts.ThresholdType = Alerts.ThresholdType.Above,
       thresholdMax: Option[Double] = None,
       numConsecutiveWindows: Int = 1,
-      scheduleOffsetMinutes: Int = 0)
+      scheduleOffsetMinutes: Int = 0,
+      /** Firing suppressed until this instant (the reference's
+        * `alert.silenced.until`, checkAlerts/index.ts:1056-1063):
+        * evaluation still runs — state stays observable — but
+        * [[firing]] returns nothing while silenced. */
+      silencedUntil: Option[Instant] = None)
 
   final case class AlertResult(group: Seq[String], state: Alerts.AlertState,
       windowValues: Seq[(Instant, Double)])
+
+  /** Is the alert silenced at `now`? Mirrors the reference's check
+    * `silenced.until > Date.now()` — an elapsed silence self-expires
+    * with no cleanup step. */
+  def isSilenced(cfg: AlertConfig, now: Instant): Boolean =
+    cfg.silencedUntil.exists(_.isAfter(now))
+
+  /** The results a notifier should fire on: ALERT states only, and
+    * nothing while the alert is silenced (the reference's
+    * `skipped_silenced` outcome — evaluation happened, notification
+    * suppressed). */
+  def firing(results: Seq[AlertResult], cfg: AlertConfig, now: Instant)
+      : Seq[AlertResult] =
+    if (isSilenced(cfg, now)) Nil
+    else results.filter(_.state == Alerts.ALERT)
 
   /** Evaluate at `now`: queries the lookback window
     * (numConsecutiveWindows closed windows), compares per group. The

@@ -101,6 +101,25 @@ class AlertRunnerSpec extends SparkSpec {
     assert(r.head.windowValues.map(_._2) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("silencing suppresses firing but not evaluation; an elapsed " +
+      "silence self-expires") {
+    val cfg = AlertRunner.AlertConfig(
+      source = "logs", where = None, intervalMinutes = 5, threshold = 1)
+    val results = AlertRunner.evaluate(catalog, cfg, now)
+    assert(results.exists(_.state == Alerts.ALERT)) // state observable
+    val silenced = cfg.copy(silencedUntil = Some(now.plusSeconds(3600)))
+    assert(AlertRunner.isSilenced(silenced, now))
+    assert(AlertRunner.firing(results, silenced, now).isEmpty)
+    // silence elapsed → fires again with no cleanup step
+    val expired = cfg.copy(silencedUntil = Some(now.minusSeconds(1)))
+    assert(!AlertRunner.isSilenced(expired, now))
+    assert(AlertRunner.firing(results, expired, now) ==
+      results.filter(_.state == Alerts.ALERT))
+    // and firing never emits OK results
+    assert(AlertRunner.firing(results, cfg, now)
+      .forall(_.state == Alerts.ALERT))
+  }
+
   test("grouped alerts evaluated per group") {
     val r = AlertRunner.evaluate(catalog, AlertRunner.AlertConfig(
       source = "logs",
