@@ -44,17 +44,27 @@ private[serve] object QueryJsonOut {
   *
   * Error contract: 400 with {"error": …} for bad configs (parse or
   * analysis), 404 for unknown paths, 500 with the message for runtime
-  * failures. The server holds ONE SparkSession; queries execute on the
-  * caller's thread (HttpServer's default executor) — concurrency policy
-  * belongs to the deployment, not the library.
+  * failures. The server holds ONE SparkSession; requests run on a small
+  * fixed pool (`threads`, default 8) so a long-running /query can never
+  * block /health — with HttpServer's default (dispatcher-thread)
+  * executor a slow query would flap liveness probes. Spark's scheduler
+  * interleaves the concurrent jobs; deeper concurrency policy (queues,
+  * fair-scheduler pools) belongs to the deployment.
   *
   * A result cap (`maxRows`, default 100k) guards the process boundary:
   * the driver-side collect is the browser-bound result, not a data
   * export — bulk movement belongs to the parquet sinks. */
 final class Server(spark: SparkSession, catalog: Catalog, port: Int,
-    maxRows: Int = 100000) {
+    maxRows: Int = 100000, threads: Int = 8) {
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    threads,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-serve")
+      t.setDaemon(true) // never keep the JVM alive past spark.stop()
+      t
+    }))
 
   /** Actual bound port (useful when constructed with port 0). */
   def boundPort: Int = http.getAddress.getPort
