@@ -43,8 +43,11 @@ private[serve] object QueryJsonOut {
   *                           compile + explain only, no job runs
   *
   * Error contract: 400 with {"error": …} for bad configs (parse or
-  * analysis), 404 for unknown paths, 500 with the message for runtime
-  * failures. The server holds ONE SparkSession; requests run on a small
+  * analysis), 404 for unknown paths, 503 when the per-query watchdog
+  * cancels a query past `maxQuerySeconds` (ClickHouse's
+  * max_execution_time analogue — the job group is cancelled so the
+  * runaway query releases its executor slots), 500 with the message
+  * for other runtime failures. The server holds ONE SparkSession; requests run on a small
   * fixed pool (`threads`, default 8) so a long-running /query can never
   * block /health — with HttpServer's default (dispatcher-thread)
   * executor a slow query would flap liveness probes. Spark's scheduler
@@ -55,7 +58,50 @@ private[serve] object QueryJsonOut {
   * the driver-side collect is the browser-bound result, not a data
   * export — bulk movement belongs to the parquet sinks. */
 final class Server(spark: SparkSession, catalog: Catalog, port: Int,
-    maxRows: Int = 100000, threads: Int = 8) {
+    maxRows: Int = 100000, threads: Int = 8,
+    maxQuerySeconds: Int = 300) {
+
+  /** Signals the caller got a 503 because the watchdog cancelled the
+    * query's job group — the ClickHouse `max_execution_time` analogue. */
+  private final class QueryTimeout extends RuntimeException(
+    s"query exceeded $maxQuerySeconds s and was cancelled")
+
+  private val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-serve-watchdog")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run `action` under a per-request Spark job group; a watchdog
+    * cancels the group after `maxQuerySeconds` (interrupting running
+    * tasks), so one runaway query cannot hold executor slots forever.
+    * Job groups are thread-local, matching the per-request pool. */
+  private def withTimeout[A](action: => A): A = {
+    val tag = "graft-serve-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.setJobGroup(tag, "serve query",
+      interruptOnCancel = true)
+    val kill = watchdog.schedule(new Runnable {
+      override def run(): Unit = {
+        timedOut.set(true)
+        // AndFutureJobs: plain cancelJobGroup only kills jobs already
+        // RUNNING — if the driver is still planning when the deadline
+        // hits, the job would start afterwards and run to completion
+        spark.sparkContext.cancelJobGroupAndFutureJobs(tag,
+          s"query exceeded $maxQuerySeconds s")
+      }
+    }, maxQuerySeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    try action
+    catch {
+      case e: Exception if timedOut.get() => throw new QueryTimeout
+    } finally {
+      kill.cancel(false)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
   http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
@@ -81,7 +127,7 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
       handle(ex) { body =>
         val q = QueryJson.parseQuery(body)
         val df = QueryCompiler.compile(q, catalog)
-        val rows = df.limit(maxRows).toJSON.collect()
+        val rows = withTimeout(df.limit(maxRows).toJSON.collect())
         (200, rows.mkString("""{"rows":[""", ",", "]}"))
       })
     // the EXPLAIN face of the boundary: formatted physical plan for a
@@ -123,6 +169,8 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: org.apache.spark.sql.AnalysisException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: QueryTimeout =>
+          (503, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: Exception =>
           (500, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         // a Throwable (StackOverflowError from a degenerate nested

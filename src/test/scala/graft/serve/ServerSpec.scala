@@ -132,6 +132,35 @@ class ServerSpec extends SparkSpec
       s"""{"from":"events",$base,"limit":"abc"}""")._1 == 400)
   }
 
+  test("a runaway query is cancelled and answered 503 after " +
+      "maxQuerySeconds") {
+    val impatient = new Server(spark, catalog, port = 0,
+      maxQuerySeconds = 1)
+    impatient.start()
+    try {
+      // ~1e9 transcendental ops across 1000 rows, anchored on a COLUMN
+      // so Catalyst cannot constant-fold it on the driver: far beyond 1 s
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(
+          s"http://127.0.0.1:${impatient.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"from":"events","select":[{"valueExpression":""" +
+            "\"aggregate(sequence(1, 1000000), CAST(value * 0.0 AS " +
+            "DOUBLE), (a, x) -> a + pow(sin(x), 2))\"," +
+            "\"alias\":\"w\"}]}", UTF_8))
+        .build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 503, res.body())
+      assert(res.body().contains("cancelled"), res.body())
+      // the session survives cancellation — the next query works
+      val (okCode, _) = post("/query",
+        """{"from":"events","select":[
+          |  {"valueExpression":"*","aggFn":"count","alias":"n"}]}"""
+          .stripMargin)
+      assert(okCode == 200)
+    } finally impatient.stop()
+  }
+
   test("Validator directly: analysis errors carry the message, stats " +
       "come from parquet footers") {
     val bad = Validator.validate(
