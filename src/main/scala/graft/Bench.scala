@@ -44,6 +44,22 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // /proc/stat cpu counters — the bench self-reports hypervisor CPU
+    // steal over its own run, so an inflated artifact carries its own
+    // attribution (steal bursts have repeatedly masqueraded as
+    // regressions in round-over-round comparisons). Jiffies: user nice
+    // system idle iowait irq softirq steal.
+    def cpuJiffies(): Option[(Long, Long)] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu "))
+        l.map { s =>
+          val f = s.trim.split("\\s+").drop(1).map(_.toLong)
+          (f.take(8).sum, if (f.length > 7) f(7) else 0L)
+        }
+      } catch { case _: Throwable => None }
+    val jiffies0 = cpuJiffies()
+
     // Two full passes, per-query MIN. The host VM shows bursty CPU steal
     // (multi-second whole-JVM freezes that land on whichever query is
     // running — /proc/stat steal + hrtimer-latency warnings); min-of-two
@@ -63,8 +79,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val stealPct = (jiffies0, cpuJiffies()) match {
+      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+        f""","steal_pct":${(s1 - s0) * 100.0 / (t1 - t0)}%.2f"""
+      case _ => ""
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}"""
     // file first, stdout last: the stdout line is the driver's parse
     // target, the file survives any log-tail truncation. The file is
     // the BACKUP channel — a write failure (read-only cwd, full disk)
