@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * outgrew a log-tail capture once; the file is the loss-proof copy. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the JSON line is machine-parsed: f-interpolation uses the default
+    // locale, and a comma-decimal locale would emit "value":1,234
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = LocalSession.get(cpus)
@@ -51,12 +54,11 @@ object Bench {
     // system idle iowait irq softirq steal.
     def cpuJiffies(): Option[(Long, Long)] =
       try {
-        val l = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu "))
-        l.map { s =>
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map { s =>
           val f = s.trim.split("\\s+").drop(1).map(_.toLong)
           (f.take(8).sum, if (f.length > 7) f(7) else 0L)
-        }
+        } finally src.close()
       } catch { case _: Throwable => None }
     val jiffies0 = cpuJiffies()
 

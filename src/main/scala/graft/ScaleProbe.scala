@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    // machine-parsed JSON output — see Bench.main's locale note
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

@@ -43,11 +43,14 @@ private[serve] object QueryJsonOut {
   *                           compile + explain only, no job runs
   *
   * Error contract: 400 with {"error": …} for bad configs (parse or
-  * analysis), 404 for unknown paths, 503 when the per-query watchdog
-  * cancels a query past `maxQuerySeconds` (ClickHouse's
-  * max_execution_time analogue — the job group is cancelled so the
-  * runaway query releases its executor slots), 500 with the message
-  * for other runtime failures. The server holds ONE SparkSession; requests run on a small
+  * analysis), 404 for unknown paths, 429 when every query slot is in
+  * use (`threads − 1` permits — one pool thread stays effectively free
+  * so /health answers even at query saturation, and concurrent driver
+  * buffering is bounded at permits × maxRows rows), 503 when the
+  * per-query watchdog cancels a query past `maxQuerySeconds`
+  * (ClickHouse's max_execution_time analogue — the job group is
+  * cancelled so the runaway query releases its executor slots), 500
+  * with the message for other runtime failures. The server holds ONE SparkSession; requests run on a small
   * fixed pool (`threads`, default 8) so a long-running /query can never
   * block /health — with HttpServer's default (dispatcher-thread)
   * executor a slow query would flap liveness probes. Spark's scheduler
@@ -96,7 +99,14 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     }, maxQuerySeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
     try action
     catch {
-      case e: Exception if timedOut.get() => throw new QueryTimeout
+      // only REWRITE cancellation-shaped failures: a genuine error that
+      // happens to land after the deadline keeps its own message (the
+      // cause rides along either way for logs)
+      case e: Exception if timedOut.get() &&
+          Option(e.getMessage).exists(_.toLowerCase.contains("cancel")) =>
+        val t = new QueryTimeout
+        t.initCause(e)
+        throw t
     } finally {
       kill.cancel(false)
       spark.sparkContext.clearJobGroup()
@@ -104,13 +114,23 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
   }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
-  http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     threads,
     (r: Runnable) => {
       val t = new Thread(r, "graft-serve")
       t.setDaemon(true) // never keep the JVM alive past spark.stop()
       t
-    }))
+    })
+  http.setExecutor(pool)
+
+  /** Heavy endpoints (/query, /validate, /explain) take a permit;
+    * `threads - 1` permits keep at least one pool thread effectively
+    * free for /health, so liveness holds even at query saturation —
+    * excess queries answer 429 immediately instead of queueing
+    * unboundedly. The permit count also bounds driver memory: at most
+    * `threads - 1` concurrent collects of ≤ maxRows rows each. */
+  private val queryPermits =
+    new java.util.concurrent.Semaphore(math.max(1, threads - 1))
 
   /** Actual bound port (useful when constructed with port 0). */
   def boundPort: Int = http.getAddress.getPort
@@ -144,17 +164,27 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     http.start()
   }
 
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = {
+    http.stop(0)
+    // release the per-instance threads (a respawning embedder would
+    // otherwise accumulate threads+1 daemons per restart) and forget
+    // any pending watchdog so it can't cancel a job group post-stop
+    pool.shutdownNow()
+    watchdog.shutdownNow()
+    ()
+  }
 
   private def handle(ex: HttpExchange)(f: String => (Int, String)): Unit = {
     val out =
       try {
         if (ex.getRequestMethod != "POST")
           (405, """{"error":"POST required"}""")
-        else {
+        else if (!queryPermits.tryAcquire())
+          (429, """{"error":"server busy: all query slots in use"}""")
+        else try {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           f(body)
-        }
+        } finally queryPermits.release()
       } catch {
         // bad-config family → 400 (the class-doc error contract): IR
         // field errors, JSON parse, lucene parse, timestamp parse, and

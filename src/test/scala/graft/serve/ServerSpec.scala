@@ -161,6 +161,46 @@ class ServerSpec extends SparkSpec
     } finally impatient.stop()
   }
 
+  test("query-slot saturation answers 429 while /health stays live") {
+    // threads=2 → one query permit: a slow query holds it, the second
+    // query is rejected immediately, /health still answers
+    val tiny = new Server(spark, catalog, port = 0, threads = 2,
+      maxQuerySeconds = 3)
+    tiny.start()
+    try {
+      val slowBody =
+        """{"from":"events","select":[{"valueExpression":""" +
+          "\"aggregate(sequence(1, 1000000), CAST(value * 0.0 AS " +
+          "DOUBLE), (a, x) -> a + pow(sin(x), 2))\"," +
+          "\"alias\":\"w\"}]}"
+      val slow = new Thread(() => {
+        val req = HttpRequest.newBuilder()
+          .uri(URI.create(s"http://127.0.0.1:${tiny.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(slowBody, UTF_8))
+          .build()
+        HttpClient.newHttpClient()
+          .send(req, HttpResponse.BodyHandlers.ofString())
+        ()
+      })
+      slow.start()
+      Thread.sleep(500) // let the slow query take the permit
+      val busyReq = HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:${tiny.boundPort}/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"from":"events","select":[
+            |  {"valueExpression":"*","aggFn":"count","alias":"n"}]}"""
+            .stripMargin, UTF_8))
+        .build()
+      val busy = client.send(busyReq, HttpResponse.BodyHandlers.ofString())
+      assert(busy.statusCode() == 429, busy.body())
+      val health = client.send(HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:${tiny.boundPort}/health"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+      slow.join(30000)
+    } finally tiny.stop()
+  }
+
   test("Validator directly: analysis errors carry the message, stats " +
       "come from parquet footers") {
     val bad = Validator.validate(
