@@ -63,6 +63,11 @@ private[serve] object QueryJsonOut {
 final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     maxRows: Int = 100000, threads: Int = 8,
     maxQuerySeconds: Int = 300) {
+  require(threads >= 2,
+    "threads must be >= 2: with one thread the single query permit and " +
+      "the only pool thread coincide, so /health would queue behind a " +
+      "long query — the exact liveness failure the permit design exists " +
+      "to prevent")
 
   /** Signals the caller got a 503 because the watchdog cancelled the
     * query's job group — the ClickHouse `max_execution_time` analogue. */
@@ -97,13 +102,27 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           s"query exceeded $maxQuerySeconds s")
       }
     }, maxQuerySeconds.toLong, java.util.concurrent.TimeUnit.SECONDS)
+    // cancellation-shaped = "cancel" anywhere in the CAUSE CHAIN — the
+    // driver often wraps it (BroadcastExchange surfaces SparkException
+    // ("Exception thrown in awaitResult") with the cancel text one
+    // level down)
+    def cancellationShaped(t: Throwable): Boolean = {
+      var cur = t
+      var depth = 0
+      while (cur != null && depth < 10) {
+        if (Option(cur.getMessage).exists(
+            _.toLowerCase.contains("cancel"))) return true
+        cur = cur.getCause
+        depth += 1
+      }
+      false
+    }
     try action
     catch {
       // only REWRITE cancellation-shaped failures: a genuine error that
       // happens to land after the deadline keeps its own message (the
       // cause rides along either way for logs)
-      case e: Exception if timedOut.get() &&
-          Option(e.getMessage).exists(_.toLowerCase.contains("cancel")) =>
+      case e: Exception if timedOut.get() && cancellationShaped(e) =>
         val t = new QueryTimeout
         t.initCause(e)
         throw t
@@ -130,7 +149,7 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     * unboundedly. The permit count also bounds driver memory: at most
     * `threads - 1` concurrent collects of ≤ maxRows rows each. */
   private val queryPermits =
-    new java.util.concurrent.Semaphore(math.max(1, threads - 1))
+    new java.util.concurrent.Semaphore(threads - 1)
 
   /** Actual bound port (useful when constructed with port 0). */
   def boundPort: Int = http.getAddress.getPort
@@ -175,16 +194,29 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
   }
 
   private def handle(ex: HttpExchange)(f: String => (Int, String)): Unit = {
+    // the permit covers the WHOLE exchange including the response write:
+    // released after f(body) alone, a slow-reading client would park the
+    // pool thread in respond() with the semaphore free, and saturated
+    // writers would starve /health exactly like saturated queries
+    if (!queryPermits.tryAcquire()) {
+      respond(ex, 429,
+        """{"error":"server busy: all query slots in use"}""")
+      return
+    }
+    try handlePermitted(ex)(f)
+    finally queryPermits.release()
+  }
+
+  private def handlePermitted(ex: HttpExchange)(
+      f: String => (Int, String)): Unit = {
     val out =
       try {
         if (ex.getRequestMethod != "POST")
           (405, """{"error":"POST required"}""")
-        else if (!queryPermits.tryAcquire())
-          (429, """{"error":"server busy: all query slots in use"}""")
-        else try {
+        else {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           f(body)
-        } finally queryPermits.release()
+        }
       } catch {
         // bad-config family → 400 (the class-doc error contract): IR
         // field errors, JSON parse, lucene parse, timestamp parse, and
