@@ -3,6 +3,13 @@ ThisBuild / version := "0.1.0"
 name := "hyperdxspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// The Spark Connect CLIENT (same distribution, shipped under
+// connect-repl/) — test classpath only, to drive ConnectServer
+// end-to-end over gRPC; its classes live under
+// org.apache.spark.sql.connect.* and its gRPC is shaded, so it
+// coexists with the in-JVM server
+Test / unmanagedJars +=
+  file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
