@@ -84,6 +84,27 @@ object Smoke {
     val n1 = Queries.cat(spark, "/root/testdata/sf0.001")("events").df.count()
     val n2 = Queries.cat(spark, "/root/testdata/sf0.01")("events").df.count()
     println(s"[smoke] catalog cache: sf0.001 events=$n1, sf0.01 events=$n2")
+
+    // the HTTP serving boundary, over a real socket: config in, rows out
+    val server = new graft.serve.Server(spark,
+      Queries.cat(spark, "/root/testdata/sf0.001"), port = 0)
+    server.start()
+    try {
+      val con = new java.net.URI(
+        s"http://127.0.0.1:${server.boundPort}/query").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      con.setRequestMethod("POST")
+      con.setDoOutput(true)
+      val body =
+        """{"from":"events","select":[{"valueExpression":"*",""" +
+          """"aggFn":"count","alias":"n"}],"groupBy":["event_type"]}"""
+      con.getOutputStream.write(
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val resp = new String(con.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val nRows = "\"n\":".r.findAllIn(resp).length
+      println(s"[smoke] serve: http=${con.getResponseCode} rows=$nRows")
+    } finally server.stop()
     spark.stop()
   }
 }
