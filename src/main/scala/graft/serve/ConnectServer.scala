@@ -15,8 +15,12 @@ import graft.compile.Catalog
   * driver. No extra dependencies: the connect service ships inside the
   * Spark distribution and its gRPC stack is shaded.
   *
-  * Registration uses the same view names RawSql macros target, so a
-  * Connect client and the HTTP raw-SQL path see one namespace. */
+  * Registration uses the same view names RawSql macros target; a
+  * client wanting the unprefixed names (e.g. to run engine-rendered
+  * raw SQL verbatim) aliases them in its own session once:
+  * `CREATE TEMP VIEW events AS SELECT * FROM global_temp.events`.
+  * The distribution's spark-connect-client-jdbc driver reaches the
+  * same port for JDBC dashboards. */
 object ConnectServer {
 
   /** Register every catalog source as a GLOBAL temp view and start the
