@@ -216,6 +216,116 @@ class AlertsSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold matrix — the reference's doesExceedThreshold battery " +
+      "(checkAlerts.int.test.ts:72-971): boundary, zero, negative, " +
+      "decimal per type") {
+    // (type, threshold, max, value, expected)
+    val cases: Seq[(ThresholdType, Double, Option[Double], Double,
+        Boolean)] = Seq(
+      // ABOVE = value >= t (inclusive)
+      (Above, 10, None, 11, true), (Above, 10, None, 10, true),
+      (Above, 10, None, 9, false),
+      (Above, 0, None, 0, true), (Above, 0, None, 1, true),
+      (Above, 0, None, -1, false),
+      (Above, -10, None, -5, true), (Above, -10, None, -10, true),
+      (Above, -10, None, -11, false),
+      (Above, 1.5, None, 1.5, true), (Above, 1.5, None, 1.6, true),
+      (Above, 1.5, None, 1.4, false),
+      // BELOW = value < t (exclusive)
+      (Below, 10, None, 9, true), (Below, 10, None, 10, false),
+      (Below, 10, None, 11, false),
+      (Below, 0, None, -1, true), (Below, 0, None, 0, false),
+      (Below, -10, None, -11, true), (Below, -10, None, -10, false),
+      (Below, 1.5, None, 1.4, true), (Below, 1.5, None, 1.5, false),
+      // ABOVE_EXCLUSIVE = value > t
+      (AboveExclusive, 10, None, 11, true),
+      (AboveExclusive, 10, None, 10, false),
+      (AboveExclusive, 10, None, 9, false),
+      (AboveExclusive, 0, None, 1, true),
+      (AboveExclusive, 0, None, 0, false),
+      (AboveExclusive, -10, None, -9, true),
+      (AboveExclusive, -10, None, -10, false),
+      (AboveExclusive, 1.5, None, 1.6, true),
+      (AboveExclusive, 1.5, None, 1.5, false),
+      // BELOW_OR_EQUAL = value <= t
+      (BelowOrEqual, 10, None, 9, true),
+      (BelowOrEqual, 10, None, 10, true),
+      (BelowOrEqual, 10, None, 11, false),
+      (BelowOrEqual, 0, None, 0, true), (BelowOrEqual, 0, None, 1, false),
+      (BelowOrEqual, -10, None, -10, true),
+      (BelowOrEqual, -10, None, -9, false),
+      (BelowOrEqual, 1.5, None, 1.5, true),
+      (BelowOrEqual, 1.5, None, 1.6, false),
+      // EQUAL / NOT_EQUAL
+      (Equal, 10, None, 10, true), (Equal, 10, None, 11, false),
+      (Equal, 10, None, 9, false), (Equal, 0, None, 0, true),
+      (Equal, -10, None, -10, true), (Equal, 1.5, None, 1.5, true),
+      (NotEqual, 10, None, 11, true), (NotEqual, 10, None, 10, false),
+      (NotEqual, 0, None, 0, false), (NotEqual, -10, None, -9, true),
+      (NotEqual, 1.5, None, 1.4, true),
+      // BETWEEN = [t, max] inclusive both bounds
+      (Between, 5, Some(10), 7, true), (Between, 5, Some(10), 5, true),
+      (Between, 5, Some(10), 10, true), (Between, 5, Some(10), 4, false),
+      (Between, 5, Some(10), 11, false),
+      (Between, 0, Some(0), 0, true),
+      (Between, -10, Some(-5), -7, true),
+      (Between, -10, Some(-5), -10, true),
+      (Between, -10, Some(-5), -5, true),
+      (Between, -10, Some(-5), -11, false),
+      (Between, -10, Some(-5), -4, false),
+      (Between, 1.5, Some(2.5), 2.0, true),
+      (Between, 1.5, Some(2.5), 1.5, true),
+      (Between, 1.5, Some(2.5), 2.5, true),
+      (Between, 1.5, Some(2.5), 1.4, false),
+      (Between, 1.5, Some(2.5), 2.6, false),
+      (Between, 3, Some(3), 3, true), // t == max == value
+      // NOT_BETWEEN = value < t OR value > max; bounds inclusive-in
+      (NotBetween, 5, Some(10), 4, true),
+      (NotBetween, 5, Some(10), 11, true),
+      (NotBetween, 5, Some(10), 7, false),
+      (NotBetween, 5, Some(10), 5, false),
+      (NotBetween, 5, Some(10), 10, false),
+      (NotBetween, 0, Some(0), 0, false),
+      (NotBetween, -10, Some(-5), -11, true),
+      (NotBetween, -10, Some(-5), -4, true),
+      (NotBetween, -10, Some(-5), -7, false),
+      (NotBetween, 1.5, Some(2.5), 1.4, true),
+      (NotBetween, 1.5, Some(2.5), 2.6, true),
+      (NotBetween, 1.5, Some(2.5), 2.0, false))
+    cases.foreach { case (tpe, t, max, v, want) =>
+      assert(doesExceedThreshold(tpe, t, max, v) == want,
+        s"$tpe t=$t max=$max v=$v expected $want")
+    }
+    // missing thresholdMax throws for both range types
+    intercept[IllegalArgumentException] {
+      doesExceedThreshold(Between, 5, None, 7)
+    }
+    intercept[IllegalArgumentException] {
+      doesExceedThreshold(NotBetween, 5, None, 7)
+    }
+  }
+
+  test("window anchoring: scheduleStartAt wins over offset; previous " +
+      "offset window held until the next boundary (reference " +
+      "getScheduledWindowStart battery)") {
+    val now = Instant.parse("2024-01-05T10:17:30Z")
+    // scheduleStartAt beats a conflicting offset
+    val anchor = Instant.parse("2024-01-05T09:03:00Z")
+    assert(getScheduledWindowStart(now, 30, 7, Some(anchor)) ==
+      Instant.parse("2024-01-05T10:03:00Z"))
+    // before the first anchored boundary: clamp to the anchor itself
+    val early = Instant.parse("2024-01-05T09:10:00Z")
+    assert(getScheduledWindowStart(early, 30, 0, Some(anchor)) == anchor)
+    // offset window holds until the NEXT offset boundary: at 10:04 with
+    // offset 5 the current window still starts at 09:50
+    val preBoundary = Instant.parse("2024-01-05T10:04:00Z")
+    assert(getScheduledWindowStart(preBoundary, 15, 5) ==
+      Instant.parse("2024-01-05T09:50:00Z"))
+    assert(getScheduledWindowStart(
+      Instant.parse("2024-01-05T10:05:00Z"), 15, 5) ==
+      Instant.parse("2024-01-05T10:05:00Z"))
+  }
+
   test("window start math: plain, offset, anchored") {
     val now = Instant.parse("2024-01-05T10:17:30Z")
     assert(getScheduledWindowStart(now, 15) ==
