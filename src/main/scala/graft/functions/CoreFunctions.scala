@@ -107,6 +107,24 @@ object CoreFunctions {
     timestamp_micros(
       floor(unix_micros(ts) / stepMicros).cast("long") * stepMicros)
 
+  /** Align a date range to granularity boundaries: start FLOORS to the
+    * step, end CEILS — the reference's `getAlignedDateRange`
+    * (utils.ts, tested utils.test.ts:2397-2504). Without it the first
+    * and last chart buckets cover partial windows and read artificially
+    * low. Deliberately a CALLER helper (the serve layer opts in per
+    * config) rather than automatic in the compiler: an explicit range
+    * filter must stay exact — widening it silently would change
+    * results. */
+  def alignDateRange(from: java.time.Instant, to: java.time.Instant,
+      stepSeconds: Long): (java.time.Instant, java.time.Instant) = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val f = Math.floorDiv(from.getEpochSecond, stepSeconds) * stepSeconds
+    val t0 = to.getEpochSecond
+    val t = (Math.floorDiv(t0 - 1, stepSeconds) + 1) * stepSeconds
+    (java.time.Instant.ofEpochSecond(f),
+      java.time.Instant.ofEpochSecond(math.max(t, f + stepSeconds)))
+  }
+
   /** Parse "5 minute"/"1 hour"/"30 second"/"1 day" or "auto" granularity
     * strings to seconds. */
   def granularityToSeconds(g: String): Long = {

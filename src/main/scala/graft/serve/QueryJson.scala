@@ -60,9 +60,23 @@ object QueryJson {
           s"got ${g.asText}")
       },
       dateRange = opt(n, "dateRange").map { d =>
-        DateRange(Instant.parse(reqText(d, "from")),
+        val raw = DateRange(Instant.parse(reqText(d, "from")),
           Instant.parse(reqText(d, "to")),
           opt(d, "inclusiveEnd").forall(_.asBoolean(true)))
+        // "align": true snaps the range to granularity boundaries
+        // (floor start, ceil end — the reference's getAlignedDateRange)
+        // so edge buckets cover full windows; requires a fixed
+        // granularity to align against
+        if (opt(d, "align").exists(_.asBoolean(false))) {
+          val step = opt(n, "granularity") match {
+            case Some(g) if g.isNumber => g.asLong
+            case _ => throw bad(
+              "dateRange.align requires a numeric 'granularity'")
+          }
+          val (f, t) = graft.functions.CoreFunctions
+            .alignDateRange(raw.from, raw.to, step)
+          raw.copy(from = f, to = t)
+        } else raw
       },
       seriesLimit = opt(n, "seriesLimit").map(num(_, "seriesLimit").asInt),
       ctes = opt(n, "ctes").toSeq.flatMap { c =>

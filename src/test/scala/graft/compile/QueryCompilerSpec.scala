@@ -71,6 +71,28 @@ class QueryCompilerSpec extends SparkSpec {
     assert(page(4) == Seq(200.0))
   }
 
+  test("alignDateRange floors the start and ceils the end to the step " +
+      "(ref getAlignedDateRange, utils.test.ts:2397-2504)") {
+    import java.time.Instant
+    def a(f: String, t: String, step: Long): (String, String) = {
+      val (x, y) = CoreFunctions.alignDateRange(
+        Instant.parse(f), Instant.parse(t), step)
+      (x.toString, y.toString)
+    }
+    // start 37s into the minute floors; already-aligned end stays
+    assert(a("2025-11-26T12:23:37Z", "2025-11-26T12:25:00Z", 60) ==
+      ("2025-11-26T12:23:00Z", "2025-11-26T12:25:00Z"))
+    // end 42s into the minute ceils
+    assert(a("2025-11-26T12:23:00Z", "2025-11-26T12:25:42Z", 60) ==
+      ("2025-11-26T12:23:00Z", "2025-11-26T12:26:00Z"))
+    // 5-minute step aligns both sides
+    assert(a("2025-11-26T12:23:17Z", "2025-11-26T12:27:42Z", 300) ==
+      ("2025-11-26T12:20:00Z", "2025-11-26T12:30:00Z"))
+    // a degenerate range still spans at least one full bucket
+    assert(a("2025-11-26T12:23:17Z", "2025-11-26T12:23:17Z", 60) ==
+      ("2025-11-26T12:23:00Z", "2025-11-26T12:24:00Z"))
+  }
+
   test("auto granularity picks the ladder step for <=60 buckets") {
     // 3h range → 3h/60 = 180s → first ladder step ≥ that keeping ≤60
     // buckets is 5m (10800/300=36 ≤ 60; 60s would give 180 buckets)

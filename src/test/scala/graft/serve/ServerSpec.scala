@@ -201,6 +201,35 @@ class ServerSpec extends SparkSpec
     } finally tiny.stop()
   }
 
+  test("dateRange.align snaps the range to granularity boundaries " +
+      "so edge buckets are complete") {
+    def total(align: Boolean): Long = {
+      val (code, body) = post("/query",
+        s"""{"from":"events","select":[
+           |  {"valueExpression":"*","aggFn":"count","alias":"n"}],
+           | "granularity":3600,
+           | "dateRange":{"from":"2024-01-01T00:30:00Z",
+           |   "to":"2024-01-02T05:30:00Z","align":$align}}"""
+          .stripMargin)
+      assert(code == 200, body)
+      "\"n\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).sum
+    }
+    // the aligned range is a superset (floor 00:00, ceil 06:00): rows in
+    // the clipped half-hours now count, so the total can only grow —
+    // and the first/last buckets cover complete windows
+    val (unaligned, aligned) = (total(align = false), total(align = true))
+    assert(aligned >= unaligned, s"$aligned < $unaligned")
+    assert(aligned > 0)
+    // align without numeric granularity is a 400
+    assert(post("/query",
+      """{"from":"events","select":[
+        |  {"valueExpression":"*","aggFn":"count","alias":"n"}],
+        | "granularity":"auto",
+        | "dateRange":{"from":"2024-01-01T00:30:00Z",
+        |   "to":"2024-01-01T05:30:00Z","align":true}}""".stripMargin)
+      ._1 == 400)
+  }
+
   test("Validator directly: analysis errors carry the message, stats " +
       "come from parquet footers") {
     val bad = Validator.validate(
