@@ -68,6 +68,44 @@ object Catalog {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** Split a comma-separated column-expression list at DEPTH ZERO only —
+    * commas inside parentheses, square brackets, or quoted strings
+    * (single/double, with backslash-escaped or SQL-doubled quotes) do
+    * not split (the reference's `splitAndTrimWithBracket`,
+    * core/utils.ts; tested utils.test.ts:121-293). This is how a
+    * config string like `"Body, concat(a, ', ', b)"` becomes
+    * `Source.implicitColumns`/`bodyColumns` without shredding the
+    * function call. Elements are trimmed; empties dropped. */
+  def splitColumnsExpression(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < s.length) {
+          sb += c; sb += s(i + 1); i += 1 // escape consumes the pair
+        } else if (c == quote) {
+          sb += c
+          if (i + 1 < s.length && s(i + 1) == quote) {
+            sb += s(i + 1); i += 1 // SQL-doubled quote stays inside
+          } else quote = 0
+        } else sb += c
+      } else c match {
+        case '\'' | '"' => quote = c; sb += c
+        case '(' | '[' => depth += 1; sb += c
+        case ')' | ']' => depth = math.max(0, depth - 1); sb += c
+        case ',' if depth == 0 => out += sb.result().trim; sb.clear()
+        case _ => sb += c
+      }
+      i += 1
+    }
+    out += sb.result().trim
+    out.filter(_.nonEmpty).toSeq
+  }
+
   /** Session-replay source (reference hyperdx_sessions,
     * docker/otel-collector/schema/seed/00004_hyperdx_sessions.sql:1-30):
     * log-shaped rows whose Body holds the serialized rrweb event and whose

@@ -71,6 +71,53 @@ class QueryCompilerSpec extends SparkSpec {
     assert(page(4) == Seq(200.0))
   }
 
+  test("splitColumnsExpression: the reference splitAndTrimWithBracket " +
+      "battery (utils.test.ts:121-293) — depth-0 commas only") {
+    def sp(s: String): Seq[String] = Catalog.splitColumnsExpression(s)
+    assert(sp("column1, column2, column3") ==
+      Seq("column1", "column2", "column3"))
+    assert(sp("Timestamp, ServiceName, JSONExtractString(Body, 'c'), " +
+      "JSONExtractString(Body, 'msg')") ==
+      Seq("Timestamp", "ServiceName", "JSONExtractString(Body, 'c')",
+        "JSONExtractString(Body, 'msg')"))
+    assert(sp("col1, func1(a, b), col2, func2(c, func3(d, e)), col3") ==
+      Seq("col1", "func1(a, b)", "col2", "func2(c, func3(d, e))", "col3"))
+    assert(sp("col1, array[1, 2, 3], jsonb_path_query(data, '$[*]')") ==
+      Seq("col1", "array[1, 2, 3]", "jsonb_path_query(data, '$[*]')"))
+    assert(sp("col1, func(array[1, 2], obj['key']), col2['nested'][0]") ==
+      Seq("col1", "func(array[1, 2], obj['key'])", "col2['nested'][0]"))
+    assert(sp("  col1  ,   func(a, b)  ,  col2  ") ==
+      Seq("col1", "func(a, b)", "col2"))
+    assert(sp("") == Nil)
+    assert(sp("   ") == Nil)
+    assert(sp("col1,,col2, ,col3") == Seq("col1", "col2", "col3"))
+    assert(sp("col1, concat('Hello, World!'), col2") ==
+      Seq("col1", "concat('Hello, World!')", "col2"))
+    assert(sp("col1, \"quoted, string\", col3") ==
+      Seq("col1", "\"quoted, string\"", "col3"))
+    assert(sp("col1, 'quoted, string', col3") ==
+      Seq("col1", "'quoted, string'", "col3"))
+    assert(sp("'it\\'s,ok' AS label, count()") ==
+      Seq("'it\\'s,ok' AS label", "count()"))
+    assert(sp("\"foo\\\"bar,baz\" AS label, count()") ==
+      Seq("\"foo\\\"bar,baz\" AS label", "count()"))
+    assert(sp("'it''s,ok' AS label, count()") ==
+      Seq("'it''s,ok' AS label", "count()"))
+    assert(sp("'path\\\\', count()") == Seq("'path\\\\'", "count()"))
+    assert(sp("col1, \"double, quoted\", col2, 'single, quoted', col3") ==
+      Seq("col1", "\"double, quoted\"", "col2", "'single, quoted'",
+        "col3"))
+    assert(sp("col1, func(\"text with , comma\", 'another, text'), col2")
+      == Seq("col1", "func(\"text with , comma\", 'another, text')",
+        "col2"))
+    assert(sp("col1, \"string with (brackets, inside)\", col2, " +
+      "'string with [brackets, inside]', col3") ==
+      Seq("col1", "\"string with (brackets, inside)\"", "col2",
+        "'string with [brackets, inside]'", "col3"))
+    assert(sp("toDate(Timestamp) ASC, Time ASC, ServiceName DESC") ==
+      Seq("toDate(Timestamp) ASC", "Time ASC", "ServiceName DESC"))
+  }
+
   test("alignDateRange floors the start and ceils the end to the step " +
       "(ref getAlignedDateRange, utils.test.ts:2397-2504)") {
     import java.time.Instant
