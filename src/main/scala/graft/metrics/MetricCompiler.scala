@@ -42,6 +42,25 @@ object MetricCompiler {
     xxhash64(parts: _*)
   }
 
+  /** OTel semantic-convention metric renames (reference
+    * METRIC_NAME_MIGRATIONS, app/src/otelSemanticConventions.ts:11-30):
+    * collectors before/after v0.125.0 record the same metric under the
+    * old or new name, so a chart for the old name must match both. */
+  private val MetricNameMigrations: Map[String, String] = Map(
+    "k8s.pod.cpu.utilization" -> "k8s.pod.cpu.usage",
+    "k8s.node.cpu.utilization" -> "k8s.node.cpu.usage",
+    "container.cpu.utilization" -> "container.cpu.usage")
+
+  /** Predicate selecting a metric by name, widened to `IN (old, new)`
+    * when a semantic-convention migration exists (the reference's
+    * getMetricNameSql) — a fleet mid-upgrade emits under both names and
+    * the chart must not lose half its series. */
+  def metricNameFilter(name: String): Column =
+    MetricNameMigrations.get(name) match {
+      case Some(renamed) => col("MetricName").isin(name, renamed)
+      case None => col("MetricName") === name
+    }
+
   private val SeriesKey = "__series"
   private val Bucket = TimeBucketAlias
 

@@ -100,6 +100,24 @@ class MetricSpec extends SparkSpec {
     assert(kept == Set("a", "b"))
   }
 
+  test("metricNameFilter widens migrated semantic-convention names to " +
+      "both spellings (ref getMetricNameSql)") {
+    val df = Seq("k8s.pod.cpu.utilization", "k8s.pod.cpu.usage",
+      "k8s.pod.memory.usage", "container.cpu.usage")
+      .toDF("MetricName")
+    def names(f: org.apache.spark.sql.Column): Set[String] =
+      df.filter(f).as[String].collect().toSet
+    // a chart for the OLD name matches a mid-upgrade fleet's both names
+    assert(names(MetricCompiler.metricNameFilter(
+      "k8s.pod.cpu.utilization")) ==
+      Set("k8s.pod.cpu.utilization", "k8s.pod.cpu.usage"))
+    assert(names(MetricCompiler.metricNameFilter(
+      "container.cpu.utilization")) == Set("container.cpu.usage"))
+    // un-migrated names stay exact
+    assert(names(MetricCompiler.metricNameFilter(
+      "k8s.pod.memory.usage")) == Set("k8s.pod.memory.usage"))
+  }
+
   test("gauge delta: extrapolated prometheus-style delta") {
     // series: 0 @t0, 60 @t0+60s within a 120s bucket → (60-0)*120/60 = 120
     val df = metricDf(Seq(
