@@ -39,17 +39,29 @@ final class FieldResolver(schema: StructType,
   private val byLower: Map[String, StructField] =
     schema.fields.map(f => f.name.toLowerCase -> f).toMap
 
+  /** `Col['key']` / `Col["key"]` bracket notation (reference
+    * parseKeyPath, core/metadata.ts; tested metadata.test.ts:2984-3020):
+    * the key is ONE map key verbatim — dots inside it do not re-split.
+    * Incomplete brackets fall through to plain resolution. */
+  private val BracketPath =
+    """^([A-Za-z0-9_.]+)\[(?:'([^']*)'|"([^"]*)")\]$""".r
+
   def resolve(field0: String): Option[ResolvedField] = {
     val field = aliases.getOrElse(field0, field0)
     val mat = materialized.get(field)
       .flatMap(phys => byLower.get(phys.toLowerCase))
       .map(f => ResolvedField(col(f.name), f.dataType))
-    mat.orElse(byLower.get(field.toLowerCase) match {
-      case Some(f) if jsonStringColumns.contains(f.name) &&
-          field.contains(".") =>
-        None // handled by prefix path below (shouldn't happen: no dot here)
-      case Some(f) => Some(ResolvedField(col(f.name), f.dataType))
-      case None => resolvePath(field)
+    mat.orElse(field match {
+      case BracketPath(base, sq, dq) =>
+        val key = if (sq != null) sq else dq
+        byLower.get(base.toLowerCase).flatMap(f => descend(f, Seq(key)))
+      case _ => byLower.get(field.toLowerCase) match {
+        case Some(f) if jsonStringColumns.contains(f.name) &&
+            field.contains(".") =>
+          None // handled by prefix path below (shouldn't happen: no dot)
+        case Some(f) => Some(ResolvedField(col(f.name), f.dataType))
+        case None => resolvePath(field)
+      }
     })
   }
 

@@ -478,6 +478,26 @@ class LuceneBatterySpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(8L))
   }
 
+  test("bracket-notation key paths resolve like the reference's " +
+      "parseKeyPath (metadata.test.ts:2984-3020): one verbatim key, " +
+      "dots inside don't re-split, incomplete brackets fall through") {
+    val r = new FieldResolver(mapped.schema)
+    def rows(c: org.apache.spark.sql.Column): Set[Long] =
+      mapped.filter(c).select("id").as[Long].collect().toSet
+    // single- and double-quoted forms hit the same map key
+    val sq = r.resolve("LogAttributes['error.message']").get
+    val dq = r.resolve("LogAttributes[\"error.message\"]").get
+    assert(rows(sq.col === "ok") == Set(2L))
+    assert(rows(dq.col === "ok") == Set(2L))
+    // dotted key stays ONE key (error.message, not error → message)
+    assert(rows(sq.col === "Failed to fetch") == Set(1L))
+    // missing-key rows read '' — the map default contract holds here too
+    assert(rows(sq.col === "") == Set(3L, 4L))
+    // native columns resolve unchanged; incomplete brackets fall through
+    assert(r.resolve("id").isDefined)
+    assert(r.resolve("LogAttributes['error.message").isEmpty)
+  }
+
   // -------------------------------------------- value-negation nuance
 
   test("negation binds to the FIELD only before the colon: 'f:-5' " +
