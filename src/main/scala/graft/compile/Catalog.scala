@@ -106,6 +106,31 @@ object Catalog {
     out.filter(_.nonEmpty).toSeq
   }
 
+  /** Resolve a (possibly multi-column) timestamp expression like
+    * `"EventDate, EventTime"` into Source bindings: the BUCKET column is
+    * the first timestamp-typed token — never a Date, whose day
+    * granularity would collapse sub-daily buckets (the reference's
+    * pickBucketTimestampColumn, core/utils.ts:192-266 / HDX-4371) —
+    * and the first Date-typed token becomes the partition-pruning
+    * column (`Source.partitionDateColumn`), so dateRange filters hit
+    * both. Falls back to the first token when no timestamp-typed
+    * column resolves, like the reference. */
+  def timestampBindings(expression: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (Option[String], Option[String]) = {
+    import org.apache.spark.sql.types._
+    val tokens = splitColumnsExpression(expression)
+    if (tokens.isEmpty) return (None, None)
+    def typeOf(t: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(t)).map(_.dataType)
+    val ts = tokens.find(t => typeOf(t).exists {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+    val date = tokens.find(t => typeOf(t).contains(DateType))
+    (ts.orElse(Some(tokens.head)), date)
+  }
+
   /** Session-replay source (reference hyperdx_sessions,
     * docker/otel-collector/schema/seed/00004_hyperdx_sessions.sql:1-30):
     * log-shaped rows whose Body holds the serialized rrweb event and whose

@@ -118,6 +118,29 @@ class QueryCompilerSpec extends SparkSpec {
       Seq("toDate(Timestamp) ASC", "Time ASC", "ServiceName DESC"))
   }
 
+  test("timestampBindings: DateTime token buckets, Date token prunes " +
+      "(ref pickBucketTimestampColumn / HDX-4371)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("EventDate", DateType),
+      StructField("EventTime", TimestampType),
+      StructField("Body", StringType)))
+    // multi-column: the DateTime is the bucket even though Date is first
+    assert(Catalog.timestampBindings("EventDate, EventTime", schema) ==
+      (Some("EventTime"), Some("EventDate")))
+    // single timestamp column: itself, no pruning column
+    assert(Catalog.timestampBindings("EventTime", schema) ==
+      (Some("EventTime"), None))
+    // no timestamp-typed token resolves → first token, like upstream
+    assert(Catalog.timestampBindings("EventDate", schema) ==
+      (Some("EventDate"), Some("EventDate")))
+    // function-call tokens survive the split and fall through unresolved
+    assert(Catalog.timestampBindings(
+      "toStartOfHour(EventTime), EventTime", schema) ==
+      (Some("EventTime"), None))
+    assert(Catalog.timestampBindings("", schema) == (None, None))
+  }
+
   test("alignDateRange floors the start and ceils the end to the step " +
       "(ref getAlignedDateRange, utils.test.ts:2397-2504)") {
     import java.time.Instant
