@@ -100,10 +100,17 @@ object Smoke {
           """"aggFn":"count","alias":"n"}],"groupBy":["event_type"]}"""
       con.getOutputStream.write(
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val resp = new String(con.getInputStream.readAllBytes(),
+      // status first: a non-2xx makes getInputStream THROW, which would
+      // lose exactly the diagnostic this probe exists to print
+      val code = con.getResponseCode
+      val stream =
+        if (code >= 200 && code < 300) con.getInputStream
+        else con.getErrorStream
+      val resp = new String(stream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       val nRows = "\"n\":".r.findAllIn(resp).length
-      println(s"[smoke] serve: http=${con.getResponseCode} rows=$nRows")
+      println(s"[smoke] serve: http=$code rows=$nRows" +
+        (if (code >= 300) s" body=${resp.take(200)}" else ""))
     } finally server.stop()
     spark.stop()
   }

@@ -216,23 +216,33 @@ object Catalog {
             .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
       }
     }
+    // every timestamp binding routes through timestampBindings (the
+    // pickBucketTimestampColumn port): a single-token expression
+    // resolves to itself, a multi-column one (e.g. "EventDate,
+    // EventTime") buckets on the timestamp token and prunes on the
+    // Date token — one code path for both shapes
+    def withTs(df: DataFrame, tsExpr: String,
+        implicitCols: Seq[String] = Nil,
+        jsonCols: Set[String] = Set.empty,
+        aliases: Map[String, String] = Map.empty): Source = {
+      val (ts, date) = timestampBindings(tsExpr, df.schema)
+      Source(df, timestampColumn = ts, partitionDateColumn = date,
+        implicitColumns = implicitCols, jsonStringColumns = jsonCols,
+        fieldAliases = aliases)
+    }
     val plain = TableNames.map(n => n -> Source(read(n))).toMap
     val tuned = plain ++ Map(
-      "events" -> Source(readEvents,
-        timestampColumn = Some("ts"),
-        implicitColumns = Seq("event_type"),
-        jsonStringColumns = Set("props")),
+      "events" -> withTs(readEvents, "ts",
+        implicitCols = Seq("event_type"),
+        jsonCols = Set("props")),
       "documents" -> Source(read("documents"),
         implicitColumns = Seq("text")),
-      "lineitem" -> Source(read("lineitem"),
-        timestampColumn = Some("l_shipdate")),
-      "orders" -> Source(read("orders"),
-        timestampColumn = Some("o_orderdate")),
-      "sessions" -> Source(sessionsFrame(readEvents),
-        timestampColumn = Some("Timestamp"),
-        implicitColumns = Seq("Body"),
-        jsonStringColumns = Set("Body"),
-        fieldAliases = Map(
+      "lineitem" -> withTs(read("lineitem"), "l_shipdate"),
+      "orders" -> withTs(read("orders"), "o_orderdate"),
+      "sessions" -> withTs(sessionsFrame(readEvents), "Timestamp",
+        implicitCols = Seq("Body"),
+        jsonCols = Set("Body"),
+        aliases = Map(
           "session_id" -> "ResourceAttributes.rum.sessionId",
           "component" -> "LogAttributes.component",
           "level" -> "SeverityText")))

@@ -119,7 +119,9 @@ object CoreFunctions {
       stepSeconds: Long): (java.time.Instant, java.time.Instant) = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val f = Math.floorDiv(from.getEpochSecond, stepSeconds) * stepSeconds
-    val t0 = to.getEpochSecond
+    // a fractional second past a boundary must still ceil UP — dropping
+    // nanos would shrink the range, and this helper only ever widens
+    val t0 = to.getEpochSecond + (if (to.getNano > 0) 1L else 0L)
     val t = (Math.floorDiv(t0 - 1, stepSeconds) + 1) * stepSeconds
     (java.time.Instant.ofEpochSecond(f),
       java.time.Instant.ofEpochSecond(math.max(t, f + stepSeconds)))

@@ -48,13 +48,22 @@ final class FieldResolver(schema: StructType,
 
   def resolve(field0: String): Option[ResolvedField] = {
     val field = aliases.getOrElse(field0, field0)
-    val mat = materialized.get(field)
+    // normalize bracket spelling to the dot form for the materialized
+    // lookup: Col['k'] and Col.k are the SAME logical field and must hit
+    // the same physical column (stats + pushdown), not diverge by syntax
+    val matKey = field match {
+      case BracketPath(base, sq, dq) =>
+        base + "." + (if (sq != null) sq else dq)
+      case other => other
+    }
+    val mat = materialized.get(matKey)
       .flatMap(phys => byLower.get(phys.toLowerCase))
       .map(f => ResolvedField(col(f.name), f.dataType))
     mat.orElse(field match {
       case BracketPath(base, sq, dq) =>
         val key = if (sq != null) sq else dq
-        byLower.get(base.toLowerCase).flatMap(f => descend(f, Seq(key)))
+        byLower.get(base.toLowerCase)
+          .flatMap(f => descend(f, Seq(key), verbatimKey = true))
       case _ => byLower.get(field.toLowerCase) match {
         case Some(f) if jsonStringColumns.contains(f.name) &&
             field.contains(".") =>
@@ -76,8 +85,9 @@ final class FieldResolver(schema: StructType,
     }.nextOption()
   }
 
-  private def descend(f: StructField, path: Seq[String])
-      : Option[ResolvedField] = f.dataType match {
+  private def descend(f: StructField, path: Seq[String],
+      verbatimKey: Boolean = false): Option[ResolvedField] =
+    f.dataType match {
     case ArrayType(st: StructType, _) if path.nonEmpty =>
       // array-of-structs (OTel Events.Name / Links.* nesting): resolve the
       // field against the element struct; match semantics become
@@ -129,8 +139,12 @@ final class FieldResolver(schema: StructType,
       // queryParser.ts:1727-1739). Missing path reads as '' — ClickHouse
       // JSONExtractString returns the type default, so negations and
       // empty-string equality match rows without the key (same contract
-      // as the Map branch above).
-      val jsonPath = "$." + path.mkString(".")
+      // as the Map branch above). A bracket-resolved key is ONE field
+      // name even with dots inside — JsonPath's bracket form keeps it
+      // verbatim where the dot form would re-split it
+      val jsonPath =
+        if (verbatimKey) "$['" + path.mkString(".").replace("'", "\\'") + "']"
+        else "$." + path.mkString(".")
       Some(ResolvedField(
         coalesce(get_json_object(col(f.name), jsonPath), lit("")),
         StringType, fromJsonString = true))

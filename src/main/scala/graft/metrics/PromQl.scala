@@ -974,7 +974,10 @@ object PromQl {
   }
 
   private def applySelector(df: DataFrame, sel: Selector): DataFrame = {
-    val base = df.filter(col("MetricName") === sel.metric)
+    // metricNameFilter widens OTel semantic-convention renames to both
+    // spellings (IN (old, new)) so a mid-upgrade fleet keeps all series;
+    // exact equality for every un-migrated name
+    val base = df.filter(MetricCompiler.metricNameFilter(sel.metric))
     val matched =
       sel.matchers.foldLeft(base)((d, m) => d.filter(matcherPred(m, d)))
     // `offset d`: evaluate the series d seconds in the past — shifting the

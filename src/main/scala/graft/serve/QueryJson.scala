@@ -75,7 +75,10 @@ object QueryJson {
           }
           val (f, t) = graft.functions.CoreFunctions
             .alignDateRange(raw.from, raw.to, step)
-          raw.copy(from = f, to = t)
+          // the ceiled end is a BUCKET BOUNDARY: keeping it inclusive
+          // would admit rows at exactly t into a spurious extra bucket —
+          // the partial-edge artifact align exists to remove
+          raw.copy(from = f, to = t, inclusiveEnd = false)
         } else raw
       },
       seriesLimit = opt(n, "seriesLimit").map(num(_, "seriesLimit").asInt),

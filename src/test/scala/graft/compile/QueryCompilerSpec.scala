@@ -161,6 +161,9 @@ class QueryCompilerSpec extends SparkSpec {
     // a degenerate range still spans at least one full bucket
     assert(a("2025-11-26T12:23:17Z", "2025-11-26T12:23:17Z", 60) ==
       ("2025-11-26T12:23:00Z", "2025-11-26T12:24:00Z"))
+    // a fractional second past a boundary ceils UP (align only widens)
+    assert(a("2025-11-26T12:00:00Z", "2025-11-26T12:05:00.500Z", 300) ==
+      ("2025-11-26T12:00:00Z", "2025-11-26T12:10:00Z"))
   }
 
   test("auto granularity picks the ladder step for <=60 buckets") {

@@ -498,6 +498,38 @@ class LuceneBatterySpec extends SparkSpec {
     assert(r.resolve("LogAttributes['error.message").isEmpty)
   }
 
+  test("bracket keys with dots stay ONE key on JSON-string columns too " +
+      "(JsonPath bracket form, not a dot re-split)") {
+    val df = Seq(
+      (1L, """{"error.message": "boom", "error": {"message": "nested"}}"""),
+      (2L, """{"error": {"message": "nested-only"}}"""))
+      .toDF("id", "props")
+    val r = new FieldResolver(df.schema, jsonStringColumns = Set("props"))
+    def rows(c: org.apache.spark.sql.Column): Set[Long] =
+      df.filter(c).select("id").as[Long].collect().toSet
+    // bracket form hits the literal dotted key
+    val bracket = r.resolve("props['error.message']").get
+    assert(rows(bracket.col === "boom") == Set(1L))
+    // dot form still walks the nested path
+    val dotted = r.resolve("props.error.message").get
+    assert(rows(dotted.col === "nested") == Set(1L))
+    assert(rows(dotted.col === "nested-only") == Set(2L))
+  }
+
+  test("bracket spelling hits the same materialized column as the dot " +
+      "spelling") {
+    val df = Seq((1L, Map("k" -> "slow"), "fast"))
+      .toDF("id", "LogAttributes", "MatK")
+    val r = new FieldResolver(df.schema,
+      materialized = Map("LogAttributes.k" -> "MatK"))
+    val viaDots = r.resolve("LogAttributes.k").get
+    val viaBrackets = r.resolve("LogAttributes['k']").get
+    def one(c: org.apache.spark.sql.Column): String =
+      df.select(c).as[String].collect().head
+    assert(one(viaDots.col) == "fast")
+    assert(one(viaBrackets.col) == "fast") // not the map's "slow"
+  }
+
   // -------------------------------------------- value-negation nuance
 
   test("negation binds to the FIELD only before the colon: 'f:-5' " +

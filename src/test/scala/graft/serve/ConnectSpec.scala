@@ -11,7 +11,12 @@ import graft.compile.Catalog
 class ConnectSpec extends SparkSpec
     with org.scalatest.BeforeAndAfterAll {
 
-  private val port = 15899
+  // the Connect binding conf needs a concrete port; probe a free
+  // ephemeral one so a parallel build or leaked prior run can't collide
+  private val port = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
 
   override def beforeAll(): Unit = {
     super.beforeAll()
