@@ -64,12 +64,25 @@ object Similarity {
       .withColumn("cosine",
         when(col("pn") * col("cn") === 0, lit(0.0))
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine")
+    topByCosine(scored, k)
   }
+
+  /** Exact per-probe top-k by descending cosine (ties → ascending
+    * neighbor_id), ranked with the two-stage bounded [[topShortlist]]
+    * instead of a per-probe `row_number` window — no task ever gathers
+    * more than one partition's candidates for a probe, so a probe whose
+    * candidate set is a constant fraction of the corpus no longer
+    * serializes into a single sort task. `lit(0.0) - cosine` (not unary
+    * minus) keeps a 0.0 cosine at +0.0 so the ascending shortlist order
+    * is exactly the descending-cosine order; the round trip is
+    * bit-exact for every finite double. */
+  private def topByCosine(scored: DataFrame, k: Int): DataFrame =
+    topShortlist(
+      scored.select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - col("cosine")).as("__negcos")),
+      "__negcos", k)
+      .select(col("probe_id"), col("neighbor_id"),
+        (lit(0.0) - col("__negcos")).as("cosine"))
 
   /** IVF (inverted-file) approximate top-k — the classic large-scale ANN
     * layout: the corpus is bucketed into `nlist` cells by nearest centroid,
@@ -120,11 +133,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine")
+    topByCosine(scored, k)
   }
 
   /** Driver-side spherical k-means over a bounded sample: assign by
@@ -220,11 +229,7 @@ object Similarity {
       .join(pVec, Seq("probe_id"))
       .join(cVec, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine")
+    topByCosine(scored, k)
   }
 
   /** Product-quantization approximate top-k — the compressed-domain ANN
@@ -258,13 +263,23 @@ object Similarity {
     * need. Struct ordering breaks score ties on `neighbor_id`, keeping
     * the shortlist deterministic across partitionings. */
   private def topSliceStage(d: DataFrame, keys: Seq[Column],
-      score: String, n: Int): DataFrame = d
-    .groupBy(keys: _*)
-    .agg(slice(array_sort(collect_list(
-      struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
-    .select((keys :+ explode(col("__xs")).as("__x")): _*)
-    .select((keys :+ col("__x." + score).as(score)
-      :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+      score: String, n: Int): DataFrame = {
+    // bounded-heap partial state (≤ 2n entries per group cell) instead
+    // of the previous collect_list+sort+slice, whose buffer was
+    // partition-sized per probe; comparisons and tie-breaks are
+    // identical (TopK's scaladoc pins the parity argument). Scores/ids
+    // ride as (double, long) through the aggregate and cast back, so
+    // e.g. knnBinary's int hamming keeps its output type.
+    val scoreType = d.schema(score).dataType
+    val idType = d.schema("neighbor_id").dataType
+    d.groupBy(keys: _*)
+      .agg(graft.functions.TopK.topSmallest(
+        col(score).cast("double"), col("neighbor_id").cast("long"), n)
+        .as("__xs"))
+      .select((keys :+ explode(col("__xs")).as("__x")): _*)
+      .select((keys :+ col("__x._1").cast(scoreType).as(score)
+        :+ col("__x._2").cast(idType).as("neighbor_id")): _*)
+  }
 
   /** Two-stage bounded top-n: partition-local partials, then the final
     * per-probe merge. See [[topSliceStage]]. */
@@ -336,11 +351,7 @@ object Similarity {
       .join(broadcast(pVec), Seq("probe_id"))
       .join(cVec, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    reranked.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine")
+    topByCosine(reranked, k)
   }
 
   /** IVF-PQ: the two scale mechanisms composed the way production ANN
@@ -425,11 +436,7 @@ object Similarity {
       .join(broadcast(pVec), Seq("probe_id"))
       .join(cVec, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("pv"), col("cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    reranked.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine")
+    topByCosine(reranked, k)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
