@@ -168,6 +168,24 @@ object Catalog {
           "user-interaction").otherwise("ui")).as("LogAttributes"))
   }
 
+  /** Standing OTel-gauge-shaped metric catalog (MetricName / ServiceName
+    * / TimeUnix / Value / Attributes — FIXTURES §3, the reference's
+    * otel_metrics_gauge seed DDL): the view the serving layer's label
+    * introspection ([[graft.meta.Metadata.timeSeriesTags]], `/labels`)
+    * and PromQL autocomplete address. The testdata has no metric
+    * parquet, so the frame derives deterministically from events the
+    * same way the per-query metric pipelines (MetricQueries) derive
+    * theirs inline. */
+  private[compile] def metricsFrame(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.select(
+      lit("value").as("MetricName"),
+      col("event_type").as("ServiceName"),
+      col("ts").as("TimeUnix"),
+      col("value").as("Value"),
+      map(lit("user"), col("user_id").cast("string")).as("Attributes"))
+  }
+
   /** Load the driver testdata directory as a catalog, with semantic bindings
     * for the observability-shaped tables. */
   def forDir(spark: SparkSession, dir: String): Catalog = {
@@ -239,6 +257,7 @@ object Catalog {
         implicitColumns = Seq("text")),
       "lineitem" -> withTs(read("lineitem"), "l_shipdate"),
       "orders" -> withTs(read("orders"), "o_orderdate"),
+      "metrics" -> withTs(metricsFrame(readEvents), "TimeUnix"),
       "sessions" -> withTs(sessionsFrame(readEvents), "Timestamp",
         implicitCols = Seq("Body"),
         jsonCols = Set("Body"),

@@ -162,6 +162,58 @@ object Metadata {
       .orderBy("key")
   }
 
+  /** Label names + top values for the rows a PromQL selector matches —
+    * the reference's `timeSeriesTags` autocomplete surface
+    * (packages/api/src/routers/api/prometheus.ts:792-793: ClickHouse's
+    * timeSeriesTags table function behind metric label dropdowns). The
+    * label universe is every string-typed physical column (the
+    * well-known labels — MetricName, ServiceName, …) plus the entries
+    * of every string-keyed map column (Attributes); `selector` (a bare
+    * PromQL instant selector) narrows the row set first so values
+    * reflect the metric being autocompleted, and `onlyLabel` restricts
+    * the output to one label (the label-VALUES dropdown call). The scan
+    * is capped like every discovery path; values rank by frequency then
+    * lexically. Output: (label, values array), ordered by label. */
+  def timeSeriesTags(df: DataFrame, selector: Option[String] = None,
+      onlyLabel: Option[String] = None, maxValuesPerLabel: Int = 100,
+      maxScanRows: Int = 3000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = selector.filter(_.nonEmpty)
+      .fold(df)(s => graft.metrics.PromQl.selectorFrame(df, s))
+    val strCols = sel.schema.fields.collect {
+      case StructField(n, StringType, _, _) => n
+    }.toSeq
+    val mapCols = sel.schema.fields.collect {
+      case StructField(n, MapType(StringType, _, _), _, _) => n
+    }.toSeq
+    require(strCols.nonEmpty || mapCols.nonEmpty,
+      "no string or map columns to discover labels from")
+    val capped = cappedScan(sel, (strCols ++ mapCols).map(col),
+      maxScanRows)
+    val physPairs = strCols.map(c =>
+      capped.select(lit(c).as("label"), col(c).as("value")))
+    val mapPairs = mapCols.map(c =>
+      capped.select(explode(col(c)).as(Seq("label", "value")))
+        .select(col("label"), col("value").cast("string").as("value")))
+    val pairs = (physPairs ++ mapPairs).reduce(_ unionAll _)
+      .filter(col("value").isNotNull)
+    val wanted = onlyLabel.fold(pairs)(l => pairs.filter(col("label") === l))
+    val counted = wanted.groupBy("label", "value")
+      .agg(count(lit(1)).as("cnt"))
+    // per-label top-N: the window partitions on LABEL (bounded — the
+    // schema's column count + discovered map keys), never on a row key
+    val w = Window.partitionBy("label").orderBy(desc("cnt"), col("value"))
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxValuesPerLabel)
+      .groupBy("label")
+      // sort the collected (rk, value) structs: collect_list order is
+      // not deterministic across partitionings, the rank is
+      .agg(transform(array_sort(collect_list(
+        struct(col("rk"), col("value")))),
+        x => x.getField("value")).as("values"))
+      .orderBy("label")
+  }
+
   /** Numeric distribution of an expression: count/min/max/avg + quantile
     * ladder (reference getValuesDistribution :1995). */
   def valuesDistribution(df: DataFrame, expression: String): DataFrame = {

@@ -887,6 +887,22 @@ object PromQl {
     compile(df, if (prometheusRate) rewriteRates(ast) else ast, stepSeconds)
   }
 
+  /** Parse a bare instant selector (`metric{label=~"..."}`) and filter
+    * `df` to the rows it matches — the introspection face of
+    * [[applySelector]]: label discovery ([[graft.meta.Metadata
+    * .timeSeriesTags]], the reference's `timeSeriesTags` autocomplete,
+    * packages/api/src/routers/api/prometheus.ts:792-793) wants the
+    * selector's raw row set, not a series evaluation. Rejects anything
+    * that isn't a plain selector (a function call or binary expression
+    * has no single row set to introspect). */
+  def selectorFrame(df: DataFrame, selector: String): DataFrame =
+    parse(selector) match {
+      case s: Selector => applySelector(df, s)
+      case _ => throw new IllegalArgumentException(
+        s"expected a bare selector like metric{label=\"v\"}, " +
+          s"got: $selector")
+    }
+
   /** Swap every Rate node for its sliding-semantics twin. */
   private def rewriteRates(e: Expr): Expr = e match {
     case Rate(sel, w, inc) => RateSliding(sel, w, inc)

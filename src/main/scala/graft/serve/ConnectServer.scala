@@ -20,7 +20,24 @@ import graft.compile.Catalog
   * raw SQL verbatim) aliases them in its own session once:
   * `CREATE TEMP VIEW events AS SELECT * FROM global_temp.events`.
   * The distribution's spark-connect-client-jdbc driver reaches the
-  * same port for JDBC dashboards. */
+  * same port for JDBC dashboards.
+  *
+  * ==Trust boundary — READ THIS BEFORE EXPOSING THE PORT==
+  * Connect is the engine's TRUSTED boundary, [[Server]] the guarded
+  * one. The HTTP path takes a query permit, caps results at maxRows,
+  * and a watchdog 503s past maxQuerySeconds; a Connect client talks to
+  * the Spark session DIRECTLY — no permit, no row cap, and one remote
+  * `collect()` of a large view buffers on this shared driver. What
+  * [[start]] CAN bound, it does: idle sessions are reaped at
+  * `sessionTimeout` (spark.connect.session.manager
+  * .defaultSessionTimeout) and abandoned executions at
+  * `detachedTimeout` (spark.connect.execute.manager.detachedTimeout) —
+  * both operator-tunable here — and an operator can cancel any
+  * runaway via the session UI / `spark.sparkContext.cancelJobGroup`
+  * since Connect tags each execution with a job group. Per-query time
+  * and row ceilings have no Connect-side hook in this Spark release;
+  * expose this port to trusted dashboards/notebooks only, and put the
+  * HTTP server in front of anything user-facing. */
 object ConnectServer {
 
   /** Register every catalog source as a GLOBAL temp view and start the
@@ -28,8 +45,17 @@ object ConnectServer {
     * Connect service builds an isolated session per client — a
     * session-scoped view registered here would be invisible remotely;
     * clients address them as `global_temp.<name>`. Returns after the
-    * service is up. */
-  def start(spark: SparkSession, catalog: Catalog, port: Int): Unit = {
+    * service is up.
+    *
+    * `sessionTimeout`/`detachedTimeout` are the boundary's only
+    * engine-side bounds (see the class doc's trust-boundary note):
+    * defaults reap idle client sessions after 30m and detached
+    * (client-gone) executions after 5m, so an abandoned remote
+    * collect's buffers are reclaimed instead of parking on the driver
+    * forever. */
+  def start(spark: SparkSession, catalog: Catalog, port: Int,
+      sessionTimeout: String = "30m",
+      detachedTimeout: String = "5m"): Unit = {
     catalog.sources.foreach { case (name, src) =>
       src.df.createOrReplaceGlobalTempView(name)
     }
@@ -37,8 +63,12 @@ object ConnectServer {
     // start — a runtime spark.conf.set (session conf) would not reach
     // it, and SparkContext.getConf returns a defensive copy; SparkEnv
     // holds the real one
-    org.apache.spark.SparkEnv.get.conf
-      .set("spark.connect.grpc.binding.port", port.toString)
+    val live = org.apache.spark.SparkEnv.get.conf
+    live.set("spark.connect.grpc.binding.port", port.toString)
+    live.set("spark.connect.session.manager.defaultSessionTimeout",
+      sessionTimeout)
+    live.set("spark.connect.execute.manager.detachedTimeout",
+      detachedTimeout)
     org.apache.spark.sql.connect.service.SparkConnectService
       .start(spark.sparkContext)
   }

@@ -158,10 +158,16 @@ object QueryJson {
     v
   }
 
+  /** Like [[num]], element-level: Jackson's asText coerces an
+    * object/array element to "" — a malformed groupBy entry would
+    * silently become an empty-string column instead of a 400. */
   private def strings(n: JsonNode, field: String): Seq[String] =
     opt(n, field).toSeq.flatMap { v =>
       require(v.isArray, s"'$field' must be an array of strings")
-      v.elements().asScala.map(_.asText).toSeq
+      v.elements().asScala.map { e =>
+        require(e.isTextual, s"'$field' elements must be strings")
+        e.asText
+      }.toSeq
     }
 
   private def bad(msg: String): IllegalArgumentException =

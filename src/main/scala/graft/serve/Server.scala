@@ -26,6 +26,66 @@ private[serve] object QueryJsonOut {
   }
 }
 
+/** /labels request (GET query params or POST JSON): which catalog
+  * source holds the metric frame, an optional PromQL selector to narrow
+  * the rows, an optional single label (the label-VALUES dropdown call),
+  * and the per-label value cap. Defaults: from="metrics",
+  * maxValues=100 (bounded at 1000 — it is a discovery surface). */
+private[serve] final case class LabelsReq(from: String,
+    selector: Option[String], label: Option[String], maxValues: Int)
+
+private[serve] object LabelsReq {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def parse(ex: HttpExchange, body: String): LabelsReq =
+    if (ex.getRequestMethod == "GET")
+      fromParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+    else fromJson(body)
+
+  private def fromParams(raw: String): LabelsReq = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, UTF_8)
+    val params = raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> ""
+      }
+    }.toMap
+    build(params.get("from"), params.get("selector"),
+      params.get("label"),
+      params.get("maxValues").map { s =>
+        try s.toInt
+        catch {
+          case _: NumberFormatException => throw
+            new IllegalArgumentException("'maxValues' must be a number")
+        }
+      })
+  }
+
+  private def fromJson(body: String): LabelsReq = {
+    // an empty POST body means "all defaults" — symmetric with a bare GET
+    val root = mapper.readTree(if (body.trim.isEmpty) "{}" else body)
+    require(root != null && root.isObject, "body must be a JSON object")
+    def str(f: String): Option[String] =
+      Option(root.get(f)).filterNot(_.isNull).map { v =>
+        require(v.isTextual, s"'$f' must be a string")
+        v.asText
+      }
+    val mv = Option(root.get("maxValues")).filterNot(_.isNull).map { v =>
+      require(v.isNumber, "'maxValues' must be a number")
+      v.asInt
+    }
+    build(str("from"), str("selector"), str("label"), mv)
+  }
+
+  private def build(from: Option[String], selector: Option[String],
+      label: Option[String], maxValues: Option[Int]): LabelsReq = {
+    val mv = maxValues.getOrElse(100)
+    require(mv >= 1 && mv <= 1000, "maxValues must be in [1, 1000]")
+    LabelsReq(from.getOrElse("metrics"), selector.filter(_.nonEmpty),
+      label.filter(_.nonEmpty), mv)
+  }
+}
+
 /** The engine's process boundary — the box the reference draws as
   * "browser ⇄ ClickHouse HTTP interface" (packages/common-utils/src/
   * clickhouse/browser.ts), restated as a thin HTTP front on the compile
@@ -41,6 +101,17 @@ private[serve] object QueryJsonOut {
   *                           (df.toJSON — types/nulls handled once)
   *   POST /explain         → {"plan": "<formatted physical plan>"} —
   *                           compile + explain only, no job runs
+  *   POST /export          → the query's result as CSV (text/csv, same
+  *                           writer as Sinks.writeCsv — the reference's
+  *                           useCsvExport surface); truncation at
+  *                           maxRows signals via the X-Graft-Truncated
+  *                           response header
+  *   GET/POST /labels      → label names + top values for a metric
+  *                           selector (the reference's timeSeriesTags
+  *                           autocomplete, prometheus.ts:792-793):
+  *                           {from?, selector?, label?, maxValues?} as
+  *                           JSON body or GET query params; answers
+  *                           {"labels":[{"label":…,"values":[…]},…]}
   *
   * Error contract: 400 with {"error": …} for bad configs (parse or
   * analysis), 404 for unknown paths, 429 when every query slot is in
@@ -59,7 +130,11 @@ private[serve] object QueryJsonOut {
   *
   * A result cap (`maxRows`, default 100k) guards the process boundary:
   * the driver-side collect is the browser-bound result, not a data
-  * export — bulk movement belongs to the parquet sinks. */
+  * export — bulk movement belongs to the parquet sinks. The cap is
+  * NEVER silent (ClickHouse's `rows_before_limit_at_least` discipline):
+  * /query fetches maxRows + 1 and answers `"truncated":true` plus the
+  * cap when the extra row exists; /export signals the same through the
+  * X-Graft-Truncated header. */
 final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     maxRows: Int = 100000, threads: Int = 8,
     maxQuerySeconds: Int = 300) {
@@ -156,7 +231,11 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
 
   def start(): Unit = {
     http.createContext("/health", (ex: HttpExchange) =>
-      respond(ex, 200, """{"status":"ok"}"""))
+      // exact-path check here too: the prefix-matching dispatcher would
+      // otherwise route /healthz (a DIFFERENT conventional probe) here
+      if (ex.getRequestURI.getPath != "/health")
+        respond(ex, 404, """{"error":"unknown path"}""")
+      else respond(ex, 200, """{"status":"ok"}"""))
     http.createContext("/validate", (ex: HttpExchange) =>
       handle(ex) { body =>
         val q = QueryJson.parseQuery(body)
@@ -166,8 +245,37 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
       handle(ex) { body =>
         val q = QueryJson.parseQuery(body)
         val df = QueryCompiler.compile(q, catalog)
-        val rows = withTimeout(df.limit(maxRows).toJSON.collect())
-        (200, rows.mkString("""{"rows":[""", ",", "]}"))
+        // maxRows + 1: the extra row is the truncation sentinel — a
+        // capped result always SAYS it is capped
+        val rows = withTimeout(df.limit(maxRows + 1).toJSON.collect())
+        val truncated = rows.length > maxRows
+        val kept = if (truncated) rows.take(maxRows) else rows
+        val tail =
+          if (truncated) s"""],"truncated":true,"maxRows":$maxRows}"""
+          else "]}"
+        (200, kept.mkString("""{"rows":[""", ",", tail))
+      })
+    // the CSV face of the boundary (the reference's useCsvExport):
+    // same permit/watchdog/cap discipline as /query, payload formatted
+    // by the engine's own CSV writer so quoting matches a file export
+    http.createContext("/export", (ex: HttpExchange) =>
+      handle(ex, contentType = "text/csv") { body =>
+        val q = QueryJson.parseQuery(body)
+        val df = QueryCompiler.compile(q, catalog)
+        val (csv, truncated) =
+          withTimeout(graft.compile.Sinks.csvString(df, maxRows))
+        ex.getResponseHeaders.set("X-Graft-Truncated", truncated.toString)
+        (200, csv)
+      })
+    // label autocomplete (the reference's timeSeriesTags surface): GET
+    // for dashboard dropdowns, POST for symmetric JSON clients
+    http.createContext("/labels", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        val req = LabelsReq.parse(ex, body)
+        val df = graft.meta.Metadata.timeSeriesTags(
+          catalog(req.from).df, req.selector, req.label, req.maxValues)
+        val rows = withTimeout(df.toJSON.collect())
+        (200, rows.mkString("""{"labels":[""", ",", "]}"))
       })
     // the EXPLAIN face of the boundary: formatted physical plan for a
     // config, no job run — what an operator pastes into a ticket when a
@@ -193,7 +301,16 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     ()
   }
 
-  private def handle(ex: HttpExchange)(f: String => (Int, String)): Unit = {
+  private def handle(ex: HttpExchange, allowGet: Boolean = false,
+      contentType: String = "application/json")(
+      f: String => (Int, String)): Unit = {
+    // com.sun.net.httpserver dispatches by LONGEST PATH PREFIX: without
+    // an exact-path check, POST /queryXYZ or /query/extra would ride the
+    // /query handler instead of the documented 404
+    if (ex.getRequestURI.getPath != ex.getHttpContext.getPath) {
+      respond(ex, 404, """{"error":"unknown path"}""")
+      return
+    }
     // the permit covers the WHOLE exchange including the response write:
     // released after f(body) alone, a slow-reading client would park the
     // pool thread in respond() with the semaphore free, and saturated
@@ -203,15 +320,17 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         """{"error":"server busy: all query slots in use"}""")
       return
     }
-    try handlePermitted(ex)(f)
+    try handlePermitted(ex, allowGet, contentType)(f)
     finally queryPermits.release()
   }
 
-  private def handlePermitted(ex: HttpExchange)(
+  private def handlePermitted(ex: HttpExchange, allowGet: Boolean,
+      contentType: String)(
       f: String => (Int, String)): Unit = {
     val out =
       try {
-        if (ex.getRequestMethod != "POST")
+        val method = ex.getRequestMethod
+        if (method != "POST" && !(allowGet && method == "GET"))
           (405, """{"error":"POST required"}""")
         else {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -226,6 +345,8 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         case e: com.fasterxml.jackson.core.JacksonException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: graft.lucene.LuceneParseException =>
+          (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        case e: graft.metrics.PromQl.PromQlParseException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: java.time.format.DateTimeParseException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
@@ -242,15 +363,19 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           (500, s"""{"error":${QueryJsonOut.quote(
             Option(t.getMessage).getOrElse(t.getClass.getName))}}""")
       }
-    respond(ex, out._1, out._2)
+    // the negotiated content type applies to the SUCCESS payload only —
+    // every error body is JSON regardless of endpoint
+    respond(ex, out._1, out._2,
+      if (out._1 == 200) contentType else "application/json")
   }
 
   private def msg(e: Exception): String =
     Option(e.getMessage).getOrElse(e.toString)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

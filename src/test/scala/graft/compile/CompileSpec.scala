@@ -244,6 +244,47 @@ class MetadataSpec extends SparkSpec {
     assert(flat == Map("a" -> 2L, "e" -> 1L))
   }
 
+  test("timeSeriesTags: selector narrows values, onlyLabel restricts, " +
+      "ranking is frequency then lexical") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(
+      ("reqs", "api", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0,
+        Map("region" -> "eu", "az" -> "eu-1")),
+      ("reqs", "api", Timestamp.valueOf("2024-01-01 00:01:00"), 2.0,
+        Map("region" -> "eu", "az" -> "eu-2")),
+      ("reqs", "web", Timestamp.valueOf("2024-01-01 00:02:00"), 3.0,
+        Map("region" -> "us")),
+      ("lat", "api", Timestamp.valueOf("2024-01-01 00:03:00"), 4.0,
+        Map("region" -> "ap")))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value", "Attributes")
+    // no selector: every label over every row
+    val all = graft.meta.Metadata.timeSeriesTags(df)
+      .as[(String, Seq[String])].collect().toMap
+    assert(all("MetricName") == Seq("reqs", "lat"))   // freq desc
+    assert(all("region") == Seq("eu", "ap", "us"))    // freq, then lexical
+    assert(all("az") == Seq("eu-1", "eu-2"))
+    // a selector narrows the row set before discovery — the reference's
+    // timeSeriesTags(selector) autocomplete call
+    val sel = graft.meta.Metadata.timeSeriesTags(df,
+      selector = Some("""reqs{ServiceName="api"}"""))
+      .as[(String, Seq[String])].collect().toMap
+    assert(sel("ServiceName") == Seq("api"))
+    assert(sel("region") == Seq("eu"))
+    assert(!sel.contains("us"))
+    // matcher on an ATTRIBUTES label resolves through the map like the
+    // PromQL path does
+    val m = graft.meta.Metadata.timeSeriesTags(df,
+      selector = Some("""reqs{region=~"eu|us"}"""))
+      .as[(String, Seq[String])].collect().toMap
+    assert(m("region") == Seq("eu", "us"))
+    // onlyLabel = the label-values dropdown; maxValues caps
+    val one = graft.meta.Metadata.timeSeriesTags(df,
+      onlyLabel = Some("ServiceName"), maxValuesPerLabel = 1)
+      .as[(String, Seq[String])].collect().toMap
+    assert(one == Map("ServiceName" -> Seq("api")))
+  }
+
   test("discovery scans plan a per-partition LocalLimit, no global funnel") {
     import spark.implicits._
     val df = (1 to 100).map(i => (s"id$i", Map("k" -> s"v$i")))

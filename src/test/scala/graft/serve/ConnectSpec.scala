@@ -55,4 +55,16 @@ class ConnectSpec extends SparkSpec
       assert(errs > 0 && errs < 1000)
     } finally remote.close()
   }
+
+  test("start() bounds the trusted boundary: idle-session and " +
+      "detached-execution reaping are set on the live conf") {
+    // the only engine-side bounds this boundary has (class doc): an
+    // abandoned remote collect's session/execution is reaped instead of
+    // parking on the shared driver forever
+    val live = org.apache.spark.SparkEnv.get.conf
+    assert(live.get(
+      "spark.connect.session.manager.defaultSessionTimeout") == "30m")
+    assert(live.get(
+      "spark.connect.execute.manager.detachedTimeout") == "5m")
+  }
 }

@@ -230,6 +230,113 @@ class ServerSpec extends SparkSpec
       ._1 == 400)
   }
 
+  test("unknown paths 404 even when they share a registered prefix") {
+    // com.sun.net.httpserver dispatches by longest path PREFIX — the
+    // server must reject /queryXYZ and /query/extra itself
+    assert(post("/queryXYZ", "{}")._1 == 404)
+    assert(post("/query/extra", "{}")._1 == 404)
+    assert(get("/healthz")._1 == 404)
+    assert(get("/health/x")._1 == 404)
+  }
+
+  test("/query truncation contract: over-cap results say so, under-cap " +
+      "results don't") {
+    val capped = new Server(spark, catalog, port = 0, maxRows = 5)
+    capped.start()
+    try {
+      def postCapped(body: String): String = {
+        val req = HttpRequest.newBuilder()
+          .uri(URI.create(s"http://127.0.0.1:${capped.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+          .build()
+        client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+      }
+      val over = postCapped(
+        """{"from":"events","select":[
+          |  {"valueExpression":"event_id","aggFn":"none"}]}"""
+          .stripMargin)
+      assert(over.contains(""""truncated":true"""), over.take(300))
+      assert(over.contains(""""maxRows":5"""), over.take(300))
+      assert("\"event_id\":".r.findAllIn(over).size == 5, over.take(300))
+      val under = postCapped(
+        """{"from":"events","select":[
+          |  {"valueExpression":"event_id","aggFn":"none"}],"limit":3}"""
+          .stripMargin)
+      assert(!under.contains("truncated"), under.take(300))
+    } finally capped.stop()
+  }
+
+  test("POST /export streams CSV with the engine writer's quoting and " +
+      "signals truncation via header") {
+    val (code, body) = post("/export",
+      """{"from":"events","select":[
+        |  {"valueExpression":"event_type","aggFn":"none"},
+        |  {"valueExpression":"concat(event_type, ',x\"y')",
+        |   "alias":"tricky","aggFn":"none"}],
+        | "orderBy":[{"expression":"event_type"}],"limit":4}"""
+        .stripMargin)
+    assert(code == 200, body)
+    val lines = body.trim.split("\r?\n")
+    assert(lines.head == "event_type,tricky", lines.head)
+    assert(lines.length == 5, body)
+    // a value with a comma and a quote is QUOTED and the inner quote
+    // escaped — exactly the formatting a Sinks.writeCsv file gets
+    // (univocity; Spark's default escape is backslash)
+    assert(lines(1).startsWith("click,\"click,x"), lines(1))
+    assert(lines(1).contains("x\\\"y") || lines(1).contains("x\"\"y"),
+      lines(1))
+    // small cap → truncation header; the payload stays at maxRows rows
+    val tiny = new Server(spark, catalog, port = 0, maxRows = 2)
+    tiny.start()
+    try {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:${tiny.boundPort}/export"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"from":"events","select":[
+            |  {"valueExpression":"event_id","aggFn":"none"}]}"""
+            .stripMargin, UTF_8))
+        .build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200, res.body())
+      assert(res.headers().firstValue("X-Graft-Truncated")
+        .orElse("") == "true")
+      assert(res.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/csv"))
+      assert(res.body().trim.split("\r?\n").length == 3) // header + 2
+    } finally tiny.stop()
+  }
+
+  test("/labels lists label names and values for a metric selector " +
+      "(GET and POST), 400 on a bad selector") {
+    // GET with a URL-encoded selector: well-known labels (MetricName,
+    // ServiceName) and Attributes keys (user) all surface
+    val enc = java.net.URLEncoder.encode(
+      """value{ServiceName="click"}""", UTF_8)
+    val (code, body) = get(s"/labels?selector=$enc")
+    assert(code == 200, body)
+    assert(body.contains(""""label":"MetricName""""), body.take(400))
+    assert(body.contains(""""label":"ServiceName""""), body.take(400))
+    assert(body.contains(""""label":"user""""), body.take(400))
+    // the selector narrowed ServiceName to exactly the matched value
+    assert("""\{"label":"ServiceName","values":\["click"\]\}""".r
+      .findFirstIn(body).nonEmpty, body.take(400))
+    // POST + onlyLabel = the label-values dropdown call
+    val (c2, b2) = post("/labels",
+      """{"from":"metrics","label":"ServiceName","maxValues":3}""")
+    assert(c2 == 200, b2)
+    assert(b2.contains(""""label":"ServiceName""""), b2)
+    assert(!b2.contains(""""label":"MetricName""""), b2)
+    assert("\"values\":\\[(?:\"[a-z]+\",?){1,3}\\]".r
+      .findFirstIn(b2).nonEmpty, b2)
+    // a non-selector PromQL expression and a parse error are both 400s
+    assert(get(s"/labels?selector=${java.net.URLEncoder.encode(
+      "rate(value[5m])", UTF_8)}")._1 == 400)
+    assert(get(s"/labels?selector=${java.net.URLEncoder.encode(
+      "value{oops", UTF_8)}")._1 == 400)
+    // unknown source is the usual 400 family too
+    assert(post("/labels", """{"from":"zzz"}""")._1 == 400)
+  }
+
   test("Validator directly: analysis errors carry the message, stats " +
       "come from parquet footers") {
     val bad = Validator.validate(
