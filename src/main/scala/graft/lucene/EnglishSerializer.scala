@@ -10,9 +10,12 @@ package graft.lucene
   * 1 and 5 (exclusive)" for ranges, "is not null" for existence, and the
   * array phrasings ("contains an element containing foo", "contains an
   * element with key k and value v") when a [[FieldResolver]] is supplied
-  * to type the field. Negation of a single term renders inline ("does
-  * not contain", "is not", "is null"); negation of anything compound
-  * renders as `NOT (...)`. */
+  * to type the field. Negation spelled with the `-`/`!` prefix renders
+  * inline ("does not contain", "is not", "is null") — the reference's
+  * isNegatedField path; negation spelled with the NOT keyword emits
+  * the keyword verbatim over the positive rendering ("NOT 'f' contains
+  * x"), like the reference serializing the parser's `start` token;
+  * keyword negation of anything compound renders as `NOT (...)`. */
 object EnglishSerializer {
 
   def explain(query: String): String = explain(query, None)
@@ -33,10 +36,17 @@ object EnglishSerializer {
     // field (f = None) — a term with its own field keeps top-level
     // semantics in the compiler (LuceneCompiler.compileNode), and the
     // explanation must describe the predicate that actually runs
-    case QNode.Not(QNode.Term(f, v)) =>
+    // only -/! PREFIX negation renders inline ("does not contain") —
+    // the reference's isNegatedField path (queryParser.ts:283-296);
+    // the NOT-keyword spelling emits the keyword verbatim over the
+    // POSITIVE rendering, like the reference serializing the parser's
+    // `start` token (queryParser.ts:2098-2112)
+    case QNode.Not(QNode.Term(f, v), false) =>
       term(f.orElse(bound), v, negated = true,
         inGroup = f.isEmpty && bound.isDefined, res)
-    case QNode.Not(x) => s"NOT (${node(x, bound, res)})"
+    case QNode.Not(t @ QNode.Term(_, _), true) =>
+      s"NOT ${node(t, bound, res)}"
+    case QNode.Not(x, _) => s"NOT (${node(x, bound, res)})"
     case QNode.Group(f, inner) => s"(${node(inner, Some(f), res)})"
     case QNode.Term(f, v) =>
       term(f.orElse(bound), v, negated = false,

@@ -19,7 +19,13 @@ sealed trait QNode
 object QNode {
   final case class And(l: QNode, r: QNode) extends QNode
   final case class Or(l: QNode, r: QNode) extends QNode
-  final case class Not(n: QNode) extends QNode
+  /** `keyword`: the negation was spelled `NOT` / `AND NOT` / `OR NOT`
+    * rather than the `-`/`!` prefix. Compiled predicates are identical;
+    * the English serializer mirrors the reference, which emits the
+    * keyword form as a verbatim `NOT ` prefix (the parser's `start`
+    * token, queryParser.ts:2098-2112) and renders only the -prefix
+    * form inline ("does not contain"). */
+  final case class Not(n: QNode, keyword: Boolean = false) extends QNode
   /** field=None → the implicit (body) column. */
   final case class Term(field: Option[String], value: TermValue) extends QNode
   /** `foo:(a b)` — rebinds the implicit field inside the group
@@ -75,7 +81,7 @@ object LuceneParser {
   private def decodeNode(n: QNode): QNode = n match {
     case QNode.And(l, r) => QNode.And(decodeNode(l), decodeNode(r))
     case QNode.Or(l, r) => QNode.Or(decodeNode(l), decodeNode(r))
-    case QNode.Not(x) => QNode.Not(decodeNode(x))
+    case QNode.Not(x, kw) => QNode.Not(decodeNode(x), kw)
     case QNode.Group(f, inner) =>
       QNode.Group(decodeSpecialTokens(f), decodeNode(inner))
     case QNode.Term(f, v) =>
@@ -164,7 +170,7 @@ object LuceneParser {
         matchKw("OR")
         val neg = matchKw("NOT")
         val r = parseAnd()
-        l = QNode.Or(l, if (neg) QNode.Not(r) else r)
+        l = QNode.Or(l, if (neg) QNode.Not(r, keyword = true) else r)
       }
       l
     }
@@ -185,7 +191,7 @@ object LuceneParser {
             else continue = false
           else {
             val r = parseUnary()
-            l = QNode.And(l, if (neg) QNode.Not(r) else r)
+            l = QNode.And(l, if (neg) QNode.Not(r, keyword = true) else r)
           }
         }
       }
@@ -196,7 +202,7 @@ object LuceneParser {
       ws()
       if (matchKw("NOT")) {
         push()
-        val n = QNode.Not(parseUnary())
+        val n = QNode.Not(parseUnary(), keyword = true)
         pop(); n
       } else if (i < s.length && (peek == '-' || peek == '!') &&
           i + 1 < s.length && !s(i + 1).isWhitespace) {

@@ -48,12 +48,18 @@ final class FieldResolver(schema: StructType,
 
   def resolve(field0: String): Option[ResolvedField] = {
     val field = aliases.getOrElse(field0, field0)
-    // normalize bracket spelling to the dot form for the materialized
-    // lookup: Col['k'] and Col.k are the SAME logical field and must hit
-    // the same physical column (stats + pushdown), not diverge by syntax
+    // normalize DOT-FREE bracket spellings to the dot form for the
+    // materialized lookup: Col['k'] and Col.k are the SAME logical field
+    // and must hit the same physical column (stats + pushdown), not
+    // diverge by syntax. A key CONTAINING dots canonicalizes to the
+    // single-quote bracket form instead — Col['a.b'] is a different
+    // logical field from the genuinely nested Col.a.b, and collapsing
+    // both to "Col.a.b" would serve one's materialized column for the
+    // other; register dotted-key materializations under "Col['a.b']"
     val matKey = field match {
       case BracketPath(base, sq, dq) =>
-        base + "." + (if (sq != null) sq else dq)
+        val key = if (sq != null) sq else dq
+        if (key.contains(".")) s"$base['$key']" else s"$base.$key"
       case other => other
     }
     val mat = materialized.get(matKey)
@@ -64,6 +70,10 @@ final class FieldResolver(schema: StructType,
         val key = if (sq != null) sq else dq
         byLower.get(base.toLowerCase)
           .flatMap(f => descend(f, Seq(key), verbatimKey = true))
+          // a DOTTED base (Struct.nested['k']) misses the physical-
+          // column lookup above: resolve the base like any dot path,
+          // then apply the verbatim bracket key at the end
+          .orElse(resolveBracketPath(base, key))
       case _ => byLower.get(field.toLowerCase) match {
         case Some(f) if jsonStringColumns.contains(f.name) &&
             field.contains(".") =>
@@ -72,6 +82,66 @@ final class FieldResolver(schema: StructType,
         case None => resolvePath(field)
       }
     })
+  }
+
+  /** Bracket notation behind a DOTTED base: longest-prefix match the
+    * base against physical columns, walk the remainder through struct
+    * levels, then apply the verbatim bracket key to the terminal
+    * container (map lookup / struct field / JSON-string extraction).
+    * Struct-only mid-path walking is deliberate: a map or JSON segment
+    * would swallow the remainder into its own key, which the bracket
+    * spelling explicitly separates. */
+  private def resolveBracketPath(base: String, key: String)
+      : Option[ResolvedField] = {
+    val parts = base.split('.')
+    (parts.length to 1 by -1).iterator.flatMap { n =>
+      val prefix = parts.take(n).mkString(".")
+      val rest = parts.drop(n).toSeq
+      byLower.get(prefix.toLowerCase).flatMap(f =>
+        descendBracket(f, rest, key))
+    }.nextOption()
+  }
+
+  private def descendBracket(f: StructField, rest: Seq[String],
+      key: String): Option[ResolvedField] = {
+    if (jsonStringColumns.contains(f.name)) {
+      // JSON-string column: $.rest['key'] — the bracket form keeps the
+      // key verbatim where the dot form would re-split it
+      val jsonPath = "$" +
+        (if (rest.nonEmpty) "." + rest.mkString(".") else "") +
+        "['" + key.replace("'", "\\'") + "']"
+      return Some(ResolvedField(
+        coalesce(get_json_object(col(f.name), jsonPath), lit("")),
+        StringType, fromJsonString = true))
+    }
+    var cur: Column = col(f.name)
+    var curType: DataType = f.dataType
+    var ok = true
+    rest.foreach { p =>
+      curType match {
+        case s: StructType =>
+          s.fields.find(_.name.equalsIgnoreCase(p)) match {
+            case Some(sf) =>
+              cur = cur.getField(sf.name); curType = sf.dataType
+            case None => ok = false
+          }
+        case _ => ok = false
+      }
+    }
+    if (!ok) None
+    else curType match {
+      case MapType(_, StringType, _) =>
+        // missing key reads as '' — the Map branch's ClickHouse
+        // default-value contract
+        Some(ResolvedField(coalesce(element_at(cur, key), lit("")),
+          StringType))
+      case MapType(_, vt, _) =>
+        Some(ResolvedField(element_at(cur, key), vt))
+      case s: StructType =>
+        s.fields.find(_.name.equalsIgnoreCase(key)).map(sf =>
+          ResolvedField(cur.getField(sf.name), sf.dataType))
+      case _ => None
+    }
   }
 
   /** Longest-prefix match of a dot path against real columns. */
@@ -176,7 +246,7 @@ object LuceneCompiler {
       compileNode(l, ctx, boundField) && compileNode(r, ctx, boundField)
     case QNode.Or(l, r) =>
       compileNode(l, ctx, boundField) || compileNode(r, ctx, boundField)
-    case QNode.Not(x) => !compileNode(x, ctx, boundField)
+    case QNode.Not(x, _) => !compileNode(x, ctx, boundField)
     case QNode.Group(field, inner) => compileNode(inner, ctx, Some(field))
     case QNode.Term(fieldOpt, value) =>
       (fieldOpt, boundField) match {

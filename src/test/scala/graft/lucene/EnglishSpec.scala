@@ -20,12 +20,20 @@ class EnglishSpec extends AnyFunSuite {
     assert(e("*bar") == "event ends with bar")
     assert(e("bar*") == "event starts with bar")
     assert(e("*bar*") == "event contains bar")
+    // keyword NOT emits the keyword verbatim over the positive
+    // rendering — the reference's exact battery strings
+    // (queryParser.test.ts:439-451); only -/! prefix negation is inline
     assert(e("NOT red AND NOT blue") ==
-      "event does not have whole word red AND " +
-        "event does not have whole word blue")
+      "NOT event has whole word red AND " +
+        "NOT event has whole word blue")
     assert(e("NOT red OR NOT blue") ==
-      "event does not have whole word red OR " +
-        "event does not have whole word blue")
+      "NOT event has whole word red OR " +
+        "NOT event has whole word blue")
+    assert(e("NOT red NOT blue") ==
+      "NOT event has whole word red AND " +
+        "NOT event has whole word blue")
+    assert(e("-red") == "event does not have whole word red")
+    assert(e("NOT foo:bar") == "NOT 'foo' contains bar")
   }
 
   test("explicit-field phrasings match the reference battery") {

@@ -530,6 +530,55 @@ class LuceneBatterySpec extends SparkSpec {
     assert(one(viaBrackets.col) == "fast") // not the map's "slow"
   }
 
+  test("bracket notation behind a DOTTED base resolves through the " +
+      "struct instead of silently compiling to false") {
+    val df = Seq(
+      (1L, (Map("error.message" -> "boom", "k" -> "v1"), "svc-a")),
+      (2L, (Map("k" -> "v2"), "svc-b")))
+      .toDF("id", "Resource")
+      .withColumn("Resource", org.apache.spark.sql.functions
+        .col("Resource").cast("struct<nested:map<string,string>,name:string>"))
+    val r = new FieldResolver(df.schema)
+    def rows(c: org.apache.spark.sql.Column): Set[Long] =
+      df.filter(c).select("id").as[Long].collect().toSet
+    // struct → map with a verbatim dotted key
+    val m = r.resolve("Resource.nested['error.message']").get
+    assert(rows(m.col === "boom") == Set(1L))
+    // missing key reads '' (the map default contract)
+    assert(rows(m.col === "") == Set(2L))
+    // struct → struct field via bracket spelling
+    val s = r.resolve("Resource['name']").get
+    assert(rows(s.col === "svc-b") == Set(2L))
+    // unknown path still resolves to None (→ compiles to false), not error
+    assert(r.resolve("Resource.missing['k']").isEmpty)
+  }
+
+  test("dotted bracket keys do NOT collide with genuinely nested dot " +
+      "paths in the materialized lookup") {
+    // Col['a.b'] (one map key "a.b") and Col.a.b (nested dot path) are
+    // DIFFERENT logical fields: each materialization serves only its
+    // own spelling — the pre-fix normalization collapsed both onto the
+    // shared "C.a.b" key and served one's column for the other
+    val df = Seq((1L, Map("a.b" -> "flat"), "matFlat", "matDeep"))
+      .toDF("id", "C", "MatFlat", "MatDeep")
+    def one(r: FieldResolver, field: String): String =
+      df.select(r.resolve(field).get.col).as[String].collect().head
+    val r = new FieldResolver(df.schema,
+      materialized = Map("C['a.b']" -> "MatFlat", "C.a.b" -> "MatDeep"))
+    assert(one(r, "C['a.b']") == "matFlat")
+    assert(one(r, "C.a.b") == "matDeep")
+    // with ONLY the dot-path materialization registered, the bracket
+    // spelling no longer rides it: it resolves the verbatim map key
+    val rDotOnly = new FieldResolver(df.schema,
+      materialized = Map("C.a.b" -> "MatDeep"))
+    assert(one(rDotOnly, "C['a.b']") == "flat")
+    assert(one(rDotOnly, "C.a.b") == "matDeep")
+    // dot-free bracket keys still normalize to the dot form
+    val rPlain = new FieldResolver(df.schema,
+      materialized = Map("C.k" -> "MatFlat"))
+    assert(one(rPlain, "C['k']") == "matFlat")
+  }
+
   // -------------------------------------------- value-negation nuance
 
   test("negation binds to the FIELD only before the colon: 'f:-5' " +
