@@ -25,6 +25,9 @@ object Sinks {
     * bulk movement stays with the parquet sinks. Returns
     * (csv, truncated). */
   def csvString(df: DataFrame, limit: Int): (String, Boolean) = {
+    require(limit >= 0 && limit < Int.MaxValue,
+      s"limit must be in [0, ${Int.MaxValue - 1}]: the sentinel fetch " +
+        "needs limit + 1")
     val rows = df.limit(limit + 1).collect()
     val truncated = rows.length > limit
     val keep: Array[Row] = if (truncated) rows.take(limit) else rows

@@ -177,7 +177,6 @@ object Metadata {
   def timeSeriesTags(df: DataFrame, selector: Option[String] = None,
       onlyLabel: Option[String] = None, maxValuesPerLabel: Int = 100,
       maxScanRows: Int = 3000000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sel = selector.filter(_.nonEmpty)
       .fold(df)(s => graft.metrics.PromQl.selectorFrame(df, s))
     val strCols = sel.schema.fields.collect {
@@ -190,26 +189,51 @@ object Metadata {
       "no string or map columns to discover labels from")
     val capped = cappedScan(sel, (strCols ++ mapCols).map(col),
       maxScanRows)
-    val physPairs = strCols.map(c =>
-      capped.select(lit(c).as("label"), col(c).as("value")))
-    val mapPairs = mapCols.map(c =>
-      capped.select(explode(col(c)).as(Seq("label", "value")))
-        .select(col("label"), col("value").cast("string").as("value")))
-    val pairs = (physPairs ++ mapPairs).reduce(_ unionAll _)
+    // ONE pass over the capped rows: physical-column pairs and map
+    // entries concat into a single exploded array — one select per
+    // column would re-run the selector filter and scan per column
+    val strPairs = strCols.map(c => array(struct(
+      lit(c).as("label"), col(c).as("value"))))
+    // coalesce: a null map would null the whole concat and silently
+    // drop the row's physical-column pairs too
+    val mapPairs = mapCols.map(c => coalesce(
+      transform(map_entries(col(c)), e =>
+        struct(e.getField("key").as("label"),
+          e.getField("value").cast("string").as("value"))),
+      array().cast("array<struct<label:string,value:string>>")))
+    val pairs = capped
+      .select(explode(concat(strPairs ++ mapPairs: _*)).as("p"))
+      .select(col("p.label").as("label"), col("p.value").as("value"))
       .filter(col("value").isNotNull)
     val wanted = onlyLabel.fold(pairs)(l => pairs.filter(col("label") === l))
     val counted = wanted.groupBy("label", "value")
       .agg(count(lit(1)).as("cnt"))
-    // per-label top-N: the window partitions on LABEL (bounded — the
-    // schema's column count + discovered map keys), never on a row key
-    val w = Window.partitionBy("label").orderBy(desc("cnt"), col("value"))
-    counted.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxValuesPerLabel)
+    // per-label top-N WITHOUT a per-label window: a label can have one
+    // distinct value per row (an id-shaped attribute key), and a
+    // window would funnel all of them through one sort task — the
+    // exact single-task gather the ANN shortlists eliminated. Same
+    // two-stage sorted-slice shape: partition-local top-N partials on
+    // (label, partition), then one ≤ partitions × N merge per label.
+    // Ordering: cnt desc (negated into the ascending struct sort),
+    // then value asc.
+    def topStage(d: DataFrame, keys: Seq[Column]): DataFrame = d
+      .groupBy(keys: _*)
+      .agg(slice(array_sort(collect_list(struct(
+        (lit(0L) - col("cnt")).as("negCnt"), col("value")))),
+        1, maxValuesPerLabel).as("__xs"))
+      .select((keys :+ explode(col("__xs")).as("__x")): _*)
+      .select((keys :+ (lit(0L) - col("__x.negCnt")).as("cnt")
+        :+ col("__x.value").as("value")): _*)
+    val partial = topStage(
+      counted.withColumn("__pid", spark_partition_id()),
+      Seq(col("label"), col("__pid")))
+    topStage(partial, Seq(col("label")))
       .groupBy("label")
-      // sort the collected (rk, value) structs: collect_list order is
-      // not deterministic across partitionings, the rank is
-      .agg(transform(array_sort(collect_list(
-        struct(col("rk"), col("value")))),
+      // final per-label collect is ≤ maxValuesPerLabel structs; sort
+      // them (collect_list order is not deterministic) and strip to
+      // the ranked values
+      .agg(transform(array_sort(collect_list(struct(
+        (lit(0L) - col("cnt")).as("negCnt"), col("value")))),
         x => x.getField("value")).as("values"))
       .orderBy("label")
   }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
@@ -75,7 +76,12 @@ object Similarity {
     * serializes into a single sort task. `lit(0.0) - cosine` (not unary
     * minus) keeps a 0.0 cosine at +0.0 so the ascending shortlist order
     * is exactly the descending-cosine order; the round trip is
-    * bit-exact for every finite double. */
+    * bit-exact for every finite double. Deliberate divergence from the
+    * replaced window: a NaN cosine (a NaN embedding component — the
+    * zero-norm guard only covers all-zero vectors) now ranks LAST
+    * instead of first; `desc(cosine)` sorted NaN largest-first, which
+    * put garbage at rank 1 — ranking it after every finite similarity
+    * is the sane contract, and no oracle corpus produces NaN. */
   private def topByCosine(scored: DataFrame, k: Int): DataFrame =
     topShortlist(
       scored.select(col("probe_id"), col("neighbor_id"),
@@ -264,21 +270,39 @@ object Similarity {
     * the shortlist deterministic across partitionings. */
   private def topSliceStage(d: DataFrame, keys: Seq[Column],
       score: String, n: Int): DataFrame = {
-    // bounded-heap partial state (≤ 2n entries per group cell) instead
-    // of the previous collect_list+sort+slice, whose buffer was
-    // partition-sized per probe; comparisons and tie-breaks are
-    // identical (TopK's scaladoc pins the parity argument). Scores/ids
-    // ride as (double, long) through the aggregate and cast back, so
-    // e.g. knnBinary's int hamming keeps its output type.
     val scoreType = d.schema(score).dataType
     val idType = d.schema("neighbor_id").dataType
-    d.groupBy(keys: _*)
-      .agg(graft.functions.TopK.topSmallest(
-        col(score).cast("double"), col("neighbor_id").cast("long"), n)
-        .as("__xs"))
-      .select((keys :+ explode(col("__xs")).as("__x")): _*)
-      .select((keys :+ col("__x._1").cast(scoreType).as(score)
-        :+ col("__x._2").cast(idType).as("neighbor_id")): _*)
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId)
+      // bounded-heap partial state (≤ 2n entries per group cell)
+      // instead of collect_list+sort+slice, whose buffer is
+      // partition-sized per probe; comparisons and tie-breaks are
+      // identical (TopK's scaladoc pins the parity argument). Scores/
+      // ids ride as (double, long) through the aggregate and cast
+      // back losslessly, so e.g. knnBinary's int hamming keeps its
+      // output type.
+      d.groupBy(keys: _*)
+        .agg(graft.functions.TopK.topSmallest(
+          col(score).cast("double"), col("neighbor_id").cast("long"), n)
+          .as("__xs"))
+        .select((keys :+ explode(col("__xs")).as("__x")): _*)
+        .select((keys :+ col("__x._1").cast(scoreType).as(score)
+          :+ col("__x._2").cast(idType).as("neighbor_id")): _*)
+    else
+      // non-integral ids (string/decimal corpora) can't ride TopK's
+      // (double, long) encoder — a long cast would null them and kill
+      // the query. The sorted-slice shape is type-agnostic with the
+      // same ordering; its buffer is partition-bounded, not k-bounded,
+      // which is the accepted cost of the generic path.
+      d.groupBy(keys: _*)
+        .agg(slice(array_sort(collect_list(
+          struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
+        .select((keys :+ explode(col("__xs")).as("__x")): _*)
+        .select((keys :+ col("__x." + score).as(score)
+          :+ col("__x.neighbor_id").as("neighbor_id")): _*)
   }
 
   /** Two-stage bounded top-n: partition-local partials, then the final

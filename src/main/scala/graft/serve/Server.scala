@@ -274,8 +274,16 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         val req = LabelsReq.parse(ex, body)
         val df = graft.meta.Metadata.timeSeriesTags(
           catalog(req.from).df, req.selector, req.label, req.maxValues)
-        val rows = withTimeout(df.toJSON.collect())
-        (200, rows.mkString("""{"labels":[""", ",", "]}"))
+        // same driver-memory discipline as /query: an id-shaped
+        // attribute key can mint one LABEL per row, so the label list
+        // itself needs the cap + truncation signal
+        val rows = withTimeout(df.limit(maxRows + 1).toJSON.collect())
+        val truncated = rows.length > maxRows
+        val kept = if (truncated) rows.take(maxRows) else rows
+        val tail =
+          if (truncated) s"""],"truncated":true,"maxRows":$maxRows}"""
+          else "]}"
+        (200, kept.mkString("""{"labels":[""", ",", tail))
       })
     // the EXPLAIN face of the boundary: formatted physical plan for a
     // config, no job run — what an operator pastes into a ticket when a

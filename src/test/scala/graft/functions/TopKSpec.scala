@@ -49,10 +49,14 @@ class TopKSpec extends SparkSpec {
 
   test("edge scores: -0.0 sorts with +0.0 (Spark comparator parity) " +
       "and NaN sorts largest") {
+    // the +0.0 row carries the SMALLER id and the -0.0 row the larger:
+    // the normalized comparator ties them and breaks on id (1 before
+    // 2); a raw java.lang.Double.compare would instead sort -0.0
+    // strictly first (2 before 1) — so this ordering actually detects
+    // a dropped normalization
     val df = Seq(
-      (0, 0.0, 2L), (0, -0.0, 1L), (0, Double.NaN, 0L), (0, -1.0, 9L))
+      (0, 0.0, 1L), (0, -0.0, 2L), (0, Double.NaN, 0L), (0, -1.0, 9L))
       .toDF("g", "s", "id").repartition(3)
-    // -0.0 and 0.0 tie → id breaks: 1 before 2; NaN last
     val ids = df.groupBy("g")
       .agg(TopK.topSmallest(col("s"), col("id"), 4).as("xs"))
       .select(explode(col("xs")).as("x")).select(col("x._2"))

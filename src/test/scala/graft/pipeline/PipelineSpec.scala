@@ -174,6 +174,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recallMp >= 0.8, s"multiprobe recall $recallMp unexpectedly low")
   }
 
+  test("string ids ride the generic shortlist path: knnBrute results " +
+      "match the numeric-id run 1:1") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 3)
+    val numeric = Similarity
+      .knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select(col("probe_id").cast("string"),
+        col("neighbor_id").cast("string"))
+      .as[(String, String)].collect().toSet
+    // same corpus with string ids (zero-padded so string order == the
+    // numeric tie-break order) must produce the same pairs — the
+    // non-integral id type takes the sorted-slice fallback instead of
+    // nulling through TopK's long cast
+    val pad = format_string("%05d", col("vec_id"))
+    val es = e.withColumn("vec_id", pad)
+    val ps = probes.withColumn("vec_id", pad)
+    val stringy = Similarity.knnBrute(ps, es, "vec_id", "embedding", 5)
+      .select(col("probe_id").cast("int").cast("string"),
+        col("neighbor_id").cast("int").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(stringy == numeric)
+  }
+
   test("knnIvf: exhaustive nprobe equals brute; partial nprobe recalls") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -328,6 +328,20 @@ class ServerSpec extends SparkSpec
     assert(!b2.contains(""""label":"MetricName""""), b2)
     assert("\"values\":\\[(?:\"[a-z]+\",?){1,3}\\]".r
       .findFirstIn(b2).nonEmpty, b2)
+    // the label LIST rides the same driver-memory cap as /query rows:
+    // with maxRows=1 the metrics source's 3 labels truncate loudly
+    val tinyLabels = new Server(spark, catalog, port = 0, maxRows = 1)
+    tinyLabels.start()
+    try {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(
+          s"http://127.0.0.1:${tinyLabels.boundPort}/labels"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}", UTF_8))
+        .build()
+      val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200, res.body())
+      assert(res.body().contains(""""truncated":true"""), res.body())
+    } finally tinyLabels.stop()
     // a non-selector PromQL expression and a parse error are both 400s
     assert(get(s"/labels?selector=${java.net.URLEncoder.encode(
       "rate(value[5m])", UTF_8)}")._1 == 400)
