@@ -296,8 +296,134 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           org.apache.spark.sql.execution.FormattedMode)
         (200, s"""{"plan":${QueryJsonOut.quote(plan)}}""")
       })
+    // ----- the Prometheus HTTP API v1 face (PromApi's scaladoc): the
+    // reference proxies/serves these at /api/v1 (prometheus.ts); here a
+    // Grafana Prometheus datasource can read the engine directly.
+    // Prometheus clients GET with query params or POST form-encoded —
+    // both parse through promParams. Bad-data errors answer the
+    // Prometheus error shape; timeouts/saturation keep the engine's
+    // 503/429 discipline.
+    http.createContext("/promql/query_range", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        promGuard {
+          val p = promParams(ex, body)
+          val query = reqParam(p, "query")
+          val start = PromApi.parseTime(reqParam(p, "start"), "start")
+          val end = PromApi.parseTime(reqParam(p, "end"), "end")
+          val step = PromApi.parseStep(p.getOrElse("step", "60"))
+          val df = catalog(p.getOrElse("from", "metrics")).df
+          (200, withTimeout(
+            PromApi.queryRange(df, query, start, end, step, maxRows)))
+        }
+      })
+    http.createContext("/promql/query", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        promGuard {
+          val p = promParams(ex, body)
+          val query = reqParam(p, "query")
+          val time = p.get("time")
+            .map(PromApi.parseTime(_, "time"))
+            .getOrElse(java.time.Instant.now())
+          val step = p.get("step").map(PromApi.parseStep)
+            .getOrElse(300L)
+          val df = catalog(p.getOrElse("from", "metrics")).df
+          (200, withTimeout(PromApi.instantQuery(df, query, time, step,
+            maxRows)))
+        }
+      })
+    // GET /promql/label/<name>/values — the label-values dropdown the
+    // reference serves through ClickHouse timeSeriesTags
+    // (prometheus.ts:722-824); __name__ maps to MetricName like the
+    // reference's metric_name special case. A `match[]` selector
+    // narrows the rows. Values rank by frequency (capped) and return
+    // lexically sorted, the reference's ORDER BY val.
+    http.createContext("/promql/label", (ex: HttpExchange) =>
+      handle(ex, allowGet = true, exactPath = false) { body =>
+        promGuard {
+          val path = ex.getRequestURI.getPath
+          val rest = path.stripPrefix("/promql/label/")
+          if (rest == path || !rest.endsWith("/values"))
+            (404, """{"error":"unknown path"}""")
+          else {
+            val name0 = rest.stripSuffix("/values")
+            if (PromApi.LabelName.findFirstIn(name0).isEmpty)
+              throw new IllegalArgumentException("Invalid label name")
+            val name = if (name0 == "__name__") "MetricName" else name0
+            val p = promParams(ex, body)
+            val df = catalog(p.getOrElse("from", "metrics")).df
+            val vals = withTimeout {
+              graft.meta.Metadata.timeSeriesTags(df,
+                selector = p.get("match[]"), onlyLabel = Some(name),
+                maxValuesPerLabel = 1000)
+                .collect().flatMap(_.getSeq[String](1)).sorted
+            }
+            (200, vals.map(QueryJsonOut.quote)
+              .mkString("""{"status":"success","data":[""", ",", "]}"))
+          }
+        }
+      })
+    // GET /promql/labels — label NAMES (the Prometheus /api/v1/labels
+    // shape); __name__ leads like a native Prometheus answer
+    http.createContext("/promql/labels", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        promGuard {
+          val p = promParams(ex, body)
+          val df = catalog(p.getOrElse("from", "metrics")).df
+          val names = withTimeout {
+            graft.meta.Metadata.timeSeriesTags(df,
+              selector = p.get("match[]"), maxValuesPerLabel = 1)
+              .select("label").collect().map(_.getString(0))
+              .filterNot(_ == "MetricName").sorted
+          }
+          (200, ("__name__" +: names.toSeq).map(QueryJsonOut.quote)
+            .mkString("""{"status":"success","data":[""", ",", "]}"))
+        }
+      })
     http.start()
   }
+
+  /** Prometheus param extraction: the query string and a form-encoded
+    * POST body merge (body wins) — Prometheus clients send both shapes
+    * (the reference's getParams does the same merge). */
+  private def promParams(ex: HttpExchange, body: String)
+      : Map[String, String] = {
+    def pairs(raw: String): Seq[(String, String)] =
+      raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(dec(k) -> dec(v))
+          case Array(k) => Some(dec(k) -> "")
+          case _ => None
+        }
+      }
+    def dec(s: String) = java.net.URLDecoder.decode(s, UTF_8)
+    // a form-encoded body percent-escapes '{', so a leading brace can
+    // only be a JSON body (which these endpoints don't take as params)
+    val formBody =
+      if (body.trim.startsWith("{")) Nil else pairs(body)
+    (pairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
+      formBody).toMap
+  }
+
+  private def reqParam(p: Map[String, String], name: String): String =
+    p.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"missing required parameter: $name"))
+
+  /** Map the bad-config family onto the Prometheus error shape
+    * (`errorType: bad_data`, like the reference's handlers); anything
+    * else — timeouts included — keeps the engine's generic contract. */
+  private def promGuard(f: => (Int, String)): (Int, String) =
+    try f
+    catch {
+      case e: IllegalArgumentException =>
+        (400, PromApi.errorJson(msg(e)))
+      case e: graft.metrics.PromQl.PromQlParseException =>
+        (400, PromApi.errorJson(msg(e)))
+      case e: org.apache.spark.sql.AnalysisException =>
+        (400, PromApi.errorJson(msg(e)))
+      case e: java.time.format.DateTimeParseException =>
+        (400, PromApi.errorJson(msg(e)))
+    }
 
   def stop(): Unit = {
     http.stop(0)
@@ -310,12 +436,16 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
   }
 
   private def handle(ex: HttpExchange, allowGet: Boolean = false,
-      contentType: String = "application/json")(
+      contentType: String = "application/json",
+      exactPath: Boolean = true)(
       f: String => (Int, String)): Unit = {
     // com.sun.net.httpserver dispatches by LONGEST PATH PREFIX: without
     // an exact-path check, POST /queryXYZ or /query/extra would ride the
-    // /query handler instead of the documented 404
-    if (ex.getRequestURI.getPath != ex.getHttpContext.getPath) {
+    // /query handler instead of the documented 404. Path-parameter
+    // endpoints (/promql/label/<name>/values) opt out and validate the
+    // suffix themselves.
+    if (exactPath &&
+        ex.getRequestURI.getPath != ex.getHttpContext.getPath) {
       respond(ex, 404, """{"error":"unknown path"}""")
       return
     }

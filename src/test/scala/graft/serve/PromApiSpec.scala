@@ -1,0 +1,154 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.compile.Catalog
+
+/** Drives the Prometheus HTTP API v1 face ([[PromApi]]) over a real
+  * socket: query_range matrices, instant vectors, label listing, the
+  * bad_data error shape, and form-encoded POST — what a Grafana
+  * Prometheus datasource pointed at [[Server]] actually sends. */
+class PromApiSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val catalog =
+    Catalog.forDir(spark, "/root/testdata/sf0.001")
+  private lazy val server = {
+    val s = new Server(spark, catalog, port = 0)
+    s.start()
+    s
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private def get(pathAndQuery: String): (Int, String) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}$pathAndQuery"))
+      .GET().build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, UTF_8)
+
+  test("query_range returns a per-label matrix with step-aligned " +
+      "samples matching a direct PromQl.eval") {
+    val q = "sum by (ServiceName) (value)"
+    val (code, body) = get("/promql/query_range?query=" + enc(q) +
+      "&start=2024-01-01T00:00:00Z&end=2024-01-08T00:00:00Z&step=86400")
+    assert(code == 200, body)
+    assert(body.contains(""""status":"success""""), body.take(200))
+    assert(body.contains(""""resultType":"matrix""""), body.take(200))
+    assert(body.contains(""""ServiceName":"click""""), body.take(500))
+    // timestamps are step-aligned epoch seconds inside the window
+    val ts = """\[(\d+),""".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).toSeq
+    assert(ts.nonEmpty)
+    assert(ts.forall(t => t % 86400 == 0 &&
+      t >= 1704067200L && t <= 1704672000L), ts.take(5))
+    // one sample cross-checked against the engine's own eval
+    val direct = graft.metrics.PromQl
+      .eval(catalog("metrics").df, q, 86400)
+      .select(
+        org.apache.spark.sql.functions.unix_timestamp(
+          org.apache.spark.sql.functions.col("__time_bucket")),
+        org.apache.spark.sql.functions.col("ServiceName"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val firstSeries =
+      """\{"metric":\{"ServiceName":"(\w+)"\},"values":\[\[(\d+),"([-0-9.eE]+)"\]"""
+        .r.findFirstMatchIn(body).get
+    val served = firstSeries.group(3).toDouble
+    val expected = direct(
+      (firstSeries.group(2).toLong, firstSeries.group(1)))
+    assert(math.abs(served - expected) < 1e-9, s"$served vs $expected")
+  }
+
+  test("instant query answers a vector stamped at the requested time") {
+    val q = "sum by (ServiceName) (value)"
+    val (code, body) = get("/promql/query?query=" + enc(q) +
+      "&time=2024-01-02T00:00:00Z&step=86400")
+    assert(code == 200, body)
+    assert(body.contains(""""resultType":"vector""""), body.take(200))
+    // every sample is stamped at the REQUESTED time (1704153600)
+    val stamps = """"value":\[(\d+),""".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).toSeq
+    assert(stamps.nonEmpty && stamps.forall(_ == 1704153600L), stamps)
+  }
+
+  test("label values, __name__ mapping, label names, and the " +
+      "Prometheus bad_data error shape") {
+    val (c1, b1) = get("/promql/label/ServiceName/values")
+    assert(c1 == 200 && b1.contains("\"click\""), b1)
+    // values are lexically sorted like the reference's ORDER BY val
+    val vals = "\"([a-z]+)\"".r.findAllMatchIn(
+      b1.replaceAll("""^.*"data":\[""", "").stripSuffix("]}"))
+      .map(_.group(1)).toSeq
+    assert(vals == vals.sorted, vals)
+    val (c2, b2) = get("/promql/label/__name__/values")
+    assert(c2 == 200 && b2.contains("\"value\""), b2)
+    val (c3, b3) = get("/promql/labels")
+    assert(c3 == 200, b3)
+    assert(b3.contains("\"__name__\"") && b3.contains("\"ServiceName\"")
+      && b3.contains("\"user\"") && !b3.contains("MetricName"), b3)
+    // a match[] selector narrows the label set it reports
+    val (c4, b4) = get("/promql/label/ServiceName/values?match%5B%5D=" +
+      enc("""value{ServiceName="click"}"""))
+    assert(c4 == 200, b4)
+    assert(b4.contains("\"click\"") && !b4.contains("\"view\""), b4)
+    // errors carry the Prometheus error shape
+    val (e1, eb1) = get("/promql/label/not-a-label/values")
+    assert(e1 == 400 && eb1.contains(""""errorType":"bad_data""""), eb1)
+    val (e2, eb2) = get("/promql/query_range?start=2024-01-01T00:00:00Z" +
+      "&end=2024-01-02T00:00:00Z&step=60")
+    assert(e2 == 400 &&
+      eb2.contains("missing required parameter: query"), eb2)
+    val (e3, eb3) = get("/promql/query_range?query=" + enc("value{oops") +
+      "&start=0&end=1&step=60")
+    assert(e3 == 400 && eb3.contains(""""errorType":"bad_data""""), eb3)
+    // unknown subpaths under /promql/label 404
+    assert(get("/promql/label/ServiceName")._1 == 404)
+  }
+
+  test("form-encoded POST and unix-second timestamps parse like a " +
+      "Prometheus client sends them") {
+    val form = "query=" + enc("sum by (ServiceName) (value)") +
+      "&start=1704067200&end=1704672000&step=1d"
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/promql/query_range"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form, UTF_8))
+      .build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(res.statusCode() == 200, res.body())
+    assert(res.body().contains(""""resultType":"matrix""""),
+      res.body().take(200))
+  }
+
+  test("parseTime and parseStep accept the Prometheus param grammar") {
+    assert(PromApi.parseTime("1704067200", "t") ==
+      java.time.Instant.ofEpochSecond(1704067200L))
+    assert(PromApi.parseTime("1704067200.5", "t") ==
+      java.time.Instant.ofEpochMilli(1704067200500L))
+    assert(PromApi.parseTime("2024-01-01T00:00:00Z", "t") ==
+      java.time.Instant.ofEpochSecond(1704067200L))
+    intercept[IllegalArgumentException](PromApi.parseTime("nope", "t"))
+    assert(PromApi.parseStep("60") == 60L)
+    assert(PromApi.parseStep("30s") == 30L)
+    assert(PromApi.parseStep("5m") == 300L)
+    assert(PromApi.parseStep("2h") == 7200L)
+    assert(PromApi.parseStep("1d") == 86400L)
+    assert(PromApi.parseStep("500ms") == 1L) // clamps to the grain
+    intercept[IllegalArgumentException](PromApi.parseStep("abc"))
+  }
+}
