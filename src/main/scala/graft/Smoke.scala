@@ -111,6 +111,43 @@ object Smoke {
       val nRows = "\"n\":".r.findAllIn(resp).length
       println(s"[smoke] serve: http=$code rows=$nRows" +
         (if (code >= 300) s" body=${resp.take(200)}" else ""))
+
+      // the Prometheus face end-to-end (query_range + instant query +
+      // label values): a Grafana datasource's first three calls — and
+      // the class of bug a happy-path unit fixture can't see (round 8's
+      // boundary-starved instant bucket survived PromApiSpec's original
+      // alignment). Each must come back 200 AND non-empty.
+      def promGet(pathAndQuery: String): (Int, String) = {
+        val c = new java.net.URI(
+          s"http://127.0.0.1:${server.boundPort}$pathAndQuery").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = c.getResponseCode
+        val s = if (code >= 200 && code < 300) c.getInputStream
+          else c.getErrorStream
+        (code, new String(s.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val q = java.net.URLEncoder.encode(
+        "sum by (ServiceName) (value)",
+        java.nio.charset.StandardCharsets.UTF_8)
+      val (rc, rb) = promGet(s"/promql/query_range?query=$q" +
+        "&start=2024-01-01T00:00:00Z&end=2024-01-08T00:00:00Z&step=86400")
+      val rSamples = """\[\d+,"""".r.findAllIn(rb).length
+      println(s"[smoke] prom range: http=$rc samples=$rSamples" +
+        (if (rc >= 300 || rSamples == 0) s" body=${rb.take(200)}" else ""))
+      val (ic, ib) = promGet(s"/promql/query?query=$q" +
+        "&time=2024-01-02T00:00:00Z&step=86400")
+      val iSamples = """"value":\[""".r.findAllIn(ib).length
+      println(s"[smoke] prom instant: http=$ic vector=$iSamples" +
+        (if (ic >= 300 || iSamples == 0) s" body=${ib.take(200)}" else ""))
+      val (lc, lb) = promGet("/promql/label/ServiceName/values")
+      val lVals = """"[^"]+"""".r.findAllIn(
+        lb.replaceAll("""^.*"data":\[""", "")).length
+      println(s"[smoke] prom labels: http=$lc values=$lVals" +
+        (if (lc >= 300 || lVals == 0) s" body=${lb.take(200)}" else ""))
+      require(rc == 200 && rSamples > 0, "prom query_range empty")
+      require(ic == 200 && iSamples > 0, "prom instant query empty")
+      require(lc == 200 && lVals > 0, "prom label values empty")
     } finally server.stop()
     spark.stop()
   }

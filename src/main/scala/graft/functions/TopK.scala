@@ -57,6 +57,55 @@ final class TopK(n: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopK]]'s string-id sibling — same bounded 2n-entry buffer, same
+  * amortized trim schedule, for corpora whose row ids are strings
+  * (UUIDs, document keys). The tie-break compares ids the way Spark's
+  * struct sort compares StringType — byte-wise unsigned over the UTF-8
+  * encoding (`UTF8String.compareTo`) — NOT java.lang.String's UTF-16
+  * code-unit order, which ranks supplementary characters below BMP
+  * ones and would diverge from the sorted-slice shape this replaces
+  * on exotic ids. */
+final class TopKString(n: Int)
+    extends Aggregator[(Double, String), List[(Double, String)],
+      Seq[(Double, String)]] {
+  require(n > 0, "n must be positive")
+
+  private def cmp(a: (Double, String), b: (Double, String)): Int = {
+    // fold -0.0 onto +0.0 for the comparison like Spark's comparators;
+    // Double.compare is otherwise the same total order (NaN largest)
+    val sa = if (a._1 == 0.0) 0.0 else a._1
+    val sb = if (b._1 == 0.0) 0.0 else b._1
+    val c = java.lang.Double.compare(sa, sb)
+    if (c != 0) c
+    else java.util.Arrays.compareUnsigned(
+      a._2.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val ord: Ordering[(Double, String)] = cmp(_, _)
+
+  override def zero: List[(Double, String)] = Nil
+
+  override def reduce(buf: List[(Double, String)], in: (Double, String))
+      : List[(Double, String)] = {
+    val next = in :: buf
+    if (next.lengthCompare(2 * n) > 0) next.sorted(ord).take(n) else next
+  }
+
+  override def merge(a: List[(Double, String)], b: List[(Double, String)])
+      : List[(Double, String)] = {
+    val m = a ::: b
+    if (m.lengthCompare(n) > 0) m.sorted(ord).take(n) else m
+  }
+
+  override def finish(r: List[(Double, String)]): Seq[(Double, String)] =
+    r.sorted(ord).take(n)
+
+  override def bufferEncoder: Encoder[List[(Double, String)]] =
+    ExpressionEncoder[List[(Double, String)]]()
+  override def outputEncoder: Encoder[Seq[(Double, String)]] =
+    ExpressionEncoder[Seq[(Double, String)]]()
+}
+
 object TopK {
   /** `top_smallest(score, id)` → array<struct<_1: score, _2: id>>,
     * ascending (score, id), ≤ n entries. Both inputs must be non-null;
@@ -64,5 +113,11 @@ object TopK {
     * ids. */
   def topSmallest(score: Column, id: Column, n: Int): Column =
     udaf(new TopK(n), ExpressionEncoder[(Double, Long)]())
+      .apply(score, id)
+
+  /** [[topSmallest]] for string ids — ascending (score, UTF-8-binary
+    * id), ≤ n entries, bounded buffer. Both inputs must be non-null. */
+  def topSmallestString(score: Column, id: Column, n: Int): Column =
+    udaf(new TopKString(n), ExpressionEncoder[(Double, String)]())
       .apply(score, id)
 }

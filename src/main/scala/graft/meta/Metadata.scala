@@ -168,17 +168,24 @@ object Metadata {
     * timeSeriesTags table function behind metric label dropdowns). The
     * label universe is every string-typed physical column (the
     * well-known labels — MetricName, ServiceName, …) plus the entries
-    * of every string-keyed map column (Attributes); `selector` (a bare
-    * PromQL instant selector) narrows the row set first so values
-    * reflect the metric being autocompleted, and `onlyLabel` restricts
-    * the output to one label (the label-VALUES dropdown call). The scan
-    * is capped like every discovery path; values rank by frequency then
-    * lexically. Output: (label, values array), ordered by label. */
-  def timeSeriesTags(df: DataFrame, selector: Option[String] = None,
+    * of every string-keyed map column (Attributes); `selectors` (bare
+    * PromQL instant selectors) narrow the row set first so values
+    * reflect the metric being autocompleted — multiple selectors union
+    * their row sets, the Prometheus `match[]` repetition semantics (a
+    * row matching several selectors can count more than once toward
+    * frequency rank, which only matters past the value cap) — and
+    * `onlyLabel` restricts the output to one label (the label-VALUES
+    * dropdown call). The scan is capped like every discovery path;
+    * values rank by frequency then lexically. Output: (label, values
+    * array), ordered by label. */
+  def timeSeriesTags(df: DataFrame, selectors: Seq[String] = Nil,
       onlyLabel: Option[String] = None, maxValuesPerLabel: Int = 100,
       maxScanRows: Int = 3000000): DataFrame = {
-    val sel = selector.filter(_.nonEmpty)
-      .fold(df)(s => graft.metrics.PromQl.selectorFrame(df, s))
+    val sel = selectors.filter(_.nonEmpty) match {
+      case Nil => df
+      case ss => ss.map(s => graft.metrics.PromQl.selectorFrame(df, s))
+        .reduce(_.unionByName(_))
+    }
     val strCols = sel.schema.fields.collect {
       case StructField(n, StringType, _, _) => n
     }.toSeq

@@ -1,9 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
@@ -291,12 +290,24 @@ object Similarity {
         .select((keys :+ explode(col("__xs")).as("__x")): _*)
         .select((keys :+ col("__x._1").cast(scoreType).as(score)
           :+ col("__x._2").cast(idType).as("neighbor_id")): _*)
+    else if (idType == StringType)
+      // string ids (UUIDs, document keys) get the same bounded-heap
+      // state via TopKString, whose tie-break is Spark's UTF-8 binary
+      // string order — parity with the struct sort this replaces
+      d.groupBy(keys: _*)
+        .agg(graft.functions.TopK.topSmallestString(
+          col(score).cast("double"), col("neighbor_id"), n)
+          .as("__xs"))
+        .select((keys :+ explode(col("__xs")).as("__x")): _*)
+        .select((keys :+ col("__x._1").cast(scoreType).as(score)
+          :+ col("__x._2").as("neighbor_id")): _*)
     else
-      // non-integral ids (string/decimal corpora) can't ride TopK's
-      // (double, long) encoder — a long cast would null them and kill
-      // the query. The sorted-slice shape is type-agnostic with the
-      // same ordering; its buffer is partition-bounded, not k-bounded,
-      // which is the accepted cost of the generic path.
+      // remaining non-integral ids (decimal/binary corpora) can't ride
+      // either TopK encoder, and casting them to string would reorder
+      // tie-breaks (decimal 9 sorts after 10 lexically). The
+      // sorted-slice shape is type-agnostic with the same ordering; its
+      // buffer is partition-bounded, not k-bounded, which is the
+      // accepted cost of the exotic-id path.
       d.groupBy(keys: _*)
         .agg(slice(array_sort(collect_list(
           struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
@@ -309,8 +320,14 @@ object Similarity {
     * per-probe merge. See [[topSliceStage]]. */
   private def topShortlist(scored: DataFrame, score: String, n: Int)
       : DataFrame = {
+    // explicit non-null contract at the one funnel every ANN path rides:
+    // a null embedding slipping past the joins makes a null score (and
+    // the TopK encoders would throw a runtime encoder error on it) —
+    // a null-scored candidate is meaningless to rank, so drop it here
+    val nonNull = scored.filter(
+      col(score).isNotNull && col("neighbor_id").isNotNull)
     val partial = topSliceStage(
-      scored.withColumn("__pid", spark_partition_id()),
+      nonNull.withColumn("__pid", spark_partition_id()),
       Seq(col("probe_id"), col("__pid")), score, n)
     topSliceStage(partial, Seq(col("probe_id")), score, n)
   }
@@ -658,19 +675,25 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         hamming(col("ps"), col("cs")).as("hamming"))
     val shortlist = topShortlist(scored, "hamming", shortN)
-    // exact re-rank: vectors join the ids, not the scan
+    // exact re-rank: vectors join the ids, not the scan — and the rank
+    // is the one ranking idiom every ANN path shares ([[topByCosine]]:
+    // two-stage bounded shortlist, never a per-probe row_number window
+    // whose task would gather a probe's whole candidate set)
     val pv = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val wr = Window.partitionBy(col("probe_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    shortlist
+    val reranked = shortlist
       .join(broadcast(pv), "probe_id")
       .join(cv, "neighbor_id")
       .withColumn("cosine", cosine(col("pv"), col("cv")))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= k)
-      .select("probe_id", "neighbor_id", "cosine", "hamming")
+    // hamming re-attaches per id to the ≤ k final rows (one cheap
+    // signature scan) rather than riding through the rank — carrying a
+    // payload would force the generic unbounded shortlist path
+    topByCosine(reranked, k)
+      .join(broadcast(ps), "probe_id")
+      .join(cs, "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"),
+        hamming(col("ps"), col("cs")).as("hamming"))
   }
 }

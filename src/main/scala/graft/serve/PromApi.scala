@@ -28,8 +28,12 @@ import graft.metrics.PromQl
   *    semantics — [[PromQl]] compiles it as a cross-series gauge);
   *    write `sum by (lbl) (m)` / `max by (...)` to keep labels, which
   *    is what dashboards do anyway.
-  *  - instant /query evaluates the step-bucket containing `time`
-  *    (default step = Prometheus's 5m lookback window).
+  *  - instant /query evaluates the window [time − step, time] (default
+  *    step = Prometheus's 5m lookback window) and answers with the
+  *    newest bucket that has data — Prometheus's "newest sample ≤ t"
+  *    lookback, at bucket granularity. Evaluating only the bucket
+  *    *containing* `time` would starve a boundary-aligned `time` to
+  *    zero rows, because the scan is capped at `TimeUnix <= time`.
   */
 object PromApi {
 
@@ -48,27 +52,33 @@ object PromApi {
         bad(s"invalid $field timestamp: '$s'")
     }
 
-  /** Prometheus step/duration param: bare seconds or `<n><unit>` with
-    * unit ∈ ms/s/m/h/d/w/y. Sub-second steps clamp to 1 s (the
-    * engine's bucket grain). */
+  /** Prometheus step/duration param: bare seconds or a Prometheus
+    * duration — one or more `<n><unit>` groups with unit ∈
+    * ms/s/m/h/d/w/y, so compound spellings like `1h30m` or `1m30s`
+    * parse (the Prometheus duration grammar allows them). Sub-second
+    * totals clamp to 1 s (the engine's bucket grain). */
   def parseStep(s: String): Long = {
+    val t = s.trim
     val Dur = "([0-9]+)(ms|s|m|h|d|w|y)".r
-    val secs = s.trim match {
-      case Dur(n, u) =>
-        val mult = u match {
-          case "ms" => return math.max(1L, n.toLong / 1000)
-          case "s" => 1L
-          case "m" => 60L
-          case "h" => 3600L
-          case "d" => 86400L
-          case "w" => 604800L
-          case "y" => 31536000L
-        }
-        n.toLong * mult
-      case t if t.matches("[0-9]+(\\.[0-9]+)?") =>
+    val secs =
+      if (t.matches("(?:[0-9]+(?:ms|s|m|h|d|w|y))+")) {
+        val totalMs = Dur.findAllMatchIn(t).map { m =>
+          val unitMs = m.group(2) match {
+            case "ms" => 1L
+            case "s" => 1000L
+            case "m" => 60000L
+            case "h" => 3600000L
+            case "d" => 86400000L
+            case "w" => 604800000L
+            case "y" => 31536000000L
+          }
+          m.group(1).toLong * unitMs
+        }.sum
+        if (totalMs <= 0) bad(s"step must be positive: '$s'")
+        math.max(1L, totalMs / 1000)
+      } else if (t.matches("[0-9]+(\\.[0-9]+)?"))
         math.max(1L, t.toDouble.toLong)
-      case other => bad(s"invalid step: '$other'")
-    }
+      else bad(s"invalid step: '$t'")
     if (secs <= 0) bad(s"step must be positive: '$s'") else secs
   }
 
@@ -84,12 +94,18 @@ object PromApi {
     matrixJson(series, truncated, maxRows)
   }
 
-  /** GET/POST /promql/query → vector JSON: the step-bucket containing
-    * `time` (step defaults to the 5m lookback), one sample per series
-    * stamped at the requested time like Prometheus instant queries. */
+  /** GET/POST /promql/query → vector JSON: evaluates [time − step,
+    * time] (step defaults to the 5m lookback) and takes each series'
+    * newest bucket, one sample per series stamped at the requested
+    * time like Prometheus instant queries ("newest sample ≤ t"). The
+    * lookback keeps a boundary-aligned `time` from starving its own
+    * bucket — the scan cap `TimeUnix <= time` admits no rows from
+    * [time, time + step) — while `points.last` still prefers the
+    * newer bucket whenever a mid-bucket `time` has data after the
+    * boundary. */
   def instantQuery(df: DataFrame, query: String, time: Instant,
       step: Long = 300L, maxRows: Int): String = {
-    val sliced = rangeFrame(df, query, time, time, step)
+    val sliced = rangeFrame(df, query, time.minusSeconds(step), time, step)
     val (series, truncated) = collectSeries(sliced, maxRows)
     val items = series.map { case (labels, points) =>
       val (_, v) = points.last
@@ -173,9 +189,13 @@ object PromApi {
     }.mkString("{", ",", "}")
 
   /** Sample values are strings in the Prometheus wire shape; integers
-    * print without a decimal point the way Prometheus formats them. */
-  private def fmt(v: Double): String =
-    if (v.isNaN || v.isInfinite) v.toString
+    * print without a decimal point and infinities spell `+Inf`/`-Inf`
+    * the way Prometheus formats them (strict clients reject
+    * `Infinity`). */
+  private[serve] def fmt(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "+Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
     else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
 

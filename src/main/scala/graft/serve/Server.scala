@@ -138,6 +138,11 @@ private[serve] object LabelsReq {
 final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     maxRows: Int = 100000, threads: Int = 8,
     maxQuerySeconds: Int = 300) {
+  // mirror Sinks.csvString's guard: /query, /labels, and collectSeries
+  // fetch maxRows + 1, so a maximal maxRows would overflow to a
+  // negative limit and fail every query
+  require(maxRows >= 0 && maxRows < Int.MaxValue,
+    s"maxRows must be in [0, ${Int.MaxValue - 1}]: got $maxRows")
   require(threads >= 2,
     "threads must be >= 2: with one thread the single query permit and " +
       "the only pool thread coincide, so /health would queue behind a " +
@@ -273,7 +278,8 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
       handle(ex, allowGet = true) { body =>
         val req = LabelsReq.parse(ex, body)
         val df = graft.meta.Metadata.timeSeriesTags(
-          catalog(req.from).df, req.selector, req.label, req.maxValues)
+          catalog(req.from).df, req.selector.toSeq, req.label,
+          req.maxValues)
         // same driver-memory discipline as /query: an id-shaped
         // attribute key can mint one LABEL per row, so the label list
         // itself needs the cap + truncation signal
@@ -310,8 +316,8 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           val query = reqParam(p, "query")
           val start = PromApi.parseTime(reqParam(p, "start"), "start")
           val end = PromApi.parseTime(reqParam(p, "end"), "end")
-          val step = PromApi.parseStep(p.getOrElse("step", "60"))
-          val df = catalog(p.getOrElse("from", "metrics")).df
+          val step = PromApi.parseStep(pOne(p, "step").getOrElse("60"))
+          val df = catalog(pOne(p, "from").getOrElse("metrics")).df
           (200, withTimeout(
             PromApi.queryRange(df, query, start, end, step, maxRows)))
         }
@@ -321,15 +327,24 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         promGuard {
           val p = promParams(ex, body)
           val query = reqParam(p, "query")
-          val time = p.get("time")
+          val time = pOne(p, "time")
             .map(PromApi.parseTime(_, "time"))
             .getOrElse(java.time.Instant.now())
-          val step = p.get("step").map(PromApi.parseStep)
+          val step = pOne(p, "step").map(PromApi.parseStep)
             .getOrElse(300L)
-          val df = catalog(p.getOrElse("from", "metrics")).df
+          val df = catalog(pOne(p, "from").getOrElse("metrics")).df
           (200, withTimeout(PromApi.instantQuery(df, query, time, step,
             maxRows)))
         }
+      })
+    // GET/POST /promql/query_exemplars — a deliberate empty-answer
+    // stub: the engine stores no exemplars, and the reference's
+    // ClickHouse-backed branch answers the same `{"status":"success",
+    // "data":[]}` (prometheus.ts:692-694,709-710) so an
+    // exemplars-enabled Grafana datasource doesn't 404
+    http.createContext("/promql/query_exemplars", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { _ =>
+        (200, """{"status":"success","data":[]}""")
       })
     // GET /promql/label/<name>/values — the label-values dropdown the
     // reference serves through ClickHouse timeSeriesTags
@@ -350,10 +365,10 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
               throw new IllegalArgumentException("Invalid label name")
             val name = if (name0 == "__name__") "MetricName" else name0
             val p = promParams(ex, body)
-            val df = catalog(p.getOrElse("from", "metrics")).df
+            val df = catalog(pOne(p, "from").getOrElse("metrics")).df
             val vals = withTimeout {
               graft.meta.Metadata.timeSeriesTags(df,
-                selector = p.get("match[]"), onlyLabel = Some(name),
+                selectors = pAll(p, "match[]"), onlyLabel = Some(name),
                 maxValuesPerLabel = 1000)
                 .collect().flatMap(_.getSeq[String](1)).sorted
             }
@@ -368,10 +383,10 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
       handle(ex, allowGet = true) { body =>
         promGuard {
           val p = promParams(ex, body)
-          val df = catalog(p.getOrElse("from", "metrics")).df
+          val df = catalog(pOne(p, "from").getOrElse("metrics")).df
           val names = withTimeout {
             graft.meta.Metadata.timeSeriesTags(df,
-              selector = p.get("match[]"), maxValuesPerLabel = 1)
+              selectors = pAll(p, "match[]"), maxValuesPerLabel = 1)
               .select("label").collect().map(_.getString(0))
               .filterNot(_ == "MetricName").sorted
           }
@@ -383,10 +398,13 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
   }
 
   /** Prometheus param extraction: the query string and a form-encoded
-    * POST body merge (body wins) — Prometheus clients send both shapes
-    * (the reference's getParams does the same merge). */
+    * POST body merge, kept as ORDERED pairs — repeatable params like
+    * `match[]` (allowed by /api/v1/labels and label-values) must not
+    * collapse to the last occurrence. Single-value reads take the last
+    * occurrence so the body wins over the query string, the merge the
+    * reference's getParams does. */
   private def promParams(ex: HttpExchange, body: String)
-      : Map[String, String] = {
+      : Seq[(String, String)] = {
     def pairs(raw: String): Seq[(String, String)] =
       raw.split("&").toSeq.filter(_.nonEmpty).flatMap { kv =>
         kv.split("=", 2) match {
@@ -400,12 +418,24 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     // only be a JSON body (which these endpoints don't take as params)
     val formBody =
       if (body.trim.startsWith("{")) Nil else pairs(body)
-    (pairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++
-      formBody).toMap
+    pairs(Option(ex.getRequestURI.getRawQuery).getOrElse("")) ++ formBody
   }
 
-  private def reqParam(p: Map[String, String], name: String): String =
-    p.getOrElse(name,
+  /** Last occurrence wins — body params are appended after the query
+    * string, so this preserves the "body wins" merge. */
+  private def pOne(p: Seq[(String, String)], name: String)
+      : Option[String] =
+    p.foldLeft(Option.empty[String]) {
+      case (acc, (k, v)) => if (k == name) Some(v) else acc
+    }
+
+  /** Every occurrence, in request order — the repeatable-param read
+    * (`match[]`). */
+  private def pAll(p: Seq[(String, String)], name: String): Seq[String] =
+    p.collect { case (k, v) if k == name => v }
+
+  private def reqParam(p: Seq[(String, String)], name: String): String =
+    pOne(p, name).getOrElse(
       throw new IllegalArgumentException(
         s"missing required parameter: $name"))
 

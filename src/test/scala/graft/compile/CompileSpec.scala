@@ -267,7 +267,7 @@ class MetadataSpec extends SparkSpec {
     // a selector narrows the row set before discovery — the reference's
     // timeSeriesTags(selector) autocomplete call
     val sel = graft.meta.Metadata.timeSeriesTags(df,
-      selector = Some("""reqs{ServiceName="api"}"""))
+      selectors = Seq("""reqs{ServiceName="api"}"""))
       .as[(String, Seq[String])].collect().toMap
     assert(sel("ServiceName") == Seq("api"))
     assert(sel("region") == Seq("eu"))
@@ -275,7 +275,7 @@ class MetadataSpec extends SparkSpec {
     // matcher on an ATTRIBUTES label resolves through the map like the
     // PromQL path does
     val m = graft.meta.Metadata.timeSeriesTags(df,
-      selector = Some("""reqs{region=~"eu|us"}"""))
+      selectors = Seq("""reqs{region=~"eu|us"}"""))
       .as[(String, Seq[String])].collect().toMap
     assert(m("region") == Seq("eu", "us"))
     // onlyLabel = the label-values dropdown; maxValues caps

@@ -174,8 +174,9 @@ class SimilaritySpec extends SparkSpec {
     assert(recallMp >= 0.8, s"multiprobe recall $recallMp unexpectedly low")
   }
 
-  test("string ids ride the generic shortlist path: knnBrute results " +
-      "match the numeric-id run 1:1") {
+  test("string ids ride the bounded TopKString shortlist path: knnBrute " +
+      "results match the numeric-id run 1:1 and the plan carries no " +
+      "collect_list") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val probes = e.filter(col("vec_id") < 3)
@@ -185,17 +186,45 @@ class SimilaritySpec extends SparkSpec {
         col("neighbor_id").cast("string"))
       .as[(String, String)].collect().toSet
     // same corpus with string ids (zero-padded so string order == the
-    // numeric tie-break order) must produce the same pairs — the
-    // non-integral id type takes the sorted-slice fallback instead of
-    // nulling through TopK's long cast
+    // numeric tie-break order) must produce the same pairs — a string
+    // id type takes the bounded-heap TopKString aggregate (UTF-8
+    // binary tie-break), never nulling through TopK's long cast
     val pad = format_string("%05d", col("vec_id"))
     val es = e.withColumn("vec_id", pad)
     val ps = probes.withColumn("vec_id", pad)
-    val stringy = Similarity.knnBrute(ps, es, "vec_id", "embedding", 5)
+    val stringyDf = Similarity.knnBrute(ps, es, "vec_id", "embedding", 5)
+    // the k-bounded path, not the partition-sized sorted-slice buffer:
+    // the plan must rank through the Aggregator, with no collect_list
+    val plan = stringyDf.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), plan.take(2000))
+    assert(plan.contains("TopKString") || plan.contains("topkstring"),
+      plan.take(2000))
+    val stringy = stringyDf
       .select(col("probe_id").cast("int").cast("string"),
         col("neighbor_id").cast("int").cast("string"))
       .as[(String, String)].collect().toSet
     assert(stringy == numeric)
+    // UNPADDED string ids exercise the UTF-8 tie-break ordering ("10" <
+    // "2"): parity against the type-agnostic sorted-slice shape is the
+    // contract, pinned by comparing to a struct-sort oracle over the
+    // same scored pairs
+    val esu = e.withColumn("vec_id", col("vec_id").cast("string"))
+    val psu = probes.withColumn("vec_id", col("vec_id").cast("string"))
+    val unpadded = Similarity.knnBrute(psu, esu, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id")
+      .as[(String, String)].collect().toSet
+    val oracle = Similarity.knnBrute(probes, e, "vec_id", "embedding",
+        e.count().toInt) // full ranking, then re-rank by string order
+      .withColumn("probe_id", col("probe_id").cast("string"))
+      .withColumn("neighbor_id", col("neighbor_id").cast("string"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id")
+          .orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "neighbor_id")
+      .as[(String, String)].collect().toSet
+    assert(unpadded == oracle)
   }
 
   test("knnIvf: exhaustive nprobe equals brute; partial nprobe recalls") {

@@ -73,8 +73,13 @@ class PromApiSpec extends SparkSpec
     assert(math.abs(served - expected) < 1e-9, s"$served vs $expected")
   }
 
-  test("instant query answers a vector stamped at the requested time") {
+  test("instant query answers a vector stamped at the requested time — " +
+      "including a boundary-aligned time, which must look BACK one " +
+      "step, not starve its own bucket") {
     val q = "sum by (ServiceName) (value)"
+    // boundary-aligned: 1704153600 % 86400 == 0, so the bucket
+    // containing `time` has no scannable rows (TimeUnix <= time) —
+    // the lookback window [time-step, time] must still answer
     val (code, body) = get("/promql/query?query=" + enc(q) +
       "&time=2024-01-02T00:00:00Z&step=86400")
     assert(code == 200, body)
@@ -83,6 +88,36 @@ class PromApiSpec extends SparkSpec
     val stamps = """"value":\[(\d+),""".r.findAllMatchIn(body)
       .map(_.group(1).toLong).toSeq
     assert(stamps.nonEmpty && stamps.forall(_ == 1704153600L), stamps)
+  }
+
+  test("instant query at a mid-bucket time prefers the newer " +
+      "(partial) bucket when it has data") {
+    val q = "sum by (ServiceName) (value)"
+    val (code, body) = get("/promql/query?query=" + enc(q) +
+      "&time=2024-01-02T12:00:00Z&step=86400")
+    assert(code == 200, body)
+    val stamps = """"value":\[(\d+),""".r.findAllMatchIn(body)
+      .map(_.group(1).toLong).toSeq
+    assert(stamps.nonEmpty && stamps.forall(_ == 1704196800L), stamps)
+    // cross-check one series against a direct eval of the same window:
+    // newest bucket ≤ time for that series
+    val served =
+      """\{"metric":\{"ServiceName":"(\w+)"\},"value":\[\d+,"([-0-9.eE]+)"\]"""
+        .r.findFirstMatchIn(body).get
+    val t = java.time.Instant.parse("2024-01-02T12:00:00Z")
+    val direct = graft.metrics.PromQl
+      .eval(catalog("metrics").df.filter(
+        org.apache.spark.sql.functions.col("TimeUnix") <=
+          org.apache.spark.sql.functions.lit(
+            java.sql.Timestamp.from(t))), q, 86400)
+      .filter(org.apache.spark.sql.functions.col("ServiceName") ===
+        served.group(1))
+      .orderBy(org.apache.spark.sql.functions.desc("__time_bucket"))
+      .select("value").collect()
+    assert(direct.nonEmpty)
+    assert(math.abs(served.group(2).toDouble -
+      direct.head.getDouble(0)) < 1e-9,
+      s"${served.group(2)} vs ${direct.head.getDouble(0)}")
   }
 
   test("label values, __name__ mapping, label names, and the " +
@@ -149,6 +184,56 @@ class PromApiSpec extends SparkSpec
     assert(PromApi.parseStep("2h") == 7200L)
     assert(PromApi.parseStep("1d") == 86400L)
     assert(PromApi.parseStep("500ms") == 1L) // clamps to the grain
+    // compound Prometheus durations (valid per the duration grammar)
+    assert(PromApi.parseStep("1h30m") == 5400L)
+    assert(PromApi.parseStep("1m30s") == 90L)
+    assert(PromApi.parseStep("1d12h") == 129600L)
     intercept[IllegalArgumentException](PromApi.parseStep("abc"))
+    intercept[IllegalArgumentException](PromApi.parseStep("0s"))
+    intercept[IllegalArgumentException](PromApi.parseStep("1h30"))
+  }
+
+  test("fmt spells samples the Prometheus wire way: bare integers, " +
+      "+Inf/-Inf (not Infinity), NaN") {
+    assert(PromApi.fmt(3.0) == "3")
+    assert(PromApi.fmt(3.5) == "3.5")
+    assert(PromApi.fmt(Double.PositiveInfinity) == "+Inf")
+    assert(PromApi.fmt(Double.NegativeInfinity) == "-Inf")
+    assert(PromApi.fmt(Double.NaN) == "NaN")
+    assert(PromApi.fmt(-0.0) == "0")
+  }
+
+  test("repeated match[] selectors union their row sets instead of " +
+      "last-one-wins") {
+    val m1 = enc("""value{ServiceName="click"}""")
+    val m2 = enc("""value{ServiceName="view"}""")
+    // one selector: only its service
+    val (c1, b1) =
+      get(s"/promql/label/ServiceName/values?match%5B%5D=$m1")
+    assert(c1 == 200 && b1.contains("\"click\"") &&
+      !b1.contains("\"view\""), b1)
+    // two selectors: the union — the Prometheus match[] semantics
+    val (c2, b2) = get(
+      s"/promql/label/ServiceName/values?match%5B%5D=$m1&match%5B%5D=$m2")
+    assert(c2 == 200 && b2.contains("\"click\"") &&
+      b2.contains("\"view\""), b2)
+  }
+
+  test("query_exemplars answers the reference's empty-success stub on " +
+      "GET and POST") {
+    val (c1, b1) = get("/promql/query_exemplars?query=" + enc("value"))
+    assert(c1 == 200 && b1 == """{"status":"success","data":[]}""", b1)
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/promql/query_exemplars"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        "query=value&start=0&end=1", UTF_8))
+      .build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(res.statusCode() == 200 &&
+      res.body() == """{"status":"success","data":[]}""", res.body())
+    // exact-path discipline holds for the stub too
+    assert(get("/promql/query_exemplars/extra")._1 == 404)
   }
 }
