@@ -1238,7 +1238,59 @@ object AnalysisQueries {
       |FROM events WHERE event_type = 'click' GROUP BY 2, 3
       |ORDER BY rule, bucket, grp""".stripMargin
 
+  /** Seasonal-profile anomaly detection: hourly event counts per type
+    * z-scored against the (type, hour-of-day) profile over the
+    * gap-filled spine. Counts are exact integers and the moments are
+    * explicit (n, Σx, Σx²) expressions, so every mean/z is replayed
+    * bit-identically by the oracle. */
+  def q123_seasonal(spark: SparkSession, dir: String): DataFrame = {
+    val events = Queries.cat(spark, dir)("events").df
+    graft.analysis.Seasonal.hourOfDayAnomalies(
+      events, "ts", Seq("event_type"))
+      .withColumn("mean", round(col("mean"), 6))
+      .withColumn("z", round(col("z"), 6))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q123_sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM c),
+      |sp AS (SELECT unnest(generate_series(lo, hi,
+      |         CAST(3600 AS BIGINT))) AS bucket FROM b),
+      |k AS (SELECT DISTINCT event_type FROM events),
+      |dense AS (
+      |  SELECT k.event_type, sp.bucket, COALESCE(c.cnt, 0) AS cnt,
+      |    CAST(floor((sp.bucket % 86400) / 3600) AS INT) AS hod
+      |  FROM k CROSS JOIN sp
+      |  LEFT JOIN c ON c.event_type = k.event_type
+      |            AND c.bucket = sp.bucket),
+      |pr AS (
+      |  SELECT event_type, hod, count(*) AS n, sum(cnt) AS s,
+      |    sum(cnt*cnt) AS ss
+      |  FROM dense GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d.event_type, d.bucket, d.hod, d.cnt,
+      |    CAST(s AS DOUBLE)/n AS mean,
+      |    CASE WHEN n > 1 AND
+      |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+      |        /(n-1) > 0
+      |    THEN (CAST(d.cnt AS DOUBLE) - CAST(s AS DOUBLE)/n)
+      |      / sqrt((CAST(ss AS DOUBLE)
+      |              - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)/(n-1))
+      |    END AS z
+      |  FROM dense d JOIN pr
+      |    ON pr.event_type = d.event_type AND pr.hod = d.hod)
+      |SELECT event_type, bucket, hod, cnt, round(mean, 6) AS mean,
+      |  round(z, 6) AS z,
+      |  CASE WHEN z IS NOT NULL THEN abs(z) >= 3.0 END AS anomaly
+      |FROM j ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_seasonal" -> (q123_seasonal _),
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
@@ -1268,6 +1320,7 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> (q35_ratio_per_group _))
 
   val oracles: Map[String, String] = Map(
+    "q123_seasonal" -> q123_sql,
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,

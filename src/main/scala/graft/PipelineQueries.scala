@@ -1450,6 +1450,160 @@ object PipelineQueries {
       |FROM r JOIN ham ON ham.pid = r.pid AND ham.nid = r.nid
       |WHERE r.rk <= 5 ORDER BY probe_id, neighbor_id""".stripMargin
 
+  // ------------------------------------------- round 9: new operators
+
+  /** Hard-negative mining: for probes vec_id < 10, the 5 most-similar
+    * corpus vectors with a DIFFERENT label — exact brute scoring, the
+    * q25 shape plus the cross-label predicate (hardNegativesIvf's
+    * recall is measured in SimilaritySpec). */
+  def q120_hard_negatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+      "vec_id", "embedding", "label", k = 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q120_sql: String =
+    """WITH p AS (SELECT vec_id AS pid, embedding AS pv, label AS pl
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding AS cv, label AS nl
+      |      FROM embeddings),
+      |s AS (
+      |  SELECT pid, nid, pl, nl,
+      |    list_sum(list_transform(generate_series(1,64),
+      |      i -> CAST(pv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(pv[i] AS DOUBLE)*CAST(pv[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1,64),
+      |         i -> CAST(cv[i] AS DOUBLE)*CAST(cv[i] AS DOUBLE)))))
+      |    AS cos
+      |  FROM p, c WHERE pid != nid AND pl != nl),
+      |r AS (SELECT pid, nid, pl, nl, cos,
+      |        row_number() OVER (PARTITION BY pid
+      |                           ORDER BY cos DESC, nid) AS rk
+      |      FROM s)
+      |SELECT pid AS probe_id, nid AS neighbor_id, pl AS probe_label,
+      |  nl AS neighbor_label, round(cos,6) AS cosine
+      |FROM r WHERE rk <= 5 ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Containment near-dup over a corpus with planted HALF-TRUNCATED
+    * copies of doc_id < 25 (first ⌈len/2⌉ words, re-keyed +200000): a
+    * prefix's distinct shingles are a subset of its original's, so the
+    * (orig, trunc) pair scores containment exactly 1.0 while its
+    * Jaccard is only ~0.5 — the asymmetric-duplication case this
+    * measure exists for, and a threshold of 0.9 that no natural pair
+    * reaches. */
+  def q121_containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val words = split(col("text"), " ")
+    val half = greatest(ceil(size(words) / 2.0), lit(1)).cast("int")
+    val trunc = d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      array_join(slice(words, lit(1), half), " ").as("text"))
+    Dedup.containmentPairs(d.unionByName(trunc), "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .withColumn("containment_ab", round(col("containment_ab"), 6))
+      .withColumn("containment_ba", round(col("containment_ba"), 6))
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q121_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      CAST(greatest(ceil(len(string_split(text, ' ')) / 2.0), 1)
+      |        AS INT)), ' ') AS text
+      |  FROM documents WHERE doc_id < 25),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM corpus)),
+      |g AS (SELECT doc_id, unnest(s) AS gh FROM sh),
+      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        count(*) AS inter
+      |      FROM g a JOIN g b
+      |        ON a.gh = b.gh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |z AS (SELECT doc_id, len(s) AS sz FROM sh)
+      |SELECT id_a, id_b, inter, za.sz AS sz_a, zb.sz AS sz_b,
+      |  round(CAST(inter AS DOUBLE)/za.sz, 6) AS containment_ab,
+      |  round(CAST(inter AS DOUBLE)/zb.sz, 6) AS containment_ba,
+      |  round(greatest(CAST(inter AS DOUBLE)/za.sz,
+      |                 CAST(inter AS DOUBLE)/zb.sz), 6) AS containment
+      |FROM i JOIN z za ON za.doc_id = id_a
+      |       JOIN z zb ON zb.doc_id = id_b
+      |WHERE greatest(CAST(inter AS DOUBLE)/za.sz,
+      |               CAST(inter AS DOUBLE)/zb.sz) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Greedy k-center (k = 8) over the embeddings corpus: the oracle
+    * replays Gonzalez's greedy argmax round by round in a recursive
+    * CTE — every selection and covering radius must agree, so the
+    * incremental min-distance maintenance, the distributed top-1, and
+    * the (dist DESC, id) tie-break are all gated. */
+  def q122_kcenter(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenter(embs(spark, dir), "vec_id", "embedding", k = 8)
+      .withColumn("radius", round(col("radius"), 6))
+      .orderBy("sel_rank")
+
+  val q122_sql: String =
+    """WITH RECURSIVE
+      |v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+      |d AS (
+      |  SELECT a.id AS x, b.id AS c,
+      |    1.0 - (
+      |      list_sum(list_transform(generate_series(1,64),
+      |        i -> CAST(a.e[i] AS DOUBLE)*CAST(b.e[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(generate_series(1,64),
+      |           i -> CAST(a.e[i] AS DOUBLE)*CAST(a.e[i] AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(generate_series(1,64),
+      |           i -> CAST(b.e[i] AS DOUBLE)*CAST(b.e[i] AS DOUBLE))))))
+      |    AS dist
+      |  FROM v a, v b),
+      |sel(r, ids, rad) AS (
+      |  SELECT 1, [(SELECT min(id) FROM v)], CAST(NULL AS DOUBLE)
+      |  UNION ALL
+      |  SELECT r + 1,
+      |    list_append(ids, (
+      |      SELECT x FROM (
+      |        SELECT d.x AS x, min(d.dist) AS md FROM d
+      |        WHERE list_contains(s.ids, d.c)
+      |          AND NOT list_contains(s.ids, d.x)
+      |        GROUP BY d.x) ORDER BY md DESC, x LIMIT 1)),
+      |    (SELECT md FROM (
+      |        SELECT d.x AS x, min(d.dist) AS md FROM d
+      |        WHERE list_contains(s.ids, d.c)
+      |          AND NOT list_contains(s.ids, d.x)
+      |        GROUP BY d.x) ORDER BY md DESC, x LIMIT 1)
+      |  FROM sel s WHERE r < 8)
+      |SELECT r AS sel_rank, ids[r] AS center_id, round(rad, 6) AS radius
+      |FROM sel ORDER BY sel_rank""".stripMargin
+
+  /** Domain balancing: at most 15 docs per source, by (n_chars DESC,
+    * doc_id) — the bounded-heap TopK aggregation vs the oracle's
+    * per-domain row_number. */
+  def q124_domain_cap(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(docs(spark, dir), "source", "n_chars",
+      "doc_id", cap = 15)
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source", "doc_id")
+
+  val q124_sql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars FROM r WHERE rk <= 15
+      |ORDER BY source, doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1490,7 +1644,11 @@ object PipelineQueries {
     "q99_bm25" -> (q99_bm25 _),
     "q79_curate" -> (q79_curate _),
     "q109_classifier" -> (q109_classifier _),
-    "q116_ann_binary" -> (q116_ann_binary _))
+    "q116_ann_binary" -> (q116_ann_binary _),
+    "q120_hard_negatives" -> (q120_hard_negatives _),
+    "q121_containment" -> (q121_containment _),
+    "q122_kcenter" -> (q122_kcenter _),
+    "q124_domain_cap" -> (q124_domain_cap _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1531,5 +1689,9 @@ object PipelineQueries {
     "q99_bm25" -> q99_sql,
     "q79_curate" -> q79_sql,
     "q109_classifier" -> q109_sql,
-    "q116_ann_binary" -> q116_sql)
+    "q116_ann_binary" -> q116_sql,
+    "q120_hard_negatives" -> q120_sql,
+    "q121_containment" -> q121_sql,
+    "q122_kcenter" -> q122_sql,
+    "q124_domain_cap" -> q124_sql)
 }

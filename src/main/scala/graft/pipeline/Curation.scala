@@ -392,4 +392,44 @@ object Curation {
       .mode("overwrite")
       .parquet(outDir)
   }
+
+  /** Domain balancing: keep at most `cap` rows per domain, by
+    * (priority DESC, id ASC) — the "no single domain dominates the
+    * mixture" curation rule (the C4/RefinedWeb per-host cap, and the
+    * deterministic sibling of [[temperatureMixFractions]]: where
+    * temperature mixing keeps a random fraction, the cap keeps the
+    * BEST `cap` under an explicit priority such as a quality score).
+    *
+    * Scale shape: one hash aggregation keyed on the domain whose
+    * per-group state is the bounded [[graft.functions.TopK]] heap
+    * (≤ 2·cap (priority, id) pairs, map-side combined) — never a
+    * per-domain `row_number` window, which would gather a hot
+    * domain's full row set into one task. Domains are FEW and HOT by
+    * nature (a web corpus has ~10⁶ hosts but the top host holds
+    * ~10⁻² of all docs), exactly the skew the bounded heap absorbs.
+    * The kept (id, priority) pairs then semi-join back to the corpus
+    * to re-attach full rows — ids-only through the shuffle, text
+    * never moves.
+    *
+    * Ties on priority break ascending id (deterministic across
+    * engines and partitionings); ids must be integral (the TopK
+    * encoder contract). Priority must be non-null and finite; |p| <
+    * 2^53 keeps the double negation exact. */
+  def domainCap(df: DataFrame, domainCol: String, priorityCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    // priority DESC == negated-priority ASC, which is TopK's order;
+    // ties fall through to ascending id inside the heap comparator
+    val kept = df
+      .select(col(domainCol), col(priorityCol), col(idCol))
+      .groupBy(col(domainCol))
+      .agg(graft.functions.TopK.topSmallest(
+        lit(0.0) - col(priorityCol).cast("double"),
+        col(idCol).cast("long"), cap).as("__xs"))
+      .select(col(domainCol), explode(col("__xs")).as("__x"))
+      .select(col(domainCol), col("__x._2").as("__keep_id"))
+    df.join(
+      kept.select(col("__keep_id")),
+      col(idCol).cast("long") === col("__keep_id"), "left_semi")
+  }
 }

@@ -819,4 +819,79 @@ object Dedup {
       })
       .toDF(idCol, "text_clean", "n_spans", "removed_tokens", "kept_tokens")
   }
+
+  /** Asymmetric n-gram CONTAINMENT near-dup: pairs whose one-sided
+    * shingle containment C(A,B) = |S_A ∩ S_B| / |S_A| (either
+    * direction) reaches `threshold`. Jaccard ([[minhashLsh]], q23/q24)
+    * misses the subset-duplication case this exists for — a document
+    * embedded whole inside a longer one scores J ≈ |small|/|big|
+    * (arbitrarily low) but containment 1.0 (Broder'97's two resemblance
+    * measures; containment is the one that catches quote-expansion and
+    * page-within-crawl dups).
+    *
+    * Scale shape: a distributed inverted-index self-join — (gram-hash,
+    * id) postings, pairs meet per shared gram and reduce to exact
+    * intersection counts (one hash shuffle on the gram hash, one on the
+    * id pair; text never moves — the [[duplicateSpans]] discipline).
+    * All-pairs work is Σ_g df(g)², so a stop-gram posting list of
+    * length d contributes d² pairs: `maxDf` audits the longest posting
+    * list FIRST (aggregation-only job over the postings) and fails
+    * loudly above the bound rather than silently running a quadratic
+    * join (the SemDeDup `maxCellRows` contract). Raising the bound is
+    * an explicit caller decision; dropping high-df grams would change
+    * the measure, so it is not done silently.
+    *
+    * Containment is exact over 64-bit gram hashes (collisions ~n²/2⁶⁴,
+    * the [[ngramJaccardProbe]] disclaimer). Output: id_a < id_b,
+    * `inter`, sizes, both directed containments, `containment` =
+    * max of the two; ids restored to their original type. */
+  def containmentPairs(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    val (corpusL, idMap) = longIds(corpus, idCol)
+    // persisted compact projection (id + gram hashes — text stays out):
+    // the audit job, both posting sides, and the size frame all read it
+    // (the simhashPairs / minhashLsh cache pattern)
+    val sh = shingleMinhash(corpusL, idCol, textCol, n, k = 1)
+      .select(col("id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sh.select(col("id"), explode(col("sh")).as("gh"))
+    val topDf = postings.groupBy("gh").count()
+      .agg(max("count").as("m")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    if (topDf > maxDf) {
+      sh.unpersist()
+      throw new IllegalArgumentException(
+        s"containmentPairs: hottest gram appears in $topDf docs > " +
+          s"maxDf = $maxDf — the inverted-index self-join would " +
+          s"produce ~df² pairs for it; raise maxDf explicitly if " +
+          "that cost is intended")
+    }
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val a = postings.select(col("id").as("id_a"), col("gh"))
+    val b = postings.select(col("id").as("id_b"), col("gh"))
+    val inter = a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("containment_ab",
+        col("inter").cast("double") / col("sz_a"))
+      .withColumn("containment_ba",
+        col("inter").cast("double") / col("sz_b"))
+      .withColumn("containment",
+        greatest(col("containment_ab"), col("containment_ba")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "containment_ab", "containment_ba", "containment")
+    restoreIds(restoreIds(scored, idMap, Seq("id_a")),
+      idMap, Seq("id_b"))
+  }
 }

@@ -101,11 +101,25 @@ object Similarity {
     * exactly. */
   def knnIvf(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4)
-      : DataFrame = {
+      : DataFrame =
+    topByCosine(ivfScored(probes, corpus, idCol, vecCol,
+      labelCol = None, nlist, nprobe), k)
+
+  /** The IVF candidate-generation + scoring stage shared by [[knnIvf]]
+    * and [[hardNegativesIvf]]: centroid training, cell assignment, the
+    * probe→cell join, and the cosine score. With `labelCol` set, each
+    * side carries its label and only cross-label pairs survive — the
+    * hard-negative predicate applied BEFORE the shortlist, so the k
+    * slots are never wasted on same-label neighbors. */
+  private def ivfScored(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: Option[String],
+      nlist: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val c0 = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    val c0 = corpus.select(
+      Seq(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")) ++
+        labelCol.map(l => col(l).as("__nl")): _*)
     // Train centroids with spherical k-means on a bounded stable-hash
     // sample (32·nlist vectors — KBs-MBs on the driver, the same way
     // production IVF indexes train on a sample rather than the corpus).
@@ -125,20 +139,26 @@ object Similarity {
         array_max(col("__sims"))) - 1).cast("int"))
       .drop("__sims")
     // probe side: top-nprobe cells by centroid similarity, exploded
-    val probed = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).cast("array<double>").as("pv"))
+    val probed = probes.select(
+      Seq(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv")) ++
+        labelCol.map(l => col(l).as("__pl")): _*)
       .repartition(shuffleN)
       .withColumn("__ranked", slice(reverse(array_sort(
         transform(cellSims(col("pv")),
           (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
       .withColumn("cell",
         explode(transform(col("__ranked"), x => x.getField("i"))))
-      .select(col("probe_id"), col("pv"), col("cell"))
+      .select(Seq(col("probe_id"), col("pv"), col("cell")) ++
+        labelCol.map(_ => col("__pl")): _*)
     // no dedup needed: a corpus row lives in exactly one cell
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("pv"), col("cv")))
-    topByCosine(scored, k)
+    val filtered = labelCol match {
+      case Some(_) => scored.filter(col("__pl") =!= col("__nl"))
+      case None => scored
+    }
+    filtered.withColumn("cosine", cosine(col("pv"), col("cv")))
   }
 
   /** Driver-side spherical k-means over a bounded sample: assign by
@@ -695,5 +715,147 @@ object Similarity {
       .join(cs, "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"), col("cosine"),
         hamming(col("ps"), col("cs")).as("hamming"))
+  }
+
+  // -------------------------------------------------- hard negatives
+
+  /** Hard-negative mining for contrastive training: per probe, the k
+    * most-similar corpus rows whose LABEL differs — the near-boundary
+    * examples a bi-encoder learns most from (dense-retrieval training
+    * mines negatives from the top of an ANN ranking; random negatives
+    * are too easy, same-label top hits are false negatives, so the
+    * label filter runs BEFORE the shortlist, never consuming the k
+    * slots on them). Exact brute-force scoring — [[knnBrute]]'s
+    * broadcast-probe scan plus the cross-label predicate — reduced
+    * through the same bounded two-stage shortlist; [[hardNegativesIvf]]
+    * is the cell-pruned shape for corpus-scale probe sets.
+    *
+    * Output: probe_id, neighbor_id, probe_label, neighbor_label,
+    * cosine. Labels re-attach by id AFTER the bounded rank (≤ k rows
+    * per probe), so the shortlist state stays (score, id) pairs. */
+  def hardNegatives(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int)
+      : DataFrame = {
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"),
+      col(labelCol).as("__pl"))
+      .withColumn("pn", norm(col("pv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      col(labelCol).as("__nl"))
+      .withColumn("cn", norm(col("cv")))
+      .repartition(shuffleN)
+    val scored = broadcast(p)
+      .join(c, col("probe_id") =!= col("neighbor_id") &&
+        col("__pl") =!= col("__nl"))
+      .withColumn("cosine",
+        when(col("pn") * col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))))
+    attachLabels(topByCosine(scored, k), probes, corpus, idCol, labelCol)
+  }
+
+  /** [[hardNegatives]] through the IVF index: probes scan only their
+    * `nprobe` nearest cells (candidates shrink n → ~n·nprobe/nlist),
+    * cross-label filtering happens on the cell-join output, and the
+    * rank rides the same bounded shortlist. `nprobe == nlist` scans
+    * every cell and equals [[hardNegatives]] exactly (the knnIvf ≡
+    * knnBrute argument); smaller nprobe trades recall for scan cost,
+    * measured in SimilaritySpec. */
+  def hardNegativesIvf(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    attachLabels(
+      topByCosine(ivfScored(probes, corpus, idCol, vecCol,
+        Some(labelCol), nlist, nprobe), k),
+      probes, corpus, idCol, labelCol)
+
+  private def attachLabels(ranked: DataFrame, probes: DataFrame,
+      corpus: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val pl = probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("probe_label"))
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    ranked
+      .join(broadcast(pl), "probe_id")
+      .join(nl, "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        col("probe_label"), col("neighbor_label"), col("cosine"))
+  }
+
+  // ------------------------------------------------ k-center coreset
+
+  /** Greedy k-center coreset selection (Gonzalez '85, the classic
+    * 2-approximation): pick the min-id row as the seed, then k−1 times
+    * pick the row FARTHEST (cosine distance, ties → smallest id) from
+    * everything selected so far — the maximally-diverse subset, the
+    * inverse of dedup's "drop what's close": facility-location-style
+    * data selection keeps one exemplar per region of embedding space
+    * and the greedy radius r_k certifies coverage (every corpus row is
+    * within r_k of a kept center; OPT ≥ r_k/2).
+    *
+    * Plan shape at 100 TB: k passes, each O(n) — the per-row min
+    * distance to the selected set is maintained INCREMENTALLY (one new
+    * `least(mind, dist(v, newest))` per round, never re-scanning the
+    * k selected), the round's winner is a distributed top-1
+    * (`orderBy(...).limit(1)` = TakeOrdered — per-partition max then a
+    * driver merge of #partitions candidates, no global sort), and each
+    * round's (id, v, mind) frame persists while the previous round's
+    * cache releases, so total distance work is O(n·k), not O(n·k²).
+    * Selected centers live on the driver (k vectors — KBs), exactly
+    * like the IVF centroid table.
+    *
+    * Contract: ids long-castable and unique; vectors non-null with
+    * nonzero norm (a zero vector's cosine is pinned 0 ⇒ distance 1 —
+    * [[cosine]]'s guard — but NaN components would poison the argmax).
+    * Output: `sel_rank` (1-based selection order), the id, and
+    * `radius` — the winner's distance to the prior selected set (the
+    * covering radius sequence r_2 ≥ r_3 ≥ …; null for the seed). */
+  def kCenter(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxK: Int = 1024): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1, "k must be positive")
+    require(k <= maxK,
+      s"kCenter runs k driver-coordinated rounds; got k = $k > " +
+        s"maxK = $maxK — raise maxK explicitly if intended")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def distTo(vec: Array[Double]): Column =
+      lit(1.0) - cosine(col("v"), array(vec.map(lit): _*))
+    val seed = base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v")).collect()
+    require(seed.nonEmpty, "empty corpus")
+    val seedId = seed.head.getLong(0)
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, seedId, Option.empty[Double]))
+    var cur = base
+      .withColumn("mind", distTo(seed.head.getSeq[Double](1).toArray))
+      .persist(lvl)
+    var selected = Set(seedId)
+    try {
+      var r = 2
+      while (r <= k) {
+        val win = cur.filter(!col("id").isInCollection(selected))
+          .orderBy(desc("mind"), col("id")).limit(1)
+          .select(col("id"), col("mind"), col("v")).collect()
+        if (win.isEmpty) { r = k + 1 } // fewer distinct rows than k
+        else {
+          val w = win.head
+          picks += ((r.toLong, w.getLong(0), Some(w.getDouble(1))))
+          selected += w.getLong(0)
+          val next = cur.withColumn("mind",
+            least(col("mind"), distTo(w.getSeq[Double](2).toArray)))
+            .persist(lvl)
+          next.count() // materialize before dropping the parent cache
+          cur.unpersist(blocking = false)
+          cur = next
+          r += 1
+        }
+      }
+    } finally cur.unpersist(blocking = false)
+    picks.toSeq.toDF("sel_rank", "id", "radius")
+      .select(col("sel_rank"), col("id").as("center_id"), col("radius"))
   }
 }

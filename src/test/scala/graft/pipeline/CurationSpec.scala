@@ -237,4 +237,30 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(u - md.toDouble / 4294967296.0) < 1e-12)
     assert(u >= 0.0 && u < 1.0)
   }
+
+  test("domainCap keeps the top-cap rows per domain by (priority DESC, " +
+      "id ASC), invariant to partitioning") {
+    val df = Seq(
+      // domain a: 4 rows, priorities 9,7,7,3 — cap 2 keeps 9 and the
+      // SMALLER-id 7 (tie-break)
+      (1L, "a", 7L), (2L, "a", 9L), (3L, "a", 7L), (4L, "a", 3L),
+      // domain b: under the cap, all kept
+      (5L, "b", 1L),
+      // domain c: exactly at the cap
+      (6L, "c", 5L), (7L, "c", 4L))
+      .toDF("id", "dom", "pri")
+    val kept = Curation.domainCap(df, "dom", "pri", "id", cap = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 1L, 5L, 6L, 7L))
+    // full rows survive (semi-join keeps the input schema)
+    assert(Curation.domainCap(df, "dom", "pri", "id", 2).columns.toSeq ==
+      Seq("id", "dom", "pri"))
+    val repartitioned = Curation
+      .domainCap(df.repartition(5), "dom", "pri", "id", 2)
+      .select("id").as[Long].collect().toSet
+    assert(repartitioned == kept)
+    intercept[IllegalArgumentException] {
+      Curation.domainCap(df, "dom", "pri", "id", 0)
+    }
+  }
 }

@@ -86,6 +86,47 @@ class DedupSpec extends SparkSpec {
       planes = 0, exactMaxRows = 8L)
     assert(ok.count() >= 0L)
   }
+
+  test("containmentPairs: a doc embedded whole in a longer one scores " +
+      "containment 1.0 where Jaccard stays low") {
+    // doc 2 = doc 1's text plus unrelated tail: every 3-gram of doc 1
+    // appears in doc 2 → C(1→2) = 1.0; Jaccard = |S1|/|S2| ≈ 0.5
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu"),
+      (3L, "completely unrelated words about query engines and files"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // directed: the small doc is contained in the big one, not vice versa
+    assert(r.getAs[Double]("containment_ab") == 1.0) // inter/|S_1|
+    assert(r.getAs[Double]("containment_ba") < 0.5)
+    // the same pair's Jaccard is below the containment threshold — the
+    // case this measure exists for
+    val jac = r.getAs[Long]("inter").toDouble /
+      (r.getAs[Int]("sz_a") + r.getAs[Int]("sz_b") -
+        r.getAs[Long]("inter"))
+    assert(jac < 0.9)
+  }
+
+  test("containmentPairs maxDf guard is loud; raising it re-enables") {
+    // 'x y z' appears in all 4 docs → df = 4 > maxDf = 3
+    val df = (1L to 4L).map(i => (i, s"x y z tail$i words here"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.99, maxDf = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxDf"))
+    val ok = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.99, maxDf = 10L)
+    assert(ok.count() == 0L) // shared prefix alone is below threshold
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
@@ -409,6 +450,123 @@ class SimilaritySpec extends SparkSpec {
         threshold = 0.9, nlist = 8))
     assert(cleaned.count() == e.count())
     assert(cleaned.filter(col("vec_id") >= 100000).count() == 0)
+  }
+
+  test("hardNegatives: every neighbor has a different label and equals " +
+      "a brute ranking restricted to cross-label pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegatives(probes, e, "vec_id",
+      "embedding", "label", k = 3)
+    val rows = got.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r =>
+      r.getAs[Int]("probe_label") != r.getAs[Int]("neighbor_label")))
+    // oracle: full brute ranking, labels joined on, same-label dropped,
+    // re-ranked per probe
+    val full = Similarity.knnBrute(probes, e, "vec_id", "embedding",
+        e.count().toInt)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(e.select(col("vec_id").as("probe_id"),
+        col("label").as("pl")), "probe_id")
+      .filter(col("pl") =!= col("nl"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id")
+          .orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.select("probe_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet == full)
+  }
+
+  test("hardNegativesIvf: exhaustive nprobe equals the brute mining; " +
+      "partial nprobe keeps substantial recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 5)
+    val brute = Similarity.hardNegatives(probes, e, "vec_id",
+      "embedding", "label", k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val exhaustive = Similarity.hardNegativesIvf(probes, e, "vec_id",
+      "embedding", "label", k = 3, nlist = 8, nprobe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    assert(exhaustive == brute)
+    val partial = Similarity.hardNegativesIvf(probes, e, "vec_id",
+      "embedding", "label", k = 3, nlist = 8, nprobe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = brute.intersect(partial).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("kCenter: greedy sequence matches a sequential reference and is " +
+      "invariant to partitioning") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.kCenter(e, "vec_id", "embedding", k = 6)
+      .orderBy("sel_rank")
+      .select("sel_rank", "center_id", "radius")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // sequential driver-side reference over the same vectors
+    val vecs = e.select(col("vec_id"),
+      col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      1.0 - (if (den == 0) 0.0 else d / den)
+    }
+    var sel = Vector(vecs.head._1)
+    val mind = scala.collection.mutable.Map(
+      vecs.map { case (id, v) => id -> dist(v, vecs.head._2) }: _*)
+    var expect = Vector[(Long, Long, Option[Double])]((1L, vecs.head._1,
+      None))
+    for (r <- 2 to 6) {
+      val cand = vecs.filterNot(p => sel.contains(p._1))
+      val win = cand.maxBy { case (id, _) => (mind(id), -id.toDouble) }
+      // maxBy keeps the FIRST max; ids ascend, so ties pick min id
+      expect :+= ((r.toLong, win._1, Some(mind(win._1))))
+      sel :+= win._1
+      vecs.foreach { case (id, v) =>
+        mind(id) = math.min(mind(id), dist(v, win._2)) }
+    }
+    assert(got.map(t => (t._1, t._2)) == expect.map(t => (t._1, t._2)))
+    got.zip(expect).foreach { case (g, x) =>
+      assert(g._3.isDefined == x._3.isDefined)
+      g._3.foreach(gr => assert(math.abs(gr - x._3.get) < 1e-12))
+    }
+    // covering radius is non-increasing
+    val radii = got.flatMap(_._3)
+    assert(radii == radii.sorted.reverse)
+    // partitioning-invariant (the distributed top-1 merge is exact)
+    val repartitioned = Similarity.kCenter(e.repartition(7), "vec_id",
+      "embedding", k = 6).orderBy("sel_rank")
+      .select("sel_rank", "center_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(repartitioned == got.map(t => (t._1, t._2)))
+  }
+
+  test("kCenter stops early when k exceeds distinct rows and validates k") {
+    val tiny = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenter(tiny, "vec_id", "embedding", k = 5)
+    assert(got.count() == 2)
+    intercept[IllegalArgumentException] {
+      Similarity.kCenter(tiny, "vec_id", "embedding", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kCenter(tiny, "vec_id", "embedding", k = 2000)
+    }
   }
 }
 
