@@ -1264,7 +1264,8 @@ object AnalysisQueries {
       |k AS (SELECT DISTINCT event_type FROM events),
       |dense AS (
       |  SELECT k.event_type, sp.bucket, COALESCE(c.cnt, 0) AS cnt,
-      |    CAST(floor((sp.bucket % 86400) / 3600) AS INT) AS hod
+      |    CAST(floor((((sp.bucket % 86400) + 86400) % 86400) / 3600)
+      |      AS INT) AS hod
       |  FROM k CROSS JOIN sp
       |  LEFT JOIN c ON c.event_type = k.event_type
       |            AND c.bucket = sp.bucket),

@@ -44,22 +44,27 @@ object Seasonal {
   /** Per-(keys, bucket) event counts z-scored against the
     * (keys, hour-of-day) seasonal profile.
     *
-    * Output: keys…, `bucket` (epoch seconds), `hod` (0–23, UTC),
-    * `cnt`, `mean`, `z` (null when the cell has < 2 observations or
-    * zero variance), `anomaly` (|z| ≥ `zThreshold`, null when z is).
+    * Output: keys…, `bucket` (epoch seconds), `hod` (0–23, UTC — the
+    * clock hour of the bucket START), `cnt`, `mean`, `z` (null when
+    * the cell has < 2 observations or zero variance), `anomaly`
+    * (|z| ≥ `zThreshold`, null when z is).
     *
-    * @param stepSeconds bucket width; must divide 86400 so every
-    *        bucket maps to one season cell (a 7200-s bucket spanning
-    *        two clock hours has no single hour-of-day).
+    * @param stepSeconds bucket width; must divide 86400 (stable
+    *        day-position → season-cell map) and additionally either
+    *        divide 3600 (sub-hour buckets lie inside one clock hour)
+    *        or be a multiple of it (hour-aligned buckets start on a
+    *        clock hour) — a 5400-s bucket would straddle clock hours
+    *        and make `hod` a lie.
     */
   def hourOfDayAnomalies(df: DataFrame, tsCol: String,
       keyCols: Seq[String], stepSeconds: Long = 3600L,
       zThreshold: Double = 3.0): DataFrame = {
     require(keyCols.nonEmpty, "need at least one group key")
-    require(stepSeconds > 0 && 86400L % stepSeconds == 0,
-      s"stepSeconds must divide 86400 (got $stepSeconds) so each " +
-        "bucket lies inside one hour-of-day cell")
-    val spark = df.sparkSession
+    require(stepSeconds > 0 && 86400L % stepSeconds == 0 &&
+      (3600L % stepSeconds == 0 || stepSeconds % 3600L == 0),
+      s"stepSeconds (got $stepSeconds) must divide 86400 and either " +
+        "divide 3600 or be a multiple of it, so each bucket maps to " +
+        "one hour-of-day cell")
     val keys = keyCols.map(col)
 
     // one pass over the data: (keys, bucket) counts
@@ -74,12 +79,16 @@ object Seasonal {
     val bounds = counts.agg(min("bucket").as("lo"), max("bucket").as("hi"))
     val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
       lit(stepSeconds))).as("bucket"))
-    val keySet = df.select(keys: _*).distinct()
+    // key set derived from the aggregate-sized counts frame, NOT the
+    // raw data — the first aggregate stays the only raw-data pass
+    val keySet = counts.select(keys: _*).distinct()
     val dense = keySet.crossJoin(spine)
       .join(counts, keyCols :+ "bucket", "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      // pmod, not %: a pre-1970 bucket's signed remainder would label
+      // the same clock hour -1 instead of 23
       .withColumn("hod",
-        floor((col("bucket") % 86400L) / 3600L).cast("int"))
+        floor(pmod(col("bucket"), lit(86400L)) / 3600L).cast("int"))
 
     // seasonal moments per (keys, hour-of-day) — exact integer sums
     val prof = dense.groupBy(keys :+ col("hod"): _*)

@@ -426,10 +426,14 @@ object Curation {
       .agg(graft.functions.TopK.topSmallest(
         lit(0.0) - col(priorityCol).cast("double"),
         col(idCol).cast("long"), cap).as("__xs"))
-      .select(col(domainCol), explode(col("__xs")).as("__x"))
-      .select(col(domainCol), col("__x._2").as("__keep_id"))
-    df.join(
-      kept.select(col("__keep_id")),
-      col(idCol).cast("long") === col("__keep_id"), "left_semi")
+      .select(col(domainCol).as("__keep_dom"),
+        explode(col("__xs")).as("__x"))
+      .select(col("__keep_dom"), col("__x._2").as("__keep_id"))
+    // semi-join on (domain, id), not id alone: ids only need to be
+    // unique WITHIN a domain — a per-domain sequence id reused across
+    // domains must not resurrect rows another domain's ranking rejected
+    df.join(kept,
+      col(domainCol) === col("__keep_dom") &&
+        col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
 }

@@ -48,23 +48,40 @@ object Similarity {
     * corpus, rank per probe. Exact; the baseline the ANN path is measured
     * against. */
   def knnBrute(probes: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int): DataFrame =
+    topByCosine(bruteScored(probes, corpus, idCol, vecCol,
+      labelCol = None), k)
+
+  /** The brute-force scoring stage shared by [[knnBrute]] and
+    * [[hardNegatives]] (the [[ivfScored]] twin): norms precomputed per
+    * row behind a repartition barrier — the pair scan then costs one
+    * dot product, and the (often single-split) parquet input is spread
+    * across cores. With `labelCol` set, only cross-label pairs survive
+    * the broadcast join. */
+  private def bruteScored(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: Option[String])
+      : DataFrame = {
     val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    // norms precomputed per row behind a repartition barrier: the pair scan
-    // then costs one dot product, and the (often single-split) parquet input
-    // is spread across cores
-    val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).cast("array<double>").as("pv"))
+    val p = probes.select(
+      Seq(col(idCol).as("probe_id"),
+        col(vecCol).cast("array<double>").as("pv")) ++
+        labelCol.map(l => col(l).as("__pl")): _*)
       .withColumn("pn", norm(col("pv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    val c = corpus.select(
+      Seq(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")) ++
+        labelCol.map(l => col(l).as("__nl")): _*)
       .withColumn("cn", norm(col("cv")))
       .repartition(shuffleN)
-    val scored = broadcast(p).join(c, col("probe_id") =!= col("neighbor_id"))
+    val cond = labelCol match {
+      case Some(_) => col("probe_id") =!= col("neighbor_id") &&
+        col("__pl") =!= col("__nl")
+      case None => col("probe_id") =!= col("neighbor_id")
+    }
+    broadcast(p).join(c, cond)
       .withColumn("cosine",
         when(col("pn") * col("cn") === 0, lit(0.0))
           .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))))
-    topByCosine(scored, k)
   }
 
   /** Exact per-probe top-k by descending cosine (ties → ascending
@@ -735,25 +752,11 @@ object Similarity {
     * per probe), so the shortlist state stays (score, id) pairs. */
   def hardNegatives(probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int)
-      : DataFrame = {
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).cast("array<double>").as("pv"),
-      col(labelCol).as("__pl"))
-      .withColumn("pn", norm(col("pv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"),
-      col(labelCol).as("__nl"))
-      .withColumn("cn", norm(col("cv")))
-      .repartition(shuffleN)
-    val scored = broadcast(p)
-      .join(c, col("probe_id") =!= col("neighbor_id") &&
-        col("__pl") =!= col("__nl"))
-      .withColumn("cosine",
-        when(col("pn") * col("cn") === 0, lit(0.0))
-          .otherwise(dot(col("pv"), col("cv")) / (col("pn") * col("cn"))))
-    attachLabels(topByCosine(scored, k), probes, corpus, idCol, labelCol)
-  }
+      : DataFrame =
+    attachLabels(
+      topByCosine(bruteScored(probes, corpus, idCol, vecCol,
+        Some(labelCol)), k),
+      probes, corpus, idCol, labelCol)
 
   /** [[hardNegatives]] through the IVF index: probes scan only their
     * `nprobe` nearest cells (candidates shrink n → ~n·nprobe/nlist),
@@ -819,20 +822,33 @@ object Similarity {
     require(k <= maxK,
       s"kCenter runs k driver-coordinated rounds; got k = $k > " +
         s"maxK = $maxK — raise maxK explicitly if intended")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     def distTo(vec: Array[Double]): Column =
       lit(1.0) - cosine(col("v"), array(vec.map(lit): _*))
+    // eager checkpoint per round (the connectedComponents discipline):
+    // materializes AND cuts logical lineage — a persist chain would
+    // nest one withColumn layer per round and pay O(r) re-analysis on
+    // every round-r action (O(k²) driver time toward maxK). Reliable
+    // checkpoints when a checkpoint dir is configured (survive
+    // executor loss on a preemptible cluster), executor-local
+    // otherwise.
+    val sc = spark.sparkContext
+    def snap(d: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    def snapRdd(d: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      d.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val seed = base.orderBy(col("id")).limit(1)
       .select(col("id"), col("v")).collect()
     require(seed.nonEmpty, "empty corpus")
     val seedId = seed.head.getLong(0)
     val picks = scala.collection.mutable.ArrayBuffer(
       (1L, seedId, Option.empty[Double]))
-    var cur = base
-      .withColumn("mind", distTo(seed.head.getSeq[Double](1).toArray))
-      .persist(lvl)
+    var cur = snap(base
+      .withColumn("mind", distTo(seed.head.getSeq[Double](1).toArray)))
     var selected = Set(seedId)
     try {
       var r = 2
@@ -845,16 +861,16 @@ object Similarity {
           val w = win.head
           picks += ((r.toLong, w.getLong(0), Some(w.getDouble(1))))
           selected += w.getLong(0)
-          val next = cur.withColumn("mind",
-            least(col("mind"), distTo(w.getSeq[Double](2).toArray)))
-            .persist(lvl)
-          next.count() // materialize before dropping the parent cache
-          cur.unpersist(blocking = false)
+          val next = snap(cur.withColumn("mind",
+            least(col("mind"), distTo(w.getSeq[Double](2).toArray))))
+          // release the previous round's snapshot explicitly — `next`
+          // was its last reader
+          snapRdd(cur).foreach(_.unpersist(blocking = false))
           cur = next
           r += 1
         }
       }
-    } finally cur.unpersist(blocking = false)
+    } finally snapRdd(cur).foreach(_.unpersist(blocking = false))
     picks.toSeq.toDF("sel_rank", "id", "radius")
       .select(col("sel_rank"), col("id").as("center_id"), col("radius"))
   }

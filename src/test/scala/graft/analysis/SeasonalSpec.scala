@@ -84,7 +84,17 @@ class SeasonalSpec extends SparkSpec {
         stepSeconds = 7000L) // does not divide 86400
     }
     intercept[IllegalArgumentException] {
+      // divides 86400 but straddles clock hours (1.5 h buckets)
+      Seasonal.hourOfDayAnomalies(df, "ts", Seq("kind"),
+        stepSeconds = 5400L)
+    }
+    intercept[IllegalArgumentException] {
       Seasonal.hourOfDayAnomalies(df, "ts", Seq.empty)
     }
+    // pre-1970 buckets keep hod in [0, 23] (pmod, not signed %)
+    val old = ev((-1800L, "x"), (0L, "x"))
+    val hods = Seasonal.hourOfDayAnomalies(old, "ts", Seq("kind"))
+      .select("hod").as[Int].collect().toSet
+    assert(hods == Set(23, 0))
   }
 }

@@ -262,5 +262,16 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.domainCap(df, "dom", "pri", "id", 0)
     }
+    // ids reused ACROSS domains must not leak keeps between them: id 1
+    // wins in domain a but loses in domain b — the (domain, id)
+    // semi-join may not resurrect b's rejected row
+    val reused = Seq(
+      (1L, "a", 9L), (2L, "a", 1L),
+      (1L, "b", 1L), (3L, "b", 9L), (4L, "b", 8L))
+      .toDF("id", "dom", "pri")
+    val keptPairs = Curation.domainCap(reused, "dom", "pri", "id", 2)
+      .select("dom", "id").as[(String, Long)].collect().toSet
+    assert(keptPairs ==
+      Set(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)))
   }
 }
