@@ -145,9 +145,16 @@ object Smoke {
         lb.replaceAll("""^.*"data":\[""", "")).length
       println(s"[smoke] prom labels: http=$lc values=$lVals" +
         (if (lc >= 300 || lVals == 0) s" body=${lb.take(200)}" else ""))
+      val (sc2, sb) = promGet("/promql/series?match%5B%5D=" +
+        java.net.URLEncoder.encode("""value{ServiceName="click"}""",
+          java.nio.charset.StandardCharsets.UTF_8))
+      val sSets = """\{"__name__"""".r.findAllIn(sb).length
+      println(s"[smoke] prom series: http=$sc2 sets=$sSets" +
+        (if (sc2 >= 300 || sSets == 0) s" body=${sb.take(200)}" else ""))
       require(rc == 200 && rSamples > 0, "prom query_range empty")
       require(ic == 200 && iSamples > 0, "prom instant query empty")
       require(lc == 200 && lVals > 0, "prom label values empty")
+      require(sc2 == 200 && sSets > 0, "prom series empty")
     } finally server.stop()
     spark.stop()
   }

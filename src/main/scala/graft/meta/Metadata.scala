@@ -245,6 +245,59 @@ object Metadata {
       .orderBy("label")
   }
 
+  /** Distinct label sets of the rows one or more PromQL selectors
+    * match — the Prometheus `/api/v1/series` answer shape (the
+    * reference proxies that endpoint at prometheus.ts; here it reads
+    * the engine's own metrics frame). Label surface = every string
+    * column plus every map<string,_> entry, the [[timeSeriesTags]]
+    * discovery surface; null values drop from the set rather than
+    * emitting a null label.
+    *
+    * One capped scan → one distinct. A MapType column can't be grouped,
+    * so each row's label set canonicalizes to a label-sorted
+    * `array<struct<label,value>>` (groupable, orderable) — the output
+    * is one `labels` array column per distinct series, ordered, for
+    * the caller to render. Multiple selectors union (Prometheus
+    * match[] semantics); an optional [from, to] bound on `timeCol`
+    * narrows the scan first. */
+  def seriesSets(df: DataFrame, selectors: Seq[String],
+      from: Option[java.sql.Timestamp] = None,
+      to: Option[java.sql.Timestamp] = None,
+      timeCol: String = "TimeUnix",
+      maxScanRows: Int = 3000000): DataFrame = {
+    val sels = selectors.filter(_.nonEmpty)
+    require(sels.nonEmpty, "at least one non-empty selector is required")
+    val sel = sels.map(s => graft.metrics.PromQl.selectorFrame(df, s))
+      .reduce(_.unionByName(_))
+    val timed = (from.map(f => col(timeCol) >= lit(f)) ++
+      to.map(t => col(timeCol) <= lit(t)))
+      .foldLeft(sel)(_.filter(_))
+    val strCols = timed.schema.fields.collect {
+      case StructField(n, StringType, _, _) => n
+    }.toSeq
+    val mapCols = timed.schema.fields.collect {
+      case StructField(n, MapType(StringType, _, _), _, _) => n
+    }.toSeq
+    require(strCols.nonEmpty || mapCols.nonEmpty,
+      "no string or map columns to build label sets from")
+    val empty = array().cast("array<struct<label:string,value:string>>")
+    val strPairs = strCols.map(c =>
+      when(col(c).isNotNull,
+        array(struct(lit(c).as("label"), col(c).as("value"))))
+        .otherwise(empty))
+    val mapPairs = mapCols.map(c => coalesce(
+      filter(
+        transform(map_entries(col(c)), e =>
+          struct(e.getField("key").as("label"),
+            e.getField("value").cast("string").as("value"))),
+        p => p.getField("value").isNotNull),
+      empty))
+    cappedScan(timed, (strCols ++ mapCols).map(col), maxScanRows)
+      .select(sort_array(concat(strPairs ++ mapPairs: _*)).as("labels"))
+      .distinct()
+      .orderBy("labels")
+  }
+
   /** Numeric distribution of an expression: count/min/max/avg + quantile
     * ladder (reference getValuesDistribution :1995). */
   def valuesDistribution(df: DataFrame, expression: String): DataFrame = {

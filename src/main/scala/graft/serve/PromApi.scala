@@ -188,6 +188,27 @@ object PromApi {
       s"${QueryJsonOut.quote(k)}:${QueryJsonOut.quote(v)}"
     }.mkString("{", ",", "}")
 
+  /** `/promql/series` body: `data` is a bare array of label-set
+    * objects (no resultType wrapper — the Prometheus /api/v1/series
+    * shape), `__name__` leading each set. Truncation surfaces as a
+    * `warnings` entry like the query endpoints. */
+  def seriesJson(sets: Seq[Seq[(String, String)]], truncated: Boolean,
+      maxSeries: Int): String = {
+    val items = sets.map { labels =>
+      val renamed = labels.map {
+        case ("MetricName", v) => ("__name__", v)
+        case kv => kv
+      }
+      val (name, rest) = renamed.partition(_._1 == "__name__")
+      labelsJson(name ++ rest.sortBy(_._1))
+    }
+    val warn = if (truncated)
+      s""","warnings":[${QueryJsonOut.quote(
+        s"result truncated at $maxSeries series")}]"""
+    else ""
+    s"""{"status":"success","data":[${items.mkString(",")}]$warn}"""
+  }
+
   /** Sample values are strings in the Prometheus wire shape; integers
     * print without a decimal point and infinities spell `+Inf`/`-Inf`
     * the way Prometheus formats them (strict clients reject

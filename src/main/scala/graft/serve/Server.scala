@@ -377,6 +377,35 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           }
         }
       })
+    // GET/POST /promql/series — distinct label sets for one or more
+    // match[] selectors in an optional [start, end] window (the
+    // Prometheus /api/v1/series shape; data is a bare array of label
+    // objects). match[] is REQUIRED like upstream; __name__ maps from
+    // MetricName and leads each set.
+    http.createContext("/promql/series", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        promGuard {
+          val p = promParams(ex, body)
+          val matches = pAll(p, "match[]")
+          if (matches.forall(_.isEmpty))
+            throw new IllegalArgumentException(
+              "no match[] parameter provided")
+          val from = pOne(p, "start").map(s =>
+            java.sql.Timestamp.from(PromApi.parseTime(s, "start")))
+          val until = pOne(p, "end").map(s =>
+            java.sql.Timestamp.from(PromApi.parseTime(s, "end")))
+          val df = catalog(pOne(p, "from").getOrElse("metrics")).df
+          val rows = withTimeout {
+            graft.meta.Metadata.seriesSets(df, matches, from, until)
+              .limit(maxRows + 1).collect()
+          }
+          val truncated = rows.length > maxRows
+          val sets = rows.take(maxRows).toSeq.map(r =>
+            r.getSeq[org.apache.spark.sql.Row](0)
+              .map(p => (p.getString(0), p.getString(1))).toSeq)
+          (200, PromApi.seriesJson(sets, truncated, maxRows))
+        }
+      })
     // GET /promql/labels — label NAMES (the Prometheus /api/v1/labels
     // shape); __name__ leads like a native Prometheus answer
     http.createContext("/promql/labels", (ex: HttpExchange) =>

@@ -236,4 +236,49 @@ class PromApiSpec extends SparkSpec
     // exact-path discipline holds for the stub too
     assert(get("/promql/query_exemplars/extra")._1 == 404)
   }
+
+  test("series returns distinct label sets for match[] selectors: " +
+      "__name__ leads, selectors union, match[] is required, and the " +
+      "time window narrows the answer") {
+    val m1 = enc("""value{ServiceName="click"}""")
+    val m2 = enc("""value{ServiceName="view"}""")
+    // one selector: only click series, __name__ mapped from MetricName
+    val (c1, b1) = get(s"/promql/series?match%5B%5D=$m1")
+    assert(c1 == 200, b1)
+    assert(b1.contains(""""__name__":"value""""), b1.take(300))
+    assert(b1.contains(""""ServiceName":"click""""), b1.take(300))
+    assert(!b1.contains(""""ServiceName":"view""""), b1.take(300))
+    assert(!b1.contains("MetricName"), b1.take(300))
+    // __name__ is the FIRST key of each set
+    assert("""\{"__name__":""".r.findAllIn(b1).nonEmpty, b1.take(300))
+    // two selectors union
+    val (c2, b2) = get(
+      s"/promql/series?match%5B%5D=$m1&match%5B%5D=$m2")
+    assert(c2 == 200 && b2.contains(""""ServiceName":"click"""") &&
+      b2.contains(""""ServiceName":"view""""), b2.take(500))
+    // a label set is one distinct combination: the same (name, service,
+    // user) never repeats
+    val sets = """\{[^}]*\}""".r.findAllIn(
+      b2.stripPrefix("""{"status":"success","data":[""")).toSeq
+    assert(sets == sets.distinct, sets.take(5))
+    // missing match[] is a Prometheus bad_data 400
+    val (c3, b3) = get("/promql/series")
+    assert(c3 == 400 && b3.contains("bad_data") &&
+      b3.contains("match[]"), b3)
+    // an empty time window excludes everything
+    val (c4, b4) = get(s"/promql/series?match%5B%5D=$m1" +
+      "&start=2030-01-01T00:00:00Z&end=2030-01-02T00:00:00Z")
+    assert(c4 == 200 && b4 == """{"status":"success","data":[]}""", b4)
+    // POST form-encoded works like GET
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/promql/series"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"match%5B%5D=$m1", UTF_8))
+      .build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(res.statusCode() == 200 &&
+      res.body().contains(""""ServiceName":"click""""), res.body())
+  }
 }
