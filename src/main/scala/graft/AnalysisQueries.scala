@@ -1290,8 +1290,70 @@ object AnalysisQueries {
       |  CASE WHEN z IS NOT NULL THEN abs(z) >= 3.0 END AS anomaly
       |FROM j ORDER BY event_type, bucket""".stripMargin
 
+  /** EWMA control-chart gate ([[graft.analysis.ChangePoint.ewmaChart]]):
+    * the same hourly per-type gauge sums as q108, smoothed at λ = 0.5
+    * with pinned target 150 / σ 50 / L = 3. λ = 0.5 keeps every
+    * recursion coefficient AND the warm-up term (1−λ)^{2t} = 2^{−2t}
+    * an exact power of two, so the Spark fold and the DuckDB recursive
+    * CTE walk bit-identical doubles — inputs round to 4 decimals first
+    * (the q108 convention), outputs round after the math. */
+  def q127_ewma(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val x = ev
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600L) * 3600L)
+        .cast("long").as("bucket"),
+        col("event_type"), col("user_id"))
+      .agg(max_by(col("value"), col("ts")).as("v"))
+      .groupBy("bucket", "event_type")
+      .agg(round(sum(col("v")), 4).as("x"))
+    graft.analysis.ChangePoint.ewmaChart(x, Seq("event_type"), "bucket",
+        "x", lambda = 0.5, width = 3.0,
+        target = Some(150.0), sigma = Some(50.0))
+      .select(col("bucket"), col("event_type"), col("x"),
+        round(col("z"), 4).as("z"), round(col("ucl"), 4).as("ucl"),
+        round(col("lcl"), 4).as("lcl"), col("alarm"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q127_sql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |         event_type, user_id, value, ts
+      |  FROM events),
+      |last AS (
+      |  SELECT bucket, event_type, user_id, arg_max(value, ts) AS v
+      |  FROM pts GROUP BY bucket, event_type, user_id),
+      |s AS (
+      |  SELECT bucket, event_type, round(sum(v), 4) AS x
+      |  FROM last GROUP BY bucket, event_type),
+      |ord AS (
+      |  SELECT bucket, event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+      |      AS rn
+      |  FROM s),
+      |rec AS (
+      |  SELECT event_type, rn, bucket, x,
+      |    0.5 * x + 0.5 * 150.0 AS z
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn, o.bucket, o.x,
+      |    0.5 * o.x + 0.5 * r.z
+      |  FROM ord o JOIN rec r
+      |    ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+      |lim AS (
+      |  SELECT event_type, rn, bucket, x, z,
+      |    3.0 * 50.0 * sqrt((0.5/1.5) *
+      |      (1.0 - pow(0.5, CAST(rn AS DOUBLE) * 2))) AS hw
+      |  FROM rec)
+      |SELECT bucket, event_type, x, round(z, 4) AS z,
+      |  round(150.0 + hw, 4) AS ucl, round(150.0 - hw, 4) AS lcl,
+      |  CAST(CASE WHEN z > 150.0 + hw OR z < 150.0 - hw
+      |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM lim ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
+    "q127_ewma" -> (q127_ewma _),
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
@@ -1322,6 +1384,7 @@ object AnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
+    "q127_ewma" -> q127_sql,
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,

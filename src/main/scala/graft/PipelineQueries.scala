@@ -1604,6 +1604,177 @@ object PipelineQueries {
       |SELECT source, doc_id, n_chars FROM r WHERE rk <= 15
       |ORDER BY source, doc_id""".stripMargin
 
+  /** C4 cleaning at the driver gate. The corpus has no line structure,
+    * so the query synthesizes pages with known families: every doc's
+    * tokens become 6-word lines each ending "." (good lines), and
+    * doc_id % 7 plants exactly one rule-tripper per class — a
+    * javascript line (1), a cookie-policy line (2), a line with no
+    * terminal punctuation (3), a 2-word line (4), a lorem-ipsum page
+    * kill (5), a curly-brace page kill (6); % 11 == 3 additionally
+    * plants a blocklist token ("nsfwbadword") that kills the page.
+    * Docs under 30 words produce under 5 base lines and fall to the
+    * min-sentence rule; class-0 docs with enough words survive
+    * unchanged. Every rule's effect is visible in (n_lines,
+    * n_lines_kept, n_sentences, md5(text_clean)). */
+  def q125_c4(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val words = split(col("text"), " ")
+    val nl = greatest(floor(size(words) / 6).cast("int"), lit(1))
+    val base = transform(sequence(lit(1), nl), i =>
+      concat(array_join(slice(words, (i - 1) * 6 + 1, lit(6)), " "),
+        lit(".")))
+    val m7 = pmod(col("doc_id"), lit(7))
+    val extras = filter(array(
+      when(m7 === 1, lit("please enable javascript to view this page.")),
+      when(m7 === 2, lit("this site uses cookies and collects data.")),
+      when(m7 === 3, lit("this line has no terminal punctuation mark")),
+      when(m7 === 4, lit("too short.")),
+      when(m7 === 5, lit("lorem ipsum dolor sit amet.")),
+      when(m7 === 6, lit("var config = function() { return 1; }.")),
+      when(pmod(col("doc_id"), lit(11)) === 3,
+        lit("this page mentions nsfwbadword once."))),
+      x => x.isNotNull)
+    val paged = d.select(col("doc_id"),
+      array_join(concat(base, extras), "\n").as("text"))
+    Curation.c4Clean(paged, "doc_id", "text",
+        minWordsPerLine = 3, minSentences = 5,
+        badWords = Seq("nsfwbadword"))
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), md5(col("text_clean")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  val q125_sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |built AS (
+      |  SELECT doc_id,
+      |    list_concat(
+      |      list_transform(
+      |        generate_series(1, greatest(CAST(floor(len(ws)/6) AS INT), 1)),
+      |        i -> array_to_string(ws[(i-1)*6+1:(i-1)*6+6], ' ') || '.'),
+      |      list_filter([
+      |        CASE WHEN doc_id % 7 = 1
+      |          THEN 'please enable javascript to view this page.' END,
+      |        CASE WHEN doc_id % 7 = 2
+      |          THEN 'this site uses cookies and collects data.' END,
+      |        CASE WHEN doc_id % 7 = 3
+      |          THEN 'this line has no terminal punctuation mark' END,
+      |        CASE WHEN doc_id % 7 = 4 THEN 'too short.' END,
+      |        CASE WHEN doc_id % 7 = 5
+      |          THEN 'lorem ipsum dolor sit amet.' END,
+      |        CASE WHEN doc_id % 7 = 6
+      |          THEN 'var config = function() { return 1; }.' END,
+      |        CASE WHEN doc_id % 11 = 3
+      |          THEN 'this page mentions nsfwbadword once.' END],
+      |        x -> x IS NOT NULL)) AS lines
+      |  FROM w),
+      |pg AS (
+      |  SELECT doc_id, lines,
+      |    array_to_string(lines, chr(10)) AS page,
+      |    list_filter(lines, l ->
+      |      regexp_matches(trim(l), '[.!?"]$')
+      |      AND len(string_split_regex(trim(l), '\s+')) >= 3
+      |      AND NOT contains(lower(trim(l)), 'javascript')
+      |      AND NOT contains(lower(trim(l)), 'terms of use')
+      |      AND NOT contains(lower(trim(l)), 'privacy policy')
+      |      AND NOT contains(lower(trim(l)), 'cookie policy')
+      |      AND NOT contains(lower(trim(l)), 'uses cookies')
+      |      AND NOT contains(lower(trim(l)), 'use of cookies')
+      |      AND NOT contains(lower(trim(l)), 'use cookies')) AS kept
+      |  FROM built),
+      |cl AS (
+      |  SELECT doc_id, lines, kept, page,
+      |    array_to_string(kept, chr(10)) AS text_clean,
+      |    len(string_split_regex(array_to_string(kept, chr(10)),
+      |      '[.!?]')) - 1 AS ns
+      |  FROM pg)
+      |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      |  CAST(ns AS BIGINT) AS n_sentences, md5(text_clean) AS h
+      |FROM cl
+      |WHERE NOT contains(lower(page), 'lorem ipsum')
+      |  AND NOT contains(page, '{')
+      |  AND NOT list_has_any(
+      |    string_split_regex(trim(lower(page)), '\s+'), ['nsfwbadword'])
+      |  AND ns >= 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** Paragraph-level corpus dedup at the driver gate. Docs become
+    * 8-word paragraphs; two planted duplicate families exercise the
+    * corpus-global first-occurrence rule: every non-anchor doc appends
+    * its decade anchor's (doc_id − doc_id % 10) first paragraph —
+    * kept only at the anchor itself, dropped from the other nine —
+    * and doc_id % 7 == 3 docs append their OWN first paragraph
+    * (dropped: its (id, 0) occurrence wins). (n_paras, n_paras_kept,
+    * md5(text_clean)) gate the removal AND the reassembly. */
+  def q126_para_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val words = split(col("text"), " ")
+    val np = greatest(ceil(size(words) / 8.0).cast("int"), lit(1))
+    val base = transform(sequence(lit(1), np), i =>
+      array_join(slice(words, (i - 1) * 8 + 1, lit(8)), " "))
+    val anchors = d.filter(col("doc_id") % 10 === 0).select(
+      col("doc_id").as("anchor_id"),
+      array_join(slice(split(col("text"), " "), 1, 8), " ")
+        .as("anchor_para"))
+    val paged = d.select(col("doc_id"), base.as("paras"))
+      .withColumn("anchor_id",
+        col("doc_id") - pmod(col("doc_id"), lit(10)))
+      .join(anchors, Seq("anchor_id"), "left")
+      .select(col("doc_id"), array_join(
+        concat(col("paras"), filter(array(
+          when(col("doc_id") =!= col("anchor_id"), col("anchor_para")),
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            element_at(col("paras"), 1))),
+          x => x.isNotNull)),
+        "\n\n").as("text"))
+    Dedup.dedupParagraphs(paged, "doc_id", "text")
+      .select(col("doc_id"), col("n_paras"), col("n_paras_kept"),
+        md5(col("text_clean")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  val q126_sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, greatest(CAST(ceil(len(ws)/8.0) AS INT), 1)),
+      |    i -> array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')) AS paras
+      |  FROM w),
+      |a AS (
+      |  SELECT doc_id AS anchor_id,
+      |    array_to_string(ws[1:8], ' ') AS anchor_para
+      |  FROM w WHERE doc_id % 10 = 0),
+      |built AS (
+      |  SELECT b.doc_id, list_concat(paras, list_filter([
+      |      CASE WHEN b.doc_id % 10 <> 0 THEN a.anchor_para END,
+      |      CASE WHEN b.doc_id % 7 = 3 THEN paras[1] END],
+      |      x -> x IS NOT NULL)) AS paras
+      |  FROM b LEFT JOIN a ON a.anchor_id = b.doc_id - b.doc_id % 10),
+      |p AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(paras))) AS i, paras
+      |  FROM built),
+      |ph AS (
+      |  SELECT doc_id, i, md5(lower(trim(paras[i]))) AS h FROM p),
+      |k AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      |    FROM ph) WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id, list(i ORDER BY i) AS keep FROM k GROUP BY doc_id)
+      |SELECT built.doc_id, CAST(len(built.paras) AS BIGINT) AS n_paras,
+      |  CAST(coalesce(len(agg.keep), 0) AS BIGINT) AS n_paras_kept,
+      |  -- DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+      |  -- array_join is '' — normalize before hashing
+      |  md5(coalesce(array_to_string(
+      |    list_transform(coalesce(agg.keep, CAST([] AS BIGINT[])),
+      |      j -> built.paras[j]), chr(10) || chr(10)), '')) AS h
+      |FROM built LEFT JOIN agg ON agg.doc_id = built.doc_id
+      |ORDER BY built.doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1648,7 +1819,9 @@ object PipelineQueries {
     "q120_hard_negatives" -> (q120_hard_negatives _),
     "q121_containment" -> (q121_containment _),
     "q122_kcenter" -> (q122_kcenter _),
-    "q124_domain_cap" -> (q124_domain_cap _))
+    "q124_domain_cap" -> (q124_domain_cap _),
+    "q125_c4" -> (q125_c4 _),
+    "q126_para_dedup" -> (q126_para_dedup _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1693,5 +1866,7 @@ object PipelineQueries {
     "q120_hard_negatives" -> q120_sql,
     "q121_containment" -> q121_sql,
     "q122_kcenter" -> q122_sql,
-    "q124_domain_cap" -> q124_sql)
+    "q124_domain_cap" -> q124_sql,
+    "q125_c4" -> q125_sql,
+    "q126_para_dedup" -> q126_sql)
 }

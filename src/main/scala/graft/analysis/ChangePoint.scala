@@ -80,4 +80,77 @@ object ChangePoint {
         when(col("s_pos") > threshold || col("s_neg") > threshold, 1L)
           .otherwise(0L))
   }
+
+  /** EWMA control chart per series (Roberts 1959; limits per Lucas &
+    * Saccucci 1990) — the standard SPC complement to [[cusum]]: where
+    * CUSUM accumulates drift against a slack, the EWMA statistic
+    *
+    *   z_t = λ·x_t + (1 − λ)·z_{t−1},   z_0 = μ₀
+    *
+    * follows the series with exponentially-fading memory and alarms
+    * when it leaves the time-varying control band
+    *
+    *   μ₀ ± L·σ·sqrt(λ/(2−λ)·(1 − (1−λ)^{2t}))
+    *
+    * (the band widens toward its asymptote as the statistic's variance
+    * warms up — early points get tighter limits, the chart's classic
+    * fast-initial-response property).
+    *
+    * μ₀ defaults to the series' own mean and σ to its population
+    * stddev (self-calibrating); pass `target` / `sigma` to pin them,
+    * which also makes the chart exactly reproducible across engines
+    * (a self-calibrated mean is float-order-dependent). Same scale
+    * shape as [[cusum]]: one hash shuffle to (series, sorted bucket
+    * array), an expression-only `aggregate` fold (state = the z
+    * trajectory, bounded by the series' bucket count), posexplode
+    * back to rows. Output: keys + bucket + value + `z`, `ucl`,
+    * `lcl`, `alarm` (1/0). */
+  def ewmaChart(df: DataFrame, keyCols: Seq[String], bucketCol: String,
+      valueCol: String, lambda: Double = 0.25, width: Double = 3.0,
+      target: Option[Double] = None, sigma: Option[Double] = None)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "ewmaChart needs at least one series key")
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    require(width > 0.0, "width (L) must be positive")
+    val keyCs = keyCols.map(col)
+    val grouped = df
+      .select(keyCs :+ col(bucketCol).cast("long").as("__b") :+
+        col(valueCol).cast("double").as("__x"): _*)
+      .groupBy(keyCs: _*)
+      .agg(sort_array(collect_list(struct(col("__b"), col("__x"))))
+        .as("__pts"),
+        avg(col("__x")).as("__mean"),
+        stddev_pop(col("__x")).as("__sd"))
+    val mu = target.map(lit(_).cast("double")).getOrElse(col("__mean"))
+    val sd = sigma.map(lit(_).cast("double")).getOrElse(col("__sd"))
+    // fold state: [z_0, z_1, …] — head is the seed μ₀, dropped at finish
+    val folded = grouped
+      .withColumn("__mu", mu)
+      .withColumn("__sd", sd)
+      .withColumn("__z", expr(
+        // a null sample holds the statistic (z_t = z_{t-1}) instead of
+        // poisoning every later z — the [[cusum]] null convention
+        s"""aggregate(__pts, array(CAST(__mu AS DOUBLE)),
+           |  (acc, p) -> concat(acc,
+           |    array($lambda *
+           |            coalesce(p.__x, element_at(acc, size(acc))) +
+           |          ${1.0 - lambda} * element_at(acc, size(acc)))),
+           |  acc -> slice(acc, 2, size(acc) - 1))""".stripMargin))
+    val t = (col("__i") + 1).cast("double")
+    val halfWidth = lit(width) * col("__sd") *
+      sqrt(lit(lambda / (2.0 - lambda)) *
+        (lit(1.0) - pow(lit(1.0 - lambda), t * 2)))
+    folded
+      .select(keyCs ++ Seq(col("__mu"), col("__sd"), col("__z"),
+        posexplode(col("__pts")).as(Seq("__i", "__p"))): _*)
+      .select(keyCs ++ Seq(
+        col("__p.__b").as(bucketCol),
+        col("__p.__x").as(valueCol),
+        element_at(col("__z"), col("__i") + 1).as("z"),
+        (col("__mu") + halfWidth).as("ucl"),
+        (col("__mu") - halfWidth).as("lcl")): _*)
+      .withColumn("alarm",
+        when(col("z") > col("ucl") || col("z") < col("lcl"), 1L)
+          .otherwise(0L))
+  }
 }

@@ -436,4 +436,80 @@ object Curation {
       col(domainCol) === col("__keep_dom") &&
         col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
+
+  // --------------------------------------------------- C4 page cleaning
+
+  /** The six boilerplate-notice substrings C4 strips at the line level
+    * (Raffel et al., arXiv:1910.10683 §2.2 — the "cookie policy"
+    * family). */
+  val C4PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** C4's line- and page-level cleaning rules (Raffel et al.,
+    * arXiv:1910.10683 §2.2) as ONE expression-only pass: every rule is
+    * an array/string expression over the page's line list, so the whole
+    * cleaner is a projection + filter — no shuffle, no UDF, fully
+    * inside whole-stage codegen, and it pushes down past column pruning
+    * like any predicate. At 100 TB this is the cheapest possible shape:
+    * a single scan, embarrassingly parallel.
+    *
+    * Line rules — a line survives iff ALL hold:
+    *   - its trimmed text ends in a terminal punctuation mark
+    *     (`.`, `!`, `?`, or a closing double quote — the paper's set);
+    *   - it has at least `minWordsPerLine` whitespace words;
+    *   - it does not mention "javascript" (case-insensitive);
+    *   - it contains none of [[C4PolicyPhrases]].
+    *
+    * Page rules — a page survives iff ALL hold:
+    *   - the RAW page (like the paper, which inspects the page before
+    *     line filtering) contains no "lorem ipsum" and no `{`;
+    *   - no raw-page token is in `badWords` (the paper uses a public
+    *     blocklist; caller-supplied here, empty = rule off);
+    *   - at least `minSentences` sentences REMAIN after line filtering,
+    *     where a sentence is a `[.!?]` occurrence in the kept text (a
+    *     deterministic, engine-portable stand-in for the paper's
+    *     sentence splitter).
+    *
+    * Emits survivors only: (id, text_clean, n_lines, n_lines_kept,
+    * n_sentences). Three-sentence-span dedup, the one §2.2 rule not
+    * here, is corpus-global — that is [[Dedup.duplicateSpans]]. */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minSentences: Int = 5,
+      badWords: Seq[String] = Seq.empty): DataFrame = {
+    require(minWordsPerLine > 0, "minWordsPerLine must be positive")
+    require(minSentences >= 0, "minSentences must be non-negative")
+    // normalize CR/CRLF to LF up front: web text is exactly where CRLF
+    // shows up, and a trailing \r would make the Java-regex '$' in the
+    // punctuation rule diverge from RE2-style end-of-text engines
+    val raw = regexp_replace(col(textCol), "\r\n?", "\n")
+    val rawLow = lower(raw)
+    val lines = split(raw, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val tl = lower(t)
+      C4PolicyPhrases.map(p => !tl.contains(p))
+        .foldLeft(
+          t.rlike("[.!?\"]$") &&
+            size(split(t, "\\s+")) >= minWordsPerLine &&
+            !tl.contains("javascript"))(_ && _)
+    })
+    val cleanText = array_join(kept, "\n")
+    val nSent = size(split(cleanText, "[.!?]")) - 1
+    val pageOk = {
+      val base = !rawLow.contains("lorem ipsum") && !raw.contains("{")
+      if (badWords.isEmpty) base
+      else base && !arrays_overlap(
+        toks(raw),
+        array(badWords.map(w => lit(w.toLowerCase(
+          java.util.Locale.ROOT))): _*))
+    }
+    df.select(col(idCol), raw, lines.as("__lines"), kept.as("__kept"),
+        cleanText.as("text_clean"), nSent.as("__ns"), pageOk.as("__ok"))
+      .filter(col("__ok") && col("__ns") >= minSentences)
+      .select(col(idCol), col("text_clean"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        col("__ns").cast("long").as("n_sentences"))
+  }
 }

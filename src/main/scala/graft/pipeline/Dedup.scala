@@ -431,6 +431,59 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-global exact PARAGRAPH dedup — the RefinedWeb / MassiveText
+    * line-level rule: a paragraph that appears anywhere earlier in the
+    * corpus (by (id, position) order) is removed from every LATER
+    * occurrence, and each doc is reassembled from its surviving
+    * paragraphs. Catches the boilerplate class exact whole-doc dedup
+    * misses (shared headers/footers/navigation) without the fuzzy
+    * machinery of [[minhashLsh]].
+    *
+    * Paragraph identity = md5 of the trimmed, lowercased paragraph
+    * (engine-portable; collisions ~n²/2¹²⁸). First occurrence = least
+    * (id, idx) under the id column's natural ordering — deterministic
+    * across partitionings and engines.
+    *
+    * Scale shape: the corpus-global decision runs entirely over
+    * (id, idx, hash) postings — ONE hash shuffle on the paragraph hash
+    * (min-struct aggregate, map-side combined), one (id)-keyed
+    * aggregate of surviving positions into a per-doc index list, and
+    * ONE sort-merge join of that keep-list back to the corpus; the
+    * text column itself crosses the wire exactly once, in that final
+    * join. Reassembly is an expression (filter-by-index over the
+    * split), not a second explode. Emits every input row: (id,
+    * text_clean, n_paras, n_paras_kept) — a doc whose every paragraph
+    * was seen earlier comes back with empty text_clean, the caller
+    * decides whether to drop it. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    require(sep.nonEmpty, "paragraph separator must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = split(col(textCol), sepRe)
+    val postings = df
+      .select(col(idCol), posexplode(paras).as(Seq("__idx", "__p")))
+      .select(col(idCol), col("__idx"),
+        md5(lower(trim(col("__p")))).as("__h"))
+    val winners = postings
+      .groupBy("__h")
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+    val keepIdx = postings
+      .join(winners, Seq("__h"))
+      .filter(struct(col(idCol), col("__idx")) === col("__w"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__idx"))).as("__keep"))
+    // a doc can lose EVERY paragraph (e.g. an exact copy of an earlier
+    // doc) — its keep-list join misses, so default to the empty list
+    // before size()/filter() (size(null) is -1 under the legacy conf)
+    val keep = coalesce(col("__keep"), array().cast("array<int>"))
+    df.join(keepIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(paras, (_, i) => array_contains(keep, i)), sep)
+          .as("text_clean"),
+        size(paras).cast("long").as("n_paras"),
+        size(keep).cast("long").as("n_paras_kept"))
+  }
+
   /** The materialized RDD behind an eagerly localCheckpoint'ed frame
     * (LogicalRDD leaf), for explicit storage release. */
   private def checkpointRdd(d: DataFrame)

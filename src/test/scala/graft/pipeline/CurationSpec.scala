@@ -274,4 +274,45 @@ class CurationSpec extends SparkSpec {
     assert(keptPairs ==
       Set(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)))
   }
+
+  test("c4Clean line rules: punct, word count, javascript, policy") {
+    val page = Seq(
+      "this is a fine sentence.",          // kept
+      "this line has no terminal mark",    // dropped: no punctuation
+      "hi there.",                         // dropped: < 3 words
+      "our scripts use javascript today.", // dropped: javascript
+      "we updated our privacy policy today.", // dropped: policy phrase
+      "she shouted \"run!\"",              // kept: ends in closing quote
+      "one. two. three.").mkString("\n")   // kept: 3 sentences inside
+    val out = Curation.c4Clean(
+      Seq((1L, page)).toDF("id", "text"), "id", "text",
+      minWordsPerLine = 3, minSentences = 0)
+      .as[(Long, String, Long, Long, Long)].head()
+    assert(out._2 == Seq("this is a fine sentence.",
+      "she shouted \"run!\"", "one. two. three.").mkString("\n"))
+    assert(out._3 == 7 && out._4 == 3)
+    // sentences: 1 (fine sentence) + 1 (run!) + 3 (one two three) = 5
+    assert(out._5 == 5)
+  }
+
+  test("c4Clean page rules: lorem ipsum, braces, badwords, min sent") {
+    val good = (1 to 5).map(i => s"good solid sentence number $i.")
+    val docs = Seq(
+      (1L, good.mkString("\n")),
+      (2L, (good :+ "lorem ipsum dolor sit amet.").mkString("\n")),
+      (3L, (good :+ "object = { x }").mkString("\n")),
+      (4L, (good :+ "contains verboten stuff today.").mkString("\n")),
+      (5L, good.take(4).mkString("\n"))) // only 4 sentences
+      .toDF("id", "text")
+    val kept = Curation.c4Clean(docs, "id", "text",
+      minWordsPerLine = 3, minSentences = 5,
+      badWords = Seq("VERBOTEN")) // case-insensitive match
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // page checks run on the RAW page: doc 3's brace line would have
+    // been dropped by the line filter too, but the page still dies
+    intercept[IllegalArgumentException] {
+      Curation.c4Clean(docs, "id", "text", minWordsPerLine = 0)
+    }
+  }
 }

@@ -727,4 +727,37 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Seq[String])].collect().toMap
     assert(kernel == exprForm)
   }
+
+  test("dedupParagraphs: first occurrence wins corpus-wide, docs " +
+      "reassemble in order") {
+    val docs = Seq(
+      (1L, "aaa\n\nbbb"),
+      (2L, "bbb\n\nccc"),
+      (3L, "aaa\n\nddd\n\naaa"), // leading + repeated dup of doc 1's
+      (4L, "  AAA  "))           // normalization: trims + lowercases
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("aaa\n\nbbb", 2L, 2L)))
+    assert(out(2L) == (("ccc", 2L, 1L)))
+    // doc 3: both "aaa" copies lose to (1, 0); "ddd" survives
+    assert(out(3L) == (("ddd", 3L, 1L)))
+    // doc 4's only paragraph normalizes to "aaa" — all paragraphs
+    // gone, row still emitted with empty text
+    assert(out(4L) == (("", 1L, 0L)))
+    // partitioning must not change winners (min-struct, not head())
+    val re = Dedup.dedupParagraphs(docs.repartition(7), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(re == out)
+  }
+
+  test("dedupParagraphs: custom separator is taken literally") {
+    val docs = Seq((1L, "x|y"), (2L, "y|z")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", sep = "|")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "x|y", 2L -> "z"))
+  }
 }
