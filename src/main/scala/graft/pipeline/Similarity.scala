@@ -304,8 +304,13 @@ object Similarity {
     * single-task-per-probe `row_number` window a global top-k would
     * need. Struct ordering breaks score ties on `neighbor_id`, keeping
     * the shortlist deterministic across partitionings. */
-  private def topSliceStage(d: DataFrame, keys: Seq[Column],
+  private def topSliceStage(df0: DataFrame, keys: Seq[Column],
       score: String, n: Int): DataFrame = {
+    // a null score or id (a null embedding that slipped past the
+    // joins) is never a rankable neighbor, and the primitive-encoded
+    // TopK paths would throw on it — make the non-null contract
+    // explicit for every branch
+    val d = df0.filter(col(score).isNotNull && col("neighbor_id").isNotNull)
     val scoreType = d.schema(score).dataType
     val idType = d.schema("neighbor_id").dataType
     val integralId = idType match {
