@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Curation, Dedup, Multimodal, Perplexity, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Perplexity, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators exposed through the driver contract:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -1604,6 +1604,40 @@ object PipelineQueries {
       |SELECT source, doc_id, n_chars FROM r WHERE rk <= 15
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Systematic PPS sampling at the driver gate: draw 100 docs with
+    * probability ∝ n_chars. Every selection decision is exact 64-bit
+    * integer arithmetic over the md5-permuted cumulative-weight line
+    * (see [[graft.pipeline.Curation.ppsSystematicSample]]), so the
+    * DuckDB oracle replays the draw bit-for-bit — no float anywhere. */
+  def q128_pps_sample(spark: SparkSession, dir: String): DataFrame =
+    Curation.ppsSystematicSample(
+      docs(spark, dir).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", n = 100)
+      .select("doc_id", "n_chars", "copies")
+      .orderBy("doc_id")
+
+  val q128_sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    sum(n_chars) OVER (
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    sum(n_chars) OVER () AS W
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_chars,
+      |    (ca - n_chars) * 200 AS A, ca * 200 AS B, W
+      |  FROM c),
+      |k AS (
+      |  SELECT doc_id, n_chars,
+      |    ((B - 1) // W + 1) // 2 - ((A + W - 1) // W) // 2 AS copies
+      |  FROM m)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(copies AS BIGINT) AS copies
+      |FROM k WHERE copies >= 1
+      |ORDER BY doc_id""".stripMargin
+
   /** C4 cleaning at the driver gate. The corpus has no line structure,
     * so the query synthesizes pages with known families: every doc's
     * tokens become 6-word lines each ending "." (good lines), and
@@ -1775,6 +1809,71 @@ object PipelineQueries {
       |FROM built LEFT JOIN agg ON agg.doc_id = built.doc_id
       |ORDER BY built.doc_id""".stripMargin
 
+  /** Distributed k-means at the driver gate: 2 Lloyd iterations, k = 4,
+    * over the embeddings table at quantization scale 10⁴. Because every
+    * step of [[graft.pipeline.Clustering.kMeans]] is exact integer
+    * arithmetic (quantized grid points, integer distances, one IEEE
+    * double division per centroid component), the DuckDB oracle replays
+    * the full trajectory — init, both assignment rounds, both centroid
+    * updates — and lands on bit-identical (cluster, dist2) for all
+    * rows. */
+  def q129_kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) = Clustering.kMeans(
+      embs(spark, dir).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, iters = 2, scale = 10000L)
+    assigned
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dist2"))
+      .orderBy("vec_id")
+  }
+
+  val q129_sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM q ORDER BY vec_id LIMIT 4),
+      |a1 AS (
+      |  SELECT vec_id, v,
+      |    (min({'d': list_sum(list_transform(generate_series(1, 64),
+      |       j -> (v[j] - cv[j]) * (v[j] - cv[j]))), 'c': cid})).c AS c
+      |  FROM q CROSS JOIN c0 GROUP BY vec_id, v),
+      |s1 AS (
+      |  SELECT c, j, CAST(round(CAST(sum(v[j]) AS DOUBLE) / count(*))
+      |    AS BIGINT) AS cj
+      |  FROM (SELECT c, unnest(generate_series(1, 64)) AS j, v FROM a1)
+      |  GROUP BY c, j),
+      |c1 AS (
+      |  SELECT c0.cid,
+      |    coalesce(list(s1.cj ORDER BY s1.j), c0.cv) AS cv
+      |  FROM c0 LEFT JOIN s1 ON s1.c = c0.cid
+      |  GROUP BY c0.cid, c0.cv),
+      |a2 AS (
+      |  SELECT vec_id, v,
+      |    (min({'d': list_sum(list_transform(generate_series(1, 64),
+      |       j -> (v[j] - cv[j]) * (v[j] - cv[j]))), 'c': cid})).c AS c
+      |  FROM q CROSS JOIN c1 GROUP BY vec_id, v),
+      |s2 AS (
+      |  SELECT c, j, CAST(round(CAST(sum(v[j]) AS DOUBLE) / count(*))
+      |    AS BIGINT) AS cj
+      |  FROM (SELECT c, unnest(generate_series(1, 64)) AS j, v FROM a2)
+      |  GROUP BY c, j),
+      |c2 AS (
+      |  SELECT c1.cid,
+      |    coalesce(list(s2.cj ORDER BY s2.j), c1.cv) AS cv
+      |  FROM c1 LEFT JOIN s2 ON s2.c = c1.cid
+      |  GROUP BY c1.cid, c1.cv),
+      |fin AS (
+      |  SELECT vec_id,
+      |    min({'d': list_sum(list_transform(generate_series(1, 64),
+      |       j -> (v[j] - cv[j]) * (v[j] - cv[j]))), 'c': cid}) AS m
+      |  FROM q CROSS JOIN c2 GROUP BY vec_id)
+      |SELECT vec_id, CAST(m.c AS BIGINT) AS cluster,
+      |  CAST(m.d AS BIGINT) AS dist2
+      |FROM fin ORDER BY vec_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1821,7 +1920,9 @@ object PipelineQueries {
     "q122_kcenter" -> (q122_kcenter _),
     "q124_domain_cap" -> (q124_domain_cap _),
     "q125_c4" -> (q125_c4 _),
-    "q126_para_dedup" -> (q126_para_dedup _))
+    "q126_para_dedup" -> (q126_para_dedup _),
+    "q128_pps_sample" -> (q128_pps_sample _),
+    "q129_kmeans" -> (q129_kmeans _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1868,5 +1969,7 @@ object PipelineQueries {
     "q122_kcenter" -> q122_sql,
     "q124_domain_cap" -> q124_sql,
     "q125_c4" -> q125_sql,
-    "q126_para_dedup" -> q126_sql)
+    "q126_para_dedup" -> q126_sql,
+    "q128_pps_sample" -> q128_sql,
+    "q129_kmeans" -> q129_sql)
 }

@@ -262,6 +262,83 @@ object Curation {
       d -> math.min(1.0, budgetRows * (wd / tot) / counts(d)) }
   }
 
+  /** Systematic probability-proportional-to-size sampling (PPS; Madow
+    * 1949, the classic survey-sampling design): draw `n` of the corpus
+    * with inclusion probability n·wᵢ/W — the weighted sample every
+    * mixture pipeline needs (sample docs ∝ token count, users ∝
+    * activity) — via a random-order cumulative-weight line walked with
+    * a fixed stride. Rows are laid on [0, W) in the engine-portable
+    * md5(id) permutation order ([[hashUniform]]'s convention), and the
+    * n grid points (2k+1)·W/(2n), k = 0..n−1, select whichever row's
+    * weight span they land in; a row heavier than the W/n stride can be
+    * hit more than once and reports its multiplicity in `copies`.
+    *
+    * EVERY selection decision is exact 64-bit integer arithmetic — the
+    * grid-point-in-span test cross-multiplies to j·W ∈ [2n·cum_before,
+    * 2n·cum_after) over odd j — so any engine replays the identical
+    * sample bit-for-bit: no `pow`/`ln` of the Efraimidis–Spirakis key
+    * (whose last-ulp rounding differs across libm implementations), no
+    * rand() stream. Requires 2n·W < 2⁶³ (checked loudly: 10¹⁴ total
+    * tokens leave room for n up to ~46k; shard the corpus first if a
+    * single draw needs more).
+    *
+    * Scale shape: the cumulative line is the [[packSequences]]
+    * DISTRIBUTED PREFIX SUM — range-repartition on the permutation
+    * key, per-partition subtotals (one P-row collect), partition-local
+    * running sums — never a global single-task window; selection is
+    * then a pure expression. Weights must be non-negative integers
+    * (checked in the same subtotal pass); zero-weight rows are never
+    * selected. Output: the selected rows (original columns) + `copies`. */
+  def ppsSystematicSample(df: DataFrame, idCol: String,
+      weightCol: String, n: Long): DataFrame = {
+    require(n > 0, "sample size n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val ranged = df
+      .withColumn("__u", md5(col(idCol).cast("string")))
+      .withColumn("__w", col(weightCol).cast("long"))
+      .repartitionByRange(col("__u"), col(idCol))
+      .sortWithinPartitions(col("__u"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    ranged.persist()
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col("__w")).as("__t"), min(col("__w")).as("__m"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    require(totals.forall(_._3 >= 0L),
+      s"ppsSystematicSample: negative weight in $weightCol")
+    val grandTotal = totals.map(_._2).sum
+    require(grandTotal > 0L, "ppsSystematicSample: total weight is zero")
+    require(grandTotal <= Long.MaxValue / (2L * n),
+      s"ppsSystematicSample: 2n*W overflows 64-bit (n=$n, W=$grandTotal)" +
+        " — shard the corpus and draw per shard")
+    val bases = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, t, _)) => (pid, acc + t) }
+      .init.zip(totals)
+      .map { case ((_, base), (pid, _, _)) => (pid, base) }
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(col("__u"), col(idCol))
+    // 64-bit INTEGRAL division throughout (`div`): `/` on longs is
+    // floating division in Spark SQL and loses exactness past 2^53.
+    // f(x) = #odd integers in [1, x] = (x+1) div 2; operands here are
+    // ≥ -1, where truncating div and floor div agree on f.
+    val out = ranged
+      .join(baseDf, "__pid")
+      .withColumn("__ca",
+        col("__base") + sum(col("__w")).over(w))
+      .withColumn("__A", (col("__ca") - col("__w")) * lit(2L * n))
+      .withColumn("__B", col("__ca") * lit(2L * n))
+      // lo = ceil(A/W); hi = ceil(B/W) - 1 = (B-1) div W for B ≥ 1
+      .withColumn("__lo", expr(s"(__A + $grandTotal - 1) div $grandTotal"))
+      .withColumn("__hi", expr(s"(__B - 1) div $grandTotal"))
+      .withColumn("copies",
+        expr("(__hi + 1) div 2 - __lo div 2"))
+      .filter(col("copies") >= 1L)
+      .select(cols.map(col) :+ col("copies"): _*)
+    out
+  }
+
   /** Deterministic stratified sampling for domain mixing: keep a row iff
     * hashUniform(key) < fraction(stratum). Strata absent from the map
     * keep `defaultFraction` (0 drops them). Pure filter expression — no

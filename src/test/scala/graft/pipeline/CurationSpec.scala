@@ -315,4 +315,55 @@ class CurationSpec extends SparkSpec {
       Curation.c4Clean(docs, "id", "text", minWordsPerLine = 0)
     }
   }
+
+  // sequential reference for ppsSystematicSample: walk the md5-ordered
+  // cumulative line, count grid hits per row — pure BigInt arithmetic
+  private def ppsReference(rows: Seq[(Long, Long)], n: Long)
+      : Map[Long, Long] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val W = BigInt(ordered.map(_._2).sum)
+    var cum = BigInt(0)
+    val out = scala.collection.mutable.Map[Long, Long]()
+    for ((id, w) <- ordered) {
+      val a = (cum * 2 * n); val b = ((cum + w) * 2 * n)
+      val lo = (a + W - 1) / W
+      val hi = (b - 1) / W
+      val copies = ((hi + 1) / 2 - lo / 2).toLong
+      if (copies >= 1) out(id) = copies
+      cum += w
+    }
+    out.toMap
+  }
+
+  test("ppsSystematicSample: exactly n draws, multiplicities match the " +
+      "sequential reference, invariant under partitioning") {
+    val rows = (1L to 200L).map(i => (i, (i % 23) + 1L)) // varied weights
+    val df = rows.toDF("id", "w")
+    val got = Curation.ppsSystematicSample(df, "id", "w", 40)
+      .select("id", "copies").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 40L) // systematic PPS draws exactly n
+    assert(got == ppsReference(rows, 40))
+    val re = Curation.ppsSystematicSample(df.repartition(7), "id", "w", 40)
+      .select("id", "copies").as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
+  test("ppsSystematicSample: a row heavier than the stride is hit " +
+      "multiple times; zero weights are never selected") {
+    val rows = Seq((1L, 0L), (2L, 1000L), (3L, 1L), (4L, 0L), (5L, 3L))
+    val got = Curation.ppsSystematicSample(rows.toDF("id", "w"),
+        "id", "w", 10).select("id", "copies")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 10L)
+    assert(got(2L) >= 9L) // weight 1000/1004 of the line at n=10
+    assert(!got.contains(1L) && !got.contains(4L))
+    assert(got == ppsReference(rows, 10))
+    intercept[IllegalArgumentException] {
+      Curation.ppsSystematicSample(
+        Seq((1L, -5L)).toDF("id", "w"), "id", "w", 3).collect()
+    }
+  }
 }
