@@ -155,6 +155,27 @@ object Smoke {
       require(ic == 200 && iSamples > 0, "prom instant query empty")
       require(lc == 200 && lVals > 0, "prom label values empty")
       require(sc2 == 200 && sSets > 0, "prom series empty")
+
+      // the exact sequence a stock Grafana Prometheus datasource
+      // issues on save, against the /api/v1 alias it hardcodes: an
+      // instant `1+1` health check with time+timeout, then /labels —
+      // the probe that catches prefix or param regressions no unit
+      // fixture drives
+      val now = java.time.Instant.now().getEpochSecond
+      val (hc, hb) = promGet("/api/v1/query?query=" +
+        java.net.URLEncoder.encode("1+1",
+          java.nio.charset.StandardCharsets.UTF_8) +
+        s"&time=$now&timeout=10s")
+      println(s"[smoke] grafana health: http=$hc" +
+        (if (hc >= 300) s" body=${hb.take(200)}" else ""))
+      require(hc == 200 && hb.contains(""""resultType":"scalar"""") &&
+        hb.contains("\"2\""), s"grafana health check failed: $hb")
+      val (nc, nb) = promGet("/api/v1/labels")
+      val nNames = """"[^"]+"""".r.findAllIn(
+        nb.replaceAll("""^.*"data":\[""", "")).length
+      println(s"[smoke] grafana labels: http=$nc names=$nNames" +
+        (if (nc >= 300 || nNames == 0) s" body=${nb.take(200)}" else ""))
+      require(nc == 200 && nNames > 0, "grafana /api/v1/labels empty")
     } finally server.stop()
     spark.stop()
   }

@@ -903,6 +903,91 @@ object PromQl {
           s"got: $selector")
     }
 
+  /** Driver-side constant fold of a scalar-only expression (no
+    * selector anywhere) at evaluation time `time` (epoch seconds) —
+    * the `resultType:"scalar"` instant answer a Prometheus server
+    * gives for `1+1`. A stock Grafana datasource health-checks with
+    * literally `query=1+1` on save, so the serving face needs this
+    * path even though scalar-only expressions are not chartable
+    * queries (the vector compiler still rejects them). None when the
+    * expression touches a vector; a scalar-scalar comparison without
+    * the `bool` modifier is the same parse error native PromQL
+    * raises. */
+  def constScalar(query: String, time: Long): Option[Double] = {
+    def ev(e: Expr): Option[Double] = e match {
+      case ScalarLit(v) => Some(v)
+      case TimeFn => Some(time.toDouble)
+      case BinOp(op, l, r, _) =>
+        for (a <- ev(l); b <- ev(r)) yield op match {
+          case '+' => a + b
+          case '-' => a - b
+          case '*' => a * b
+          // IEEE doubles already give promDiv's 0-denominator shape
+          // (x/0 = ±Inf, 0/0 = NaN)
+          case '/' => a / b
+        }
+      case CmpOp(op, l, r, bool, _) =>
+        for (a <- ev(l); b <- ev(r)) yield {
+          if (!bool) throw new PromQlParseException(
+            "comparisons between scalars must use BOOL modifier")
+          val hit = op match {
+            case "==" => a == b
+            case "!=" => a != b
+            case ">" => a > b
+            case "<" => a < b
+            case ">=" => a >= b
+            case "<=" => a <= b
+          }
+          if (hit) 1.0 else 0.0
+        }
+      case MathFn(fn, inner, arg) => ev(inner).flatMap { v =>
+        lazy val utc = java.time.Instant.ofEpochSecond(v.toLong)
+          .atZone(java.time.ZoneOffset.UTC)
+        fn match {
+          case "abs" => Some(math.abs(v))
+          case "ceil" => Some(math.ceil(v))
+          case "floor" => Some(math.floor(v))
+          case "round" =>
+            val to = arg.getOrElse(1.0)
+            Some(math.floor(v / to + 0.5) * to)
+          case "exp" => Some(math.exp(v))
+          case "ln" => Some(math.log(v))
+          case "log2" => Some(math.log(v) / math.log(2.0))
+          case "log10" => Some(math.log10(v))
+          case "sqrt" => Some(math.sqrt(v))
+          case "sgn" => Some(math.signum(v))
+          case "sin" => Some(math.sin(v))
+          case "cos" => Some(math.cos(v))
+          case "tan" => Some(math.tan(v))
+          case "asin" => Some(math.asin(v))
+          case "acos" => Some(math.acos(v))
+          case "atan" => Some(math.atan(v))
+          case "sinh" => Some(math.sinh(v))
+          case "cosh" => Some(math.cosh(v))
+          case "tanh" => Some(math.tanh(v))
+          case "asinh" => Some(math.log(v + math.sqrt(v * v + 1)))
+          case "acosh" => Some(math.log(v + math.sqrt(v * v - 1)))
+          case "atanh" => Some(0.5 * math.log((1 + v) / (1 - v)))
+          case "deg" => Some(math.toDegrees(v))
+          case "rad" => Some(math.toRadians(v))
+          case "minute" => Some(utc.getMinute.toDouble)
+          case "hour" => Some(utc.getHour.toDouble)
+          case "day_of_week" =>
+            Some((utc.getDayOfWeek.getValue % 7).toDouble)
+          case "day_of_month" => Some(utc.getDayOfMonth.toDouble)
+          case "day_of_year" => Some(utc.getDayOfYear.toDouble)
+          case "days_in_month" =>
+            Some(utc.toLocalDate.lengthOfMonth.toDouble)
+          case "month" => Some(utc.getMonthValue.toDouble)
+          case "year" => Some(utc.getYear.toDouble)
+          case _ => None
+        }
+      }
+      case _ => None
+    }
+    ev(parse(query))
+  }
+
   /** Swap every Rate node for its sliding-semantics twin. */
   private def rewriteRates(e: Expr): Expr = e match {
     case Rate(sel, w, inc) => RateSliding(sel, w, inc)

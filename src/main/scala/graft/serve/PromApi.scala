@@ -11,8 +11,12 @@ import graft.metrics.PromQl
 /** The Prometheus HTTP API v1 face of the PromQL engine — the endpoints
   * the reference serves at /api/v1 (packages/api/src/routers/api/
   * prometheus.ts: query_range :322-456, query :462-570,
-  * label/:name/values :722-824), re-expressed over [[PromQl.eval]] so a
-  * Grafana Prometheus datasource can point at [[Server]] directly.
+  * label/:name/values :722-824), re-expressed over [[PromQl.eval]].
+  * [[Server]] mounts these under both the /promql and /api/v1
+  * prefixes — the latter is the one a stock Grafana Prometheus datasource
+  * hardcodes, and scalar-only instant queries fold driver-side
+  * (Grafana health-checks with `query=1+1` on datasource save), so
+  * Grafana can point at [[Server]] directly.
   * Response shapes follow the Prometheus API: `{"status":"success",
   * "data":{"resultType":"matrix"|"vector","result":[...]}}` with
   * `[unixSeconds, "value"]` sample pairs, `{"status":"error",
@@ -89,6 +93,19 @@ object PromApi {
   def queryRange(df: DataFrame, query: String, start: Instant,
       end: Instant, step: Long, maxRows: Int): String = {
     if (end.isBefore(start)) bad("end must be >= start")
+    if (step <= 0) bad("step must be positive")
+    // scalar-only range queries answer a single label-less matrix
+    // series, the expression folded at each epoch-aligned step (only
+    // time() makes consecutive points differ)
+    if (PromQl.constScalar(query, start.getEpochSecond).isDefined) {
+      val t0 = math.floorDiv(start.getEpochSecond, step) * step
+      val from = if (t0 < start.getEpochSecond) t0 + step else t0
+      val pts = (from to end.getEpochSecond by step).map { t =>
+        s"[$t,${QueryJsonOut.quote(fmt(PromQl.constScalar(query, t).get))}]"
+      }
+      return s"""{"status":"success","data":{"resultType":"matrix",""" +
+        s""""result":[{"metric":{},"values":[${pts.mkString(",")}]}]}}"""
+    }
     val sliced = rangeFrame(df, query, start, end, step)
     val (series, truncated) = collectSeries(sliced, maxRows)
     matrixJson(series, truncated, maxRows)
@@ -105,6 +122,12 @@ object PromApi {
     * boundary. */
   def instantQuery(df: DataFrame, query: String, time: Instant,
       step: Long = 300L, maxRows: Int): String = {
+    // scalar-only expressions (Grafana health-checks with `1+1` on
+    // datasource save) fold driver-side to the Prometheus scalar shape
+    PromQl.constScalar(query, time.getEpochSecond).foreach { v =>
+      return s"""{"status":"success","data":{"resultType":"scalar",""" +
+        s""""result":[${time.getEpochSecond},${QueryJsonOut.quote(fmt(v))}]}}"""
+    }
     val sliced = rangeFrame(df, query, time.minusSeconds(step), time, step)
     val (series, truncated) = collectSeries(sliced, maxRows)
     val items = series.map { case (labels, points) =>

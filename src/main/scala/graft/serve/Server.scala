@@ -303,13 +303,26 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
         (200, s"""{"plan":${QueryJsonOut.quote(plan)}}""")
       })
     // ----- the Prometheus HTTP API v1 face (PromApi's scaladoc): the
-    // reference proxies/serves these at /api/v1 (prometheus.ts); here a
-    // Grafana Prometheus datasource can read the engine directly.
+    // reference mounts its router at /v1/prometheus for its own UI
+    // (api-app.ts:114); here the same handlers register under BOTH
+    // /promql/* (the engine's native spelling) and /api/v1/* — the
+    // prefix a stock Grafana Prometheus datasource hardcodes
+    // (<baseUrl>/api/v1/query_range|query|series|labels|label/:n/
+    // values) — so Grafana can point at the engine directly.
     // Prometheus clients GET with query params or POST form-encoded —
     // both parse through promParams. Bad-data errors answer the
     // Prometheus error shape; timeouts/saturation keep the engine's
     // 503/429 discipline.
-    http.createContext("/promql/query_range", (ex: HttpExchange) =>
+    promRoutes("/promql")
+    promRoutes("/api/v1")
+    http.start()
+  }
+
+  /** Register the six Prometheus-API endpoints under `prefix` — called
+    * once per served prefix so /promql and /api/v1 share one handler
+    * body (and therefore one behavior) per endpoint. */
+  private def promRoutes(prefix: String): Unit = {
+    http.createContext(s"$prefix/query_range", (ex: HttpExchange) =>
       handle(ex, allowGet = true) { body =>
         promGuard {
           val p = promParams(ex, body)
@@ -322,7 +335,7 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
             PromApi.queryRange(df, query, start, end, step, maxRows)))
         }
       })
-    http.createContext("/promql/query", (ex: HttpExchange) =>
+    http.createContext(s"$prefix/query", (ex: HttpExchange) =>
       handle(ex, allowGet = true) { body =>
         promGuard {
           val p = promParams(ex, body)
@@ -337,26 +350,34 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
             maxRows)))
         }
       })
-    // GET/POST /promql/query_exemplars — a deliberate empty-answer
-    // stub: the engine stores no exemplars, and the reference's
-    // ClickHouse-backed branch answers the same `{"status":"success",
-    // "data":[]}` (prometheus.ts:692-694,709-710) so an
-    // exemplars-enabled Grafana datasource doesn't 404
-    http.createContext("/promql/query_exemplars", (ex: HttpExchange) =>
-      handle(ex, allowGet = true) { _ =>
-        (200, """{"status":"success","data":[]}""")
+    // GET/POST query_exemplars — a deliberate empty-answer stub: the
+    // engine stores no exemplars, and the reference's ClickHouse-backed
+    // branch answers the same `{"status":"success","data":[]}`
+    // (prometheus.ts:692-694,709-710) so an exemplars-enabled Grafana
+    // datasource doesn't 404. The required params still validate —
+    // native Prometheus and the reference both answer 400 when `query`
+    // is missing, so strict conformance clients see parity.
+    http.createContext(s"$prefix/query_exemplars", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { body =>
+        promGuard {
+          val p = promParams(ex, body)
+          reqParam(p, "query")
+          pOne(p, "start").foreach(PromApi.parseTime(_, "start"))
+          pOne(p, "end").foreach(PromApi.parseTime(_, "end"))
+          (200, """{"status":"success","data":[]}""")
+        }
       })
-    // GET /promql/label/<name>/values — the label-values dropdown the
+    // GET label/<name>/values — the label-values dropdown the
     // reference serves through ClickHouse timeSeriesTags
     // (prometheus.ts:722-824); __name__ maps to MetricName like the
     // reference's metric_name special case. A `match[]` selector
     // narrows the rows. Values rank by frequency (capped) and return
     // lexically sorted, the reference's ORDER BY val.
-    http.createContext("/promql/label", (ex: HttpExchange) =>
+    http.createContext(s"$prefix/label", (ex: HttpExchange) =>
       handle(ex, allowGet = true, exactPath = false) { body =>
         promGuard {
           val path = ex.getRequestURI.getPath
-          val rest = path.stripPrefix("/promql/label/")
+          val rest = path.stripPrefix(s"$prefix/label/")
           if (rest == path || !rest.endsWith("/values"))
             (404, """{"error":"unknown path"}""")
           else {
@@ -377,12 +398,12 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           }
         }
       })
-    // GET/POST /promql/series — distinct label sets for one or more
+    // GET/POST series — distinct label sets for one or more
     // match[] selectors in an optional [start, end] window (the
     // Prometheus /api/v1/series shape; data is a bare array of label
     // objects). match[] is REQUIRED like upstream; __name__ maps from
     // MetricName and leads each set.
-    http.createContext("/promql/series", (ex: HttpExchange) =>
+    http.createContext(s"$prefix/series", (ex: HttpExchange) =>
       handle(ex, allowGet = true) { body =>
         promGuard {
           val p = promParams(ex, body)
@@ -406,9 +427,9 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           (200, PromApi.seriesJson(sets, truncated, maxRows))
         }
       })
-    // GET /promql/labels — label NAMES (the Prometheus /api/v1/labels
-    // shape); __name__ leads like a native Prometheus answer
-    http.createContext("/promql/labels", (ex: HttpExchange) =>
+    // GET labels — label NAMES (the Prometheus /api/v1/labels shape);
+    // __name__ leads like a native Prometheus answer
+    http.createContext(s"$prefix/labels", (ex: HttpExchange) =>
       handle(ex, allowGet = true) { body =>
         promGuard {
           val p = promParams(ex, body)
@@ -423,7 +444,7 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
             .mkString("""{"status":"success","data":[""", ",", "]}"))
         }
       })
-    http.start()
+    ()
   }
 
   /** Prometheus param extraction: the query string and a form-encoded

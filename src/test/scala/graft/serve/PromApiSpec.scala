@@ -237,6 +237,81 @@ class PromApiSpec extends SparkSpec
     assert(get("/promql/query_exemplars/extra")._1 == 404)
   }
 
+  test("the /api/v1 alias serves every prom endpoint identically to " +
+      "/promql — the prefix a stock Grafana datasource hardcodes") {
+    val q = enc("sum by (ServiceName) (value)")
+    val range = "query=" + q +
+      "&start=2024-01-01T00:00:00Z&end=2024-01-08T00:00:00Z&step=86400"
+    // identical handler body ⇒ byte-identical answers across prefixes
+    for (path <- Seq(s"query_range?$range",
+        "query?query=" + q + "&time=2024-01-02T00:00:00Z&step=86400",
+        "query_exemplars?query=" + q,
+        "label/ServiceName/values",
+        "labels",
+        "series?match%5B%5D=" + enc("""value{ServiceName="click"}"""))) {
+      val (cA, bA) = get(s"/api/v1/$path")
+      val (cB, bB) = get(s"/promql/$path")
+      assert(cA == 200, s"$path: $bA")
+      assert((cA, bA) == (cB, bB), s"$path diverged across prefixes")
+    }
+    // the exact request sequence Grafana issues on datasource save:
+    // an instant query with time+timeout, then /api/v1/labels
+    val now = java.time.Instant.now().getEpochSecond
+    val (gc1, gb1) = get(s"/api/v1/query?query=" +
+      enc("1+1") + s"&time=$now&timeout=10s")
+    assert(gc1 == 200 && gb1.contains(""""status":"success""""), gb1)
+    // scalar-only expressions fold to the Prometheus scalar shape
+    assert(gb1.contains(""""resultType":"scalar"""") &&
+      gb1.contains(s"""[$now,"2"]"""), gb1)
+    val (gc2, gb2) = get("/api/v1/labels")
+    assert(gc2 == 200 && gb2.contains("\"__name__\""), gb2)
+    // exact-path discipline holds under the alias too
+    assert(get("/api/v1/queryXYZ")._1 == 404)
+  }
+
+  test("scalar-only expressions: constScalar folds arithmetic, math " +
+      "fns, bool comparisons, and time(); range queries answer a " +
+      "label-less matrix; vector queries never take the scalar path") {
+    import graft.metrics.PromQl
+    assert(PromQl.constScalar("1+1", 0) == Some(2.0))
+    assert(PromQl.constScalar("2 * (3 - 1) / 4", 0) == Some(1.0))
+    assert(PromQl.constScalar("sqrt(16)", 0) == Some(4.0))
+    assert(PromQl.constScalar("round(2.5)", 0) == Some(3.0))
+    assert(PromQl.constScalar("1 >= bool 2", 0) == Some(0.0))
+    assert(PromQl.constScalar("time()", 1704067200L) ==
+      Some(1704067200.0))
+    assert(PromQl.constScalar("year(time())", 1704067200L) ==
+      Some(2024.0))
+    // 1/0 keeps the IEEE shape promDiv gives vectors
+    assert(PromQl.constScalar("1/0", 0) ==
+      Some(Double.PositiveInfinity))
+    // a scalar-scalar comparison without bool is the native parse error
+    intercept[PromQl.PromQlParseException](
+      PromQl.constScalar("1 > 2", 0))
+    // anything touching a vector falls through to the vector compiler
+    assert(PromQl.constScalar("value", 0).isEmpty)
+    assert(PromQl.constScalar("1 + sum(value)", 0).isEmpty)
+    // range spelling: one label-less series stepped across the window
+    val (rc, rb) = get("/api/v1/query_range?query=" + enc("1+1") +
+      "&start=1704067200&end=1704067320&step=60")
+    assert(rc == 200, rb)
+    assert(rb.contains(""""metric":{},"values":[[1704067200,"2"],""" +
+      """[1704067260,"2"],[1704067320,"2"]]"""), rb)
+  }
+
+  test("query_exemplars validates its required query param: missing " +
+      "query or a malformed time answers the Prometheus 400, like " +
+      "native Prometheus and the reference's handler") {
+    val (c1, b1) = get("/promql/query_exemplars")
+    assert(c1 == 400 && b1.contains(""""errorType":"bad_data"""") &&
+      b1.contains("missing required parameter: query"), b1)
+    val (c2, b2) = get("/api/v1/query_exemplars")
+    assert(c2 == 400 && b2.contains("bad_data"), b2)
+    val (c3, b3) = get("/api/v1/query_exemplars?query=" + enc("value") +
+      "&start=nope")
+    assert(c3 == 400 && b3.contains("bad_data"), b3)
+  }
+
   test("series returns distinct label sets for match[] selectors: " +
       "__name__ leads, selectors union, match[] is required, and the " +
       "time window narrows the answer") {
