@@ -886,13 +886,16 @@ object Dedup {
     * id) postings, pairs meet per shared gram and reduce to exact
     * intersection counts (one hash shuffle on the gram hash, one on the
     * id pair; text never moves — the [[duplicateSpans]] discipline).
-    * All-pairs work is Σ_g df(g)², so a stop-gram posting list of
-    * length d contributes d² pairs: `maxDf` audits the longest posting
-    * list FIRST (aggregation-only job over the postings) and fails
-    * loudly above the bound rather than silently running a quadratic
-    * join (the SemDeDup `maxCellRows` contract). Raising the bound is
-    * an explicit caller decision; dropping high-df grams would change
-    * the measure, so it is not done silently.
+    * All-pairs work is Σ_g df(g)², guarded TWICE by one
+    * aggregation-only audit job over the postings before the join
+    * runs: `maxDf` bounds the longest single posting list (a stop-gram
+    * of length d contributes d² pairs on its own), and `maxPairs`
+    * bounds the TOTAL Σ_g df(g)² fan-out — a corpus of many mid-df
+    * grams can blow the pair budget while every individual gram stays
+    * under maxDf. Both fail loudly rather than silently running a
+    * quadratic join (the SemDeDup `maxCellRows` contract). Raising a
+    * bound is an explicit caller decision; dropping high-df grams
+    * would change the measure, so it is not done silently.
     *
     * Containment is exact over 64-bit gram hashes (collisions ~n²/2⁶⁴,
     * the [[ngramJaccardProbe]] disclaimer). Output: id_a < id_b,
@@ -900,7 +903,7 @@ object Dedup {
     * max of the two; ids restored to their original type. */
   def containmentPairs(corpus: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L, maxPairs: Long = 100000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
     val (corpusL, idMap) = longIds(corpus, idCol)
@@ -911,9 +914,19 @@ object Dedup {
       .select(col("id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = sh.select(col("id"), explode(col("sh")).as("gh"))
-    val topDf = postings.groupBy("gh").count()
-      .agg(max("count").as("m")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+    // one aggregation-only audit job answers BOTH guards: the hottest
+    // single gram (max df) AND the total join fan-out Σ_g df(g)² —
+    // a corpus of many mid-df grams can blow the pair budget while
+    // every individual gram stays under maxDf, so the per-gram bound
+    // alone would wave a quadratic join through
+    val audit = postings.groupBy("gh").count()
+      .agg(max("count").as("m"),
+        sum(col("count") * col("count")).as("p")).collect()
+    val topDf = audit.headOption
+      .flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    val joinPairs = audit.headOption
+      .flatMap(r => Option(r.get(1)).map(_ => r.getLong(1)))
       .getOrElse(0L)
     if (topDf > maxDf) {
       sh.unpersist()
@@ -922,6 +935,14 @@ object Dedup {
           s"maxDf = $maxDf — the inverted-index self-join would " +
           s"produce ~df² pairs for it; raise maxDf explicitly if " +
           "that cost is intended")
+    }
+    if (joinPairs > maxPairs) {
+      sh.unpersist()
+      throw new IllegalArgumentException(
+        s"containmentPairs: the posting-list self-join would emit " +
+          s"Σdf² = $joinPairs gram-pair rows > maxPairs = $maxPairs " +
+          "even though no single gram exceeds maxDf — raise maxPairs " +
+          "explicitly if that cost is intended")
     }
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val a = postings.select(col("id").as("id_a"), col("gh"))

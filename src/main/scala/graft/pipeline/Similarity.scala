@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DecimalType, IntegerType, LongType, ShortType, StringType}
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k as the exact baseline, and a random-hyperplane-LSH bucketed
@@ -332,30 +332,44 @@ object Similarity {
         .select((keys :+ explode(col("__xs")).as("__x")): _*)
         .select((keys :+ col("__x._1").cast(scoreType).as(score)
           :+ col("__x._2").cast(idType).as("neighbor_id")): _*)
-    else if (idType == StringType)
-      // string ids (UUIDs, document keys) get the same bounded-heap
-      // state via TopKString, whose tie-break is Spark's UTF-8 binary
-      // string order — parity with the struct sort this replaces
-      d.groupBy(keys: _*)
-        .agg(graft.functions.TopK.topSmallestString(
-          col(score).cast("double"), col("neighbor_id"), n)
-          .as("__xs"))
-        .select((keys :+ explode(col("__xs")).as("__x")): _*)
-        .select((keys :+ col("__x._1").cast(scoreType).as(score)
-          :+ col("__x._2").as("neighbor_id")): _*)
-    else
-      // remaining non-integral ids (decimal/binary corpora) can't ride
-      // either TopK encoder, and casting them to string would reorder
-      // tie-breaks (decimal 9 sorts after 10 lexically). The
-      // sorted-slice shape is type-agnostic with the same ordering; its
-      // buffer is partition-bounded, not k-bounded, which is the
-      // accepted cost of the exotic-id path.
-      d.groupBy(keys: _*)
-        .agg(slice(array_sort(collect_list(
-          struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
-        .select((keys :+ explode(col("__xs")).as("__x")): _*)
-        .select((keys :+ col("__x." + score).as(score)
-          :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+    else {
+      // non-integral ids ride TopKString's bounded heap through a
+      // LOSSLESS string encoding: strings as-is, decimals via their
+      // canonical cast (restored by casting back), binary via hex
+      // (restored by unhex). The score-tie tie-break becomes the
+      // ENCODED form's UTF-8 order — a different (but equally
+      // deterministic) choice than the native struct order a
+      // sorted-slice would use; ties still resolve identically across
+      // partitionings, which is the contract. Only a non-atomic id
+      // type (struct/array — no credible corpus key) still falls to
+      // the type-agnostic sorted-slice, whose buffer is
+      // partition-bounded rather than k-bounded.
+      val codec: Option[(Column => Column, Column => Column)] =
+        idType match {
+          case StringType => Some((identity, identity))
+          case _: DecimalType =>
+            Some((c => c.cast("string"), c => c.cast(idType)))
+          case BinaryType => Some((c => hex(c), c => unhex(c)))
+          case _ => None
+        }
+      codec match {
+        case Some((enc, dec)) =>
+          d.groupBy(keys: _*)
+            .agg(graft.functions.TopK.topSmallestString(
+              col(score).cast("double"), enc(col("neighbor_id")), n)
+              .as("__xs"))
+            .select((keys :+ explode(col("__xs")).as("__x")): _*)
+            .select((keys :+ col("__x._1").cast(scoreType).as(score)
+              :+ dec(col("__x._2")).as("neighbor_id")): _*)
+        case None =>
+          d.groupBy(keys: _*)
+            .agg(slice(array_sort(collect_list(
+              struct(col(score), col("neighbor_id")))), 1, n).as("__xs"))
+            .select((keys :+ explode(col("__xs")).as("__x")): _*)
+            .select((keys :+ col("__x." + score).as(score)
+              :+ col("__x.neighbor_id").as("neighbor_id")): _*)
+      }
+    }
   }
 
   /** Two-stage bounded top-n: partition-local partials, then the final

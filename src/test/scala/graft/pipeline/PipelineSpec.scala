@@ -127,6 +127,29 @@ class DedupSpec extends SparkSpec {
       threshold = 0.99, maxDf = 10L)
     assert(ok.count() == 0L) // shared prefix alone is below threshold
   }
+
+  test("containmentPairs maxPairs guard trips on many mid-df grams " +
+      "that each stay under maxDf") {
+    // 8 distinct grams each shared by exactly 3 docs: max df = 3 stays
+    // under maxDf = 5, but Σdf² ≥ 8·9 = 72 > maxPairs = 50 — the blind
+    // spot a per-gram bound alone waves through. Docs pair up the
+    // shared trigrams (a1..a8 across docs 1-3, etc. via rotation).
+    val grams = (1 to 8).map(g => s"g${g}a g${g}b g${g}c")
+    val df = (0 until 3).map { d =>
+      (d.toLong + 1L, grams.mkString(s" pad${d}x pad${d}y "))
+    }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.99, maxDf = 1000L, maxPairs = 50L).collect()
+    }
+    assert(e.getMessage.contains("maxPairs") &&
+      e.getMessage.contains("Σdf²"), e.getMessage)
+    // an explicit budget raise re-enables the same corpus; at a low
+    // threshold the 8 shared grams (of ~36 per doc) surface each pair
+    val ok = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDf = 1000L, maxPairs = 100000L)
+    assert(ok.count() == 3L) // all three doc pairs share the 8 grams
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
@@ -266,6 +289,45 @@ class SimilaritySpec extends SparkSpec {
       .select("probe_id", "neighbor_id")
       .as[(String, String)].collect().toSet
     assert(unpadded == oracle)
+  }
+
+  test("decimal and binary ids ride the k-bounded shortlist through a " +
+      "lossless string codec — same pairs as the numeric run, no " +
+      "collect_list in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 3)
+    val numeric = Similarity
+      .knnBrute(probes, e, "vec_id", "embedding", 5)
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    // decimal ids: canonical string cast is lossless both ways
+    val ed = e.withColumn("vec_id", col("vec_id").cast("decimal(12,0)"))
+    val pd = probes.withColumn("vec_id", col("vec_id").cast("decimal(12,0)"))
+    val decDf = Similarity.knnBrute(pd, ed, "vec_id", "embedding", 5)
+    val decPlan = decDf.queryExecution.optimizedPlan.toString
+    assert(!decPlan.contains("collect_list"), decPlan.take(2000))
+    val dec = decDf
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(dec == numeric)
+    // decimal output keeps its original type
+    assert(decDf.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 0))
+    // binary ids: hex/unhex round-trips arbitrary bytes losslessly
+    val bin = format_string("%05d", col("vec_id")).cast("binary")
+    val eb = e.withColumn("vec_id", bin)
+    val pb = probes.withColumn("vec_id", bin)
+    val binDf = Similarity.knnBrute(pb, eb, "vec_id", "embedding", 5)
+    val binPlan = binDf.queryExecution.optimizedPlan.toString
+    assert(!binPlan.contains("collect_list"), binPlan.take(2000))
+    assert(binDf.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val binOut = binDf
+      .select(col("probe_id").cast("string").cast("long"),
+        col("neighbor_id").cast("string").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(binOut == numeric)
   }
 
   test("knnIvf: exhaustive nprobe equals brute; partial nprobe recalls") {
