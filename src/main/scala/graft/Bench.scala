@@ -62,6 +62,19 @@ object Bench {
       } catch { case _: Throwable => None }
     val jiffies0 = cpuJiffies()
 
+    // 1-minute load average, sampled at start and end: steal_pct alone
+    // has repeatedly failed to explain ~1.16× artifact inflation —
+    // same-host contention (a concurrent sbt/driver job) shows up in
+    // load1 but not in steal. Both samples ride the JSON line so an
+    // inflated artifact names its own suspect.
+    def load1(): Option[Double] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
+        finally src.close()
+      } catch { case _: Throwable => None }
+    val load1Start = load1()
+
     // Two full passes, per-query MIN. The host VM shows bursty CPU steal
     // (multi-second whole-JVM freezes that land on whichever query is
     // running — /proc/stat steal + hrtimer-latency warnings); min-of-two
@@ -86,8 +99,13 @@ object Bench {
         f""","steal_pct":${(s1 - s0) * 100.0 / (t1 - t0)}%.2f"""
       case _ => ""
     }
+    val loads = (load1Start, load1()) match {
+      case (Some(a), Some(b)) =>
+        f""","load1_start":$a%.2f,"load1_end":$b%.2f"""
+      case _ => ""
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads}"""
     // file first, stdout last: the stdout line is the driver's parse
     // target, the file survives any log-tail truncation. The file is
     // the BACKUP channel — a write failure (read-only cwd, full disk)

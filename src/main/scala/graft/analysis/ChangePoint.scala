@@ -112,6 +112,9 @@ object ChangePoint {
     require(keyCols.nonEmpty, "ewmaChart needs at least one series key")
     require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
     require(width > 0.0, "width (L) must be positive")
+    sigma.foreach(s => require(s > 0.0,
+      "an explicit sigma must be positive — a zero-width band alarms " +
+        "on every point"))
     val keyCs = keyCols.map(col)
     val grouped = df
       .select(keyCs :+ col(bucketCol).cast("long").as("__b") :+
@@ -140,17 +143,32 @@ object ChangePoint {
     val halfWidth = lit(width) * col("__sd") *
       sqrt(lit(lambda / (2.0 - lambda)) *
         (lit(1.0) - pow(lit(1.0 - lambda), t * 2)))
+    // a self-calibrated sigma of 0 (constant series) or a single-point
+    // series has no control-band signal: a zero-width band would alarm
+    // on ANY deviation from the mean — a degenerate-series artifact,
+    // not a detection. Those series keep their z trajectory but answer
+    // null ucl/lcl/alarm (the no-signal spelling); an EXPLICIT sigma
+    // is the caller pinning the band, validated positive above.
+    val degenerate =
+      if (sigma.isDefined) lit(false)
+      else col("__sd").isNull || col("__sd") === 0.0 ||
+        size(col("__pts")) < 2
     folded
+      .withColumn("__deg", degenerate)
       .select(keyCs ++ Seq(col("__mu"), col("__sd"), col("__z"),
+        col("__deg"),
         posexplode(col("__pts")).as(Seq("__i", "__p"))): _*)
       .select(keyCs ++ Seq(
         col("__p.__b").as(bucketCol),
         col("__p.__x").as(valueCol),
         element_at(col("__z"), col("__i") + 1).as("z"),
-        (col("__mu") + halfWidth).as("ucl"),
-        (col("__mu") - halfWidth).as("lcl")): _*)
+        when(!col("__deg"), col("__mu") + halfWidth).as("ucl"),
+        when(!col("__deg"), col("__mu") - halfWidth).as("lcl"),
+        col("__deg")): _*)
       .withColumn("alarm",
-        when(col("z") > col("ucl") || col("z") < col("lcl"), 1L)
+        when(col("__deg"), lit(null).cast("long"))
+          .when(col("z") > col("ucl") || col("z") < col("lcl"), 1L)
           .otherwise(0L))
+      .drop("__deg")
   }
 }

@@ -246,12 +246,16 @@ object Metadata {
   }
 
   /** Distinct label sets of the rows one or more PromQL selectors
-    * match — the Prometheus `/api/v1/series` answer shape (the
-    * reference proxies that endpoint at prometheus.ts; here it reads
-    * the engine's own metrics frame). Label surface = every string
-    * column plus every map<string,_> entry, the [[timeSeriesTags]]
-    * discovery surface; null values drop from the set rather than
-    * emitting a null label.
+    * match — the native Prometheus `/api/v1/series` answer shape
+    * (the reference's prometheus router has no /series proxy; this
+    * endpoint exceeds its list and reads the engine's own metrics
+    * frame). Label surface = every string column plus every
+    * map<string,_> entry, the [[timeSeriesTags]] discovery surface;
+    * null values drop from the set rather than emitting a null label,
+    * and an Attributes key that SHADOWS a physical column (e.g. a map
+    * entry named 'ServiceName') loses to the column — one label per
+    * name, deterministically, since duplicate JSON keys in a label
+    * set are invalid under Prometheus label-set semantics.
     *
     * One capped scan → one distinct. A MapType column can't be grouped,
     * so each row's label set canonicalizes to a label-sorted
@@ -292,8 +296,17 @@ object Metadata {
             e.getField("value").cast("string").as("value"))),
         p => p.getField("value").isNotNull),
       empty))
+    // left-fold keeps the FIRST struct per label name: string columns
+    // precede map entries in the concat, so a shadowing map key loses
+    // to the physical column; label sets are small (≤ tens), so the
+    // O(labels²) exists() probe stays trivial per row
+    val all = concat(strPairs ++ mapPairs: _*)
+    val deduped = aggregate(all, empty, (acc, x) =>
+      when(exists(acc, y =>
+        y.getField("label") === x.getField("label")), acc)
+        .otherwise(concat(acc, array(x))))
     cappedScan(timed, (strCols ++ mapCols).map(col), maxScanRows)
-      .select(sort_array(concat(strPairs ++ mapPairs: _*)).as("labels"))
+      .select(sort_array(deduped).as("labels"))
       .distinct()
       .orderBy("labels")
   }

@@ -303,9 +303,30 @@ object Curation {
       .sortWithinPartitions(col("__u"), col(idCol))
       .withColumn("__pid", spark_partition_id())
     ranged.persist()
-    val totals = ranged.groupBy("__pid")
-      .agg(sum(col("__w")).as("__t"), min(col("__w")).as("__m"))
-      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // the same subtotal pass audits the weights: a null weight would
+    // silently never be selected (and a partition of only nulls would
+    // crash the totals decode), and a fractional weight would silently
+    // truncate through cast('long') — both are caller mistakes the
+    // exact-arithmetic contract must refuse loudly, like negatives
+    val audited = ranged.groupBy("__pid")
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__t"),
+        coalesce(min(col("__w")), lit(0L)).as("__m"),
+        sum(when(col("__w").isNull, 1L).otherwise(0L)).as("__nulls"),
+        sum(when(col("__w").isNotNull &&
+          col(weightCol).cast("double") =!= col("__w").cast("double"),
+          1L).otherwise(0L)).as("__frac"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val nullW = audited.map(_._4).sum
+    require(nullW == 0L,
+      s"ppsSystematicSample: $nullW null (or non-numeric) weights in " +
+        s"$weightCol — a null row can never be selected; filter or " +
+        "impute explicitly")
+    val fracW = audited.map(_._5).sum
+    require(fracW == 0L,
+      s"ppsSystematicSample: $fracW weights in $weightCol change value " +
+        "under cast to long — fractional weights would truncate " +
+        "silently; pre-scale to integers explicitly")
+    val totals = audited.map(t => (t._1, t._2, t._3))
     require(totals.forall(_._3 >= 0L),
       s"ppsSystematicSample: negative weight in $weightCol")
     val grandTotal = totals.map(_._2).sum

@@ -175,4 +175,32 @@ class ChangePointSpec extends SparkSpec {
     assert(out(1) == ((10.0, 0L))) // held, not null
     assert(out(2)._1 == 30.0 && out(2)._2 == 1L)
   }
+
+  test("ewma degenerate series (self-calibrated σ = 0 or a single " +
+      "point) answer null band and alarm, not an everything-alarms " +
+      "zero-width band") {
+    // constant series: stddev_pop = 0 under self-calibration
+    val const = Seq(("c", 0L, 5.0), ("c", 1L, 5.0), ("c", 2L, 5.0))
+      .toDF("k", "b", "x")
+    val out = ChangePoint.ewmaChart(const, Seq("k"), "b", "x")
+      .orderBy("b").collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("ucl")) &&
+      r.isNullAt(r.fieldIndex("lcl")) &&
+      r.isNullAt(r.fieldIndex("alarm"))), out.mkString("; "))
+    // the z trajectory itself still computes
+    assert(out.forall(_.getAs[Double]("z") == 5.0))
+    // single-point series: no dispersion signal either
+    val single = Seq(("s", 0L, 42.0)).toDF("k", "b", "x")
+    val s = ChangePoint.ewmaChart(single, Seq("k"), "b", "x").collect()
+    assert(s.length == 1 && s.head.isNullAt(s.head.fieldIndex("alarm")))
+    // an explicit pinned sigma keeps the band even on constant data
+    val pinned = ChangePoint.ewmaChart(const, Seq("k"), "b", "x",
+      sigma = Some(1.0)).collect()
+    assert(pinned.forall(!_.isNullAt(pinned.head.fieldIndex("alarm"))))
+    // and an explicit zero sigma is refused loudly
+    intercept[IllegalArgumentException] {
+      ChangePoint.ewmaChart(const, Seq("k"), "b", "x",
+        sigma = Some(0.0))
+    }
+  }
 }

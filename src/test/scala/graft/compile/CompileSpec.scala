@@ -179,6 +179,24 @@ class SeriesSpec extends SparkSpec {
 
 class MetadataSpec extends SparkSpec {
 
+  test("seriesSets dedups an Attributes key that shadows a physical " +
+      "column — one label per name, the column wins") {
+    import spark.implicits._
+    val df = Seq(
+      ("value", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "click", Map("ServiceName" -> "shadow", "user" -> "u1")))
+      .toDF("MetricName", "TimeUnix", "ServiceName", "Attributes")
+    val sets = graft.meta.Metadata.seriesSets(df, Seq("value")).collect()
+    assert(sets.length == 1)
+    val labels = sets.head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    // exactly ONE ServiceName label, and it is the physical column's
+    // value — duplicate label names are invalid Prometheus label sets
+    assert(labels.count(_._1 == "ServiceName") == 1, labels)
+    assert(labels.contains(("ServiceName", "click")), labels)
+    assert(labels.contains(("user", "u1")), labels)
+  }
+
   test("map keys / values / keyValues / distribution") {
     import spark.implicits._
     val df = Seq(

@@ -366,4 +366,25 @@ class CurationSpec extends SparkSpec {
         Seq((1L, -5L)).toDF("id", "w"), "id", "w", 3).collect()
     }
   }
+
+  test("ppsSystematicSample refuses null and fractional weights " +
+      "loudly instead of silently dropping or truncating them") {
+    // a null weight would never be selected (silent exclusion)
+    val nulled = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.ppsSystematicSample(nulled, "id", "w", 3).collect()
+    }
+    assert(e1.getMessage.contains("null"), e1.getMessage)
+    // a fractional weight would truncate through cast('long')
+    val frac = Seq((1L, 5.0), (2L, 2.5), (3L, 7.0)).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.ppsSystematicSample(frac, "id", "w", 3).collect()
+    }
+    assert(e2.getMessage.contains("cast to long"), e2.getMessage)
+    // integral doubles pass: the cast changes no value
+    val ok = Curation.ppsSystematicSample(
+      Seq((1L, 5.0), (2L, 3.0)).toDF("id", "w"), "id", "w", 4)
+    assert(ok.select(sum("copies")).as[Long].collect().head == 4L)
+  }
 }
