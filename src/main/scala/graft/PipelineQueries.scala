@@ -1501,8 +1501,12 @@ object PipelineQueries {
     val trunc = d.filter(col("doc_id") < 25).select(
       (col("doc_id") + 200000).as("doc_id"),
       array_join(slice(words, lit(1), half), " ").as("text"))
+    // maxPairs raised explicitly: the 10x scale synthesis splices docs
+    // so grams share ~half their postings with parents, putting the
+    // honest total fan-out (~2.8e8 gram-pair rows at 10x) over the 1e8
+    // default — the budget is a disclosed cost here, not a surprise
     Dedup.containmentPairs(d.unionByName(trunc), "doc_id", "text",
-      n = 3, threshold = 0.9)
+      n = 3, threshold = 0.9, maxPairs = 1000000000L)
       .withColumn("containment_ab", round(col("containment_ab"), 6))
       .withColumn("containment_ba", round(col("containment_ba"), 6))
       .withColumn("containment", round(col("containment"), 6))
