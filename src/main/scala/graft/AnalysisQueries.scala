@@ -1351,9 +1351,100 @@ object AnalysisQueries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM lim ORDER BY event_type, bucket""".stripMargin
 
+  /** Holt linear-trend smoothing gate
+    * ([[graft.analysis.Forecast.holtLinear]]): hourly per-type event
+    * counts smoothed at α = β = 0.5 (every recursion coefficient an
+    * exact power of two, the q127 bit-parity argument), causal seed
+    * l₁ = x₁ / b₁ = 0, 3-step-ahead projection; outputs round 4dp
+    * AFTER the recursion, inputs are exact integer counts. */
+  def q134_holt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val x = ev
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600L) * 3600L)
+        .cast("long").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    graft.analysis.Forecast.holtLinear(x, Seq("event_type"), "bucket",
+        "x", alpha = 0.5, beta = 0.5, horizon = 3)
+      .select(col("event_type"), col("bucket"), col("x"),
+        round(col("level"), 4).as("level"),
+        round(col("trend"), 4).as("trend"),
+        round(col("fitted"), 4).as("fitted"),
+        round(col("forecast_h"), 4).as("forecast_h"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val q134_sql: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ord AS (
+      |  SELECT event_type, bucket, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket)
+      |      AS rn
+      |  FROM c),
+      |rec AS (
+      |  SELECT event_type, rn, bucket, x, x AS l,
+      |    CAST(0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS fitted
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn, o.bucket, o.x,
+      |    0.5 * o.x + 0.5 * (r.l + r.b) AS l,
+      |    0.5 * ((0.5 * o.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      |      AS b,
+      |    r.l + r.b AS fitted
+      |  FROM ord o JOIN rec r
+      |    ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+      |SELECT event_type, bucket, x, round(l, 4) AS level,
+      |  round(b, 4) AS trend, round(fitted, 4) AS fitted,
+      |  round(l + 3.0 * b, 4) AS forecast_h
+      |FROM rec ORDER BY event_type, bucket""".stripMargin
+
+  /** Categorical drift gate ([[graft.analysis.Drift.categoricalDrift]]):
+    * event-type mix of the first 15 days (epoch < 1705363200 =
+    * 2024-01-16T00:00:00Z, spelled in epoch seconds to keep both
+    * engines timezone-free) against the rest — smoothed proportions,
+    * per-category KL and chi-square contributions, 6dp. */
+  def q135_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val cut = 1705363200L
+    val ref = ev.filter(unix_timestamp(col("ts")) < cut)
+    val cur = ev.filter(unix_timestamp(col("ts")) >= cut)
+    graft.analysis.Drift.categoricalDrift(ref, cur, "event_type")
+      .orderBy("event_type")
+  }
+
+  val q135_sql: String =
+    """WITH r AS (
+      |  SELECT event_type, count(*) AS n_ref FROM events
+      |  WHERE epoch(ts) < 1705363200 GROUP BY 1),
+      |c AS (
+      |  SELECT event_type, count(*) AS n_cur FROM events
+      |  WHERE epoch(ts) >= 1705363200 GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(r.event_type, c.event_type) AS event_type,
+      |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |  FROM r FULL OUTER JOIN c ON r.event_type = c.event_type),
+      |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+      |        count(*) AS k FROM j),
+      |s AS (
+      |  SELECT event_type, n_ref, n_cur,
+      |    (n_ref + 0.5) / (tr + 0.5 * k) AS pr,
+      |    (n_cur + 0.5) / (tc + 0.5 * k) AS pc,
+      |    tc, tr, k
+      |  FROM j, t)
+      |SELECT event_type, n_ref, n_cur,
+      |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+      |  round(pc * ln(pc / pr), 6) AS kl_term,
+      |  round(pow(n_cur - tc * pr, 2) / (tc * pr), 6) AS chi2_term
+      |FROM s ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
+    "q134_holt" -> (q134_holt _),
+    "q135_drift" -> (q135_drift _),
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
@@ -1385,6 +1476,8 @@ object AnalysisQueries {
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
     "q127_ewma" -> q127_sql,
+    "q134_holt" -> q134_sql,
+    "q135_drift" -> q135_sql,
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,

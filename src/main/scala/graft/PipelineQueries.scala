@@ -1878,6 +1878,135 @@ object PipelineQueries {
       |  CAST(m.d AS BIGINT) AS dist2
       |FROM fin ORDER BY vec_id""".stripMargin
 
+  /** URL canonicalization + dedup ([[graft.pipeline.Urls]]): the
+    * documents table has no URL column, so each doc mints TWO raw
+    * spellings of the same resource — a messy one (uppercase scheme/
+    * host, explicit :443, tracking params, unsorted query, fragment,
+    * trailing slash) and a clean one — which must collapse to ONE
+    * canonical row with n_variants = 2. The oracle rebuilds the same
+    * construction and states the expected canonical form directly, so
+    * the gate checks the parser's rules end to end. */
+  def q130_url_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val messy = d.select(concat(lit("HTTPS://"), upper(col("source")),
+      lit(".Example.COM:443/docs/"), col("doc_id"),
+      lit("/?utm_source=feed&b=2&a=1#frag")).as("url"))
+    val clean = d.select(concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("doc_id"), lit("?a=1&b=2"))
+      .as("url"))
+    graft.pipeline.Urls.urlDedup(messy.unionByName(clean), "url")
+      .orderBy("canonical_url")
+  }
+
+  val q130_sql: String =
+    """WITH raw AS (
+      |  SELECT 'HTTPS://' || upper(source) || '.Example.COM:443/docs/'
+      |      || doc_id || '/?utm_source=feed&b=2&a=1#frag' AS url,
+      |    'https://' || lower(source) || '.example.com/docs/' || doc_id
+      |      || '?a=1&b=2' AS canonical_url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://' || source || '.example.com/docs/' || doc_id
+      |      || '?a=1&b=2' AS url,
+      |    'https://' || lower(source) || '.example.com/docs/' || doc_id
+      |      || '?a=1&b=2' AS canonical_url
+      |  FROM documents)
+      |SELECT canonical_url, count(*) AS n_variants,
+      |  min(url) AS sample_raw
+      |FROM raw GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
+  /** Bloom-prefiltered decontamination ([[graft.pipeline.Bloom]]):
+    * every 89th document plays the eval set; the result must be
+    * bit-identical to the exact gram semi-join (the bloom only prunes
+    * candidates — false positives die in the confirm join), so the
+    * oracle is the plain exact-overlap SQL with no bloom anywhere. */
+  def q131_bloom_decontam(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir)
+    val bench = d.filter(col("doc_id") % 89 === 0)
+    graft.pipeline.Bloom.bloomContaminationHits(d, "doc_id", "text",
+      bench, "text", n = 13)
+      .orderBy("doc_id")
+  }
+
+  val q131_sql: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT g FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 12, 0)),
+      |      i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+      |          FROM documents WHERE doc_id % 89 = 0))),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk) - 12, 0)),
+      |    i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS tk
+      |        FROM documents))
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM dg WHERE g IN (SELECT g FROM bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Zipf vocabulary profile ([[TextAnalysis.vocabStats]]): top-100
+    * token types with rank, corpus share, and cumulative coverage —
+    * integer counts, shares rounded 6dp over the SAME total-token
+    * denominator both sides. */
+  def q132_vocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(docs(spark, dir), "text", 100)
+      .orderBy("rank")
+
+  val q132_sql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |    AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> ''
+      |      GROUP BY tok),
+      |n AS (SELECT sum(cnt) AS total FROM c),
+      |r AS (SELECT tok, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      |      FROM c)
+      |SELECT rank, tok, cnt,
+      |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+      |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / total, 6)
+      |    AS cum_share
+      |FROM r, n WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  /** Adjacent-bigram PMI collocations ([[TextAnalysis.pmiBigrams]]):
+    * top-50 by (pmi desc, bigram asc) at minCount 3 — counts exact,
+    * PMI rounded 6dp with the same ((cxy·N)/(cx·cy)) association
+    * order both engines. */
+  def q133_pmi(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiBigrams(docs(spark, dir), "text", minCount = 3,
+      k = 50)
+
+  val q133_sql: String =
+    """WITH tk AS (
+      |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |n AS (SELECT sum(len(list_filter(t, x -> x <> ''))) AS nn
+      |      FROM tk),
+      |u AS (SELECT w, count(*) AS cw FROM (
+      |        SELECT unnest(t) AS w FROM tk) WHERE w <> '' GROUP BY w),
+      |bg AS (
+      |  SELECT unnest(list_transform(
+      |    generate_series(1, greatest(len(t) - 1, 0)),
+      |    i -> t[i] || ' ' || t[i+1])) AS b
+      |  FROM tk),
+      |b AS (
+      |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+      |    count(*) AS cxy
+      |  FROM bg
+      |  WHERE split_part(b, ' ', 1) <> '' AND split_part(b, ' ', 2) <> ''
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |s AS (
+      |  SELECT b.w1, b.w2, b.cxy,
+      |    round(ln(CAST(b.cxy AS DOUBLE) * nn /
+      |      (CAST(u1.cw AS DOUBLE) * u2.cw)), 6) AS pmi
+      |  FROM b JOIN u u1 ON u1.w = b.w1 JOIN u u2 ON u2.w = b.w2, n)
+      |SELECT w1, w2, cxy, pmi FROM s
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1926,7 +2055,11 @@ object PipelineQueries {
     "q125_c4" -> (q125_c4 _),
     "q126_para_dedup" -> (q126_para_dedup _),
     "q128_pps_sample" -> (q128_pps_sample _),
-    "q129_kmeans" -> (q129_kmeans _))
+    "q129_kmeans" -> (q129_kmeans _),
+    "q130_url_dedup" -> (q130_url_dedup _),
+    "q131_bloom_decontam" -> (q131_bloom_decontam _),
+    "q132_vocab" -> (q132_vocab _),
+    "q133_pmi" -> (q133_pmi _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -1975,5 +2108,9 @@ object PipelineQueries {
     "q125_c4" -> q125_sql,
     "q126_para_dedup" -> q126_sql,
     "q128_pps_sample" -> q128_sql,
-    "q129_kmeans" -> q129_sql)
+    "q129_kmeans" -> q129_sql,
+    "q130_url_dedup" -> q130_sql,
+    "q131_bloom_decontam" -> q131_sql,
+    "q132_vocab" -> q132_sql,
+    "q133_pmi" -> q133_sql)
 }

@@ -324,6 +324,82 @@ object TextAnalysis {
         x => x.getField("t")), " ").as(textCol))
   }
 
+  /** Zipf/vocabulary profile of a corpus: the top-`k` token types by
+    * frequency with rank, corpus share, and cumulative coverage — the
+    * tokenizer-health report a data pipeline reads before training
+    * (a too-flat head means boilerplate; coverage-at-k sizes a vocab).
+    *
+    * Scale shape: one token-keyed hash aggregate (map-side combined —
+    * the natural Zipf skew concentrates into ~vocab-size cells), then
+    * `orderBy(...).limit(k)` collapses the vocab through Spark's
+    * TakeOrderedAndProject (a k-bounded per-partition heap + driver
+    * merge — never a global sort of the full vocabulary), and the
+    * rank/cumulative window runs on the k surviving rows in a single
+    * tiny task. The grand total rides a cross-join of one scalar
+    * row. */
+  def vocabStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "vocabStats needs k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val top = counts.orderBy(desc("cnt"), col("tok")).limit(k)
+    val w = Window.orderBy(desc("cnt"), col("tok"))
+    top.crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("__total"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("__total"), 6))
+      .select("rank", "tok", "cnt", "share", "cum_share")
+  }
+
+  /** Adjacent-bigram PMI phrase mining: pointwise mutual information
+    * log((c_xy · N) / (c_x · c_y)) for token bigrams seen at least
+    * `minCount` times — the collocation score that surfaces
+    * multi-word units ("new york", "machine learning") for tokenizer
+    * or stop-phrase decisions (Church & Hanks 1990).
+    *
+    * Scale shape: one bigram hash aggregate and one unigram hash
+    * aggregate off the same tokenized scan, then two term-keyed
+    * shuffle joins bigram→unigram (vocabulary-sized, never
+    * corpus-sized); the final top-`k` collapses through
+    * TakeOrderedAndProject's bounded per-partition heap, not a global
+    * sort. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(k > 0 && minCount > 0, "pmiBigrams needs k, minCount > 0")
+    val toked = df.select(tokens(col(textCol)).as("__t"))
+    val uni = toked.select(explode(col("__t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = toked.select(
+      sum(size(filter(col("__t"), t => t =!= ""))).as("__n"))
+    val bi = toked
+      .select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i.cast("int")).as("w1"),
+            element_at(col("__t"), (i + 1).cast("int")).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string>>"))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
+      .crossJoin(n)
+      .withColumn("pmi", round(
+        log(col("cxy").cast("double") * col("__n") /
+          (col("cx").cast("double") * col("cy"))), 6))
+    scored.orderBy(desc("pmi"), col("w1"), col("w2")).limit(k)
+      .select("w1", "w2", "cxy", "pmi")
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

@@ -1,0 +1,83 @@
+package graft.analysis
+
+import graft.SparkSpec
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("holtLinear tracks a perfect linear ramp: trend converges to " +
+      "the slope and the h-step forecast extrapolates it") {
+    // x_t = 10t: l/b recursions at α=β=0.5 converge onto the line
+    val df = (1 to 12).map(t => ("s", t.toLong, 10.0 * t))
+      .toDF("k", "b", "x")
+    val out = Forecast.holtLinear(df, Seq("k"), "b", "x", horizon = 3)
+      .orderBy("b").collect()
+    // seed: l₁ = x₁, b₁ = 0, fitted null
+    assert(out.head.getDouble(out.head.fieldIndex("level")) == 10.0)
+    assert(out.head.getDouble(out.head.fieldIndex("trend")) == 0.0)
+    assert(out.head.isNullAt(out.head.fieldIndex("fitted")))
+    // late in the ramp the trend is ≈ the true slope and the forecast
+    // ≈ the true future value
+    val last = out.last
+    val lvl = last.getDouble(last.fieldIndex("level"))
+    val trd = last.getDouble(last.fieldIndex("trend"))
+    assert(math.abs(trd - 10.0) < 1.5, s"trend $trd")
+    assert(math.abs(lvl - 120.0) < 5.0, s"level $lvl")
+    assert(math.abs(last.getDouble(last.fieldIndex("forecast_h")) -
+      (lvl + 3 * trd)) < 1e-12)
+    // one-step fit: fitted_t = l_{t-1} + b_{t-1}
+    val l2 = out(1)
+    assert(l2.getDouble(l2.fieldIndex("fitted")) == 10.0) // l₁+b₁
+  }
+
+  test("holtLinear dead-reckons a missing bucket along the trend " +
+      "instead of poisoning the recursion") {
+    val df = Seq(("s", 1L, Some(10.0)), ("s", 2L, Some(20.0)),
+      ("s", 3L, None), ("s", 4L, Some(40.0))).toDF("k", "b", "x")
+    val out = Forecast.holtLinear(df, Seq("k"), "b", "x")
+      .orderBy("b").collect()
+    val r3 = out(2)
+    // t=2: l = .5·20+.5·10 = 15, b = .5·5 = 2.5
+    // t=3 (null): l = 17.5, b = 2.5, fitted = 17.5
+    assert(r3.getDouble(r3.fieldIndex("level")) == 17.5)
+    assert(r3.getDouble(r3.fieldIndex("trend")) == 2.5)
+    assert(r3.getDouble(r3.fieldIndex("fitted")) == 17.5)
+    // t=4 still numeric (not NaN-poisoned)
+    val r4 = out(3)
+    assert(!r4.isNullAt(r4.fieldIndex("level")))
+    assert(r4.getDouble(r4.fieldIndex("level")) == 30.0) // .5·40+.5·20
+  }
+}
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("categoricalDrift: identical distributions give ~zero KL and " +
+      "chi-square; a shifted category localizes the drift") {
+    val ref = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(20)("c")).toDF("k")
+    val same = Drift.categoricalDrift(ref, ref, "k")
+      .orderBy("k").collect()
+    // KL is exactly 0 (p == q); chi-square is NEAR 0 — the smoothing
+    // shifts expectations slightly off the raw counts
+    assert(same.forall(r =>
+      math.abs(r.getDouble(r.fieldIndex("kl_term"))) < 1e-9 &&
+        r.getDouble(r.fieldIndex("chi2_term")) < 0.01))
+    // current: 'a' doubles at 'c''s expense; 'd' appears from nowhere
+    val cur = (Seq.fill(70)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(10)("d")).toDF("k")
+    val out = Drift.categoricalDrift(ref, cur, "k")
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    // one-sided categories keep finite terms (smoothing)
+    assert(!out("d").getDouble(out("d").fieldIndex("kl_term")).isInfinite)
+    assert(out("c").getLong(out("c").fieldIndex("n_cur")) == 0L)
+    // the mover carries more KL than the stable category
+    assert(out("a").getDouble(out("a").fieldIndex("kl_term")) >
+      out("b").getDouble(out("b").fieldIndex("kl_term")))
+    // total drift is positive
+    val kl = out.values.map(r => r.getDouble(r.fieldIndex("kl_term"))).sum
+    assert(kl > 0.0)
+  }
+}
