@@ -1440,11 +1440,71 @@ object AnalysisQueries {
       |  round(pow(n_cur - tc * pr, 2) / (tc * pr), 6) AS chi2_term
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** Spearman correlation gate
+    * ([[graft.analysis.Correlation.spearmanPairs]]): hourly per-type
+    * event counts DENSIFIED to the full (type × hour) spine (missing
+    * hours count 0) so every series ranks over the identical bucket
+    * set — the condition under which the d² formula is exact. Ranks
+    * are integers-or-halves, Σd² dyadic → the only float division is
+    * the final ρ, rounded 6dp identically in both engines. */
+  def q136_spearman(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val c = ev.groupBy(
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L)
+          .cast("long").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = c.select(col("bucket")).distinct()
+    val keys = c.select(col("event_type")).distinct()
+    val dense = keys.crossJoin(spine)
+      .join(c, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    graft.analysis.Correlation.spearmanPairs(dense, "event_type",
+        "bucket", "cnt")
+      .orderBy("key_a", "key_b")
+  }
+
+  val q136_sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT DISTINCT bucket FROM c),
+      |k AS (SELECT DISTINCT event_type FROM c),
+      |dense AS (
+      |  SELECT k.event_type, sp.bucket, COALESCE(c.cnt, 0) AS cnt
+      |  FROM k CROSS JOIN sp
+      |  LEFT JOIN c ON c.event_type = k.event_type
+      |            AND c.bucket = sp.bucket),
+      |rn AS (
+      |  SELECT event_type, bucket, CAST(cnt AS DOUBLE) AS v,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY CAST(cnt AS DOUBLE), bucket)
+      |      AS rn
+      |  FROM dense),
+      |rk AS (
+      |  SELECT event_type, bucket,
+      |    avg(rn) OVER (PARTITION BY event_type, v) AS r
+      |  FROM rn),
+      |p AS (
+      |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+      |    count(*) AS n, sum(pow(a.r - b.r, 2)) AS d2
+      |  FROM rk a JOIN rk b ON a.bucket = b.bucket
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT key_a, key_b, n,
+      |  CASE WHEN n >= 2 THEN
+      |    round(1.0 - 6.0 * d2 / (n * (n * n - 1.0)), 6)
+      |  END AS rho
+      |FROM p ORDER BY key_a, key_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
     "q134_holt" -> (q134_holt _),
     "q135_drift" -> (q135_drift _),
+    "q136_spearman" -> (q136_spearman _),
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
@@ -1478,6 +1538,7 @@ object AnalysisQueries {
     "q127_ewma" -> q127_sql,
     "q134_holt" -> q134_sql,
     "q135_drift" -> q135_sql,
+    "q136_spearman" -> q136_sql,
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,

@@ -427,6 +427,25 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           (200, PromApi.seriesJson(sets, truncated, maxRows))
         }
       })
+    // GET status/buildinfo — the capability probe Grafana issues to
+    // pick API features. Answers a fixed Prometheus-2.x-compatible
+    // shape (an honest shim: the fields describe the API DIALECT the
+    // engine speaks, not a real Prometheus build — `revision` says
+    // so); native Prometheus serves the same structure
+    http.createContext(s"$prefix/status/buildinfo", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { _ =>
+        (200, """{"status":"success","data":{"version":"2.40.0",""" +
+          """"revision":"graft-spark-engine","branch":"",""" +
+          """"buildUser":"","buildDate":"","goVersion":""}}""")
+      })
+    // GET/POST metadata — metric HELP/TYPE metadata. The engine's
+    // metric frames carry no help strings, so the answer is the valid
+    // empty map (clients render autocomplete without descriptions);
+    // a 404 here makes some Grafana versions log errors per keystroke
+    http.createContext(s"$prefix/metadata", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { _ =>
+        (200, """{"status":"success","data":{}}""")
+      })
     // GET labels — label NAMES (the Prometheus /api/v1/labels shape);
     // __name__ leads like a native Prometheus answer
     http.createContext(s"$prefix/labels", (ex: HttpExchange) =>

@@ -267,6 +267,12 @@ class PromApiSpec extends SparkSpec
     assert(gc2 == 200 && gb2.contains("\"__name__\""), gb2)
     // exact-path discipline holds under the alias too
     assert(get("/api/v1/queryXYZ")._1 == 404)
+    // the capability/metadata probes Grafana also issues
+    val (bc, bb) = get("/api/v1/status/buildinfo")
+    assert(bc == 200 && bb.contains(""""version":"2.40.0"""") &&
+      bb.contains("graft-spark-engine"), bb)
+    val (mc, mb) = get("/api/v1/metadata")
+    assert(mc == 200 && mb == """{"status":"success","data":{}}""", mb)
   }
 
   test("scalar-only expressions: constScalar folds arithmetic, math " +
