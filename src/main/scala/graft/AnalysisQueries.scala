@@ -1499,12 +1499,50 @@ object AnalysisQueries {
       |  END AS rho
       |FROM p ORDER BY key_a, key_b""".stripMargin
 
+  /** Hampel/MAD outlier gate ([[graft.analysis.Robust.madOutliers]]):
+    * hourly per-type event counts, k = 3.5. Medians (and the MAD) are
+    * order-independent — the float-parity-safe statistic — so the
+    * only rounded float is the final robust z. */
+  def q137_mad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val x = ev.groupBy(
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L)
+          .cast("long").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.analysis.Robust.madOutliers(x, Seq("event_type"), "bucket",
+        "cnt", k = 3.5)
+      .orderBy("event_type", "bucket")
+  }
+
+  val q137_sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, median(x) AS med FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT c.event_type, c.bucket, c.x, m.med
+      |  FROM c JOIN m ON m.event_type = c.event_type),
+      |md AS (
+      |  SELECT event_type, median(abs(x - med)) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, d.bucket, d.x AS cnt, d.med, md.mad,
+      |  CASE WHEN md.mad > 0.0 THEN
+      |    round(0.6745 * (d.x - d.med) / md.mad, 6) END AS robust_z,
+      |  CASE WHEN md.mad > 0.0 THEN
+      |    CAST(CASE WHEN abs(0.6745 * (d.x - d.med) / md.mad) > 3.5
+      |         THEN 1 ELSE 0 END AS BIGINT) END AS outlier
+      |FROM d JOIN md ON md.event_type = d.event_type
+      |ORDER BY d.event_type, d.bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
     "q134_holt" -> (q134_holt _),
     "q135_drift" -> (q135_drift _),
     "q136_spearman" -> (q136_spearman _),
+    "q137_mad" -> (q137_mad _),
     "q104_critical_path" -> (q104_critical_path _),
     "q105_burn_rate" -> (q105_burn_rate _),
     "q106_sequence_match" -> (q106_sequence_match _),
@@ -1539,6 +1577,7 @@ object AnalysisQueries {
     "q134_holt" -> q134_sql,
     "q135_drift" -> q135_sql,
     "q136_spearman" -> q136_sql,
+    "q137_mad" -> q137_sql,
     "q104_critical_path" -> q104_sql,
     "q105_burn_rate" -> q105_sql,
     "q106_sequence_match" -> q106_sql,
