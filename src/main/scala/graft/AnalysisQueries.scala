@@ -1487,17 +1487,22 @@ object AnalysisQueries {
       |  SELECT event_type, bucket,
       |    avg(rn) OVER (PARTITION BY event_type, v) AS r
       |  FROM rn),
+      |tied AS (
+      |  SELECT event_type, (min(r) = max(r)) AS td
+      |  FROM rk GROUP BY 1),
       |p AS (
       |  SELECT a.event_type AS key_a, b.event_type AS key_b,
       |    count(*) AS n, sum(pow(a.r - b.r, 2)) AS d2
       |  FROM rk a JOIN rk b ON a.bucket = b.bucket
       |  WHERE a.event_type < b.event_type
       |  GROUP BY 1, 2)
-      |SELECT key_a, key_b, n,
-      |  CASE WHEN n >= 2 THEN
-      |    round(1.0 - 6.0 * d2 / (n * (n * n - 1.0)), 6)
+      |SELECT p.key_a, p.key_b, p.n,
+      |  CASE WHEN p.n >= 2 AND NOT ta.td AND NOT tb.td THEN
+      |    round(1.0 - 6.0 * p.d2 / (p.n * (p.n * p.n - 1.0)), 6)
       |  END AS rho
-      |FROM p ORDER BY key_a, key_b""".stripMargin
+      |FROM p JOIN tied ta ON ta.event_type = p.key_a
+      |       JOIN tied tb ON tb.event_type = p.key_b
+      |ORDER BY p.key_a, p.key_b""".stripMargin
 
   /** Hampel/MAD outlier gate ([[graft.analysis.Robust.madOutliers]]):
     * hourly per-type event counts, k = 3.5. Medians (and the MAD) are

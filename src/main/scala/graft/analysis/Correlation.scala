@@ -44,18 +44,27 @@ object Correlation {
         Window.partitionBy(keyCol).orderBy(col("__v"), col("__b"))))
       .withColumn("__r", avg(col("__rn")).over(
         Window.partitionBy(col(keyCol), col("__v"))))
-    val a = ranked.select(col(keyCol).as("key_a"), col("__b"),
-      col("__r").as("__ra"))
-    val b = ranked.select(col(keyCol).as("key_b"), col("__b"),
-      col("__r").as("__rb"))
+    // an all-tied series has zero rank variance — Spearman is 0/0
+    // there (the d² formula would fabricate a definite-looking
+    // number), so either side being degenerate nulls the pair's ρ
+    val tied = ranked.groupBy(col(keyCol))
+      .agg((min(col("__r")) === max(col("__r"))).as("__tied"))
+    val a = ranked.join(tied, keyCol :: Nil)
+      .select(col(keyCol).as("key_a"), col("__b"),
+        col("__r").as("__ra"), col("__tied").as("__ta"))
+    val b = ranked.join(tied, keyCol :: Nil)
+      .select(col(keyCol).as("key_b"), col("__b"),
+        col("__r").as("__rb"), col("__tied").as("__tb"))
     a.join(b, Seq("__b"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b")
       .agg(count(lit(1)).as("n"),
-        sum(pow(col("__ra") - col("__rb"), 2)).as("__d2"))
-      .withColumn("rho", when(col("n") >= 2, round(
-        lit(1.0) - lit(6.0) * col("__d2") /
-          (col("n") * (col("n") * col("n") - lit(1.0))), 6)))
+        sum(pow(col("__ra") - col("__rb"), 2)).as("__d2"),
+        max(col("__ta")).as("__ta"), max(col("__tb")).as("__tb"))
+      .withColumn("rho",
+        when(col("n") >= 2 && !col("__ta") && !col("__tb"), round(
+          lit(1.0) - lit(6.0) * col("__d2") /
+            (col("n") * (col("n") * col("n") - lit(1.0))), 6)))
       .select("key_a", "key_b", "n", "rho")
   }
 }

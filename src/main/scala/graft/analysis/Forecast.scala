@@ -74,7 +74,8 @@ object Forecast {
          |    slice(acc, 3, size(acc) - 2),
          |    CASE
          |      WHEN isnan(acc[0]) AND p.__x IS NULL THEN
-         |        array(acc[0], acc[1], CAST('NaN' AS DOUBLE))
+         |        array(acc[0], CAST('NaN' AS DOUBLE),
+         |          CAST('NaN' AS DOUBLE))
          |      WHEN isnan(acc[0]) THEN
          |        array(p.__x, 0.0d, CAST('NaN' AS DOUBLE))
          |      WHEN p.__x IS NULL THEN

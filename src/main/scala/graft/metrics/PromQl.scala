@@ -913,7 +913,12 @@ object PromQl {
     * expression touches a vector; a scalar-scalar comparison without
     * the `bool` modifier is the same parse error native PromQL
     * raises. */
-  def constScalar(query: String, time: Long): Option[Double] = {
+  def constScalar(query: String, time: Long): Option[Double] =
+    constScalarAst(parse(query), time)
+
+  /** [[constScalar]] over an already-parsed AST — the serving layer
+    * folds a range of evaluation times without re-parsing per point. */
+  def constScalarAst(ast: Expr, time: Long): Option[Double] = {
     def ev(e: Expr): Option[Double] = e match {
       case ScalarLit(v) => Some(v)
       case TimeFn => Some(time.toDouble)
@@ -985,7 +990,7 @@ object PromQl {
       }
       case _ => None
     }
-    ev(parse(query))
+    ev(ast)
   }
 
   /** Swap every Rate node for its sliding-semantics twin. */

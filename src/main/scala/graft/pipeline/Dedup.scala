@@ -919,15 +919,22 @@ object Dedup {
     // a corpus of many mid-df grams can blow the pair budget while
     // every individual gram stays under maxDf, so the per-gram bound
     // alone would wave a quadratic join through
+    // the Σdf² sum rides decimal(38,0): with maxDf raised into the
+    // millions (an explicitly supported caller decision) a long sum
+    // wraps past 2^63 with ANSI off — and a wrapped-negative total
+    // would wave through exactly the quadratic join this guard exists
+    // to stop
     val audit = postings.groupBy("gh").count()
       .agg(max("count").as("m"),
-        sum(col("count") * col("count")).as("p")).collect()
+        sum(col("count").cast("decimal(38,0)") * col("count"))
+          .as("p")).collect()
     val topDf = audit.headOption
       .flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
       .getOrElse(0L)
     val joinPairs = audit.headOption
-      .flatMap(r => Option(r.get(1)).map(_ => r.getLong(1)))
-      .getOrElse(0L)
+      .flatMap(r => Option(r.get(1)).map(_ =>
+        r.getDecimal(1).toBigInteger))
+      .getOrElse(java.math.BigInteger.ZERO)
     if (topDf > maxDf) {
       sh.unpersist()
       throw new IllegalArgumentException(
@@ -936,7 +943,8 @@ object Dedup {
           s"produce ~df² pairs for it; raise maxDf explicitly if " +
           "that cost is intended")
     }
-    if (joinPairs > maxPairs) {
+    if (joinPairs.compareTo(
+        java.math.BigInteger.valueOf(maxPairs)) > 0) {
       sh.unpersist()
       throw new IllegalArgumentException(
         s"containmentPairs: the posting-list self-join would emit " +

@@ -372,7 +372,11 @@ object TextAnalysis {
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     require(k > 0 && minCount > 0, "pmiBigrams needs k, minCount > 0")
+    // a null text tokenizes to a null array, and with ANSI off
+    // size(null) = -1 — one null doc would subtract from the corpus
+    // token count N and skew every PMI; drop null rows at the funnel
     val toked = df.select(tokens(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
     val uni = toked.select(explode(col("__t")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cw"))

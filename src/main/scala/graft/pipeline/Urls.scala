@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Query params that never identify the resource. */
+  /** Query params that never identify the resource. Plain `ref` is
+    * deliberately NOT here: on real sites it is resource-identifying
+    * as often as it is tracking (a git ref, a docs anchor), and
+    * canonicalizing it away would merge genuinely distinct pages —
+    * the one mistake a dedup key must never make. `ref_src` (the
+    * social-embed referrer) stays. */
   val TrackingParams: Seq[String] = Seq("gclid", "fbclid", "msclkid",
-    "mc_eid", "igshid", "ref", "ref_src")
+    "mc_eid", "igshid", "ref_src")
 
   /** Canonical form of `url` (see object doc for the rule list).
     * Null/blank input canonicalizes to null. */
@@ -43,7 +48,13 @@ object Urls {
     // from AUTHORITY: strip userinfo up to '@', split a trailing
     // `:<digits>`
     val auth = parse_url(u, lit("AUTHORITY"))
-    val host0 = regexp_extract(auth, "^(?:[^@]*@)?([^:]+)", 1)
+    // the bracketed alternative keeps an IPv6 literal intact — a bare
+    // [^:]+ would stop at the first colon INSIDE the brackets and
+    // collide every IPv6 host into "["; the port regex is safe as-is
+    // because a bracketed literal never ends in `:digits` without the
+    // closing bracket before it
+    val host0 = regexp_extract(auth,
+      "^(?:[^@]*@)?(\\[[^\\]]+\\]|[^:]+)", 1)
     val host = when(host0 =!= "", lower(host0))
     val port = when(
       regexp_extract(auth, ":([0-9]+)$", 1) =!= "",

@@ -96,15 +96,33 @@ object PromApi {
     if (step <= 0) bad("step must be positive")
     // scalar-only range queries answer a single label-less matrix
     // series, the expression folded at each epoch-aligned step (only
-    // time() makes consecutive points differ)
-    if (PromQl.constScalar(query, start.getEpochSecond).isDefined) {
+    // time() makes consecutive points differ). The grid starts at
+    // floor(start/step)·step — the SAME first bucket the vector path's
+    // startFloor slice admits, so mixed panels share a grid — the AST
+    // parses once, and the point count honors the maxRows cap the
+    // vector path enforces (an uncapped 1-second step over years would
+    // otherwise build a multi-GB string driver-side).
+    val ast = try Some(PromQl.parse(query)) catch {
+      case _: PromQl.PromQlParseException => None
+    }
+    val scalarProbe = ast.flatMap(a =>
+      PromQl.constScalarAst(a, start.getEpochSecond))
+    if (scalarProbe.isDefined) {
       val t0 = math.floorDiv(start.getEpochSecond, step) * step
-      val from = if (t0 < start.getEpochSecond) t0 + step else t0
-      val pts = (from to end.getEpochSecond by step).map { t =>
-        s"[$t,${QueryJsonOut.quote(fmt(PromQl.constScalar(query, t).get))}]"
+      val all = (end.getEpochSecond - t0) / step + 1
+      val truncated = all > maxRows
+      val n = math.min(all, maxRows.toLong)
+      val pts = (0L until n).map { i =>
+        val t = t0 + i * step
+        s"[$t,${QueryJsonOut.quote(fmt(
+          PromQl.constScalarAst(ast.get, t).get))}]"
       }
+      val warn = if (truncated)
+        s""","warnings":[${QueryJsonOut.quote(
+          s"result truncated at $maxRows points")}]"""
+      else ""
       return s"""{"status":"success","data":{"resultType":"matrix",""" +
-        s""""result":[{"metric":{},"values":[${pts.mkString(",")}]}]}}"""
+        s""""result":[{"metric":{},"values":[${pts.mkString(",")}]}]$warn}}"""
     }
     val sliced = rangeFrame(df, query, start, end, step)
     val (series, truncated) = collectSeries(sliced, maxRows)

@@ -21,16 +21,21 @@ class CorrelationSpec extends SparkSpec {
     assert(out(0)._4 == 1.0)  // monotone up
     assert(out(1)._4 == -1.0) // exact reversal
     assert(out(2)._4 == -1.0)
-    // ties: series d constant → every rank ties to the average; d²
-    // against itself ... vs a: Σd² fixed by the tie-averaged ranks
+    // a constant series has zero rank variance — Spearman is 0/0
+    // there, so the pair answers null rather than a fabricated number
     val tied = ((1 to 4).map(t => ("a", t.toLong, t.toDouble)) ++
       (1 to 4).map(t => ("d", t.toLong, 7.0))).toDF("k", "b", "x")
-    val td = Correlation.spearmanPairs(tied, "k", "b", "x")
-      .as[(String, String, Long, Double)].collect().head
-    // d's ranks are all 2.5; a's are 1..4 → Σd² = 2.25+0.25+0.25+2.25
-    // = 5 → rho = 1 − 30/60 = 0.5 (the formula's documented tie
-    // convention, deterministic across partitionings)
-    assert(td._4 == 0.5)
+    val td = Correlation.spearmanPairs(tied, "k", "b", "x").collect().head
+    assert(td.getLong(td.fieldIndex("n")) == 4L)
+    assert(td.isNullAt(td.fieldIndex("rho")))
+    // PARTIAL ties still answer: two tied values average their ranks
+    val part = ((1 to 4).map(t => ("a", t.toLong, t.toDouble)) ++
+      Seq(("e", 1L, 5.0), ("e", 2L, 5.0), ("e", 3L, 8.0),
+        ("e", 4L, 9.0))).toDF("k", "b", "x")
+    val pd = Correlation.spearmanPairs(part, "k", "b", "x").collect().head
+    // e's ranks: 1.5, 1.5, 3, 4 vs a's 1..4 → Σd² = .25+.25 = .5
+    // → rho = 1 − 3/60 = 0.95
+    assert(pd.getDouble(pd.fieldIndex("rho")) == 0.95)
     // maxSeries guard is loud
     val many = (1 to 20).flatMap(k =>
       (1 to 3).map(t => (s"k$k", t.toLong, t.toDouble)))

@@ -47,6 +47,20 @@ class ForecastSpec extends SparkSpec {
     assert(!r4.isNullAt(r4.fieldIndex("level")))
     assert(r4.getDouble(r4.fieldIndex("level")) == 30.0) // .5·40+.5·20
   }
+
+  test("holtLinear leading-null rows are all-null (trend included) " +
+      "until the series seeds") {
+    val df = Seq(("s", 1L, None), ("s", 2L, Some(10.0)),
+      ("s", 3L, Some(20.0))).toDF("k", "b", "x")
+    val out = Forecast.holtLinear(df, Seq("k"), "b", "x")
+      .orderBy("b").collect()
+    val r1 = out.head
+    for (c <- Seq("level", "trend", "fitted", "forecast_h"))
+      assert(r1.isNullAt(r1.fieldIndex(c)), s"$c not null pre-seed")
+    // the seed lands on the first non-null point
+    assert(out(1).getDouble(out(1).fieldIndex("level")) == 10.0)
+    assert(out(1).getDouble(out(1).fieldIndex("trend")) == 0.0)
+  }
 }
 
 class DriftSpec extends SparkSpec {

@@ -38,6 +38,17 @@ class UrlsSpec extends SparkSpec {
         "https://example.com/"))
     // null/blank/unparseable → null
     assert(canon("", "not a url") == Seq(null, null))
+    // IPv6 literals keep their bracketed host intact (a bare [^:]+
+    // would collide every IPv6 host into "[")
+    assert(canon("http://[::1]:8080/a", "http://[2001:db8::2]/a",
+      "https://[::1]:443/a") ==
+      Seq("http://[::1]:8080/a", "http://[2001:db8::2]/a",
+        "https://[::1]/a"))
+    // plain ?ref= is resource-identifying (a git ref) — NOT stripped
+    assert(canon("https://example.com/blob/x?ref=v1.0") ==
+      Seq("https://example.com/blob/x?ref=v1.0"))
+    assert(canon("https://example.com/a?ref_src=twsrc&b=1") ==
+      Seq("https://example.com/a?b=1"))
   }
 
   test("urlDedup collapses spelling variants to one canonical row " +

@@ -41,4 +41,19 @@ class VocabSpec extends SparkSpec {
     // a bigram seen once never surfaces
     assert(!out.exists(p => p._1 == "is" && p._2 == "big"))
   }
+
+  test("pmiBigrams ignores null-text rows instead of letting " +
+      "size(null) = -1 deflate the corpus token count") {
+    val clean = Seq("new york is big", "new york is old",
+      "new york wins again").toDF("text")
+    val withNulls = (Seq(Some("new york is big"),
+      Some("new york is old"), Some("new york wins again")) ++
+      Seq.fill(5)(Option.empty[String])).toDF("text")
+    val a = TextAnalysis.pmiBigrams(clean, "text", 2, 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val b = TextAnalysis.pmiBigrams(withNulls, "text", 2, 5)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }

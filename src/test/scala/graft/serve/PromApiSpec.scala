@@ -303,6 +303,18 @@ class PromApiSpec extends SparkSpec
     assert(rc == 200, rb)
     assert(rb.contains(""""metric":{},"values":[[1704067200,"2"],""" +
       """[1704067260,"2"],[1704067320,"2"]]"""), rb)
+    // the scalar grid honors the maxRows cap: a 1-second step over
+    // years must answer a truncated (warned) result, not build a
+    // multi-GB string driver-side (maxRows defaults to 100k)
+    val (tc2, tb2) = get("/api/v1/query_range?query=" + enc("1+1") +
+      "&start=1704067200&end=1904067200&step=1")
+    assert(tc2 == 200, tb2.take(300))
+    assert(tb2.contains("truncated"), tb2.takeRight(200))
+    assert("""\[\d+,"2"\]""".r.findAllIn(tb2).length == 100000)
+    // a non-step-aligned start shares the vector path's floor grid
+    val (ac, ab) = get("/api/v1/query_range?query=" + enc("1+1") +
+      "&start=1704067201&end=1704067320&step=60")
+    assert(ac == 200 && ab.contains("[1704067200,"), ab.take(300))
   }
 
   test("query_exemplars validates its required query param: missing " +
