@@ -2007,6 +2007,102 @@ object PipelineQueries {
       |SELECT w1, w2, cxy, pmi FROM s
       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** Gopher doc-level quality rules ([[Curation.gopherRules]]): the
+    * natural corpus (mostly failing the 50-word floor — the audit
+    * frame keeps every row) plus five planted rule-trippers, one per
+    * non-length rule: symbol-heavy, all-bullet lines, ellipsis-ended
+    * lines, digit-only words, and no-required-words prose. The oracle
+    * replays every rule in DuckDB list lambdas (the q125 idiom). */
+  def q138_gopher(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val spark2 = spark; import spark2.implicits._
+    val planted = Seq(
+      (9000001L, "the be to of and that have with " +
+        "# # # # # # # #"),
+      (9000002L, "- bullet one here\n- bullet two here\n" +
+        "- bullet three here"),
+      (9000003L, "the first line trails off...\n" +
+        "and the second one does too..."),
+      (9000004L, "111 222 333 444 555 666 777 888 999 000"),
+      (9000005L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Curation.gopherRules(d.unionByName(planted), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q138_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT 9000001,
+      |    'the be to of and that have with # # # # # # # #'
+      |  UNION ALL SELECT 9000002,
+      |    '- bullet one here' || chr(10) || '- bullet two here' ||
+      |    chr(10) || '- bullet three here'
+      |  UNION ALL SELECT 9000003,
+      |    'the first line trails off...' || chr(10) ||
+      |    'and the second one does too...'
+      |  UNION ALL SELECT 9000004,
+      |    '111 222 333 444 555 666 777 888 999 000'
+      |  UNION ALL SELECT 9000005,
+      |    'alpha beta gamma delta epsilon zeta eta theta'),
+      |base AS (
+      |  SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g')
+      |    AS raw FROM corpus),
+      |w AS (
+      |  SELECT doc_id, raw,
+      |    list_filter(string_split_regex(trim(raw), '\s+'),
+      |      x -> x <> '') AS words,
+      |    list_filter(string_split(raw, chr(10)),
+      |      l -> trim(l) <> '') AS lines
+      |  FROM base),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(words) AS n_words,
+      |    CASE WHEN len(words) = 0 THEN 0.0 ELSE
+      |      CAST(list_sum(list_transform(words, x -> len(x)))
+      |        AS DOUBLE) / len(words) END AS mean_word_len,
+      |    CASE WHEN len(words) = 0 THEN 0.0 ELSE
+      |      (CAST(len(raw) - len(replace(raw, '#', '')) AS DOUBLE) +
+      |       (len(raw) - len(replace(raw, '...', ''))) / 3)
+      |        / len(words) END AS symbol_ratio,
+      |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+      |      CAST(len(list_filter(lines,
+      |        l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+      |        AS DOUBLE) / len(lines) END AS bullet_frac,
+      |    CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+      |      CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'))
+      |        AS DOUBLE) / len(lines) END AS ellipsis_frac,
+      |    CASE WHEN len(words) = 0 THEN 0.0 ELSE
+      |      CAST(len(list_filter(words,
+      |        x -> regexp_matches(x, '[A-Za-z]')))
+      |        AS DOUBLE) / len(words) END AS alpha_word_frac,
+      |    len(list_filter(
+      |      ['the','be','to','of','and','that','have','with'],
+      |      r -> list_contains(list_transform(words, x -> lower(x)),
+      |             r))) AS required_hits
+      |  FROM w)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(mean_word_len, 6) AS mean_word_len,
+      |  round(symbol_ratio, 6) AS symbol_ratio,
+      |  round(bullet_frac, 6) AS bullet_frac,
+      |  round(ellipsis_frac, 6) AS ellipsis_frac,
+      |  round(alpha_word_frac, 6) AS alpha_word_frac,
+      |  CAST(required_hits AS BIGINT) AS required_hits,
+      |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |    AS r_mean_word_len,
+      |  (symbol_ratio <= 0.1) AS r_symbol_ratio,
+      |  (bullet_frac <= 0.9) AS r_bullet_lines,
+      |  (ellipsis_frac <= 0.3) AS r_ellipsis_lines,
+      |  (alpha_word_frac >= 0.8) AS r_alpha_words,
+      |  (required_hits >= 2) AS r_required_words,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+      |   AND required_hits >= 2) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2059,7 +2155,8 @@ object PipelineQueries {
     "q130_url_dedup" -> (q130_url_dedup _),
     "q131_bloom_decontam" -> (q131_bloom_decontam _),
     "q132_vocab" -> (q132_vocab _),
-    "q133_pmi" -> (q133_pmi _))
+    "q133_pmi" -> (q133_pmi _),
+    "q138_gopher" -> (q138_gopher _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2112,5 +2209,6 @@ object PipelineQueries {
     "q130_url_dedup" -> q130_sql,
     "q131_bloom_decontam" -> q131_sql,
     "q132_vocab" -> q132_sql,
-    "q133_pmi" -> q133_sql)
+    "q133_pmi" -> q133_sql,
+    "q138_gopher" -> q138_sql)
 }

@@ -610,4 +610,94 @@ object Curation {
         size(col("__kept")).cast("long").as("n_lines_kept"),
         col("__ns").cast("long").as("n_sentences"))
   }
+
+  /** The words that must appear for a page to count as running English
+    * prose — Gopher's "stop word" presence rule (Rae et al. 2021,
+    * A1.1: at least two of these). */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality rules (Rae et al. 2107.14168,
+    * Appendix A1.1 — the MassiveText filter; [[c4Clean]]'s doc-level
+    * complement, and the ruleset C4's line rules don't cover):
+    *
+    *   1. word count within [minWords, maxWords]
+    *   2. mean word length within [minMeanWordLen, maxMeanWordLen]
+    *   3. symbol-to-word ratio (`#` or `...`) ≤ maxSymbolRatio
+    *   4. ≤ maxBulletFrac of lines start with a bullet
+    *   5. ≤ maxEllipsisFrac of lines end with an ellipsis
+    *   6. ≥ minAlphaWordFrac of words contain an alphabetic character
+    *   7. ≥ minRequiredHits distinct [[GopherRequiredWords]] present
+    *
+    * Zero shuffle — every rule is an array/string expression inside
+    * codegen (the [[c4Clean]] scale shape). Output: one row per doc
+    * with the measured stats, one boolean per rule, and `keep` = all
+    * rules pass — the audit frame; callers filter on `keep` for the
+    * cleaned corpus. Ratios round 6dp AFTER the comparisons, so the
+    * flags never disagree with the printed stats' unrounded truth. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minRequiredHits: Int = 2): DataFrame = {
+    val raw = regexp_replace(col(textCol), "\r\n?", "\n")
+    val words = filter(split(trim(raw), "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("double")
+    val nLines0 = filter(split(raw, "\n"), l => trim(l) =!= "")
+    val nLines = size(nLines0).cast("double")
+    val meanLen = when(nWords === 0, 0.0).otherwise(
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double")
+        / nWords)
+    val hashes = (length(raw) -
+      length(regexp_replace(raw, "#", ""))).cast("double")
+    val ellipses = ((length(raw) -
+      length(regexp_replace(raw, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = when(nWords === 0, 0.0)
+      .otherwise((hashes + ellipses) / nWords)
+    val bulletFrac = when(nLines === 0, 0.0).otherwise(
+      size(filter(nLines0, l =>
+        trim(l).rlike("^[-*•‣▪]"))).cast("double")
+        / nLines)
+    val ellipsisFrac = when(nLines === 0, 0.0).otherwise(
+      size(filter(nLines0, l => trim(l).endsWith("...")))
+        .cast("double") / nLines)
+    val alphaFrac = when(nWords === 0, 0.0).otherwise(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+        / nWords)
+    val reqHits = size(filter(
+      array(GopherRequiredWords.map(lit): _*),
+      w => array_contains(
+        transform(words, x => lower(x)), w)))
+    val rWords = col("n_words") >= minWords && col("n_words") <= maxWords
+    val rMean = col("mean_word_len") >= minMeanWordLen &&
+      col("mean_word_len") <= maxMeanWordLen
+    val rSym = col("symbol_ratio") <= maxSymbolRatio
+    val rBullet = col("bullet_frac") <= maxBulletFrac
+    val rEll = col("ellipsis_frac") <= maxEllipsisFrac
+    val rAlpha = col("alpha_word_frac") >= minAlphaWordFrac
+    val rReq = col("required_hits") >= minRequiredHits
+    df.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_word_frac"),
+        reqHits.cast("long").as("required_hits"))
+      .withColumn("r_word_count", rWords)
+      .withColumn("r_mean_word_len", rMean)
+      .withColumn("r_symbol_ratio", rSym)
+      .withColumn("r_bullet_lines", rBullet)
+      .withColumn("r_ellipsis_lines", rEll)
+      .withColumn("r_alpha_words", rAlpha)
+      .withColumn("r_required_words", rReq)
+      .withColumn("keep", rWords && rMean && rSym && rBullet && rEll &&
+        rAlpha && rReq)
+      .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+      .withColumn("symbol_ratio", round(col("symbol_ratio"), 6))
+      .withColumn("bullet_frac", round(col("bullet_frac"), 6))
+      .withColumn("ellipsis_frac", round(col("ellipsis_frac"), 6))
+      .withColumn("alpha_word_frac", round(col("alpha_word_frac"), 6))
+  }
 }

@@ -387,4 +387,34 @@ class CurationSpec extends SparkSpec {
       Seq((1L, 5.0), (2L, 3.0)).toDF("id", "w"), "id", "w", 4)
     assert(ok.select(sum("copies")).as[Long].collect().head == 4L)
   }
+
+  test("gopherRules: each planted pathology trips exactly its rule; " +
+      "clean prose at length keeps") {
+    val good = (("the quick brown fox jumps over the lazy dog and " +
+      "then it decided that it would have a rest with some " +
+      "friends of its own kind ") * 3).trim // 66 words, all rules pass
+    val df = Seq(
+      (1L, good),
+      (2L, "the be to of and that have with # # # # # # # #"),
+      (3L, "- bullet one here\n- bullet two here\n- bullet three here"),
+      (4L, "the first line trails off...\nand the second does too..."),
+      (5L, "111 222 333 444 555 666 777 888 999 000"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flag(i: Int, c: String) = out(i).getBoolean(out(i).fieldIndex(c))
+    assert(flag(0, "keep"), out(0).toString)
+    assert(!flag(1, "r_symbol_ratio")) // 8 hashes / 16 words = 0.5
+    assert(flag(1, "r_required_words")) // all eight present
+    assert(!flag(2, "r_bullet_lines")) // 3/3 bullet lines
+    assert(!flag(3, "r_ellipsis_lines")) // 2/2 ellipsis enders
+    assert(!flag(4, "r_alpha_words")) // 0/10 words alphabetic
+    assert(!flag(5, "r_required_words")) // zero required words
+    // audit frame keeps failing rows (keep=false), it never filters
+    assert(out.length == 6)
+    assert(out.count(r => r.getBoolean(r.fieldIndex("keep"))) == 1)
+    // measured stats round only AFTER the comparisons
+    assert(out(1).getDouble(out(1).fieldIndex("symbol_ratio")) == 0.5)
+  }
 }
