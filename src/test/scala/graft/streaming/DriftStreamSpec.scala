@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class DriftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming drift scores each window against the pinned " +
+      "reference, matches the batch twin's terms, and routes unseen " +
+      "categories to __other") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "k")
+    // reference mix: a:50 b:30 c:20 (the batch corpus)
+    val ref = Map("a" -> 50L, "b" -> 30L, "c" -> 20L)
+    val out = DriftStream.categoricalDrift(stream, "ts", "k", ref,
+      windowSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    // window 1: a-heavy + a category the reference never saw
+    mem.addData(
+      (Seq.fill(7)(t("2024-01-01 00:00:10") -> "a") ++
+        Seq.fill(2)(t("2024-01-01 00:00:20") -> "b") ++
+        Seq(t("2024-01-01 00:00:30") -> "zz")): _*)
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT category, n_cur, p_ref, p_cur, kl_term, chi2_term " +
+        "FROM drift_out ORDER BY category")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    q.stop()
+    assert(rows.map(_._1) == Seq("__other", "a", "b", "c"))
+    val byCat = rows.map(r => r._1 -> r).toMap
+    assert(byCat("__other")._2 == 1L) // zz routed to the other-cell
+    assert(byCat("a")._2 == 7L && byCat("c")._2 == 0L)
+    // the batch twin computes the same terms for the same two
+    // histograms over the same union category set
+    val refDf = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(20)("c")).toDF("k")
+    val curDf = (Seq.fill(7)("a") ++ Seq.fill(2)("b") ++ Seq("zz"))
+      .toDF("k")
+    val batch = graft.analysis.Drift
+      .categoricalDrift(refDf, curDf, "k")
+      .orderBy("k").collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("kl_term")))
+      .toMap
+    // identical category mix, modulo the name of the unseen cell and
+    // the K the smoothing divides by (batch unions observed cats —
+    // also 4 here — so terms line up exactly for shared categories)
+    assert(math.abs(byCat("a")._5 - batch("a")) < 1e-9,
+      s"${byCat("a")._5} vs ${batch("a")}")
+    assert(math.abs(byCat("b")._5 - batch("b")) < 1e-9)
+    assert(math.abs(byCat("c")._5 - batch("c")) < 1e-9)
+    assert(math.abs(byCat("__other")._5 - batch("zz")) < 1e-9)
+  }
+}
