@@ -37,11 +37,15 @@ object Correlation {
       s"spearmanPairs: $nSeries series would form ~${nSeries * nSeries}" +
         s" pairs > maxSeries = $maxSeries allows — aggregate or filter" +
         " series first, or raise maxSeries explicitly")
+    // persisted: the tie audit and both join sides read the ranked
+    // frame — without the pin the rank window (and the caller's
+    // upstream aggregation) would replay three times
     val ranked = df
       .select(col(keyCol), col(bucketCol).cast("long").as("__b"),
         col(valueCol).cast("double").as("__v"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCol).orderBy(col("__v"), col("__b"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .withColumn("__r", avg(col("__rn")).over(
         Window.partitionBy(col(keyCol), col("__v"))))
     // an all-tied series has zero rank variance — Spearman is 0/0

@@ -37,8 +37,12 @@ object Robust {
     require(keyCols.nonEmpty, "madOutliers needs at least one series key")
     require(k > 0.0, "threshold k must be positive")
     val keyCs = keyCols.map(col)
+    // persisted: the median branch, the MAD branch, and the final
+    // select all read this frame — without the pin the caller's
+    // upstream aggregation would replay once per branch
     val base = df.select(keyCs :+ col(bucketCol).cast("long").as("__b")
       :+ col(valueCol).cast("double").as("__x"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = base.groupBy(keyCs: _*)
       .agg(median(col("__x")).as("med"))
     val withMed = base.join(med, keyCols)

@@ -342,7 +342,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
+    // persisted: the top-k branch and the total-token scalar both read
+    // the counts frame — without the pin the corpus-sized token scan
+    // runs twice (exchange reuse is an AQE maybe, not a guarantee)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("cnt").as("__total"))
     val top = counts.orderBy(desc("cnt"), col("tok")).limit(k)
     val w = Window.orderBy(desc("cnt"), col("tok"))
@@ -363,10 +367,12 @@ object TextAnalysis {
     * multi-word units ("new york", "machine learning") for tokenizer
     * or stop-phrase decisions (Church & Hanks 1990).
     *
-    * Scale shape: one bigram hash aggregate and one unigram hash
-    * aggregate off the same tokenized scan, then two term-keyed
-    * shuffle joins bigram→unigram (vocabulary-sized, never
-    * corpus-sized); the final top-`k` collapses through
+    * Scale shape: ONE corpus scan — unigrams and bigrams ride a
+    * tagged-union explode (the `repetitionSignals` idiom) into one
+    * hash aggregate, persisted vocabulary-sized; the corpus token
+    * count N derives from the unigram counts rather than a second
+    * scan; the probability joins are term-keyed over vocab frames
+    * (never corpus rows); the final top-`k` collapses through
     * TakeOrderedAndProject's bounded per-partition heap, not a global
     * sort. */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
@@ -377,22 +383,30 @@ object TextAnalysis {
     // token count N and skew every PMI; drop null rows at the funnel
     val toked = df.select(tokens(col(textCol)).as("__t"))
       .filter(col("__t").isNotNull)
-    val uni = toked.select(explode(col("__t")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("cw"))
-    val n = toked.select(
-      sum(size(filter(col("__t"), t => t =!= ""))).as("__n"))
-    val bi = toked
-      .select(explode(when(size(col("__t")) >= 2,
+    val emptyPairs =
+      array().cast("array<struct<k:string,w1:string,w2:string>>")
+    val tagged = toked.select(explode(concat(
+      transform(col("__t"), t =>
+        struct(lit("u").as("k"), t.as("w1"),
+          lit(null).cast("string").as("w2"))),
+      when(size(col("__t")) >= 2,
         transform(sequence(lit(1), size(col("__t")) - 1), i =>
-          struct(element_at(col("__t"), i.cast("int")).as("w1"),
+          struct(lit("b").as("k"),
+            element_at(col("__t"), i.cast("int")).as("w1"),
             element_at(col("__t"), (i + 1).cast("int")).as("w2"))))
-        .otherwise(array().cast(
-          "array<struct<w1:string,w2:string>>"))).as("__b"))
-      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-      .filter(col("cxy") >= minCount)
+        .otherwise(emptyPairs))).as("__e"))
+      .select(col("__e.k").as("__k"), col("__e.w1").as("w1"),
+        col("__e.w2").as("w2"))
+      .filter(col("w1") =!= "" &&
+        (col("__k") === "u" || col("w2") =!= ""))
+    val counts = tagged.groupBy("__k", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = counts.filter(col("__k") === "u")
+      .select(col("w1").as("w"), col("c").as("cw"))
+    val n = uni.agg(sum("cw").as("__n"))
+    val bi = counts.filter(col("__k") === "b" && col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c").as("cxy"))
     val scored = bi
       .join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
