@@ -2103,6 +2103,106 @@ object PipelineQueries {
       |   AND required_hits >= 2) AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Embedding-corpus health audit ([[graft.pipeline.Embeddings
+    * .embeddingStats]]): the natural per-label norm distributions plus
+    * four planted pathologies under label 99 — a null vector, a
+    * NaN-bearing vector, a zero vector, and a wrong-dimension vector —
+    * each of which must land in exactly its own counter while the norm
+    * stats exclude the unusable rows. */
+  def q139_embed_stats(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"),
+      col("label"))
+    val f = (x: Double) => lit(x.toFloat)
+    val zeros = array(Seq.fill(64)(f(0.0)): _*)
+    val nans = array((f(1.0) +: Seq.fill(63)(
+      lit(Double.NaN).cast("float"))): _*)
+    val short3 = array(f(1.0), f(2.0), f(2.0))
+    val one = spark.range(1)
+    val planted = one.select(lit(9000001L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(99).as("label"))
+      .unionByName(one.select(lit(9000002L).as("vec_id"),
+        nans.as("embedding"), lit(99).as("label")))
+      .unionByName(one.select(lit(9000003L).as("vec_id"),
+        zeros.as("embedding"), lit(99).as("label")))
+      .unionByName(one.select(lit(9000004L).as("vec_id"),
+        short3.as("embedding"), lit(99).as("label")))
+    graft.pipeline.Embeddings.embeddingStats(
+        e.unionByName(planted), "label", "embedding", dim = 64)
+      .orderBy("label")
+  }
+
+  val q139_sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL SELECT 9000001, NULL, 99
+      |  UNION ALL SELECT 9000002,
+      |    list_prepend(CAST(1.0 AS FLOAT),
+      |      list_transform(generate_series(1, 63),
+      |        i -> CAST('NaN' AS FLOAT))), 99
+      |  UNION ALL SELECT 9000003,
+      |    list_transform(generate_series(1, 64),
+      |      i -> CAST(0.0 AS FLOAT)), 99
+      |  UNION ALL SELECT 9000004,
+      |    [CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT),
+      |     CAST(2.0 AS FLOAT)], 99),
+      |m AS (
+      |  SELECT label,
+      |    embedding IS NULL AS is_null,
+      |    CASE WHEN embedding IS NULL THEN false ELSE
+      |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))))
+      |        > 0 END AS has_nan,
+      |    CASE WHEN embedding IS NULL THEN false ELSE
+      |      len(embedding) != 64 END AS bad_dim,
+      |    CASE WHEN embedding IS NULL OR
+      |      len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))))
+      |        > 0 OR len(embedding) != 64
+      |    THEN NULL ELSE
+      |      sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    END AS norm
+      |  FROM corpus)
+      |SELECT label, count(*) AS n,
+      |  sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+      |  sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
+      |  sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS n_bad_dim,
+      |  sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+      |  round(min(norm), 6) AS norm_min,
+      |  round(max(norm), 6) AS norm_max,
+      |  round(median(norm), 6) AS norm_med
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  /** Signed random projection ([[graft.pipeline.Embeddings
+    * .randomProject]]): the first 20 vectors projected 64 → 8 through
+    * the md5-derived ±1 matrix, flattened to (vec_id, dim, value) —
+    * both engines draw the SAME matrix from the same md5 parity and
+    * fold the same multiply order, so values match to the rounded
+    * 4dp. */
+  def q140_rand_proj(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).filter(col("vec_id") < 20)
+    graft.pipeline.Embeddings.randomProject(e, "embedding", outDim = 8)
+      .select(col("vec_id"), posexplode(col("projected"))
+        .as(Seq("dim", "value")))
+      .select(col("vec_id"), col("dim"),
+        round(col("value"), 4).as("value"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val q140_sql: String =
+    """WITH src AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |p AS (
+      |  SELECT vec_id, unnest(generate_series(1, 8)) AS j, embedding
+      |  FROM src)
+      |SELECT vec_id, j - 1 AS dim,
+      |  round(list_sum(list_transform(
+      |    generate_series(1, len(embedding)),
+      |    i -> CAST(embedding[i] AS DOUBLE) *
+      |      (CASE WHEN strpos('02468ace',
+      |         substring(md5(i || '_' || j), 1, 1)) > 0
+      |       THEN 1.0 ELSE -1.0 END))), 4) AS value
+      |FROM p ORDER BY vec_id, dim""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2156,7 +2256,9 @@ object PipelineQueries {
     "q131_bloom_decontam" -> (q131_bloom_decontam _),
     "q132_vocab" -> (q132_vocab _),
     "q133_pmi" -> (q133_pmi _),
-    "q138_gopher" -> (q138_gopher _))
+    "q138_gopher" -> (q138_gopher _),
+    "q139_embed_stats" -> (q139_embed_stats _),
+    "q140_rand_proj" -> (q140_rand_proj _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2210,5 +2312,7 @@ object PipelineQueries {
     "q131_bloom_decontam" -> q131_sql,
     "q132_vocab" -> q132_sql,
     "q133_pmi" -> q133_sql,
-    "q138_gopher" -> q138_sql)
+    "q138_gopher" -> q138_sql,
+    "q139_embed_stats" -> q139_sql,
+    "q140_rand_proj" -> q140_sql)
 }
