@@ -2203,6 +2203,104 @@ object PipelineQueries {
       |       THEN 1.0 ELSE -1.0 END))), 4) AS value
       |FROM p ORDER BY vec_id, dim""".stripMargin
 
+  /** REAL WAV decode gate ([[graft.pipeline.MediaCodecs]]): per doc a
+    * genuine RIFF/PCM file is SERIALIZED (channels/rate/frames/tone
+    * derived from doc_id), then the decoder parses the actual bytes —
+    * chunk walk, LE fields, PCM frame math — and reports header facts
+    * plus the mean |amplitude| over real samples. The oracle never
+    * sees bytes: it replays the synthesis arithmetic, so the two paths
+    * meet only if the serializer and parser are both right. */
+  def q141_wav_decode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long]
+    val synth = ids.mapPartitions(_.map { id =>
+      val ch = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val n = 200 + (id % 7).toInt * 50
+      val tone = 773 + id.toInt
+      (id, graft.pipeline.MediaCodecs.wavBytes(ch, rate, n, tone))
+    }).toDF("doc_id", "media")
+    graft.pipeline.MediaCodecs.decodeWav(synth, "doc_id", "media")
+      .withColumn("mean_abs_amplitude",
+        round(col("mean_abs_amplitude"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q141_sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |p AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+      |    8000 * (1 + doc_id % 3) AS rate,
+      |    200 + (doc_id % 7) * 50 AS nf,
+      |    773 + doc_id AS tone
+      |  FROM ids),
+      |fi AS (
+      |  SELECT doc_id, tone, ch,
+      |    unnest(generate_series(CAST(0 AS BIGINT), nf - 1)) AS i
+      |  FROM p),
+      |fc AS (
+      |  SELECT doc_id, tone, i,
+      |    unnest(generate_series(CAST(0 AS BIGINT), ch - 1)) AS c
+      |  FROM fi),
+      |s AS (
+      |  SELECT doc_id,
+      |    avg(abs(((i * tone + c * 7) % 65536) - 32768)) AS m
+      |  FROM fc GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(p.ch AS INT) AS channels,
+      |  CAST(p.rate AS INT) AS sample_rate,
+      |  CAST(p.nf AS BIGINT) AS n_frames,
+      |  CAST(p.nf AS BIGINT) * 1000 // p.rate AS duration_ms,
+      |  round(s.m, 4) AS mean_abs_amplitude
+      |FROM p JOIN s ON s.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
+  /** REAL BMP decode gate: genuine 24bpp bottom-up BMPs with padded
+    * rows are serialized per doc and parsed back — mean B/G/R over the
+    * actual pixel bytes vs the oracle's arithmetic replay. */
+  def q142_bmp_decode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long]
+    val synth = ids.mapPartitions(_.map { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      (id, graft.pipeline.MediaCodecs.bmpBytes(w, h, (id % 100).toInt))
+    }).toDF("doc_id", "media")
+    graft.pipeline.MediaCodecs.decodeBmp(synth, "doc_id", "media")
+      .withColumn("mean_b", round(col("mean_b"), 6))
+      .withColumn("mean_g", round(col("mean_g"), 6))
+      .withColumn("mean_r", round(col("mean_r"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q142_sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |p AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    doc_id % 100 AS seed
+      |  FROM ids),
+      |fx AS (
+      |  SELECT doc_id, seed, h,
+      |    unnest(generate_series(CAST(0 AS BIGINT), w - 1)) AS x
+      |  FROM p),
+      |fy AS (
+      |  SELECT doc_id, seed, x,
+      |    unnest(generate_series(CAST(0 AS BIGINT), h - 1)) AS y
+      |  FROM fx),
+      |s AS (
+      |  SELECT doc_id,
+      |    avg((3 * x + 5 * y + seed) % 256) AS mb,
+      |    avg((7 * x + 11 * y + seed) % 256) AS mg,
+      |    avg((13 * x + 17 * y + seed) % 256) AS mr
+      |  FROM fy GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(p.w AS INT) AS width,
+      |  CAST(p.h AS INT) AS height,
+      |  round(s.mb, 6) AS mean_b, round(s.mg, 6) AS mean_g,
+      |  round(s.mr, 6) AS mean_r
+      |FROM p JOIN s ON s.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2258,7 +2356,9 @@ object PipelineQueries {
     "q133_pmi" -> (q133_pmi _),
     "q138_gopher" -> (q138_gopher _),
     "q139_embed_stats" -> (q139_embed_stats _),
-    "q140_rand_proj" -> (q140_rand_proj _))
+    "q140_rand_proj" -> (q140_rand_proj _),
+    "q141_wav_decode" -> (q141_wav_decode _),
+    "q142_bmp_decode" -> (q142_bmp_decode _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2314,5 +2414,7 @@ object PipelineQueries {
     "q133_pmi" -> q133_sql,
     "q138_gopher" -> q138_sql,
     "q139_embed_stats" -> q139_sql,
-    "q140_rand_proj" -> q140_sql)
+    "q140_rand_proj" -> q140_sql,
+    "q141_wav_decode" -> q141_sql,
+    "q142_bmp_decode" -> q142_sql)
 }
