@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Sequential left-fold L2 norm — bit-identical to a row-by-row
-    * engine's list_sum. */
-  private def l2(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0),
-      (a, x) => a + x.cast("double") * x.cast("double")))
+  /** L2 norm via the shared codegen'd kernel ([[Similarity.norm]] /
+    * `VectorOps.dot` — ascending-index summation, value-identical to
+    * a row-engine's sequential list_sum, without the interpreted
+    * HOF-lambda cost this module's scan otherwise pays per row). */
+  private def l2(v: Column): Column = Similarity.norm(v)
 
   /** Per-group embedding health: vector counts, null / NaN-bearing /
     * zero-norm / wrong-dimension counts, and the norm distribution
@@ -81,6 +81,14 @@ object Embeddings {
           1.0).otherwise(-1.0)
         acc + element_at(v, i).cast("double") * sign
       }))
-    df.withColumn(outCol, when(v.isNotNull, proj))
+    // size(v) = 0 makes sequence(1, 0) DESCEND to [1, 0] and
+    // element_at(v, 0) always throws (the Dedup.shingles guard) — an
+    // empty vector projects to the zero vector instead
+    val zeroVec = transform(sequence(lit(1), lit(outDim)),
+      _ => lit(0.0))
+    df.withColumn(outCol,
+      when(v.isNull, lit(null).cast("array<double>"))
+        .when(size(v) === 0, zeroVec)
+        .otherwise(proj))
   }
 }

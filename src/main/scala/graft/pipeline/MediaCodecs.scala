@@ -116,7 +116,11 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val id = ascii(pos, 4)
       val size = buf.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // bounds math in Long: a corrupt ~2^31 size field would wrap an
+      // Int sum negative, sail past this guard, and turn the
+      // documented null-on-malformed contract into a thrown
+      // out-of-bounds that kills the whole job
+      if (size < 0 || pos.toLong + 8L + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None
@@ -158,13 +162,19 @@ object MediaCodecs {
     val compression = buf.getInt(30)
     if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
       return None
-    val rowBytes = (width * 3 + 3) / 4 * 4
-    if (dataOff.toLong + rowBytes.toLong * height > bytes.length)
+    // row math in Long and dataOff validated: a corruption-controlled
+    // width near 2^30 wraps an Int rowBytes negative, which would
+    // defeat the size guard below (same null-on-malformed argument as
+    // the WAV chunk walk)
+    val rowBytes = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 54 ||
+        dataOff.toLong + rowBytes * height > bytes.length)
       return None
     var sb = 0.0; var sg = 0.0; var sr = 0.0
     var y = 0
     while (y < height) {
-      val row = dataOff + (height - 1 - y) * rowBytes // bottom-up
+      // bottom-up; fits Int once the Long-domain guard above passed
+      val row = (dataOff + (height - 1 - y) * rowBytes).toInt
       var x = 0
       while (x < width) {
         sb += (bytes(row + x * 3) & 0xff)

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * ONE stateful operator: the reference's category set is known
   * statically, so per-window counts are a fixed-width conditional
   * aggregate (one `sum(when(key = c, 1))` per reference category plus
-  * one `__other` cell for categories the reference never saw — the
+  * one `__other` cell for categories the reference never saw (null
+  * keys included) — the
   * appearance of which is itself the drift signal). The per-category
   * drift terms are stateless projection after the aggregate, restored
   * to rows by posexplode over the literal category array — never a
@@ -42,10 +43,15 @@ object DriftStream {
     val refTotal = reference.values.sum
     val k = cats.length + 1 // union set: reference categories + other
     // one conditional-count cell per reference category (index-named —
-    // a category string is data, not a safe identifier), plus other
+    // a category string is data, not a safe identifier), plus other.
+    // NULL keys route to __other via null-safe conditions: with plain
+    // === / isin they would count in __tc but in NO cell, silently
+    // inflating every denominator (the batch twin gives null its own
+    // row; here "key the reference never saw" covers null too)
     val cells = cats.zipWithIndex.map { case (c, i) =>
-      sum(when(col(keyCol) === c, 1L).otherwise(0L)).as(s"__c_$i") } :+
-      sum(when(!col(keyCol).isin(cats: _*), 1L).otherwise(0L))
+      sum(when(col(keyCol) <=> c, 1L).otherwise(0L)).as(s"__c_$i") } :+
+      sum(when(col(keyCol).isNull ||
+        !col(keyCol).isin(cats: _*), 1L).otherwise(0L))
         .as("__c_oth") :+
       count(lit(1)).as("__tc")
     val agged = stream
@@ -59,8 +65,7 @@ object DriftStream {
     val cntArr = array((cats.indices.map(i => col(s"__c_$i")) :+
       col("__c_oth")): _*)
     val nRef = element_at(
-      typedLit(reference.map { case (c, n) => c -> n } +
-        ("__other" -> 0L)), col("category"))
+      typedLit(reference + ("__other" -> 0L)), col("category"))
     val pRef = (nRef + lit(smooth)) /
       (lit(refTotal.toDouble) + lit(smooth) * lit(k.toDouble))
     val pCur = (col("n_cur") + lit(smooth)) /

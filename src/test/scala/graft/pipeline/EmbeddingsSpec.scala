@@ -46,6 +46,15 @@ class EmbeddingsSpec extends SparkSpec {
     val oh = Embeddings.randomProject(oneHot, "embedding", 4)
       .select("projected").as[Seq[Double]].collect().head
     assert(oh.forall(x => x == 1.0 || x == -1.0), oh)
+    // empty and null vectors answer zero-vector / null — never the
+    // element_at(v, 0) crash a descending sequence(1, 0) would cause
+    val edge = Seq((1L, Some(Seq.empty[Float])),
+      (2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val er = Embeddings.randomProject(edge, "embedding", 4)
+      .orderBy("vec_id").select("projected")
+      .as[Option[Seq[Double]]].collect().toSeq
+    assert(er(0).contains(Seq(0.0, 0.0, 0.0, 0.0)))
+    assert(er(1).isEmpty)
     // E[‖Px‖²] = k·‖x‖² for ±1 entries (each of the k output coords
     // has expectation ‖x‖²): the normalized ratio should hover near 1
     val ratios = e.limit(20)

@@ -34,6 +34,13 @@ class MediaCodecsSpec extends SparkSpec {
     // malformed: truncated, wrong magic, non-PCM format code
     assert(MediaCodecs.parseWav(Array[Byte](1, 2, 3)).isEmpty)
     assert(MediaCodecs.parseWav(bytes.updated(0, 'X'.toByte)).isEmpty)
+    // a corrupt ~2^31 chunk size must answer None, not wrap the Int
+    // bounds math negative and throw out-of-bounds
+    val hugeChunk = bytes.clone()
+    java.nio.ByteBuffer.wrap(hugeChunk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7ffffff0) // fmt chunk size field
+    assert(MediaCodecs.parseWav(hugeChunk).isEmpty)
     val nonPcm = bytes.clone()
     java.nio.ByteBuffer.wrap(nonPcm)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -55,6 +62,19 @@ class MediaCodecsSpec extends SparkSpec {
     assert(info.meanG == mean((x, y) => (7 * x + 11 * y + 9) % 256))
     assert(info.meanR == mean((x, y) => (13 * x + 17 * y + 9) % 256))
     assert(MediaCodecs.parseBmp("notabmp".getBytes).isEmpty)
+    // a corruption-controlled width near 2^30 must answer None — an
+    // Int rowBytes would wrap negative and defeat the size guard
+    val evil = MediaCodecs.bmpBytes(4, 1, 0)
+    java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x30000000)
+    assert(MediaCodecs.parseBmp(evil).isEmpty)
+    // a sub-header dataOff is invalid, never a negative-index read
+    val badOff = MediaCodecs.bmpBytes(4, 1, 0)
+    java.nio.ByteBuffer.wrap(badOff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, -100)
+    assert(MediaCodecs.parseBmp(badOff).isEmpty)
   }
 
   test("decodeWav/decodeBmp kernels: parse failures answer null " +

@@ -23,22 +23,33 @@ class DriftStreamSpec extends SparkSpec {
       windowSeconds = 60)
     val q = out.writeStream.format("memory").queryName("drift_out")
       .outputMode("complete").start()
-    // window 1: a-heavy + a category the reference never saw
+    // window 0: a-heavy + a category the reference never saw;
+    // window 1 (the next minute): a null key, which must ROUTE to
+    // __other — with plain === it would inflate the denominator while
+    // landing in no cell
     mem.addData(
       (Seq.fill(7)(t("2024-01-01 00:00:10") -> "a") ++
         Seq.fill(2)(t("2024-01-01 00:00:20") -> "b") ++
-        Seq(t("2024-01-01 00:00:30") -> "zz")): _*)
+        Seq(t("2024-01-01 00:00:30") -> "zz") ++
+        Seq(t("2024-01-01 00:01:10") -> "a",
+          t("2024-01-01 00:01:20") -> null)): _*)
     q.processAllAvailable()
-    val rows = spark.sql(
-      "SELECT category, n_cur, p_ref, p_cur, kl_term, chi2_term " +
-        "FROM drift_out ORDER BY category")
-      .as[(String, Long, Double, Double, Double, Double)]
+    val all = spark.sql(
+      "SELECT window_start, category, n_cur, p_ref, p_cur, kl_term, " +
+        "chi2_term FROM drift_out ORDER BY window_start, category")
+      .as[(Timestamp, String, Long, Double, Double, Double, Double)]
       .collect().toSeq
     q.stop()
+    val rows = all.filter(_._1 == t("2024-01-01 00:00:00"))
+      .map(r => (r._2, r._3, r._4, r._5, r._6, r._7))
     assert(rows.map(_._1) == Seq("__other", "a", "b", "c"))
     val byCat = rows.map(r => r._1 -> r).toMap
     assert(byCat("__other")._2 == 1L) // zz routed to the other-cell
     assert(byCat("a")._2 == 7L && byCat("c")._2 == 0L)
+    // the null key in window 1 counts in __other AND in the total
+    val w1 = all.filter(_._1 == t("2024-01-01 00:01:00"))
+      .map(r => r._2 -> r._3).toMap
+    assert(w1("__other") == 1L && w1("a") == 1L, w1.toString)
     // the batch twin computes the same terms for the same two
     // histograms over the same union category set
     val refDf = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
