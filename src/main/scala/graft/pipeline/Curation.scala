@@ -491,6 +491,31 @@ object Curation {
       .parquet(outDir)
   }
 
+  /** Persist a corpus as a BUCKETED table (hash-bucketed + sorted on
+    * `idCol`): the storage-layout move that deletes the shuffle from
+    * every subsequent id-keyed join. A curation pipeline joins on the
+    * document id over and over — keep-lists, dedup verdicts, quality
+    * scores, decontamination flags — and at 100 TB each of those joins
+    * is a full corpus shuffle UNLESS both sides are co-bucketed: two
+    * tables bucketed the same way sort-merge join with ZERO exchanges
+    * (Spark reads matching buckets pairwise). `CurationSpec` pins
+    * exactly that: the joined plan of two co-bucketed tables contains
+    * no shuffle exchange.
+    *
+    * Bucketing requires the table catalog (`saveAsTable` — plain
+    * `.parquet(path)` cannot record bucket metadata); the table lands
+    * in the session warehouse under `name`. */
+  def writeBucketed(df: DataFrame, idCol: String, name: String,
+      buckets: Int): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   /** Domain balancing: keep at most `cap` rows per domain, by
     * (priority DESC, id ASC) — the "no single domain dominates the
     * mixture" curation rule (the C4/RefinedWeb per-host cap, and the

@@ -388,6 +388,36 @@ class CurationSpec extends SparkSpec {
     assert(ok.select(sum("copies")).as[Long].collect().head == 4L)
   }
 
+  test("writeBucketed: two co-bucketed tables sort-merge join with " +
+      "ZERO shuffle exchanges — the co-location contract") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "t")
+    val scores = (1L to 200L).map(i => (i, i * 0.5)).toDF("doc_id", "q")
+    Curation.writeBucketed(docs, "doc_id", "bk_docs", 4)
+    Curation.writeBucketed(scores, "doc_id", "bk_scores", 4)
+    // disable broadcast so the tiny fixture takes the sort-merge path
+    // a 100-TB corpus join would take (broadcast of a corpus-sized
+    // side is the thing bucketing exists to replace)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_docs")
+        .join(spark.table("bk_scores"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(joined.count() == 200L)
+      // a non-bucketed twin of the same join DOES shuffle — the
+      // baseline that proves the assertion above is meaningful
+      val shuffled = docs.join(scores, "doc_id")
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS bk_docs")
+      spark.sql("DROP TABLE IF EXISTS bk_scores")
+    }
+  }
+
   test("gopherRules: each planted pathology trips exactly its rule; " +
       "clean prose at length keeps") {
     val good = (("the quick brown fox jumps over the lazy dog and " +
