@@ -2163,10 +2163,10 @@ object PipelineQueries {
       |    END AS norm
       |  FROM corpus)
       |SELECT label, count(*) AS n,
-      |  sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
-      |  sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS n_nan,
-      |  sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS n_bad_dim,
-      |  sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+      |  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+      |  CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+      |  CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  round(min(norm), 6) AS norm_min,
       |  round(max(norm), 6) AS norm_max,
       |  round(median(norm), 6) AS norm_med

@@ -29,25 +29,43 @@ object Correlation {
   /** One row per unordered series pair (key_a < key_b) with the
     * common-bucket count `n` and `rho` (6dp; null when n < 2 or a
     * degenerate all-tied series makes the formula's denominator
-    * meaningless). */
+    * meaningless).
+    *
+    * Leaves the ranked-frame cache to the session; long-lived services
+    * should use [[spearmanPairsReleasable]] and release after their
+    * action (the [[Slo.burnRatesReleasable]] convention). */
   def spearmanPairs(df: DataFrame, keyCol: String, bucketCol: String,
-      valueCol: String, maxSeries: Int = 500): DataFrame = {
-    val nSeries = df.select(keyCol).distinct().count()
-    require(nSeries <= maxSeries,
-      s"spearmanPairs: $nSeries series would form ~${nSeries * nSeries}" +
-        s" pairs > maxSeries = $maxSeries allows — aggregate or filter" +
-        " series first, or raise maxSeries explicitly")
-    // persisted: the tie audit and both join sides read the ranked
-    // frame — without the pin the rank window (and the caller's
-    // upstream aggregation) would replay three times
+      valueCol: String, maxSeries: Int = 500): DataFrame =
+    spearmanPairsReleasable(df, keyCol, bucketCol, valueCol,
+      maxSeries)._1
+
+  /** [[spearmanPairs]] plus a release handle that unpersists the
+    * internal ranked cache — call it after the consuming action. */
+  def spearmanPairsReleasable(df: DataFrame, keyCol: String,
+      bucketCol: String, valueCol: String, maxSeries: Int = 500)
+      : (DataFrame, () => Unit) = {
+    // persisted WITH the tie-averaged rank folded in: the audit and
+    // both join sides read this frame — without the pin the two rank
+    // windows (and the caller's upstream aggregation) would replay
+    // once per consumer
     val ranked = df
       .select(col(keyCol), col(bucketCol).cast("long").as("__b"),
         col(valueCol).cast("double").as("__v"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(keyCol).orderBy(col("__v"), col("__b"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .withColumn("__r", avg(col("__rn")).over(
         Window.partitionBy(col(keyCol), col("__v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the series audit runs on the persisted frame (warming it), so
+    // the upstream scan happens exactly once across audit + pair join
+    val nSeries = ranked.select(keyCol).distinct().count()
+    if (nSeries > maxSeries) {
+      ranked.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"spearmanPairs: $nSeries series would form ~${nSeries * nSeries}" +
+          s" pairs > maxSeries = $maxSeries allows — aggregate or filter" +
+          " series first, or raise maxSeries explicitly")
+    }
     // an all-tied series has zero rank variance — Spearman is 0/0
     // there (the d² formula would fabricate a definite-looking
     // number), so either side being degenerate nulls the pair's ρ
@@ -59,7 +77,7 @@ object Correlation {
     val b = ranked.join(tied, keyCol :: Nil)
       .select(col(keyCol).as("key_b"), col("__b"),
         col("__r").as("__rb"), col("__tied").as("__tb"))
-    a.join(b, Seq("__b"))
+    val out = a.join(b, Seq("__b"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b")
       .agg(count(lit(1)).as("n"),
@@ -70,5 +88,6 @@ object Correlation {
           lit(1.0) - lit(6.0) * col("__d2") /
             (col("n") * (col("n") * col("n") - lit(1.0))), 6)))
       .select("key_a", "key_b", "n", "rho")
+    (out, () => { ranked.unpersist(blocking = false); () })
   }
 }

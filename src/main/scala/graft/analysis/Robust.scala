@@ -30,10 +30,21 @@ object Robust {
     * (MAD = 0 — over half the points identical) answers null
     * robust_z/outlier rather than flagging every deviation from the
     * median: no dispersion signal, no detection — the
-    * [[ChangePoint.ewmaChart]] degenerate convention. */
+    * [[ChangePoint.ewmaChart]] degenerate convention.
+    *
+    * Leaves the internal base-frame cache to the session; long-lived
+    * services should use [[madOutliersReleasable]] and release after
+    * their action (the [[Slo.burnRatesReleasable]] convention). */
   def madOutliers(df: DataFrame, keyCols: Seq[String],
       bucketCol: String, valueCol: String, k: Double = 3.5)
-      : DataFrame = {
+      : DataFrame =
+    madOutliersReleasable(df, keyCols, bucketCol, valueCol, k)._1
+
+  /** [[madOutliers]] plus a release handle that unpersists the
+    * internal cache — call it after the consuming action. */
+  def madOutliersReleasable(df: DataFrame, keyCols: Seq[String],
+      bucketCol: String, valueCol: String, k: Double = 3.5)
+      : (DataFrame, () => Unit) = {
     require(keyCols.nonEmpty, "madOutliers needs at least one series key")
     require(k > 0.0, "threshold k must be positive")
     val keyCs = keyCols.map(col)
@@ -49,7 +60,7 @@ object Robust {
     val mad = withMed.groupBy(keyCs: _*)
       .agg(median(abs(col("__x") - col("med"))).as("mad"))
     val rz = lit(0.6745) * (col("__x") - col("med")) / col("mad")
-    withMed.join(mad, keyCols)
+    val out = withMed.join(mad, keyCols)
       .select(keyCs ++ Seq(
         col("__b").as(bucketCol),
         col("__x").as(valueCol),
@@ -57,5 +68,6 @@ object Robust {
         when(col("mad") > 0.0, round(rz, 6)).as("robust_z"),
         when(col("mad") > 0.0,
           when(abs(rz) > k, 1L).otherwise(0L)).as("outlier")): _*)
+    (out, () => { base.unpersist(blocking = false); () })
   }
 }

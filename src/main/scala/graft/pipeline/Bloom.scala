@@ -57,20 +57,51 @@ object Bloom {
     words
   }
 
-  /** Membership expression over a literal bitmap: AND of k bit tests.
-    * `h1`/`h2` must be the same xxhash64 spellings the builder used. */
-  private[pipeline] def mightContain(bits: Array[Long], h1: Column,
-      h2: Column, numHashes: Int): Column = {
+  /** Bitmaps up to this many longs (8 MB) ship as plan literals —
+    * codegen'd bit tests, zero driver bookkeeping. Above it the plan
+    * would carry the array through every copy/canonicalize/toString,
+    * so the big-filter path (the module's 150 MB-at-10⁸-grams design
+    * point) rides a broadcast variable instead. */
+  private[pipeline] val literalMaxWords: Int = 1 << 20
+
+  /** Membership test: AND of k double-hashed bit probes. `h1`/`h2`
+    * must be the same xxhash64 spellings the builder used. Small
+    * bitmaps inline as a literal (pure codegen'd expressions); large
+    * ones ship ONCE per executor as a broadcast variable probed by a
+    * deterministic UDF walking the identical arithmetic — the
+    * broadcast lives until the session drops it, the price of a lazy
+    * plan handle. */
+  private[pipeline] def mightContain(df: DataFrame, bits: Array[Long],
+      h1: Column, h2: Column, numHashes: Int,
+      maxLiteralWords: Int = literalMaxWords): Column = {
     val mBits = bits.length.toLong * 64
-    val bitsLit = lit(bits)
-    (0 until numHashes).map { i =>
-      val p = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
-      // functions.shiftleft only takes a static shift; the SQL
-      // spelling accepts a column
-      val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
-      (element_at(bitsLit, (p / 64).cast("int") + 1)
-        .bitwiseAND(mask)) =!= 0L
-    }.reduce(_ && _)
+    if (bits.length <= maxLiteralWords) {
+      val bitsLit = lit(bits)
+      (0 until numHashes).map { i =>
+        val p = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
+        // functions.shiftleft only takes a static shift; the SQL
+        // spelling accepts a column
+        val mask = call_function("shiftleft", lit(1L), (p % 64).cast("int"))
+        (element_at(bitsLit, (p / 64).cast("int") + 1)
+          .bitwiseAND(mask)) =!= 0L
+      }.reduce(_ && _)
+    } else {
+      val bc = df.sparkSession.sparkContext.broadcast(bits)
+      val k = numHashes
+      val probe = udf { (a: Long, b: Long) =>
+        val words = bc.value
+        var i = 0
+        var ok = true
+        while (ok && i < k) {
+          val x = a + i.toLong * b
+          val p = ((x % mBits) + mBits) % mBits
+          ok = (words((p >> 6).toInt) & (1L << (p & 63))) != 0L
+          i += 1
+        }
+        ok
+      }
+      probe(h1, h2)
+    }
   }
 
   private def gramHashes(g: Column): (Column, Column) =
@@ -96,7 +127,7 @@ object Bloom {
     val corpusGrams = Curation.distinctGramFrame(docs, idCol, textCol, n)
     val (ch1, ch2) = gramHashes(col("__g"))
     val candidates = corpusGrams
-      .filter(mightContain(bits, ch1, ch2, numHashes))
+      .filter(mightContain(docs, bits, ch1, ch2, numHashes))
     // exact confirm: bloom false positives die here
     candidates
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")

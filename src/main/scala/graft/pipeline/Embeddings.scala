@@ -63,31 +63,43 @@ object Embeddings {
     * Achlioptas family of JL projections (±1 entries, distances
     * preserved within (1±ε) for outDim = O(log n / ε²)).
     *
-    * Scale shape: pure per-row expression work — zero shuffle, rides
-    * the scan; the d·k multiply runs inside one codegen'd projection.
-    * Cost note: the HOF lambdas evaluate interpreted (the
-    * `shingleMinhash` caveat), which is the accepted price at gate
-    * scale; a hot 100-TB path would drop this kernel to mapPartitions
-    * exactly like the dedup crunch. */
+    * Scale shape: the sign matrix is a pure function of (i, j), so it
+    * is hashed ONCE driver-side and shipped as a flat literal
+    * `array<double>` (maxInDim·outDim cells, row-major); the per-row
+    * fold is then arithmetic + `element_at` lookups only — zero
+    * shuffle, zero per-row hashing, rides the scan. Vectors longer
+    * than `maxInDim` answer null rather than silently truncating
+    * (raise `maxInDim`; the literal costs 8·maxInDim·outDim bytes of
+    * plan). Fold order (ascending i within each j) and the md5 parity
+    * are unchanged from the per-row spelling, so values are
+    * bit-identical to the portable oracle replay. */
   def randomProject(df: DataFrame, vecCol: String, outDim: Int,
-      outCol: String = "projected"): DataFrame = {
+      outCol: String = "projected", maxInDim: Int = 256): DataFrame = {
     require(outDim > 0, "outDim must be positive")
+    require(maxInDim > 0, "maxInDim must be positive")
+    // driver-side matrix: sign(i, j) = +1 iff the first hex nibble of
+    // md5("i_j") is even — the same draw the oracle replays in SQL
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Double] = Array.tabulate(maxInDim * outDim) { c =>
+      val i = c / outDim + 1
+      val j = c % outDim + 1
+      val nib = (digest.digest(s"${i}_$j".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (nib % 2 == 0) 1.0 else -1.0
+    }
+    val m = lit(signs)
     val v = col(vecCol)
     val proj = transform(sequence(lit(1), lit(outDim)), j =>
-      aggregate(sequence(lit(1), size(v)), lit(0.0), (acc, i) => {
-        val sign = when(
-          conv(substring(md5(concat_ws("_", i.cast("string"),
-            j.cast("string"))), 1, 1), 16, 10).cast("int") % 2 === 0,
-          1.0).otherwise(-1.0)
-        acc + element_at(v, i).cast("double") * sign
-      }))
+      aggregate(sequence(lit(1), size(v)), lit(0.0), (acc, i) =>
+        acc + element_at(v, i).cast("double") *
+          element_at(m, (i - 1) * outDim + j)))
     // size(v) = 0 makes sequence(1, 0) DESCEND to [1, 0] and
     // element_at(v, 0) always throws (the Dedup.shingles guard) — an
     // empty vector projects to the zero vector instead
     val zeroVec = transform(sequence(lit(1), lit(outDim)),
       _ => lit(0.0))
     df.withColumn(outCol,
-      when(v.isNull, lit(null).cast("array<double>"))
+      when(v.isNull || size(v) > maxInDim,
+          lit(null).cast("array<double>"))
         .when(size(v) === 0, zeroVec)
         .otherwise(proj))
   }

@@ -167,8 +167,12 @@ object MediaCodecs {
     // defeat the size guard below (same null-on-malformed argument as
     // the WAV chunk walk)
     val rowBytes = (width.toLong * 3 + 3) / 4 * 4
-    if (dataOff < 54 ||
-        dataOff.toLong + rowBytes * height > bytes.length)
+    // divide, don't multiply: rowBytes * height with both near 2^31
+    // overflows even Long (≈1.4e19), wrapping negative and slipping
+    // past an additive guard — reject when rowBytes exceeds the
+    // per-row budget instead (height ≥ 1 was checked above)
+    if (dataOff < 54 || dataOff > bytes.length ||
+        rowBytes > (bytes.length.toLong - dataOff) / height)
       return None
     var sb = 0.0; var sg = 0.0; var sr = 0.0
     var y = 0

@@ -337,7 +337,15 @@ object TextAnalysis {
     * rank/cumulative window runs on the k surviving rows in a single
     * tiny task. The grand total rides a cross-join of one scalar
     * row. */
-  def vocabStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def vocabStats(df: DataFrame, textCol: String, k: Int): DataFrame =
+    vocabStatsReleasable(df, textCol, k)._1
+
+  /** [[vocabStats]] plus a release handle that unpersists the internal
+    * counts cache — long-lived services call it after the consuming
+    * action (the [[graft.analysis.Slo.burnRatesReleasable]]
+    * convention; the plain entry leaves the cache to the session). */
+  def vocabStatsReleasable(df: DataFrame, textCol: String, k: Int)
+      : (DataFrame, () => Unit) = {
     require(k > 0, "vocabStats needs k > 0")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(explode(tokens(col(textCol))).as("tok"))
@@ -350,7 +358,7 @@ object TextAnalysis {
     val total = counts.agg(sum("cnt").as("__total"))
     val top = counts.orderBy(desc("cnt"), col("tok")).limit(k)
     val w = Window.orderBy(desc("cnt"), col("tok"))
-    top.crossJoin(total)
+    val out = top.crossJoin(total)
       .withColumn("rank", row_number().over(w))
       .withColumn("share",
         round(col("cnt").cast("double") / col("__total"), 6))
@@ -359,6 +367,7 @@ object TextAnalysis {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double") / col("__total"), 6))
       .select("rank", "tok", "cnt", "share", "cum_share")
+    (out, () => { counts.unpersist(blocking = false); () })
   }
 
   /** Adjacent-bigram PMI phrase mining: pointwise mutual information
@@ -376,7 +385,15 @@ object TextAnalysis {
     * TakeOrderedAndProject's bounded per-partition heap, not a global
     * sort. */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    pmiBigramsReleasable(df, textCol, minCount, k)._1
+
+  /** [[pmiBigrams]] plus a release handle that unpersists the internal
+    * counts cache — long-lived services call it after the consuming
+    * action (the [[graft.analysis.Slo.burnRatesReleasable]]
+    * convention; the plain entry leaves the cache to the session). */
+  def pmiBigramsReleasable(df: DataFrame, textCol: String,
+      minCount: Long, k: Int): (DataFrame, () => Unit) = {
     require(k > 0 && minCount > 0, "pmiBigrams needs k, minCount > 0")
     // a null text tokenizes to a null array, and with ANSI off
     // size(null) = -1 — one null doc would subtract from the corpus
@@ -414,8 +431,9 @@ object TextAnalysis {
       .withColumn("pmi", round(
         log(col("cxy").cast("double") * col("__n") /
           (col("cx").cast("double") * col("cy"))), 6))
-    scored.orderBy(desc("pmi"), col("w1"), col("w2")).limit(k)
+    val out = scored.orderBy(desc("pmi"), col("w1"), col("w2")).limit(k)
       .select("w1", "w2", "cxy", "pmi")
+    (out, () => { counts.unpersist(blocking = false); () })
   }
 
   /** Per-document analysis frame: id, lang, token counts, facets, score. */

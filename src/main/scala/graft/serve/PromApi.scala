@@ -121,8 +121,9 @@ object PromApi {
         s""","warnings":[${QueryJsonOut.quote(
           s"result truncated at $maxRows points")}]"""
       else ""
+      // warnings sits OUTSIDE data — the resultJson / Prometheus shape
       return s"""{"status":"success","data":{"resultType":"matrix",""" +
-        s""""result":[{"metric":{},"values":[${pts.mkString(",")}]}]$warn}}"""
+        s""""result":[{"metric":{},"values":[${pts.mkString(",")}]}]}$warn}"""
     }
     val sliced = rangeFrame(df, query, start, end, step)
     val (series, truncated) = collectSeries(sliced, maxRows)

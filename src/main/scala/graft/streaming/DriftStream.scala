@@ -37,6 +37,8 @@ object DriftStream {
       windowSeconds: Long, smooth: Double = 0.5,
       latenessSeconds: Long = 0L): DataFrame = {
     require(reference.nonEmpty, "reference histogram must be non-empty")
+    require(!reference.contains("__other"),
+      "reference must not contain the reserved __other category")
     require(smooth > 0.0, "smoothing constant must be positive")
     require(windowSeconds > 0, "window must be positive")
     val cats = reference.keys.toSeq.sorted

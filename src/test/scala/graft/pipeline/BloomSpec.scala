@@ -17,15 +17,20 @@ class BloomSpec extends SparkSpec {
         xxhash64(col("g"), lit(1L)).as("h2"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val bits = Bloom.buildBits(hashes, bitsPerKey = 12, numHashes = 5)
-    def hits(df: org.apache.spark.sql.DataFrame): Long = df
-      .filter(Bloom.mightContain(bits, xxhash64(col("g")),
-        xxhash64(col("g"), lit(1L)), 5))
+    def hits(df: org.apache.spark.sql.DataFrame,
+        maxLit: Int = Bloom.literalMaxWords): Long = df
+      .filter(Bloom.mightContain(df, bits, xxhash64(col("g")),
+        xxhash64(col("g"), lit(1L)), 5, maxLit))
       .count()
     assert(hits(insDf) == 2000L) // zero false negatives, by construction
     val probe = (1 to 10000).map(i => s"absent key $i").toDF("g")
     val fp = hits(probe)
     // 12 bits/key, 5 hashes ≈ 0.3% design rate; allow generous slack
     assert(fp < 200L, s"false positive count $fp out of 10000")
+    // the big-filter broadcast path walks the identical arithmetic:
+    // forcing it (maxLiteralWords = 0) must reproduce both counts
+    assert(hits(insDf, 0) == 2000L)
+    assert(hits(probe, 0) == fp)
   }
 
   test("bloomContaminationHits is bit-identical to the exact " +
