@@ -37,6 +37,14 @@ object LocalSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // trust the per-bucket sort order Curation.writeBucketed lays
+      // down (one file per bucket by construction): without this the
+      // scan hides its ordering (SPARK-28632 default) and every
+      // co-bucketed sort-merge join re-sorts what's already sorted.
+      // Safe because the writer repartitions to exactly one file per
+      // bucket — the multi-file case the default guards against can't
+      // occur through writeBucketed.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int): SparkSession = {

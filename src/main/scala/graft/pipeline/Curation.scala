@@ -508,12 +508,62 @@ object Curation {
   def writeBucketed(df: DataFrame, idCol: String, name: String,
       buckets: Int): Unit = {
     require(buckets > 0, "buckets must be positive")
-    df.write
+    val spark = df.sparkSession
+    // the in-memory catalog forgets tables across sessions but the
+    // warehouse directory persists — a stale location from a previous
+    // run fails the CREATE with LOCATION_ALREADY_EXISTS, so clear both
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // one FILE per bucket: Spark's scan only trusts (and reports) the
+    // written sort order when each bucket is a single file — multiple
+    // writer tasks per bucket would leave per-file runs, and every
+    // downstream sort-merge join would re-Sort, wasting the sortBy.
+    // The repartition shuffles once AT WRITE TIME, the cost the whole
+    // design pays once to delete sorts+shuffles from every reader.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(idCol))
+      .write
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(name)
+  }
+
+  /** Co-located curation-artifact apply: persists the corpus and each
+    * artifact frame (keep-lists, dedup verdicts, quality scores …)
+    * through [[writeBucketed]] and returns the id-keyed multi-join
+    * read back THROUGH the bucketed tables — every join a sort-merge
+    * over matching bucket pairs with ZERO shuffle exchanges and zero
+    * sorts (the tables are bucket-sorted on `idCol` at write time).
+    *
+    * This is the storage-layout move for 100 TB: the corpus crosses
+    * the wire once, at write time, instead of once per artifact join —
+    * and the written tables amortize across every LATER id-keyed
+    * consumer, which is where the real win lives. Joins are hinted
+    * MERGE deliberately: the artifact side of a corpus-scale apply is
+    * itself corpus-sized, so the broadcast plan the optimizer would
+    * pick at toy scale is exactly the plan bucketing exists to
+    * replace.
+    *
+    * `artifacts` is (suffix, frame, joinType) — the table lands as
+    * `{namePrefix}_{suffix}`, joined in order on `idCol`. */
+  def bucketedApply(corpus: DataFrame, idCol: String,
+      artifacts: Seq[(String, DataFrame, String)], namePrefix: String,
+      buckets: Int): DataFrame = {
+    require(artifacts.nonEmpty, "bucketedApply needs >= 1 artifact")
+    val spark = corpus.sparkSession
+    writeBucketed(corpus, idCol, s"${namePrefix}_corpus", buckets)
+    artifacts.foreach { case (suffix, df, _) =>
+      writeBucketed(df, idCol, s"${namePrefix}_$suffix", buckets) }
+    artifacts.foldLeft(spark.table(s"${namePrefix}_corpus")) {
+      case (acc, (suffix, _, joinType)) =>
+        acc.join(spark.table(s"${namePrefix}_$suffix").hint("merge"),
+          Seq(idCol), joinType)
+    }
   }
 
   /** Domain balancing: keep at most `cap` rows per domain, by

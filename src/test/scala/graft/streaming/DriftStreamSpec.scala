@@ -70,4 +70,43 @@ class DriftStreamSpec extends SparkSpec {
     assert(math.abs(byCat("c")._5 - batch("c")) < 1e-9)
     assert(math.abs(byCat("__other")._5 - batch("zz")) < 1e-9)
   }
+
+  test("row-for-row parity with the batch twin on identical rows — " +
+      "null and unseen keys riding the __other routing, absent " +
+      "reference categories reporting zero cells") {
+    implicit val sc = spark.sqlContext
+    val ref = Map("a" -> 50L, "b" -> 30L, "c" -> 20L)
+    // one window's rows: a-heavy, one unseen key, one null, NO "c"
+    val keys = Seq("a", "a", "a", "b", "zz", null, "a")
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "k")
+    val out = DriftStream.categoricalDrift(stream, "ts", "k", ref,
+      windowSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("drift_par")
+      .outputMode("complete").start()
+    mem.addData(keys.map(k => (t("2024-01-01 00:00:10"), k)): _*)
+    q.processAllAvailable()
+    val streamRows = spark.sql(
+      "SELECT category, n_cur, p_ref, p_cur, kl_term, chi2_term " +
+        "FROM drift_par ORDER BY category")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    q.stop()
+    // the batch twin on the SAME rows, the stream's routing applied
+    // up front (null / unseen → __other — the contract under test)
+    val refDf = ref.toSeq.flatMap { case (k, n) =>
+      Seq.fill(n.toInt)(k) }.toDF("k")
+    val curDf = keys
+      .map(k => if (k == null || !ref.contains(k)) "__other" else k)
+      .toDF("k")
+    val batchRows = graft.analysis.Drift
+      .categoricalDrift(refDf, curDf, "k")
+      .select("k", "n_cur", "p_ref", "p_cur", "kl_term", "chi2_term")
+      .orderBy("k")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(streamRows.map(_._1) == Seq("__other", "a", "b", "c"))
+    assert(streamRows == batchRows,
+      s"stream $streamRows\nbatch  $batchRows")
+  }
 }
