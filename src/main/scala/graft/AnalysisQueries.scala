@@ -1541,6 +1541,117 @@ object AnalysisQueries {
       |FROM d JOIN md ON md.event_type = d.event_type
       |ORDER BY d.event_type, d.bucket""".stripMargin
 
+  /** Two-sample KS numeric drift ([[graft.analysis.Drift.ksDrift]]):
+    * per event_type, the value distribution before vs on/after
+    * 2024-01-16, values quantized to 1dp first (the operator's
+    * documented contract — the ECDF window is per-key over distinct
+    * values). Exact D over pooled steps; the only floats are ECDF
+    * ratios of exact longs, so both engines walk identical doubles. */
+  def q145_ks_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+      .withColumn("v1", round(col("value"), 1))
+    val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val cur = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+    graft.analysis.Drift.ksDrift(ref, cur, Seq("event_type"), "v1")
+      .orderBy("event_type")
+  }
+
+  val q145_sql: String =
+    """WITH r AS (
+      |  SELECT event_type AS k, round(value, 1) AS v FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type AS k, round(value, 1) AS v FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |rc AS (SELECT k, v, count(*) AS r FROM r GROUP BY 1, 2),
+      |cc AS (SELECT k, v, count(*) AS c FROM c GROUP BY 1, 2),
+      |j AS (
+      |  SELECT coalesce(rc.k, cc.k) AS k, coalesce(rc.v, cc.v) AS v,
+      |    coalesce(rc.r, 0) AS r, coalesce(cc.c, 0) AS c
+      |  FROM rc FULL OUTER JOIN cc ON rc.k = cc.k AND rc.v = cc.v),
+      |s AS (
+      |  SELECT k, v, r, c,
+      |    sum(r) OVER (PARTITION BY k ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cr,
+      |    sum(c) OVER (PARTITION BY k ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cc2,
+      |    sum(r) OVER (PARTITION BY k) AS tr,
+      |    sum(c) OVER (PARTITION BY k) AS tc
+      |  FROM j),
+      |g AS (
+      |  SELECT k, CAST(max(tr) AS BIGINT) AS n_ref,
+      |    CAST(max(tc) AS BIGINT) AS n_cur,
+      |    max(CASE WHEN tr > 0 AND tc > 0 THEN
+      |      abs(CAST(cr AS DOUBLE) / tr - CAST(cc2 AS DOUBLE) / tc)
+      |    END) AS d
+      |  FROM s GROUP BY k)
+      |SELECT k AS event_type, n_ref, n_cur,
+      |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN round(d, 6) END
+      |    AS d_stat,
+      |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      |    round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+      |      / (n_ref * n_cur)), 6) END AS d_crit,
+      |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      |    CAST(CASE WHEN round(d, 6) >
+      |      round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+      |        / (n_ref * n_cur)), 6)
+      |    THEN 1 ELSE 0 END AS BIGINT) END AS drifted
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** PSI numeric drift ([[graft.analysis.Drift.psiDrift]]): per-bin
+    * PSI terms for the same before/after split, 10 equal-width bins
+    * from the reference range. Per-bin term rows, never a cross-row
+    * float sum — the categoricalDrift bit-stability convention. */
+  def q146_psi_drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+    val cur = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
+    graft.analysis.Drift.psiDrift(ref, cur, Seq("event_type"), "value",
+        bins = 10)
+      .orderBy("event_type", "bin")
+  }
+
+  val q146_sql: String =
+    """WITH r AS (
+      |  SELECT event_type AS k, value AS v FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type AS k, value AS v FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+      |rng AS (SELECT k, min(v) AS lo, max(v) AS hi FROM r GROUP BY 1),
+      |rb AS (
+      |  SELECT r.k,
+      |    CASE WHEN rng.hi > rng.lo THEN
+      |      least(9, greatest(0, CAST(floor((r.v - rng.lo) * 10
+      |        / (rng.hi - rng.lo)) AS INT)))
+      |    ELSE 0 END AS bin, count(*) AS nr
+      |  FROM r JOIN rng ON rng.k = r.k GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT c.k,
+      |    CASE WHEN rng.hi > rng.lo THEN
+      |      least(9, greatest(0, CAST(floor((c.v - rng.lo) * 10
+      |        / (rng.hi - rng.lo)) AS INT)))
+      |    ELSE 0 END AS bin, count(*) AS nc
+      |  FROM c JOIN rng ON rng.k = c.k GROUP BY 1, 2),
+      |j AS (
+      |  SELECT coalesce(rb.k, cb.k) AS k,
+      |    coalesce(rb.bin, cb.bin) AS bin,
+      |    coalesce(rb.nr, 0) AS n_ref, coalesce(cb.nc, 0) AS n_cur
+      |  FROM rb FULL OUTER JOIN cb
+      |    ON rb.k = cb.k AND rb.bin = cb.bin),
+      |t AS (
+      |  SELECT k, bin, n_ref, n_cur,
+      |    (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY k) + 5.0)
+      |      AS p,
+      |    (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY k) + 5.0)
+      |      AS q
+      |  FROM j)
+      |SELECT k AS event_type, bin, CAST(n_ref AS BIGINT) AS n_ref,
+      |  CAST(n_cur AS BIGINT) AS n_cur,
+      |  round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+      |  round((q - p) * ln(q / p), 6) AS psi_term
+      |FROM t ORDER BY event_type, bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
@@ -1574,7 +1685,9 @@ object AnalysisQueries {
     "q53_mv_quantile" -> (q53_mv_quantile _),
     "q33_gap_fill" -> (q33_gap_fill _),
     "q34_service_map" -> (q34_service_map _),
-    "q35_ratio_per_group" -> (q35_ratio_per_group _))
+    "q35_ratio_per_group" -> (q35_ratio_per_group _),
+    "q145_ks_drift" -> (q145_ks_drift _),
+    "q146_psi_drift" -> (q146_psi_drift _))
 
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
@@ -1609,5 +1722,7 @@ object AnalysisQueries {
     "q53_mv_quantile" -> q53_sql,
     "q33_gap_fill" -> q33_sql,
     "q34_service_map" -> q34_sql,
-    "q35_ratio_per_group" -> q35_sql)
+    "q35_ratio_per_group" -> q35_sql,
+    "q145_ks_drift" -> q145_sql,
+    "q146_psi_drift" -> q146_sql)
 }

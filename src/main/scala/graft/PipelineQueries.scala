@@ -2301,6 +2301,248 @@ object PipelineQueries {
       |FROM p JOIN s ON s.doc_id = p.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  /** REAL PNG decode gate ([[graft.pipeline.MediaCodecs.parsePng]]):
+    * per doc a genuine PNG (signature, CRC'd chunks, multi-IDAT
+    * zlib-deflated scanlines, per-row filters cycling all five types)
+    * is SERIALIZED, then the decoder inflates and reverses the filters
+    * to report dimensions + exact channel means. The oracle never sees
+    * bytes: it replays the pixel synthesis arithmetic, so the paths
+    * meet only if deflate↔inflate, the filter math, and the chunk walk
+    * are all right. Odd docs carry an alpha channel (RGBA). */
+  def q144_png_decode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long]
+    val synth = ids.mapPartitions(_.map { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      (id, graft.pipeline.MediaCodecs.pngBytes(w, h, (id % 100).toInt,
+        alpha = id % 2 == 1))
+    }).toDF("doc_id", "media")
+    graft.pipeline.MediaCodecs.decodePng(synth, "doc_id", "media")
+      .withColumn("mean_r", round(col("mean_r"), 6))
+      .withColumn("mean_g", round(col("mean_g"), 6))
+      .withColumn("mean_b", round(col("mean_b"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q144_sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |p AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    doc_id % 100 AS seed,
+      |    CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS ch
+      |  FROM ids),
+      |fx AS (
+      |  SELECT doc_id, seed, h,
+      |    unnest(generate_series(CAST(0 AS BIGINT), w - 1)) AS x
+      |  FROM p),
+      |fy AS (
+      |  SELECT doc_id, seed, x,
+      |    unnest(generate_series(CAST(0 AS BIGINT), h - 1)) AS y
+      |  FROM fx),
+      |s AS (
+      |  SELECT doc_id,
+      |    avg((13 * x + 17 * y + seed) % 256) AS mr,
+      |    avg((7 * x + 11 * y + seed) % 256) AS mg,
+      |    avg((3 * x + 5 * y + seed) % 256) AS mb
+      |  FROM fy GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(p.w AS INT) AS width,
+      |  CAST(p.h AS INT) AS height, CAST(p.ch AS INT) AS channels,
+      |  round(s.mr, 6) AS mean_r, round(s.mg, 6) AS mean_g,
+      |  round(s.mb, 6) AS mean_b
+      |FROM p JOIN s ON s.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
+  /** Co-located curation apply ([[graft.pipeline.Curation
+    * .bucketedApply]]): the duplicated corpus plus two artifact frames
+    * — a length-derived quality score and the exact-dedup keep-list —
+    * persisted as co-bucketed tables and joined back WITHOUT a single
+    * shuffle exchange or sort on the join path (bucket-pair sort-merge;
+    * `BucketedApplySpec` pins the plan contract). The oracle replays
+    * the same joins over the raw parquet — values identical, plan
+    * shape the point. */
+  def q143_bucketed_curate(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val c = corpusWithDups(spark, dir)
+    val quality = c.select(col("doc_id"),
+      round(least(length(col("text")) / lit(1000.0), lit(1.0)), 6)
+        .as("qscore"))
+    val keeps = Dedup.exact(c, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(1L).as("keep"))
+    graft.pipeline.Curation.bucketedApply(
+        c.select("doc_id"), "doc_id",
+        Seq(("quality", quality, "inner"), ("keep", keeps, "left")),
+        "bk143", buckets = 8)
+      .select(col("doc_id"), col("qscore"),
+        coalesce(col("keep"), lit(0L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q143_sql: String =
+    s"""WITH corpus AS ($CorpusWithDupsSql),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(least(length(text) / 1000.0, 1.0), 6) AS qscore
+       |  FROM corpus),
+       |k AS (
+       |  SELECT min(doc_id) AS doc_id, 1 AS keep
+       |  FROM corpus GROUP BY md5(lower(text)))
+       |SELECT c.doc_id, q.qscore,
+       |  CAST(coalesce(k.keep, 0) AS BIGINT) AS keep
+       |FROM corpus c
+       |JOIN q USING (doc_id)
+       |LEFT JOIN k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Label agreement ([[graft.analysis.Agreement.cohenKappa]]):
+    * Cohen's kappa between each document's DECLARED `lang` and the
+    * engine's [[TextAnalysis.langId]] prediction — the label-QA read
+    * "is the metadata consistent with the content?". The statistic is
+    * integer math until one final division (the operator's
+    * float-parity design), so the oracle replays it exactly. */
+  def q147_kappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    graft.analysis.Agreement.cohenKappa(d, "lang", "pred")
+  }
+
+  val q147_sql: String = {
+    val profiles = TextAnalysis.LangProfiles.toSeq.sortBy(_._1)
+    val arms = profiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$lang' AS lang,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(len(list_filter(tk, t -> list_contains($lst, t)))
+         |              AS DOUBLE) / len(tk) END AS score
+         |  FROM toks""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS tk,
+       |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+       |      AS cjk,
+       |    length(text) AS n
+       |  FROM documents),
+       |scored AS (
+       |  $arms),
+       |best AS (
+       |  SELECT doc_id, lang, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+       |  FROM scored),
+       |lng AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN t.cjk * 2 > t.n THEN 'zh'
+       |         WHEN b.score > 0 THEN b.lang
+       |         ELSE 'und' END AS pred
+       |  FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1),
+       |pairs AS (
+       |  SELECT d.lang AS a, l.pred AS b
+       |  FROM documents d JOIN lng l ON l.doc_id = d.doc_id
+       |  WHERE d.lang IS NOT NULL AND l.pred IS NOT NULL),
+       |cells AS (SELECT a, b, count(*) AS c FROM pairs GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+       |      AS agree
+       |  FROM cells),
+       |ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+       |mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+       |sp AS (
+       |  SELECT coalesce(sum(CAST(na AS HUGEINT) * nb),
+       |    CAST(0 AS HUGEINT)) AS s
+       |  FROM ma JOIN mb ON mb.b = ma.a)
+       |SELECT n, agree,
+       |  CASE WHEN n > 0 THEN
+       |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) END
+       |    AS po,
+       |  CASE WHEN n > 0 THEN
+       |    round(CAST(s AS DOUBLE) /
+       |      CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) END AS pe,
+       |  CASE WHEN n > 0 AND CAST(n AS HUGEINT) * n <> s THEN
+       |    round(CAST(CAST(agree AS HUGEINT) * n - s AS DOUBLE) /
+       |      CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6) END
+       |    AS kappa
+       |FROM tot CROSS JOIN sp""".stripMargin
+  }
+
+  /** Corpus snapshot diff ([[graft.pipeline.Snapshots.snapshotDiff]]):
+    * documents vs a deterministically mutated next crawl — every
+    * doc_id ≡ 3 (mod 17) dropped, ≡ 5 (mod 11) re-crawled with new
+    * text, plus fresh ids for ≡ 0 (mod 13). One full-outer hash join;
+    * the oracle replays the mutation and the chr(1)/chr(2) hash
+    * spelling. */
+  def q148_snapshot_diff(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val prev = docs(spark, dir).select("doc_id", "text")
+    val curr = prev
+      .filter(col("doc_id") % 17 =!= 3)
+      .withColumn("text", when(col("doc_id") % 11 === 5,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(prev.filter(col("doc_id") % 13 === 0).select(
+        (col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" new")).as("text")))
+    graft.pipeline.Snapshots.snapshotDiff(prev, curr, "doc_id",
+        Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  val q148_sql: String =
+    """WITH prev AS (SELECT doc_id, text FROM documents),
+      |curr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END
+      |      AS text
+      |  FROM prev WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' new' AS text
+      |  FROM prev WHERE doc_id % 13 = 0),
+      |hp AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(CAST(text AS VARCHAR), chr(2))) AS hash_prev
+      |  FROM prev),
+      |hc AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(CAST(text AS VARCHAR), chr(2))) AS hash_curr
+      |  FROM curr)
+      |SELECT coalesce(hp.doc_id, hc.doc_id) AS doc_id,
+      |  CASE WHEN hp.hash_prev IS NULL THEN 'added'
+      |       WHEN hc.hash_curr IS NULL THEN 'removed'
+      |       WHEN hp.hash_prev = hc.hash_curr THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  hp.hash_prev, hc.hash_curr
+      |FROM hp FULL OUTER JOIN hc ON hc.doc_id = hp.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Blocked fuzzy linkage ([[graft.pipeline.Linkage.linkPairs]]):
+    * entity strings = each doc's 16-char lowercase prefix, blocked on
+    * the 6-char whitespace-stripped prefix, verified with exact
+    * Levenshtein ≤ 2 — never an all-pairs join. The oracle replays
+    * blocking + edit distance (DuckDB ships the same classic
+    * levenshtein). */
+  def q149_linkage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"),
+        substring(lower(col("text")), 1, 16).as("name"))
+    graft.pipeline.Linkage.linkPairs(d, "doc_id", "name",
+        maxDist = 2, prefixLen = 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q149_sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, substring(lower(text), 1, 16) AS name,
+      |    substring(regexp_replace(lower(substring(lower(text), 1, 16)),
+      |      '\s+', '', 'g'), 1, 6) AS blk
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM n a JOIN n b ON b.blk = a.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2358,7 +2600,12 @@ object PipelineQueries {
     "q139_embed_stats" -> (q139_embed_stats _),
     "q140_rand_proj" -> (q140_rand_proj _),
     "q141_wav_decode" -> (q141_wav_decode _),
-    "q142_bmp_decode" -> (q142_bmp_decode _))
+    "q142_bmp_decode" -> (q142_bmp_decode _),
+    "q143_bucketed_curate" -> (q143_bucketed_curate _),
+    "q144_png_decode" -> (q144_png_decode _),
+    "q147_kappa" -> (q147_kappa _),
+    "q148_snapshot_diff" -> (q148_snapshot_diff _),
+    "q149_linkage" -> (q149_linkage _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2416,5 +2663,10 @@ object PipelineQueries {
     "q139_embed_stats" -> q139_sql,
     "q140_rand_proj" -> q140_sql,
     "q141_wav_decode" -> q141_sql,
-    "q142_bmp_decode" -> q142_sql)
+    "q142_bmp_decode" -> q142_sql,
+    "q143_bucketed_curate" -> q143_sql,
+    "q144_png_decode" -> q144_sql,
+    "q147_kappa" -> q147_sql,
+    "q148_snapshot_diff" -> q148_sql,
+    "q149_linkage" -> q149_sql)
 }

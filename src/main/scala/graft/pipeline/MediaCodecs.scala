@@ -5,15 +5,18 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** REAL media decoders for the uncompressed container formats a JVM
-  * can parse with zero dependencies — the honest upgrade over
-  * [[Multimodal]]'s stub codecs: WAV (RIFF/PCM) and BMP
-  * (BITMAPINFOHEADER, 24bpp) are byte-layout formats, so "decode" is
-  * deterministic arithmetic this engine can own end-to-end, including
-  * the actual sample/pixel math (mean |amplitude| per channel, mean
-  * B/G/R). Compressed codecs (JPEG/H.264/FLAC) remain behind the
-  * [[Multimodal]] stubs — that boundary is now exactly "formats that
-  * need a codec library", not "all of decode".
+/** REAL media decoders for the container formats a JVM can parse with
+  * zero dependencies — the honest upgrade over [[Multimodal]]'s stub
+  * codecs: WAV (RIFF/PCM) and BMP (BITMAPINFOHEADER, 24bpp) are
+  * byte-layout formats, and PNG (non-interlaced 8-bit RGB/RGBA) is
+  * decodable because the JDK ships zlib (`java.util.zip.Inflater`) —
+  * chunk walk + CRC32 verification + inflate + per-row filter
+  * reversal (None/Sub/Up/Average/Paeth) are deterministic arithmetic
+  * this engine owns end-to-end, including the actual sample/pixel
+  * math (mean |amplitude| per channel, mean B/G/R). Codecs the JVM
+  * does NOT ship (JPEG/H.264/FLAC) remain behind the [[Multimodal]]
+  * stubs — that boundary is now exactly "formats that need a codec
+  * library", not "all of decode".
   *
   * Scale shape: decoding is per-row imperative byte work — the
   * documented mapPartitions discipline (`Dedup.shingleMinhash`): one
@@ -97,6 +100,103 @@ object MediaCodecs {
       y -= 1
     }
     buf.array()
+  }
+
+  /** Serialize a non-interlaced 8-bit PNG: pixel (x, y) carries
+    * R = (13x+17y+seed) mod 256, G = (7x+11y+seed) mod 256,
+    * B = (3x+5y+seed) mod 256 (the [[bmpBytes]] arithmetic family, so
+    * oracles replay it the same way); when `alpha`,
+    * A = (x+y+seed) mod 256. Row y is filtered with type (y mod 5) —
+    * every decode exercises ALL five PNG filters — and the deflate
+    * stream is split across multiple IDAT chunks to exercise the
+    * chunk-walk reassembly a real PNG requires. */
+  def pngBytes(width: Int, height: Int, seed: Int,
+      alpha: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val bpp = if (alpha) 4 else 3
+    val stride = width * bpp
+    // raw (unfiltered) scanlines
+    val raw = Array.ofDim[Byte](height, stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raw(y)(x * bpp) = ((13 * x + 17 * y + seed) % 256).toByte
+        raw(y)(x * bpp + 1) = ((7 * x + 11 * y + seed) % 256).toByte
+        raw(y)(x * bpp + 2) = ((3 * x + 5 * y + seed) % 256).toByte
+        if (alpha) raw(y)(x * bpp + 3) = ((x + y + seed) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // filter: out[i] = raw[i] - predictor, mod 256 (PNG spec 4.5.4)
+    val filtered = new Array[Byte](height * (1 + stride))
+    y = 0
+    while (y < height) {
+      val f = y % 5
+      filtered(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val r = raw(y)(i) & 0xff
+        val a = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
+        val b = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        filtered(y * (1 + stride) + 1 + i) = ((r - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished())
+      zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zbuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val be = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(data.length).array()
+      out.write(be)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)                                 // bit depth
+      .put((if (alpha) 6 else 2).toByte)             // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)     // comp/filter/interlace
+      .array()
+    chunk("IHDR", ihdr)
+    // split IDAT: real encoders emit many; the walk must reassemble
+    z.grouped(97).foreach(g => chunk("IDAT", g))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** PNG Paeth predictor (spec 4.5.4, filter type 4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
   // ------------------------------------------------------------- parsers
@@ -192,6 +292,145 @@ object MediaCodecs {
     Some(BmpInfo(width, height, bpp, sb / n, sg / n, sr / n))
   }
 
+  /** Parsed PNG facts: dimensions, channel count, and REAL mean R/G/B
+    * over the reconstructed (inflate + filter-reversed) pixels. */
+  final case class PngInfo(width: Int, height: Int, channels: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** Inflated-image budget: decode refuses images above this many
+    * pixels rather than letting a 16-byte crafted IHDR allocate
+    * gigabytes (the PNG analogue of the BMP division guard — the
+    * declared size is attacker-controlled, the budget is ours). */
+  val pngMaxPixels: Long = 1L << 24
+
+  /** Parse a non-interlaced 8-bit RGB/RGBA PNG: signature, chunk walk
+    * with CRC32 verification, multi-IDAT reassembly, zlib inflate, and
+    * per-row filter reversal (all five types). None on anything the
+    * parser does not own — truncated chunks, CRC mismatch, palette /
+    * 16-bit / interlaced files, short or oversized pixel streams —
+    * never a thrown row. */
+  def parsePng(bytes: Array[Byte]): Option[PngInfo] = {
+    if (bytes.length < 8 + 25) return None // signature + IHDR chunk
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    var i = 0
+    while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = 0; var height = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= bytes.length && !seenIend) {
+      val len = buf.getInt(pos)
+      // Long-domain bounds like the WAV walk: a corrupt ~2^31 length
+      // would wrap an Int sum negative and sail past the guard
+      if (len < 0 || pos.toLong + 12L + len > bytes.length) return None
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != buf.getInt(pos + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          seenIhdr = true
+          width = buf.getInt(pos + 8)
+          height = buf.getInt(pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          if (width <= 0 || height <= 0 || bitDepth != 8 ||
+              interlace != 0) return None
+          channels = colorType match {
+            case 2 => 3
+            case 6 => 4
+            case _ => return None // palette/gray: not owned here
+          }
+          if (width.toLong * height > pngMaxPixels) return None
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...): skip
+      }
+      pos += 12 + len
+    }
+    if (!seenIhdr || !seenIend || idat.size() == 0) return None
+    val stride = width * channels
+    // expected size fits Int: pixels ≤ 2^24 and channels ≤ 4
+    val expected = height * (1 + stride)
+    val recon = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      var done = false
+      while (!done) {
+        val n = inf.inflate(recon, off, expected - off)
+        off += n
+        if (inf.finished()) done = true
+        else if (off == expected) {
+          // pixel bytes complete but the stream isn't closed: either
+          // the final-block marker needs one more pull (fine) or the
+          // stream carries MORE pixels than the header declared (a
+          // lie — reject)
+          val sink = new Array[Byte](1)
+          if (inf.inflate(sink, 0, 1) > 0 || !inf.finished())
+            return None
+          done = true
+        } else if (n == 0 &&
+            (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+      }
+      if (off != expected) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // filter reversal in place, walking rows forward (spec 4.5.4:
+    // recon[i] = filt[i] + predictor, mod 256)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1
+      val prevOff = (y - 1) * (1 + stride) + 1
+      val f = recon(rowOff - 1) & 0xff
+      if (f > 4) return None
+      var j = 0
+      while (j < stride) {
+        val a = if (j >= channels) recon(rowOff + j - channels) & 0xff
+                else 0
+        val b = if (y > 0) recon(prevOff + j) & 0xff else 0
+        val c = if (y > 0 && j >= channels)
+                  recon(prevOff + j - channels) & 0xff
+                else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        recon(rowOff + j) =
+          (((recon(rowOff + j) & 0xff) + pred) & 0xff).toByte
+        j += 1
+      }
+      y += 1
+    }
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    y = 0
+    while (y < height) {
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < width) {
+        sr += (recon(rowOff + x * channels) & 0xff)
+        sg += (recon(rowOff + x * channels + 1) & 0xff)
+        sb += (recon(rowOff + x * channels + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(PngInfo(width, height, channels, sr / n, sg / n, sb / n))
+  }
+
   // --------------------------------------------------- DataFrame kernels
 
   /** Decode a WAV binary column through one typed mapPartitions pass:
@@ -212,6 +451,23 @@ object MediaCodecs {
         p.map(_.meanAbsAmplitude))
     }).toDF(idCol, "channels", "sample_rate", "n_frames",
       "duration_ms", "mean_abs_amplitude")
+  }
+
+  /** Decode a PNG binary column — same kernel contract as
+    * [[decodeWav]]. */
+  def decodePng(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val p = Option(bytes).flatMap(parsePng)
+      (id, p.map(_.width), p.map(_.height), p.map(_.channels),
+        p.map(_.meanR), p.map(_.meanG), p.map(_.meanB))
+    }).toDF(idCol, "width", "height", "channels",
+      "mean_r", "mean_g", "mean_b")
   }
 
   /** Decode a BMP binary column — same kernel contract as

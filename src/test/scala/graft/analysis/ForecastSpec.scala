@@ -94,4 +94,67 @@ class DriftSpec extends SparkSpec {
     val kl = out.values.map(r => r.getDouble(r.fieldIndex("kl_term"))).sum
     assert(kl > 0.0)
   }
+
+  test("ksDrift: identical samples score D = 0, disjoint samples " +
+      "score D = 1, a known quartile shift scores exactly 0.25, and " +
+      "an empty side answers null") {
+    def mk(k: String, vs: Seq[Double]) = vs.map((k, _)).toDF("k", "v")
+    // same: D = 0, not drifted
+    val a = mk("s", Seq(1.0, 2.0, 3.0, 4.0))
+    val same = Drift.ksDrift(a, a, Seq("k"), "v").collect().head
+    assert(same.getDouble(same.fieldIndex("d_stat")) == 0.0)
+    assert(same.getLong(same.fieldIndex("drifted")) == 0L)
+    // disjoint ranges: D = 1
+    val b = mk("s", Seq(10.0, 11.0, 12.0, 13.0))
+    val dis = Drift.ksDrift(a, b, Seq("k"), "v").collect().head
+    assert(dis.getDouble(dis.fieldIndex("d_stat")) == 1.0)
+    assert(dis.getLong(dis.fieldIndex("drifted")) == 1L)
+    // ref {1,2,3,4} vs cur {2,3,4,5}: sup gap at v=1 (1/4 vs 0) and
+    // v=4 (1 vs 3/4) — exactly 0.25
+    val c = mk("s", Seq(2.0, 3.0, 4.0, 5.0))
+    val q = Drift.ksDrift(a, c, Seq("k"), "v").collect().head
+    assert(q.getDouble(q.fieldIndex("d_stat")) == 0.25)
+    // a key with one empty side: null D and null drifted
+    val refTwo = mk("s", Seq(1.0)).unionByName(mk("t", Seq(1.0)))
+    val curOne = mk("s", Seq(1.0))
+    val rows = Drift.ksDrift(refTwo, curOne, Seq("k"), "v")
+      .orderBy("k").collect()
+    assert(rows(1).getString(0) == "t" &&
+      rows(1).isNullAt(rows(1).fieldIndex("d_stat")) &&
+      rows(1).isNullAt(rows(1).fieldIndex("drifted")))
+    // maxDistinct audit is loud
+    val wide = mk("s", (1 to 100).map(_.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksDrift(wide, wide, Seq("k"), "v", maxDistinct = 10)
+    }
+    assert(e.getMessage.contains("maxDistinct"))
+  }
+
+  test("psiDrift: identical sides give ~zero terms; a shifted " +
+      "distribution concentrates PSI in the moved bins; constant " +
+      "reference routes to bin 0; out-of-range current values clamp") {
+    def mk(k: String, vs: Seq[Double]) = vs.map((k, _)).toDF("k", "v")
+    val ref = mk("s", (1 to 100).map(_.toDouble))
+    val same = Drift.psiDrift(ref, ref, Seq("k"), "v", bins = 10)
+      .collect()
+    assert(same.length == 10)
+    assert(same.forall(r =>
+      math.abs(r.getDouble(r.fieldIndex("psi_term"))) < 1e-9))
+    // shift the mass up: high bins gain, low bins lose; total PSI > 0
+    val cur = mk("s", (51 to 150).map(_.toDouble))
+    val out = Drift.psiDrift(ref, cur, Seq("k"), "v", bins = 10)
+      .orderBy("bin").collect()
+    val total = out.map(_.getDouble(out.head.fieldIndex("psi_term"))).sum
+    assert(total > 0.25, s"psi total $total") // a half-range shift is loud
+    // values past the ref max clamp into bin 9 (101..150 all land
+    // there), so bin 9's n_cur carries half the current corpus
+    val b9 = out.find(_.getInt(out.head.fieldIndex("bin")) == 9).get
+    assert(b9.getLong(b9.fieldIndex("n_cur")) >= 50L)
+    // constant reference: everything in bin 0, terms finite
+    val const = mk("s", Seq.fill(10)(5.0))
+    val cst = Drift.psiDrift(const, mk("s", Seq(5.0, 7.0)), Seq("k"),
+      "v", bins = 10).collect()
+    assert(cst.length == 1 && cst.head.getInt(
+      cst.head.fieldIndex("bin")) == 0)
+  }
 }

@@ -94,4 +94,85 @@ class MediaCodecsSpec extends SparkSpec {
     assert(bout(0).getInt(bout(0).fieldIndex("width")) == 4)
     assert(bout(1).isNullAt(bout(1).fieldIndex("width")))
   }
+
+  test("PNG round-trip: inflate + all five filter reversals + " +
+      "multi-IDAT reassembly reproduce exact channel means for RGB " +
+      "and RGBA") {
+    // height 7 cycles through every filter type (y % 5)
+    for (alpha <- Seq(false, true)) {
+      val w = 6; val h = 7; val seed = 42
+      val bytes = MediaCodecs.pngBytes(w, h, seed, alpha)
+      val info = MediaCodecs.parsePng(bytes).get
+      assert(info.width == w && info.height == h &&
+        info.channels == (if (alpha) 4 else 3))
+      def mean(fr: (Int, Int) => Int): Double =
+        (for (y <- 0 until h; x <- 0 until w) yield fr(x, y).toDouble)
+          .sum / (w * h)
+      assert(info.meanR == mean((x, y) => (13 * x + 17 * y + seed) % 256))
+      assert(info.meanG == mean((x, y) => (7 * x + 11 * y + seed) % 256))
+      assert(info.meanB == mean((x, y) => (3 * x + 5 * y + seed) % 256))
+    }
+    // the builder genuinely splits IDAT (anything over 97 deflate
+    // bytes) — assert the walk saw more than one
+    val big = MediaCodecs.pngBytes(50, 50, 7)
+    val idatCount = big.sliding(4).count(
+      _.sameElements("IDAT".getBytes("US-ASCII")))
+    assert(idatCount > 1, s"expected multi-IDAT, got $idatCount")
+    assert(MediaCodecs.parsePng(big).isDefined)
+  }
+
+  test("PNG malformed-input battery: every rejection path answers " +
+      "None, never a throw") {
+    val good = MediaCodecs.pngBytes(5, 4, 9)
+    def be(bytes: Array[Byte]) = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    // wrong signature / truncated
+    assert(MediaCodecs.parsePng(good.updated(1, 'X'.toByte)).isEmpty)
+    assert(MediaCodecs.parsePng(good.take(20)).isEmpty)
+    assert(MediaCodecs.parsePng(Array[Byte](1, 2)).isEmpty)
+    // CRC corruption (flip a pixel byte inside IDAT, keep stored CRC)
+    val crcBad = good.clone()
+    crcBad(good.length - 20) = (crcBad(good.length - 20) ^ 0x7f).toByte
+    assert(MediaCodecs.parsePng(crcBad).isEmpty)
+    // dimension lies: header claims more pixels than the stream holds
+    // (IHDR data starts at byte 16: width 16-19, height 20-23; the
+    // CRC now mismatches too — either guard may fire; must be None)
+    val dimBad = good.clone()
+    be(dimBad).putInt(20, 99)
+    assert(MediaCodecs.parsePng(dimBad).isEmpty)
+    // zip-bomb budget: a 2^16 × 2^16 IHDR with a VALID CRC must be
+    // rejected by the pixel budget itself, before any allocation
+    def ihdrOnly(w: Int, h: Int, colorType: Int, interlace: Int)
+        : Array[Byte] = {
+      val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+        0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val data = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+      val crc = new java.util.zip.CRC32()
+      crc.update("IHDR".getBytes("US-ASCII")); crc.update(data)
+      sig ++
+        java.nio.ByteBuffer.allocate(4).putInt(13).array() ++
+        "IHDR".getBytes("US-ASCII") ++ data ++
+        java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt)
+          .array()
+    }
+    assert(MediaCodecs.parsePng(ihdrOnly(65536, 65536, 2, 0)).isEmpty)
+    // palette color type and interlacing: honestly not owned
+    assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 3, 0)).isEmpty)
+    assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 2, 1)).isEmpty)
+    // a corrupt ~2^31 chunk length must answer None, not wrap the
+    // bounds math and throw
+    val hugeLen = good.clone()
+    be(hugeLen).putInt(8, Int.MaxValue - 3)
+    assert(MediaCodecs.parsePng(hugeLen).isEmpty)
+    // kernel: mixed good/bad rows → null fields, no exception
+    val rows = Seq((1L, good), (2L, Array[Byte](0, 1, 2)))
+      .toDF("id", "media")
+    val out = MediaCodecs.decodePng(rows, "id", "media")
+      .orderBy("id").collect()
+    assert(out(0).getInt(out(0).fieldIndex("width")) == 5)
+    assert(out(1).isNullAt(out(1).fieldIndex("width")))
+  }
 }

@@ -1,0 +1,34 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged and " +
+      "distinguishes null from empty content") {
+    val prev = Seq(
+      (1L, Some("alpha")), (2L, Some("beta")), (3L, Some("gamma")),
+      (4L, Option.empty[String])).toDF("id", "text")
+    val curr = Seq(
+      (1L, Some("alpha")),          // unchanged
+      (2L, Some("beta v2")),        // changed
+      (4L, Some("")),               // null → empty IS a change
+      (5L, Some("delta")))          // added; 3 removed
+      .toDF("id", "text")
+    val out = Snapshots.snapshotDiff(prev, curr, "id", Seq("text"))
+      .orderBy("id")
+      .select("id", "status").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "changed"), (5L, "added")))
+    // multi-column identity: ("a","b") vs ("ab","") must differ —
+    // the separator keeps column boundaries
+    val p2 = Seq((1L, "a", "b")).toDF("id", "c1", "c2")
+    val c2 = Seq((1L, "ab", "")).toDF("id", "c1", "c2")
+    val d2 = Snapshots.snapshotDiff(p2, c2, "id", Seq("c1", "c2"))
+      .select("status").as[String].collect().head
+    assert(d2 == "changed")
+  }
+}
