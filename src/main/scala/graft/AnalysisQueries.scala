@@ -1543,13 +1543,17 @@ object AnalysisQueries {
 
   /** Two-sample KS numeric drift ([[graft.analysis.Drift.ksDrift]]):
     * per event_type, the value distribution before vs on/after
-    * 2024-01-16, values quantized to 1dp first (the operator's
+    * 2024-01-16, values quantized to 0.1 grid first (the operator's
     * documented contract — the ECDF window is per-key over distinct
-    * values). Exact D over pooled steps; the only floats are ECDF
-    * ratios of exact longs, so both engines walk identical doubles. */
+    * values). Quantization is floor(v·10)/10, NOT round(v, 1): Spark
+    * rounds through a decimal string (HALF_UP) while DuckDB rounds the
+    * binary double, and a halfway value like 1.15 lands in DIFFERENT
+    * cells — floor arithmetic is the same IEEE ops on both engines.
+    * Exact D over pooled steps; the only other floats are ECDF ratios
+    * of exact longs. */
   def q145_ks_drift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Queries.cat(spark, dir)("events").df
-      .withColumn("v1", round(col("value"), 1))
+      .withColumn("v1", floor(col("value") * 10) / 10)
     val ref = ev.filter(col("ts") < lit("2024-01-16").cast("timestamp"))
     val cur = ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp"))
     graft.analysis.Drift.ksDrift(ref, cur, Seq("event_type"), "v1")
@@ -1558,10 +1562,12 @@ object AnalysisQueries {
 
   val q145_sql: String =
     """WITH r AS (
-      |  SELECT event_type AS k, round(value, 1) AS v FROM events
+      |  SELECT event_type AS k, floor(value * 10) / 10 AS v
+      |  FROM events
       |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
       |c AS (
-      |  SELECT event_type AS k, round(value, 1) AS v FROM events
+      |  SELECT event_type AS k, floor(value * 10) / 10 AS v
+      |  FROM events
       |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
       |rc AS (SELECT k, v, count(*) AS r FROM r GROUP BY 1, 2),
       |cc AS (SELECT k, v, count(*) AS c FROM c GROUP BY 1, 2),
@@ -1590,11 +1596,11 @@ object AnalysisQueries {
       |    AS d_stat,
       |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
       |    round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-      |      / (n_ref * n_cur)), 6) END AS d_crit,
+      |      / (CAST(n_ref AS DOUBLE) * n_cur)), 6) END AS d_crit,
       |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
       |    CAST(CASE WHEN round(d, 6) >
       |      round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
-      |        / (n_ref * n_cur)), 6)
+      |        / (CAST(n_ref AS DOUBLE) * n_cur)), 6)
       |    THEN 1 ELSE 0 END AS BIGINT) END AS drifted
       |FROM g ORDER BY event_type""".stripMargin
 
@@ -1628,11 +1634,12 @@ object AnalysisQueries {
       |  FROM r JOIN rng ON rng.k = r.k GROUP BY 1, 2),
       |cb AS (
       |  SELECT c.k,
-      |    CASE WHEN rng.hi > rng.lo THEN
+      |    CASE WHEN rng.lo IS NULL THEN NULL
+      |      WHEN rng.hi > rng.lo THEN
       |      least(9, greatest(0, CAST(floor((c.v - rng.lo) * 10
       |        / (rng.hi - rng.lo)) AS INT)))
       |    ELSE 0 END AS bin, count(*) AS nc
-      |  FROM c JOIN rng ON rng.k = c.k GROUP BY 1, 2),
+      |  FROM c LEFT JOIN rng ON rng.k = c.k GROUP BY 1, 2),
       |j AS (
       |  SELECT coalesce(rb.k, cb.k) AS k,
       |    coalesce(rb.bin, cb.bin) AS bin,
@@ -1641,10 +1648,12 @@ object AnalysisQueries {
       |    ON rb.k = cb.k AND rb.bin = cb.bin),
       |t AS (
       |  SELECT k, bin, n_ref, n_cur,
-      |    (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY k) + 5.0)
-      |      AS p,
-      |    (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY k) + 5.0)
-      |      AS q
+      |    CASE WHEN bin IS NOT NULL THEN
+      |      (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY k) + 5.0)
+      |      END AS p,
+      |    CASE WHEN bin IS NOT NULL THEN
+      |      (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY k) + 5.0)
+      |      END AS q
       |  FROM j)
       |SELECT k AS event_type, bin, CAST(n_ref AS BIGINT) AS n_ref,
       |  CAST(n_cur AS BIGINT) AS n_cur,

@@ -2470,8 +2470,8 @@ object PipelineQueries {
     * documents vs a deterministically mutated next crawl — every
     * doc_id ≡ 3 (mod 17) dropped, ≡ 5 (mod 11) re-crawled with new
     * text, plus fresh ids for ≡ 0 (mod 13). One full-outer hash join;
-    * the oracle replays the mutation and the chr(1)/chr(2) hash
-    * spelling. */
+    * the oracle replays the mutation and the fixed-width per-column
+    * md5 hash spelling. */
   def q148_snapshot_diff(spark: SparkSession, dir: String)
       : DataFrame = {
     val prev = docs(spark, dir).select("doc_id", "text")
@@ -2499,11 +2499,13 @@ object PipelineQueries {
       |  FROM prev WHERE doc_id % 13 = 0),
       |hp AS (
       |  SELECT doc_id,
-      |    md5(coalesce(CAST(text AS VARCHAR), chr(2))) AS hash_prev
+      |    md5(coalesce(md5(CAST(text AS VARCHAR)), repeat('!', 32)))
+      |      AS hash_prev
       |  FROM prev),
       |hc AS (
       |  SELECT doc_id,
-      |    md5(coalesce(CAST(text AS VARCHAR), chr(2))) AS hash_curr
+      |    md5(coalesce(md5(CAST(text AS VARCHAR)), repeat('!', 32)))
+      |      AS hash_curr
       |  FROM curr)
       |SELECT coalesce(hp.doc_id, hc.doc_id) AS doc_id,
       |  CASE WHEN hp.hash_prev IS NULL THEN 'added'
@@ -2542,6 +2544,74 @@ object PipelineQueries {
       |FROM n a JOIN n b ON b.blk = a.blk AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.name, b.name) <= 2
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic stratified sample ([[graft.pipeline.Curation
+    * .stratifiedSample]]): 5 docs per (lang, source) stratum by
+    * md5-of-id order — heap-bounded per stratum, never a window; the
+    * oracle is the plain QUALIFY row_number spelling of the same
+    * md5 draw. */
+  def q150_stratified(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.stratifiedSample(
+        docs(spark, dir), Seq("lang", "source"), "doc_id", n = 5)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  val q150_sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY lang, source
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+      |ORDER BY doc_id""".stripMargin
+
+  /** Hash split assignment ([[graft.pipeline.Curation.assignSplits]]):
+    * 90/5/5 train/val/test from the first 8 hex digits of
+    * md5(id ‖ salt) — growth-stable, salt-redrawable; the oracle is a
+    * string CASE against the same driver-computed hex thresholds. */
+  def q151_splits(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.assignSplits(
+        docs(spark, dir).select("doc_id"), "doc_id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        salt = "s11")
+      .orderBy("doc_id")
+
+  val q151_sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's11'),
+      |    1, 8) < 'e6666666' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's11'),
+      |    1, 8) < 'f3333333' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Flesch reading ease ([[TextAnalysis.readability]]): exact word /
+    * sentence / vowel-group counters and the 206.835 linear score —
+    * three ints and one mirrored float expression per doc. */
+  def q152_readability(spark: SparkSession, dir: String): DataFrame = {
+    val r = TextAnalysis.readability(docs(spark, dir), "doc_id", "text")
+    r.select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_sentences").cast("long").as("n_sentences"),
+        col("n_syllables").cast("long").as("n_syllables"),
+        col("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val q152_sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(trim(lower(text)),
+      |      '\s+'), w -> w <> '')) AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN w > 0 THEN w END AS n_words,
+      |  CASE WHEN w > 0 THEN s END AS n_sentences,
+      |  CASE WHEN w > 0 THEN y END AS n_syllables,
+      |  CASE WHEN w > 0 THEN
+      |    round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+      |      - 84.6 * (CAST(y AS DOUBLE) / w), 6) END AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
 
   // ============================================================= registry
 
@@ -2605,7 +2675,10 @@ object PipelineQueries {
     "q144_png_decode" -> (q144_png_decode _),
     "q147_kappa" -> (q147_kappa _),
     "q148_snapshot_diff" -> (q148_snapshot_diff _),
-    "q149_linkage" -> (q149_linkage _))
+    "q149_linkage" -> (q149_linkage _),
+    "q150_stratified" -> (q150_stratified _),
+    "q151_splits" -> (q151_splits _),
+    "q152_readability" -> (q152_readability _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2668,5 +2741,8 @@ object PipelineQueries {
     "q144_png_decode" -> q144_sql,
     "q147_kappa" -> q147_sql,
     "q148_snapshot_diff" -> q148_sql,
-    "q149_linkage" -> q149_sql)
+    "q149_linkage" -> q149_sql,
+    "q150_stratified" -> q150_sql,
+    "q151_splits" -> q151_sql,
+    "q152_readability" -> q152_sql)
 }

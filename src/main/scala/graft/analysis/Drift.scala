@@ -124,10 +124,13 @@ object Drift {
       // a side with zero rows has no ECDF: null D, never a fake 1.0
       .withColumn("d_stat",
         when(col("n_ref") > 0 && col("n_cur") > 0, round(col("__d"), 6)))
+      // the product rides doubles: a long*long n₁n₂ wraps past ~3e9
+      // rows per side with ANSI off, turning d_crit into NaN and every
+      // drifted flag into a silent 0 (the parseBmp wrap class)
       .withColumn("d_crit",
         when(col("n_ref") > 0 && col("n_cur") > 0, round(
           lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double")
-            / (col("n_ref") * col("n_cur"))), 6)))
+            / (col("n_ref").cast("double") * col("n_cur"))), 6)))
       .withColumn("drifted", when(col("d_stat").isNotNull,
         when(col("d_stat") > col("d_crit"), 1L).otherwise(0L)))
       .select(keyCs ++ Seq(col("n_ref"), col("n_cur"), col("d_stat"),
@@ -168,15 +171,21 @@ object Drift {
       .select(keyCs :+ v.as("__v"): _*)
       .groupBy(keyCs: _*)
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    // LEFT join: a key the reference never saw has no range to bin
+    // over, but dropping it would hide the most extreme drift there
+    // is (a brand-new population) — it surfaces as one null-bin row
+    // with null terms instead (the ksDrift null-not-fake convention)
     def binned(df: DataFrame, side: String) = df
       .filter(v.isNotNull)
       .select(keyCs :+ v.as("__v"): _*)
-      .join(broadcast(range), keyCols)
-      .withColumn("__b", when(col("__hi") > col("__lo"),
-        least(lit(bins - 1), greatest(lit(0),
-          floor((col("__v") - col("__lo")) * bins /
-            (col("__hi") - col("__lo"))).cast("int"))))
-        .otherwise(lit(0)))
+      .join(broadcast(range), keyCols, "left")
+      .withColumn("__b",
+        when(col("__lo").isNull, lit(null).cast("int"))
+          .when(col("__hi") > col("__lo"),
+            least(lit(bins - 1), greatest(lit(0),
+              floor((col("__v") - col("__lo")) * bins /
+                (col("__hi") - col("__lo"))).cast("int"))))
+          .otherwise(lit(0)))
       .groupBy(keyCs :+ col("__b").as("bin"): _*)
       .agg(count(lit(1)).as(s"__n_$side"))
     val aligned = binned(ref, "ref")
@@ -190,8 +199,8 @@ object Drift {
     val pCur = (col("n_cur") + lit(smooth)) /
       (sum(col("n_cur")).over(wAll) + lit(smooth * bins))
     aligned
-      .withColumn("__p", pRef)
-      .withColumn("__q", pCur)
+      .withColumn("__p", when(col("bin").isNotNull, pRef))
+      .withColumn("__q", when(col("bin").isNotNull, pCur))
       .withColumn("psi_term",
         round((col("__q") - col("__p")) * log(col("__q") / col("__p")),
           6))

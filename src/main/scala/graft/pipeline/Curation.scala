@@ -610,6 +610,80 @@ object Curation {
         col(idCol).cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Deterministic stratified sample: keep exactly `n` rows per
+    * stratum (fewer when the stratum is smaller), chosen by the
+    * md5-of-id order — the engine-portable "random but reproducible"
+    * draw (any engine computing md5(CAST(id AS VARCHAR)) agrees on the
+    * sample, so an oracle replays it with a plain QUALIFY row_number).
+    * Ids must be non-negative integral (the fixed-width id suffix that
+    * makes the tie-break total).
+    *
+    * Scale shape: one hash aggregation keyed on the strata whose
+    * per-group state is the bounded [[graft.functions.TopKString]]
+    * heap (≤ 2n codes, map-side combined) — never a per-stratum
+    * row_number window, which would gather a hot stratum's full row
+    * set into one task ([[domainCap]]'s argument). The sample key is
+    * md5 ‖ zero-padded id, so heap order IS (md5, id) order. */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String],
+      idCol: String, n: Int): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(n > 0, "n must be positive")
+    val code = concat(md5(col(idCol).cast("string")),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    val kept = df
+      .select(strataCols.map(col) :+ code.as("__code"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopK.topSmallestString(
+        lit(0.0), col("__code"), n).as("__xs"))
+      .select(strataCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__ks_$i") } :+ explode(col("__xs")).as("__x"): _*)
+      .select((strataCols.indices.map(i => col(s"__ks_$i")) :+
+        substring(col("__x._2"), 33, 20).cast("long").as("__keep_id"))
+        : _*)
+    val cond = strataCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__ks_$i") }.reduce(_ && _) &&
+      col(idCol).cast("long") === col("__keep_id")
+    df.join(kept, cond, "left_semi")
+  }
+
+  /** Hash-based train/val/test split assignment: each id lands in the
+    * split whose cumulative-fraction interval contains the first 8 hex
+    * digits of md5(id ‖ salt) — deterministic, engine-portable
+    * (lowercase hex sorts numerically, so the oracle is a string CASE
+    * compare), stable under corpus growth (a doc's split never changes
+    * when other docs arrive — the property a random-number split
+    * lacks), and re-drawable via `salt`. Fractions must sum to 1.
+    *
+    * Scale shape: pure per-row expression work — zero shuffle, rides
+    * the scan. */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total")
+    val code = substring(
+      md5(concat(col(idCol).cast("string"), lit(salt))), 1, 8)
+    // cumulative thresholds as 8-hex-digit literals; the LAST split
+    // takes everything below 'ffffffff'+1 so float dust can't leak
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val bounds = cums.init.map(f => f"${(f * (1L << 32)).toLong}%08x")
+    val assigned = splits.init.zip(bounds).foldLeft(
+      Option.empty[Column]) { case (acc, ((name, _), b)) =>
+        val cond = code < lit(b)
+        Some(acc match {
+          case None => when(cond, name)
+          case Some(w) => w.when(cond, name)
+        })
+    } match {
+      case Some(w) => w.otherwise(splits.last._1)
+      case None => lit(splits.last._1)
+    }
+    df.withColumn(outCol, assigned)
+  }
+
   // --------------------------------------------------- C4 page cleaning
 
   /** The six boilerplate-notice substrings C4 strips at the line level

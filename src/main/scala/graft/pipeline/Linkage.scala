@@ -34,30 +34,45 @@ object Linkage {
     * (no evidence ≠ a match). */
   def linkPairs(df: DataFrame, idCol: String, nameCol: String,
       maxDist: Int = 3, prefixLen: Int = 4, maxBlock: Long = 10000L)
-      : DataFrame = {
+      : DataFrame =
+    linkPairsReleasable(df, idCol, nameCol, maxDist, prefixLen,
+      maxBlock)._1
+
+  /** [[linkPairs]] plus a release handle for the internal base cache
+    * (the Slo convention). */
+  def linkPairsReleasable(df: DataFrame, idCol: String,
+      nameCol: String, maxDist: Int = 3, prefixLen: Int = 4,
+      maxBlock: Long = 10000L): (DataFrame, () => Unit) = {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(prefixLen > 0, "prefixLen must be positive")
+    // persisted: the hottest-block audit (which warms the cache) and
+    // BOTH self-join sides read this frame — unpersisted, the
+    // filter+normalize scan would run three times
     val base = df
       .filter(col(nameCol).isNotNull && length(col(nameCol)) > 0)
       .select(col(idCol).as("__id"), col(nameCol).as("__name"),
         blockKey(col(nameCol), prefixLen).as("__blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hottest = base.groupBy("__blk").agg(count(lit(1)).as("__n"))
       .agg(max(col("__n"))).collect().head
     val hot = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
-    if (hot > maxBlock)
+    if (hot > maxBlock) {
+      base.unpersist(blocking = false)
       throw new IllegalArgumentException(
         s"linkPairs: hottest block has $hot rows > maxBlock = " +
           s"$maxBlock (~${hot * hot} candidate pairs) — lengthen " +
           "prefixLen, pre-filter, or raise maxBlock explicitly")
+    }
     val a = base.select(col("__blk"), col("__id").as("id_a"),
       col("__name").as("name_a"))
     val b = base.select(col("__blk"), col("__id").as("id_b"),
       col("__name").as("name_b"))
-    a.join(b, Seq("__blk"))
+    val out = a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist",
         levenshtein(lower(col("name_a")), lower(col("name_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
+    (out, () => { base.unpersist(blocking = false); () })
   }
 }

@@ -337,9 +337,15 @@ object MediaCodecs {
           height = buf.getInt(pos + 12)
           val bitDepth = bytes(pos + 16) & 0xff
           val colorType = bytes(pos + 17) & 0xff
+          val compMethod = bytes(pos + 18) & 0xff
+          val filtMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
+          // compression/filter METHOD bytes must be 0 (the only
+          // values the spec defines) — decoding a nonzero-method file
+          // under method-0 rules would answer confident garbage
           if (width <= 0 || height <= 0 || bitDepth != 8 ||
-              interlace != 0) return None
+              compMethod != 0 || filtMethod != 0 || interlace != 0)
+            return None
           channels = colorType match {
             case 2 => 3
             case 6 => 4

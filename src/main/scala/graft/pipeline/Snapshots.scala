@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * dedup, re-embedding only changed docs, audit trails for a
   * filtered re-release) starts from exactly this frame.
   *
-  * Content identity = md5 over the hash columns joined with the
-  * chr(1) separator, nulls marked chr(2) (so a null column and an empty
-  * string differ, and "a","b" vs "ab","" differ) — engine-portable,
-  * same spelling an oracle replays.
+  * Content identity = md5 over the CONCATENATED PER-COLUMN md5s
+  * (nulls marked by a fixed 32-char sentinel no hex digest can equal).
+  * Fixed-width pieces make the encoding injection-proof by
+  * construction: no character a column VALUE could carry can shift a
+  * boundary, a null differs from every literal, and the spelling is
+  * plain SQL an oracle replays.
   *
   * Scale shape: ONE full-outer join on the id — the hash collapses
   * each side's content columns map-side, so the join carries
@@ -32,8 +34,9 @@ object Snapshots {
     require(hashCols.nonEmpty, "snapshotDiff needs >= 1 content column")
     def hashed(df: DataFrame, out: String) = df.select(
       col(idCol),
-      md5(concat_ws("\u0001", hashCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(out))
+      md5(concat(hashCols.map(c =>
+        coalesce(md5(col(c).cast("string")), lit("!" * 32))): _*))
+        .as(out))
     hashed(prev, "hash_prev")
       .join(hashed(curr, "hash_curr"), Seq(idCol), "full_outer")
       .withColumn("status",

@@ -436,6 +436,39 @@ object TextAnalysis {
     (out, () => { counts.unpersist(blocking = false); () })
   }
 
+  /** Flesch reading-ease frame (Flesch 1948): per doc, word count
+    * (whitespace tokens), sentence count (runs of terminal
+    * punctuation, floored at 1 — a fragment is one sentence), a
+    * syllable proxy (vowel-group runs, the classic zero-dependency
+    * heuristic), and the score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * A length-independent prose-complexity quality signal — the
+    * curation facet the length/punct ratios in [[qualityFacets]]
+    * don't capture. Null/empty text answers null fields.
+    *
+    * Float parity: the three counters are exact ints; the score is
+    * two divisions and a linear combine in one expression shape the
+    * oracle mirrors verbatim. Scale shape: pure per-row expressions —
+    * zero shuffle, rides the scan. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val words = size(filter(tokens(t), w => w =!= ""))
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+    val syllables =
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    val ok = t.isNotNull && words > 0
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences) -
+      lit(84.6) * (syllables.cast("double") / words)
+    df.select(col(idCol),
+      when(ok, words).as("n_words"),
+      when(ok, sentences).as("n_sentences"),
+      when(ok, syllables).as("n_syllables"),
+      when(ok, round(flesch, 6)).as("flesch"))
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

@@ -156,5 +156,15 @@ class DriftSpec extends SparkSpec {
       "v", bins = 10).collect()
     assert(cst.length == 1 && cst.head.getInt(
       cst.head.fieldIndex("bin")) == 0)
+    // a key the reference never saw surfaces as one null-bin row
+    // with null terms — never silently dropped, never a fake number
+    val newKey = Drift.psiDrift(ref, mk("t", Seq(1.0, 2.0)), Seq("k"),
+      "v", bins = 10).filter(org.apache.spark.sql.functions
+        .col("k") === "t").collect()
+    assert(newKey.length == 1)
+    val nk = newKey.head
+    assert(nk.isNullAt(nk.fieldIndex("bin")) &&
+      nk.getLong(nk.fieldIndex("n_cur")) == 2L &&
+      nk.isNullAt(nk.fieldIndex("psi_term")))
   }
 }

@@ -447,4 +447,52 @@ class CurationSpec extends SparkSpec {
     // measured stats round only AFTER the comparisons
     assert(out(1).getDouble(out(1).fieldIndex("symbol_ratio")) == 0.5)
   }
+
+  test("stratifiedSample keeps exactly n per stratum by md5 order, " +
+      "whole strata when smaller, and is partitioning-invariant") {
+    val rows = ((1L to 40L).map(i => (i, "a")) ++
+      (100L to 102L).map(i => (i, "b"))).toDF("id", "grp")
+    val out = Curation.stratifiedSample(rows, Seq("grp"), "id", 5)
+      .orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.count(_._2 == "a") == 5)
+    assert(out.filter(_._2 == "b").map(_._1) == Seq(100L, 101L, 102L))
+    // the chosen five match the definitional md5 order
+    val want = (1L to 40L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .take(5).sorted
+    assert(out.filter(_._2 == "a").map(_._1) == want)
+    val out2 = Curation.stratifiedSample(rows.repartition(7),
+        Seq("grp"), "id", 5)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == out2)
+  }
+
+  test("assignSplits: fractions land near their targets, assignment " +
+      "is growth-stable, and the salt redraws it") {
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+    val out = Curation.assignSplits(ids, "id", splits, salt = "x")
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(out("train") - 1800L) < 100, out.toString)
+    assert(out("val") > 40 && out("test") > 40)
+    // growth-stable: the first 1000 ids keep their split when 1000
+    // more arrive (the property a rand() split lacks)
+    val small = Curation.assignSplits((1L to 1000L).toDF("id"), "id",
+      splits, salt = "x").as[(Long, String)].collect().toMap
+    val big = Curation.assignSplits(ids, "id", splits, salt = "x")
+      .as[(Long, String)].collect().toMap
+    assert((1L to 1000L).forall(i => small(i) == big(i)))
+    // a different salt draws a different assignment
+    val re = Curation.assignSplits(ids, "id", splits, salt = "y")
+      .as[(Long, String)].collect().toMap
+    assert((1L to 2000L).exists(i => big(i) != re(i)))
+    // bad fractions refuse loudly
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(ids, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
 }

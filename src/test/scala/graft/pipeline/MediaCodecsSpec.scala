@@ -142,14 +142,15 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.parsePng(dimBad).isEmpty)
     // zip-bomb budget: a 2^16 × 2^16 IHDR with a VALID CRC must be
     // rejected by the pixel budget itself, before any allocation
-    def ihdrOnly(w: Int, h: Int, colorType: Int, interlace: Int)
-        : Array[Byte] = {
+    def ihdrOnly(w: Int, h: Int, colorType: Int, interlace: Int,
+        comp: Int = 0, filt: Int = 0): Array[Byte] = {
       val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
         0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
       val data = java.nio.ByteBuffer.allocate(13)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
         .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-        .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+        .put(comp.toByte).put(filt.toByte).put(interlace.toByte)
+        .array()
       val crc = new java.util.zip.CRC32()
       crc.update("IHDR".getBytes("US-ASCII")); crc.update(data)
       sig ++
@@ -162,6 +163,9 @@ class MediaCodecsSpec extends SparkSpec {
     // palette color type and interlacing: honestly not owned
     assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 3, 0)).isEmpty)
     assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 2, 1)).isEmpty)
+    // undefined compression/filter METHODS (spec defines only 0)
+    assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 2, 0, comp = 1)).isEmpty)
+    assert(MediaCodecs.parsePng(ihdrOnly(3, 3, 2, 0, filt = 1)).isEmpty)
     // a corrupt ~2^31 chunk length must answer None, not wrap the
     // bounds math and throw
     val hugeLen = good.clone()

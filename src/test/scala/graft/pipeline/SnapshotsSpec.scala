@@ -24,11 +24,18 @@ class SnapshotsSpec extends SparkSpec {
     assert(out == Seq((1L, "unchanged"), (2L, "changed"),
       (3L, "removed"), (4L, "changed"), (5L, "added")))
     // multi-column identity: ("a","b") vs ("ab","") must differ —
-    // the separator keeps column boundaries
+    // fixed-width per-column digests keep column boundaries
     val p2 = Seq((1L, "a", "b")).toDF("id", "c1", "c2")
     val c2 = Seq((1L, "ab", "")).toDF("id", "c1", "c2")
     val d2 = Snapshots.snapshotDiff(p2, c2, "id", Seq("c1", "c2"))
       .select("status").as[String].collect().head
     assert(d2 == "changed")
+    // injection-proof: values carrying would-be separator bytes can't
+    // shift a boundary into a false 'unchanged'
+    val p3 = Seq((1L, "a\u0001", "b")).toDF("id", "c1", "c2")
+    val c3 = Seq((1L, "a", "\u0001b")).toDF("id", "c1", "c2")
+    val d3 = Snapshots.snapshotDiff(p3, c3, "id", Seq("c1", "c2"))
+      .select("status").as[String].collect().head
+    assert(d3 == "changed")
   }
 }
