@@ -1661,6 +1661,46 @@ object AnalysisQueries {
       |  round((q - p) * ln(q / p), 6) AS psi_term
       |FROM t ORDER BY event_type, bin""".stripMargin
 
+  /** Cross-domain quantile normalization ([[graft.analysis.Normalize
+    * .quantileNormalize]]): per event_type, integer-quantized values
+    * map through within-group midrank fractions onto the global value
+    * ladder (percentile_disc — always an observed value, never an
+    * interpolation, so the only floats are divisions of exact longs
+    * both engines replay identically). */
+  def q154_quantile_norm(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+      .withColumn("vq", floor(col("value")))
+    graft.analysis.Normalize.quantileNormalize(
+        ev, Seq("event_type"), "vq")
+      .orderBy("event_type", "v")
+  }
+
+  val q154_sql: String =
+    """WITH src AS (
+      |  SELECT event_type AS k, floor(value) AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |cells AS (SELECT k, v, count(*) AS n FROM src GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT k, v, n,
+      |    sum(n) OVER (PARTITION BY k ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER (PARTITION BY k) AS tot
+      |  FROM cells),
+      |r AS (SELECT k, v, n, (cum - n / 2.0) / tot AS r FROM rk),
+      |g AS (SELECT v AS gv, count(*) AS gn FROM src GROUP BY 1),
+      |gl AS (
+      |  SELECT gv,
+      |    CAST(sum(gn) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING)
+      |      AS DOUBLE) / (SELECT count(*) FROM src) AS gfrac
+      |  FROM g),
+      |m AS (
+      |  SELECT r.k, r.v, r.n, r.r, min(gl.gv) AS qnorm
+      |  FROM r JOIN gl ON gl.gfrac >= r.r GROUP BY 1, 2, 3, 4)
+      |SELECT k AS event_type, v, CAST(n AS BIGINT) AS n,
+      |  round(r, 6) AS r, qnorm
+      |FROM m ORDER BY event_type, v""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
@@ -1696,7 +1736,8 @@ object AnalysisQueries {
     "q34_service_map" -> (q34_service_map _),
     "q35_ratio_per_group" -> (q35_ratio_per_group _),
     "q145_ks_drift" -> (q145_ks_drift _),
-    "q146_psi_drift" -> (q146_psi_drift _))
+    "q146_psi_drift" -> (q146_psi_drift _),
+    "q154_quantile_norm" -> (q154_quantile_norm _))
 
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
@@ -1733,5 +1774,6 @@ object AnalysisQueries {
     "q34_service_map" -> q34_sql,
     "q35_ratio_per_group" -> q35_sql,
     "q145_ks_drift" -> q145_sql,
-    "q146_psi_drift" -> q146_sql)
+    "q146_psi_drift" -> q146_sql,
+    "q154_quantile_norm" -> q154_sql)
 }

@@ -2613,6 +2613,70 @@ object PipelineQueries {
       |      - 84.6 * (CAST(y AS DOUBLE) / w), 6) END AS flesch
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Perceptual image dedup ([[graft.pipeline.MediaCodecs
+    * .aHashBmp]]): genuine BMPs are serialized per doc (dimensions
+    * and pixel seed derived from doc_id so every 30th doc is a
+    * pixel-identical re-encode), REALLY decoded, aHashed (8×8
+    * nearest-neighbor grid, integer gray sums, 64·g > Σ bits), and
+    * grouped by hash — the decode→feature→hash→dedup chain a
+    * multimodal pipeline runs. The oracle replays sampling, bit math
+    * and grouping arithmetically; it matches only if the BMP
+    * serializer, the parser, and the hash all agree. */
+  def q153_image_phash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 60).as[Long]
+    val synth = ids.mapPartitions(_.map { id =>
+      val w = 4 + (id % 3).toInt
+      val h = 3 + (id % 2).toInt
+      (id, graft.pipeline.MediaCodecs.bmpBytes(w, h, (id % 10).toInt))
+    }).toDF("doc_id", "media")
+    val hashed = graft.pipeline.MediaCodecs
+      .aHashBmp(synth, "doc_id", "media")
+    val groups = hashed.groupBy("ahash")
+      .agg(count(lit(1)).as("n_same"))
+    hashed.join(groups, Seq("ahash"))
+      .select("doc_id", "ahash", "n_same")
+      .orderBy("doc_id")
+  }
+
+  val q153_sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |p AS (
+      |  SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+      |    doc_id % 10 AS seed
+      |  FROM ids),
+      |gi AS (
+      |  SELECT doc_id, w, h, seed,
+      |    unnest(generate_series(CAST(0 AS BIGINT), 7)) AS i
+      |  FROM p),
+      |gj AS (
+      |  SELECT doc_id, w, h, seed, i,
+      |    unnest(generate_series(CAST(0 AS BIGINT), 7)) AS j
+      |  FROM gi),
+      |g AS (
+      |  SELECT doc_id, i, j,
+      |    ((3 * sx + 5 * sy + seed) % 256) +
+      |    ((7 * sx + 11 * sy + seed) % 256) +
+      |    ((13 * sx + 17 * sy + seed) % 256) AS gray
+      |  FROM (SELECT doc_id, i, j, seed,
+      |          (i * w) // 8 AS sx, (j * h) // 8 AS sy
+      |        FROM gj)),
+      |t AS (SELECT doc_id, sum(gray) AS total FROM g GROUP BY 1),
+      |b AS (
+      |  SELECT g.doc_id, g.i, g.j,
+      |    CASE WHEN 64 * g.gray > t.total THEN '1' ELSE '0' END AS bit
+      |  FROM g JOIN t ON t.doc_id = g.doc_id),
+      |hsh AS (
+      |  SELECT doc_id, string_agg(bit, '' ORDER BY j, i) AS ahash
+      |  FROM b GROUP BY 1),
+      |cnt AS (
+      |  SELECT ahash, CAST(count(*) AS BIGINT) AS n_same
+      |  FROM hsh GROUP BY 1)
+      |SELECT h.doc_id, h.ahash, c.n_same
+      |FROM hsh h JOIN cnt c ON c.ahash = h.ahash
+      |ORDER BY h.doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2678,7 +2742,8 @@ object PipelineQueries {
     "q149_linkage" -> (q149_linkage _),
     "q150_stratified" -> (q150_stratified _),
     "q151_splits" -> (q151_splits _),
-    "q152_readability" -> (q152_readability _))
+    "q152_readability" -> (q152_readability _),
+    "q153_image_phash" -> (q153_image_phash _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2744,5 +2809,6 @@ object PipelineQueries {
     "q149_linkage" -> q149_sql,
     "q150_stratified" -> q150_sql,
     "q151_splits" -> q151_sql,
-    "q152_readability" -> q152_sql)
+    "q152_readability" -> q152_sql,
+    "q153_image_phash" -> q153_sql)
 }

@@ -1,0 +1,91 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization across groups — the cross-domain score
+  * calibration move: a quality score of 0.8 from a lenient domain and
+  * 0.6 from a strict one are not comparable, but their RANKS are.
+  * Each (group, value) cell maps to its within-group midrank fraction
+  * r, then to the smallest GLOBAL value whose cumulative fraction
+  * covers r (percentile_disc semantics — the result is always an
+  * actual observed value, never an interpolation, so engines agree
+  * bit-for-bit: the only float is one division of exact longs).
+  *
+  * Scale shape: both sides collapse map-side to distinct-value cells
+  * (the ksDrift contract: quantize scores first — `maxDistinct`
+  * audits the hottest group loudly); the rank windows run per group
+  * over those cells; the mapping join is cells × global-cells, which
+  * is why the audit exists — at the documented ≤ thousands of
+  * distinct score points it is a few-MB broadcast join, never a
+  * corpus-row shuffle.
+  */
+object Normalize {
+
+  /** One row per (group, value) cell: keys…, `v`, `n` (cell count),
+    * `r` (within-group midrank fraction, 6dp), `qnorm` (the global
+    * value at that fraction). Join back to rows on (keys, value) for
+    * per-row normalized scores. */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, maxDistinct: Long = 4096L): DataFrame =
+    quantileNormalizeReleasable(df, groupCols, valueCol,
+      maxDistinct)._1
+
+  /** [[quantileNormalize]] plus a release handle for the internal
+    * cell cache (the Slo convention). */
+  def quantileNormalizeReleasable(df: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      maxDistinct: Long = 4096L): (DataFrame, () => Unit) = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val keyCs = groupCols.map(col)
+    val cells = df
+      .filter(col(valueCol).isNotNull)
+      .select(keyCs :+ col(valueCol).cast("double").as("v"): _*)
+      .groupBy(keyCs :+ col("v"): _*)
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hottest = cells.groupBy(keyCs: _*)
+      .agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).collect().head
+    val hot = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (hot > maxDistinct) {
+      cells.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"quantileNormalize: a group has $hot distinct values > " +
+          s"maxDistinct = $maxDistinct — quantize the score first " +
+          "(the mapping join is cells x global cells), or raise " +
+          "maxDistinct explicitly")
+    }
+    val wOrd = Window.partitionBy(keyCs: _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCs: _*)
+    // midrank fraction: (rows strictly below + half the tie block)
+    // over the group total — exact longs, one division
+    val ranked = cells
+      .withColumn("__cum", sum(col("n")).over(wOrd))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .withColumn("__r",
+        (col("__cum") - col("n") / lit(2.0)) / col("__tot"))
+    // global distinct-value ladder with cumulative fractions
+    val gw = Window.orderBy(col("gv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("gv"))
+      .groupBy("gv").agg(count(lit(1)).as("gn"))
+      .withColumn("__gcum", sum(col("gn")).over(gw))
+      .crossJoin(df.filter(col(valueCol).isNotNull)
+        .agg(count(lit(1)).as("__gtot")))
+      .select(col("gv"),
+        (col("__gcum").cast("double") / col("__gtot")).as("__gfrac"))
+    // percentile_disc: the smallest global value covering fraction r
+    val mapped = ranked.join(broadcast(global),
+        col("__gfrac") >= col("__r"))
+      .groupBy(keyCs :+ col("v") :+ col("n") :+ col("__r"): _*)
+      .agg(min(col("gv")).as("qnorm"))
+    val out = mapped.select(keyCs ++ Seq(col("v"), col("n"),
+      round(col("__r"), 6).as("r"), col("qnorm")): _*)
+    (out, () => { cells.unpersist(blocking = false); () })
+  }
+}

@@ -437,6 +437,56 @@ object MediaCodecs {
     Some(PngInfo(width, height, channels, sr / n, sg / n, sb / n))
   }
 
+  /** Perceptual average-hash (aHash) of a decoded 24bpp BMP: sample
+    * an 8×8 grid nearest-neighbor (cell (i,j) reads pixel
+    * (⌊i·w/8⌋, ⌊j·h/8⌋)), gray = B+G+R per sample (integer — no
+    * division anywhere), bit = 64·gray > Σgray, serialized as a
+    * 64-char '0'/'1' string row-major (j outer) — engine-portable,
+    * so an oracle replays the whole pipeline arithmetically. Exact
+    * integer comparisons keep the hash bit-stable across engines;
+    * ties (64·gray = Σ) answer 0. None when the bytes don't parse. */
+  def bmpAHash64(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
+      return None
+    val rowBytes = (width.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff > bytes.length ||
+        rowBytes > (bytes.length.toLong - dataOff) / height)
+      return None
+    val gray = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * height / 8
+      val row = (dataOff + (height - 1 - sy) * rowBytes).toInt
+      var i = 0
+      while (i < 8) {
+        val sx = i * width / 8
+        val g = (bytes(row + sx * 3) & 0xff).toLong +
+          (bytes(row + sx * 3 + 1) & 0xff) +
+          (bytes(row + sx * 3 + 2) & 0xff)
+        gray(j * 8 + i) = g
+        total += g
+        i += 1
+      }
+      j += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < 64) {
+      sb.append(if (64L * gray(c) > total) '1' else '0')
+      c += 1
+    }
+    Some(sb.toString)
+  }
+
   // --------------------------------------------------- DataFrame kernels
 
   /** Decode a WAV binary column through one typed mapPartitions pass:
@@ -474,6 +524,22 @@ object MediaCodecs {
         p.map(_.meanR), p.map(_.meanG), p.map(_.meanB))
     }).toDF(idCol, "width", "height", "channels",
       "mean_r", "mean_g", "mean_b")
+  }
+
+  /** Perceptual-hash a BMP binary column — one typed mapPartitions
+    * kernel ([[bmpAHash64]] per row), null hash on malformed bytes.
+    * Group on the hash downstream for exact perceptual-dup sets; at
+    * Hamming-radius > 0, band the 64 bits like [[Dedup.simhash]]. */
+  def aHashBmp(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      (id, Option(bytes).flatMap(bmpAHash64))
+    }).toDF(idCol, "ahash")
   }
 
   /** Decode a BMP binary column — same kernel contract as

@@ -95,6 +95,47 @@ class MediaCodecsSpec extends SparkSpec {
     assert(bout(1).isNullAt(bout(1).fieldIndex("width")))
   }
 
+  test("bmpAHash64: pixel-identical re-encodes hash equal, a " +
+      "half-bright/half-dark image sets exactly the bright half's " +
+      "bits, and malformed bytes answer None/null") {
+    // identical content, two serializations → equal hashes
+    val a = MediaCodecs.bmpAHash64(MediaCodecs.bmpBytes(6, 4, 7)).get
+    val b = MediaCodecs.bmpAHash64(MediaCodecs.bmpBytes(6, 4, 7)).get
+    assert(a == b && a.length == 64 && a.forall(c => c == '0' || c == '1'))
+    // a uniform brightness shift (seed+1 adds 1 to every channel)
+    // leaves every bit's above/below-mean relation intact — aHash is
+    // DESIGNED to be brightness-invariant; assert that, not inequality
+    val c = MediaCodecs.bmpAHash64(MediaCodecs.bmpBytes(6, 4, 8)).get
+    assert(a == c)
+    // hand-built 16x16: left half black, right half white → the 8x8
+    // grid's right 4 columns (sampled x >= 8) are the only 1-bits
+    val w = 16; val h = 16
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1.toShort)
+      .putShort(24.toShort).putInt(0).putInt(rowBytes * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (_ <- 0 until h; x <- 0 until w) {
+      val v = if (x >= 8) 0xff.toByte else 0x00.toByte
+      buf.put(v).put(v).put(v)
+      if (x == w - 1) (w * 3 until rowBytes).foreach(_ => buf.put(0.toByte))
+    }
+    val half = MediaCodecs.bmpAHash64(buf.array()).get
+    // row-major (j outer): each row reads 00001111
+    assert(half == "0000111100001111000011110000111100001111000011110000111100001111")
+    // a structurally different image DOES hash differently
+    assert(half != a)
+    assert(MediaCodecs.bmpAHash64(Array[Byte](1, 2, 3)).isEmpty)
+    val out = MediaCodecs.aHashBmp(
+      Seq((1L, MediaCodecs.bmpBytes(4, 3, 0)),
+        (2L, Array[Byte](9))).toDF("id", "media"),
+      "id", "media").orderBy("id").collect()
+    assert(out(0).getString(1).length == 64 && out(1).isNullAt(1))
+  }
+
   test("PNG round-trip: inflate + all five filter reversals + " +
       "multi-IDAT reassembly reproduce exact channel means for RGB " +
       "and RGBA") {
