@@ -2677,6 +2677,69 @@ object PipelineQueries {
       |FROM hsh h JOIN cnt c ON c.ahash = h.ahash
       |ORDER BY h.doc_id""".stripMargin
 
+  /** Changeset apply ([[graft.pipeline.Snapshots.applyChangeset]]):
+    * deletes every 13th doc, upserts new text into every 7th,
+    * inserts fresh ids for every 31st — one full-outer join builds
+    * the next snapshot; the oracle replays ops and the winner rule. */
+  def q155_apply_changeset(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val changes = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("d").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), lit("u").as("op"),
+          concat(col("text"), lit(" upd")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          lit("u").as("op"),
+          concat(col("text"), lit(" ins")).as("text")))
+    graft.pipeline.Snapshots.applyChangeset(base, changes, "doc_id",
+        "op", Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  val q155_sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |ch AS (
+      |  SELECT doc_id, 'd' AS op, CAST(NULL AS VARCHAR) AS text
+      |  FROM base WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'u', text || ' upd' FROM base
+      |  WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'u', text || ' ins' FROM base
+      |  WHERE doc_id % 31 = 0),
+      |j AS (
+      |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+      |    b.text AS bt, c.op, c.text AS ct
+      |  FROM base b FULL OUTER JOIN ch c ON c.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN op IS NOT NULL THEN ct ELSE bt END AS text
+      |FROM j WHERE op IS NULL OR op <> 'd'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Mixture diversity ([[TextAnalysis.mixtureDiversity]]): per
+    * (lang, source) cell the corpus share and Shannon entropy term —
+    * per-cell rows, H and the effective source count are downstream
+    * sums. */
+  def q156_mixture(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureDiversity(docs(spark, dir),
+        Seq("lang", "source"))
+      .orderBy("lang", "source")
+
+  val q156_sql: String =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT sum(n) AS tot FROM c)
+      |SELECT lang, source, n,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS share,
+      |  round(0.0 - (CAST(n AS DOUBLE) / tot)
+      |    * ln(CAST(n AS DOUBLE) / tot), 6) AS entropy_term
+      |FROM c CROSS JOIN t ORDER BY lang, source""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2743,7 +2806,9 @@ object PipelineQueries {
     "q150_stratified" -> (q150_stratified _),
     "q151_splits" -> (q151_splits _),
     "q152_readability" -> (q152_readability _),
-    "q153_image_phash" -> (q153_image_phash _))
+    "q153_image_phash" -> (q153_image_phash _),
+    "q155_apply_changeset" -> (q155_apply_changeset _),
+    "q156_mixture" -> (q156_mixture _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2810,5 +2875,7 @@ object PipelineQueries {
     "q150_stratified" -> q150_sql,
     "q151_splits" -> q151_sql,
     "q152_readability" -> q152_sql,
-    "q153_image_phash" -> q153_sql)
+    "q153_image_phash" -> q153_sql,
+    "q155_apply_changeset" -> q155_sql,
+    "q156_mixture" -> q156_sql)
 }

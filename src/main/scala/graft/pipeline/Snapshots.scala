@@ -29,6 +29,35 @@ object Snapshots {
     * unchanged, and the two hashes (null on the absent side). Filter
     * `status != 'unchanged'` for the delta; the full frame is the
     * audit. */
+  /** Apply a changeset to a base snapshot — the other half of the
+    * incremental-crawl story ([[snapshotDiff]] reads a delta; this
+    * WRITES one): ops are `u` (upsert — insert new ids, replace
+    * existing payloads) and `d` (delete). Any other op kills the job
+    * loudly via `raise_error` — silently passing a typo'd op through
+    * would corrupt the snapshot it builds.
+    *
+    * Scale shape: ONE full-outer join on the id (co-locatable via
+    * [[Curation.writeBucketed]]); payloads project map-side; no
+    * window, no second pass. */
+  def applyChangeset(base: DataFrame, changes: DataFrame,
+      idCol: String, opCol: String, payloadCols: Seq[String])
+      : DataFrame = {
+    require(payloadCols.nonEmpty, "applyChangeset needs payload columns")
+    val b = base.select(col(idCol) +:
+      payloadCols.map(c => col(c).as(s"__b_$c")): _*)
+    val op = when(col(opCol).isin("u", "d"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("applyChangeset: unknown op '"), col(opCol),
+        lit("' (expected u or d)"))))
+    val c = changes.select(col(idCol) +: op.as("__op") +:
+      payloadCols.map(cn => col(cn).as(s"__c_$cn")): _*)
+    b.join(c, Seq(idCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "d")
+      .select(col(idCol) +: payloadCols.map(cn =>
+        when(col("__op").isNotNull, col(s"__c_$cn"))
+          .otherwise(col(s"__b_$cn")).as(cn)): _*)
+  }
+
   def snapshotDiff(prev: DataFrame, curr: DataFrame, idCol: String,
       hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "snapshotDiff needs >= 1 content column")

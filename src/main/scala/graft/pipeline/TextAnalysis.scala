@@ -469,6 +469,31 @@ object TextAnalysis {
       when(ok, round(flesch, 6)).as("flesch"))
   }
 
+  /** Corpus mixture diversity: per group, the row count, mixture
+    * share p = n/N, and the Shannon entropy term −p·ln p — the
+    * data-mixing health read ("is one source quietly eating the
+    * corpus?"). Per-group TERM rows, never a cross-row float sum (the
+    * categoricalDrift bit-stability convention): downstream,
+    * H = Σ entropy_term and the effective source count is exp(H).
+    * Null group keys form their own row — an unattributed slice is a
+    * finding, not a drop.
+    *
+    * Scale shape: one map-side-combined hash aggregate to group cells
+    * + a one-row total cross join; corpus rows never shuffle. */
+  def mixtureDiversity(df: DataFrame, groupCols: Seq[String])
+      : DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val keyCs = groupCols.map(col)
+    val cells = df.groupBy(keyCs: _*).agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n").as("__t"))
+    cells.crossJoin(total)
+      .withColumn("__p", col("n").cast("double") / col("__t"))
+      .select(keyCs ++ Seq(col("n"),
+        round(col("__p"), 6).as("share"),
+        round(lit(0.0) - col("__p") * log(col("__p")), 6)
+          .as("entropy_term")): _*)
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

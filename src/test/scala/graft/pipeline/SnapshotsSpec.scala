@@ -38,4 +38,39 @@ class SnapshotsSpec extends SparkSpec {
       .select("status").as[String].collect().head
     assert(d3 == "changed")
   }
+
+  test("applyChangeset upserts, inserts, deletes — and refuses an " +
+      "unknown op loudly instead of corrupting the snapshot") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("id", "text")
+    val changes = Seq(
+      (2L, "u", "two v2"),   // replace
+      (3L, "d", null),       // delete
+      (4L, "u", "four"))     // insert
+      .toDF("id", "op", "text")
+    val out = Snapshots.applyChangeset(base, changes, "id", "op",
+        Seq("text"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "one"), (2L, "two v2"), (4L, "four")))
+    // round trip: applying the diff-derived changeset reproduces curr
+    val curr = Seq((1L, "one"), (2L, "two v3"), (5L, "five"))
+      .toDF("id", "text")
+    val diff = Snapshots.snapshotDiff(base, curr, "id", Seq("text"))
+    val derived = diff.filter(col("status") =!= "unchanged")
+      .join(curr, Seq("id"), "left")
+      .select(col("id"),
+        when(col("status") === "removed", "d").otherwise("u").as("op"),
+        col("text"))
+    val replayed = Snapshots.applyChangeset(base, derived, "id", "op",
+        Seq("text"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(replayed == Seq((1L, "one"), (2L, "two v3"), (5L, "five")))
+    // unknown op: loud failure, not silent passthrough
+    val bad = Seq((1L, "x", "boom")).toDF("id", "op", "text")
+    val e = intercept[Exception] {
+      Snapshots.applyChangeset(base, bad, "id", "op", Seq("text"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
