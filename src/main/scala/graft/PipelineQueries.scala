@@ -2631,8 +2631,11 @@ object PipelineQueries {
       val h = 3 + (id % 2).toInt
       (id, graft.pipeline.MediaCodecs.bmpBytes(w, h, (id % 10).toInt))
     }).toDF("doc_id", "media")
+    // pinned: the group census and the join both read the hashes —
+    // unpersisted, the decode kernel would run twice per row
     val hashed = graft.pipeline.MediaCodecs
       .aHashBmp(synth, "doc_id", "media")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = hashed.groupBy("ahash")
       .agg(count(lit(1)).as("n_same"))
     hashed.join(groups, Seq("ahash"))

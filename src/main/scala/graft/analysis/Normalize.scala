@@ -28,34 +28,46 @@ object Normalize {
     * value at that fraction). Join back to rows on (keys, value) for
     * per-row normalized scores. */
   def quantileNormalize(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, maxDistinct: Long = 4096L): DataFrame =
+      valueCol: String, maxDistinct: Long = 4096L,
+      maxGlobalDistinct: Long = 65536L): DataFrame =
     quantileNormalizeReleasable(df, groupCols, valueCol,
-      maxDistinct)._1
+      maxDistinct, maxGlobalDistinct)._1
 
   /** [[quantileNormalize]] plus a release handle for the internal
     * cell cache (the Slo convention). */
   def quantileNormalizeReleasable(df: DataFrame,
       groupCols: Seq[String], valueCol: String,
-      maxDistinct: Long = 4096L): (DataFrame, () => Unit) = {
+      maxDistinct: Long = 4096L, maxGlobalDistinct: Long = 65536L)
+      : (DataFrame, () => Unit) = {
     require(groupCols.nonEmpty, "need at least one group column")
     val keyCs = groupCols.map(col)
+    // filter AFTER the cast: a string score like "N/A" casts to null
+    // and would otherwise form a null-valued cell that sorts first
+    // and shifts every midrank
     val cells = df
-      .filter(col(valueCol).isNotNull)
       .select(keyCs :+ col(valueCol).cast("double").as("v"): _*)
+      .filter(col("v").isNotNull)
       .groupBy(keyCs :+ col("v"): _*)
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // audits over the PERSISTED cells (cell-sized jobs) bound BOTH
+    // blow-up axes: the hottest group (the per-group windows) and the
+    // global ladder (the single-task cumulative window + the
+    // broadcast mapping join scale with GLOBAL distinct values, which
+    // per-group bounds alone do not cap)
     val hottest = cells.groupBy(keyCs: _*)
       .agg(count(lit(1)).as("__d"))
       .agg(max(col("__d"))).collect().head
     val hot = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
-    if (hot > maxDistinct) {
+    val glob = cells.agg(countDistinct(col("v")))
+      .collect().head.getLong(0)
+    if (hot > maxDistinct || glob > maxGlobalDistinct) {
       cells.unpersist(blocking = false)
       throw new IllegalArgumentException(
-        s"quantileNormalize: a group has $hot distinct values > " +
-          s"maxDistinct = $maxDistinct — quantize the score first " +
-          "(the mapping join is cells x global cells), or raise " +
-          "maxDistinct explicitly")
+        s"quantileNormalize: hottest group has $hot distinct values " +
+          s"(maxDistinct = $maxDistinct) and the global ladder has " +
+          s"$glob (maxGlobalDistinct = $maxGlobalDistinct) — " +
+          "quantize the score first, or raise the bounds explicitly")
     }
     val wOrd = Window.partitionBy(keyCs: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -67,16 +79,15 @@ object Normalize {
       .withColumn("__tot", sum(col("n")).over(wAll))
       .withColumn("__r",
         (col("__cum") - col("n") / lit(2.0)) / col("__tot"))
-    // global distinct-value ladder with cumulative fractions
+    // global distinct-value ladder with cumulative fractions — built
+    // from the PERSISTED cells (cell-sized re-aggregates), so the raw
+    // corpus is scanned exactly once across the whole operator
     val gw = Window.orderBy(col("gv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val global = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("gv"))
-      .groupBy("gv").agg(count(lit(1)).as("gn"))
+    val global = cells
+      .groupBy(col("v").as("gv")).agg(sum(col("n")).as("gn"))
       .withColumn("__gcum", sum(col("gn")).over(gw))
-      .crossJoin(df.filter(col(valueCol).isNotNull)
-        .agg(count(lit(1)).as("__gtot")))
+      .crossJoin(cells.agg(sum(col("n")).as("__gtot")))
       .select(col("gv"),
         (col("__gcum").cast("double") / col("__gtot")).as("__gfrac"))
     // percentile_disc: the smallest global value covering fraction r

@@ -249,9 +249,18 @@ object MediaCodecs {
       if (n == 0) 0.0 else sumAbs / n))
   }
 
-  /** Parse an uncompressed 24bpp BITMAPINFOHEADER BMP, honoring the
-    * bottom-up row order and 4-byte row padding. */
-  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+  /** Validated 24bpp BMP header facts, shared by [[parseBmp]] and
+    * [[bmpAHash64]] so the overflow guards live in ONE place. */
+  private final case class BmpHeader(dataOff: Int, width: Int,
+      height: Int, rowBytes: Long)
+
+  /** Parse + validate a 24bpp BITMAPINFOHEADER header. None unless
+    * every guard holds — including the two overflow traps: row math
+    * in Long (an Int rowBytes wraps negative near width 2^30) and the
+    * divide-don't-multiply size check (rowBytes·height with both near
+    * 2^31 overflows even Long, ≈1.4e19, wrapping past an additive
+    * guard — height ≥ 1 is checked first so the division is safe). */
+  private def bmpHeader(bytes: Array[Byte]): Option[BmpHeader] = {
     if (bytes.length < 54) return None
     if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -262,18 +271,24 @@ object MediaCodecs {
     val compression = buf.getInt(30)
     if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
       return None
-    // row math in Long and dataOff validated: a corruption-controlled
-    // width near 2^30 wraps an Int rowBytes negative, which would
-    // defeat the size guard below (same null-on-malformed argument as
-    // the WAV chunk walk)
     val rowBytes = (width.toLong * 3 + 3) / 4 * 4
-    // divide, don't multiply: rowBytes * height with both near 2^31
-    // overflows even Long (≈1.4e19), wrapping negative and slipping
-    // past an additive guard — reject when rowBytes exceeds the
-    // per-row budget instead (height ≥ 1 was checked above)
     if (dataOff < 54 || dataOff > bytes.length ||
         rowBytes > (bytes.length.toLong - dataOff) / height)
       return None
+    Some(BmpHeader(dataOff, width, height, rowBytes))
+  }
+
+  /** Parse an uncompressed 24bpp BITMAPINFOHEADER BMP, honoring the
+    * bottom-up row order and 4-byte row padding. */
+  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    val hdr = bmpHeader(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val dataOff = hdr.dataOff
+    val width = hdr.width
+    val height = hdr.height
+    val rowBytes = hdr.rowBytes
     var sb = 0.0; var sg = 0.0; var sr = 0.0
     var y = 0
     while (y < height) {
@@ -289,7 +304,7 @@ object MediaCodecs {
       y += 1
     }
     val n = width.toLong * height
-    Some(BmpInfo(width, height, bpp, sb / n, sg / n, sr / n))
+    Some(BmpInfo(width, height, 24, sb / n, sg / n, sr / n))
   }
 
   /** Parsed PNG facts: dimensions, channel count, and REAL mean R/G/B
@@ -446,32 +461,27 @@ object MediaCodecs {
     * integer comparisons keep the hash bit-stable across engines;
     * ties (64·gray = Σ) answer 0. None when the bytes don't parse. */
   def bmpAHash64(bytes: Array[Byte]): Option[String] = {
-    if (bytes.length < 54) return None
-    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val dataOff = buf.getInt(10)
-    val width = buf.getInt(18)
-    val height = buf.getInt(22)
-    val bpp = buf.getShort(28).toInt
-    val compression = buf.getInt(30)
-    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
-      return None
-    val rowBytes = (width.toLong * 3 + 3) / 4 * 4
-    if (dataOff < 54 || dataOff > bytes.length ||
-        rowBytes > (bytes.length.toLong - dataOff) / height)
-      return None
+    val hdr = bmpHeader(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
+    val width = hdr.width
+    val height = hdr.height
     val gray = new Array[Long](64)
     var total = 0L
     var j = 0
     while (j < 8) {
-      val sy = j * height / 8
-      val row = (dataOff + (height - 1 - sy) * rowBytes).toInt
+      // grid sampling in Long: i·width near 2^31 wraps an Int index
+      // negative (the bmpHeader guard class, one level up)
+      val sy = (j.toLong * height / 8).toInt
+      val row = hdr.dataOff + (height - 1 - sy).toLong * hdr.rowBytes
       var i = 0
       while (i < 8) {
-        val sx = i * width / 8
-        val g = (bytes(row + sx * 3) & 0xff).toLong +
-          (bytes(row + sx * 3 + 1) & 0xff) +
-          (bytes(row + sx * 3 + 2) & 0xff)
+        val sx = (i.toLong * width / 8).toInt
+        val p = (row + sx.toLong * 3).toInt
+        val g = (bytes(p) & 0xff).toLong +
+          (bytes(p + 1) & 0xff) +
+          (bytes(p + 2) & 0xff)
         gray(j * 8 + i) = g
         total += g
         i += 1

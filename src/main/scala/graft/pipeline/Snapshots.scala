@@ -25,16 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
-  /** Per-id diff frame: id, `status` in added / removed / changed /
-    * unchanged, and the two hashes (null on the absent side). Filter
-    * `status != 'unchanged'` for the delta; the full frame is the
-    * audit. */
   /** Apply a changeset to a base snapshot — the other half of the
     * incremental-crawl story ([[snapshotDiff]] reads a delta; this
     * WRITES one): ops are `u` (upsert — insert new ids, replace
     * existing payloads) and `d` (delete). Any other op kills the job
-    * loudly via `raise_error` — silently passing a typo'd op through
-    * would corrupt the snapshot it builds.
+    * loudly via `raise_error`, and a changeset carrying MORE THAN ONE
+    * op for the same id is refused up front — a duplicated id would
+    * fan the full-outer join into duplicate snapshot rows, the silent
+    * corruption this operator exists to prevent.
     *
     * Scale shape: ONE full-outer join on the id (co-locatable via
     * [[Curation.writeBucketed]]); payloads project map-side; no
@@ -43,6 +41,17 @@ object Snapshots {
       idCol: String, opCol: String, payloadCols: Seq[String])
       : DataFrame = {
     require(payloadCols.nonEmpty, "applyChangeset needs payload columns")
+    // duplicate-id audit: one changes-sized aggregate (the delta is
+    // small by contract; the snapshot never scans here)
+    val dup = changes.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"applyChangeset: changeset has multiple ops for id " +
+          s"${dup.head.get(0)} — resolve to one op per id first " +
+          "(a duplicated id would emit duplicate snapshot rows)")
     val b = base.select(col(idCol) +:
       payloadCols.map(c => col(c).as(s"__b_$c")): _*)
     val op = when(col(opCol).isin("u", "d"), col(opCol))
@@ -58,6 +67,10 @@ object Snapshots {
           .otherwise(col(s"__b_$cn")).as(cn)): _*)
   }
 
+  /** Per-id diff frame: id, `status` in added / removed / changed /
+    * unchanged, and the two hashes (null on the absent side). Filter
+    * `status != 'unchanged'` for the delta; the full frame is the
+    * audit. */
   def snapshotDiff(prev: DataFrame, curr: DataFrame, idCol: String,
       hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "snapshotDiff needs >= 1 content column")

@@ -481,17 +481,27 @@ object TextAnalysis {
     * Scale shape: one map-side-combined hash aggregate to group cells
     * + a one-row total cross join; corpus rows never shuffle. */
   def mixtureDiversity(df: DataFrame, groupCols: Seq[String])
-      : DataFrame = {
+      : DataFrame =
+    mixtureDiversityReleasable(df, groupCols)._1
+
+  /** [[mixtureDiversity]] plus a release handle for the internal cell
+    * cache (the Slo convention — the total branch and the cross join
+    * both read the corpus-wide aggregate; AQE exchange reuse is a
+    * maybe, the pin is a guarantee). */
+  def mixtureDiversityReleasable(df: DataFrame, groupCols: Seq[String])
+      : (DataFrame, () => Unit) = {
     require(groupCols.nonEmpty, "need at least one group column")
     val keyCs = groupCols.map(col)
     val cells = df.groupBy(keyCs: _*).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = cells.agg(sum("n").as("__t"))
-    cells.crossJoin(total)
+    val out = cells.crossJoin(total)
       .withColumn("__p", col("n").cast("double") / col("__t"))
       .select(keyCs ++ Seq(col("n"),
         round(col("__p"), 6).as("share"),
         round(lit(0.0) - col("__p") * log(col("__p")), 6)
           .as("entropy_term")): _*)
+    (out, () => { cells.unpersist(blocking = false); () })
   }
 
   /** Per-document analysis frame: id, lang, token counts, facets, score. */

@@ -36,6 +36,15 @@ class NormalizeSpec extends SparkSpec {
         maxDistinct = 10)
     }
     assert(e.getMessage.contains("maxDistinct"))
+    // the GLOBAL ladder bound trips even when every group is small:
+    // many groups with disjoint values blow up the ladder, not a group
+    val manyGroups = (1 to 100)
+      .map(v => (s"g${v % 20}", v.toDouble)).toDF("g", "s")
+    val e2 = intercept[IllegalArgumentException] {
+      Normalize.quantileNormalize(manyGroups, Seq("g"), "s",
+        maxDistinct = 10, maxGlobalDistinct = 50)
+    }
+    assert(e2.getMessage.contains("maxGlobalDistinct"))
     // ties share one cell and one midrank
     val tied = Seq(("A", 1.0), ("A", 1.0), ("A", 2.0)).toDF("g", "s")
     val t = Normalize.quantileNormalize(tied, Seq("g"), "s")

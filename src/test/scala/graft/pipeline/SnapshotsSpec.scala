@@ -72,5 +72,11 @@ class SnapshotsSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage != null)
+    // two ops for one id: refused up front, never duplicate rows
+    val dup = Seq((2L, "u", "a"), (2L, "u", "b")).toDF("id", "op", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.applyChangeset(base, dup, "id", "op", Seq("text"))
+    }
+    assert(e2.getMessage.contains("multiple ops"))
   }
 }
