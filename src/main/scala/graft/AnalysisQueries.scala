@@ -1628,16 +1628,16 @@ object AnalysisQueries {
       |rb AS (
       |  SELECT r.k,
       |    CASE WHEN rng.hi > rng.lo THEN
-      |      least(9, greatest(0, CAST(floor((r.v - rng.lo) * 10
-      |        / (rng.hi - rng.lo)) AS INT)))
+      |      CAST(least(9, greatest(0, floor((r.v - rng.lo) * 10
+      |        / (rng.hi - rng.lo)))) AS INT)
       |    ELSE 0 END AS bin, count(*) AS nr
       |  FROM r JOIN rng ON rng.k = r.k GROUP BY 1, 2),
       |cb AS (
       |  SELECT c.k,
       |    CASE WHEN rng.lo IS NULL THEN NULL
       |      WHEN rng.hi > rng.lo THEN
-      |      least(9, greatest(0, CAST(floor((c.v - rng.lo) * 10
-      |        / (rng.hi - rng.lo)) AS INT)))
+      |      CAST(least(9, greatest(0, floor((c.v - rng.lo) * 10
+      |        / (rng.hi - rng.lo)))) AS INT)
       |    ELSE 0 END AS bin, count(*) AS nc
       |  FROM c LEFT JOIN rng ON rng.k = c.k GROUP BY 1, 2),
       |j AS (

@@ -179,12 +179,15 @@ object Drift {
       .filter(v.isNotNull)
       .select(keyCs :+ v.as("__v"): _*)
       .join(broadcast(range), keyCols, "left")
+      // clamp BEFORE the int cast: a corrupted huge value would wrap
+      // the cast with ANSI off and land in an arbitrary bin instead
+      // of the edge bin the clamp advertises
       .withColumn("__b",
         when(col("__lo").isNull, lit(null).cast("int"))
           .when(col("__hi") > col("__lo"),
-            least(lit(bins - 1), greatest(lit(0),
+            least(lit(bins - 1L), greatest(lit(0L),
               floor((col("__v") - col("__lo")) * bins /
-                (col("__hi") - col("__lo"))).cast("int"))))
+                (col("__hi") - col("__lo"))))).cast("int"))
           .otherwise(lit(0)))
       .groupBy(keyCs :+ col("__b").as("bin"): _*)
       .agg(count(lit(1)).as(s"__n_$side"))

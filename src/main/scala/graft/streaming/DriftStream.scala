@@ -90,4 +90,70 @@ object DriftStream {
       .withColumn("p_ref", round(col("p_ref"), 6))
       .withColumn("p_cur", round(col("p_cur"), 6))
   }
+
+  /** Continuous NUMERIC drift against a pinned reference histogram —
+    * the streaming twin of [[graft.analysis.Drift.psiDrift]]: per
+    * tumbling window, the live value distribution scores per-bin PSI
+    * terms against a batch-computed reference (same equal-width bins
+    * from the reference [lo, hi] range, same clamping, same add-c
+    * smoothing), so the batch profile trains once and the stream
+    * monitors forever.
+    *
+    * Same shape as [[categoricalDrift]]: fixed-width conditional
+    * bin-count cells per window (state = `refCounts.length` + 1 longs
+    * per open window, volume-independent), stateless term projection
+    * restored to rows by posexplode. Null values are dropped like the
+    * batch twin (an ECDF has no place for them). */
+  def numericDrift(stream: DataFrame, tsCol: String, valueCol: String,
+      lo: Double, hi: Double, refCounts: Seq[Long],
+      windowSeconds: Long, smooth: Double = 0.5,
+      latenessSeconds: Long = 0L): DataFrame = {
+    require(refCounts.nonEmpty, "reference histogram must be non-empty")
+    require(refCounts.forall(_ >= 0L),
+      "reference counts must be non-negative")
+    require(hi > lo, "reference range must have width (hi > lo)")
+    require(smooth > 0.0, "smoothing constant must be positive")
+    require(windowSeconds > 0, "window must be positive")
+    val bins = refCounts.length
+    val refTotal = refCounts.sum
+    val v = col(valueCol).cast("double")
+    // the batch twin's bin expression: clamp BEFORE the int cast (a
+    // corrupted huge value would wrap the cast with ANSI off and land
+    // in an arbitrary bin instead of the edge), computed ONCE per row
+    // — Catalyst does not CSE across independent aggregate cells
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((v - lit(lo)) * bins / lit(hi - lo)))).cast("int")
+    val cells = (0 until bins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L))
+        .as(s"__c_$i")) :+
+      sum(when(col("__bin").isNotNull, 1L).otherwise(0L)).as("__tc")
+    val agged = stream
+      .withWatermark(tsCol, s"$latenessSeconds seconds")
+      .withColumn("__bin", when(v.isNotNull, bin))
+      .groupBy(window(col(tsCol), s"$windowSeconds seconds"))
+      .agg(cells.head, cells.tail: _*)
+    val refArr = typedLit(refCounts)
+    val cntArr = array((0 until bins).map(i => col(s"__c_$i")): _*)
+    val pRef = (col("n_ref") + lit(smooth)) /
+      (lit(refTotal.toDouble) + lit(smooth * bins))
+    val pCur = (col("n_cur") + lit(smooth)) /
+      (col("__tc") + lit(smooth * bins))
+    agged
+      .select(col("window.start").as("window_start"), col("__tc"),
+        posexplode(cntArr).as(Seq("bin", "n_cur")))
+      .withColumn("n_ref", element_at(refArr, col("bin") + 1))
+      // the batch twin's full-outer alignment materializes only
+      // OBSERVED bins: a bin empty on BOTH sides emits no row there,
+      // so it emits none here either (its smoothed term is alignment
+      // noise, not signal)
+      .filter(col("n_ref") > 0 || col("n_cur") > 0)
+      .withColumn("__p", pRef)
+      .withColumn("__q", pCur)
+      .withColumn("psi_term",
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")),
+          6))
+      .select(col("window_start"), col("bin"), col("n_ref"),
+        col("n_cur"), round(col("__p"), 6).as("p_ref"),
+        round(col("__q"), 6).as("p_cur"), col("psi_term"))
+  }
 }

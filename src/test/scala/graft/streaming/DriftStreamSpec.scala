@@ -109,4 +109,75 @@ class DriftStreamSpec extends SparkSpec {
     assert(streamRows == batchRows,
       s"stream $streamRows\nbatch  $batchRows")
   }
+
+  test("numericDrift matches the batch psiDrift twin row-for-row on " +
+      "identical rows — same bins, clamping, and smoothing") {
+    implicit val sc = spark.sqlContext
+    // reference: 1..100 → 10 equal-width bins of 10 each
+    val refVals = (1 to 100).map(_.toDouble)
+    val refDf = refVals.map(v => ("s", v)).toDF("k", "v")
+    val refCounts = Seq.fill(10)(10L)
+    // one window of shifted current values, including out-of-range
+    // ones that must clamp into the edge bins
+    val curVals = (51 to 140).map(_.toDouble) :+ -5.0
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "x")
+    val out = DriftStream.numericDrift(stream, "ts", "x",
+      lo = 1.0, hi = 100.0, refCounts = refCounts, windowSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("ndrift")
+      .outputMode("complete").start()
+    mem.addData(curVals.map(v => (t("2024-01-01 00:00:10"), v)): _*)
+    q.processAllAvailable()
+    val streamRows = spark.sql(
+      "SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term FROM ndrift " +
+        "ORDER BY bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    q.stop()
+    val curDf = curVals.map(v => ("s", v)).toDF("k", "v")
+    val batchRows = graft.analysis.Drift
+      .psiDrift(refDf, curDf, Seq("k"), "v", bins = 10)
+      .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term")
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(streamRows.length == 10)
+    assert(streamRows == batchRows,
+      s"stream $streamRows\nbatch  $batchRows")
+  }
+
+  test("numericDrift parity holds for a bimodal reference with an " +
+      "empty bin (emitted by NEITHER twin) and an extreme value that " +
+      "must clamp to the edge bin, not int-wrap into an interior one") {
+    implicit val sc = spark.sqlContext
+    // ref: 1..10 and 90..99 over 3 bins → counts (10, 0, 10)
+    val refVals = ((1 to 10) ++ (90 to 99)).map(_.toDouble)
+    val refDf = refVals.map(v => ("s", v)).toDF("k", "v")
+    // cur avoids the middle bin; 1e15 must CLAMP into bin 2
+    val curVals = Seq(1.0, 2.0, 3.0, 1e15)
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "x")
+    val out = DriftStream.numericDrift(stream, "ts", "x",
+      lo = 1.0, hi = 99.0, refCounts = Seq(10L, 0L, 10L),
+      windowSeconds = 60)
+    val q = out.writeStream.format("memory").queryName("ndrift2")
+      .outputMode("complete").start()
+    mem.addData(curVals.map(v => (t("2024-01-01 00:00:10"), v)): _*)
+    q.processAllAvailable()
+    val streamRows = spark.sql(
+      "SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term FROM ndrift2 " +
+        "ORDER BY bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    q.stop()
+    val batchRows = graft.analysis.Drift
+      .psiDrift(refDf, curVals.map(v => ("s", v)).toDF("k", "v"),
+        Seq("k"), "v", bins = 3)
+      .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "psi_term")
+      .orderBy("bin")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    // two rows: the empty-both middle bin appears in neither twin
+    assert(streamRows.map(_._1) == Seq(0, 2), streamRows.toString)
+    assert(streamRows == batchRows,
+      s"stream $streamRows\nbatch  $batchRows")
+    // the extreme value landed in the EDGE bin
+    assert(streamRows.last._3 == 1L)
+  }
 }
