@@ -1701,6 +1701,32 @@ object AnalysisQueries {
       |  round(r, 6) AS r, qnorm
       |FROM m ORDER BY event_type, v""".stripMargin
 
+  /** Markov transition matrix ([[graft.analysis.Transitions.matrix]]):
+    * per-user event sequences ordered by (ts, event_id) yield the
+    * (from, to) count/probability table — probabilities are one
+    * division of exact longs, bit-stable everywhere. */
+  def q157_transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Queries.cat(spark, dir)("events").df
+    graft.analysis.Transitions.matrix(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("from_state", "to_state")
+  }
+
+  val q157_sql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events WHERE event_type IS NOT NULL),
+      |c AS (
+      |  SELECT event_type AS from_state, nxt AS to_state,
+      |    count(*) AS n
+      |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE)
+      |    / sum(n) OVER (PARTITION BY from_state), 6) AS p
+      |FROM c ORDER BY from_state, to_state""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
@@ -1737,7 +1763,8 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> (q35_ratio_per_group _),
     "q145_ks_drift" -> (q145_ks_drift _),
     "q146_psi_drift" -> (q146_psi_drift _),
-    "q154_quantile_norm" -> (q154_quantile_norm _))
+    "q154_quantile_norm" -> (q154_quantile_norm _),
+    "q157_transitions" -> (q157_transitions _))
 
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
@@ -1775,5 +1802,6 @@ object AnalysisQueries {
     "q35_ratio_per_group" -> q35_sql,
     "q145_ks_drift" -> q145_sql,
     "q146_psi_drift" -> q146_sql,
-    "q154_quantile_norm" -> q154_sql)
+    "q154_quantile_norm" -> q154_sql,
+    "q157_transitions" -> q157_sql)
 }

@@ -2743,6 +2743,37 @@ object PipelineQueries {
       |    * ln(CAST(n AS DOUBLE) / tot), 6) AS entropy_term
       |FROM c CROSS JOIN t ORDER BY lang, source""".stripMargin
 
+  /** Token-budget corpus cut ([[graft.pipeline.Curation
+    * .tokenBudgetCut]]): keep docs in md5-of-id order while the
+    * running whitespace-token total stays ≤ 8000 — the distributed
+    * prefix sum (range repartition + per-partition cumsums + driver
+    * base offsets) vs the oracle's single ordered window sum. */
+  def q158_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    val withTok = docs(spark, dir).select(col("doc_id"),
+      greatest(lit(0), size(filter(TextAnalysis.tokens(col("text")),
+        w => w =!= ""))).as("tok"))
+    graft.pipeline.Curation.tokenBudgetCut(withTok, "doc_id", "tok",
+        budget = 8000L)
+      .orderBy("doc_id")
+  }
+
+  val q158_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    greatest(0, coalesce(len(list_filter(
+      |      string_split_regex(trim(lower(text)), '\s+'),
+      |      w -> w <> '')), 0)) AS tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    sum(tok) OVER (ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens,
+      |  CAST(cum AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum <= 8000 ORDER BY doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2811,7 +2842,8 @@ object PipelineQueries {
     "q152_readability" -> (q152_readability _),
     "q153_image_phash" -> (q153_image_phash _),
     "q155_apply_changeset" -> (q155_apply_changeset _),
-    "q156_mixture" -> (q156_mixture _))
+    "q156_mixture" -> (q156_mixture _),
+    "q158_token_budget" -> (q158_token_budget _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2880,5 +2912,6 @@ object PipelineQueries {
     "q152_readability" -> q152_sql,
     "q153_image_phash" -> q153_sql,
     "q155_apply_changeset" -> q155_sql,
-    "q156_mixture" -> q156_sql)
+    "q156_mixture" -> q156_sql,
+    "q158_token_budget" -> q158_sql)
 }

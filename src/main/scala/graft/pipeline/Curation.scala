@@ -628,8 +628,7 @@ object Curation {
       idCol: String, n: Int): DataFrame = {
     require(strataCols.nonEmpty, "need at least one stratum column")
     require(n > 0, "n must be positive")
-    val code = concat(md5(col(idCol).cast("string")),
-      lpad(col(idCol).cast("string"), 20, "0"))
+    val code = orderCode(idCol)
     val kept = df
       .select(strataCols.map(col) :+ code.as("__code"): _*)
       .groupBy(strataCols.map(col): _*)
@@ -644,6 +643,71 @@ object Curation {
       col(c) <=> col(s"__ks_$i") }.reduce(_ && _) &&
       col(idCol).cast("long") === col("__keep_id")
     df.join(kept, cond, "left_semi")
+  }
+
+  /** The reproducible md5-of-id walk order shared by
+    * [[stratifiedSample]] and [[tokenBudgetCut]]: md5 ‖ zero-padded
+    * id, so lexicographic code order IS (md5, id) order. Ids must be
+    * non-negative integral (the fixed-width suffix's contract). */
+  private def orderCode(idCol: String): org.apache.spark.sql.Column =
+    concat(md5(col(idCol).cast("string")),
+      lpad(col(idCol).cast("string"), 20, "0"))
+
+  /** Token-budget corpus cut: walk documents in md5-of-id order (the
+    * [[stratifiedSample]] reproducible draw) and keep each doc while
+    * the RUNNING token total stays ≤ `budget` — "give me a uniform
+    * random ~N-token subcorpus, deterministically" (the training-mix
+    * sizing move; an oracle replays it as one ordered window sum).
+    * Negative token counts clamp to 0 like nulls (a doc can't refund
+    * budget — a negative would make the kept set non-contiguous in
+    * the walk). Returns (id, n_tokens, cum_tokens) for the kept
+    * prefix; semi-join back for the documents.
+    *
+    * Scale shape: the global running sum NEVER runs in one task, and
+    * the corpus crosses the wire ONCE: range-repartition on the order
+    * code, per-partition totals → O(#partitions) driver-side base
+    * offsets, then a sequential mapPartitions scan adds each
+    * partition's base — no window, so no second exchange (a
+    * `Window.partitionBy(pid)` would not trust the range partitioning
+    * and re-shuffle), and duplicate order codes accumulate one at a
+    * time exactly like the definitional walk. */
+  def tokenBudgetCut(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("__id"),
+        greatest(lit(0L),
+          coalesce(col(tokensCol).cast("long"), lit(0L))).as("__n"),
+        orderCode(idCol).as("__code"))
+      .repartitionByRange(col("__code"))
+      .sortWithinPartitions("__code")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition token totals → exclusive-prefix base offsets
+    val totals = keyed
+      .select(spark_partition_id().as("__pid"), col("__n"))
+      .groupBy("__pid").agg(sum(col("__n")).as("__t"))
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val bases: Map[Int, Long] = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.zip(totals)
+      .map { case ((_, base), (pid, _)) => (pid, base) }.toMap
+    val bc = spark.sparkContext.broadcast(bases)
+    // keyed stays persisted until the caller's action (the Intervals
+    // caveat: unpersisting first would re-sample the range boundaries
+    // and detach rows from the collected bases)
+    keyed.as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = bc.value.getOrElse(pid, 0L)
+        it.map { case (id, n, _) =>
+          cum += n
+          (id, n, cum)
+        }
+      }
+      .toDF(idCol, "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
   }
 
   /** Hash-based train/val/test split assignment: each id lands in the

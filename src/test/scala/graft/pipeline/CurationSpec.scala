@@ -495,4 +495,33 @@ class CurationSpec extends SparkSpec {
       Curation.assignSplits(ids, "id", Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+
+  test("tokenBudgetCut keeps the md5-order prefix whose running " +
+      "token total fits the budget — the distributed prefix sum " +
+      "matches the definitional single-pass walk, null tokens ride " +
+      "as 0, and partitioning doesn't move the cut") {
+    val rows = (1L to 200L)
+      .map(i => (i, if (i % 17 == 0) None else Some(10L + i % 7)))
+      .toDF("id", "tok")
+    val out = Curation.tokenBudgetCut(rows, "id", "tok", budget = 600L)
+      .orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // definitional walk: sort by (md5(id), id), accumulate, cut
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (1L to 200L)
+      .map(i => (i, if (i % 17 == 0) 0L else 10L + i % 7))
+      .sortBy { case (i, _) => (h(i), i) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (i, n)) =>
+        (i, n, cum + n) }
+      .tail.takeWhile(_._3 <= 600L)
+      .sortBy(_._1)
+    assert(out == want, s"got ${out.take(5)}… want ${want.take(5)}…")
+    val out2 = Curation.tokenBudgetCut(rows.repartition(13), "id",
+        "tok", budget = 600L)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == out2)
+    assert(out.map(_._3).max <= 600L)
+  }
 }
