@@ -46,9 +46,9 @@ object BucketedProbe {
       sb.set(0L)
       val t0 = System.nanoTime()
       f
-      Thread.sleep(300) // listener bus drain
-      println(f"""{"probe":"$tag","sec":${
-        (System.nanoTime() - t0) / 1e9}%.3f,"shuffle_mb":${
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain (after the clock stops)
+      println(f"""{"probe":"$tag","sec":$sec%.3f,"shuffle_mb":${
         sb.get / 1e6}%.1f}""")
     }
     def plainApply(): Unit =

@@ -63,11 +63,20 @@ object Normalize {
       .collect().head.getLong(0)
     if (hot > maxDistinct || glob > maxGlobalDistinct) {
       cells.unpersist(blocking = false)
+      // name only the bound(s) actually exceeded — a caller raising
+      // the wrong limit would trip the audit again
+      val parts = Seq(
+        if (hot > maxDistinct)
+          Some(s"hottest group has $hot distinct values " +
+            s"(maxDistinct = $maxDistinct)")
+        else None,
+        if (glob > maxGlobalDistinct)
+          Some(s"the global ladder has $glob distinct values " +
+            s"(maxGlobalDistinct = $maxGlobalDistinct)")
+        else None).flatten
       throw new IllegalArgumentException(
-        s"quantileNormalize: hottest group has $hot distinct values " +
-          s"(maxDistinct = $maxDistinct) and the global ladder has " +
-          s"$glob (maxGlobalDistinct = $maxGlobalDistinct) — " +
-          "quantize the score first, or raise the bounds explicitly")
+        s"quantileNormalize: ${parts.mkString(" and ")} — " +
+          "quantize the score first, or raise the bound explicitly")
     }
     val wOrd = Window.partitionBy(keyCs: _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -84,10 +93,14 @@ object Normalize {
     // corpus is scanned exactly once across the whole operator
     val gw = Window.orderBy(col("gv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // grand total rides the SAME single-task window pass as the
+    // cumulative sum (unbounded frame) — no extra crossJoin job
+    val gwAll = Window.orderBy(col("gv")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val global = cells
       .groupBy(col("v").as("gv")).agg(sum(col("n")).as("gn"))
       .withColumn("__gcum", sum(col("gn")).over(gw))
-      .crossJoin(cells.agg(sum(col("n")).as("__gtot")))
+      .withColumn("__gtot", sum(col("gn")).over(gwAll))
       .select(col("gv"),
         (col("__gcum").cast("double") / col("__gtot")).as("__gfrac"))
     // percentile_disc: the smallest global value covering fraction r

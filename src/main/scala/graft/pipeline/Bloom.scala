@@ -68,16 +68,18 @@ object Bloom {
     * must be the same xxhash64 spellings the builder used. Small
     * bitmaps inline as a literal (pure codegen'd expressions); large
     * ones ship ONCE per executor as a broadcast variable probed by a
-    * deterministic UDF walking the identical arithmetic — the
-    * broadcast lives until the session drops it, the price of a lazy
-    * plan handle. */
-  private[pipeline] def mightContain(df: DataFrame, bits: Array[Long],
-      h1: Column, h2: Column, numHashes: Int,
-      maxLiteralWords: Int = literalMaxWords): Column = {
+    * deterministic UDF walking the identical arithmetic. The returned
+    * release handle destroys that broadcast (noop on the literal
+    * path) — call it AFTER the consuming action, the standard
+    * Releasable contract. */
+  private[pipeline] def mightContainReleasable(df: DataFrame,
+      bits: Array[Long], h1: Column, h2: Column, numHashes: Int,
+      maxLiteralWords: Int = literalMaxWords)
+      : (Column, () => Unit) = {
     val mBits = bits.length.toLong * 64
     if (bits.length <= maxLiteralWords) {
       val bitsLit = lit(bits)
-      (0 until numHashes).map { i =>
+      val c = (0 until numHashes).map { i =>
         val p = pmod(h1 + lit(i.toLong) * h2, lit(mBits))
         // functions.shiftleft only takes a static shift; the SQL
         // spelling accepts a column
@@ -85,6 +87,7 @@ object Bloom {
         (element_at(bitsLit, (p / 64).cast("int") + 1)
           .bitwiseAND(mask)) =!= 0L
       }.reduce(_ && _)
+      (c, () => ())
     } else {
       val bc = df.sparkSession.sparkContext.broadcast(bits)
       val k = numHashes
@@ -100,9 +103,19 @@ object Bloom {
         }
         ok
       }
-      probe(h1, h2)
+      (probe(h1, h2), () => { bc.destroy(); () })
     }
   }
+
+  /** [[mightContainReleasable]] without the handle — literal-sized
+    * filters only; a big filter probed through this leaks its
+    * broadcast until the session ends (use the Releasable twin in
+    * long-lived services). */
+  private[pipeline] def mightContain(df: DataFrame, bits: Array[Long],
+      h1: Column, h2: Column, numHashes: Int,
+      maxLiteralWords: Int = literalMaxWords): Column =
+    mightContainReleasable(df, bits, h1, h2, numHashes,
+      maxLiteralWords)._1
 
   private def gramHashes(g: Column): (Column, Column) =
     (xxhash64(g), xxhash64(g, lit(1L)))
@@ -113,7 +126,18 @@ object Bloom {
   def bloomContaminationHits(docs: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String,
       n: Int = 13, bitsPerKey: Int = 12, numHashes: Int = 5)
-      : DataFrame = {
+      : DataFrame =
+    bloomContaminationHitsReleasable(docs, idCol, textCol, bench,
+      benchTextCol, n, bitsPerKey, numHashes)._1
+
+  /** [[bloomContaminationHits]] plus a release handle that destroys
+    * the big-filter broadcast (noop when the bitmap shipped as a plan
+    * literal) — long-lived services call it after the consuming
+    * action, the same convention as burnRatesReleasable. */
+  def bloomContaminationHitsReleasable(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 13, bitsPerKey: Int = 12, numHashes: Int = 5)
+      : (DataFrame, () => Unit) = {
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
       .distinct()
@@ -126,13 +150,15 @@ object Bloom {
     val bits = buildBits(hashPairs, bitsPerKey, numHashes)
     val corpusGrams = Curation.distinctGramFrame(docs, idCol, textCol, n)
     val (ch1, ch2) = gramHashes(col("__g"))
-    val candidates = corpusGrams
-      .filter(mightContain(docs, bits, ch1, ch2, numHashes))
+    val (test, release) =
+      mightContainReleasable(docs, bits, ch1, ch2, numHashes)
+    val candidates = corpusGrams.filter(test)
     // exact confirm: bloom false positives die here
-    candidates
+    val hits = candidates
       .join(broadcast(benchGrams), Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+    (hits, release)
   }
 
   /** The corpus with every bloom-confirmed contaminated document

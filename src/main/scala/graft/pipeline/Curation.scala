@@ -672,7 +672,16 @@ object Curation {
     * and re-shuffle), and duplicate order codes accumulate one at a
     * time exactly like the definitional walk. */
   def tokenBudgetCut(df: DataFrame, idCol: String, tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    tokenBudgetCutReleasable(df, idCol, tokensCol, budget)._1
+
+  /** [[tokenBudgetCut]] plus a release handle that unpersists the
+    * internal range-partitioned cache (the Releasable convention) —
+    * long-lived services call it after the consuming action; calling
+    * earlier risks re-sampled range boundaries detaching rows from
+    * the collected base offsets. */
+  def tokenBudgetCutReleasable(df: DataFrame, idCol: String,
+      tokensCol: String, budget: Long): (DataFrame, () => Unit) = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -697,7 +706,7 @@ object Curation {
     // keyed stays persisted until the caller's action (the Intervals
     // caveat: unpersisting first would re-sample the range boundaries
     // and detach rows from the collected bases)
-    keyed.as[(Long, Long, String)]
+    val out = keyed.as[(Long, Long, String)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var cum = bc.value.getOrElse(pid, 0L)
@@ -708,6 +717,11 @@ object Curation {
       }
       .toDF(idCol, "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
+    (out, () => {
+      keyed.unpersist(blocking = false)
+      bc.destroy()
+      ()
+    })
   }
 
   /** Hash-based train/val/test split assignment: each id lands in the

@@ -56,7 +56,8 @@ object Snapshots {
       payloadCols.map(c => col(c).as(s"__b_$c")): _*)
     val op = when(col(opCol).isin("u", "d"), col(opCol))
       .otherwise(raise_error(concat(
-        lit("applyChangeset: unknown op '"), col(opCol),
+        lit("applyChangeset: unknown op '"),
+        coalesce(col(opCol).cast("string"), lit("NULL")),
         lit("' (expected u or d)"))))
     val c = changes.select(col(idCol) +: op.as("__op") +:
       payloadCols.map(cn => col(cn).as(s"__c_$cn")): _*)
