@@ -83,6 +83,48 @@ object BucketedProbe {
     (1 to passes).foreach(i => time(s"plain_join_pass$i")(plainApply()))
     Seq("tw_corpus", "tw_quality", "tw_keep")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- snapshot changeset apply: plain vs bucketed (the q155/q160
+    // payload join — the base snapshot carries the TEXT through the
+    // full-outer join, exactly the shuffle bucketing deletes)
+    val base = d
+    val changes = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("d").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), lit("u").as("op"),
+          concat(col("text"), lit(" upd")).as("text")))
+    // derive + audit the sides ONCE, outside every timed pass, so the
+    // plain and bucketed twins measure exactly the payload join
+    val (sb2, sc2) = graft.pipeline.Snapshots.changesetSides(
+      base, changes, "doc_id", "op", Seq("text"))
+    def plainChangeset(): Unit =
+      graft.pipeline.Snapshots.mergeChangeset(
+          sb2.join(sc2, Seq("doc_id"), "full_outer"),
+          "doc_id", Seq("text"))
+        .write.format("noop").mode("overwrite").save()
+    (1 to passes).foreach(i =>
+      time(s"changeset_plain_pass$i")(plainChangeset()))
+    time("changeset_bucketed_write_and_join") {
+      graft.pipeline.Snapshots.applyChangesetBucketed(base, changes,
+          "doc_id", "op", Seq("text"), "tw_snap", 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // amortized consumer: re-read the written tables (the recurring
+    // crawl's shape — base written once, joined every round)
+    (1 to passes).foreach { i =>
+      time(s"changeset_bucketed_pass$i") {
+        graft.pipeline.Snapshots.mergeChangeset(
+            spark.table("tw_snap_base")
+              .join(spark.table("tw_snap_changes").hint("merge"),
+                Seq("doc_id"), "full_outer"),
+            "doc_id", Seq("text"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    Seq("tw_snap_base", "tw_snap_changes")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

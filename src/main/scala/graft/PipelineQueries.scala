@@ -2774,6 +2774,61 @@ object PipelineQueries {
       |  CAST(cum AS BIGINT) AS cum_tokens
       |FROM c WHERE cum <= 8000 ORDER BY doc_id""".stripMargin
 
+  /** REAL JPEG decode gate ([[graft.pipeline.MediaCodecs.parseJpeg]]
+    * over the JDK's own `javax.imageio` codec): per doc a genuine
+    * JPEG is ENCODED (odd docs grayscale, even RGB), then decoded
+    * back. JPEG is lossy, so the gate carries ONLY the
+    * exactly-replayable facts — dimensions and channel count; the
+    * pixel-level path (aHash) is pinned by same-JVM round trips in
+    * MediaCodecsSpec instead. */
+  def q159_jpeg_decode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 60).as[Long]
+    val synth = ids.mapPartitions(_.map { id =>
+      val w = 6 + (id % 7).toInt
+      val h = 4 + (id % 5).toInt
+      (id, graft.pipeline.MediaCodecs.jpegBytes(w, h, (id % 50).toInt,
+        gray = id % 2 == 1))
+    }).toDF("doc_id", "media")
+    graft.pipeline.MediaCodecs.decodeJpeg(synth, "doc_id", "media")
+      .orderBy("doc_id")
+  }
+
+  val q159_sql: String =
+    """SELECT doc_id,
+      |  CAST(6 + doc_id % 7 AS INT) AS width,
+      |  CAST(4 + doc_id % 5 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT)
+      |    AS channels
+      |FROM documents WHERE doc_id < 60
+      |ORDER BY doc_id""".stripMargin
+
+  /** [[Snapshots.applyChangesetBucketed]] — the SAME changeset
+    * synthesis (and oracle) as q155, routed through bucketed tables:
+    * the full-outer payload join reads co-bucketed sides with zero
+    * exchange and zero sort (plan pinned in SnapshotsSpec; shuffle
+    * delta measured in BucketedProbe). Proving value-identity through
+    * the bucketed path is the point of the gate. */
+  def q160_bucketed_changeset(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val changes = base.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), lit("d").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), lit("u").as("op"),
+          concat(col("text"), lit(" upd")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          lit("u").as("op"),
+          concat(col("text"), lit(" ins")).as("text")))
+    graft.pipeline.Snapshots.applyChangesetBucketed(base, changes,
+        "doc_id", "op", Seq("text"), "q160cs", buckets = 8)
+      .orderBy("doc_id")
+  }
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2843,7 +2898,9 @@ object PipelineQueries {
     "q153_image_phash" -> (q153_image_phash _),
     "q155_apply_changeset" -> (q155_apply_changeset _),
     "q156_mixture" -> (q156_mixture _),
-    "q158_token_budget" -> (q158_token_budget _))
+    "q158_token_budget" -> (q158_token_budget _),
+    "q159_jpeg_decode" -> (q159_jpeg_decode _),
+    "q160_bucketed_changeset" -> (q160_bucketed_changeset _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2913,5 +2970,8 @@ object PipelineQueries {
     "q153_image_phash" -> q153_sql,
     "q155_apply_changeset" -> q155_sql,
     "q156_mixture" -> q156_sql,
-    "q158_token_budget" -> q158_sql)
+    "q158_token_budget" -> q158_sql,
+    "q159_jpeg_decode" -> q159_sql,
+    // bucketed routing must return the identical snapshot
+    "q160_bucketed_changeset" -> q155_sql)
 }

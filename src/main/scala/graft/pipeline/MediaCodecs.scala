@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * chunk walk + CRC32 verification + inflate + per-row filter
   * reversal (None/Sub/Up/Average/Paeth) are deterministic arithmetic
   * this engine owns end-to-end, including the actual sample/pixel
-  * math (mean |amplitude| per channel, mean B/G/R). Codecs the JVM
-  * does NOT ship (JPEG/H.264/FLAC) remain behind the [[Multimodal]]
-  * stubs — that boundary is now exactly "formats that need a codec
-  * library", not "all of decode".
+  * math (mean |amplitude| per channel, mean B/G/R). JPEG rides the
+  * JDK's OWN decoder (`javax.imageio`, still zero external deps) —
+  * lossy, so only exactly-replayable facts gate. Codecs the JVM does
+  * NOT ship (H.264/FLAC) remain behind the [[Multimodal]] stubs —
+  * that boundary is now exactly "formats that need a codec library",
+  * not "all of decode".
   *
   * Scale shape: decoding is per-row imperative byte work — the
   * documented mapPartitions discipline (`Dedup.shingleMinhash`): one
@@ -497,6 +499,141 @@ object MediaCodecs {
     Some(sb.toString)
   }
 
+  // ------------------------------------------------------------- JPEG
+
+  /** Parsed JPEG facts. JPEG is LOSSY — pixel statistics do not
+    * replay across encoders, so only the exactly-replayable fields
+    * (dimensions, channel count) are surfaced; perceptual work rides
+    * [[jpegAHash64]], gated by same-JVM round trips in spec. */
+  final case class JpegInfo(width: Int, height: Int, channels: Int)
+
+  /** Decoded-pixel budget for JPEG (same 16M-pixel line as
+    * [[pngMaxPixels]]): dimensions are peeked from the header BEFORE
+    * the raster allocates, so a crafted SOF can't demand gigabytes. */
+  val jpegMaxPixels: Long = 1L << 24
+
+  /** Serialize a JPEG via the JDK's own encoder (`javax.imageio` —
+    * ships with the JVM, zero external deps): RGB pixel (x, y) carries
+    * the [[bmpBytes]] arithmetic family (R/G/B = (13x+17y+seed) /
+    * (7x+11y+seed) / (3x+5y+seed) mod 256); `gray` instead encodes a
+    * single-band image with luma (13x+17y+seed) mod 256. Encoding is
+    * lossy — the bytes are real JPEG, the decode gate checks only
+    * exact facts. */
+  def jpegBytes(width: Int, height: Int, seed: Int,
+      gray: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val typ = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(width, height, typ)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (gray) {
+          val v = (13 * x + 17 * y + seed) % 256
+          img.getRaster.setSample(x, y, 0, v)
+        } else {
+          val r = (13 * x + 17 * y + seed) % 256
+          val g = (7 * x + 11 * y + seed) % 256
+          val b = (3 * x + 5 * y + seed) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "jpg", out)
+    require(ok, "JDK JPEG writer unavailable")
+    out.toByteArray
+  }
+
+  /** Decode JPEG facts: SOI magic + a JPEG-named ImageIO reader +
+    * header-peeked dimensions (budget-checked BEFORE the raster
+    * allocates) + a full pixel decode so truncated streams fail here,
+    * not downstream. None on malformed/oversize/non-JPEG bytes — the
+    * audit spelling, never an exception mid-job. */
+  def parseJpeg(bytes: Array[Byte],
+      maxPixels: Long = jpegMaxPixels): Option[JpegInfo] =
+    readJpeg(bytes, maxPixels).map(_._1)
+
+  /** The single-decode JPEG kernel both [[parseJpeg]] and
+    * [[jpegAHash64]] share (a per-row hash pass must not pay the
+    * dominant decode cost twice). The ImageInputStream is an explicit
+    * MemoryCacheImageInputStream — per-call, never the JVM-global
+    * `ImageIO.setUseCache` switch. */
+  private def readJpeg(bytes: Array[Byte], maxPixels: Long)
+      : Option[(JpegInfo, java.awt.image.BufferedImage)] = {
+    if (bytes == null || bytes.length < 4) return None
+    // SOI marker: without this, ImageIO would happily hand back its
+    // PNG/BMP reader and "decode" the wrong format
+    if (bytes(0) != 0xff.toByte || bytes(1) != 0xd8.toByte) return None
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      // scan for a JPEG-NAMED reader: a third-party SPI plugin may
+      // sort ahead of the JDK's under a different format name
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      var reader: javax.imageio.ImageReader = null
+      while (reader == null && readers.hasNext) {
+        val r = readers.next()
+        if (r.getFormatName.equalsIgnoreCase("JPEG")) reader = r
+        else r.dispose()
+      }
+      if (reader == null) return None
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+        val img = reader.read(0)
+        Some((JpegInfo(w, h, img.getRaster.getNumBands), img))
+      } catch {
+        case _: Exception => None
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Perceptual average-hash of a decoded JPEG — the [[bmpAHash64]]
+    * grid and bit rule (8×8 nearest-neighbor samples, gray = R+G+B
+    * via the sRGB view so 1-band and 3-band images hash in the same
+    * space, bit = 64·gray > Σ) over `javax.imageio`'s decode. Lossy
+    * input, so hashes are pinned by same-JVM round trips in spec —
+    * never a cross-engine oracle. */
+  def jpegAHash64(bytes: Array[Byte],
+      maxPixels: Long = jpegMaxPixels): Option[String] = {
+    val img = readJpeg(bytes, maxPixels) match {
+      case Some((_, i)) => i
+      case None => return None
+    }
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = (j.toLong * h / 8).toInt
+      var i = 0
+      while (i < 8) {
+        val sx = (i.toLong * w / 8).toInt
+        val rgb = img.getRGB(sx, sy)
+        val g = ((rgb >> 16) & 0xff).toLong + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)
+        gray(j * 8 + i) = g
+        total += g
+        i += 1
+      }
+      j += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var c = 0
+    while (c < 64) {
+      sb.append(if (64L * gray(c) > total) '1' else '0')
+      c += 1
+    }
+    Some(sb.toString)
+  }
+
   // --------------------------------------------------- DataFrame kernels
 
   /** Decode a WAV binary column through one typed mapPartitions pass:
@@ -549,6 +686,37 @@ object MediaCodecs {
       .as[(Long, Array[Byte])]
     ds.mapPartitions(_.map { case (id, bytes) =>
       (id, Option(bytes).flatMap(bmpAHash64))
+    }).toDF(idCol, "ahash")
+  }
+
+  /** Decode a JPEG binary column — same kernel contract as
+    * [[decodeWav]]; only the exactly-replayable facts surface
+    * (dimensions, channels — JPEG is lossy, pixel stats don't
+    * oracle-replay). */
+  def decodeJpeg(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      val p = Option(bytes).flatMap(b => parseJpeg(b))
+      (id, p.map(_.width), p.map(_.height), p.map(_.channels))
+    }).toDF(idCol, "width", "height", "channels")
+  }
+
+  /** Perceptual-hash a JPEG binary column — [[aHashBmp]]'s contract
+    * over [[jpegAHash64]]. */
+  def aHashJpeg(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      (id, Option(bytes).flatMap(b => jpegAHash64(b)))
     }).toDF(idCol, "ahash")
   }
 

@@ -40,6 +40,50 @@ object Snapshots {
   def applyChangeset(base: DataFrame, changes: DataFrame,
       idCol: String, opCol: String, payloadCols: Seq[String])
       : DataFrame = {
+    val (b, c) = changesetSides(base, changes, idCol, opCol,
+      payloadCols)
+    mergeChangeset(b.join(c, Seq(idCol), "full_outer"), idCol,
+      payloadCols)
+  }
+
+  /** [[applyChangeset]] through BUCKETED tables — the co-location
+    * path the plain spelling only documents: both sides persist via
+    * [[Curation.writeBucketed]] on the id (tables
+    * `{namePrefix}_base` / `{namePrefix}_changes`) and the full-outer
+    * payload join reads bucket pairs back with ZERO exchange and ZERO
+    * sort (the q143 contract, pinned for this path in SnapshotsSpec).
+    *
+    * This is the shape a RECURRING snapshot pipeline wants at 100 TB:
+    * the base snapshot is corpus-sized, so the plain join shuffles the
+    * full payload every crawl; written bucketed ONCE, the base joins
+    * every subsequent changeset — and [[snapshotDiff]], and any other
+    * id-keyed consumer — exchange-free, and the APPLIED output can be
+    * written straight back as the next round's bucketed base. The
+    * merge hint is deliberate: at toy scale the optimizer would
+    * broadcast the changeset, the plan bucketing exists to replace. */
+  def applyChangesetBucketed(base: DataFrame, changes: DataFrame,
+      idCol: String, opCol: String, payloadCols: Seq[String],
+      namePrefix: String, buckets: Int): DataFrame = {
+    val (b, c) = changesetSides(base, changes, idCol, opCol,
+      payloadCols)
+    Curation.writeBucketed(b, idCol, s"${namePrefix}_base", buckets)
+    Curation.writeBucketed(c, idCol, s"${namePrefix}_changes", buckets)
+    val spark = base.sparkSession
+    mergeChangeset(
+      spark.table(s"${namePrefix}_base")
+        .join(spark.table(s"${namePrefix}_changes").hint("merge"),
+          Seq(idCol), "full_outer"),
+      idCol, payloadCols)
+  }
+
+  /** Audit + project the two changeset-join sides: base payloads as
+    * `__b_*`, changeset as validated `__op` + `__c_*` payloads.
+    * Package-visible so BucketedProbe measures the plain and bucketed
+    * twins symmetrically (join only — audit and derivation outside
+    * the timed passes). */
+  private[graft] def changesetSides(base: DataFrame, changes: DataFrame,
+      idCol: String, opCol: String, payloadCols: Seq[String])
+      : (DataFrame, DataFrame) = {
     require(payloadCols.nonEmpty, "applyChangeset needs payload columns")
     // duplicate-id audit: one changes-sized aggregate (the delta is
     // small by contract; the snapshot never scans here)
@@ -61,12 +105,18 @@ object Snapshots {
         lit("' (expected u or d)"))))
     val c = changes.select(col(idCol) +: op.as("__op") +:
       payloadCols.map(cn => col(cn).as(s"__c_$cn")): _*)
-    b.join(c, Seq(idCol), "full_outer")
+    (b, c)
+  }
+
+  /** Fold the joined sides into the applied snapshot (deletes drop,
+    * upserts take the changeset payload, untouched rows keep base). */
+  private[graft] def mergeChangeset(joined: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    joined
       .filter(col("__op").isNull || col("__op") =!= "d")
       .select(col(idCol) +: payloadCols.map(cn =>
         when(col("__op").isNotNull, col(s"__c_$cn"))
           .otherwise(col(s"__b_$cn")).as(cn)): _*)
-  }
 
   /** Per-id diff frame: id, `status` in added / removed / changed /
     * unchanged, and the two hashes (null on the absent side). Filter

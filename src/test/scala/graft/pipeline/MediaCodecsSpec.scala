@@ -220,4 +220,64 @@ class MediaCodecsSpec extends SparkSpec {
     assert(out(0).getInt(out(0).fieldIndex("width")) == 5)
     assert(out(1).isNullAt(out(1).fieldIndex("width")))
   }
+
+  test("JPEG round-trip (JDK encoder→decoder): exact facts replay — " +
+      "dimensions and channel count for RGB and grayscale") {
+    val rgb = MediaCodecs.jpegBytes(9, 7, 42)
+    assert(MediaCodecs.parseJpeg(rgb) ==
+      Some(MediaCodecs.JpegInfo(9, 7, 3)))
+    val gray = MediaCodecs.jpegBytes(5, 11, 3, gray = true)
+    assert(MediaCodecs.parseJpeg(gray) ==
+      Some(MediaCodecs.JpegInfo(5, 11, 1)))
+    // real JPEG bytes: SOI..EOI markers present
+    assert((rgb(0) & 0xff) == 0xff && (rgb(1) & 0xff) == 0xd8)
+  }
+
+  test("JPEG malformed-input battery: every rejection path answers " +
+      "None — truncated, corrupt, wrong format, oversize, null") {
+    val good = MediaCodecs.jpegBytes(16, 16, 7)
+    assert(MediaCodecs.parseJpeg(good).isDefined)
+    // truncated mid-stream: header peek succeeds, pixel decode fails
+    assert(MediaCodecs.parseJpeg(good.take(good.length / 2)).isEmpty)
+    // corrupt entropy data (flip bytes after the headers)
+    val corrupt = good.clone()
+    (good.length - 20 until good.length - 4)
+      .foreach(i => corrupt(i) = (corrupt(i) ^ 0x5a).toByte)
+    // corrupt streams may still decode partially; the battery only
+    // demands NO exception escapes (None or Some, never a throw)
+    MediaCodecs.parseJpeg(corrupt)
+    // wrong format: PNG/BMP bytes must NOT decode via the JPEG path
+    assert(MediaCodecs.parseJpeg(MediaCodecs.pngBytes(4, 4, 1)).isEmpty)
+    assert(MediaCodecs.parseJpeg(MediaCodecs.bmpBytes(4, 4, 1)).isEmpty)
+    // oversize: header-peeked pixel budget rejects BEFORE the raster
+    assert(MediaCodecs.parseJpeg(good, maxPixels = 100L).isEmpty)
+    assert(MediaCodecs.parseJpeg(null).isEmpty)
+    assert(MediaCodecs.parseJpeg(Array[Byte](0xff.toByte)).isEmpty)
+    assert(MediaCodecs.parseJpeg("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("jpegAHash64: same-JVM round trip is deterministic, gradient " +
+      "orientation flips the bit pattern, malformed bytes answer null") {
+    val a1 = MediaCodecs.jpegAHash64(MediaCodecs.jpegBytes(32, 32, 5))
+    val a2 = MediaCodecs.jpegAHash64(MediaCodecs.jpegBytes(32, 32, 5))
+    assert(a1.isDefined && a1 == a2)
+    assert(a1.get.length == 64 && a1.get.forall(c => c == '0' || c == '1'))
+    // the synthesis gradient brightens toward +x/+y: dark corner bits
+    // differ from bright corner bits (the hash carries real signal,
+    // not a constant)
+    assert(a1.get.contains('0') && a1.get.contains('1'))
+    assert(MediaCodecs.jpegAHash64("junk".getBytes).isEmpty)
+    // kernel: null hash on malformed, real hash on good bytes
+    val df = Seq(
+      (1L, MediaCodecs.jpegBytes(16, 12, 9)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "media")
+    val out = MediaCodecs.aHashJpeg(df, "id", "media")
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+    val dec = MediaCodecs.decodeJpeg(df, "id", "media")
+      .orderBy("id").collect()
+    assert(dec(0).getInt(1) == 16 && dec(0).getInt(2) == 12 &&
+      dec(0).getInt(3) == 3)
+    assert(dec(1).isNullAt(1))
+  }
 }

@@ -79,4 +79,35 @@ class SnapshotsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("multiple ops"))
   }
+
+  test("applyChangesetBucketed joins the co-bucketed sides with zero " +
+      "Exchange and zero Sort, and matches the plain twin exactly") {
+    val base = (1L to 400L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val changes = base.filter(col("id") % 5 === 0)
+      .select(col("id"), lit("d").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(base.filter(col("id") % 7 === 0 && col("id") % 5 =!= 0)
+        .select(col("id"), lit("u").as("op"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(Seq((1000L, "u", "new doc"))
+        .toDF("id", "op", "text"))
+    val out = Snapshots.applyChangesetBucketed(base, changes, "id",
+      "op", Seq("text"), "snb_spec", 4)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      // bucket-sorted at write time: the full-outer SMJ needs no Sort
+      assert(!plan.contains("Sort "), plan.take(3000))
+      val got = out.orderBy("id").as[(Long, String)].collect().toSeq
+      val want = Snapshots.applyChangeset(base, changes, "id", "op",
+          Seq("text"))
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got == want)
+      assert(got.exists(_._1 == 1000L) && !got.exists(_._1 == 5L))
+    } finally {
+      Seq("snb_spec_base", "snb_spec_changes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
