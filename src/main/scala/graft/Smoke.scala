@@ -176,6 +176,76 @@ object Smoke {
       println(s"[smoke] grafana labels: http=$nc names=$nNames" +
         (if (nc >= 300 || nNames == 0) s" body=${nb.take(200)}" else ""))
       require(nc == 200 && nNames > 0, "grafana /api/v1/labels empty")
+
+      // the streaming lifecycle face end-to-end: start a SpaceSaving
+      // heavy-hitters stream over HTTP, feed a skewed window, advance
+      // the watermark past its end, poll the emitted top-k — the
+      // flatMapGroupsWithState operator running inside a REAL
+      // StreamingQuery, driven entirely through the server
+      def post(path: String, body: String): (Int, String) = {
+        val c = new java.net.URI(
+          s"http://127.0.0.1:${server.boundPort}$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setDoOutput(true)
+        c.getOutputStream.write(
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val code = c.getResponseCode
+        val s = if (code >= 200 && code < 300) c.getInputStream
+          else c.getErrorStream
+        (code, new String(s.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val (stc, stb) = post("/stream/start",
+        """{"op":"heavy_hitters","params":{"window":"60","capacity":"8","k":"3"}}""")
+      require(stc == 200, s"stream start failed: $stb")
+      val sid = """"id":"([^"]+)"""".r.findFirstMatchIn(stb)
+        .map(_.group(1)).getOrElse("")
+      // window [0,60): 5×a, 3×b, 1×c — then two watermark pushes
+      val evts = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+        .map(k => s"""[10,"$k",1.0]""").mkString(",")
+      val (f1, _) = post("/stream/feed",
+        s"""{"id":"$sid","rows":[$evts]}""")
+      val (f2, _) = post("/stream/feed",
+        s"""{"id":"$sid","rows":[[300,"z",1.0]]}""")
+      val (f3, f3b) = post("/stream/feed",
+        s"""{"id":"$sid","rows":[[600,"z",1.0]]}""")
+      require(f1 == 200 && f2 == 200 && f3 == 200,
+        s"stream feed failed: $f3b")
+      val (pc, pb) = post("/stream/poll", s"""{"id":"$sid"}""")
+      val ranks = """"rank":""".r.findAllIn(pb).length
+      println(s"[smoke] stream heavy_hitters: http=$pc emitted=$ranks" +
+        (if (pc >= 300 || ranks == 0) s" body=${pb.take(300)}" else ""))
+      // ≥ 3 ranks: window 0's top-3 plus the watermark-push key's own
+      // later window(s)
+      require(pc == 200 && ranks >= 3 &&
+        pb.contains(""""key":"a","cnt":5""") &&
+        pb.contains(""""key":"b","cnt":3"""),
+        s"stream heavy_hitters wrong emit: ${pb.take(400)}")
+      val (xc, _) = post("/stream/stop", s"""{"id":"$sid"}""")
+      require(xc == 200, "stream stop failed")
+
+      // EWMA control chart over the same face: two buckets around a
+      // pinned target, the second far enough off-target to alarm
+      val (ec, eb) = post("/stream/start",
+        """{"op":"ewma","params":{"step":"60","lambda":"1.0","width":"3","target":"10","sigma":"1"}}""")
+      require(ec == 200, s"ewma start failed: $eb")
+      val eid = """"id":"([^"]+)"""".r.findFirstMatchIn(eb)
+        .map(_.group(1)).getOrElse("")
+      post("/stream/feed",
+        s"""{"id":"$eid","rows":[[10,"svc",10.5],[70,"svc",99.0]]}""")
+      post("/stream/feed", s"""{"id":"$eid","rows":[[300,"svc",0.0]]}""")
+      post("/stream/feed", s"""{"id":"$eid","rows":[[600,"svc",0.0]]}""")
+      val (epc, epb) = post("/stream/poll", s"""{"id":"$eid"}""")
+      val alarms = """"alarm":1""".r.findAllIn(epb).length
+      val charted = """"z":""".r.findAllIn(epb).length
+      println(s"[smoke] stream ewma: http=$epc rows=$charted " +
+        s"alarms=$alarms" +
+        (if (epc >= 300 || charted == 0) s" body=${epb.take(300)}"
+         else ""))
+      require(epc == 200 && charted >= 2 && alarms >= 1,
+        s"ewma stream wrong emit: ${epb.take(400)}")
+      post("/stream/stop", s"""{"id":"$eid"}""")
     } finally server.stop()
     spark.stop()
   }

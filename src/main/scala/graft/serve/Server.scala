@@ -315,8 +315,86 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     // 503/429 discipline.
     promRoutes("/promql")
     promRoutes("/api/v1")
+    streamRoutes()
     http.start()
   }
+
+  /** Live streaming sessions (lazy: a server that never serves a
+    * stream never builds the registry). */
+  private lazy val streams = new graft.streaming.StreamService(spark)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The streaming lifecycle face — START a stateful operator
+    * (ewma | heavy_hitters | tail), FEED events, POLL emitted
+    * windows, STOP. This is how a user reaches the
+    * flatMapGroupsWithState operators end-to-end: a genuine
+    * StreamingQuery with watermarks and state, drivable over HTTP
+    * (Smoke and StreamServeSpec assert the full loop). */
+  private def streamRoutes(): Unit = {
+    http.createContext("/stream/start", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val root = mapper.readTree(body)
+        val op = Option(root.get("op")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("missing field: op"))
+        val params = Option(root.get("params")).map { p =>
+          val it = p.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            b += (e.getKey -> e.getValue.asText())
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, String])
+        val id = streams.start(op, params)
+        (200, s"""{"id":"$id"}""")
+      })
+    http.createContext("/stream/feed", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val root = mapper.readTree(body)
+        val id = reqStr(root, "id")
+        val rowsNode = Option(root.get("rows")).getOrElse(
+          throw new IllegalArgumentException("missing field: rows"))
+        val rows = (0 until rowsNode.size()).map { i =>
+          val r = rowsNode.get(i)
+          if (r.size() != 3)
+            throw new IllegalArgumentException(
+              "each row must be [epochSeconds, key, value]")
+          (r.get(0).asLong(), r.get(1).asText(), r.get(2).asDouble())
+        }
+        val emitted = withTimeout(streams.feed(id, rows))
+        (200, s"""{"fed":${rows.length},"rows_emitted":$emitted}""")
+      })
+    http.createContext("/stream/poll", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val id = reqStr(mapper.readTree(body), "id")
+        val rows = withTimeout(
+          streams.poll(id).limit(maxRows + 1).toJSON.collect())
+        val truncated = rows.length > maxRows
+        val kept = if (truncated) rows.take(maxRows) else rows
+        val tail =
+          if (truncated) s"""],"truncated":true,"maxRows":$maxRows}"""
+          else "]}"
+        (200, kept.mkString("""{"rows":[""", ",", tail))
+      })
+    http.createContext("/stream/stop", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        streams.stop(reqStr(mapper.readTree(body), "id"))
+        (200, """{"stopped":true}""")
+      })
+    http.createContext("/stream/list", (ex: HttpExchange) =>
+      handle(ex, allowGet = true) { _ =>
+        val items = streams.list.map { case (id, op, active) =>
+          s"""{"id":"$id","op":"$op","active":$active}"""
+        }
+        (200, items.mkString("""{"sessions":[""", ",", "]}"))
+      })
+  }
+
+  private def reqStr(root: com.fasterxml.jackson.databind.JsonNode,
+      field: String): String =
+    Option(root.get(field)).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"missing field: $field"))
 
   /** Register the six Prometheus-API endpoints under `prefix` — called
     * once per served prefix so /promql and /api/v1 share one handler
@@ -526,6 +604,10 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
 
   def stop(): Unit = {
     http.stop(0)
+    // stop live streaming queries BEFORE the pools: an active
+    // micro-batch loop would otherwise keep running against a server
+    // that can no longer be polled
+    streams.stopAll()
     // release the per-instance threads (a respawning embedder would
     // otherwise accumulate threads+1 daemons per restart) and forget
     // any pending watchdog so it can't cancel a job group post-stop
@@ -589,6 +671,9 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: org.apache.spark.sql.AnalysisException =>
           (400, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
+        // unknown stream session id → the resource genuinely isn't here
+        case e: NoSuchElementException =>
+          (404, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: QueryTimeout =>
           (503, s"""{"error":${QueryJsonOut.quote(msg(e))}}""")
         case e: Exception =>
