@@ -31,6 +31,16 @@ class BloomSpec extends SparkSpec {
     // forcing it (maxLiteralWords = 0) must reproduce both counts
     assert(hits(insDf, 0) == 2000L)
     assert(hits(probe, 0) == fp)
+    // the Releasable twin: big path hands back a broadcast-destroy
+    // handle usable after the consuming action; literal path's is a
+    // safe noop
+    val (bigTest, bigRelease) = Bloom.mightContainReleasable(insDf,
+      bits, xxhash64(col("g")), xxhash64(col("g"), lit(1L)), 5, 0)
+    assert(insDf.filter(bigTest).count() == 2000L)
+    bigRelease() // must not throw; broadcast destroyed
+    val (_, litRelease) = Bloom.mightContainReleasable(insDf, bits,
+      xxhash64(col("g")), xxhash64(col("g"), lit(1L)), 5)
+    litRelease()
   }
 
   test("bloomContaminationHits is bit-identical to the exact " +
