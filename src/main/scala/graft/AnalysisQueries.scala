@@ -1727,6 +1727,106 @@ object AnalysisQueries {
       |    / sum(n) OVER (PARTITION BY from_state), 6) AS p
       |FROM c ORDER BY from_state, to_state""".stripMargin
 
+  /** Classifier calibration ([[graft.analysis.Calibration
+    * .reliabilityBins]]): synthesized (score, label) pairs with scores
+    * on the /128 grid, so every per-bin sum is an EXACT binary
+    * rational — means and ECE terms are deterministic divisions, the
+    * float-parity rule for means that ordinary scores would break. */
+  def q167_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("doc_id") % 129).cast("double") / 128.0).as("score"),
+        when((col("doc_id") * 37) % 128 < col("doc_id") % 129, 1L)
+          .otherwise(0L).as("label"))
+    graft.analysis.Calibration.reliabilityBins(d, "score", "label",
+        bins = 8)
+      .orderBy("bin")
+  }
+
+  val q167_sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 129 AS DOUBLE) / 128.0 AS score,
+      |    CASE WHEN (doc_id * 37) % 128 < doc_id % 129
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(CAST(floor(score * 8) AS INT), 7) AS bin,
+      |    count(*) AS n, sum(score) AS ssum, sum(y) AS ypos
+      |  FROM s GROUP BY 1),
+      |t AS (SELECT sum(n) AS tt FROM b)
+      |SELECT bin, round(CAST(bin AS DOUBLE) / 8, 6) AS lo,
+      |  round(CAST(bin + 1 AS DOUBLE) / 8, 6) AS hi,
+      |  CAST(n AS BIGINT) AS n,
+      |  round(ssum / n, 6) AS mean_conf,
+      |  round(CAST(ypos AS DOUBLE) / n, 6) AS frac_pos,
+      |  round(abs(CAST(ypos AS DOUBLE) / n - ssum / n), 6) AS gap,
+      |  round(CAST(n AS DOUBLE) / tt
+      |    * abs(CAST(ypos AS DOUBLE) / n - ssum / n), 6) AS ece_term
+      |FROM b CROSS JOIN t ORDER BY bin""".stripMargin
+
+  /** Mixture concentration ([[graft.analysis.Concentration.gini]]):
+    * per language the Gini coefficient and top share over source doc
+    * counts — integer arithmetic until one final expression of exact
+    * longs. */
+  def q168_gini(spark: SparkSession, dir: String): DataFrame =
+    graft.analysis.Concentration.gini(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("lang"), "source")
+      .orderBy("lang")
+
+  val q168_sql: String =
+    """WITH c AS (
+      |  SELECT lang, source AS g, count(*) AS x
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, x,
+      |    row_number() OVER (PARTITION BY lang ORDER BY x, g) AS i
+      |  FROM c),
+      |a AS (
+      |  SELECT lang, count(*) AS n_groups, sum(x) AS total,
+      |    max(x) AS mx, sum(i * x) AS iwx
+      |  FROM r GROUP BY 1)
+      |SELECT lang, CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(total AS BIGINT) AS total,
+      |  round(CAST(mx AS DOUBLE) / total, 6) AS top_share,
+      |  round(2.0 * iwx / CAST(n_groups * total AS DOUBLE)
+      |    - CAST(n_groups + 1 AS DOUBLE) / n_groups, 6) AS gini
+      |FROM a ORDER BY lang""".stripMargin
+
+  /** Per-language winsorization of document lengths
+    * ([[graft.analysis.Robust.winsorize]]): clamp bounds are
+    * percentile_disc observed values (the q154 ladder rule — zero
+    * interpolation, engine-portable). */
+  def q169_winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.analysis.Robust.winsorize(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", pLo = 0.1, pHi = 0.9)
+      .orderBy("lang", "v")
+
+  val q169_sql: String =
+    """WITH cells AS (
+      |  SELECT lang, CAST(n_chars AS DOUBLE) AS cv, count(*) AS cn
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |lad AS (
+      |  SELECT lang, cv,
+      |    CAST(sum(cn) OVER (PARTITION BY lang ORDER BY cv
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |      / sum(cn) OVER (PARTITION BY lang) AS frac
+      |  FROM cells),
+      |lo AS (SELECT lang, min(cv) AS lo FROM lad
+      |  WHERE frac >= 0.1 GROUP BY 1),
+      |hi AS (SELECT lang, min(cv) AS hi FROM lad
+      |  WHERE frac >= 0.9 GROUP BY 1)
+      |SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v, lo.lo, hi.hi,
+      |  greatest(lo.lo, least(hi.hi, CAST(d.n_chars AS DOUBLE)))
+      |    AS v_wins
+      |FROM documents d JOIN lo ON lo.lang = d.lang
+      |  JOIN hi ON hi.lang = d.lang
+      |WHERE d.n_chars IS NOT NULL
+      |ORDER BY d.lang, v""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_seasonal" -> (q123_seasonal _),
     "q127_ewma" -> (q127_ewma _),
@@ -1764,7 +1864,10 @@ object AnalysisQueries {
     "q145_ks_drift" -> (q145_ks_drift _),
     "q146_psi_drift" -> (q146_psi_drift _),
     "q154_quantile_norm" -> (q154_quantile_norm _),
-    "q157_transitions" -> (q157_transitions _))
+    "q157_transitions" -> (q157_transitions _),
+    "q167_calibration" -> (q167_calibration _),
+    "q168_gini" -> (q168_gini _),
+    "q169_winsorize" -> (q169_winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q123_seasonal" -> q123_sql,
@@ -1803,5 +1906,8 @@ object AnalysisQueries {
     "q145_ks_drift" -> q145_sql,
     "q146_psi_drift" -> q146_sql,
     "q154_quantile_norm" -> q154_sql,
-    "q157_transitions" -> q157_sql)
+    "q157_transitions" -> q157_sql,
+    "q167_calibration" -> q167_sql,
+    "q168_gini" -> q168_sql,
+    "q169_winsorize" -> q169_sql)
 }

@@ -2829,6 +2829,212 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Script-mix audit ([[TextAnalysis.scriptMix]]): per doc the
+    * character count and fraction per Unicode script block. The text
+    * is SYNTHESIZED with known per-script counts (the PNG-gate
+    * pattern), so the oracle is ground-truth arithmetic and the gate
+    * tests the regexp counting path end-to-end. */
+  def q161_script_mix(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 200)
+    val synth = ids.select(col("doc_id"), concat(
+      expr("repeat('a', CAST(doc_id % 5 + 1 AS INT))"),
+      expr("repeat('д', CAST(doc_id % 3 AS INT))"),
+      expr("repeat('中', CAST(doc_id % 4 AS INT))"),
+      expr("repeat('7', CAST(doc_id % 2 AS INT))"),
+      lit(" zz")).as("text"))
+    TextAnalysis.scriptMix(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q161_sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    doc_id % 5 + 1 + 2 AS nl, doc_id % 3 AS ncy,
+      |    doc_id % 4 AS ncjk, doc_id % 2 AS nd
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (SELECT *, nl + ncy + ncjk + nd AS ns FROM p)
+      |SELECT doc_id, CAST(ns AS INT) AS n_chars_ns,
+      |  CAST(nl AS INT) AS n_latin,
+      |  round(CAST(nl AS DOUBLE) / ns, 6) AS f_latin,
+      |  CAST(ncy AS INT) AS n_cyrillic,
+      |  round(CAST(ncy AS DOUBLE) / ns, 6) AS f_cyrillic,
+      |  CAST(ncjk AS INT) AS n_cjk,
+      |  round(CAST(ncjk AS DOUBLE) / ns, 6) AS f_cjk,
+      |  CAST(0 AS INT) AS n_arabic, 0.0 AS f_arabic,
+      |  CAST(0 AS INT) AS n_greek, 0.0 AS f_greek,
+      |  CAST(nd AS INT) AS n_digit,
+      |  round(CAST(nd AS DOUBLE) / ns, 6) AS f_digit,
+      |  CAST(0 AS INT) AS n_other
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** NFC text normalization ([[TextAnalysis.normalizeText]]): the
+    * JVM's Unicode NFC vs DuckDB's `nfc_normalize` over synthesized
+    * decomposed accents + whitespace mess + control bytes — the gate
+    * passes only if the two independent NFC implementations and the
+    * collapse/strip/trim pipeline agree character-for-character. */
+  def q162_nfc_normalize(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 150)
+    val synth = ids.select(col("doc_id"),
+      when(col("doc_id") % 5 === 4, lit("plain text"))
+        .otherwise(concat(lit(" café"),
+          expr("repeat('\t', CAST(doc_id % 2 AS INT))"),
+          lit(" end"),
+          when(col("doc_id") % 3 === 0, lit(""))
+            .otherwise(lit("")))).as("text"))
+    TextAnalysis.normalizeText(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q162_sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 4 THEN 'plain text'
+      |      ELSE ' cafe' || chr(769) ||
+      |        repeat(chr(9), CAST(doc_id % 2 AS INT)) || ' end' ||
+      |        CASE WHEN doc_id % 3 = 0 THEN chr(1) ELSE '' END
+      |    END AS text
+      |  FROM documents WHERE doc_id < 150),
+      |n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(
+      |      regexp_replace(nfc_normalize(text),
+      |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{80}-\x{9F}]', '',
+      |        'g'),
+      |      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS tn
+      |  FROM s)
+      |SELECT doc_id, tn AS text_norm,
+      |  CAST(CASE WHEN tn = text THEN 0 ELSE 1 END AS BIGINT)
+      |    AS changed,
+      |  CAST(length(text) AS BIGINT) AS len_before,
+      |  CAST(length(tn) AS BIGINT) AS len_after
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  private val luhnValid = Seq("4532015112830366", "5425233430109903",
+    "374245455400126", "6011000991300009")
+  private val luhnBad = Seq("4532015112830367", "5425233430109904",
+    "374245455400127", "6011000991300000")
+
+  /** Luhn payment-card scan ([[TextAnalysis.luhnScan]]): texts carry
+    * one KNOWN-valid PAN (verified offline) and, on even ids, one
+    * corrupted twin — the oracle is ground-truth arithmetic while the
+    * Spark path runs the real regexp + HOF mod-10 checksum. */
+  def q163_luhn(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 200)
+    val vArr = array(luhnValid.map(lit): _*)
+    val bArr = array(luhnBad.map(lit): _*)
+    val synth = ids.select(col("doc_id"), concat(
+      lit("pay "),
+      element_at(vArr, (col("doc_id") % 4 + 1).cast("int")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" and "),
+          element_at(bArr, (col("doc_id") % 4 + 1).cast("int"))))
+        .otherwise(lit(" none")),
+      lit(" end")).as("text"))
+    TextAnalysis.luhnScan(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q163_sql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+      |    AS n_candidates,
+      |  CAST(1 AS INT) AS n_luhn_valid
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  /** Pairwise source vocabulary Jaccard
+    * ([[TextAnalysis.vocabOverlap]]): the source-level duplicate
+    * detector, over the real corpus. Token-keyed join over
+    * vocabulary cells; counts exact, Jaccard rounded. */
+  def q164_vocab_overlap(spark: SparkSession, dir: String)
+      : DataFrame =
+    TextAnalysis.vocabOverlap(docs(spark, dir), "source", "text")
+      .orderBy("ga", "gb")
+
+  val q164_sql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT source AS g, tok FROM (
+      |    SELECT source, unnest(string_split_regex(
+      |      trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) WHERE tok <> ''),
+      |sz AS (SELECT g, count(*) AS nv FROM v GROUP BY 1),
+      |i AS (
+      |  SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
+      |  FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT i.ga, i.gb, sa.nv AS na, sb.nv AS nb, i.n_inter,
+      |  round(CAST(i.n_inter AS DOUBLE) /
+      |    (sa.nv + sb.nv - i.n_inter), 6) AS jaccard
+      |FROM i JOIN sz sa ON sa.g = i.ga JOIN sz sb ON sb.g = i.gb
+      |ORDER BY i.ga, i.gb""".stripMargin
+
+  /** Sentence statistics ([[TextAnalysis.sentenceStats]]) over
+    * deterministically punctuated corpus text (every 5th word gains a
+    * period — both engines run the identical regexp rewrite), so the
+    * split/count/mean/max pipeline is exercised on real token
+    * content. */
+  def q165_sentences(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        regexp_replace(col("text"),
+          "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))
+    TextAnalysis.sentenceStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q165_sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, regexp_replace(text,
+      |    '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g') AS text
+      |  FROM documents WHERE doc_id < 300),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(
+      |      string_split_regex(text, '[.!?]+'), x -> trim(x)),
+      |      x -> x <> '') AS sents
+      |  FROM p),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_transform(sents, x -> len(list_filter(
+      |      string_split_regex(x, '\s+'), w -> w <> ''))) AS tc,
+      |    len(sents) AS nsent
+      |  FROM s)
+      |SELECT doc_id, CAST(nsent AS INT) AS n_sentences,
+      |  CAST(list_aggregate(tc, 'sum') AS INT) AS n_tokens,
+      |  round(CAST(list_aggregate(tc, 'sum') AS DOUBLE) / nsent, 6)
+      |    AS mean_sentence_tokens,
+      |  CAST(list_max(tc) AS INT) AS max_sentence_tokens
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Character-entropy cells ([[TextAnalysis.charEntropyCells]]):
+    * per (doc, char) the count, probability, and −p·log₂p term —
+    * per-cell rows, never a cross-row float sum (the q156
+    * convention); per-doc H is a downstream sum. */
+  def q166_char_entropy(spark: SparkSession, dir: String)
+      : DataFrame =
+    TextAnalysis.charEntropyCells(
+        docs(spark, dir).filter(col("doc_id") < 100),
+        "doc_id", "text")
+      .orderBy("doc_id", "ch")
+
+  val q166_sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]')) AS ch
+      |  FROM documents WHERE doc_id < 100),
+      |cells AS (
+      |  SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(n) AS t FROM cells GROUP BY 1)
+      |SELECT cells.doc_id, ch, n,
+      |  round(CAST(n AS DOUBLE) / t, 6) AS p,
+      |  round(0.0 - (CAST(n AS DOUBLE) / t)
+      |    * (ln(CAST(n AS DOUBLE) / t) / ln(2)), 6) AS entropy_term
+      |FROM cells JOIN tot ON tot.doc_id = cells.doc_id
+      |ORDER BY cells.doc_id, ch""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2900,7 +3106,13 @@ object PipelineQueries {
     "q156_mixture" -> (q156_mixture _),
     "q158_token_budget" -> (q158_token_budget _),
     "q159_jpeg_decode" -> (q159_jpeg_decode _),
-    "q160_bucketed_changeset" -> (q160_bucketed_changeset _))
+    "q160_bucketed_changeset" -> (q160_bucketed_changeset _),
+    "q161_script_mix" -> (q161_script_mix _),
+    "q162_nfc_normalize" -> (q162_nfc_normalize _),
+    "q163_luhn" -> (q163_luhn _),
+    "q164_vocab_overlap" -> (q164_vocab_overlap _),
+    "q165_sentences" -> (q165_sentences _),
+    "q166_char_entropy" -> (q166_char_entropy _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -2973,5 +3185,11 @@ object PipelineQueries {
     "q158_token_budget" -> q158_sql,
     "q159_jpeg_decode" -> q159_sql,
     // bucketed routing must return the identical snapshot
-    "q160_bucketed_changeset" -> q155_sql)
+    "q160_bucketed_changeset" -> q155_sql,
+    "q161_script_mix" -> q161_sql,
+    "q162_nfc_normalize" -> q162_sql,
+    "q163_luhn" -> q163_sql,
+    "q164_vocab_overlap" -> q164_sql,
+    "q165_sentences" -> q165_sql,
+    "q166_char_entropy" -> q166_sql)
 }

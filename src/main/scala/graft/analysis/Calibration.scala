@@ -1,0 +1,63 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier calibration — the reliability read behind every
+  * score-thresholded curation gate (quality classifiers, fastText-style
+  * filters, toxicity models): a model that says 0.9 should be right
+  * ~90% of the time, and when it isn't, every threshold chosen on its
+  * scores is miscalibrated too. Standard reliability-diagram binning
+  * (Guo et al. 2017, "On Calibration of Modern Neural Networks"):
+  * scores bucket into `bins` equal-width bins; per bin the mean
+  * confidence, the empirical positive rate, the |gap|, and the
+  * bin's ECE contribution (n_b/N)·|acc_b − conf_b| — Expected
+  * Calibration Error is the downstream sum of `ece_term`, kept
+  * per-bin so no cross-row float sum decides a gated value.
+  *
+  * Scale shape: ONE map-side-combined hash aggregate keyed on the bin
+  * index (≤ `bins` cells) + a one-row total; corpus rows never
+  * shuffle. Bin index = floor(score·bins) clamped so score = 1.0
+  * lands in the top bin, not a phantom bin `bins`.
+  */
+object Calibration {
+
+  /** Per-bin reliability rows: bin, lo/hi edges, n, mean_conf (6dp),
+    * frac_pos (6dp), gap (6dp), ece_term (6dp). `labelCol` must be
+    * 0/1; null scores/labels are excluded (they're a data-quality
+    * finding for a different operator, not a calibration sample). */
+  def reliabilityBins(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    // NaN is not null: floor(NaN·bins) casts to bin 0 with ANSI off
+    // and one NaN score would poison that bin's mean — exclude it
+    // like null (a model that emits NaN is a different finding)
+    val rows = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(
+        least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        s.as("s"), y.as("y"))
+    // ≤ `bins` cells: the persist is free and the total branch + the
+    // crossJoin both read it (the mixtureDiversity convention)
+    val cells = rows.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      sum(col("s")).as("__ssum"),
+      sum(col("y")).as("__ypos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cells.agg(sum("n").as("__t"))
+    cells.crossJoin(total)
+      .select(col("bin"),
+        round(col("bin").cast("double") / bins, 6).as("lo"),
+        round((col("bin") + 1).cast("double") / bins, 6).as("hi"),
+        col("n"),
+        round(col("__ssum") / col("n"), 6).as("mean_conf"),
+        round(col("__ypos").cast("double") / col("n"), 6)
+          .as("frac_pos"),
+        round(abs(col("__ypos").cast("double") / col("n") -
+          col("__ssum") / col("n")), 6).as("gap"),
+        round(col("n").cast("double") / col("__t") *
+          abs(col("__ypos").cast("double") / col("n") -
+            col("__ssum") / col("n")), 6).as("ece_term"))
+  }
+}

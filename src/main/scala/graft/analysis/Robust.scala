@@ -70,4 +70,62 @@ object Robust {
           when(abs(rz) > k, 1L).otherwise(0L)).as("outlier")): _*)
     (out, () => { base.unpersist(blocking = false); () })
   }
+
+  /** Per-group winsorization at [pLo, pHi] with percentile_disc
+    * semantics: the clamp bounds are always OBSERVED values (the
+    * smallest value whose cumulative fraction covers p — the
+    * [[Normalize.quantileNormalize]] ladder rule), so engines agree
+    * bit-for-bit and a clamped score is always a real data point —
+    * the heavy-tail taming pass quality scores get before averaging
+    * or mixing decisions. Output: keys…, v, lo, hi, v_wins.
+    *
+    * Scale shape: value cells collapse map-side per group (the
+    * ksDrift quantize-first contract bounds distinct values); the
+    * bounds ride per-group windows over CELLS and broadcast back onto
+    * the scan — corpus rows shuffle zero times. */
+  def winsorize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95)
+      : DataFrame =
+    winsorizeReleasable(df, groupCols, valueCol, pLo, pHi)._1
+
+  /** [[winsorize]] plus a release handle for the internal ladder
+    * cache — call after the consuming action. */
+  def winsorizeReleasable(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95)
+      : (DataFrame, () => Unit) = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      "need 0 <= pLo < pHi <= 1")
+    val keyCs = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(keyCs :+ v.as("cv"): _*)
+      .agg(count(lit(1)).as("cn"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCs: _*).orderBy(col("cv"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCs: _*)
+    // the ladder is cell-bounded and BOTH bounds read it: persist so
+    // the corpus aggregation runs once, not once per bound (the
+    // madOutliers multi-branch convention); released after the plan
+    // is wired — the bounds are broadcast-sized
+    val ladder = cells
+      .withColumn("__frac",
+        sum(col("cn")).over(wOrd).cast("double") /
+          sum(col("cn")).over(wAll))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bound(p: Double) = ladder.filter(col("__frac") >= p)
+      .groupBy(keyCs: _*).agg(min(col("cv")))
+    val lo = bound(pLo).toDF(groupCols :+ "lo": _*)
+    val hi = bound(pHi).toDF(groupCols :+ "hi": _*)
+    val out = df.filter(v.isNotNull)
+      .join(broadcast(lo), groupCols)
+      .join(broadcast(hi), groupCols)
+      .select(keyCs ++ Seq(v.as("v"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), v)).as("v_wins")): _*)
+    (out, () => { ladder.unpersist(blocking = false); () })
+  }
 }

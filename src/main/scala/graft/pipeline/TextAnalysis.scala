@@ -504,6 +504,240 @@ object TextAnalysis {
     (out, () => { cells.unpersist(blocking = false); () })
   }
 
+  // ------------------------------------------- script mix / normalization
+
+  /** Unicode-script ranges counted by [[scriptMix]] — the coarse
+    * blocks a multilingual-corpus audit actually routes on. Each is
+    * (name, negated character class): count = length after deleting
+    * every char NOT in the block, an expression both engines spell
+    * identically. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    ("latin", "[^A-Za-z\\u00C0-\\u024F]"),
+    ("cyrillic", "[^\\u0400-\\u04FF]"),
+    ("cjk", "[^\\u3040-\\u30FF\\u4E00-\\u9FFF\\uAC00-\\uD7AF]"),
+    ("arabic", "[^\\u0600-\\u06FF]"),
+    ("greek", "[^\\u0370-\\u03FF]"),
+    ("digit", "[^0-9]"))
+
+  /** Per-document script mix: for each [[ScriptRanges]] block the
+    * character count and 6dp fraction of non-space characters, plus
+    * `other` (everything unclassified). The routing signal a
+    * multilingual pipeline filters on BEFORE language-ID ("mixed-script
+    * spam", "wrong-script for claimed lang") — langId answers WHICH
+    * language, this answers IS IT EVEN ONE SCRIPT.
+    *
+    * Scale shape: pure per-row regexp_replace+length expressions —
+    * zero shuffle, rides the scan inside codegen. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val counts = ScriptRanges.map { case (name, neg) =>
+      (name, length(regexp_replace(t, neg, ""))) }
+    val classified = counts.map(_._2).reduce(_ + _)
+    val cols = counts.flatMap { case (name, c) =>
+      Seq(c.as(s"n_$name"),
+        round(when(nonSpace > 0, c.cast("double") / nonSpace)
+          .otherwise(lit(0.0)), 6).as(s"f_$name"))
+    }
+    df.select(col(idCol) +: nonSpace.as("n_chars_ns") +: cols :+
+      (nonSpace - classified).as("n_other"): _*)
+  }
+
+  /** NFC text normalization — the canonicalization pass a corpus gets
+    * before any hash-based dedup (decomposed "é" and precomposed
+    * "é" must hash identically): Unicode NFC (java.text.Normalizer —
+    * ships with the JVM), C0+C1 control-character strip (minus
+    * tab/newline/CR, which the subsequent collapse turns into single
+    * spaces), then whitespace collapse + trim. Strip runs BEFORE
+    * collapse so a control char between two spaces can't leave a
+    * double space in the "normalized" output. Output: id,
+    * `text_norm`, `changed` (1 when normalization moved anything),
+    * `len_before`/`len_after` (CODEPOINT counts — UTF-16 unit counts
+    * would disagree with every other engine on astral chars).
+    *
+    * Scale shape: one typed mapPartitions kernel (Normalizer.normalize
+    * is per-row JVM work, the MediaCodecs discipline) — no shuffle. */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    ds.mapPartitions(_.map { case (id, text) =>
+      if (text == null) (id, null: String, null: Option[Long],
+        null: Option[Long], null: Option[Long])
+      else {
+        val nfc = java.text.Normalizer.normalize(text,
+          java.text.Normalizer.Form.NFC)
+        val cleaned = nfc
+          .replaceAll(
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u009F]",
+            "")
+          .replaceAll("\\s+", " ")
+          .trim
+        (id, cleaned, Some(if (cleaned == text) 0L else 1L),
+          Some(text.codePointCount(0, text.length).toLong),
+          Some(cleaned.codePointCount(0, cleaned.length).toLong))
+      }
+    }).toDF(idCol, "text_norm", "changed", "len_before", "len_after")
+  }
+
+  // --------------------------------------------------- PII: Luhn numbers
+
+  /** Per-document payment-card detection with REAL validation: digit
+    * runs of 13–19 (the PAN length family) found by regexp, then the
+    * Luhn mod-10 checksum (ISO/IEC 7812) verified per candidate — the
+    * curation upgrade over [[scrubPii]]'s shape-only regexes, because
+    * a random 16-digit number is a false positive 9 times out of 10.
+    * Output: id, `n_candidates`, `n_luhn_valid`.
+    *
+    * The checksum is a pure HOF expression (aggregate over the
+    * reversed digit array — doubled evens fold as d*2 mod 9 with the
+    * 18→9 fixup), so the scan stays inside codegen: no UDF, and an
+    * oracle replays the identical arithmetic. */
+  def luhnScan(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit("[0-9]{13,19}"), lit(0))
+    // Luhn over one candidate string: sum over positions i (0-based
+    // from the RIGHT) of digit if i even else doubled-with-carry;
+    // doubled d folds to d*2 - 9 when d > 4
+    def luhnOk(s: Column): Column = {
+      // reversed string → digits right-to-left; position i pairs via
+      // zip_with against 0..len-1
+      val rts = split(reverse(s), "")
+      val total = aggregate(
+        zip_with(rts, sequence(lit(0), length(s) - 1),
+          (d, i) => {
+            val v = d.cast("int")
+            when(i % 2 === 0, v)
+              .otherwise(when(v > 4, v * 2 - 9).otherwise(v * 2))
+          }),
+        lit(0), (acc, x) => acc + x)
+      total % 10 === 0
+    }
+    // null text: explicit guard — with ANSI off, size(null) answers
+    // -1 and would deflate every downstream sum (the round-10 gotcha)
+    val ok = col(textCol).isNotNull
+    df.select(col(idCol),
+      when(ok, size(cands)).as("n_candidates"),
+      when(ok, size(filter(cands, c => luhnOk(c))))
+        .as("n_luhn_valid"))
+  }
+
+  // ------------------------------------------------------ sentence stats
+
+  /** Per-document sentence statistics: split on terminal-punctuation
+    * runs, drop empty fragments; count, whitespace-token total, mean
+    * tokens per sentence (6dp), and the longest sentence's token
+    * count. The structural quality facet repetition/readability don't
+    * carry: wall-of-text (one 400-token "sentence") and staccato spam
+    * both surface here. Pure per-row HOF expressions — zero shuffle. */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val tokCounts = transform(sents,
+      s => size(filter(split(s, "\\s+"), w => w =!= "")))
+    val nSent = size(sents)
+    val nTok = aggregate(tokCounts, lit(0), (a, x) => a + x)
+    val ok = col(textCol).isNotNull && nSent > 0
+    df.select(col(idCol),
+      when(ok, nSent).as("n_sentences"),
+      when(ok, nTok).as("n_tokens"),
+      when(ok, round(nTok.cast("double") / nSent, 6))
+        .as("mean_sentence_tokens"),
+      when(ok, array_max(tokCounts)).as("max_sentence_tokens"))
+  }
+
+  // -------------------------------------------------- character entropy
+
+  /** Per-(doc, char) entropy cells over non-space characters: count,
+    * 6dp probability, and the Shannon term −p·log2 p — the gibberish/
+    * encoding-garbage detector (natural text sits ~4–4.5 bits/char;
+    * base64 blobs and key-mash spam run higher, repeated-char padding
+    * lower). Cell rows, never a cross-row float sum (the
+    * [[mixtureDiversity]] convention): per-doc H = Σ entropy_term
+    * downstream.
+    *
+    * Scale shape: one explode + map-side-combined hash aggregate keyed
+    * (id, char) — bounded by alphabet size per doc, and the join back
+    * to per-doc totals carries cell rows only. */
+  def charEntropyCells(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    charEntropyCellsReleasable(df, idCol, textCol)._1
+
+  /** [[charEntropyCells]] plus a release handle for the internal cell
+    * cache (the totals branch and the join both read it — AQE
+    * exchange reuse is a maybe, the pin is a guarantee). */
+  def charEntropyCellsReleasable(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    val chars = df.select(col(idCol),
+      explode(filter(split(col(textCol), ""), c => c =!= " ")).as("ch"))
+    val cells = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col(idCol)).agg(sum("n").as("__t"))
+    val out = cells.join(totals, Seq(idCol))
+      .withColumn("__p", col("n").cast("double") / col("__t"))
+      .select(col(idCol), col("ch"), col("n"),
+        round(col("__p"), 6).as("p"),
+        round(lit(0.0) - col("__p") * log(2.0, col("__p")), 6)
+          .as("entropy_term"))
+    (out, () => { cells.unpersist(blocking = false); () })
+  }
+
+  // ------------------------------------------------ vocabulary overlap
+
+  /** Pairwise vocabulary Jaccard between groups (sources, languages,
+    * shards): for every unordered group pair, |V∩|/|V∪| over distinct
+    * whitespace tokens — the corpus-composition read behind "are these
+    * two sources the same crawl twice?" (near-1 overlap flags a
+    * source-level duplicate no doc-level dedup sees).
+    *
+    * Scale shape: the corpus collapses map-side to (group, token)
+    * vocabulary cells; the pair join is keyed ON THE TOKEN (vocabulary-
+    * bounded, never corpus rows), and group sizes broadcast back.
+    * Groups are FEW by nature (sources/langs); the output is at most
+    * #groups² / 2 rows — pairs sharing ZERO tokens emit no row
+    * (absence = zero overlap; materializing every pair would need a
+    * groups×groups cross join for rows that carry no signal). */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame =
+    vocabOverlapReleasable(df, groupCol, textCol)._1
+
+  /** [[vocabOverlap]] plus a release handle for the vocabulary cache
+    * (sizes + both self-join sides read it — the tokenize/explode/
+    * distinct over the corpus is the dominant cost and must not
+    * replay per branch). */
+  def vocabOverlapReleasable(df: DataFrame, groupCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    val vocab = df
+      .select(col(groupCol).cast("string").as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("ga"), col("b.g").as("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(broadcast(sizes.select(col("g").as("ga"),
+        col("nv").as("na"))), Seq("ga"))
+      .join(broadcast(sizes.select(col("g").as("gb"),
+        col("nv").as("nb"))), Seq("gb"))
+      .select(col("ga"), col("gb"), col("na"), col("nb"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+    (out, () => { vocab.unpersist(blocking = false); () })
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

@@ -25,4 +25,26 @@ class RobustSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("outlier"))))
     assert(c.forall(r => r.getDouble(r.fieldIndex("med")) == 5.0))
   }
+
+  test("winsorize: percentile_disc bounds are observed values, " +
+      "clamping is exact, and groups get independent bounds") {
+    val df = ((1 to 10).map(v => ("g1", v.toDouble)) ++
+      Seq(("g2", 100.0), ("g2", 200.0), ("g2", 300.0)))
+      .toDF("k", "x")
+    val out = Robust.winsorize(df, Seq("k"), "x", 0.1, 0.9)
+      .orderBy("k", "v").collect()
+    val g1 = out.filter(_.getString(0) == "g1")
+    // ladder over 1..10: frac(v) = v/10 → lo = 1 (first ≥ 0.1),
+    // hi = 9 (first ≥ 0.9); 10 clamps to 9
+    assert(g1.forall(r => r.getDouble(r.fieldIndex("lo")) == 1.0 &&
+      r.getDouble(r.fieldIndex("hi")) == 9.0))
+    assert(g1.last.getDouble(g1.last.fieldIndex("v_wins")) == 9.0)
+    assert(g1.map(_.getAs[Double]("v_wins")).sum == 54.0) // 45−10+9... 1..9 + 9
+    val g2 = out.filter(_.getString(0) == "g2")
+    // 3 values: fracs 1/3, 2/3, 1 → lo = 100, hi = 300
+    assert(g2.forall(r => r.getAs[Double]("lo") == 100.0 &&
+      r.getAs[Double]("hi") == 300.0))
+    assert(g2.map(_.getAs[Double]("v_wins")).toSeq ==
+      Seq(100.0, 200.0, 300.0))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-12 text operators: script mix, NFC normalization, Luhn card
+  * scan, sentence stats, character-entropy cells, vocabulary
+  * overlap. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scriptMix counts each Unicode block and fractions sum over " +
+      "classified chars; all-space text answers zero fractions") {
+    val df = Seq(
+      (1L, "abc де 中文 77 x"),     // 4 latin, 2 cyr, 2 cjk, 2 digit
+      (2L, "   "),
+      (3L, "αβγ")                    // greek only
+    ).toDF("id", "text")
+    val out = TextAnalysis.scriptMix(df, "id", "text")
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_chars_ns") == 10)
+    assert(r1.getAs[Int]("n_latin") == 4)
+    assert(r1.getAs[Int]("n_cyrillic") == 2)
+    assert(r1.getAs[Int]("n_cjk") == 2)
+    assert(r1.getAs[Int]("n_digit") == 2)
+    assert(r1.getAs[Int]("n_other") == 0)
+    assert(r1.getAs[Double]("f_latin") == 0.4)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_chars_ns") == 0 &&
+      r2.getAs[Double]("f_latin") == 0.0)
+    assert(out(2).getAs[Int]("n_greek") == 3)
+  }
+
+  test("normalizeText: NFC recomposes decomposed accents, whitespace " +
+      "collapses, control bytes strip, clean text reports unchanged, " +
+      "null text answers nulls") {
+    val df = Seq(
+      (1L, " café\t\t x "),
+      (2L, "already clean"),
+      (3L, null: String)).toDF("id", "text")
+    val out = TextAnalysis.normalizeText(df, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "café x")
+    assert(out(0).getLong(2) == 1L)
+    assert(out(0).getLong(3) == 12L && out(0).getLong(4) == 6L)
+    assert(out(1).getString(1) == "already clean" &&
+      out(1).getLong(2) == 0L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("luhnScan: checksum separates a valid PAN from its corrupted " +
+      "twin; short runs and non-digits are not candidates") {
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),       // valid (verified)
+      (2L, "pay 4532015112830367 now"),       // corrupt last digit
+      (3L, "order 12345 and 374245455400126"), // 5-digit run ignored
+      (4L, "no numbers at all")).toDF("id", "text")
+    val out = TextAnalysis.luhnScan(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 1, 1), (2L, 1, 0), (3L, 1, 1), (4L, 0, 0)))
+  }
+
+  test("sentenceStats: terminal-punctuation runs split, fragments " +
+      "drop, unpunctuated text is one sentence, mean/max are exact") {
+    val df = Seq(
+      (1L, "one two three. four five! six?? "),
+      (2L, "just four words here"),
+      (3L, "...")).toDF("id", "text")
+    val out = TextAnalysis.sentenceStats(df, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 3 && out(0).getInt(2) == 6)
+    assert(out(0).getDouble(3) == 2.0 && out(0).getInt(4) == 3)
+    assert(out(1).getInt(1) == 1 && out(1).getInt(4) == 4)
+    assert(out(2).isNullAt(1)) // punctuation-only: zero sentences
+  }
+
+  test("charEntropyCells: four equally frequent chars give p=0.25 " +
+      "and terms summing to 2 bits; spaces never form cells") {
+    val df = Seq((1L, "ab cd ab cd")).toDF("id", "text")
+    val out = TextAnalysis.charEntropyCells(df, "id", "text")
+      .orderBy("ch").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("p") == 0.25))
+    assert(math.abs(out.map(_.getAs[Double]("entropy_term")).sum
+      - 2.0) < 1e-9)
+  }
+
+  test("vocabOverlap: identical vocabularies give jaccard 1, partial " +
+      "overlap is exact, disjoint pairs emit no row") {
+    val df = Seq(
+      ("s1", "alpha beta gamma"),
+      ("s2", "alpha beta gamma"),
+      ("s3", "alpha delta"),
+      ("s4", "zzz qqq")).toDF("src", "text")
+    val out = TextAnalysis.vocabOverlap(df, "src", "text")
+      .orderBy("ga", "gb")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.contains(("s1", "s2", 3L, 3L, 3L, 1.0)))
+    assert(out.contains(("s1", "s3", 3L, 2L, 1L, 0.25)))
+    // s4 shares nothing: absent from every pair row
+    assert(!out.exists(r => r._1 == "s4" || r._2 == "s4"))
+  }
+}
