@@ -3035,6 +3035,136 @@ object PipelineQueries {
       |FROM cells JOIN tot ON tot.doc_id = cells.doc_id
       |ORDER BY cells.doc_id, ch""".stripMargin
 
+  /** OOV rate ([[TextAnalysis.oovRate]]): every-5th-doc "new batch"
+    * against the remaining corpus as reference vocabulary — the
+    * incremental-crawl vocabulary-drift read. */
+  def q170_oov_rate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.oovRate(
+        d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q170_sql: String =
+    """WITH ref AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |      AS tok
+      |    FROM documents WHERE doc_id % 5 <> 0) WHERE tok <> ''),
+      |bt AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(
+      |      trim(lower(text)), '\s+')) AS tok
+      |    FROM documents WHERE doc_id % 5 = 0) WHERE tok <> ''),
+      |a AS (
+      |  SELECT bt.doc_id, count(*) AS n_tokens,
+      |    sum(CASE WHEN r.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM bt LEFT JOIN ref r ON r.tok = bt.tok GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Int8 embedding quantization audit ([[Embeddings
+    * .quantizeInt8Stats]]): per-vector symmetric scale + max
+    * reconstruction error — floor(+0.5) rounding and an
+    * order-independent max keep it engine-exact. */
+  def q171_embed_int8(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Embeddings.quantizeInt8Stats(
+        // empty arrays excluded on BOTH sides: the oracle's unnest
+        // yields no rows for them, the Spark side would emit one
+        embs(spark, dir).filter(col("embedding").isNotNull &&
+          size(col("embedding")) > 0),
+        "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  val q171_sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      |m AS (
+      |  SELECT vec_id, max(abs(x)) AS mx, count(*) AS nd
+      |  FROM e GROUP BY 1),
+      |er AS (
+      |  SELECT e.vec_id,
+      |    abs(x - floor(x / (mx / 127.0) + 0.5) * (mx / 127.0)) AS d
+      |  FROM e JOIN m ON m.vec_id = e.vec_id)
+      |SELECT m.vec_id, CAST(nd AS INT) AS n_dims,
+      |  round(mx / 127.0, 6) AS scale,
+      |  CASE WHEN mx = 0 THEN 0.0 ELSE
+      |    round((SELECT max(d) FROM er WHERE er.vec_id = m.vec_id), 6)
+      |  END AS max_abs_err
+      |FROM m ORDER BY m.vec_id""".stripMargin
+
+  /** Deterministic keyword extraction ([[TextAnalysis.topTerms]]):
+    * top-3 terms per doc by the integer-only (tf desc, df asc, term)
+    * rank — no float comparison can flip a rank across engines. */
+  def q172_keywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val q172_sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split_regex(
+      |      trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |r AS (
+      |  SELECT doc_id, term, tf, df,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf DESC, df ASC, term ASC) AS rank
+      |  FROM tf JOIN dft USING (term))
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  round(CAST(tf AS DOUBLE)
+      |    * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+      |FROM r CROSS JOIN n WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** Multi-benchmark contamination attribution ([[Curation
+    * .contaminationByBench]]): two synthesized eval sets drawn from
+    * the corpus itself; hits group by (doc, benchmark). */
+  def q173_multibench(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bench = d.filter(col("doc_id") % 17 === 0)
+      .select(lit("evalA").as("bench"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 23 === 0)
+        .select(lit("evalB").as("bench"), col("text")))
+    Curation.contaminationByBench(d, "doc_id", "text", bench,
+        "bench", "text")
+      .orderBy("doc_id", "benchmark")
+  }
+
+  val q173_sql: String =
+    """WITH bench AS (
+      |  SELECT 'evalA' AS benchmark, text FROM documents
+      |  WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT 'evalB', text FROM documents WHERE doc_id % 23 = 0),
+      |bg AS (
+      |  SELECT DISTINCT benchmark, g FROM (
+      |    SELECT benchmark, unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(tk) - 12, 0)),
+      |      i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |    FROM (SELECT benchmark,
+      |            string_split_regex(trim(lower(text)), '\s+') AS tk
+      |          FROM bench))),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk) - 12, 0)),
+      |    i -> array_to_string(tk[i:i+12], ' ')))) AS g
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS tk
+      |        FROM documents))
+      |SELECT doc_id, benchmark, count(*) AS n_hits
+      |FROM dg JOIN bg USING (g)
+      |GROUP BY 1, 2 ORDER BY doc_id, benchmark""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3112,7 +3242,11 @@ object PipelineQueries {
     "q163_luhn" -> (q163_luhn _),
     "q164_vocab_overlap" -> (q164_vocab_overlap _),
     "q165_sentences" -> (q165_sentences _),
-    "q166_char_entropy" -> (q166_char_entropy _))
+    "q166_char_entropy" -> (q166_char_entropy _),
+    "q170_oov_rate" -> (q170_oov_rate _),
+    "q171_embed_int8" -> (q171_embed_int8 _),
+    "q172_keywords" -> (q172_keywords _),
+    "q173_multibench" -> (q173_multibench _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3191,5 +3325,9 @@ object PipelineQueries {
     "q163_luhn" -> q163_sql,
     "q164_vocab_overlap" -> q164_sql,
     "q165_sentences" -> q165_sql,
-    "q166_char_entropy" -> q166_sql)
+    "q166_char_entropy" -> q166_sql,
+    "q170_oov_rate" -> q170_sql,
+    "q171_embed_int8" -> q171_sql,
+    "q172_keywords" -> q172_sql,
+    "q173_multibench" -> q173_sql)
 }

@@ -107,6 +107,32 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-(doc, benchmark) contamination attribution: like
+    * [[contaminationHits]] but the benchmark frame carries a NAME
+    * column and hits group by (doc, benchmark) — the report a real
+    * eval-suite sweep needs ("which doc leaks WHICH benchmark"), since
+    * the remediation differs (drop the doc vs renormalize one eval).
+    * A gram shared by several benchmarks counts toward each — the
+    * attribution semantics, deliberately different from the merged
+    * sweep's distinct-gram count.
+    *
+    * Scale shape: identical to [[contaminationHits]] — the (name,
+    * gram) set is benchmark-sized and broadcasts; the corpus's
+    * distinct-gram frame joins it gram-keyed and re-aggregates.
+    * One extra output dimension, zero extra corpus passes. */
+  def contaminationByBench(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchNameCol: String,
+      benchTextCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = broadcast(
+      bench.select(col(benchNameCol).as("benchmark"),
+          explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
+        .distinct())
+    distinctGramFrame(docs, idCol, textCol, n)
+      .join(benchGrams, Seq("__g"))
+      .groupBy(col(idCol), col("benchmark"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The corpus with every contaminated document removed — the frame a
     * training pipeline feeds downstream after an eval-set sweep. */
   def decontaminated(docs: DataFrame, idCol: String, textCol: String,

@@ -28,6 +28,35 @@ object Embeddings {
     * HOF-lambda cost this module's scan otherwise pays per row). */
   private def l2(v: Column): Column = Similarity.norm(v)
 
+  /** Symmetric per-vector int8 quantization audit — the storage move
+    * that shrinks an embedding corpus 4× before ANN indexing: per
+    * vector, scale = max|x|/127, code q_i = ⌊x_i/scale + 0.5⌋
+    * (floor(+0.5) instead of round() — Spark's decimal-string HALF_UP
+    * and a row-engine's binary round disagree on ties; floor never
+    * does), and the reconstruction audit fields: `scale` (6dp),
+    * `max_abs_err` = max_i |x_i − q_i·scale| (6dp — an
+    * order-INDEPENDENT max, never a float sum) and `n_dims`. The
+    * all-zero vector quantizes to scale 0 / error 0 rather than a
+    * division blow-up.
+    *
+    * Scale shape: pure per-row HOF expressions — zero shuffle, rides
+    * the scan. The codes themselves are `transform(...)` of the same
+    * arithmetic when a caller wants them; the audit frame is what
+    * gates. */
+  def quantizeInt8Stats(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = mx / lit(127.0)
+    val err = transform(v, x =>
+      abs(x - floor(x / scale + lit(0.5)) * scale))
+    df.select(col(idCol),
+      size(col(vecCol)).as("n_dims"),
+      round(scale, 6).as("scale"),
+      when(mx === 0.0, lit(0.0))
+        .otherwise(round(array_max(err), 6)).as("max_abs_err"))
+  }
+
   /** Per-group embedding health: vector counts, null / NaN-bearing /
     * zero-norm / wrong-dimension counts, and the norm distribution
     * (min / max / median, 6dp — order-independent stats only). One

@@ -738,6 +738,119 @@ object TextAnalysis {
     (out, () => { vocab.unpersist(blocking = false); () })
   }
 
+  // ------------------------------------------------------------ OOV rate
+
+  /** Out-of-vocabulary rate of a batch against a reference corpus —
+    * the incremental-crawl drift read ("how much of this new crawl is
+    * vocabulary the training corpus has never seen?"): per batch doc,
+    * the token count, the count NOT in the reference's distinct-token
+    * vocabulary, and the 6dp rate. Complements [[vocabOverlap]]
+    * (group×group) with a doc-granular batch×corpus read.
+    *
+    * Scale shape: the reference collapses map-side to a distinct-token
+    * vocabulary; batch tokens join it TOKEN-KEYED (vocab-bounded),
+    * then re-aggregate per doc — document text never shuffles. */
+  def oovRate(batch: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val vocab = reference
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .withColumn("__known", lit(1))
+    val toks = batch.select(col(idCol),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  // ----------------------------------------------- keyword extraction
+
+  /** Deterministic top-k keyword extraction per document: terms
+    * ranked by (tf desc, df asc, term asc) — an INTEGER-ONLY sort
+    * key, so no float comparison can ULP-flip a rank across engines
+    * or partitionings; the reported `tfidf` (tf·ln(N/df), 6dp) is a
+    * single deterministic expression, display not ranking. The
+    * "what is this document about" facet for corpus browsing and
+    * topic-mix audits.
+    *
+    * Scale shape: (id, term) tf cells + a term-keyed df join
+    * (vocab-bounded); the per-doc rank window partitions on the id —
+    * bounded by the doc's own vocabulary, never a hot key. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    // N arrives as a broadcast one-row cross join, never a collected
+    // scalar (the hashedTfIdf convention — a driver-side count() would
+    // scan the corpus twice and make the operator eager)
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfT, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        col("df"),
+        round(col("tf").cast("double") *
+          log(col("__n") / col("df")), 6).as("tfidf"))
+  }
+
+  // ------------------------------------------- compression-ratio signal
+
+  /** Per-document DEFLATE compression ratio (compressed/raw bytes) —
+    * the classic one-number gibberish/repetition detector (used by
+    * Gopher-era pipelines): natural prose sits ~0.3–0.5, repeated
+    * spam compresses far below, random/encrypted blobs stay ≈ 1.
+    * Deliberately NOT oracle-gated: deflate output length is
+    * zlib-implementation-specific, so no cross-engine oracle can
+    * replay it — the spec pins determinism and the
+    * repetitive < prose < random ordering instead.
+    *
+    * Scale shape: one typed mapPartitions kernel with one reused
+    * Deflater per partition — per-row JVM work, zero shuffle. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    ds.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](8192)
+      it.map { case (id, text) =>
+        if (text == null || text.isEmpty)
+          (id, null: Option[Long], null: Option[Long],
+            null: Option[Double])
+        else {
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var total = 0L
+          while (!deflater.finished())
+            total += deflater.deflate(buf)
+          (id, Some(raw.length.toLong), Some(total),
+            Some(math.rint(total.toDouble / raw.length * 1e6) / 1e6))
+        }
+        // release the native zlib buffers when the partition drains —
+        // finalization-only cleanup accumulates off-heap on long-lived
+        // executors
+      } ++ { deflater.end(); Iterator.empty }
+    }.toDF(idCol, "raw_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   /** Per-document analysis frame: id, lang, token counts, facets, score. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val facets = qualityFacets(col(textCol))

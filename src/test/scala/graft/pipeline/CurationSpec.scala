@@ -40,6 +40,24 @@ class CurationSpec extends SparkSpec {
     assert(hits == Map(1L -> 4L))
   }
 
+  test("contaminationByBench attributes hits per benchmark; a gram " +
+      "shared by two benchmarks counts toward each") {
+    val docs = Seq(
+      (1L, "one two three four five"),      // inside both benches
+      (2L, "alpha beta gamma delta"),       // inside evalB only
+      (3L, "clean unrelated words entirely")).toDF("doc_id", "text")
+    val bench = Seq(
+      ("evalA", "one two three four five six"),
+      ("evalB", "one two three four five"),
+      ("evalB", "alpha beta gamma delta epsilon")).toDF("b", "t")
+    val out = Curation.contaminationByBench(docs, "doc_id", "text",
+        bench, "b", "t", n = 4)
+      .orderBy("doc_id", "benchmark")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "evalA", 2L), (1L, "evalB", 2L),
+      (2L, "evalB", 1L)))
+  }
+
   test("decontaminated removes flagged docs only") {
     val docs = Seq(
       (1L, "one two three four five"),

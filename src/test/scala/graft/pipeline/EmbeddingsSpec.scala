@@ -68,4 +68,29 @@ class EmbeddingsSpec extends SparkSpec {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.3 && mean < 3.0, s"JL scale ratio $mean")
   }
+
+  test("quantizeInt8Stats: scale = max|x|/127, the error bound is " +
+      "half a quantization step, and the zero vector is exact") {
+    val df = Seq(
+      (1L, Array(127.0f, -127.0f, 63.5f)),  // scale 1: codes exact-ish
+      (2L, Array(0.0f, 0.0f)),              // zero vector
+      (3L, Array(1.0f))                      // single dim: code 127
+    ).toDF("id", "vec")
+    val out = Embeddings.quantizeInt8Stats(df, "id", "vec")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("scale") == 1.0)
+    assert(out(0).getAs[Int]("n_dims") == 3)
+    // max error ≤ scale/2 (63.5 rounds to 64 → err 0.5)
+    assert(out(0).getAs[Double]("max_abs_err") == 0.5)
+    assert(out(1).getAs[Double]("scale") == 0.0 &&
+      out(1).getAs[Double]("max_abs_err") == 0.0)
+    // 1.0/scale = 127 exactly → zero reconstruction error
+    assert(out(2).getAs[Double]("max_abs_err") == 0.0)
+    // general bound on real-ish values: err ≤ scale/2 + rounding dust
+    val v = (1 to 16).map(i => (i * 0.37f - 3.0f)).toArray
+    val r = Embeddings.quantizeInt8Stats(
+      Seq((9L, v)).toDF("id", "vec"), "id", "vec").collect().head
+    assert(r.getAs[Double]("max_abs_err") <=
+      r.getAs[Double]("scale") / 2 + 1e-6)
+  }
 }

@@ -103,4 +103,54 @@ class TextOpsSpec extends SparkSpec {
     // s4 shares nothing: absent from every pair row
     assert(!out.exists(r => r._1 == "s4" || r._2 == "s4"))
   }
+
+  test("oovRate: tokens absent from the reference vocabulary count " +
+      "as OOV, known tokens don't, rates are exact") {
+    val ref = Seq(("r", "alpha beta gamma")).toDF("id", "text")
+    val batch = Seq(
+      (1L, "alpha beta zzz qqq"),   // 2 of 4 OOV
+      (2L, "alpha beta gamma"),     // all known
+      (3L, "novel words only")      // all OOV
+    ).toDF("id", "text")
+    val out = TextAnalysis.oovRate(batch, ref, "id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 3L, 0L, 0.0),
+      (3L, 3L, 3L, 1.0)))
+  }
+
+  test("topTerms ranks by the integer-only (tf desc, df asc, term) " +
+      "key — rarer terms win tf ties — and caps at k") {
+    val df = Seq(
+      (1L, "apple apple banana cherry"),  // tf: apple 2; b/c tie at 1
+      (2L, "banana banana banana date")   // banana df=2, cherry df=1
+    ).toDF("id", "text")
+    val out = TextAnalysis.topTerms(df, "id", "text", k = 2)
+      .orderBy("id", "rank")
+      .select("id", "rank", "term")
+      .as[(Long, Int, String)].collect().toSeq
+    // doc 1: apple (tf 2) first; then cherry beats banana on df
+    // (cherry df=1 < banana df=2) despite the tf tie
+    assert(out == Seq((1L, 1, "apple"), (1L, 2, "cherry"),
+      (2L, 1, "banana"), (2L, 2, "date")))
+  }
+
+  test("compressionRatio: repetitive text compresses far below " +
+      "prose, random-ish text compresses worst, deterministic " +
+      "across calls, null/empty answer nulls") {
+    val rep = ("spam " * 200).trim
+    val prose = (1 to 100).map(i => s"word$i item$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, prose), (3L, null: String),
+      (4L, "")).toDF("id", "text")
+    val out = TextAnalysis.compressionRatio(df, "id", "text")
+      .orderBy("id").collect()
+    val r1 = out(0).getAs[Double]("compression_ratio")
+    val r2 = out(1).getAs[Double]("compression_ratio")
+    assert(r1 < 0.05 && r1 < r2 && r2 < 1.0)
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+    val again = TextAnalysis.compressionRatio(df, "id", "text")
+      .orderBy("id").collect()
+    assert(again(0).getAs[Double]("compression_ratio") == r1)
+    assert(out(0).getAs[Long]("raw_bytes") == rep.length.toLong)
+  }
 }
