@@ -3165,6 +3165,90 @@ object PipelineQueries {
       |FROM dg JOIN bg USING (g)
       |GROUP BY 1, 2 ORDER BY doc_id, benchmark""".stripMargin
 
+  /** Per-language length percentile rank ([[Curation
+    * .percentileRank]]): the cell-ladder spelling whose definition
+    * matches SQL's percent_rank/cume_dist exactly — so the oracle IS
+    * the window spelling, while the engine never runs a hot-key
+    * per-group row window. */
+  def q174_length_rank(spark: SparkSession, dir: String): DataFrame =
+    Curation.percentileRank(
+        docs(spark, dir).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("double").as("v"),
+        col("pct_rank"), col("cume_dist"))
+      .orderBy("doc_id")
+
+  val q174_sql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v,
+      |  round(percent_rank() OVER
+      |    (PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank,
+      |  round(cume_dist() OVER
+      |    (PARTITION BY lang ORDER BY n_chars), 6) AS cume_dist
+      |FROM documents WHERE n_chars IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-source hapax ratio ([[TextAnalysis.hapaxRatio]]): lexical
+    * diversity over (source, token) cells — exact longs until one
+    * division. */
+  def q175_hapax(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hapaxRatio(docs(spark, dir), "source", "text")
+      .orderBy("g")
+
+  val q175_sql: String =
+    """WITH c AS (
+      |  SELECT source AS g, tok, count(*) AS n FROM (
+      |    SELECT source, unnest(string_split_regex(
+      |      trim(lower(text)), '\s+')) AS tok
+      |    FROM documents) WHERE tok <> '' GROUP BY 1, 2)
+      |SELECT g, CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(n) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hapax,
+      |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS hapax_ratio
+      |FROM c GROUP BY g ORDER BY g""".stripMargin
+
+  /** Cross-split leakage audit ([[Curation.splitLeakage]] ∘
+    * [[Curation.assignSplits]]): every 11th doc gains an exact
+    * content twin under a different id — ids hash to different
+    * splits, so the duplicated CONTENT must surface as leakage. */
+  def q176_split_leakage(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val withDups = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val split = Curation.assignSplits(withDups, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+      salt = "s12")
+    Curation.splitLeakage(split, "doc_id", "text", "split")
+      .orderBy("content_md5")
+  }
+
+  val q176_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id % 11 = 0),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's12'),
+      |      1, 8) < 'e6666666' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's12'),
+      |      1, 8) < 'f3333333' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM d),
+      |g AS (
+      |  SELECT md5(text) AS content_md5, count(*) AS n_copies,
+      |    count(DISTINCT split) AS n_splits,
+      |    min(doc_id) AS min_id
+      |  FROM s GROUP BY 1)
+      |SELECT content_md5, CAST(n_copies AS BIGINT) AS n_copies,
+      |  CAST(n_splits AS BIGINT) AS n_splits,
+      |  CAST(min_id AS BIGINT) AS min_id
+      |FROM g WHERE n_splits > 1 ORDER BY content_md5""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3246,7 +3330,10 @@ object PipelineQueries {
     "q170_oov_rate" -> (q170_oov_rate _),
     "q171_embed_int8" -> (q171_embed_int8 _),
     "q172_keywords" -> (q172_keywords _),
-    "q173_multibench" -> (q173_multibench _))
+    "q173_multibench" -> (q173_multibench _),
+    "q174_length_rank" -> (q174_length_rank _),
+    "q175_hapax" -> (q175_hapax _),
+    "q176_split_leakage" -> (q176_split_leakage _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3329,5 +3416,8 @@ object PipelineQueries {
     "q170_oov_rate" -> q170_sql,
     "q171_embed_int8" -> q171_sql,
     "q172_keywords" -> q172_sql,
-    "q173_multibench" -> q173_sql)
+    "q173_multibench" -> q173_sql,
+    "q174_length_rank" -> q174_sql,
+    "q175_hapax" -> q175_sql,
+    "q176_split_leakage" -> q176_sql)
 }

@@ -788,6 +788,84 @@ object Curation {
     df.withColumn(outCol, assigned)
   }
 
+  /** Per-group percentile rank and cumulative distribution of a value
+    * column — the "keep the top X% by quality score within each
+    * language" curation filter, computed WITHOUT a per-group row
+    * window: `percent_rank()` over a raw corpus partitions one task
+    * per group (languages are few and hot — the classic hot-key
+    * window), so the ranks here derive from the winsorize cell
+    * ladder instead and broadcast back onto the scan. Definitions
+    * match SQL exactly — pct_rank = (rank−1)/(n−1) with rank =
+    * 1 + count(values strictly below), cume_dist = count(≤ v)/n —
+    * so an engine's window spelling is a valid oracle.
+    *
+    * Scale shape: distinct-value cells per group (quantize first on
+    * continuous scores — the ksDrift contract), two cell windows, one
+    * broadcast join; corpus rows shuffle zero times. Null values are
+    * excluded. A single-row group answers pct_rank 0. */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val keyCs = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val cells = df.filter(v.isNotNull)
+      .groupBy(keyCs :+ v.as("__cv"): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCs: _*).orderBy(col("__cv"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCs: _*)
+    val ladder = cells
+      .withColumn("__cum", sum(col("__cn")).over(wOrd))
+      .withColumn("__tot", sum(col("__cn")).over(wAll))
+      .select(keyCs.zipWithIndex.map { case (c, i) =>
+        c.as(s"__k$i") } ++ Seq(col("__cv"),
+        when(col("__tot") === 1, lit(0.0))
+          .otherwise(round((col("__cum") - col("__cn"))
+            .cast("double") / (col("__tot") - 1), 6)).as("pct_rank"),
+        round(col("__cum").cast("double") / col("__tot"), 6)
+          .as("cume_dist")): _*)
+    // null-safe key equality: a NULL group is its own partition (the
+    // q156 convention — SQL's PARTITION BY keeps it too); a plain
+    // equi-join would silently drop every null-keyed row
+    val base = df.filter(v.isNotNull).withColumn("__v", v)
+    val cond = groupCols.zipWithIndex.map { case (k, i) =>
+      base(k) <=> ladder(s"__k$i") }
+      .reduce(_ && _) && (base("__v") === ladder("__cv"))
+    base.join(broadcast(ladder), cond)
+      .drop("__v" +: "__cv" +:
+        groupCols.indices.map(i => s"__k$i"): _*)
+  }
+
+  /** Cross-split contamination check — the pipeline-integrity audit
+    * that composes [[assignSplits]] with exact dedup: any EXACT
+    * duplicate group (md5 of the normalized text) spanning more than
+    * one split is train/test leakage the split assignment cannot see
+    * (splits hash the ID; duplicates differ in id, not content).
+    * Returns one row per leaking content group: the content hash,
+    * total copies, distinct splits touched, and the smallest id for
+    * triage. Empty result = clean splits.
+    *
+    * Scale shape: one hash aggregate keyed on (content md5) over
+    * (hash, split, id) rows — text collapses to its digest map-side;
+    * no join, no window. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String): DataFrame =
+    // null text is NOT duplicate content: md5(null) would collapse
+    // every null-text doc into one phantom "leaking" group
+    df.filter(col(textCol).isNotNull)
+      .select(md5(col(textCol).cast("string")).as("content_md5"),
+        col(splitCol).cast("string").as("split"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("split")).as("n_splits"),
+        min(col("__id")).as("min_id"))
+      .filter(col("n_splits") > 1)
+
   // --------------------------------------------------- C4 page cleaning
 
   /** The six boilerplate-notice substrings C4 strips at the line level

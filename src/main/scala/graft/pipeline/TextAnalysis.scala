@@ -807,6 +807,34 @@ object TextAnalysis {
           log(col("__n") / col("df")), 6).as("tfidf"))
   }
 
+  // ----------------------------------------------------- hapax ratio
+
+  /** Per-group hapax legomena ratio: the fraction of the group's
+    * vocabulary seen exactly once, plus vocab size and token total —
+    * the lexical-diversity/quality read (templated spam has almost no
+    * hapaxes; OCR garbage is almost all hapaxes; natural prose sits
+    * in between, and a SHIFT in a source's hapax ratio between crawls
+    * is a pipeline regression signal).
+    *
+    * Scale shape: (group, token) count cells collapse map-side; the
+    * ratio is one re-aggregate over cells — corpus rows shuffle zero
+    * times, exact longs until one division. */
+  def hapaxRatio(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val cells = df.select(col(groupCol).cast("string").as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("g"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("g"), col("vocab"), col("n_tokens"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_ratio"))
+  }
+
   // ------------------------------------------- compression-ratio signal
 
   /** Per-document DEFLATE compression ratio (compressed/raw bytes) —
@@ -818,8 +846,15 @@ object TextAnalysis {
     * replay it — the spec pins determinism and the
     * repetitive < prose < random ordering instead.
     *
+    * Ids must be integral (the kernel casts to long — the
+    * contaminationHits contract); wrap arbitrary keys with
+    * Dedup.longIds first.
+    *
     * Scale shape: one typed mapPartitions kernel with one reused
-    * Deflater per partition — per-row JVM work, zero shuffle. */
+    * Deflater per partition — per-row JVM work, zero shuffle; the
+    * native zlib buffers release on task completion (limit()/take()
+    * can abandon a partition iterator mid-stream, so an
+    * end-of-iterator hook alone would leak). */
   def compressionRatio(df: DataFrame, idCol: String, textCol: String,
       level: Int = 6): DataFrame = {
     val spark = df.sparkSession
@@ -828,6 +863,8 @@ object TextAnalysis {
       .as[(Long, String)]
     ds.mapPartitions { it =>
       val deflater = new java.util.zip.Deflater(level)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](8192)
       it.map { case (id, text) =>
         if (text == null || text.isEmpty)
@@ -844,10 +881,7 @@ object TextAnalysis {
           (id, Some(raw.length.toLong), Some(total),
             Some(math.rint(total.toDouble / raw.length * 1e6) / 1e6))
         }
-        // release the native zlib buffers when the partition drains —
-        // finalization-only cleanup accumulates off-heap on long-lived
-        // executors
-      } ++ { deflater.end(); Iterator.empty }
+      }
     }.toDF(idCol, "raw_bytes", "deflate_bytes", "compression_ratio")
   }
 

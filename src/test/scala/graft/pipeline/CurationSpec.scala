@@ -58,6 +58,37 @@ class CurationSpec extends SparkSpec {
       (2L, "evalB", 1L)))
   }
 
+  test("percentileRank matches SQL percent_rank/cume_dist semantics " +
+      "from the cell ladder: ties share ranks, groups independent, " +
+      "single-row group answers 0") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0), ("b", 5L, 7.0))
+      .toDF("g", "id", "v")
+    val out = Curation.percentileRank(df, Seq("g"), "v")
+      .orderBy("id")
+      .select("id", "pct_rank", "cume_dist")
+      .as[(Long, Double, Double)].collect().toSeq
+    // group a (n=4): v=10 rank 1 → 0; the 20-tie rank 2 → 1/3;
+    // v=30 rank 4 → 1. cume: 0.25, 0.75, 0.75, 1.0
+    assert(out == Seq((1L, 0.0, 0.25), (2L, 0.333333, 0.75),
+      (3L, 0.333333, 0.75), (4L, 1.0, 1.0), (5L, 0.0, 1.0)))
+  }
+
+  test("splitLeakage surfaces exact-duplicate content spanning " +
+      "splits and stays silent on clean assignments") {
+    val df = Seq(
+      (1L, "same text", "train"), (2L, "same text", "test"), // leak
+      (3L, "dup inside one split", "train"),
+      (4L, "dup inside one split", "train"),                  // no leak
+      (5L, "unique", "val")).toDF("id", "text", "split")
+    val out = Curation.splitLeakage(df, "id", "text", "split")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_copies") == 2L &&
+      out.head.getAs[Long]("n_splits") == 2L &&
+      out.head.getAs[Long]("min_id") == 1L)
+  }
+
   test("decontaminated removes flagged docs only") {
     val docs = Seq(
       (1L, "one two three four five"),

@@ -135,6 +135,19 @@ class TextOpsSpec extends SparkSpec {
       (2L, 1, "banana"), (2L, 2, "date")))
   }
 
+  test("hapaxRatio: once-seen vocabulary fraction is exact per " +
+      "group; templated text scores low, all-unique text scores 1") {
+    val df = Seq(
+      ("tpl", "spam spam spam ham ham eggs"),  // hapax: eggs → 1/3
+      ("uni", "all words here differ")          // 4/4
+    ).toDF("src", "text")
+    val out = TextAnalysis.hapaxRatio(df, "src", "text")
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("tpl", 3L, 6L, 1L, 0.333333),
+      ("uni", 4L, 4L, 4L, 1.0)))
+  }
+
   test("compressionRatio: repetitive text compresses far below " +
       "prose, random-ish text compresses worst, deterministic " +
       "across calls, null/empty answer nulls") {
