@@ -11,7 +11,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Live streaming sessions behind the HTTP face — the end-to-end
   * lifecycle a real user reaches streaming through: START an operator
-  * (EWMA control chart / SpaceSaving heavy hitters / live tail),
+  * (EWMA control chart / SpaceSaving heavy hitters / categorical
+  * drift vs a pinned reference / live tail),
   * FEED events, POLL emitted windows, STOP. Each session owns a
   * push-source (`MemoryStream`) feeding the operator's
   * `flatMapGroupsWithState` plan into a per-session in-memory sink
@@ -47,7 +48,7 @@ final class StreamService(spark: SparkSession) {
       .map(h => (h.id, h.op, h.query.isActive))
   }
 
-  /** Start a streaming operator. `op` ∈ ewma | heavy_hitters | tail;
+  /** Start a streaming operator. `op` ∈ ewma | heavy_hitters | drift | tail;
     * `params` are the operator's knobs (stringly here — this is the
     * HTTP boundary), missing keys take the documented defaults. */
   def start(op: String, params: Map[String, String]): String =
@@ -78,6 +79,22 @@ final class StreamService(spark: SparkSession) {
             capacity = pl("capacity", 1024L).toInt,
             k = pl("k", 10L).toInt,
             latenessSeconds = pl("lateness", 0L)).toDF()
+        case "drift" =>
+          // categorical drift vs a pinned reference histogram —
+          // `ref` param spells it "cat:count,cat:count"
+          val ref = params.getOrElse("ref", throw
+            new IllegalArgumentException(
+              "drift needs a ref param: \"cat:count,cat:count\""))
+            .split(",").map { kv =>
+              val i = kv.lastIndexOf(':')
+              if (i <= 0) throw new IllegalArgumentException(
+                s"bad ref entry '$kv' (want cat:count)")
+              (kv.substring(0, i), kv.substring(i + 1).trim.toLong)
+            }.toMap
+          DriftStream.categoricalDrift(src, "ts", "key", ref,
+            windowSeconds = pl("window", 60L),
+            smooth = p("smooth", 0.5),
+            latenessSeconds = pl("lateness", 0L))
         case "tail" =>
           // live tail: the pass-through face (Streaming.liveTail's
           // shape) — every fed event emits as-is
@@ -85,7 +102,7 @@ final class StreamService(spark: SparkSession) {
         case other =>
           throw new IllegalArgumentException(
             s"unknown stream op '$other' " +
-              "(expected ewma | heavy_hitters | tail)")
+              "(expected ewma | heavy_hitters | drift | tail)")
       }
       val query = out.writeStream
         .format("memory")

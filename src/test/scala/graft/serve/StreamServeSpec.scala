@@ -69,6 +69,26 @@ class StreamServeSpec extends SparkSpec
     assert(gc == 404, gb)
   }
 
+  test("drift lifecycle: reference histogram via params, per-window " +
+      "per-category drift terms emitted after watermark close") {
+    val id = startOp("drift", """{"window":"60","ref":"a:8,b:2"}""")
+    // window [0,60): b-heavy — drifted vs the 80/20 reference
+    val evts = (Seq.fill(2)("a") ++ Seq.fill(8)("b"))
+      .map(k => s"""[5,"$k",1.0]""").mkString(",")
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[$evts]}""")._1 == 200)
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[[300,"a",1.0]]}""")._1 == 200)
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[[600,"a",1.0]]}""")._1 == 200)
+    val (pc, pb) = post("/stream/poll", s"""{"id":"$id"}""")
+    assert(pc == 200, pb)
+    assert(pb.contains(""""category":"a","n_cur":2"""), pb)
+    assert(pb.contains(""""category":"b","n_cur":8"""), pb)
+    assert(pb.contains(""""category":"__other","n_cur":0"""), pb)
+    assert(post("/stream/stop", s"""{"id":"$id"}""")._1 == 200)
+  }
+
   test("ewma lifecycle emits chart rows with alarms; bad op and bad " +
       "rows answer 400; unknown id answers 404") {
     val id = startOp("ewma",
@@ -91,6 +111,10 @@ class StreamServeSpec extends SparkSpec
 
     val (bc, bb) = post("/stream/start", """{"op":"nope","params":{}}""")
     assert(bc == 400 && bb.contains("unknown stream op"), bb)
+    // drift without its reference histogram: loud 400, not a start
+    val (dc, db) = post("/stream/start",
+      """{"op":"drift","params":{"window":"60"}}""")
+    assert(dc == 400 && db.contains("ref param"), db)
     val (rc, rb) = post("/stream/feed",
       """{"id":"sX","rows":[[1,"k"]]}""")
     assert(rc == 400 || rc == 404, rb)
