@@ -33,8 +33,14 @@ object Calibration {
     val y = col(labelCol).cast("long")
     // NaN is not null: floor(NaN·bins) casts to bin 0 with ANSI off
     // and one NaN score would poison that bin's mean — exclude it
-    // like null (a model that emits NaN is a different finding)
-    val rows = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+    // like null (a model that emits NaN is a different finding).
+    // Out-of-range scores are excluded for the same reason: a
+    // negative score would land in a phantom negative bin and a
+    // score > 1 would silently merge into the top bin, skewing its
+    // mean_conf and the ECE term — surface them via a range-audit
+    // operator, not as corrupt calibration bins
+    val rows = df.filter(s.isNotNull && !isnan(s) && y.isNotNull &&
+        s >= 0.0 && s <= 1.0)
       .select(
         least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
         s.as("s"), y.as("y"))

@@ -30,11 +30,14 @@ object Concentration {
   def gini(df: DataFrame, partitionCols: Seq[String], groupCol: String,
       weightCol: Option[String] = None): DataFrame = {
     val partCs = partitionCols.map(col)
-    // weights ride decimal(38,0): Σ i·x amplifies by the group count
+    // weights ride decimal(38,6): Σ i·x amplifies by the group count
     // (rank i reaches n_groups), and with ANSI off a Long sum would
-    // wrap SILENTLY — the d_crit overflow class
-    val w = weightCol.map(c => sum(col(c).cast("decimal(38,0)")))
-      .getOrElse(count(lit(1)).cast("decimal(38,0)"))
+    // wrap SILENTLY — the d_crit overflow class. Scale 6 (not 0):
+    // a fractional weight column must NOT be HALF_UP-rounded per row
+    // (a 0.4 weight becoming 0 silently distorts gini/top_share);
+    // 32 integer digits still dwarf any real corpus total
+    val w = weightCol.map(c => sum(col(c).cast("decimal(38,6)")))
+      .getOrElse(count(lit(1)).cast("decimal(38,6)"))
     val cells = df.groupBy(partCs :+ col(groupCol).as("g"): _*)
       .agg(w.as("x"))
     val wRank = Window.partitionBy(partCs: _*)
@@ -49,8 +52,10 @@ object Concentration {
       .select(partCs ++ Seq(
         col("n_groups"),
         // display cast: a corpus total past 2^63 rows/tokens is not a
-        // real input; the GINI math above never passes through Long
-        col("__tot").cast("long").as("total"),
+        // real input; the GINI math above never passes through Long.
+        // round() first so a fractional-weight total reports the
+        // nearest integer rather than silently flooring
+        round(col("__tot"), 0).cast("long").as("total"),
         round(col("__max").cast("double") /
           col("__tot").cast("double"), 6).as("top_share"),
         round(

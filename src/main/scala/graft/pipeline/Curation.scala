@@ -802,15 +802,47 @@ object Curation {
     * Scale shape: distinct-value cells per group (quantize first on
     * continuous scores — the ksDrift contract), two cell windows, one
     * broadcast join; corpus rows shuffle zero times. Null values are
-    * excluded. A single-row group answers pct_rank 0. */
+    * excluded. A single-row group answers pct_rank 0.
+    *
+    * The ladder is BROADCAST, so an unquantized continuous score
+    * would silently build a corpus-sized broadcast; the same bound
+    * audit [[graft.analysis.Normalize.quantileNormalize]] performs
+    * runs here first (cell-sized jobs over the persisted cells) and
+    * throws loudly instead. */
   def percentileRank(df: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String, maxDistinct: Long = 4096L,
+      maxGlobalDistinct: Long = 65536L): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val keyCs = groupCols.map(col)
     val v = col(valueCol).cast("double")
     val cells = df.filter(v.isNotNull)
       .groupBy(keyCs :+ v.as("__cv"): _*)
       .agg(count(lit(1)).as("__cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bound audit BEFORE broadcasting: the hottest group drives the
+    // per-group windows, the global cell count drives the broadcast
+    // itself — an unbounded continuous score fails loud, not as a
+    // driver OOM inside the broadcast build
+    val hottest = cells.groupBy(keyCs: _*)
+      .agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d"))).collect().head
+    val hot = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    val glob = cells.count()
+    if (hot > maxDistinct || glob > maxGlobalDistinct) {
+      cells.unpersist(blocking = false)
+      val parts = Seq(
+        if (hot > maxDistinct)
+          Some(s"hottest group has $hot distinct values " +
+            s"(maxDistinct = $maxDistinct)")
+        else None,
+        if (glob > maxGlobalDistinct)
+          Some(s"the broadcast ladder has $glob cells " +
+            s"(maxGlobalDistinct = $maxGlobalDistinct)")
+        else None).flatten
+      throw new IllegalArgumentException(
+        s"percentileRank: ${parts.mkString(" and ")} — " +
+          "quantize the score first, or raise the bound explicitly")
+    }
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCs: _*).orderBy(col("__cv"))
       .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -598,8 +598,12 @@ object TextAnalysis {
     * oracle replays the identical arithmetic. */
   def luhnScan(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    // digit-boundary lookarounds anchor the run: without them a
+    // digit blob longer than 19 (decimal ids, hashes) yields its
+    // greedy 19-digit prefix as a candidate and can even pass Luhn —
+    // only MAXIMAL 13–19 digit runs are PAN-shaped
     val cands = regexp_extract_all(col(textCol),
-      lit("[0-9]{13,19}"), lit(0))
+      lit("(?<![0-9])[0-9]{13,19}(?![0-9])"), lit(0))
     // Luhn over one candidate string: sum over positions i (0-based
     // from the RIGHT) of digit if i even else doubled-with-carry;
     // doubled d folds to d*2 - 9 when d > 4

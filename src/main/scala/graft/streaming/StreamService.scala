@@ -122,11 +122,29 @@ final class StreamService(spark: SparkSession) {
       h.mem.addData(rows.map { case (sec, k, v) =>
         (new Timestamp(sec * 1000L), k, v) })
     h.query.processAllAvailable()
-    spark.table(h.sink).count()
+    sinkTable(id, h)
+      .count()
   }
 
   /** The session's emitted rows so far (the memory sink table). */
-  def poll(id: String): DataFrame = spark.table(handle(id).sink)
+  def poll(id: String): DataFrame = sinkTable(id, handle(id))
+
+  // feed/poll race stop(): handle() can succeed and THEN a concurrent
+  // stop() drops the temp view before spark.table resolves — that
+  // must surface as the face's 404 (session vanished), not a 400
+  // AnalysisException for a "missing table"
+  private def sinkTable(id: String,
+      h: Handle): DataFrame =
+    try spark.table(h.sink)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        synchronized {
+          if (!sessions.contains(id))
+            throw new NoSuchElementException(
+              s"no stream session '$id' (stopped concurrently)")
+        }
+        throw e
+    }
 
   def stop(id: String): Unit = synchronized {
     sessions.remove(id).foreach { h =>

@@ -29,4 +29,18 @@ class CalibrationSpec extends SparkSpec {
     val ece = out.map(_.getAs[Double]("ece_term")).sum
     assert(math.abs(ece - (8.0 / 13 * 0.125)) < 1e-6)
   }
+
+  test("reliabilityBins: out-of-range scores are excluded, not " +
+      "phantom-binned or merged into the top bin") {
+    // -0.5 would land in a phantom negative bin; 1.7 would merge
+    // into bin 9 and poison its mean_conf — both must be excluded
+    val rows = Seq((-0.5, 0L), (1.7, 1L), (0.95, 1L), (0.95, 1L))
+    val out = Calibration.reliabilityBins(
+        rows.toDF("s", "y"), "s", "y", bins = 10)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getInt(0) == 9)
+    assert(out.head.getAs[Long]("n") == 2)
+    assert(out.head.getAs[Double]("mean_conf") == 0.95)
+  }
 }

@@ -74,6 +74,25 @@ class CurationSpec extends SparkSpec {
       (3L, 0.333333, 0.75), (4L, 1.0, 1.0), (5L, 0.0, 1.0)))
   }
 
+  test("percentileRank audits the ladder before broadcasting: an " +
+      "unquantized score past the bound throws loudly instead of " +
+      "building a corpus-sized broadcast") {
+    val df = (1 to 20).map(i => ("g", i.toLong, i / 7.0))
+      .toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Curation.percentileRank(df, Seq("g"), "v",
+        maxDistinct = 10L).collect()
+    }
+    assert(e.getMessage.contains("quantize the score first"))
+    val eg = intercept[IllegalArgumentException] {
+      Curation.percentileRank(df, Seq("g"), "v",
+        maxDistinct = 100L, maxGlobalDistinct = 10L).collect()
+    }
+    assert(eg.getMessage.contains("broadcast ladder"))
+    // within bounds: same data passes untouched
+    assert(Curation.percentileRank(df, Seq("g"), "v").count() == 20L)
+  }
+
   test("splitLeakage surfaces exact-duplicate content spanning " +
       "splits and stays silent on clean assignments") {
     val df = Seq(

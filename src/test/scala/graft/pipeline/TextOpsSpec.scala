@@ -63,6 +63,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1, 1), (2L, 1, 0), (3L, 1, 1), (4L, 0, 0)))
   }
 
+  test("luhnScan: a digit blob longer than 19 is NOT a candidate — " +
+      "maximal-run boundaries, not a greedy 19-digit prefix") {
+    val df = Seq(
+      // 24-digit decimal id: the unguarded regex would take its
+      // 19-digit prefix as a candidate
+      (1L, "id 453201511283036645320151 end"),
+      // a valid PAN embedded in a longer digit run is also not a PAN
+      (2L, "blob 94532015112830366 end"),
+      // the same PAN properly delimited still hits
+      (3L, "pan 4532015112830366 end")).toDF("id", "text")
+    val out = TextAnalysis.luhnScan(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 0, 0), (2L, 1, 0), (3L, 1, 1)))
+  }
+
   test("sentenceStats: terminal-punctuation runs split, fragments " +
       "drop, unpunctuated text is one sentence, mean/max are exact") {
     val df = Seq(
