@@ -112,6 +112,44 @@ object Smoke {
       println(s"[smoke] serve: http=$code rows=$nRows" +
         (if (code >= 300) s" body=${resp.take(200)}" else ""))
 
+      // progressive search over the wire: two pages through the
+      // cursor — the reference's paginated search entry point
+      def postSearch(extra: String): (Int, String) = {
+        val c = new java.net.URI(
+          s"http://127.0.0.1:${server.boundPort}/search").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setDoOutput(true)
+        val b =
+          """{"from":"events","select":[{"valueExpression":""" +
+            """"event_id","aggFn":"none"}],""" +
+            """"orderBy":[{"expression":"ts","desc":true},""" +
+            """{"expression":"event_id"}],"limit":25,""" +
+            """"dateRange":{"from":"2024-01-01T00:00:00Z",""" +
+            """"to":"2024-01-31T00:00:00Z"}""" + extra + "}"
+        c.getOutputStream.write(
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sc = c.getResponseCode
+        val st = if (sc >= 200 && sc < 300) c.getInputStream
+          else c.getErrorStream
+        (sc, new String(st.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val (s1c, s1b) = postSearch("")
+      val s1n = "\"event_id\":".r.findAllIn(s1b).length
+      val s1w = "\"windowsScanned\":(\\d+)".r
+        .findFirstMatchIn(s1b).map(_.group(1)).getOrElse("?")
+      val s1cur = "\"next\":\"([^\"]+)\"".r
+        .findFirstMatchIn(s1b).map(_.group(1))
+      val (s2c, s2b) = s1cur match {
+        case Some(cur) => postSearch(s""","cursor":"$cur"""")
+        case None => (0, "")
+      }
+      val s2n = "\"event_id\":".r.findAllIn(s2b).length
+      println(s"[smoke] search: http=$s1c rows=$s1n windows=$s1w " +
+        s"page2http=$s2c page2rows=$s2n" +
+        (if (s1c >= 300) s" body=${s1b.take(200)}" else ""))
+
       // the Prometheus face end-to-end (query_range + instant query +
       // label values): a Grafana datasource's first three calls — and
       // the class of bug a happy-path unit fixture can't see (round 8's

@@ -99,6 +99,11 @@ private[serve] object LabelsReq {
   *   POST /query           → compile + execute; {"rows":[...]} with each
   *                           row rendered by Spark's own JSON encoder
   *                           (df.toJSON — types/nulls handled once)
+  *   POST /search          → ONE progressive-search page (the
+  *                           reference's paginated search surface):
+  *                           /query's config JSON (dateRange + limit
+  *                           required) + optional opaque "cursor";
+  *                           answers {rows, windowsScanned, next}
   *   POST /explain         → {"plan": "<formatted physical plan>"} —
   *                           compile + explain only, no job runs
   *   POST /export          → the query's result as CSV (text/csv, same
@@ -290,6 +295,43 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           if (truncated) s"""],"truncated":true,"maxRows":$maxRows}"""
           else "]}"
         (200, kept.mkString("""{"labels":[""", ",", tail))
+      })
+    // the progressive-search face (the reference's #1 user entry
+    // point: useOffsetPaginatedQuery.tsx:56-135 over the
+    // searchWindows.ts ladder): the SAME config JSON as /query (must
+    // carry dateRange + limit) plus an optional opaque "cursor" from
+    // the previous page. Each call runs ONE page through
+    // SearchExecutor.paginateCursor — newest ladder window first
+    // unless the first ORDER BY is the timestamp ascending; a window
+    // that under-fills tops up from the next window in the same call.
+    // Answers {"rows":[...],"windowsScanned":N,"next":"..."|null};
+    // next=null means the date range is exhausted.
+    http.createContext("/search", (ex: HttpExchange) =>
+      handle(ex) { body =>
+        val q = QueryJson.parseQuery(body)
+        val cursor = Option(mapper.readTree(body).get("cursor"))
+          .filterNot(_.isNull).map { c =>
+            require(c.isTextual, "'cursor' must be a string")
+            c.asText
+          }
+        // the page size is a browser-bound result like /query's cap
+        q.limit.foreach(l => require(l >= 1 && l <= maxRows,
+          s"limit must be in [1, $maxRows] for /search"))
+        val page = withTimeout(
+          graft.compile.SearchExecutor.paginateCursor(q, catalog, cursor))
+        // render through Spark's own JSON encoder (the /query
+        // discipline): a page is ≤ limit rows, so the local
+        // re-frame is driver-cheap
+        val schema = QueryCompiler.compile(q, catalog).schema
+        val json =
+          if (page.rows.isEmpty) Array.empty[String]
+          else spark.createDataFrame(
+            java.util.Arrays.asList(page.rows: _*), schema)
+            .toJSON.collect()
+        val tail = s"""],"windowsScanned":${page.windowsScanned}""" +
+          s""","next":${page.next.map(QueryJsonOut.quote)
+            .getOrElse("null")}}"""
+        (200, json.mkString("""{"rows":[""", ",", tail))
       })
     // the EXPLAIN face of the boundary: formatted physical plan for a
     // config, no job run — what an operator pastes into a ticket when a

@@ -239,6 +239,61 @@ class ServerSpec extends SparkSpec
     assert(get("/health/x")._1 == 404)
   }
 
+  test("POST /search pages the window ladder over real TCP: top-up " +
+      "across ≥3 windows, cursor resume without overlap, next=null at " +
+      "exhaustion, malformed cursor is a 400") {
+    // newest-first over the whole month: the 15m window ending at
+    // 01-31T00:00 is EMPTY (max ts 01-30T23:26), so the first page
+    // must top up across the 6h windows — the early-stop ladder shape
+    def searchBody(cursor: Option[String]): String = {
+      val cur = cursor.map(c => s""","cursor":"$c"""").getOrElse("")
+      s"""{"from":"events","select":[
+         |  {"valueExpression":"event_id","aggFn":"none"},
+         |  {"valueExpression":"ts","aggFn":"none"}],
+         | "orderBy":[{"expression":"ts","desc":true},
+         |   {"expression":"event_id"}],
+         | "limit":20,
+         | "dateRange":{"from":"2024-01-01T00:00:00Z",
+         |   "to":"2024-01-31T00:00:00Z"}$cur}""".stripMargin
+    }
+    def ids(body: String): Seq[Long] =
+      "\"event_id\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+    def next(body: String): Option[String] =
+      "\"next\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+    val (c1, b1) = post("/search", searchBody(None))
+    assert(c1 == 200, b1)
+    val scanned1 = "\"windowsScanned\":(\\d+)".r
+      .findFirstMatchIn(b1).get.group(1).toInt
+    // ~33 events/day ≈ 8 per 6h window: 20 rows need the empty 15m
+    // window + at least two 6h windows
+    assert(scanned1 >= 3, b1.takeRight(200))
+    assert(ids(b1).length == 20)
+    // page through to exhaustion: every event exactly once
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    seen ++= ids(b1)
+    var cursor = next(b1)
+    var pages = 1
+    while (cursor.isDefined && pages < 100) {
+      val (c, b) = post("/search", searchBody(cursor))
+      assert(c == 200, b)
+      seen ++= ids(b)
+      cursor = next(b)
+      pages += 1
+    }
+    assert(pages < 100, "cursor paging failed to terminate")
+    assert(seen.length == 1000 && seen.distinct.length == 1000)
+    // a malformed cursor is a loud 400, not a silent first page
+    val (cBad, bBad) = post("/search",
+      searchBody(Some("totally-bogus")))
+    assert(cBad == 400 && bBad.contains("malformed cursor"), bBad)
+    // /search without a dateRange or limit is a 400 by contract
+    assert(post("/search",
+      """{"from":"events","select":[
+        |  {"valueExpression":"event_id","aggFn":"none"}],
+        | "limit":5}""".stripMargin)._1 == 400)
+  }
+
   test("/query truncation contract: over-cap results say so, under-cap " +
       "results don't") {
     val capped = new Server(spark, catalog, port = 0, maxRows = 5)
