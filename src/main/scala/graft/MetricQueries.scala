@@ -1675,7 +1675,34 @@ object MetricQueries {
       |SELECT bucket, round(sum(ds) / sum(dc), 6) AS value FROM d
       |GROUP BY bucket HAVING sum(dc) > 0 ORDER BY bucket""".stripMargin
 
+  /** PromQL arithmetic binop tail — `% ^ atan2` — at the driver gate
+    * (reference surface via ClickHouse's PromQL, prometheus.ts:413):
+    * vector-vector atan2 joined on (ServiceName) over the increase
+    * vector, the right side pre-shaped by `% 777 + 1`, the whole thing
+    * squared through the right-assoc `^`. The oracle replays the same
+    * IEEE ops over the shared increase CTE (DuckDB fmod/atan2/pow
+    * match the JVM's for these finite positive inputs). */
+  def q177_promql_atan2(spark: SparkSession, dir: String): DataFrame = {
+    epochBucket(graft.metrics.PromQl.eval(userCounter(spark, dir),
+      "(sum by (ServiceName) (increase(requests_total[1d])) " +
+        "atan2 on (ServiceName) " +
+        "(sum by (ServiceName) (increase(requests_total[1d])) " +
+        "% 777 + 1)) ^ 2",
+      86400))
+      .withColumn("value", round(col("value"), 6))
+      .withColumnRenamed("ServiceName", "event_type")
+      .select("bucket", "event_type", "value")
+      .orderBy("bucket", "event_type")
+  }
+
+  val q177_sql: String =
+    userCounterIncreaseSql +
+      """SELECT bucket, event_type,
+        |  round(pow(atan2(sv, fmod(sv, 777) + 1), 2), 6) AS value
+        |FROM s ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_promql_atan2" -> (q177_promql_atan2 _),
     "q107_promql_anomaly" -> (q107_promql_anomaly _),
     "q40_promql_increase" -> (q40_promql_increase _),
     "q68_promql_mixed_align" -> (q68_promql_mixed_align _),
@@ -1712,6 +1739,7 @@ object MetricQueries {
     "q19_exp_count" -> (q19_exp_count _))
 
   val oracles: Map[String, String] = Map(
+    "q177_promql_atan2" -> q177_sql,
     "q107_promql_anomaly" -> q107_sql,
     "q40_promql_increase" -> q40_sql,
     "q68_promql_mixed_align" -> q68_sql,

@@ -13,7 +13,7 @@ import graft.functions.CoreFunctions._
   *
   * Supported grammar (the shapes the reference's dashboards emit), with
   * Prometheus precedence (low → high): or; and/unless; comparisons; +/-;
-  * * and /; primary:
+  * * / % atan2; ^ (right-assoc); primary:
   *   expr     := andU ('or' andU)*
   *   andU     := cmp (('and' | 'unless') cmp)*
   *   cmp      := sum (('>' '<' '>=' '<=' '==' '!=') ['bool'] [match] sum)*
@@ -61,7 +61,8 @@ import graft.functions.CoreFunctions._
   *   selector := metric_name [{ label op "value", … }] [offset] [at]
   *               op ∈ {=, !=, =~, !~}   (range forms: `sel[dur] [offset]
   *               [at]` — `at` also follows subquery `[r:s]` brackets)
-  *   binop    := expr op [on (l1…) | ignoring (l1…)] [group_left [(l1…)]] expr
+  *   binop    := expr op [on (l1…) | ignoring (l1…)]
+  *               [group_left [(l1…)] | group_right [(l1…)]] expr
   *   offset   := 'offset' <n>(s|m|h|d)
   *   at       := '@' <unix-seconds> | '@ start()' | '@ end()'
   *               (pins the subtree's evaluation to one instant and
@@ -129,8 +130,15 @@ object PromQl {
     * from the right side. */
   final case class VectorMatch(on: Option[Seq[String]] = None,
       ignoring: Seq[String] = Nil, groupLeft: Boolean = false,
-      extra: Seq[String] = Nil)
-  final case class BinOp(op: Char, l: Expr, r: Expr,
+      extra: Seq[String] = Nil,
+      /** `group_right`: the mirror of group_left — the RIGHT side is
+        * the many side and keeps its labels. Compiled by swapping the
+        * operand frames and flipping the (non-commutative) op. */
+      flipped: Boolean = false)
+  /** Arithmetic binop: `+ - * / % ^ atan2` (atan2 is Prometheus's one
+    * keyword-spelled arithmetic operator, same precedence tier as
+    * `* / %`; `^` binds tighter and associates right). */
+  final case class BinOp(op: String, l: Expr, r: Expr,
       matching: VectorMatch = VectorMatch()) extends Expr
   /** Comparison binop (`> < >= <= == !=`): filter semantics keep matching
     * left rows; with the `bool` modifier the result is 1/0 instead. */
@@ -309,7 +317,7 @@ object PromQl {
       var l = parseMulDiv()
       ws()
       while (i < s.length && (s(i) == '+' || s(i) == '-')) {
-        val op = s(i); i += 1
+        val op = s(i).toString; i += 1
         val m = parseMatching()
         l = BinOp(op, l, parseMulDiv(), m)
         ws()
@@ -318,15 +326,35 @@ object PromQl {
     }
 
     private def parseMulDiv(): Expr = {
-      var l = parsePrimary()
+      var l = parsePow()
       ws()
-      while (i < s.length && (s(i) == '*' || s(i) == '/')) {
-        val op = s(i); i += 1
-        val m = parseMatching()
-        l = BinOp(op, l, parsePrimary(), m)
-        ws()
+      var done = false
+      while (!done && i < s.length) {
+        if (s(i) == '*' || s(i) == '/' || s(i) == '%') {
+          val op = s(i).toString; i += 1
+          val m = parseMatching()
+          l = BinOp(op, l, parsePow(), m)
+          ws()
+        } else if (kw("atan2")) {
+          // Prometheus's keyword arithmetic binop, same tier as * / %
+          val m = parseMatching()
+          l = BinOp("atan2", l, parsePow(), m)
+          ws()
+        } else done = true
       }
       l
+    }
+
+    /** `^` binds tighter than `* / % atan2` and associates RIGHT
+      * (2^3^2 = 2^9), matching Prometheus's operator table. */
+    private def parsePow(): Expr = {
+      val l = parsePrimary()
+      ws()
+      if (i < s.length && s(i) == '^') {
+        i += 1
+        val m = parseMatching()
+        BinOp("^", l, parsePow(), m)
+      } else l
     }
 
     /** `on (…)` / `ignoring (…)` [+ `group_left [(…)]`] after a binary
@@ -342,14 +370,18 @@ object PromQl {
         m = m.copy(ignoring = readParenIdents())
       }
       ws()
-      if (s.startsWith("group_left", i) && !isIdentChar(i + 10)) {
+      if (s.startsWith("group_right", i) && !isIdentChar(i + 11)) {
+        i += 11; ws()
+        val extra =
+          if (i < s.length && s(i) == '(') readParenIdents() else Nil
+        // group_right = group_left with the sides mirrored; the
+        // compiler swaps the frames and flips the op (BinOp case)
+        m = m.copy(groupLeft = true, extra = extra, flipped = true)
+      } else if (s.startsWith("group_left", i) && !isIdentChar(i + 10)) {
         i += 10; ws()
         val extra =
           if (i < s.length && s(i) == '(') readParenIdents() else Nil
         m = m.copy(groupLeft = true, extra = extra)
-      } else if (s.startsWith("group_right", i)) {
-        fail("group_right is not supported; swap the operands and use " +
-          "group_left")
       }
       m
     }
@@ -924,12 +956,17 @@ object PromQl {
       case TimeFn => Some(time.toDouble)
       case BinOp(op, l, r, _) =>
         for (a <- ev(l); b <- ev(r)) yield op match {
-          case '+' => a + b
-          case '-' => a - b
-          case '*' => a * b
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
           // IEEE doubles already give promDiv's 0-denominator shape
           // (x/0 = ±Inf, 0/0 = NaN)
-          case '/' => a / b
+          case "/" => a / b
+          // JVM double % matches Go math.Mod (sign of the dividend,
+          // NaN on a zero divisor) — Prometheus's % semantics
+          case "%" => a % b
+          case "^" => math.pow(a, b)
+          case "atan2" => math.atan2(a, b)
         }
       case CmpOp(op, l, r, bool, _) =>
         for (a <- ev(l); b <- ev(r)) yield {
@@ -1279,13 +1316,22 @@ object PromQl {
         val perSeries = overTimePerSeries(df, ot, Nil, step)
         perSeries.groupBy(col(TimeBucketAlias))
           .agg(max_by(col("value"), col("__series")).as("value"))
-      case BinOp(op, l, r, matching) =>
-        def f(a: Column, b: Column): Column = op match {
-          case '+' => a + b
-          case '-' => a - b
-          case '*' => a * b
-          case '/' => promDiv(a, b)
+      case BinOp(op, l0, r0, matching) =>
+        // group_right: compile as the mirrored group_left — the right
+        // frame plays the many side — with the op flipped so the VALUE
+        // is still f(original left, original right)
+        val (l, r) = if (matching.flipped) (r0, l0) else (l0, r0)
+        def f0(a: Column, b: Column): Column = op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => promDiv(a, b)
+          case "%" => promMod(a, b)
+          case "^" => pow(a, b)
+          case "atan2" => atan2(a, b)
         }
+        def f(a: Column, b: Column): Column =
+          if (matching.flipped) f0(b, a) else f0(a, b)
         (l, r) match {
           case (ScalarLit(_), ScalarLit(_)) =>
             throw new PromQlParseException(
@@ -1414,6 +1460,10 @@ object PromQl {
         }
         g.withColumn("value", mapped)
       case CmpOp(op, l, r, bool, matching) =>
+        if (matching.flipped)
+          throw new PromQlParseException(
+            "group_right on comparisons is not supported; mirror the " +
+              "comparison and use group_left")
         def pred(a: Column, b: Column): Column = op match {
           case ">" => a > b
           case "<" => a < b
@@ -1648,6 +1698,14 @@ object PromQl {
       .when(b =!= 0.0, a / b)
       .when(a > 0.0, lit(Double.PositiveInfinity))
       .when(a < 0.0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
+
+  /** PromQL `%` (Go math.Mod): x % 0 → NaN where Spark SQL answers
+    * NULL; the JVM's double remainder otherwise matches Go's (sign of
+    * the dividend). NULL operands stay NULL (missing points). */
+  private def promMod(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(b =!= 0.0, a % b)
       .otherwise(lit(Double.NaN))
 
   private def aggregate0(g: DataFrame, op: String, by: Seq[String])

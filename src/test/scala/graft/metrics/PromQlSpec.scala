@@ -135,14 +135,54 @@ class PromQlSpec extends SparkSpec {
   test("binary ops parse with precedence and scalar literals") {
     import PromQl._
     assert(parse("a / b") ==
-      BinOp('/', Selector("a", Nil), Selector("b", Nil)))
-    assert(parse("a + b * 2") == BinOp('+', Selector("a", Nil),
-      BinOp('*', Selector("b", Nil), ScalarLit(2.0))))
-    assert(parse("(a + b) * 2") == BinOp('*',
-      BinOp('+', Selector("a", Nil), Selector("b", Nil)), ScalarLit(2.0)))
+      BinOp("/", Selector("a", Nil), Selector("b", Nil)))
+    assert(parse("a + b * 2") == BinOp("+", Selector("a", Nil),
+      BinOp("*", Selector("b", Nil), ScalarLit(2.0))))
+    assert(parse("(a + b) * 2") == BinOp("*",
+      BinOp("+", Selector("a", Nil), Selector("b", Nil)), ScalarLit(2.0)))
+    // % and atan2 share * /'s tier; ^ binds tighter and is RIGHT-assoc
+    assert(parse("a + b % 2") == BinOp("+", Selector("a", Nil),
+      BinOp("%", Selector("b", Nil), ScalarLit(2.0))))
+    assert(parse("a atan2 b") ==
+      BinOp("atan2", Selector("a", Nil), Selector("b", Nil)))
+    assert(parse("a * b ^ 2") == BinOp("*", Selector("a", Nil),
+      BinOp("^", Selector("b", Nil), ScalarLit(2.0))))
+    assert(parse("a ^ b ^ 2") == BinOp("^", Selector("a", Nil),
+      BinOp("^", Selector("b", Nil), ScalarLit(2.0))))
     // scalar-only expressions are rejected at compile time
     intercept[PromQl.PromQlParseException](
       PromQl.eval(gauges, "1 + 2", 3600))
+  }
+
+  test("atan2 / % / ^ evaluate: vector-scalar both orders and " +
+      "vector-vector with on()") {
+    val frame = Seq(
+      ("y_val", "api", t(0), 3.0, Map.empty[String, String], 2, false),
+      ("x_val", "api", t(0), 4.0, Map.empty[String, String], 2, false))
+      .toDF("MetricName", "ServiceName", "TimeUnix", "Value",
+        "Attributes", "AggregationTemporality", "IsMonotonic")
+    def one(q: String): Double =
+      PromQl.eval(frame, q, 3600).select("value").as[Double]
+        .collect().head
+    // vector atan2 scalar, both orders
+    assert(one("sum(y_val) atan2 1") == math.atan2(3.0, 1.0))
+    assert(one("1 atan2 sum(y_val)") == math.atan2(1.0, 3.0))
+    // vector-vector with explicit on (bucket-only join)
+    assert(one("sum(y_val) atan2 on () group_left sum(x_val)") ==
+      math.atan2(3.0, 4.0))
+    assert(one("sum(y_val) atan2 sum(x_val)") == math.atan2(3.0, 4.0))
+    // % follows Go math.Mod (sign of the dividend; NaN on 0)
+    assert(one("sum(y_val) % 2") == 1.0)
+    assert(one("(0 - sum(y_val)) % 2") == -1.0)
+    assert(one("sum(y_val) % 0").isNaN)
+    // ^ is math.Pow
+    assert(one("sum(x_val) ^ 2") == 16.0)
+    assert(one("2 ^ sum(y_val)") == 8.0)
+    // constScalar folds the new ops too
+    assert(PromQl.constScalar("3 atan2 4", 0).contains(
+      math.atan2(3.0, 4.0)))
+    assert(PromQl.constScalar("2 ^ 3 ^ 2", 0).contains(512.0))
+    assert(PromQl.constScalar("7 % 3", 0).contains(1.0))
   }
 
   test("vector/vector ratio joins on bucket; scalar broadcasts") {
@@ -247,21 +287,26 @@ class PromQlSpec extends SparkSpec {
     assert(parse("sum without (host) (mem)") ==
       Aggr("sum", Seq("host"), Selector("mem", Nil), without = true))
     assert(parse("a / on (host) b") ==
-      BinOp('/', Selector("a", Nil), Selector("b", Nil),
+      BinOp("/", Selector("a", Nil), Selector("b", Nil),
         VectorMatch(on = Some(Seq("host")))))
     assert(parse("a / ignoring (env) b") ==
-      BinOp('/', Selector("a", Nil), Selector("b", Nil),
+      BinOp("/", Selector("a", Nil), Selector("b", Nil),
         VectorMatch(ignoring = Seq("env"))))
     assert(parse("a * on (host) group_left (role) b") ==
-      BinOp('*', Selector("a", Nil), Selector("b", Nil),
+      BinOp("*", Selector("a", Nil), Selector("b", Nil),
         VectorMatch(on = Some(Seq("host")), groupLeft = true,
           extra = Seq("role"))))
     assert(parse("""label_replace(m, "dst", "$1", "src", "(.*)")""") ==
       LabelReplace(Selector("m", Nil), "dst", "$1", "src", "(.*)"))
     // metric names starting with on/ignoring prefixes stay selectors
     assert(parse("a + online") ==
-      BinOp('+', Selector("a", Nil), Selector("online", Nil)))
-    intercept[PromQlParseException](parse("a / on (host) group_right b"))
+      BinOp("+", Selector("a", Nil), Selector("online", Nil)))
+    // group_right parses in source order with flipped=true; compile
+    // mirrors the frames (right = many side) and flips the op's args
+    assert(parse("a / on (host) group_right b") ==
+      BinOp("/", Selector("a", Nil), Selector("b", Nil),
+        VectorMatch(on = Some(Seq("host")), groupLeft = true,
+          flipped = true)))
   }
 
   test("sum without (label) groups by the surviving label set") {
@@ -302,6 +347,20 @@ class PromQlSpec extends SparkSpec {
       .orderBy("host")
       .select("host", "value").as[(String, Double)].collect().toSeq
     assert(gl == Seq(("a", 30.0 / 99.0), ("b", 50.0 / 99.0)))
+
+    // group_right: the mirror — the RIGHT side is the many side and
+    // keeps its labels; the VALUE is still left-op-right (division is
+    // non-commutative, so a naive swap would invert every ratio)
+    val gr = PromQl.eval(withHost,
+      "sum (cpu_usage) / on () group_right sum by (host) (mem_usage)",
+      3600)
+      .orderBy("host")
+      .select("host", "value").as[(String, Double)].collect().toSeq
+    assert(gr == Seq(("a", 99.0 / 30.0), ("b", 99.0 / 50.0)))
+    // comparisons reject group_right loudly
+    intercept[PromQl.PromQlParseException](PromQl.eval(withHost,
+      "sum (cpu_usage) > on () group_right sum by (host) (mem_usage)",
+      3600).collect())
   }
 
   test("quantile_over_time interpolates within the sliding window") {
@@ -966,7 +1025,7 @@ class PromQlSpec extends SparkSpec {
       Aggr("stddev", Seq("host"), Selector("m", Nil)))
     // identifiers starting with keyword prefixes stay selectors
     assert(parse("android + orders") ==
-      BinOp('+', Selector("android", Nil), Selector("orders", Nil)))
+      BinOp("+", Selector("android", Nil), Selector("orders", Nil)))
   }
 
   test("comparison filters the vector; bool maps to 1/0") {
@@ -1091,7 +1150,7 @@ class PromQlSpec extends SparkSpec {
     import PromQl._
     assert(parse("sum(delta)") == Aggr("sum", Nil, Selector("delta", Nil)))
     assert(parse("rate + 1") ==
-      BinOp('+', Selector("rate", Nil), ScalarLit(1.0)))
+      BinOp("+", Selector("rate", Nil), ScalarLit(1.0)))
     assert(parse("abs") == Selector("abs", Nil))
     assert(parse("""count_values{job="x"}""") ==
       Selector("count_values", Seq(("job", "=", "x"))))
