@@ -73,6 +73,19 @@ object Bench {
         try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
         finally src.close()
       } catch { case _: Throwable => None }
+    // Load guard (the round-12 lesson: a 0.41%-steal, load1-3.8 run
+    // became the round's artifact and read as a uniform 1.08×
+    // regression): wait — bounded — for the host to go quiet before
+    // measuring, then record the start load actually measured under.
+    // The artifact self-marks "dirty" below when it still started
+    // loaded or saw steal, so a dirty number can never silently
+    // become the record.
+    val settleDeadline = System.nanoTime() + 120L * 1000000000L
+    while (load1().exists(_ > 1.0) && System.nanoTime() < settleDeadline) {
+      System.err.println(s"[bench] host loaded (load1=${load1()
+        .map(l => f"$l%.2f").getOrElse("?")}) — settling up to 120s")
+      Thread.sleep(10000L)
+    }
     val load1Start = load1()
 
     // Two full passes, per-query MIN. The host VM shows bursty CPU steal
@@ -94,18 +107,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val stealPct = (jiffies0, cpuJiffies()) match {
+    val stealVal = (jiffies0, cpuJiffies()) match {
       case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
-        f""","steal_pct":${(s1 - s0) * 100.0 / (t1 - t0)}%.2f"""
-      case _ => ""
+        Some((s1 - s0) * 100.0 / (t1 - t0))
+      case _ => None
     }
+    val stealPct = stealVal
+      .map(v => f""","steal_pct":$v%.2f""").getOrElse("")
     val loads = (load1Start, load1()) match {
       case (Some(a), Some(b)) =>
         f""","load1_start":$a%.2f,"load1_end":$b%.2f"""
       case _ => ""
     }
+    // the judge-trustable dirty bit: started loaded (after the settle
+    // wait) or saw hypervisor steal during the run. load1_end is NOT a
+    // criterion — the bench itself drives it up on local[32].
+    val dirty =
+      if (load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.1))
+        ""","dirty":true""" else ""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads$dirty}"""
     // file first, stdout last: the stdout line is the driver's parse
     // target, the file survives any log-tail truncation. The file is
     // the BACKUP channel — a write failure (read-only cwd, full disk)
