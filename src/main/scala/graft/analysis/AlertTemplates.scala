@@ -168,4 +168,31 @@ object AlertTemplates {
       "startTime" -> m.startTime.toString,
       "endTime" -> m.endTime.toString,
       "eventId" -> eventId).view.mapValues(jsonEscape).toMap)
+
+  /** Slack mrkdwn requires `& < >` to ride as entities inside text —
+    * otherwise a title containing `<` opens a phantom link span
+    * (api.slack.com/reference/surfaces/formatting#escaping; the
+    * reference passes raw strings and inherits the glitch). */
+  private def mrkdwnEscape(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** The Slack-shaped webhook body (template.ts:252-262,
+    * handleSendSlackWebhook): top-level `text` carries the title (the
+    * notification line), and one mrkdwn section block renders
+    * `*<link | title>*` followed by the default body — the threshold
+    * wording, the group values line for grouped alerts, and the time
+    * range all arrive through [[body]]. With no chart link the title
+    * renders plain-bold (a `<|…>` with an empty URL is a broken span).
+    * Fired vs recovered transitions differ exactly as [[title]]/
+    * [[body]] differ: 🚨 + violation wording vs ✅ + resolution. */
+  def slackPayload(m: Message): String = {
+    val t = mrkdwnEscape(m.title)
+    val headline =
+      if (m.link.isEmpty) s"*$t*"
+      else s"*<${mrkdwnEscape(m.link)} | $t>*"
+    val section = jsonEscape(s"$headline\n${mrkdwnEscape(m.body)}")
+    s"""{"text": ${"\"" + jsonEscape(m.title) + "\""}, "blocks": [""" +
+      s"""{"type": "section", "text": {"type": "mrkdwn", """ +
+      s""""text": "$section"}}]}"""
+  }
 }

@@ -83,4 +83,51 @@ class AlertTemplatesSpec extends AnyFunSuite {
     assert(inner.contains("\\\"my \\\"quoted\\\" search\\\""))
     assert(inner.contains("\\n"))
   }
+
+  test("slack payload: fired transition renders text + one mrkdwn " +
+      "section with the linked title, threshold wording, and group") {
+    val firing = AlertRunner.AlertResult(Seq("api", "us-east"),
+      Alerts.ALERT, Seq(w -> 14.0))
+    val m = message("error spike", cfg, firing,
+      link = "http://h/search/abc?from=1")
+    val p = slackPayload(m)
+    // Jackson parse: the payload must be real JSON with the Slack shape
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(p)
+    assert(root.get("text").asText.contains("🚨 Alert for"))
+    val blocks = root.get("blocks")
+    assert(blocks.isArray && blocks.size == 1)
+    val sect = blocks.get(0)
+    assert(sect.get("type").asText == "section")
+    assert(sect.get("text").get("type").asText == "mrkdwn")
+    val md = sect.get("text").get("text").asText
+    // *<link | title>* headline, then the default body: group line,
+    // threshold wording, time range
+    // the wrapping < > are the REAL Slack link span; only the URL and
+    // title contents are entity-escaped
+    assert(md.startsWith("*<http://h/search/abc?from=1 | "), md)
+    assert(md.contains("meets or exceeds the threshold of 10"), md)
+    assert(md.contains("Group: \"api, us-east\""), md)
+    assert(md.contains("Time Range (UTC):"), md)
+  }
+
+  test("slack payload: recovered transition uses the resolution arm " +
+      "and a linkless title renders plain-bold") {
+    val resolved = AlertRunner.AlertResult(Nil, Alerts.OK, Seq(w -> 2.0))
+    val m = message("error spike", cfg, resolved)
+    val p = slackPayload(m)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(p)
+    assert(root.get("text").asText.startsWith("✅ "))
+    val md = root.get("blocks").get(0).get("text").get("text").asText
+    assert(md.startsWith("*✅ Alert for"), md) // no <|> span without a link
+    assert(md.contains("The alert has been resolved."), md)
+    // mrkdwn escaping: a title with < > & cannot open a phantom span
+    val tricky = Message("a <b> & c", "body", Alerts.ALERT, w,
+      w.plusSeconds(300), "")
+    val md2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(slackPayload(tricky))
+      .get("blocks").get(0).get("text").get("text").asText
+    assert(md2.startsWith("*a &lt;b&gt; &amp; c*"), md2)
+  }
 }
