@@ -63,4 +63,73 @@ class EwmaStreamSpec extends SparkSpec {
     val streamed = first3.map(r => (r._2, r._3, r._4, r._5, r._6))
     assert(streamed == batch, s"$streamed vs $batch")
   }
+
+  test("checkpoint restart CONTINUES the fold: state (z, t) and the " +
+      "watermark survive a stop/start cycle — the recovery property " +
+      "a production deployment relies on") {
+    // The restart-recovery pattern for every flatMapGroupsWithState
+    // operator here (EwmaStream, FunnelStream, DriftStream, …):
+    //   1. same Memory/Kafka source instance (offsets replay from it),
+    //   2. a FAULT-TOLERANT sink (file/foreachBatch — the memory sink
+    //      REFUSES append-mode recovery by design),
+    //   3. rebuild the identical operator graph over the same source,
+    //   4. start() with the SAME checkpointLocation.
+    // The watermark, source offsets, and per-key state all restore
+    // from the checkpoint; the fold continues where it stopped.
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("ewma_restart").toString
+    val ckpt = s"$dir/ckpt"
+    val outDir = s"$dir/out"
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    def graph() = EwmaStream.chart(mem.toDF().toDF("ts", "k", "x"),
+      "ts", "k", "x", stepSeconds = 60, lambda = 0.5, width = 3.0,
+      target = 10.0, sigma = 2.0)
+    def start() = graph().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // ---- lifetime 1: two buckets finalize, then STOP
+    val q1 = start()
+    mem.addData((t("2024-01-01 00:00:10"), "s", 4.0),
+      (t("2024-01-01 00:01:30"), "s", 14.0))
+    q1.processAllAvailable()
+    // watermark sentinels ride a DIFFERENT key so they can't pollute
+    // series "s"; each batch's watermark uses the previous batch's max
+    mem.addData((t("2024-01-01 00:05:00"), "wm", 0.0))
+    q1.processAllAvailable()
+    mem.addData((t("2024-01-01 00:06:00"), "wm", 0.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1 = spark.read.parquet(outDir)
+      .filter($"key" === "s").orderBy("bucket")
+      .select("x", "z").as[(Double, Double)].collect().toSeq
+    // z walk at λ=.5 from seed 10: bucket 0 → 7, bucket 60 → 10.5
+    assert(phase1 == Seq((4.0, 7.0), (14.0, 10.5)), phase1.toString)
+
+    // ---- lifetime 2: restart from the SAME checkpoint, feed one more
+    val q2 = start()
+    mem.addData((t("2024-01-01 00:06:30"), "s", 40.0))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:30:00"), "wm", 0.0))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:40:00"), "wm", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(outDir)
+      .filter($"key" === "s").orderBy("bucket")
+      .select("x", "z", "ucl").as[(Double, Double, Double)]
+      .collect().toSeq
+    assert(after.length == 3, after.toString)
+    // CONTINUED fold: z = .5·40 + .5·10.5 = 25.25 with t = 3.
+    // A restarted (lost-state) fold would answer z = 25 (seed 10) with
+    // the t = 1 warm-up band — both asserted distinct here.
+    assert(after.last._2 == 25.25, after.toString)
+    val hwT3 = 3.0 * 2.0 * math.sqrt(0.5 / 1.5 *
+      (1.0 - math.pow(0.5, 6)))
+    assert(math.abs(after.last._3 - (10.0 + hwT3)) < 1e-12,
+      s"ucl ${after.last._3} != t=3 band ${10.0 + hwT3}")
+    // no duplicates or re-emits of lifetime-1 buckets
+    assert(after.map(_._1) == Seq(4.0, 14.0, 40.0))
+  }
 }
