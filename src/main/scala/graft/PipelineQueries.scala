@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Clustering, Curation, Dedup, Multimodal, Perplexity, Similarity, TextAnalysis}
+import graft.pipeline.{Classifier, Clustering, Curation, Dedup, Multimodal, Perplexity, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators exposed through the driver contract:
   * dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding
@@ -637,16 +637,18 @@ object PipelineQueries {
        |FROM lng GROUP BY lang ORDER BY lang""".stripMargin
   }
 
-  /** Near-dup CLUSTERS at the driver gate: MinHash-LSH pairs (the q24
-    * construction) fed through connected components — transitive chains
-    * (base-corpus exact dups ~ their planted perturbed copies) collapse
-    * to one component. Oracle: recursive-CTE transitive closure over the
-    * same all-pairs Jaccard edge set. */
+  /** Near-dup CLUSTERS at the driver gate: the scale-correct
+    * [[Dedup.clusterEdges]] (exact-content star + LSH pairs over
+    * distinct contents — round 13, after the 100× probe measured the
+    * all-pairs band join going quadratic inside exact-dup cliques) fed
+    * through connected components. Components are provably identical
+    * to the all-pairs construction, and the oracle still closes over
+    * the full all-pairs Jaccard edge set — the strongest possible
+    * equivalence check for the star rewrite. */
   def q66_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-      Dedup.minhashLsh(corpusWithDups(spark, dir), "doc_id", "text",
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
-        .select(col("id_a"), col("id_b")))
+      Dedup.clusterEdges(corpusWithDups(spark, dir), "doc_id", "text",
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7))
       .orderBy("id")
 
   val q66_sql: String =
@@ -3213,6 +3215,141 @@ object PipelineQueries {
     * [[Curation.assignSplits]]): every 11th doc gains an exact
     * content twin under a different id — ids hash to different
     * splits, so the duplicated CONTENT must surface as leakage. */
+  /** χ² term selection ([[Classifier.chi2Terms]]) against the
+    * is-English label: the "which terms separate the classes" audit a
+    * curation pipeline runs before training a language/quality filter
+    * (Yang & Pedersen 1997). Every χ² input is an exact long; the one
+    * double expression is spelled identically in the oracle (the
+    * squared difference as an explicit product, not pow). */
+  def q178_chi2_terms(spark: SparkSession, dir: String): DataFrame =
+    Classifier.chi2Terms(
+      docs(spark, dir).withColumn("y",
+        when(col("lang") === "en", 1L).otherwise(0L)),
+      "doc_id", "text", "y", minDf = 5L, k = 50)
+
+  val q178_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE text IS NOT NULL),
+      |t AS (
+      |  SELECT DISTINCT doc_id, y, term FROM (
+      |    SELECT doc_id, y,
+      |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM d) WHERE term <> ''),
+      |cells AS (
+      |  SELECT term,
+      |    sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS b
+      |  FROM t GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+      |         sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS n0
+      |  FROM d)
+      |SELECT term, CAST(a + b AS BIGINT) AS df,
+      |  CAST(a AS BIGINT) AS df_pos,
+      |  round(CAST(n1 + n0 AS DOUBLE)
+      |    * (CAST(a AS DOUBLE) * CAST(n0 - b AS DOUBLE)
+      |       - CAST(b AS DOUBLE) * CAST(n1 - a AS DOUBLE))
+      |    * (CAST(a AS DOUBLE) * CAST(n0 - b AS DOUBLE)
+      |       - CAST(b AS DOUBLE) * CAST(n1 - a AS DOUBLE))
+      |    / (CAST(a + b AS DOUBLE)
+      |       * CAST((n1 - a) + (n0 - b) AS DOUBLE)
+      |       * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS chi2
+      |FROM cells CROSS JOIN tot
+      |WHERE a + b >= 5 AND (n1 - a) + (n0 - b) > 0
+      |ORDER BY chi2 DESC, term LIMIT 50""".stripMargin
+
+  /** First-seen 5-gram novelty by crawl order
+    * ([[Dedup.gramNovelty]]): per doc, the fraction of its distinct
+    * gram hashes first seen AT this doc — the crawl-budget
+    * diminishing-returns read. md5 gram identity replays exactly in
+    * the oracle. */
+  def q179_gram_novelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.gramNovelty(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+
+  val q179_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(w) - 4),
+      |    i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+      |      w[i+4])))) AS ghs
+      |  FROM toks),
+      |p AS (SELECT doc_id, unnest(ghs) AS gh FROM g),
+      |f AS (SELECT gh, min(doc_id) AS first_id FROM p GROUP BY 1),
+      |pd AS (
+      |  SELECT p.doc_id, count(*) AS n_grams,
+      |    sum(CASE WHEN f.first_id = p.doc_id THEN 1 ELSE 0 END)
+      |      AS n_novel
+      |  FROM p JOIN f USING (gh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CASE WHEN pd.n_grams > 0 THEN
+      |    round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6) END
+      |    AS novelty
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Jensen–Shannon divergence cells per source vs the corpus mixture
+    * ([[graft.analysis.Divergence.jsdCells]]): bounded top-16 + OTHER
+    * support, per-cell contributions — every value one IEEE expression
+    * over exact longs, replayed verbatim by the oracle. */
+  def q180_jsd_cells(spark: SparkSession, dir: String): DataFrame =
+    graft.analysis.Divergence.jsdCells(docs(spark, dir), "source",
+        "text", topK = 16)
+      .orderBy("source", "term")
+
+  val q180_sql: String =
+    """WITH w AS (
+      |  SELECT source AS g,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL),
+      |counts AS (
+      |  SELECT g, w, count(*) AS n FROM w WHERE w <> '' GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, sum(n) AS cn FROM counts GROUP BY 1
+      |    ORDER BY cn DESC, w LIMIT 16)),
+      |folded AS (
+      |  SELECT g, CASE WHEN w IN (SELECT w FROM vocab) THEN w
+      |    ELSE '__other__' END AS term, sum(n) AS n
+      |  FROM counts GROUP BY 1, 2),
+      |corpus AS (SELECT term, sum(n) AS qn FROM folded GROUP BY 1),
+      |gtot AS (SELECT g, sum(n) AS gt FROM folded GROUP BY 1),
+      |tt AS (SELECT sum(qn) AS tt FROM corpus),
+      |dense AS (
+      |  SELECT gtot.g, corpus.term, gtot.gt, corpus.qn, tt.tt,
+      |    coalesce(f.n, 0) AS n
+      |  FROM gtot CROSS JOIN corpus CROSS JOIN tt
+      |  LEFT JOIN folded f ON f.g = gtot.g AND f.term = corpus.term)
+      |SELECT g AS source, term, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n AS DOUBLE) / gt, 6) AS p,
+      |  round(CAST(qn AS DOUBLE) / tt, 6) AS q,
+      |  round(CASE WHEN n = 0 THEN
+      |    0.5 * (CAST(qn AS DOUBLE) / tt)
+      |      * ln((CAST(qn AS DOUBLE) / tt)
+      |        / ((CAST(n AS DOUBLE) / gt + CAST(qn AS DOUBLE) / tt)
+      |          / 2.0))
+      |  ELSE
+      |    0.5 * (CAST(n AS DOUBLE) / gt)
+      |      * ln((CAST(n AS DOUBLE) / gt)
+      |        / ((CAST(n AS DOUBLE) / gt + CAST(qn AS DOUBLE) / tt)
+      |          / 2.0))
+      |    + 0.5 * (CAST(qn AS DOUBLE) / tt)
+      |      * ln((CAST(qn AS DOUBLE) / tt)
+      |        / ((CAST(n AS DOUBLE) / gt + CAST(qn AS DOUBLE) / tt)
+      |          / 2.0))
+      |  END, 6) AS jsd_term
+      |FROM dense ORDER BY source, term""".stripMargin
+
   def q176_split_leakage(spark: SparkSession, dir: String)
       : DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
@@ -3333,7 +3470,10 @@ object PipelineQueries {
     "q173_multibench" -> (q173_multibench _),
     "q174_length_rank" -> (q174_length_rank _),
     "q175_hapax" -> (q175_hapax _),
-    "q176_split_leakage" -> (q176_split_leakage _))
+    "q176_split_leakage" -> (q176_split_leakage _),
+    "q178_chi2_terms" -> (q178_chi2_terms _),
+    "q179_gram_novelty" -> (q179_gram_novelty _),
+    "q180_jsd_cells" -> (q180_jsd_cells _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3419,5 +3559,8 @@ object PipelineQueries {
     "q173_multibench" -> q173_sql,
     "q174_length_rank" -> q174_sql,
     "q175_hapax" -> q175_sql,
-    "q176_split_leakage" -> q176_sql)
+    "q176_split_leakage" -> q176_sql,
+    "q178_chi2_terms" -> q178_sql,
+    "q179_gram_novelty" -> q179_sql,
+    "q180_jsd_cells" -> q180_sql)
 }

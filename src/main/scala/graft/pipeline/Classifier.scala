@@ -221,4 +221,63 @@ object Classifier {
     docs.unpersist()
     LogisticModel(bias, w, losses.result())
   }
+
+  /** χ² feature selection over document-frequency counts — the
+    * standard "which terms separate the classes" audit run before
+    * training a filter like [[trainLogistic]] (Yang & Pedersen 1997's
+    * CHI, the strongest of their five selectors). Per term t with
+    * binary label y: a = #docs(t, y=1), b = #docs(t, y=0),
+    * c = n₁ − a, d = n₀ − b, and
+    * χ² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)). Presence-based
+    * (distinct term per doc), tokens = whitespace split of the
+    * lowercased text (the [[Bpe.wordFrequencies]] spelling).
+    *
+    * Output: (term, df, df_pos, chi2) — top `k` by (χ² desc, term),
+    * χ² at 6dp. Every input to the one double expression is an exact
+    * long, so independent engines agree bit-for-bit. Terms present in
+    * EVERY doc are excluded (a zero margin makes χ² undefined);
+    * `minDf` bounds the tail. Requires both classes non-empty.
+    *
+    * Scale shape: one (doc, term)-distinct explode collapsing map-side
+    * into a (term)-keyed hash aggregate (two conditional sums); the
+    * class totals ride a one-row crossJoin. No join keyed on the
+    * corpus, no window. */
+  def chi2Terms(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long = 2L, k: Int = 100): DataFrame = {
+    require(k > 0 && minDf >= 1, "chi2Terms needs k >= 1, minDf >= 1")
+    val y = col(labelCol).cast("long")
+    val rows = df.filter(col(textCol).isNotNull && y.isNotNull)
+      .select(col(idCol), y.as("__y"),
+        explode(array_distinct(filter(
+          split(trim(lower(col(textCol))), "\\s+"),
+          t => t =!= ""))).as("term"))
+    val cells = rows.groupBy(col("term")).agg(
+      sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("__y") =!= 1L, 1L).otherwise(0L)).as("b"))
+    val totals = df.filter(col(textCol).isNotNull && y.isNotNull)
+      .agg(sum(when(y === 1L, 1L).otherwise(0L)).as("__n1"),
+        sum(when(y =!= 1L, 1L).otherwise(0L)).as("__n0"))
+    val n1 = col("__n1")
+    val n0 = col("__n0")
+    val (a, b) = (col("a"), col("b"))
+    // doubles from exact longs: the products overflow Long on a real
+    // corpus (N·(ad−bc)² reaches ~N⁶), and IEEE doubles evaluate the
+    // one expression identically on every engine
+    def dbl(x: Column): Column = x.cast("double")
+    val scored = cells.crossJoin(totals)
+      .withColumn("__c", n1 - a)
+      .withColumn("__d", n0 - b)
+      .filter(a + b >= minDf && col("__c") + col("__d") > 0)
+      .withColumn("chi2", round(
+        dbl(n1 + n0) *
+          (dbl(a) * dbl(col("__d")) - dbl(b) * dbl(col("__c"))) *
+          (dbl(a) * dbl(col("__d")) - dbl(b) * dbl(col("__c"))) /
+          (dbl(a + b) * dbl(col("__c") + col("__d")) *
+            dbl(n1) * dbl(n0)), 6))
+    scored
+      .select(col("term"), (a + b).as("df"), a.as("df_pos"),
+        col("chi2"))
+      .orderBy(desc("chi2"), asc("term"))
+      .limit(k)
+  }
 }

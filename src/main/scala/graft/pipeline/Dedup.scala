@@ -253,6 +253,88 @@ object Dedup {
     restoreIds(verified, idMap, Seq("id_a", "id_b"))
   }
 
+  /** First-seen n-gram novelty by crawl order — "how much of this
+    * document's content is NEW relative to everything with a smaller
+    * id?" The per-doc novelty read behind incremental-crawl triage:
+    * a recrawl of boilerplate answers ~0, genuinely fresh content ~1,
+    * and the corpus-level novelty CURVE (novelty vs id) is the
+    * diminishing-returns plot crawl budgeting reads.
+    *
+    * Gram identity = md5 of the space-joined lowercased word n-gram
+    * (the q94 portability rule — an independent engine replays it).
+    * First occurrence = min(id) over the whole corpus. Output one row
+    * per input doc: (id, n_grams, n_novel, novelty 6dp); docs shorter
+    * than n words answer n_grams = 0 with null novelty.
+    *
+    * Scale shape: distinct (doc, gram-hash) postings collapse into a
+    * (gram)-keyed min-id hash aggregate (map-side combined), then ONE
+    * hash join postings ⋈ first-seen on the gram hash — shuffle
+    * O(postings), no window, no all-pairs term; the text column never
+    * crosses the wire. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, "gram size must be >= 1")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => t =!= "")
+    // sequence(1, size-n+1) DESCENDS when size < n — guard explicitly
+    val grams = when(size(toks) >= n, array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+    val postings = df
+      .select(col(idCol), explode(grams).as("__gh"))
+    val first = postings.groupBy(col("__gh"))
+      .agg(min(col(idCol)).as("__first"))
+    val perDoc = postings.join(first, "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .as("novelty"))
+  }
+
+  /** Scale-correct near-dup CLUSTER edges: the edge set
+    * [[connectedComponents]] needs, WITHOUT the quadratic term exact
+    * duplicate cliques put into [[minhashLsh]]'s all-pairs band join.
+    *
+    * A real crawl carries hot exact-duplicate cliques (boilerplate
+    * pages copied millions of times); inside one LSH bucket a clique of
+    * c identical docs makes c²/2 candidate pairs — measured at the 100×
+    * probe as a 603× shuffle for 10× data (SCALE.md). For CLUSTERING
+    * the clique's pairs are redundant: connectivity only needs a star.
+    * So: (1) collapse exact contents (md5 of the raw text) to their
+    * min-id representative and emit (rep, member) star edges — Jaccard
+    * 1 by construction; (2) run the full MinHash-LSH pair pipeline on
+    * the DISTINCT contents only; (3) union. Components are provably
+    * identical to all-pairs over the raw corpus: Jaccard is a function
+    * of content alone, so any cross-clique edge (x, y) implies the
+    * (rep(x), rep(y)) edge this construction keeps, and cliques stay
+    * connected through their star.
+    *
+    * [[minhashLsh]] itself keeps all-pairs semantics — a pair LISTING
+    * is inherently quadratic inside a clique; use it when the pairs
+    * themselves are the product (q24), this when feeding components. */
+  def clusterEdges(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val keyed = df.select(col(idCol), md5(col(textCol)).as("__ck"))
+    val reps = keyed.groupBy("__ck").agg(min(col(idCol)).as("__rep"))
+    val star = keyed.join(reps, "__ck")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val repDocs = df.join(
+      reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    minhashLsh(repDocs, idCol, textCol, k, bands, shingleN, minJaccard)
+      .select("id_a", "id_b")
+      .unionByName(star)
+  }
+
   /** Cross-corpus (incremental) near-dedup: candidate pairs between a NEW
     * batch and an already-KEPT corpus via the same MinHash+LSH banding as
     * [[minhashLsh]], verified with exact shingle Jaccard. Returns

@@ -162,4 +162,29 @@ class ClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxLabeled"))
   }
+
+  test("chi2Terms matches the hand-computed 2x2 chi-square per term, " +
+      "ranks class-pure terms first, and presence is per-doc distinct") {
+    // label 1: {apple banana}, {apple cherry}; label 0: {dog banana},
+    // {dog egg}. apple/dog are class-pure (chi2 = 4 at N = 4),
+    // cherry/egg one-sided (4·(2)²/12 = 1.333333), banana uninformative
+    // (ad = bc → 0). "apple apple" would double-count without the
+    // per-doc distinct.
+    val docs = Seq(
+      (1L, "apple apple banana", 1L), (2L, "apple cherry", 1L),
+      (3L, "dog banana", 0L), (4L, "dog egg", 0L))
+      .toDF("id", "text", "y")
+    val out = Classifier.chi2Terms(docs, "id", "text", "y",
+      minDf = 1L, k = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("apple", 2L, 2L, 4.0), ("dog", 2L, 0L, 4.0),
+      ("cherry", 1L, 1L, 1.333333), ("egg", 1L, 0L, 1.333333),
+      ("banana", 2L, 1L, 0.0)))
+    // minDf prunes the df-1 tail; k caps the ranking
+    val pruned = Classifier.chi2Terms(docs, "id", "text", "y",
+      minDf = 2L, k = 1)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(pruned == Seq(("apple", 2L, 2L, 4.0)))
+  }
 }

@@ -31,6 +31,57 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("clusterEdges: components identical to all-pairs minhashLsh, " +
+      "but an exact-dup clique contributes LINEAR star edges") {
+    // a clique of 6 byte-identical docs (ids 100-105), a near-dup pair
+    // (1, 2), a singleton (3); doc 100's content is ALSO a near-dup of
+    // doc 1 so the clique must connect into 1's component through its
+    // representative
+    val cliqueTxt = "the quick brown fox jumps over the lazy dog today"
+    val rows = Seq(
+      1L -> cliqueTxt,
+      2L -> (cliqueTxt + " ok"),
+      3L -> "completely different words in this unrelated document") ++
+      (100L to 105L).map(_ -> cliqueTxt)
+    val df = rows.toDF("doc_id", "text")
+    val edges = Dedup.clusterEdges(df, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+    val edgeSet = edges.as[(Long, Long)].collect().toSet
+    // the clique (incl. doc 1, same content) = 8 identical docs → 7
+    // star edges to rep 1, NOT 28 all-pairs
+    assert(edgeSet.count { case (a, _) => a == 1L } >= 7)
+    val allPairs = Dedup.minhashLsh(df, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    assert(edges.count() < allPairs.count()) // 28+ pairs vs 7+1 edges
+    val viaStar = Dedup.connectedComponents(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaAll = Dedup.connectedComponents(allPairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaStar == viaAll, s"$viaStar vs $viaAll")
+    // everything except the singleton lands in doc 1's component
+    assert(viaStar.forall(_._2 == 1L) &&
+      viaStar.map(_._1).toSet == (Set(1L, 2L) ++ (100L to 105L)))
+  }
+
+  test("gramNovelty: first-seen attribution by id order — novel grams " +
+      "count once, recrawls answer 0, short docs answer null") {
+    val docs = Seq(
+      (1L, "a b c"),        // grams (a b), (b c): both first → 1.0
+      (2L, "a b c d"),      // (a b), (b c) seen; (c d) new → 1/3
+      (3L, "a b"),          // (a b) seen → 0.0
+      (4L, "x"))            // shorter than n=2 → no grams
+      .toDF("doc_id", "text")
+    val out = Dedup.gramNovelty(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, Some(1.0)),
+      (2L, 3L, 1L, Some(0.333333)),
+      (3L, 1L, 0L, Some(0.0)),
+      (4L, 0L, 0L, None)))
+  }
+
   test("cross-corpus dedup: batch matches kept near-dups; novel docs survive") {
     val kept = base.toDF("doc_id", "text")
     val batch = Seq(
