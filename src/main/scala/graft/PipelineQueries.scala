@@ -3350,6 +3350,51 @@ object PipelineQueries {
       |  END, 6) AS jsd_term
       |FROM dense ORDER BY source, term""".stripMargin
 
+  /** Dedup report ([[Dedup.clusterSizeHistogram]]): cluster-size
+    * histogram over the near-dup components — duplicate rate and the
+    * clique tail on one page; singletons ride as size 1. The oracle
+    * replays the FULL all-pairs transitive closure and histograms it —
+    * a second independent equivalence check for the star-edge
+    * construction. */
+  def q181_cluster_sizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSizeHistogram(corpusWithDups(spark, dir), "doc_id",
+      "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+
+  val q181_sql: String =
+    s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       |comps AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY 1),
+       |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM corpus),
+       |cl AS (SELECT coalesce(sum(size), 0) AS m FROM sz)
+       |SELECT size, CAST(n_clusters AS BIGINT) AS n_clusters FROM (
+       |  SELECT CAST(1 AS BIGINT) AS size, n - m AS n_clusters
+       |  FROM tot CROSS JOIN cl WHERE n - m > 0
+       |  UNION ALL
+       |  SELECT CAST(size AS BIGINT), n_clusters FROM h)
+       |ORDER BY size""".stripMargin
+
   def q176_split_leakage(spark: SparkSession, dir: String)
       : DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
@@ -3473,7 +3518,8 @@ object PipelineQueries {
     "q176_split_leakage" -> (q176_split_leakage _),
     "q178_chi2_terms" -> (q178_chi2_terms _),
     "q179_gram_novelty" -> (q179_gram_novelty _),
-    "q180_jsd_cells" -> (q180_jsd_cells _))
+    "q180_jsd_cells" -> (q180_jsd_cells _),
+    "q181_cluster_sizes" -> (q181_cluster_sizes _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3562,5 +3608,6 @@ object PipelineQueries {
     "q176_split_leakage" -> q176_sql,
     "q178_chi2_terms" -> q178_sql,
     "q179_gram_novelty" -> q179_sql,
-    "q180_jsd_cells" -> q180_sql)
+    "q180_jsd_cells" -> q180_sql,
+    "q181_cluster_sizes" -> q181_sql)
 }

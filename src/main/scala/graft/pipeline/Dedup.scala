@@ -335,6 +335,41 @@ object Dedup {
       .unionByName(star)
   }
 
+  /** Duplicate-cluster size histogram — the one-page dedup report a
+    * curation run ends with: how many clusters of each size the corpus
+    * holds (size 1 = unique docs), from which duplicate rate
+    * (1 − clusters/docs) and the clique tail (the boilerplate risk
+    * [[clusterEdges]] exists to survive) both read off directly.
+    *
+    * Output: (size, n_clusters), size ascending, singletons included
+    * as size 1. All exact longs end to end.
+    *
+    * Scale shape: [[clusterEdges]] + [[connectedComponents]] do the
+    * corpus-scale work; the histogram itself is two aggregations over
+    * the component table (≤ one row per paired doc) and a one-row
+    * total crossJoin for the singleton count. */
+  def clusterSizeHistogram(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(
+      clusterEdges(df, idCol, textCol, k, bands, shingleN, minJaccard))
+    val sizes = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("size"))
+    val hist = sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val clustered = sizes.agg(
+      coalesce(sum(col("size")), lit(0L)).as("__m"))
+    val singletons = total.crossJoin(clustered)
+      .select(lit(1L).as("size"),
+        (col("__n") - col("__m")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singletons)
+      .groupBy(col("size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .orderBy(col("size"))
+  }
+
   /** Cross-corpus (incremental) near-dedup: candidate pairs between a NEW
     * batch and an already-KEPT corpus via the same MinHash+LSH banding as
     * [[minhashLsh]], verified with exact shingle Jaccard. Returns

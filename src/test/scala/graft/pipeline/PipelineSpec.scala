@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpec {
       viaStar.map(_._1).toSet == (Set(1L, 2L) ++ (100L to 105L)))
   }
 
+  test("clusterSizeHistogram: singletons ride as size 1 and the clique " +
+      "collapses to one cluster row") {
+    val cliqueTxt = "the quick brown fox jumps over the lazy dog today"
+    val rows = Seq(
+      1L -> cliqueTxt,
+      2L -> (cliqueTxt + " ok"),
+      3L -> "completely different words in this unrelated document") ++
+      (100L to 105L).map(_ -> cliqueTxt)
+    val out = Dedup.clusterSizeHistogram(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k = 16, bands = 8, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toSeq
+    // 9 docs: one 8-doc component (1, 2, the 6-clique) + singleton 3
+    assert(out == Seq((1L, 1L), (8L, 1L)), out.toString)
+  }
+
   test("gramNovelty: first-seen attribution by id order — novel grams " +
       "count once, recrawls answer 0, short docs answer null") {
     val docs = Seq(
