@@ -3395,6 +3395,48 @@ object PipelineQueries {
        |  SELECT CAST(size AS BIGINT), n_clusters FROM h)
        |ORDER BY size""".stripMargin
 
+  /** Soft dedup ([[Dedup.dupWeights]]): per-doc 1/cluster-size loss
+    * weights — the down-weighting alternative to hard removal; every
+    * doc answers, singletons at weight 1. Oracle replays the all-pairs
+    * closure + size attach. */
+  def q182_dup_weights(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupWeights(corpusWithDups(spark, dir), "doc_id", "text",
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .orderBy("doc_id")
+
+  val q182_sql: String =
+    s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks)-2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a, sh b
+       |  WHERE a.doc_id < b.doc_id
+       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       |comps AS (
+       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sz.size, 1) AS BIGINT) AS cluster_size,
+       |  round(1.0 / coalesce(sz.size, 1), 6) AS weight
+       |FROM corpus d
+       |LEFT JOIN comps c ON c.id = d.doc_id
+       |LEFT JOIN sz ON sz.comp = c.comp
+       |ORDER BY d.doc_id""".stripMargin
+
   def q176_split_leakage(spark: SparkSession, dir: String)
       : DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
@@ -3519,7 +3561,8 @@ object PipelineQueries {
     "q178_chi2_terms" -> (q178_chi2_terms _),
     "q179_gram_novelty" -> (q179_gram_novelty _),
     "q180_jsd_cells" -> (q180_jsd_cells _),
-    "q181_cluster_sizes" -> (q181_cluster_sizes _))
+    "q181_cluster_sizes" -> (q181_cluster_sizes _),
+    "q182_dup_weights" -> (q182_dup_weights _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3609,5 +3652,6 @@ object PipelineQueries {
     "q178_chi2_terms" -> q178_sql,
     "q179_gram_novelty" -> q179_sql,
     "q180_jsd_cells" -> q180_sql,
-    "q181_cluster_sizes" -> q181_sql)
+    "q181_cluster_sizes" -> q181_sql,
+    "q182_dup_weights" -> q182_sql)
 }

@@ -370,6 +370,33 @@ object Dedup {
       .orderBy(col("size"))
   }
 
+  /** Soft dedup: per-doc loss re-weighting instead of dropping —
+    * weight = 1 / near-dup-cluster size, so a 99-copy boilerplate page
+    * contributes one page of gradient in aggregate while unique docs
+    * keep weight 1 (the down-weighting alternative to hard removal
+    * when duplicates carry distribution signal worth keeping).
+    *
+    * Output: one row per input doc — (id, cluster_size, weight 6dp);
+    * singletons answer (1, 1.0). Same component construction as
+    * [[clusterSizeHistogram]] ([[clusterEdges]], linear in clique
+    * size); the weight attach is one join of the component table
+    * (≤ one row per paired doc) back to the id column. */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(
+      clusterEdges(df, idCol, textCol, k, bands, shingleN, minJaccard))
+    val sizes = comps.groupBy(col("comp"))
+      .agg(count(lit(1)).as("__sz"))
+    val withSize = comps.join(sizes, "comp")
+      .select(col("id").as(idCol), col("__sz"))
+    df.select(col(idCol)).join(withSize, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__sz"), lit(1L)), 6)
+          .as("weight"))
+  }
+
   /** Cross-corpus (incremental) near-dedup: candidate pairs between a NEW
     * batch and an already-KEPT corpus via the same MinHash+LSH banding as
     * [[minhashLsh]], verified with exact shingle Jaccard. Returns

@@ -79,6 +79,21 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (8L, 1L)), out.toString)
   }
 
+  test("dupWeights: 1/cluster-size per doc, singletons at weight 1, " +
+      "every input row answers") {
+    val cliqueTxt = "the quick brown fox jumps over the lazy dog today"
+    val rows = Seq(
+      1L -> cliqueTxt, 2L -> (cliqueTxt + " ok"),
+      3L -> "completely different words in this unrelated document",
+      4L -> cliqueTxt)
+    val out = Dedup.dupWeights(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k = 16, bands = 8, minJaccard = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.333333), (2L, 3L, 0.333333),
+      (3L, 1L, 1.0), (4L, 3L, 0.333333)))
+  }
+
   test("gramNovelty: first-seen attribution by id order — novel grams " +
       "count once, recrawls answer 0, short docs answer null") {
     val docs = Seq(
