@@ -1765,6 +1765,51 @@ object AnalysisQueries {
       |    * abs(CAST(ypos AS DOUBLE) / n - ssum / n), 6) AS ece_term
       |FROM b CROSS JOIN t ORDER BY bin""".stripMargin
 
+  /** Threshold sweep ([[graft.analysis.Calibration.prCurve]]): the
+    * precision/recall/F1 curve over the q167 synthesized scores —
+    * thresholds on the bucket grid so "score ≥ k/bins" is exactly
+    * "bucket ≥ k"; F1 = 2tp/(2tp+fp+fn) keeps every gated value one
+    * division of exact longs. */
+  def q183_pr_curve(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("doc_id") % 129).cast("double") / 128.0).as("score"),
+        when((col("doc_id") * 37) % 128 < col("doc_id") % 129, 1L)
+          .otherwise(0L).as("label"))
+    graft.analysis.Calibration.prCurve(d, "score", "label", bins = 16)
+  }
+
+  val q183_sql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 129 AS DOUBLE) / 128.0 AS score,
+      |    CASE WHEN (doc_id * 37) % 128 < doc_id % 129
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(CAST(floor(score * 16) AS INT), 15) AS b,
+      |    count(*) AS n, sum(y) AS pos
+      |  FROM s GROUP BY 1),
+      |t AS (SELECT coalesce(sum(pos), 0) AS p FROM b),
+      |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+      |agg AS (
+      |  SELECT k,
+      |    coalesce(sum(CASE WHEN b >= k THEN pos END), 0) AS tp,
+      |    coalesce(sum(CASE WHEN b >= k THEN n - pos END), 0) AS fp
+      |  FROM ks CROSS JOIN b GROUP BY 1)
+      |SELECT round(CAST(k AS DOUBLE) / 16, 6) AS threshold,
+      |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(p - tp AS BIGINT) AS fn,
+      |  CASE WHEN tp + fp > 0
+      |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+      |    AS precision,
+      |  CASE WHEN p > 0
+      |    THEN round(CAST(tp AS DOUBLE) / p, 6) END AS recall,
+      |  CASE WHEN tp + fp + p > 0
+      |    THEN round(2.0 * tp / CAST(tp + fp + p AS DOUBLE), 6) END
+      |    AS f1
+      |FROM agg CROSS JOIN t ORDER BY threshold""".stripMargin
+
   /** Mixture concentration ([[graft.analysis.Concentration.gini]]):
     * per language the Gini coefficient and top share over source doc
     * counts — integer arithmetic until one final expression of exact
@@ -1867,6 +1912,7 @@ object AnalysisQueries {
     "q157_transitions" -> (q157_transitions _),
     "q167_calibration" -> (q167_calibration _),
     "q168_gini" -> (q168_gini _),
+    "q183_pr_curve" -> (q183_pr_curve _),
     "q169_winsorize" -> (q169_winsorize _))
 
   val oracles: Map[String, String] = Map(
@@ -1909,5 +1955,6 @@ object AnalysisQueries {
     "q157_transitions" -> q157_sql,
     "q167_calibration" -> q167_sql,
     "q168_gini" -> q168_sql,
+    "q183_pr_curve" -> q183_sql,
     "q169_winsorize" -> q169_sql)
 }

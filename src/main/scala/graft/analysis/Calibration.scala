@@ -66,4 +66,62 @@ object Calibration {
           abs(col("__ypos").cast("double") / col("n") -
             col("__ssum") / col("n")), 6).as("ece_term"))
   }
+
+  /** Precision/recall threshold sweep — the curve that picks a
+    * curation filter's operating point: for each candidate threshold
+    * t = k/bins (k = 0..bins−1), classify score ≥ t as positive and
+    * report tp/fp/fn with precision, recall, and F1. F1 is computed as
+    * 2·tp / (2·tp + fp + fn) — ONE division of exact longs, never the
+    * 2pr/(p+r) division-of-divisions whose float association an
+    * independent engine could disagree with. Thresholds align with the
+    * score buckets, so "score ≥ k/bins" is exactly "bucket ≥ k" (1.0
+    * clamps into the top bucket like [[reliabilityBins]]).
+    *
+    * Same sample rules as [[reliabilityBins]]: null/NaN/out-of-range
+    * scores are excluded. precision is null at thresholds where
+    * nothing is predicted positive.
+    *
+    * Scale shape: corpus rows collapse into ≤ bins cells map-side; the
+    * sweep is a bins × bins conditional aggregate over CELLS plus a
+    * one-row positives total — nothing downstream of the first
+    * aggregate scales with the corpus. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val rows = df.filter(s.isNotNull && !isnan(s) && y.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(
+        least(floor(s * bins).cast("int"), lit(bins - 1)).as("b"),
+        y.as("y"))
+    val cells = rows.groupBy(col("b")).agg(
+      count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = cells.agg(coalesce(sum(col("pos")), lit(0L)).as("__p"))
+    val ks = df.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("k"))
+    ks.crossJoin(cells)
+      .groupBy(col("k"))
+      .agg(
+        coalesce(sum(when(col("b") >= col("k"), col("pos"))), lit(0L))
+          .as("tp"),
+        coalesce(sum(when(col("b") >= col("k"),
+          col("n") - col("pos"))), lit(0L)).as("fp"))
+      .crossJoin(total)
+      .select(
+        round(col("k").cast("double") / bins, 6).as("threshold"),
+        col("tp"), col("fp"), (col("__p") - col("tp")).as("fn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("__p") > 0,
+          round(col("tp").cast("double") / col("__p"), 6))
+          .as("recall"),
+        when(col("tp") + col("fp") + col("__p") > 0,
+          round(lit(2.0) * col("tp") /
+            (col("tp") + col("fp") + col("__p")).cast("double"), 6))
+          .as("f1"))
+      .orderBy("threshold")
+  }
 }

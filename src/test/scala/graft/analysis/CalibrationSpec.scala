@@ -30,6 +30,35 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(ece - (8.0 / 13 * 0.125)) < 1e-6)
   }
 
+  test("prCurve: hand-computed sweep — threshold 0 predicts all, " +
+      "monotone tp, F1 from one exact division, empty-prediction " +
+      "thresholds answer null precision") {
+    // 4 samples, bins = 4: scores .1(y0) .3(y1) .6(y1) .9(y0) → P = 2
+    val rows = Seq((0.1, 0L), (0.3, 1L), (0.6, 1L), (0.9, 0L))
+    val out = Calibration.prCurve(rows.toDF("s", "y"), "s", "y",
+        bins = 4)
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    // t=0: tp 2 fp 2 fn 0 → p .5 r 1 f1 = 4/(4+2+0) = .666667
+    assert(out(0) == (0.0, 2L, 2L, 0L, Some(0.5), Some(1.0),
+      Some(0.666667)))
+    // t=.25: bucket ≥ 1 → {.3,.6,.9}: tp 2 fp 1 → p .666667 r 1
+    assert(out(1) == (0.25, 2L, 1L, 0L, Some(0.666667), Some(1.0),
+      Some(0.8)))
+    // t=.5: {.6,.9}: tp 1 fp 1 fn 1 → p .5 r .5 f1 .5
+    assert(out(2) == (0.5, 1L, 1L, 1L, Some(0.5), Some(0.5),
+      Some(0.5)))
+    // t=.75: {.9}: tp 0 fp 1 fn 2 → p 0 r 0 f1 0
+    assert(out(3) == (0.75, 0L, 1L, 2L, Some(0.0), Some(0.0),
+      Some(0.0)))
+    // nothing predicted positive → precision null, not 0/0
+    val none = Calibration.prCurve(
+        Seq((0.1, 1L)).toDF("s", "y"), "s", "y", bins = 2)
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(none(1)._5.isEmpty && none(1)._2 == 0L)
+  }
+
   test("reliabilityBins: out-of-range scores are excluded, not " +
       "phantom-binned or merged into the top bin") {
     // -0.5 would land in a phantom negative bin; 1.7 would merge
