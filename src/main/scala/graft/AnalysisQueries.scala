@@ -1810,6 +1810,44 @@ object AnalysisQueries {
       |    AS f1
       |FROM agg CROSS JOIN t ORDER BY threshold""".stripMargin
 
+  /** Exact ROC AUC ([[graft.analysis.Calibration.auc]]): Mann–Whitney
+    * midranks doubled to stay integral — every aggregate an exact
+    * long, one final IEEE division, over the /128-grid synthesized
+    * scores. */
+  def q184_auc(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        ((col("doc_id") % 129).cast("double") / 128.0).as("score"),
+        when((col("doc_id") * 37) % 128 < col("doc_id") % 129, 1L)
+          .otherwise(0L).as("label"))
+    graft.analysis.Calibration.auc(d, "score", "label")
+  }
+
+  val q184_sql: String =
+    """WITH s AS (
+      |  SELECT CAST(doc_id % 129 AS DOUBLE) / 128.0 AS score,
+      |    CASE WHEN (doc_id * 37) % 128 < doc_id % 129
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT score, count(*) AS n, sum(y) AS pos
+      |  FROM s GROUP BY 1),
+      |o AS (
+      |  SELECT score, n, pos,
+      |    sum(n) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM b),
+      |a AS (
+      |  SELECT sum(pos * (2 * (cum - n) + n + 1)) AS sum2,
+      |    coalesce(sum(pos), 0) AS p,
+      |    coalesce(sum(n - pos), 0) AS nn
+      |  FROM o)
+      |SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+      |  CASE WHEN p > 0 AND nn > 0 THEN
+      |    round((CAST(sum2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+      |      / (2.0 * p * nn), 6) END AS auc
+      |FROM a""".stripMargin
+
   /** Mixture concentration ([[graft.analysis.Concentration.gini]]):
     * per language the Gini coefficient and top share over source doc
     * counts — integer arithmetic until one final expression of exact
@@ -1913,6 +1951,7 @@ object AnalysisQueries {
     "q167_calibration" -> (q167_calibration _),
     "q168_gini" -> (q168_gini _),
     "q183_pr_curve" -> (q183_pr_curve _),
+    "q184_auc" -> (q184_auc _),
     "q169_winsorize" -> (q169_winsorize _))
 
   val oracles: Map[String, String] = Map(
@@ -1956,5 +1995,6 @@ object AnalysisQueries {
     "q167_calibration" -> q167_sql,
     "q168_gini" -> q168_sql,
     "q183_pr_curve" -> q183_sql,
+    "q184_auc" -> q184_sql,
     "q169_winsorize" -> q169_sql)
 }

@@ -85,6 +85,57 @@ object Calibration {
     * sweep is a bins × bins conditional aggregate over CELLS plus a
     * one-row positives total — nothing downstream of the first
     * aggregate scales with the corpus. */
+  /** Exact ROC AUC via the Mann–Whitney rank statistic — the
+    * one-number ranking quality of a curation classifier, computed
+    * WITHOUT sampling or trapezoid approximation: with midranks
+    * doubled to stay integral (midrank2 = 2·before + n + 1 per score
+    * cell, ties handled exactly),
+    * AUC = (Σ_pos midrank2 − P(P+1)) / (2·P·N). Every aggregate is an
+    * exact long; one final IEEE expression, so engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: corpus rows collapse into (score) cells map-side;
+    * the cumulative walk is the single-task cell-ladder window the
+    * winsorize family uses — bounded by the same quantize-first
+    * contract, audited via `maxDistinct` (the quantileNormalize
+    * convention) before the ladder runs. Returns ONE row:
+    * (n_pos, n_neg, auc 6dp); auc is null when either class is
+    * empty. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinct: Long = 65536L): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val cells = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("s"), y.as("__y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinct = cells.count()
+    if (distinct > maxDistinct) {
+      cells.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"auc: $distinct distinct scores > maxDistinct = $maxDistinct" +
+          " — quantize the score first, or raise the bound explicitly")
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("__cum", sum(col("n")).over(w))
+      .agg(
+        sum(col("pos") * (lit(2L) * (col("__cum") - col("n")) +
+          col("n") + 1L)).as("__sum2"),
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("n") - col("pos")), lit(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__sum2").cast("double") -
+            col("n_pos").cast("double") * (col("n_pos") + 1L)) /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
+
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 16): DataFrame = {
     require(bins > 0, "bins must be positive")

@@ -59,6 +59,30 @@ class CalibrationSpec extends SparkSpec {
     assert(none(1)._5.isEmpty && none(1)._2 == 0L)
   }
 
+  test("auc: perfect separation 1.0, all-tied 0.5, hand-computed 0.75 " +
+      "with ties exact, degenerate single-class null, distinct bound " +
+      "audited") {
+    def a(rows: Seq[(Double, Long)]): Option[Double] =
+      Calibration.auc(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Option[Double])].collect().head._3
+    assert(a(Seq((0.8, 1L), (0.6, 1L), (0.4, 0L), (0.2, 0L)))
+      .contains(1.0))
+    assert(a(Seq((0.5, 1L), (0.5, 0L))).contains(0.5))
+    // pairs: .9>.6 ✓, .9>.1 ✓, .4<.6 ✗, .4>.1 ✓ → 3/4
+    assert(a(Seq((0.9, 1L), (0.4, 1L), (0.6, 0L), (0.1, 0L)))
+      .contains(0.75))
+    // tie between a positive and a negative counts half:
+    // pos {.5}, neg {.5, .1}: (tie → .5) + (.5 > .1 → 1) over 2 = .75
+    assert(a(Seq((0.5, 1L), (0.5, 0L), (0.1, 0L))).contains(0.75))
+    assert(a(Seq((0.5, 1L), (0.6, 1L))).isEmpty) // no negatives
+    val e = intercept[IllegalArgumentException] {
+      Calibration.auc(
+        (1 to 100).map(i => (i / 100.0, (i % 2).toLong))
+          .toDF("s", "y"), "s", "y", maxDistinct = 10L)
+    }
+    assert(e.getMessage.contains("quantize the score first"))
+  }
+
   test("reliabilityBins: out-of-range scores are excluded, not " +
       "phantom-binned or merged into the top bin") {
     // -0.5 would land in a phantom negative bin; 1.7 would merge
