@@ -79,4 +79,48 @@ class HeavyHittersStreamSpec extends SparkSpec {
     // total stream length bounds every count
     assert(rows.forall(r => r._2 >= r._3 && r._2 <= 32L))
   }
+
+  test("checkpoint restart CONTINUES the SpaceSaving summary: counts " +
+      "fed before the stop survive into the window's final ranking") {
+    // the EwmaStreamSpec recovery pattern applied to the second
+    // stateful operator: same MemoryStream instance, file sink,
+    // identical graph, same checkpointLocation
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("hh_restart").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    def start() = HeavyHittersStream.topK(mem.toDF().toDF("ts", "k"),
+        "ts", "k", windowSeconds = 60, capacity = 8, k = 2)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    // 5 of 'a' arrive in lifetime 1; the window stays OPEN
+    mem.addData(Seq.fill(5)("a").map(k =>
+      (t("2024-01-01 00:00:10"), k)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    // lifetime 2 adds 3 of 'b' to the SAME window, then closes it
+    mem.addData(Seq.fill(3)("b").map(k =>
+      (t("2024-01-01 00:00:20"), k)): _*)
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:05:00"), "z"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:10:00"), "z"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .filter($"window_start" ===
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+      .orderBy("rank")
+      .select("key", "cnt", "err", "rank")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    // a lost-state restart would rank only 'b'; the recovered summary
+    // still holds lifetime 1's five 'a's, exact (err 0)
+    assert(rows == Seq(("a", 5L, 0L, 1), ("b", 3L, 0L, 2)), rows)
+  }
 }
