@@ -477,10 +477,31 @@ object Dedup {
   def dedupAgainst(newDf: DataFrame, keptDf: DataFrame,
       idCol: String, textCol: String, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    val matched = crossCorpusPairs(newDf, keptDf, idCol, textCol,
-      k, bands, shingleN, minJaccard)
-      .select(col("new_id").as(idCol)).distinct()
-    newDf.join(matched, Seq(idCol), "left_anti")
+    // collapse BOTH sides to distinct contents before the band join
+    // (the clusterEdges lesson, round 13): novelty is a function of
+    // content alone, so the pair search need only see one doc per
+    // distinct text — a boilerplate clique on either side would
+    // otherwise emit clique-quadratic candidates. Matches re-expand
+    // through the content key, so the kept/novel answer is IDENTICAL.
+    val newKeyed = newDf
+      .select(col(idCol), md5(col(textCol)).as("__ck"))
+    val newReps = newKeyed.groupBy(col("__ck"))
+      .agg(min(col(idCol)).as("__rep"))
+    val newRepDocs = newDf.join(
+      newReps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val keptRepDocs = keptDf.join(
+      keptDf.select(col(idCol), md5(col(textCol)).as("__ck"))
+        .groupBy(col("__ck")).agg(min(col(idCol)).as("__rep"))
+        .select(col("__rep").as(idCol)),
+      Seq(idCol), "left_semi")
+    val matchedRep = crossCorpusPairs(newRepDocs, keptRepDocs, idCol,
+      textCol, k, bands, shingleN, minJaccard)
+      .select(col("new_id").as("__rep")).distinct()
+    // every new doc whose CONTENT matched (via its rep) is a dup
+    val matchedIds = newKeyed
+      .join(newReps.join(matchedRep, "__rep"), "__ck")
+      .select(col(idCol))
+    newDf.join(matchedIds, Seq(idCol), "left_anti")
   }
 
   /** Connected components over near-duplicate pairs — the step that turns

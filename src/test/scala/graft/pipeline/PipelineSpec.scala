@@ -128,6 +128,20 @@ class DedupSpec extends SparkSpec {
       k = 16, bands = 8, minJaccard = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(11L))
+    // content collapse re-expands: identical COPIES of a matching doc
+    // (and of a novel doc) each answer like their representative, on
+    // both sides of the boundary
+    val batchCliques = batch.unionByName(Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (13L, "a genuinely novel document about streaming watermarks and state"))
+      .toDF("doc_id", "text"))
+    val keptCliques = kept.unionByName(
+      Seq((99L, "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text"))
+    val s2 = Dedup.dedupAgainst(batchCliques, keptCliques, "doc_id",
+        "text", k = 16, bands = 8, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(11L, 13L), s2.toString)
   }
 
   test("simhash: identical text hamming 0; near-dup small hamming") {
