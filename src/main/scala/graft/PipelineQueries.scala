@@ -3437,6 +3437,33 @@ object PipelineQueries {
        |LEFT JOIN sz ON sz.comp = c.comp
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Mix-to-spec resampling ([[Curation.matchMixture]]): thin the
+    * corpus to a stated 2:1:1:1:1 language ratio at the maximum
+    * feasible size — the binding language keeps everything, the rest
+    * thin via the portable hashUniform draw the oracle replays. */
+  def q185_match_mixture(spark: SparkSession, dir: String): DataFrame =
+    Curation.matchMixture(
+        docs(spark, dir).select("doc_id", "lang"), "doc_id", "lang",
+        Seq("en" -> 2L, "de" -> 1L, "es" -> 1L, "fr" -> 1L,
+          "zh" -> 1L))
+      .orderBy("doc_id")
+
+  val q185_sql: String =
+    """WITH p(g, pp) AS (VALUES ('en', 2), ('de', 1), ('es', 1),
+      |  ('fr', 1), ('zh', 1)),
+      |c AS (SELECT lang AS g, count(*) AS n FROM documents
+      |      GROUP BY 1),
+      |j AS (SELECT c.g, n, pp FROM c JOIN p USING (g)),
+      |m AS (SELECT min(CAST(n AS DOUBLE) * 6 / pp) AS m FROM j),
+      |r AS (SELECT g, least(1.0,
+      |        CAST(pp AS DOUBLE) / 6 * m / n) AS rate
+      |      FROM j CROSS JOIN m)
+      |SELECT d.doc_id, d.lang FROM documents d
+      |JOIN r ON r.g = d.lang
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |        AS BIGINT) / 4294967296.0 < r.rate
+      |ORDER BY d.doc_id""".stripMargin
+
   def q176_split_leakage(spark: SparkSession, dir: String)
       : DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
@@ -3562,7 +3589,8 @@ object PipelineQueries {
     "q179_gram_novelty" -> (q179_gram_novelty _),
     "q180_jsd_cells" -> (q180_jsd_cells _),
     "q181_cluster_sizes" -> (q181_cluster_sizes _),
-    "q182_dup_weights" -> (q182_dup_weights _))
+    "q182_dup_weights" -> (q182_dup_weights _),
+    "q185_match_mixture" -> (q185_match_mixture _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3653,5 +3681,6 @@ object PipelineQueries {
     "q179_gram_novelty" -> q179_sql,
     "q180_jsd_cells" -> q180_sql,
     "q181_cluster_sizes" -> q181_sql,
-    "q182_dup_weights" -> q182_sql)
+    "q182_dup_weights" -> q182_sql,
+    "q185_match_mixture" -> q185_sql)
 }

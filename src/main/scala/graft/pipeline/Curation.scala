@@ -266,6 +266,50 @@ object Curation {
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") / 4294967296.0
 
+  /** Mix-to-spec resampling: downsample groups so the OUTPUT mixture
+    * matches an explicit target ratio — "2 parts en : 1 part de : …" —
+    * at the maximum feasible size (the binding group keeps everything,
+    * rate 1; every other group thins to match). The complement of
+    * [[temperatureMixFractions]] (which SHAPES a mixture relative to
+    * itself; this one hits a stated spec).
+    *
+    * `parts` are INTEGER ratio parts (2:1:1), not float fractions, so
+    * the target is exact rational arithmetic until one double rate per
+    * group: rate_g = (p_g/S)·M/n_g with M = min_g(n_g·S/p_g). Rows keep
+    * via the portable [[hashUniform]] draw on the id — per-row
+    * deterministic, reproducible, engine-replayable; realized shares
+    * are binomial around the target (the corpus-scale contract —
+    * exact quotas would need per-group ranking). Groups absent from
+    * `parts` are DROPPED (a mixture spec is exhaustive by meaning).
+    *
+    * Scale shape: one #groups-row count aggregate, a one-row min, a
+    * broadcast rate join, and a per-row hash filter — the corpus
+    * never shuffles. */
+  def matchMixture(df: DataFrame, idCol: String, groupCol: String,
+      parts: Seq[(String, Long)]): DataFrame = {
+    require(parts.nonEmpty, "parts must be non-empty")
+    require(parts.forall(_._2 > 0), "every part must be positive")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "duplicate group in parts")
+    val s = parts.map(_._2).sum
+    val pdf = df.sparkSession.createDataFrame(parts)
+      .toDF("__g", "__p")
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val withP = counts.join(pdf, "__g")
+    val m = withP.agg(
+      min(col("__n").cast("double") * s / col("__p")).as("__m"))
+    // least(1, …) absorbs float dust on the binding group
+    val rates = withP.crossJoin(m)
+      .select(col("__g"),
+        least(lit(1.0), col("__p").cast("double") / s * col("__m") /
+          col("__n")).as("__rate"))
+    df.join(broadcast(rates),
+        col(groupCol).cast("string") === col("__g"))
+      .filter(hashUniform(col(idCol)) < col("__rate"))
+      .drop("__g", "__rate")
+  }
+
   /** Temperature-scaled mixing fractions (the multilingual-sampling
     * temperature of Arivazhagan et al. 2019, arXiv:1907.05019 §5, and
     * GPT-3's dataset weights): sampling probability p_d ∝ n_d^(1/T),

@@ -74,6 +74,38 @@ class CurationSpec extends SparkSpec {
       (3L, 0.333333, 0.75), (4L, 1.0, 1.0), (5L, 0.0, 1.0)))
   }
 
+  test("matchMixture: the binding group keeps everything, other " +
+      "groups thin toward the stated ratio, absent groups drop, and " +
+      "the draw is reproducible") {
+    // en:400 de:100 fr:25 xx:50 with parts en:2 de:1 fr:1 (S=4):
+    // M = min(400·4/2, 100·4/1, 25·4/1) = 100 → binding group fr
+    // keeps all 25; en targets 50, de targets 25; xx (no part) drops
+    val rows = (1L to 400L).map(i => (i, "en")) ++
+      (401L to 500L).map(i => (i, "de")) ++
+      (501L to 525L).map(i => (i, "fr")) ++
+      (526L to 575L).map(i => (i, "xx"))
+    val df = rows.toDF("doc_id", "lang")
+    val parts = Seq("en" -> 2L, "de" -> 1L, "fr" -> 1L)
+    val kept = Curation.matchMixture(df, "doc_id", "lang", parts)
+      .as[(Long, String)].collect().toSeq
+    val byLang = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("fr") == 25)                  // rate exactly 1
+    assert(!byLang.contains("xx"))              // not in the spec
+    // binomial around the 50/25 targets — generous 3σ bounds
+    assert(math.abs(byLang("en") - 50) <= 21, byLang.toString)
+    assert(math.abs(byLang("de") - 25) <= 14, byLang.toString)
+    // reproducible: the identical draw twice
+    val again = Curation.matchMixture(df, "doc_id", "lang", parts)
+      .as[(Long, String)].collect().toSeq
+    assert(kept.sortBy(_._1) == again.sortBy(_._1))
+    // loud contract checks
+    intercept[IllegalArgumentException](
+      Curation.matchMixture(df, "doc_id", "lang", Seq("en" -> 0L)))
+    intercept[IllegalArgumentException](
+      Curation.matchMixture(df, "doc_id", "lang",
+        Seq("en" -> 1L, "en" -> 2L)))
+  }
+
   test("percentileRank audits the ladder before broadcasting: an " +
       "unquantized score past the bound throws loudly instead of " +
       "building a corpus-sized broadcast") {
