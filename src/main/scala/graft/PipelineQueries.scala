@@ -3500,6 +3500,44 @@ object PipelineQueries {
       |  CAST(min_id AS BIGINT) AS min_id
       |FROM g WHERE n_splits > 1 ORDER BY content_md5""".stripMargin
 
+  /** Split repair ([[Curation.repairSplitLeakage]]): the FIX to
+    * q176's finding — every exact-duplicate content group lands in
+    * its min-id member's split; `moved` marks the relocated copies.
+    * Same synthesized leak fixture as q176. */
+  def q186_split_repair(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val withDups = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val split = Curation.assignSplits(withDups, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+      salt = "s12")
+    Curation.repairSplitLeakage(split, "doc_id", "text", "split")
+      .orderBy("doc_id")
+  }
+
+  val q186_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id % 11 = 0),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's12'),
+      |      1, 8) < 'e6666666' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || 's12'),
+      |      1, 8) < 'f3333333' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM d),
+      |canon AS (
+      |  SELECT md5(text) AS ck, arg_min(split, doc_id) AS canon
+      |  FROM s WHERE text IS NOT NULL GROUP BY 1)
+      |SELECT s.doc_id, s.split,
+      |  coalesce(c.canon, s.split) AS split_repaired,
+      |  coalesce(c.canon, s.split) <> s.split AS moved
+      |FROM s LEFT JOIN canon c ON c.ck = md5(s.text)
+      |ORDER BY s.doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3590,7 +3628,8 @@ object PipelineQueries {
     "q180_jsd_cells" -> (q180_jsd_cells _),
     "q181_cluster_sizes" -> (q181_cluster_sizes _),
     "q182_dup_weights" -> (q182_dup_weights _),
-    "q185_match_mixture" -> (q185_match_mixture _))
+    "q185_match_mixture" -> (q185_match_mixture _),
+    "q186_split_repair" -> (q186_split_repair _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3682,5 +3721,6 @@ object PipelineQueries {
     "q180_jsd_cells" -> q180_sql,
     "q181_cluster_sizes" -> q181_sql,
     "q182_dup_weights" -> q182_sql,
-    "q185_match_mixture" -> q185_sql)
+    "q185_match_mixture" -> q185_sql,
+    "q186_split_repair" -> q186_sql)
 }

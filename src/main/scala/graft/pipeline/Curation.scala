@@ -942,6 +942,32 @@ object Curation {
         min(col("__id")).as("min_id"))
       .filter(col("n_splits") > 1)
 
+  /** The FIX to [[splitLeakage]]'s finding: force every member of an
+    * exact-duplicate content group into ONE split — the split of the
+    * group's smallest id (deterministic, growth-stable: new copies
+    * join the incumbent's split instead of re-rolling the group). A
+    * doc with unique (or null) content keeps its split. Returns every
+    * input row: (id, split, split_repaired, moved).
+    *
+    * Scale shape: text collapses to md5 map-side; one content-keyed
+    * min-struct aggregate picks the canonical (id, split); one join
+    * back on the digest. The text column never crosses the wire. */
+  def repairSplitLeakage(df: DataFrame, idCol: String,
+      textCol: String, splitCol: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(splitCol),
+      md5(col(textCol).cast("string")).as("__ck"))
+    val canon = keyed.filter(col("__ck").isNotNull)
+      .groupBy(col("__ck"))
+      .agg(min(struct(col(idCol), col(splitCol))).as("__w"))
+      .select(col("__ck"),
+        col("__w").getField(splitCol).as("__canon"))
+    keyed.join(canon, Seq("__ck"), "left")
+      .select(col(idCol), col(splitCol),
+        coalesce(col("__canon"), col(splitCol)).as("split_repaired"),
+        (coalesce(col("__canon"), col(splitCol)) =!= col(splitCol))
+          .as("moved"))
+  }
+
   // --------------------------------------------------- C4 page cleaning
 
   /** The six boilerplate-notice substrings C4 strips at the line level

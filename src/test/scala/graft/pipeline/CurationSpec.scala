@@ -106,6 +106,27 @@ class CurationSpec extends SparkSpec {
         Seq("en" -> 1L, "en" -> 2L)))
   }
 
+  test("repairSplitLeakage: leaking groups land in the min-id " +
+      "member's split, clean rows keep theirs, null text keeps its " +
+      "own split") {
+    val df = Seq(
+      (1L, "same text", "train"), (2L, "same text", "test"),  // leak
+      (3L, "unique", "val"),
+      (5L, "also same", "test"), (4L, "also same", "train"),  // min 4
+      (6L, null.asInstanceOf[String], "val"))
+      .toDF("id", "text", "split")
+    val out = Curation.repairSplitLeakage(df, "id", "text", "split")
+      .orderBy("id")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "train", "train", false),
+      (2L, "test", "train", true),   // pulled to min-id 1's split
+      (3L, "val", "val", false),
+      (4L, "train", "train", false),
+      (5L, "test", "train", true),   // min id 4 wins, not row order
+      (6L, "val", "val", false)))    // null content: own split
+  }
+
   test("percentileRank audits the ladder before broadcasting: an " +
       "unquantized score past the bound throws loudly instead of " +
       "building a corpus-sized broadcast") {
