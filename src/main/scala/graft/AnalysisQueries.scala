@@ -1848,6 +1848,36 @@ object AnalysisQueries {
       |      / (2.0 * p * nn), 6) END AS auc
       |FROM a""".stripMargin
 
+  /** Brier score ([[graft.analysis.Calibration.brier]]): proper-rule
+    * mean squared error over (score, label) cells — on the /128 grid
+    * every cell term is an exact binary rational. */
+  def q187_brier(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        ((col("doc_id") % 129).cast("double") / 128.0).as("score"),
+        when((col("doc_id") * 37) % 128 < col("doc_id") % 129, 1L)
+          .otherwise(0L).as("label"))
+    graft.analysis.Calibration.brier(d, "score", "label")
+  }
+
+  val q187_sql: String =
+    """WITH s AS (
+      |  SELECT CAST(doc_id % 129 AS DOUBLE) / 128.0 AS score,
+      |    CASE WHEN (doc_id * 37) % 128 < doc_id % 129
+      |      THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |b AS (
+      |  SELECT score, count(*) AS n, sum(y) AS pos
+      |  FROM s GROUP BY 1),
+      |a AS (
+      |  SELECT coalesce(sum(n), 0) AS n,
+      |    sum(pos * (1.0 - score) * (1.0 - score)
+      |      + (n - pos) * score * score) AS sse
+      |  FROM b)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n > 0 THEN round(sse / n, 6) END AS brier
+      |FROM a""".stripMargin
+
   /** Mixture concentration ([[graft.analysis.Concentration.gini]]):
     * per language the Gini coefficient and top share over source doc
     * counts — integer arithmetic until one final expression of exact
@@ -1952,6 +1982,7 @@ object AnalysisQueries {
     "q168_gini" -> (q168_gini _),
     "q183_pr_curve" -> (q183_pr_curve _),
     "q184_auc" -> (q184_auc _),
+    "q187_brier" -> (q187_brier _),
     "q169_winsorize" -> (q169_winsorize _))
 
   val oracles: Map[String, String] = Map(
@@ -1996,5 +2027,6 @@ object AnalysisQueries {
     "q168_gini" -> q168_sql,
     "q183_pr_curve" -> q183_sql,
     "q184_auc" -> q184_sql,
+    "q187_brier" -> q187_sql,
     "q169_winsorize" -> q169_sql)
 }

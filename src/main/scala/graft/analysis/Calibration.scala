@@ -136,6 +136,34 @@ object Calibration {
           .as("auc"))
   }
 
+  /** Brier score — the mean squared error of probabilistic
+    * predictions, the proper scoring rule complementing [[auc]]
+    * (ranking) and the ECE (calibration): Σ(s−y)²/N decomposed over
+    * (score, label) CELLS — per cell the exact contribution
+    * pos·(1−s)² + (n−pos)·s² — so the corpus never feeds a row-order
+    * float fold; on grid-quantized scores (the q167 convention) every
+    * cell term is an exact binary rational and engines agree
+    * bit-for-bit. Same sample rules as [[reliabilityBins]]. One row:
+    * (n, brier 6dp); null when no valid samples. */
+  def brier(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    df.filter(s.isNotNull && !isnan(s) && y.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(s.as("__s"), y.as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("pos") * (lit(1.0) - col("__s")) *
+          (lit(1.0) - col("__s")) +
+          (col("n") - col("pos")) * col("__s") * col("__s"))
+          .as("__sse"))
+      .select(col("n"),
+        when(col("n") > 0,
+          round(col("__sse") / col("n"), 6)).as("brier"))
+  }
+
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 16): DataFrame = {
     require(bins > 0, "bins must be positive")

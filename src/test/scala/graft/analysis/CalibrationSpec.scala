@@ -83,6 +83,18 @@ class CalibrationSpec extends SparkSpec {
     assert(e.getMessage.contains("quantize the score first"))
   }
 
+  test("brier: hand-computed MSE over cells, perfect predictions 0, " +
+      "worst-case 1, empty input null") {
+    def b(rows: Seq[(Double, Long)]): (Long, Option[Double]) =
+      Calibration.brier(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Option[Double])].collect().head
+    // ((0.75-1)² + (0.25-0)²) / 2 = (0.0625 + 0.0625)/2 = 0.0625
+    assert(b(Seq((0.75, 1L), (0.25, 0L))) == (2L, Some(0.0625)))
+    assert(b(Seq((1.0, 1L), (0.0, 0L))) == (2L, Some(0.0)))
+    assert(b(Seq((0.0, 1L), (1.0, 0L))) == (2L, Some(1.0)))
+    assert(b(Seq((Double.NaN, 1L))) == (0L, None))
+  }
+
   test("reliabilityBins: out-of-range scores are excluded, not " +
       "phantom-binned or merged into the top bin") {
     // -0.5 would land in a phantom negative bin; 1.7 would merge
