@@ -402,7 +402,10 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
           if (r.size() != 3)
             throw new IllegalArgumentException(
               "each row must be [epochSeconds, key, value]")
-          (r.get(0).asLong(), r.get(1).asText(), r.get(2).asDouble())
+          // value rides as its wire string: numeric sessions parse it
+          // loudly in StreamService, text sessions (novelty) take the
+          // document verbatim
+          (r.get(0).asLong(), r.get(1).asText(), r.get(2).asText())
         }
         val emitted = withTimeout(streams.feed(id, rows))
         (200, s"""{"fed":${rows.length},"rows_emitted":$emitted}""")

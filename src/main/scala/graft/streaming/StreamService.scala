@@ -34,10 +34,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * window), never the fed volume. */
 final class StreamService(spark: SparkSession) {
 
-  /** One live session: the push source, the running query, and the
-    * sink table its emitted rows land in. */
+  /** One live session: the push source (numeric- or text-valued —
+    * the novelty monitor feeds documents, not measurements), the
+    * running query, and the sink table its emitted rows land in. */
   final case class Handle(id: String, op: String,
-      mem: MemoryStream[(Timestamp, String, Double)],
+      mem: Option[MemoryStream[(Timestamp, String, Double)]],
+      memText: Option[MemoryStream[(Timestamp, String, String)]],
       query: StreamingQuery, sink: String)
 
   private val seq = new AtomicLong(0L)
@@ -48,9 +50,10 @@ final class StreamService(spark: SparkSession) {
       .map(h => (h.id, h.op, h.query.isActive))
   }
 
-  /** Start a streaming operator. `op` ∈ ewma | heavy_hitters | drift | tail;
-    * `params` are the operator's knobs (stringly here — this is the
-    * HTTP boundary), missing keys take the documented defaults. */
+  /** Start a streaming operator. `op` ∈ ewma | heavy_hitters | drift
+    * | novelty | tail; `params` are the operator's knobs (stringly
+    * here — this is the HTTP boundary), missing keys take the
+    * documented defaults. */
   def start(op: String, params: Map[String, String]): String =
     synchronized {
       import spark.implicits._
@@ -62,9 +65,19 @@ final class StreamService(spark: SparkSession) {
         params.get(name).map(_.toLong).getOrElse(default)
       val id = s"s${seq.incrementAndGet()}"
       val sink = s"stream_${id}_out"
-      val mem = MemoryStream[(Timestamp, String, Double)]
-      val src = mem.toDF().toDF("ts", "key", "value")
+      lazy val mem = MemoryStream[(Timestamp, String, Double)]
+      lazy val memText = MemoryStream[(Timestamp, String, String)]
+      def src = mem.toDF().toDF("ts", "key", "value")
       val out: DataFrame = op match {
+        case "novelty" =>
+          // text-valued session: value carries the DOCUMENT
+          NoveltyStream.monitor(
+            memText.toDF().toDF("ts", "key", "value"),
+            "ts", "key", "value",
+            windowSeconds = pl("window", 60L),
+            gramN = pl("gram", 5L).toInt,
+            bloomBytes = pl("bloomBytes", (1L << 17)).toInt,
+            latenessSeconds = pl("lateness", 0L)).toDF()
         case "ewma" =>
           EwmaStream.chart(src, "ts", "key", "value",
             stepSeconds = pl("step", 60L),
@@ -102,25 +115,44 @@ final class StreamService(spark: SparkSession) {
         case other =>
           throw new IllegalArgumentException(
             s"unknown stream op '$other' " +
-              "(expected ewma | heavy_hitters | drift | tail)")
+              "(expected ewma | heavy_hitters | drift | novelty | tail)")
       }
       val query = out.writeStream
         .format("memory")
         .queryName(sink)
         .outputMode("append")
         .start()
-      sessions(id) = Handle(id, op, mem, query, sink)
+      sessions(id) =
+        if (op == "novelty")
+          Handle(id, op, None, Some(memText), query, sink)
+        else Handle(id, op, Some(mem), None, query, sink)
       id
     }
 
   /** Append events (epoch-second, key, value) to the session's source
-    * and run the micro-batch loop to quiescence. Returns the number
-    * of rows now visible in the sink. */
-  def feed(id: String, rows: Seq[(Long, String, Double)]): Long = {
+    * and run the micro-batch loop to quiescence. The value arrives as
+    * its wire string; numeric sessions parse it LOUDLY (a bad number
+    * is the caller's 400, not a silent 0), text sessions (novelty)
+    * take it verbatim. Returns the number of rows now visible in the
+    * sink. */
+  def feed(id: String, rows: Seq[(Long, String, String)]): Long = {
     val h = handle(id)
-    if (rows.nonEmpty)
-      h.mem.addData(rows.map { case (sec, k, v) =>
-        (new Timestamp(sec * 1000L), k, v) })
+    if (rows.nonEmpty) h.memText match {
+      case Some(mt) =>
+        mt.addData(rows.map { case (sec, k, v) =>
+          (new Timestamp(sec * 1000L), k, v) })
+      case None =>
+        h.mem.get.addData(rows.map { case (sec, k, v) =>
+          val d =
+            try v.toDouble
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"op '${h.op}' needs numeric values, got '$v'")
+            }
+          (new Timestamp(sec * 1000L), k, d)
+        })
+    }
     h.query.processAllAvailable()
     sinkTable(id, h)
       .count()

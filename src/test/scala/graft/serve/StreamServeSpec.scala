@@ -89,6 +89,32 @@ class StreamServeSpec extends SparkSpec
     assert(post("/stream/stop", s"""{"id":"$id"}""")._1 == 200)
   }
 
+  test("novelty lifecycle: documents feed as TEXT values, per-window " +
+      "novelty emits after watermark close; numeric ops still reject " +
+      "non-numeric values loudly") {
+    val id = startOp("novelty", """{"window":"60","gram":"2"}""")
+    // window [0,60): fresh doc (2 grams), then its exact recrawl
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[[5,"s","a b c"],
+         |[10,"s","a b c"]]}""".stripMargin)._1 == 200)
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[[300,"wm","x y"]]}""")._1 == 200)
+    assert(post("/stream/feed",
+      s"""{"id":"$id","rows":[[600,"wm","x y"]]}""")._1 == 200)
+    val (pc, pb) = post("/stream/poll", s"""{"id":"$id"}""")
+    assert(pc == 200, pb)
+    // 4 grams total in the window, 2 novel (the recrawl re-sees both)
+    assert(pb.contains(""""n_grams":4,"n_novel_est":2"""), pb)
+    assert(pb.contains(""""novelty_est":0.5"""), pb)
+    assert(post("/stream/stop", s"""{"id":"$id"}""")._1 == 200)
+    // a numeric session refuses a text value with a loud 400
+    val eid = startOp("ewma", """{"step":"60"}""")
+    val (fc, fb) = post("/stream/feed",
+      s"""{"id":"$eid","rows":[[5,"k","not-a-number"]]}""")
+    assert(fc == 400 && fb.contains("needs numeric values"), fb)
+    assert(post("/stream/stop", s"""{"id":"$eid"}""")._1 == 200)
+  }
+
   test("ewma lifecycle emits chart rows with alarms; bad op and bad " +
       "rows answer 400; unknown id answers 404") {
     val id = startOp("ewma",
