@@ -284,6 +284,26 @@ object Smoke {
       require(epc == 200 && charted >= 2 && alarms >= 1,
         s"ewma stream wrong emit: ${epb.take(400)}")
       post("/stream/stop", s"""{"id":"$eid"}""")
+
+      // crawl-novelty monitor over the same face: a fresh doc then
+      // its exact recrawl — TEXT values through the wire
+      val (nc0, nb0) = post("/stream/start",
+        """{"op":"novelty","params":{"window":"60","gram":"2"}}""")
+      require(nc0 == 200, s"novelty start failed: $nb0")
+      val nid = """"id":"([^"]+)"""".r.findFirstMatchIn(nb0)
+        .map(_.group(1)).getOrElse("")
+      post("/stream/feed",
+        s"""{"id":"$nid","rows":[[5,"s","a b c"],[10,"s","a b c"]]}""")
+      post("/stream/feed", s"""{"id":"$nid","rows":[[300,"wm","x y"]]}""")
+      post("/stream/feed", s"""{"id":"$nid","rows":[[600,"wm","x y"]]}""")
+      val (npc, npb) = post("/stream/poll", s"""{"id":"$nid"}""")
+      println(s"[smoke] stream novelty: http=$npc " +
+        s"halfNovel=${npb.contains("\"novelty_est\":0.5")}" +
+        (if (npc >= 300) s" body=${npb.take(300)}" else ""))
+      require(npc == 200 &&
+        npb.contains(""""n_grams":4,"n_novel_est":2"""),
+        s"novelty stream wrong emit: ${npb.take(400)}")
+      post("/stream/stop", s"""{"id":"$nid"}""")
     } finally server.stop()
     spark.stop()
   }
