@@ -3538,6 +3538,56 @@ object PipelineQueries {
       |FROM s LEFT JOIN canon c ON c.ck = md5(s.text)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** PII census ([[TextAnalysis.piiCensus]]): per-doc email/IP/phone
+    * counts over texts with planted PII — the oracle replays the SAME
+    * RE2-compatible patterns (DuckDB regexp_extract_all), so the count
+    * parity IS the gate. */
+  def q188_pii_census(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 300)
+    val synth = ids.select(col("doc_id"), concat(
+      lit("contact "),
+      when(col("doc_id") % 3 === 0, concat(lit("user"),
+        col("doc_id"), lit("@example.com "))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("at 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".7 "))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("+1 555 0100 "))
+        .otherwise(lit("")),
+      lit("end")).as("text"))
+    TextAnalysis.piiCensus(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q188_sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, concat('contact ',
+      |    CASE WHEN doc_id % 3 = 0 THEN concat('user',
+      |      CAST(doc_id AS VARCHAR), '@example.com ') ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN concat('at 10.0.',
+      |      CAST(doc_id % 250 AS VARCHAR), '.7 ') ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN '+1 555 0100 ' ELSE '' END,
+      |    'end') AS text
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |    AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?'))
+      |    AS BIGINT) AS n_phones,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |  + len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+      |  + len(regexp_extract_all(text,
+      |    '\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?')) > 0
+      |    AS has_pii
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3629,7 +3679,8 @@ object PipelineQueries {
     "q181_cluster_sizes" -> (q181_cluster_sizes _),
     "q182_dup_weights" -> (q182_dup_weights _),
     "q185_match_mixture" -> (q185_match_mixture _),
-    "q186_split_repair" -> (q186_split_repair _))
+    "q186_split_repair" -> (q186_split_repair _),
+    "q188_pii_census" -> (q188_pii_census _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3722,5 +3773,6 @@ object PipelineQueries {
     "q181_cluster_sizes" -> q181_sql,
     "q182_dup_weights" -> q182_sql,
     "q185_match_mixture" -> q185_sql,
-    "q186_split_repair" -> q186_sql)
+    "q186_split_repair" -> q186_sql,
+    "q188_pii_census" -> q188_sql)
 }

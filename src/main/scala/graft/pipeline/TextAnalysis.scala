@@ -284,6 +284,32 @@ object TextAnalysis {
       "\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}([ -]\\d{1,4})?", "<PHONE>")
   }
 
+  /** PII census — the REPORT face of [[scrubPii]] (which masks): how
+    * many emails / IPv4s / phone-shaped runs each document carries,
+    * plus the any-hit flag — the per-doc risk score a release gate
+    * thresholds on before the scrub decides what survives. Patterns
+    * are [[scrubPii]]'s, chosen RE2-compatible (no lookarounds or
+    * backrefs) so an independent engine counts identically;
+    * non-overlapping leftmost matching is the shared semantic. Null
+    * text answers zeros (absence of text is not PII).
+    *
+    * Scale shape: pure per-row regexp counts — zero shuffle, rides
+    * whole-stage codegen with the scan. */
+  def piiCensus(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def cnt(pattern: String): Column =
+      when(col(textCol).isNotNull,
+        regexp_count(col(textCol), lit(pattern))).otherwise(lit(0))
+        .cast("long")
+    val emails = cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val ips = cnt("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    val phones = cnt("\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}([ -]\\d{1,4})?")
+    df.select(col(idCol), emails.as("n_emails"), ips.as("n_ips"),
+        phones.as("n_phones"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+  }
+
   // ------------------------------------------- boilerplate chunk removal
 
   /** C4-style corpus-frequency boilerplate removal, generalized from

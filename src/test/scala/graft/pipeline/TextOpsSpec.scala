@@ -63,6 +63,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1, 1), (2L, 1, 0), (3L, 1, 1), (4L, 0, 0)))
   }
 
+  test("piiCensus counts each family independently on the raw text; " +
+      "null text answers zeros, not nulls") {
+    val df = Seq(
+      (1L, "mail a@b.co and c@d.org, server 10.0.0.7, +1 555 0100"),
+      (2L, "clean prose with a version 1.2.3 and year 2024"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = TextAnalysis.piiCensus(df, "id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1L, true),
+      (2L, 0L, 0L, 0L, false),  // 1.2.3 is not an IPv4; 2024 no phone
+      (3L, 0L, 0L, 0L, false)))
+  }
+
   test("luhnScan: a digit blob longer than 19 is NOT a candidate — " +
       "maximal-run boundaries, not a greedy 19-digit prefix") {
     val df = Seq(
