@@ -1549,6 +1549,79 @@ object PipelineQueries {
       |               CAST(inter AS DOUBLE)/zb.sz) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Content-collapsed containment ([[Dedup.containmentByContent]]):
+    * the scale path for the listing q121's guard refuses on clique
+    * corpora — exact copies collapse to min-id reps annotated with
+    * group sizes, the q121 fixture plus PLANTED exact copies
+    * (doc_id + 400000 for doc_id % 7 = 0) exercising the collapse.
+    * The oracle groups by md5(text) first, then replays the q121 pair
+    * math over reps only. */
+  def q189_containment_content(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val words = split(col("text"), " ")
+    val half = greatest(ceil(size(words) / 2.0), lit(1)).cast("int")
+    val trunc = d.filter(col("doc_id") < 25).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      array_join(slice(words, lit(1), half), " ").as("text"))
+    val copies = d.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 400000).as("doc_id"), col("text"))
+    Dedup.containmentByContent(
+      d.unionByName(trunc).unionByName(copies), "doc_id", "text",
+      n = 3, threshold = 0.9, maxPairs = 1000000000L)
+      .withColumn("containment_ab", round(col("containment_ab"), 6))
+      .withColumn("containment_ba", round(col("containment_ba"), 6))
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q189_sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    array_to_string(list_slice(string_split(text, ' '), 1,
+      |      CAST(greatest(ceil(len(string_split(text, ' ')) / 2.0), 1)
+      |        AS INT)), ' ') AS text
+      |  FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |grp AS (
+      |  SELECT md5(text) AS ck, min(doc_id) AS rep,
+      |    count(*) AS members
+      |  FROM corpus GROUP BY 1),
+      |reps AS (
+      |  SELECT c.doc_id, c.text FROM corpus c
+      |  JOIN grp ON grp.rep = c.doc_id),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM reps)),
+      |g AS (SELECT doc_id, unnest(s) AS gh FROM sh),
+      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        count(*) AS inter
+      |      FROM g a JOIN g b
+      |        ON a.gh = b.gh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |z AS (SELECT doc_id, len(s) AS sz FROM sh)
+      |SELECT id_a, id_b, inter, za.sz AS sz_a, zb.sz AS sz_b,
+      |  round(CAST(inter AS DOUBLE)/za.sz, 6) AS containment_ab,
+      |  round(CAST(inter AS DOUBLE)/zb.sz, 6) AS containment_ba,
+      |  round(greatest(CAST(inter AS DOUBLE)/za.sz,
+      |                 CAST(inter AS DOUBLE)/zb.sz), 6) AS containment,
+      |  ma.members AS members_a, mb.members AS members_b
+      |FROM i JOIN z za ON za.doc_id = id_a
+      |       JOIN z zb ON zb.doc_id = id_b
+      |       JOIN grp ma ON ma.rep = id_a
+      |       JOIN grp mb ON mb.rep = id_b
+      |WHERE greatest(CAST(inter AS DOUBLE)/za.sz,
+      |               CAST(inter AS DOUBLE)/zb.sz) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Greedy k-center (k = 8) over the embeddings corpus: the oracle
     * replays Gonzalez's greedy argmax round by round in a recursive
     * CTE — every selection and covering radius must agree, so the
@@ -3680,7 +3753,8 @@ object PipelineQueries {
     "q182_dup_weights" -> (q182_dup_weights _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
-    "q188_pii_census" -> (q188_pii_census _))
+    "q188_pii_census" -> (q188_pii_census _),
+    "q189_containment_content" -> (q189_containment_content _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3774,5 +3848,6 @@ object PipelineQueries {
     "q182_dup_weights" -> q182_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
-    "q188_pii_census" -> q188_sql)
+    "q188_pii_census" -> q188_sql,
+    "q189_containment_content" -> q189_sql)
 }

@@ -1066,6 +1066,42 @@ object Dedup {
     * the [[ngramJaccardProbe]] disclaimer). Output: id_a < id_b,
     * `inter`, sizes, both directed containments, `containment` =
     * max of the two; ids restored to their original type. */
+  /** The SCALE PATH for containment listing: collapse exact contents
+    * (md5) to their min-id representative and list containment pairs
+    * between DISTINCT contents only, each side annotated with its
+    * exact-duplicate group size (`members_a` / `members_b`). The
+    * clique-quadratic listing the 100× probe refused (27.9B gram-pair
+    * rows at factor 100 — SCALE.md round 13) becomes linear in
+    * distinct contents: within-group pairs are containment 1 BY
+    * DEFINITION and are represented by `members_k > 1`, never
+    * materialized; a consumer needing the expanded pair COUNT reads
+    * members_a·members_b per row (plus C(members,2) per group).
+    * Containment is a function of content alone, so the rep-level pair
+    * set carries exactly the cross-content information of the full
+    * listing. Same loud maxDf/maxPairs audits, now over distinct-
+    * content postings. */
+  def containmentByContent(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Long = 10000L, maxPairs: Long = 100000000L): DataFrame = {
+    val keyed = corpus.select(col(idCol),
+      md5(col(textCol).cast("string")).as("__ck"))
+    val groups = keyed.groupBy(col("__ck"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__members"))
+    val repDocs = corpus.join(
+      groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = containmentPairs(repDocs, idCol, textCol, n,
+      threshold, maxDf, maxPairs)
+    val m = groups.select(col("__rep"), col("__members"))
+    pairs
+      .join(m.select(col("__rep").as("id_a"),
+        col("__members").as("members_a")), Seq("id_a"))
+      .join(m.select(col("__rep").as("id_b"),
+        col("__members").as("members_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+        col("sz_b"), col("containment_ab"), col("containment_ba"),
+        col("containment"), col("members_a"), col("members_b"))
+  }
+
   def containmentPairs(corpus: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8,
       maxDf: Long = 10000L, maxPairs: Long = 100000000L): DataFrame = {

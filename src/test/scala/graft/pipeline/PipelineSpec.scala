@@ -209,6 +209,40 @@ class DedupSpec extends SparkSpec {
     assert(jac < 0.9)
   }
 
+  test("containmentByContent: exact copies collapse to the min-id rep " +
+      "with member counts; rep-level pairs equal containmentPairs on " +
+      "the distinct contents") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val short = "alpha beta gamma delta epsilon zeta"  // prefix → C=1
+    val rows = Seq(
+      (1L, long), (2L, short),
+      (10L, long), (11L, long),          // exact copies of 1
+      (20L, short),                       // exact copy of 2
+      (30L, "completely different unrelated words here entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentByContent(rows, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("id_a", "id_b", "containment", "members_a", "members_b")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    // ONE rep-level pair: (1=rep of {1,10,11}, 2=rep of {2,20}),
+    // containment 1.0 (the short doc is a prefix of the long one)
+    assert(out == Seq((1L, 2L, 1.0, 3L, 2L)), out.toString)
+    // on a dup-free corpus the collapse is the identity: same pairs
+    val dupFree = Seq((1L, long), (2L, short),
+      (30L, "completely different unrelated words here entirely"))
+      .toDF("doc_id", "text")
+    val a = Dedup.containmentByContent(dupFree, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+      .collect().toSet
+    val b = Dedup.containmentPairs(dupFree, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(a == b)
+  }
+
   test("containmentPairs maxDf guard is loud; raising it re-enables") {
     // 'x y z' appears in all 4 docs → df = 4 > maxDf = 3
     val df = (1L to 4L).map(i => (i, s"x y z tail$i words here"))
