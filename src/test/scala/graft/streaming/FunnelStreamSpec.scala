@@ -126,4 +126,47 @@ class FunnelStreamSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq("u1" -> 2, "u1" -> 1), s"got $rows")
   }
+
+  test("checkpoint restart CONTINUES the funnel: a chain begun in " +
+      "lifetime 1 completes after the restart") {
+    // third instance of the recovery pattern (EwmaStream /
+    // HeavyHittersStream): same source, file sink, same checkpoint
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("fn_restart").toString
+    val mem = MemoryStream[(Timestamp, String, String)]
+    def start() = FunnelStream.levelUpdates(
+        mem.toDF().toDF("ts", "uid", "ev")
+          .withWatermark("ts", "0 seconds"),
+        "uid", "ts", "ev", steps, windowSeconds = 3600.0)
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    // lifetime 1: u1 walks view → click; the chain is OPEN at stop
+    mem.addData((t("2024-01-01 00:00:00"), "u1", "view"),
+      (t("2024-01-01 00:05:00"), "u1", "click"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    // lifetime 2: the buy lands IN the same window — a lost-state
+    // restart would see a buy with no pending chain and emit nothing
+    mem.addData((t("2024-01-01 00:30:00"), "u1", "buy"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 02:00:00"), "u9", "view"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 03:00:00"), "u9", "scroll"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 04:00:00"), "u9", "click"))
+    q2.processAllAvailable()
+    q2.stop()
+    val levels = spark.read.parquet(s"$dir/out")
+      .filter($"key" === "u1").orderBy("level")
+      .select("level").as[Int].collect().toSeq
+    // the full 3-step funnel completed across the restart boundary
+    assert(levels.lastOption.contains(3), levels.toString)
+  }
 }
