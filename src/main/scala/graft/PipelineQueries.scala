@@ -3661,6 +3661,41 @@ object PipelineQueries {
       |    AS has_pii
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Cross-snapshot gram overlap ([[Dedup.gramOverlap]]): snapshot A
+    * = the doc_id < 300 prefix, snapshot B = the full corpus — the
+    * corpus-level recrawl-freshness number (frac_new = share of B's
+    * distinct 5-gram md5s absent from A). */
+  def q190_gram_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    Dedup.gramOverlap(d.filter(col("doc_id") < 300), d, "text", n = 5)
+  }
+
+  val q190_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 4),
+      |    i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+      |      w[i+4]))))) AS gh
+      |  FROM toks),
+      |ga AS (SELECT DISTINCT gh FROM g WHERE doc_id < 300),
+      |gb AS (SELECT DISTINCT gh FROM g)
+      |SELECT
+      |  CAST((SELECT count(*) FROM ga) AS BIGINT) AS grams_a,
+      |  CAST((SELECT count(*) FROM gb) AS BIGINT) AS grams_b,
+      |  CAST((SELECT count(*) FROM ga JOIN gb USING (gh)) AS BIGINT)
+      |    AS shared,
+      |  CAST((SELECT count(*) FROM gb
+      |        WHERE gh NOT IN (SELECT gh FROM ga)) AS BIGINT)
+      |    AS new_in_b,
+      |  CASE WHEN (SELECT count(*) FROM gb) > 0 THEN
+      |    round(CAST((SELECT count(*) FROM gb
+      |      WHERE gh NOT IN (SELECT gh FROM ga)) AS DOUBLE)
+      |      / (SELECT count(*) FROM gb), 6) END AS frac_new""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3754,7 +3789,8 @@ object PipelineQueries {
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
-    "q189_containment_content" -> (q189_containment_content _))
+    "q189_containment_content" -> (q189_containment_content _),
+    "q190_gram_overlap" -> (q190_gram_overlap _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3849,5 +3885,6 @@ object PipelineQueries {
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,
-    "q189_containment_content" -> q189_sql)
+    "q189_containment_content" -> q189_sql,
+    "q190_gram_overlap" -> q190_sql)
 }

@@ -299,6 +299,49 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Corpus-level gram overlap between two snapshots — the
+    * macro twin of [[gramNovelty]] (per-doc, one corpus): what
+    * fraction of snapshot B's distinct n-grams did snapshot A already
+    * contain? The recrawl-freshness number a crawl review reads first:
+    * frac_new ~0 means B re-fetched A, ~1 means disjoint coverage.
+    * Returns ONE row: grams_a, grams_b, shared, new_in_b, frac_new
+    * (6dp). Gram identity = md5 of the space-joined lowercased word
+    * n-gram (the [[gramNovelty]] spelling).
+    *
+    * Scale shape: each side collapses to its DISTINCT gram-hash set
+    * map-side (one hash aggregate per side over (gram) keys); the
+    * comparison is a full-outer-style count over the union frame —
+    * shuffle O(distinct grams), text never crosses the wire, no
+    * pair term. */
+  def gramOverlap(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, "gram size must be >= 1")
+    def gramSet(df: DataFrame, side: String): DataFrame = {
+      val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => t =!= "")
+      val gs = when(size(toks) >= n, array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+        .otherwise(array().cast("array<string>"))
+      df.select(explode(gs).as("__gh")).distinct()
+        .withColumn(side, lit(1))
+    }
+    gramSet(dfA, "__a").join(gramSet(dfB, "__b"), Seq("__gh"),
+        "full_outer")
+      .agg(
+        sum(coalesce(col("__a"), lit(0))).cast("long").as("grams_a"),
+        sum(coalesce(col("__b"), lit(0))).cast("long").as("grams_b"),
+        sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("shared"),
+        sum(when(col("__a").isNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("new_in_b"))
+      .select(col("grams_a"), col("grams_b"), col("shared"),
+        col("new_in_b"),
+        when(col("grams_b") > 0, round(
+          col("new_in_b").cast("double") / col("grams_b"), 6))
+          .as("frac_new"))
+  }
+
   /** Scale-correct near-dup CLUSTER edges: the edge set
     * [[connectedComponents]] needs, WITHOUT the quadratic term exact
     * duplicate cliques put into [[minhashLsh]]'s all-pairs band join.

@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 1.0), (4L, 3L, 0.333333)))
   }
 
+  test("gramOverlap: hand-computed snapshot comparison — shared, " +
+      "new-in-B, and the disjoint / identical extremes") {
+    val a = Seq((1L, "a b c"), (2L, "x y"))        // grams: ab, bc
+      .toDF("doc_id", "text")                       // (x y < n=2? no: 2 toks → xy)
+    val b = Seq((1L, "a b c d"), (2L, "p q r"))    // ab, bc, cd; pq, qr
+      .toDF("doc_id", "text")
+    val out = Dedup.gramOverlap(a, b, "text", n = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // A = {ab, bc, xy}; B = {ab, bc, cd, pq, qr}: shared 2, new 3
+    assert(out == (3L, 5L, 2L, 3L, 0.6), out.toString)
+    val same = Dedup.gramOverlap(a, a, "text", n = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(same == (3L, 3L, 3L, 0L, 0.0))
+    val disj = Dedup.gramOverlap(a,
+        Seq((9L, "m n o")).toDF("doc_id", "text"), "text", n = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(disj == (3L, 2L, 0L, 2L, 1.0))
+  }
+
   test("gramNovelty: first-seen attribution by id order — novel grams " +
       "count once, recrawls answer 0, short docs answer null") {
     val docs = Seq(
