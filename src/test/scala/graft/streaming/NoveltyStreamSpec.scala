@@ -51,6 +51,49 @@ class NoveltyStreamSpec extends SparkSpec {
     assert(z.map(r => (r._3, r._4)) == Seq((2L, 2L)))
   }
 
+  test("checkpoint restart CONTINUES the bloom: grams seen in " +
+      "lifetime 1 are NOT novel after the restart") {
+    // fourth recovery proof, this one for BINARY (Array[Byte]) state:
+    // the bloom's bits must round-trip the state store across a
+    // stop/start — a lost bloom would call the recrawl fully novel
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("nov_restart").toString
+    val mem = MemoryStream[(Timestamp, String, String)]
+    def start() = NoveltyStream.monitor(
+        mem.toDF().toDF("ts", "k", "txt"), "ts", "k", "txt",
+        windowSeconds = 60, gramN = 2)
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    mem.addData((t("2024-01-01 00:00:10"), "s", "a b c"))
+    q1.processAllAvailable()
+    mem.addData((t("2024-01-01 00:05:00"), "wm", "x y"))
+    q1.processAllAvailable()
+    mem.addData((t("2024-01-01 00:10:00"), "wm", "x y"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    // the exact recrawl in a LATER window: a recovered bloom answers
+    // 0 novel; a lost one would answer 2
+    mem.addData((t("2024-01-01 00:20:10"), "s", "a b c"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:40:00"), "wm", "x y"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 01:00:00"), "wm", "x y"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .filter($"key" === "s").orderBy("window_start")
+      .select("n_grams", "n_novel_est").as[(Long, Long)]
+      .collect().toSeq
+    assert(rows == Seq((2L, 2L), (2L, 0L)), rows.toString)
+  }
+
   test("state stays bounded: the bloom never grows and closed " +
       "windows leave the buffer") {
     implicit val sc = spark.sqlContext
