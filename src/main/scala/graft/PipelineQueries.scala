@@ -3696,6 +3696,36 @@ object PipelineQueries {
       |      WHERE gh NOT IN (SELECT gh FROM ga)) AS DOUBLE)
       |      / (SELECT count(*) FROM gb), 6) END AS frac_new""".stripMargin
 
+  /** Tokenizer fertility per language
+    * ([[TextAnalysis.tokenizerFertility]]): subword tokens per word
+    * and chars per token by lang — the multilingual-budgeting table.
+    * Exact longs into two divisions; the oracle replays the BPE-ish
+    * regex (RE2-compatible). */
+  def q191_fertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenizerFertility(docs(spark, dir), "lang", "text")
+      .orderBy("lang")
+
+  val q191_sql: String =
+    """WITH c AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split_regex(trim(lower(text)),
+      |      '\s+'), x -> x <> '')) AS words,
+      |    len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tokens,
+      |    length(text) AS chars
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(words) AS BIGINT) AS words,
+      |  CAST(sum(tokens) AS BIGINT) AS tokens,
+      |  CAST(sum(chars) AS BIGINT) AS chars,
+      |  CASE WHEN sum(words) > 0 THEN
+      |    round(CAST(sum(tokens) AS DOUBLE) / sum(words), 6) END
+      |    AS fertility,
+      |  CASE WHEN sum(tokens) > 0 THEN
+      |    round(CAST(sum(chars) AS DOUBLE) / sum(tokens), 6) END
+      |    AS chars_per_token
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   // ============================================================= registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3790,7 +3820,8 @@ object PipelineQueries {
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
     "q189_containment_content" -> (q189_containment_content _),
-    "q190_gram_overlap" -> (q190_gram_overlap _))
+    "q190_gram_overlap" -> (q190_gram_overlap _),
+    "q191_fertility" -> (q191_fertility _))
 
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" -> q20_sql,
@@ -3886,5 +3917,6 @@ object PipelineQueries {
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,
     "q189_containment_content" -> q189_sql,
-    "q190_gram_overlap" -> q190_sql)
+    "q190_gram_overlap" -> q190_sql,
+    "q191_fertility" -> q191_sql)
 }

@@ -93,6 +93,38 @@ object TextAnalysis {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
       lit(0)))
 
+  /** Per-group tokenizer fertility — the "how many subword tokens per
+    * word does this language cost" table (Ács's fertility metric;
+    * multilingual budgeting reads it before setting mixture weights):
+    * per `groupCol`, docs, whitespace words, BPE-ish tokens
+    * ([[bpeishTokenCount]]'s regex classes), characters, and the two
+    * ratios — fertility = tokens/words and chars_per_token. Exact
+    * longs until the two divisions (6dp). Null texts are excluded.
+    *
+    * Scale shape: pure per-row counts collapsing into one map-side
+    * combined hash aggregate keyed on the group — zero joins, zero
+    * windows. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(filter(split(trim(lower(t)), "\\s+"),
+      x => x =!= ""))
+    df.filter(t.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(words.cast("long")).as("words"),
+        sum(bpeishTokenCount(t).cast("long")).as("tokens"),
+        sum(length(t).cast("long")).as("chars"))
+      .select(col(groupCol), col("docs"), col("words"), col("tokens"),
+        col("chars"),
+        when(col("words") > 0, round(
+          col("tokens").cast("double") / col("words"), 6))
+          .as("fertility"),
+        when(col("tokens") > 0, round(
+          col("chars").cast("double") / col("tokens"), 6))
+          .as("chars_per_token"))
+  }
+
   // --------------------------------------------------------- fingerprint
 
   /** Shingle-hash array of a document (the winnowing input). Materialize

@@ -63,6 +63,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1, 1), (2L, 1, 0), (3L, 1, 1), (4L, 0, 0)))
   }
 
+  test("tokenizerFertility: hand-computed tokens/words and " +
+      "chars/token per group; null text excluded") {
+    val df = Seq(
+      // "don't stop" → words 2; bpe-ish: don ' t stop = 4 → 2.0
+      (1L, "en", "don't stop"),
+      // "abc 123" → words 2; tokens: abc, 123 = 2 → 1.0
+      (2L, "de", "abc 123"),
+      (3L, "de", null.asInstanceOf[String]))
+      .toDF("id", "lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df, "lang", "text")
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("de", 1L, 2L, 2L, 7L, 1.0, 3.5),
+      ("en", 1L, 2L, 4L, 10L, 2.0, 2.5)))
+  }
+
   test("piiCensus counts each family independently on the raw text; " +
       "null text answers zeros, not nulls") {
     val df = Seq(
