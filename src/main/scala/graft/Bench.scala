@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line: {"metric":"total","value":N,"unit":"sec",
   * "queries":{...},"sf":...}. The same line is also written to
   * `bench_out.json` in the working directory — at 118 queries the line
-  * outgrew a log-tail capture once; the file is the loss-proof copy. */
+  * outgrew a log-tail capture once; the file is the loss-proof copy.
+  * A run that measures dirty (loaded start or hypervisor steal) is
+  * re-measured once; a still-dirty line is diverted to
+  * `bench_out-dirty.json` so the record file only ever carries a
+  * clean number. */
 object Bench {
   def main(args: Array[String]): Unit = {
     // the JSON line is machine-parsed: f-interpolation uses the default
@@ -73,70 +77,89 @@ object Bench {
         try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
         finally src.close()
       } catch { case _: Throwable => None }
-    // Load guard (the round-12 lesson: a 0.41%-steal, load1-3.8 run
-    // became the round's artifact and read as a uniform 1.08×
-    // regression): wait — bounded — for the host to go quiet before
-    // measuring, then record the start load actually measured under.
-    // The artifact self-marks "dirty" below when it still started
-    // loaded or saw steal, so a dirty number can never silently
-    // become the record.
-    val settleDeadline = System.nanoTime() + 120L * 1000000000L
-    while (load1().exists(_ > 1.0) && System.nanoTime() < settleDeadline) {
-      System.err.println(s"[bench] host loaded (load1=${load1()
-        .map(l => f"$l%.2f").getOrElse("?")}) — settling up to 120s")
-      Thread.sleep(10000L)
+    // One measurement attempt: settle, two full passes, per-query MIN.
+    // The host VM shows bursty CPU steal (multi-second whole-JVM
+    // freezes that land on whichever query is running — /proc/stat
+    // steal + hrtimer-latency warnings); min-of-two with the samples a
+    // full pass apart keeps one burst from writing a 100× outlier into
+    // a query's number. Min is the standard noise-robust estimator for
+    // cold-cache-free repeated runs. Returns (json line, dirty).
+    def attempt(): (String, Boolean) = {
+      // Load guard (the round-12 lesson: a 0.41%-steal, load1-3.8 run
+      // became the round's artifact and read as a uniform 1.08×
+      // regression): wait — bounded — for the host to go quiet before
+      // measuring, then record the start load actually measured under.
+      val settleDeadline = System.nanoTime() + 120L * 1000000000L
+      while (load1().exists(_ > 1.0) &&
+          System.nanoTime() < settleDeadline) {
+        System.err.println(s"[bench] host loaded (load1=${load1()
+          .map(l => f"$l%.2f").getOrElse("?")}) — settling up to 120s")
+        Thread.sleep(10000L)
+      }
+      val load1Start = load1()
+      val jiffiesA = cpuJiffies()
+      val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      val pass1 = ordered.map { case (n, f) => run(n, f) }.toMap
+      // drop the pipeline queries' persisted intermediates so pass 2
+      // redoes their real work instead of reading pass-1 caches
+      spark.catalog.clearCache()
+      val pass2 = ordered.map { case (n, f) => run(n, f) }.toMap
+      val results = ordered.map { case (n, _) =>
+        val (a, b) = (pass1(n), pass2(n))
+        n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
+      val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val stealVal = (jiffiesA, cpuJiffies()) match {
+        case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
+          Some((s1 - s0) * 100.0 / (t1 - t0))
+        case _ => None
+      }
+      val stealPct = stealVal
+        .map(v => f""","steal_pct":$v%.2f""").getOrElse("")
+      val loads = (load1Start, load1()) match {
+        case (Some(a), Some(b)) =>
+          f""","load1_start":$a%.2f,"load1_end":$b%.2f"""
+        case _ => ""
+      }
+      // the judge-trustable dirty bit: started loaded (after the settle
+      // wait) or saw hypervisor steal during the run. load1_end is NOT
+      // a criterion — the bench itself drives it up on local[32].
+      val isDirty =
+        load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.1)
+      val dirty = if (isDirty) ""","dirty":true""" else ""
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads$dirty}""",
+        isDirty)
     }
-    val load1Start = load1()
 
-    // Two full passes, per-query MIN. The host VM shows bursty CPU steal
-    // (multi-second whole-JVM freezes that land on whichever query is
-    // running — /proc/stat steal + hrtimer-latency warnings); min-of-two
-    // with the samples a full pass apart keeps one burst from writing a
-    // 100× outlier into a query's number. Min is the standard
-    // noise-robust estimator for cold-cache-free repeated runs.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (n, f) => run(n, f) }.toMap
-    // drop the pipeline queries' persisted intermediates so pass 2 redoes
-    // their real work instead of reading pass-1 caches
-    spark.catalog.clearCache()
-    val pass2 = ordered.map { case (n, f) => run(n, f) }.toMap
-    val results = ordered.map { case (n, _) =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val stealVal = (jiffies0, cpuJiffies()) match {
-      case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
-        Some((s1 - s0) * 100.0 / (t1 - t0))
-      case _ => None
-    }
-    val stealPct = stealVal
-      .map(v => f""","steal_pct":$v%.2f""").getOrElse("")
-    val loads = (load1Start, load1()) match {
-      case (Some(a), Some(b)) =>
-        f""","load1_start":$a%.2f,"load1_end":$b%.2f"""
-      case _ => ""
-    }
-    // the judge-trustable dirty bit: started loaded (after the settle
-    // wait) or saw hypervisor steal during the run. load1_end is NOT a
-    // criterion — the bench itself drives it up on local[32].
-    val dirty =
-      if (load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.1))
-        ""","dirty":true""" else ""
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads$dirty}"""
+    // Dirty-run policy (the round-13 lesson, twice running: a contended
+    // run became the round's record while the clean number lived only
+    // in a commit message): a dirty attempt gets ONE full re-measure
+    // after a fresh settle; if that lands clean, the clean line is the
+    // record. A line that is STILL dirty goes to bench_out-dirty.json
+    // and the clean record file is left untouched — the record channel
+    // can only ever carry a clean number.
+    val first = attempt()
+    val (line, isDirty) =
+      if (!first._2) first
+      else {
+        System.err.println(
+          "[bench] attempt 1 dirty (load/steal) — re-measuring once")
+        attempt()
+      }
     // file first, stdout last: the stdout line is the driver's parse
     // target, the file survives any log-tail truncation. The file is
     // the BACKUP channel — a write failure (read-only cwd, full disk)
     // must never cost the stdout line after the full run
+    val outFile =
+      if (isDirty) "bench_out-dirty.json" else "bench_out.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_out.json"),
+      java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case e: java.io.IOException =>
-        System.err.println(s"[bench] bench_out.json write failed: $e")
+        System.err.println(s"[bench] $outFile write failed: $e")
     }
     println(line)
     spark.stop()

@@ -121,7 +121,7 @@ object Calibration {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    cells
+    val result = cells
       .withColumn("__cum", sum(col("n")).over(w))
       .agg(
         sum(col("pos") * (lit(2L) * (col("__cum") - col("n")) +
@@ -134,6 +134,13 @@ object Calibration {
             col("n_pos").cast("double") * (col("n_pos") + 1L)) /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6))
           .as("auc"))
+    // the result is ONE row — materialize it so the cells cache can be
+    // released NOW rather than accumulating an entry per invocation
+    // for the session's lifetime
+    val out = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(result.collect(): _*), result.schema)
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Brier score — the mean squared error of probabilistic

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * masquerade as drift). Tokens = whitespace split of the lowercased
   * text (the Bpe.wordFrequencies spelling).
   *
-  * Scale shape: one (group, word) hash aggregate with map-side
-  * combine, a broadcast of the ≤topK vocab for the tail fold, and a
-  * groups×(topK+1) cell frame for the final expressions — corpus rows
-  * shuffle once, everything after is vocabulary-sized.
+  * Scale shape: a (group, word) hash aggregate with map-side combine
+  * (computed by the vocab and fold branches — each pass is one
+  * map-combined shuffle of cell-sized rows), a broadcast of the ≤topK
+  * vocab for the tail fold, and a groups×(topK+1) cell frame for the
+  * final expressions — everything after the word aggregate is
+  * vocabulary-sized.
   */
 object Divergence {
 
@@ -53,9 +55,13 @@ object Divergence {
       .select(col(groupCol).as("g"),
         explode(filter(split(trim(lower(col(textCol))), "\\s+"),
           t => t =!= "")).as("w"))
+    // counts is read by two branches (vocab, folded); both are
+    // map-side-combined hash aggregates over the same shuffle, and a
+    // persist here can't be released before the caller evaluates the
+    // returned lazy frame — recomputing the cheap agg beats leaking a
+    // cache entry for the session's lifetime
     val counts = words.groupBy(col("g"), col("w"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = counts.groupBy(col("w"))
       .agg(sum(col("n")).as("cn"))
       .orderBy(desc("cn"), asc("w"))
@@ -88,10 +94,8 @@ object Divergence {
     val term =
       when(col("n") === 0, lit(0.5) * q * log(q / m))
         .otherwise(lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))
-    val out = dense.select(col("g").as(groupCol), col("term"),
+    dense.select(col("g").as(groupCol), col("term"),
       col("n"), p.as("__p"), q.as("__q"), term.as("__t"))
-    counts.unpersist(blocking = false)
-    out
   }
 
   /** Per-group JSD(group ‖ corpus) in nats: the summed UNROUNDED cells

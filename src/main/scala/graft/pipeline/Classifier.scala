@@ -240,8 +240,9 @@ object Classifier {
     *
     * Scale shape: one (doc, term)-distinct explode collapsing map-side
     * into a (term)-keyed hash aggregate (two conditional sums); the
-    * class totals ride a one-row crossJoin. No join keyed on the
-    * corpus, no window. */
+    * class totals are one collected two-long row folded in as
+    * literals (which also enforces the non-empty contract up front).
+    * No join keyed on the corpus, no window. */
   def chi2Terms(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, minDf: Long = 2L, k: Int = 100): DataFrame = {
     require(k > 0 && minDf >= 1, "chi2Terms needs k >= 1, minDf >= 1")
@@ -254,17 +255,26 @@ object Classifier {
     val cells = rows.groupBy(col("term")).agg(
       sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("a"),
       sum(when(col("__y") =!= 1L, 1L).otherwise(0L)).as("b"))
-    val totals = df.filter(col(textCol).isNotNull && y.isNotNull)
-      .agg(sum(when(y === 1L, 1L).otherwise(0L)).as("__n1"),
-        sum(when(y =!= 1L, 1L).otherwise(0L)).as("__n0"))
-    val n1 = col("__n1")
-    val n0 = col("__n0")
+    // class totals collected once (one two-long row) so the
+    // documented "both classes non-empty" contract is ENFORCED — with
+    // n1 = 0 or n0 = 0 the denominator is 0, χ² goes NaN, and desc
+    // ordering would sort NaN first, silently returning k junk rows.
+    // Mirrors trainLogistic's docCensus guard.
+    val trow = df.filter(col(textCol).isNotNull && y.isNotNull)
+      .agg(coalesce(sum(when(y === 1L, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(y =!= 1L, 1L).otherwise(0L)), lit(0L)))
+      .collect()(0)
+    val (n1v, n0v) = (trow.getLong(0), trow.getLong(1))
+    require(n1v > 0 && n0v > 0,
+      s"chi2Terms needs both classes non-empty: n1=$n1v, n0=$n0v")
+    val n1 = lit(n1v)
+    val n0 = lit(n0v)
     val (a, b) = (col("a"), col("b"))
     // doubles from exact longs: the products overflow Long on a real
     // corpus (N·(ad−bc)² reaches ~N⁶), and IEEE doubles evaluate the
     // one expression identically on every engine
     def dbl(x: Column): Column = x.cast("double")
-    val scored = cells.crossJoin(totals)
+    val scored = cells
       .withColumn("__c", n1 - a)
       .withColumn("__d", n0 - b)
       .filter(a + b >= minDf && col("__c") + col("__d") > 0)

@@ -280,7 +280,10 @@ object Curation {
     * deterministic, reproducible, engine-replayable; realized shares
     * are binomial around the target (the corpus-scale contract —
     * exact quotas would need per-group ranking). Groups absent from
-    * `parts` are DROPPED (a mixture spec is exhaustive by meaning).
+    * `parts` are DROPPED (a mixture spec is exhaustive by meaning);
+    * a part naming a group with NO corpus rows throws — its feasible
+    * size is zero, and a silently-different mixture is worse than a
+    * loud failure.
     *
     * Scale shape: one #groups-row count aggregate, a one-row min, a
     * broadcast rate join, and a per-row hash filter — the corpus
@@ -297,6 +300,17 @@ object Curation {
     val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__n"))
     val withP = counts.join(pdf, "__g")
+    // a mixture spec is exhaustive by meaning: a named part with zero
+    // corpus rows can't be matched (its feasible size is 0), so fail
+    // loudly instead of silently emitting a different mixture. The
+    // check collects ≤ parts.size group names.
+    val present = withP.select(col("__g"))
+      .collect().map(_.getString(0)).toSet
+    val absent = parts.map(_._1).filterNot(present)
+    if (absent.nonEmpty)
+      throw new IllegalArgumentException(
+        "matchMixture: groups named in parts have no corpus rows: " +
+          absent.sorted.mkString(", "))
     val m = withP.agg(
       min(col("__n").cast("double") * s / col("__p")).as("__m"))
     // least(1, …) absorbs float dust on the binding group

@@ -81,7 +81,12 @@ object NoveltyStream {
       else toks.sliding(n).map(_.mkString(" ")).toSet.iterator
     }
 
-  /** Append-mode novelty rows for watermark-closed windows. */
+  /** Append-mode novelty rows for watermark-closed windows. Rows
+    * later than latenessSeconds are dropped by Spark's watermark
+    * filter before the fold; the fold ALSO refuses to re-open a
+    * bucket the watermark closed (belt-and-braces against the
+    * one-batch lag between the filter predicate and the fold's view),
+    * so each (key, window_start) appears at most once in the sink. */
   def monitor(stream: DataFrame, tsCol: String, keyCol: String,
       textCol: String, windowSeconds: Long, gramN: Int = 5,
       bloomBytes: Int = 1 << 17, latenessSeconds: Long = 0L)
@@ -110,19 +115,26 @@ object NoveltyStream {
       val bloom = prev.bloom
       var bufN = prev.bufN
       var bufNov = prev.bufNov
+      val wmSec = state.getCurrentWatermarkMs() / 1000L
       it.foreach { case (_, b, txt, _) =>
+        // a row in a bucket the watermark already CLOSED must not
+        // re-open it (that would emit a second (key, window_start)
+        // row into the append sink). Spark's pre-operator late filter
+        // normally drops such rows; this guard covers the one-batch
+        // lag between that predicate and this fold's watermark view.
+        // Grams still enter the bloom (history stays monotone).
+        val closed = b + windowSeconds <= wmSec
         var n = 0L
         var nov = 0L
         grams(txt, gramN).foreach { g =>
           n += 1
           if (!seenAndInsert(bloom, g)) nov += 1
         }
-        if (n > 0) {
+        if (n > 0 && !closed) {
           bufN = bufN.updated(b, bufN.getOrElse(b, 0L) + n)
           bufNov = bufNov.updated(b, bufNov.getOrElse(b, 0L) + nov)
         }
       }
-      val wmSec = state.getCurrentWatermarkMs() / 1000L
       val (done, open) = bufN.partition { case (b, _) =>
         b + windowSeconds <= wmSec }
       val out = done.toSeq.sortBy(_._1).map { case (b, n) =>

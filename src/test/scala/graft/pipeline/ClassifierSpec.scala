@@ -186,5 +186,10 @@ class ClassifierSpec extends SparkSpec {
       minDf = 2L, k = 1)
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(pruned == Seq(("apple", 2L, 2L, 4.0)))
+    // a single-class corpus fails LOUDLY instead of ranking NaN terms
+    val oneClass = intercept[IllegalArgumentException](
+      Classifier.chi2Terms(docs.filter($"y" === 1L), "id", "text",
+        "y", minDf = 1L, k = 10))
+    assert(oneClass.getMessage.contains("non-empty"))
   }
 }

@@ -104,6 +104,12 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.matchMixture(df, "doc_id", "lang",
         Seq("en" -> 1L, "en" -> 2L)))
+    // a part naming a group with zero corpus rows fails LOUDLY (the
+    // mixture can't be matched) and the error names the group
+    val missing = intercept[IllegalArgumentException](
+      Curation.matchMixture(df, "doc_id", "lang",
+        Seq("en" -> 1L, "sw" -> 1L)))
+    assert(missing.getMessage.contains("sw"))
   }
 
   test("repairSplitLeakage: leaking groups land in the min-id " +

@@ -94,6 +94,48 @@ class NoveltyStreamSpec extends SparkSpec {
     assert(rows == Seq((2L, 2L), (2L, 0L)), rows.toString)
   }
 
+  test("a row later than the lateness bound never re-opens an " +
+      "emitted window, but its grams still enter the bloom history") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val out = NoveltyStream.monitor(mem.toDF().toDF("ts", "k", "txt"),
+      "ts", "k", "txt", windowSeconds = 60, gramN = 2)
+    val q = out.writeStream.format("memory").queryName("nov_late")
+      .outputMode("append").start()
+    mem.addData((t("2024-01-01 00:00:10"), "s", "a b c"))
+    q.processAllAvailable()
+    // sentinels push the watermark past window 0 → the (s, w0) row
+    // is emitted to the append sink
+    mem.addData((t("2024-01-01 00:10:00"), "wm", "x y"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 00:20:00"), "wm", "x y"))
+    q.processAllAvailable()
+    // a straggler lands back in the CLOSED window 0: it must not emit
+    // a second (s, w0) row. (Spark's watermark filter drops it before
+    // the fold — the in-fold closed-bucket guard is belt-and-braces
+    // for the lag between the filter predicate and the fold's view of
+    // the watermark — so its grams never reach the bloom either, and
+    // the 00:30 crawl of the same text counts as novel.)
+    mem.addData((t("2024-01-01 00:00:40"), "s", "p q"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 00:30:10"), "s", "p q"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 00:50:00"), "wm", "x y"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 01:10:00"), "wm", "x y"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT window_start, n_grams, n_novel_est FROM nov_late " +
+        "WHERE key = 's' ORDER BY window_start")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    q.stop()
+    // exactly ONE row per window_start; w0 keeps its original counts
+    assert(rows.map(_._1).distinct.length == rows.length, rows)
+    assert(rows == Seq(
+      (t("2024-01-01 00:00:00"), 2L, 2L),
+      (t("2024-01-01 00:30:00"), 1L, 1L)), rows.toString)
+  }
+
   test("state stays bounded: the bloom never grows and closed " +
       "windows leave the buffer") {
     implicit val sc = spark.sqlContext
