@@ -38,6 +38,56 @@ object PipelineQueries {
       |SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Shared oracle CTE chain: exact-content min-id collapse (the
+    * spec-proven [[Dedup.clusterEdges]] star identity — Jaccard is a
+    * function of content alone) + inverted-index shared-shingle
+    * candidates (any pair with J ≥ 0.7 shares a 3-shingle, and
+    * |a∩b| from the index join gives the identical Jaccard value as
+    * list_intersect) + the transitive closure. Replaces the all-pairs
+    * `sh a, sh b` cross join that made the q66/q181/q182 oracles
+    * quadratic in the corpus (~15 min at sf0.1 → seconds), so the
+    * sf0.1 sweep runs exclusion-free. Expects `corpus(doc_id, text)`
+    * bound by the caller's WITH RECURSIVE head; yields
+    * `comps(id, comp)` over every doc with ≥1 near-dup edge. */
+  private val CollapsedClosureSql =
+    """keyed AS (SELECT doc_id, md5(text) AS ck FROM corpus),
+      |reps AS (SELECT ck, min(doc_id) AS rep FROM keyed GROUP BY ck),
+      |star AS (
+      |  SELECT r.rep AS id_a, k.doc_id AS id_b
+      |  FROM keyed k JOIN reps r USING (ck) WHERE k.doc_id <> r.rep),
+      |rc AS (SELECT c.doc_id, c.text FROM corpus c
+      |       JOIN reps r ON r.rep = c.doc_id),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM rc)),
+      |ls AS (SELECT doc_id, len(s) AS l FROM sh),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN ls la ON la.doc_id = id_a
+      |  JOIN ls lb ON lb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7),
+      |e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p
+      |  UNION SELECT id_a, id_b FROM star
+      |  UNION SELECT id_b, id_a FROM star),
+      |reach AS (
+      |  SELECT src AS id, dst AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      |comps AS (
+      |  SELECT id, least(id, min(r)) AS comp FROM reach
+      |  GROUP BY id)""".stripMargin
+
   // ---------------------------------------------------------------- dedup
 
   def q20_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -62,6 +112,10 @@ object PipelineQueries {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  // inverted-index pair oracle: any pair at J ≥ 0.7 shares a
+  // 3-shingle, and |a∩b| counted off the shingle index gives the
+  // IDENTICAL Jaccard as list_intersect — kills the all-pairs cross
+  // join that made this oracle quadratic (~15 min at sf0.1 → ~8 s)
   val q24_sql: String =
     s"""WITH corpus AS ($CorpusWithDupsSql),
        |sh AS (
@@ -70,14 +124,19 @@ object PipelineQueries {
        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
        |  FROM (SELECT doc_id,
        |          string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |        FROM corpus))
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-       |FROM sh a, sh b
-       |WHERE a.doc_id < b.doc_id
-       |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+       |        FROM corpus)),
+       |ls AS (SELECT doc_id, len(s) AS l FROM sh),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(i AS DOUBLE) / (la.l + lb.l - i), 6) AS jaccard
+       |FROM inter
+       |JOIN ls la ON la.doc_id = id_a
+       |JOIN ls lb ON lb.doc_id = id_b
+       |WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7
        |ORDER BY id_a, id_b""".stripMargin
 
   /** n-gram Jaccard of a probe set (doc_id < 50) against the corpus. */
@@ -642,9 +701,10 @@ object PipelineQueries {
     * distinct contents — round 13, after the 100× probe measured the
     * all-pairs band join going quadratic inside exact-dup cliques) fed
     * through connected components. Components are provably identical
-    * to the all-pairs construction, and the oracle still closes over
-    * the full all-pairs Jaccard edge set — the strongest possible
-    * equivalence check for the star rewrite. */
+    * to the all-pairs construction; the oracle replays the
+    * collapse+closure via [[CollapsedClosureSql]] (the identity is
+    * spec-proven in DedupSpec), so the sf0.1 sweep runs it without
+    * exclusion. */
   def q66_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.clusterEdges(corpusWithDups(spark, dir), "doc_id", "text",
@@ -653,28 +713,8 @@ object PipelineQueries {
 
   val q66_sql: String =
     s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-       |  FROM (SELECT doc_id,
-       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |        FROM corpus)),
-       |p AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a, sh b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
-       |e AS (
-       |  SELECT id_a AS src, id_b AS dst FROM p
-       |  UNION SELECT id_b, id_a FROM p),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM e
-       |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
-       |SELECT id, least(id, min(r)) AS comp
-       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+       |$CollapsedClosureSql
+       |SELECT id, comp FROM comps ORDER BY id""".stripMargin
 
   /** Cleaned-corpus output at the driver gate: exactDeduped keeps the
     * smallest-id representative per normalized text — the frame a
@@ -3426,37 +3466,15 @@ object PipelineQueries {
   /** Dedup report ([[Dedup.clusterSizeHistogram]]): cluster-size
     * histogram over the near-dup components — duplicate rate and the
     * clique tail on one page; singletons ride as size 1. The oracle
-    * replays the FULL all-pairs transitive closure and histograms it —
-    * a second independent equivalence check for the star-edge
-    * construction. */
+    * replays the collapse+closure ([[CollapsedClosureSql]]) and
+    * histograms it, so the sf0.1 sweep runs it without exclusion. */
   def q181_cluster_sizes(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusterSizeHistogram(corpusWithDups(spark, dir), "doc_id",
       "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
 
   val q181_sql: String =
     s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-       |  FROM (SELECT doc_id,
-       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |        FROM corpus)),
-       |p AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a, sh b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
-       |e AS (
-       |  SELECT id_a AS src, id_b AS dst FROM p
-       |  UNION SELECT id_b, id_a FROM p),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM e
-       |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-       |comps AS (
-       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |$CollapsedClosureSql,
        |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY 1),
        |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1),
        |tot AS (SELECT count(*) AS n FROM corpus),
@@ -3470,8 +3488,8 @@ object PipelineQueries {
 
   /** Soft dedup ([[Dedup.dupWeights]]): per-doc 1/cluster-size loss
     * weights — the down-weighting alternative to hard removal; every
-    * doc answers, singletons at weight 1. Oracle replays the all-pairs
-    * closure + size attach. */
+    * doc answers, singletons at weight 1. Oracle replays the
+    * collapse+closure ([[CollapsedClosureSql]]) + size attach. */
   def q182_dup_weights(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupWeights(corpusWithDups(spark, dir), "doc_id", "text",
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
@@ -3479,28 +3497,7 @@ object PipelineQueries {
 
   val q182_sql: String =
     s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    generate_series(1, greatest(len(toks)-2, 0)),
-       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
-       |  FROM (SELECT doc_id,
-       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |        FROM corpus)),
-       |p AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a, sh b
-       |  WHERE a.doc_id < b.doc_id
-       |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(a.s, b.s))) >= 0.7),
-       |e AS (
-       |  SELECT id_a AS src, id_b AS dst FROM p
-       |  UNION SELECT id_b, id_a FROM p),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM e
-       |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
-       |comps AS (
-       |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+       |$CollapsedClosureSql,
        |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY 1)
        |SELECT d.doc_id,
        |  CAST(coalesce(sz.size, 1) AS BIGINT) AS cluster_size,
@@ -3509,6 +3506,59 @@ object PipelineQueries {
        |LEFT JOIN comps c ON c.id = d.doc_id
        |LEFT JOIN sz ON sz.comp = c.comp
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Combined dedup report ([[Dedup.components]] once →
+    * [[Dedup.clusterSizeHistogram]] + [[Dedup.dupWeights]]): the
+    * pipeline shape the per-report queries q181/q182 each pay
+    * separately — ONE corpus-scale components pass (the bench's two
+    * heaviest queries before this existed) feeds the histogram AND
+    * the per-size weight roll-up, and the gate proves the shared
+    * table answers both identically. Per size: cluster count, doc
+    * count, and summed soft-dedup weight (= n_clusters by
+    * construction — the oracle recomputes it from the per-doc weights
+    * rather than assuming the identity). components() returns a
+    * checkpointed frame, so the four downstream reads don't re-run
+    * the iteration. */
+  def q192_dedup_report(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithDups(spark, dir)
+    val comps = Dedup.components(corpus, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    val hist = Dedup.clusterSizeHistogram(corpus, comps)
+    val bySize = Dedup.dupWeights(corpus, "doc_id", comps)
+      .groupBy(col("cluster_size").as("size"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("weight")), 6).as("sum_weight"))
+    hist.join(bySize, "size").orderBy("size")
+  }
+
+  val q192_sql: String =
+    s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
+       |$CollapsedClosureSql,
+       |sz AS (SELECT comp, count(*) AS size FROM comps GROUP BY 1),
+       |h AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM corpus),
+       |cl AS (SELECT coalesce(sum(size), 0) AS m FROM sz),
+       |hist AS (
+       |  SELECT size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |  FROM (
+       |    SELECT CAST(1 AS BIGINT) AS size, n - m AS n_clusters
+       |    FROM tot CROSS JOIN cl WHERE n - m > 0
+       |    UNION ALL
+       |    SELECT CAST(size AS BIGINT), n_clusters FROM h)
+       |  GROUP BY size),
+       |w AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sz.size, 1) AS BIGINT) AS cluster_size,
+       |    round(1.0 / coalesce(sz.size, 1), 6) AS weight
+       |  FROM corpus d
+       |  LEFT JOIN comps c ON c.id = d.doc_id
+       |  LEFT JOIN sz ON sz.comp = c.comp),
+       |ws AS (
+       |  SELECT cluster_size AS size, count(*) AS n_docs,
+       |    round(sum(weight), 6) AS sum_weight
+       |  FROM w GROUP BY 1)
+       |SELECT hist.size, hist.n_clusters, ws.n_docs, ws.sum_weight
+       |FROM hist JOIN ws USING (size) ORDER BY hist.size""".stripMargin
 
   /** Mix-to-spec resampling ([[Curation.matchMixture]]): thin the
     * corpus to a stated 2:1:1:1:1 language ratio at the maximum
@@ -3816,6 +3866,7 @@ object PipelineQueries {
     "q180_jsd_cells" -> (q180_jsd_cells _),
     "q181_cluster_sizes" -> (q181_cluster_sizes _),
     "q182_dup_weights" -> (q182_dup_weights _),
+    "q192_dedup_report" -> (q192_dedup_report _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -3913,6 +3964,7 @@ object PipelineQueries {
     "q180_jsd_cells" -> q180_sql,
     "q181_cluster_sizes" -> q181_sql,
     "q182_dup_weights" -> q182_sql,
+    "q192_dedup_report" -> q192_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

@@ -393,9 +393,28 @@ object Dedup {
     * total crossJoin for the singleton count. */
   def clusterSizeHistogram(df: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
-    val comps = connectedComponents(
+      minJaccard: Double = 0.5): DataFrame =
+    clusterSizeHistogram(df,
+      components(df, idCol, textCol, k, bands, shingleN, minJaccard))
+
+  /** The near-dup component table — ONE
+    * [[clusterEdges]]+[[connectedComponents]] pass a curation run
+    * computes once and feeds to every dedup report
+    * ([[clusterSizeHistogram]], [[dupWeights]], …). The report
+    * overloads taking `comps` exist exactly so the corpus-scale work
+    * isn't repeated per report. Output: (id, comp). */
+  def components(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(
       clusterEdges(df, idCol, textCol, k, bands, shingleN, minJaccard))
+
+  /** [[clusterSizeHistogram]] over a PRECOMPUTED component table
+    * (from [[components]]) — the pipeline shape: components once,
+    * reports many. Only the singleton count touches `df` (one count
+    * aggregate). */
+  def clusterSizeHistogram(df: DataFrame,
+      comps: DataFrame): DataFrame = {
     val sizes = comps.groupBy(col("comp"))
       .agg(count(lit(1)).as("size"))
     val hist = sizes.groupBy(col("size"))
@@ -426,9 +445,15 @@ object Dedup {
     * (≤ one row per paired doc) back to the id column. */
   def dupWeights(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
-    val comps = connectedComponents(
-      clusterEdges(df, idCol, textCol, k, bands, shingleN, minJaccard))
+      minJaccard: Double = 0.5): DataFrame =
+    dupWeights(df, idCol,
+      components(df, idCol, textCol, k, bands, shingleN, minJaccard))
+
+  /** [[dupWeights]] over a PRECOMPUTED component table (from
+    * [[components]]) — one corpus-scale components pass can feed this
+    * AND [[clusterSizeHistogram]] instead of each recomputing it. */
+  def dupWeights(df: DataFrame, idCol: String,
+      comps: DataFrame): DataFrame = {
     val sizes = comps.groupBy(col("comp"))
       .agg(count(lit(1)).as("__sz"))
     val withSize = comps.join(sizes, "comp")
