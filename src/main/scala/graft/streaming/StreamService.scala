@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Scale shape: the in-memory source is the SERVING boundary, not the
   * ingest path — at production scale the same `chart`/`topK` plans
-  * read a Kafka/file source; sessions here exist so the operators'
+  * read a Kafka/file source (proven, not assumed: FileSourceRestartSpec
+  * binds the identical EwmaStream graph to `readStream.json(dir)` over
+  * a growing directory and restarts it from its checkpoint); sessions
+  * here exist so the operators'
   * lifecycle (start → accumulate state → emit on watermark → stop) is
   * drivable and testable over HTTP. State per session is the
   * operator's own bound (open buckets / capacity counters per

@@ -98,4 +98,61 @@ class SloStreamSpec extends SparkSpec {
     // cell 540 finalized before the straggler arrived -> missed it
     assert(!streamed.contains(540L) || streamed(540L) == 0L)
   }
+
+  test("checkpoint restart CONTINUES the windowed aggregation: cells " +
+      "opened before the stop accumulate lifetime-2 contributions") {
+    // the EwmaStreamSpec recovery pattern applied to the tumbling-agg
+    // state shape: fault-tolerant sink, same source, identical graph,
+    // same checkpointLocation
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("slo_restart").toString
+    val mem = MemoryStream[(Timestamp, String)]
+    def start() = SloStream.multiWindowAlert(
+        mem.toDF().toDF("ts", "kind"), "ts", col("kind") === "error",
+        stepSeconds = 60L, shortWindow = 120L, longWindow = 300L,
+        errorBudget = 0.1, threshold = 2.0)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    // ---- lifetime 1: two events open cells, nothing finalizes
+    val q1 = start()
+    mem.addData((ts(0L), "ok"), (ts(10L), "error"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // ---- lifetime 2: one more event lands in cells the lifetime-1
+    // events also feed (bucket 60's 120s family spans both), then
+    // sentinels finalize everything
+    val q2 = start()
+    mem.addData((ts(70L), "error"))
+    q2.processAllAvailable()
+    mem.addData((ts(3600L), "ok"))
+    q2.processAllAvailable()
+    mem.addData((ts(7200L), "ok"))
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("bucket", "total_120s", "err_120s", "total_300s",
+        "err_300s", "firing")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    // a lost agg state would answer total_120s = 1 at bucket 60 (the
+    // lifetime-2 event alone); recovery answers all three events
+    val at60 = streamed.find(_._1 == 60L)
+    assert(at60.exists(_._2 == 3L), s"bucket 60: $streamed")
+    // and every finalized cell equals the batch twin over the union
+    val batch = graft.analysis.Slo.multiWindowAlert(
+      Seq((ts(0L), "ok"), (ts(10L), "error"), (ts(70L), "error"),
+        (ts(3600L), "ok"), (ts(7200L), "ok")).toDF("ts", "kind"),
+      "ts", col("kind") === "error", 60L, 120L, 300L, 0.1, 2.0)
+      .select("bucket", "total_120s", "err_120s", "total_300s",
+        "err_300s", "firing")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    streamed.foreach(r => assert(batch(r._1) == r,
+      s"bucket ${r._1}: got $r want ${batch(r._1)}"))
+  }
 }

@@ -163,4 +163,51 @@ class TailSampleStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("checkpoint restart CONTINUES the trace buffer: spans buffered " +
+      "in lifetime 1 flush when the decision point passes after the " +
+      "restart") {
+    // the EwmaStreamSpec recovery pattern applied to the per-trace
+    // pending-buffer state: a lost buffer would silently drop e1/e2
+    // (the decision would see an empty trace and never emit them)
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("tail_restart").toString
+    val mem = MemoryStream[(Timestamp, String, Boolean, Double, String)]
+    def start() = TailSampleStream.sample(
+        mem.toDF().toDF("ts", "trace", "err", "lat", "payload")
+          .withWatermark("ts", "0 seconds"),
+        "trace", "ts", "err", "lat", "payload",
+        decisionWaitSeconds = 60L, latencyThreshold = 500.0,
+        keepFraction = 0.0)
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    // ---- lifetime 1: buffer two spans of an erroring trace; the
+    // watermark never reaches the decision point, nothing emits
+    val q1 = start()
+    mem.addData(
+      (t("2024-01-01 00:00:00"), "t-err", false, 10.0, "e1"),
+      (t("2024-01-01 00:00:05"), "t-err", true, 20.0, "e2"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(!new java.io.File(s"$dir/out").exists() ||
+      spark.read.parquet(s"$dir/out").isEmpty)
+
+    // ---- lifetime 2: restart; a sentinel trace pushes the watermark
+    // past t-err's decision point -> the RECOVERED buffer flushes whole
+    val q2 = start()
+    mem.addData((t("2024-01-01 00:05:00"), "t-x", false, 1.0, "x"))
+    q2.processAllAvailable()
+    mem.addData((t("2024-01-01 00:10:00"), "t-x", false, 1.0, "x2"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("trace", "payload", "reason")
+      .as[(String, String, String)].collect().toSeq.sorted
+    assert(rows == Seq(("t-err", "e1", "error"),
+      ("t-err", "e2", "error")), rows.toString)
+  }
 }
