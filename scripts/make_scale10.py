@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 COPIED = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "embeddings"]
+          "lineitem"]
 
 
 def scale_events(src, out, factor):
@@ -88,6 +88,39 @@ def scale_documents(src, out, factor):
     print(f"documents: {n} -> {merged.num_rows}")
 
 
+def scale_embeddings(src, out, factor):
+    """Mirror of the documents synthesis for vectors: copy k > 0 of
+    vec i concatenates the first half of vec i with the second half of
+    vec i+1 — INDEPENDENT of k, so every copy is byte-identical and the
+    corpus carries n cliques of (factor-1) identical vectors each (the
+    duplicated-embedding shape a re-crawled page's encoder emits —
+    IVF cell skew's analogue of the exact-dup text cliques). The child
+    shares ~half its mass with each parent (cosine ~0.5 on these
+    vectors), safely below near-dup thresholds."""
+    t = pq.read_table(src / "embeddings.parquet")
+    n = t.num_rows
+    vecs = t.column("embedding").to_pylist()
+    labels = t.column("label").to_pylist()
+    dim = len(vecs[0])
+    rows_id, rows_vec, rows_lab = [], [], []
+    for k in range(factor):
+        for i in range(n):
+            if k == 0:
+                v = vecs[i]
+            else:
+                v = vecs[i][: dim // 2] + vecs[(i + 1) % n][dim // 2:]
+            rows_id.append(k * n + i)
+            rows_vec.append(v)
+            rows_lab.append(labels[i])
+    merged = pa.table({
+        "vec_id": pa.array(rows_id, pa.int64()),
+        "embedding": pa.array(rows_vec, pa.list_(pa.float32())),
+        "label": pa.array(rows_lab, pa.int32()),
+    })
+    pq.write_table(merged, out / "embeddings.parquet")
+    print(f"embeddings: {n} -> {merged.num_rows}")
+
+
 def main():
     src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_scale10")
@@ -97,6 +130,7 @@ def main():
         shutil.copyfile(src / f"{name}.parquet", out / f"{name}.parquet")
     scale_events(src, out, factor)
     scale_documents(src, out, factor)
+    scale_embeddings(src, out, factor)
 
 
 if __name__ == "__main__":

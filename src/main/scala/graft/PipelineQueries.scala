@@ -362,8 +362,11 @@ object PipelineQueries {
       |ORDER BY probe_id, neighbor_id""".stripMargin
 
   /** SemDeDup at the driver gate: clones of vec_id < 20 planted
-    * (+100000); identical vectors share a k-means cell at any nlist, so
-    * the τ=0.9 within-cell scan finds exactly the planted pairs
+    * (+100000); identical vectors share a k-means cell at any nlist
+    * (and collapse to one rep in [[Similarity.semanticClusterEdges]] —
+    * the round-14 rewire after the 100× embeddings probe measured the
+    * within-cell scan going quadratic inside identical-vector
+    * cliques), so the construction finds exactly the planted clones
     * (natural max pairwise cosine ~0.60), and the cluster-cleaned
     * corpus is the original table — a deterministic census oracle.
     * Subset-of-exact and recall behavior stays in SimilaritySpec. */
@@ -371,9 +374,9 @@ object PipelineQueries {
     val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
     val planted = e.unionByName(e.filter(col("vec_id") < 20).select(
       (col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val pairs = Similarity.semanticNearDupPairs(planted, "vec_id",
+    val edges = Similarity.semanticClusterEdges(planted, "vec_id",
       "embedding", threshold = 0.9, nlist = 16)
-    Dedup.clusterDeduped(planted, "vec_id", pairs)
+    Dedup.clusterDeduped(planted, "vec_id", edges)
       .agg(count(lit(1)).as("n_docs"), min(col("vec_id")).as("min_id"),
         max(col("vec_id")).as("max_id"))
   }

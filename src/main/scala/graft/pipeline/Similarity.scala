@@ -606,6 +606,66 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Scale-correct semantic near-dup CLUSTER edges — the
+    * [[graft.pipeline.Dedup.clusterEdges]] identity applied to vectors:
+    * the edge set [[graft.pipeline.Dedup.clusterDeduped]] needs,
+    * WITHOUT the quadratic term identical-embedding cliques put into
+    * [[semanticNearDupPairs]]'s within-cell scan.
+    *
+    * A re-crawled page's encoder emits the SAME vector every time, so a
+    * production embedding table carries hot byte-identical cliques —
+    * and identical vectors share a k-means cell by construction, so a
+    * clique of c copies makes c²/2 within-cell pairs (measured: 48×
+    * shuffle for 10× rows on the duplicated-vector synthesis; the
+    * text-side twin measured 603× before round 13's clusterEdges).
+    * For CLUSTERING the clique's pairs are redundant: connectivity only
+    * needs a star. So: (1) collapse identical vectors to their min-id
+    * representative and emit (rep, member) star edges — cosine exactly
+    * 1 by construction; (2) run the full cell-blocked τ-scan on
+    * DISTINCT vectors only; (3) union. For any FIXED cell assignment
+    * the components are provably identical to all-pairs: cosine is a
+    * function of the vectors alone, so any cross-clique pair (x, y)
+    * implies the (rep(x), rep(y)) pair this construction keeps, and
+    * cliques stay connected through their star (SimilaritySpec proves
+    * the identity exactly at nlist = 1, where no cell boundary
+    * exists). Across constructions the quantizer's bounded sample
+    * differs (it now trains on DISTINCT vectors — a dedup-debiased
+    * codebook), so the cell-BOUNDARY miss class can shift; that is
+    * SemDeDup's documented noise either way and never affects true
+    * clones, which share a cell under any centroids.
+    *
+    * Zero-norm vectors are EXCLUDED from the collapse (the τ-scan
+    * defines their cosine as 0 — identical zero vectors do not pair in
+    * all-pairs, so a star edge would WIDEN the components).
+    *
+    * [[semanticNearDupPairs]] itself keeps all-pairs listing semantics
+    * — use it when the pairs are the product; this when feeding
+    * components. */
+  def semanticClusterEdges(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nlist: Int = 16, dim: Int = 64,
+      maxCellRows: Long = 1000000L): DataFrame = {
+    // identity = two independently-seeded xxhash64s over the array
+    // (~128 collision bits, the Dedup md5-of-text convention's
+    // strength at codegen speed — md5(to_json(vec)) measured 2×
+    // slower, a raw array-keyed join 26× the shuffle bytes) so the
+    // collapse shuffles 16-byte keys + ids, never the vectors
+    val vArr = col(vecCol).cast("array<double>")
+    val keyed = corpus
+      .select(col(idCol),
+        struct(xxhash64(vArr), xxhash64(lit(1), vArr)).as("__ck"))
+      .filter(norm(vArr) > 0)
+    val reps = keyed.groupBy("__ck").agg(min(col(idCol)).as("__rep"))
+    val star = keyed.join(reps, Seq("__ck"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val repDocs = corpus.join(
+      reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    semanticNearDupPairs(repDocs, idCol, vecCol, threshold, nlist,
+      dim, maxCellRows)
+      .select("id_a", "id_b")
+      .unionByName(star)
+  }
+
   /** Driver-side Euclidean k-means over a bounded sample (the PQ
     * codebook trainer): first-k init, argmin-L2 assignment with
     * first-index tie-breaks, empty cells keep their centroid — pure and

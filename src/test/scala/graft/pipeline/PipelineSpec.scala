@@ -662,6 +662,48 @@ class SimilaritySpec extends SparkSpec {
     assert(cleaned.filter(col("vec_id") >= 100000).count() == 0)
   }
 
+  test("semanticClusterEdges: components identical to the all-pairs " +
+      "scan at nlist=1 (no cell boundary), cliques collapse to linear " +
+      "stars, zero vectors never star-join") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 60)
+    // plant a 5-member identical clique of vec 0..4 and two zero
+    // vectors (identical to each other — cosine is DEFINED 0 for them,
+    // so all-pairs never joins them and the star must not either)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val clones = e.filter(col("vec_id") < 5)
+      .crossJoin(spark.range(1, 5).select(col("id").as("__k")))
+      .select((col("vec_id") + col("__k") * 1000).as("vec_id"),
+        col("embedding"))
+    val zeros = spark.range(9000, 9002).select(col("id").as("vec_id"),
+      array_repeat(lit(0.0f), dim).as("embedding"))
+    val corpus = e.unionByName(clones).unionByName(zeros)
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+    // nlist = 1: the within-cell scan IS all-pairs — identity is exact
+    val allPairs = comps(Similarity.semanticNearDupPairs(corpus,
+      "vec_id", "embedding", threshold = 0.9, nlist = 1))
+    val starred = Similarity.semanticClusterEdges(corpus, "vec_id",
+      "embedding", threshold = 0.9, nlist = 1)
+    assert(comps(starred) == allPairs)
+    // the clique's edge count is LINEAR (4 star edges for 5 members,
+    // not 10 all-pairs), and no zero vector appears in any edge
+    val edges = starred.as[(Long, Long)].collect().toSeq
+    val cliqueIds = Set(0L, 1000L, 2000L, 3000L, 4000L)
+    assert(edges.count(p =>
+      cliqueIds(p._1) && cliqueIds(p._2)) == 4, edges.toString)
+    assert(!edges.exists(p => p._1 >= 9000L || p._2 >= 9000L))
+    // and the planted-clone gate shape still cleans exactly the clones
+    val cleaned2 = Dedup.clusterDeduped(corpus, "vec_id",
+      Similarity.semanticClusterEdges(corpus, "vec_id", "embedding",
+        threshold = 0.9, nlist = 8))
+    assert(cleaned2.filter(col("vec_id") >= 1000L &&
+      col("vec_id") < 9000L).count() == 0)
+    assert(cleaned2.filter(col("vec_id") < 60).count() == e.count())
+  }
+
   test("hardNegatives: every neighbor has a different label and equals " +
       "a brute ranking restricted to cross-label pairs") {
     val dir = "/root/testdata/sf0.001"
