@@ -147,8 +147,12 @@ object Similarity {
       .select("cv").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cents = kmeans(sample, nlist, iters = 10)
-    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
-    def cellSims(v: Column): Column = transform(centCol, ct => cosine(v, ct))
+    // fused native codegen row (VectorOps.CentroidSims): the
+    // transform-over-literal-centroids form ran its lambda interpreted
+    // per centroid on every corpus row — the assignment dominated the
+    // 100x probe; value-identical by construction
+    def cellSims(v: Column): Column =
+      graft.functions.VectorOps.centroidSims(v, cents)
     // corpus side: each row lands in exactly one cell (argmax centroid)
     val assigned = c0.repartition(shuffleN)
       .withColumn("__sims", cellSims(col("cv")))
@@ -488,8 +492,12 @@ object Similarity {
       kmeansL2(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, 10)
     }.toArray
     val cn2 = books.map(_.map(c => c.map(x => x * x).sum))
-    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
-    def cellSims(v: Column): Column = transform(centCol, ct => cosine(v, ct))
+    // fused native codegen row (VectorOps.CentroidSims): the
+    // transform-over-literal-centroids form ran its lambda interpreted
+    // per centroid on every corpus row — the assignment dominated the
+    // 100x probe; value-identical by construction
+    def cellSims(v: Column): Column =
+      graft.functions.VectorOps.centroidSims(v, cents)
     def subV(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
     def lutRow(v: Column): Seq[Column] = (0 until m).map { j =>
       val s = subV(v, j)
@@ -560,14 +568,13 @@ object Similarity {
       .select("__v").collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cents = kmeans(sample, nlist, iters = 10)
-    val centCol = array(cents.map(a => array(a.map(lit): _*)): _*)
     // persisted: both sides of the cell self-join read this frame —
     // unpersisted, the nlist-cosine assignment (an interpreted lambda per
     // row) and the upstream scan execute twice (the minhashLsh
     // multi-branch finding; callers/benchmarks release via clearCache)
     val assigned = cVec.repartition(shuffleN)
       .withColumn("__sims",
-        transform(centCol, ct => cosine(col("__v"), ct)))
+        graft.functions.VectorOps.centroidSims(col("__v"), cents))
       .withColumn("__cell", (array_position(col("__sims"),
         array_max(col("__sims"))) - 1).cast("int"))
       .withColumn("__n", norm(col("__v")))
