@@ -89,7 +89,10 @@ object Bench {
       // became the round's artifact and read as a uniform 1.08×
       // regression): wait — bounded — for the host to go quiet before
       // measuring, then record the start load actually measured under.
-      val settleDeadline = System.nanoTime() + 120L * 1000000000L
+      // 300 s bound: load1 decays on a 60 s time constant, so after a
+      // prior attempt drove it to ~4 the 120 s window could not reach
+      // the < 1.0 start the dirty bit requires
+      val settleDeadline = System.nanoTime() + 300L * 1000000000L
       while (load1().exists(_ > 1.0) &&
           System.nanoTime() < settleDeadline) {
         System.err.println(s"[bench] host loaded (load1=${load1()
@@ -126,8 +129,14 @@ object Bench {
       // the judge-trustable dirty bit: started loaded (after the settle
       // wait) or saw hypervisor steal during the run. load1_end is NOT
       // a criterion — the bench itself drives it up on local[32].
+      // Steal threshold calibrated against the MEASURED idle floor:
+      // three otherwise-idle runs on this host recorded 0.13/0.19/0.29%
+      // background steal (2026-08-16), while the contended runs the bit
+      // exists to catch read 1.64% (r13) — 0.5% separates the two
+      // regimes; a >0.1% bit marked every run dirty including the
+      // idle-floor ones.
       val isDirty =
-        load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.1)
+        load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.5)
       val dirty = if (isDirty) ""","dirty":true""" else ""
       (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads$dirty}""",
         isDirty)
