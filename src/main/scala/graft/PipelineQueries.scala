@@ -999,6 +999,28 @@ object PipelineQueries {
       .orderBy("new_id", "kept_id")
   }
 
+  /** Incremental dedup via the persisted signature store
+    * ([[Dedup.signatureStore]] + [[Dedup.crossCorpusPairsFromStore]]):
+    * the q97 scenario with the kept side reduced to its (id, sh, sig)
+    * store — the kept TEXT is never read. The oracle is q97's
+    * verbatim: the store path must produce the identical verified
+    * pair set. */
+  def q193_dedup_store(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val kept = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .unionByName(d.filter(col("doc_id") % 20 === 1).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text")))
+    val store = Dedup.signatureStore(kept, "doc_id", "text",
+      k = 16, shingleN = 3)
+    Dedup.crossCorpusPairsFromStore(batch, "doc_id", "text", store,
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .select("new_id", "kept_id", "jaccard")
+      .orderBy("new_id", "kept_id")
+  }
+
   val q97_sql: String =
     """WITH kept AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
@@ -3870,6 +3892,7 @@ object PipelineQueries {
     "q181_cluster_sizes" -> (q181_cluster_sizes _),
     "q182_dup_weights" -> (q182_dup_weights _),
     "q192_dedup_report" -> (q192_dedup_report _),
+    "q193_dedup_store" -> (q193_dedup_store _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -3968,6 +3991,7 @@ object PipelineQueries {
     "q181_cluster_sizes" -> q181_sql,
     "q182_dup_weights" -> q182_sql,
     "q192_dedup_report" -> q192_sql,
+    "q193_dedup_store" -> q97_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

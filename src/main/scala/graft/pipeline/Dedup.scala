@@ -496,6 +496,20 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val keptSig = shingleMinhash(keptL, idCol, textCol, shingleN, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val verified = crossPairsFromSigs(newSig, keptSig, k, bands,
+      minJaccard)
+    restoreIds(restoreIds(verified, newMap, Seq("new_id")),
+      keptMap, Seq("kept_id"))
+  }
+
+  /** The NEW×KEPT band-join core shared by [[crossCorpusPairs]] and
+    * [[crossCorpusPairsFromStore]]: both sides are (id, sh, sig)
+    * signature frames; returns (new_id, kept_id, est_jaccard,
+    * jaccard). Pure extraction — the frames' ids pass through
+    * untouched. */
+  private def crossPairsFromSigs(newSig: DataFrame, keptSig: DataFrame,
+      k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val rows = k / bands
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
         slice(sig, b * rows + 1, rows).cast("array<string>")))
@@ -526,7 +540,7 @@ object Dedup {
           lit(0.0), (acc, v) => acc + v) / k)
       .filter(col("est_jaccard") >= minJaccard / 2)
       .select("new_id", "kept_id", "est_jaccard")
-    val verified = cand
+    cand
       .join(newSig.select(col("id").as("new_id"), col("sh").as("sh_a")),
         Seq("new_id"))
       .join(keptSig.select(col("id").as("kept_id"), col("sh").as("sh_b")),
@@ -534,8 +548,67 @@ object Dedup {
       .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("new_id", "kept_id", "est_jaccard", "jaccard")
-    restoreIds(restoreIds(verified, newMap, Seq("new_id")),
-      keptMap, Seq("kept_id"))
+  }
+
+  /** The between-batches signature STORE — the compact (id, sh, sig)
+    * projection [[crossCorpusPairs]] recomputes from text on every
+    * call, as a first-class frame a pipeline PERSISTS between ingest
+    * batches: `sh` = the doc's distinct 64-bit shingle hashes, `sig` =
+    * its k min-hashes. At 100 TB the store is a few percent of the
+    * corpus bytes and is the ONLY kept-side input the incremental path
+    * reads — [[crossCorpusPairsFromStore]] matches each new batch
+    * against it without the kept TEXT ever being scanned again; append
+    * each accepted batch's own store rows to keep it current (write
+    * parquet bucketed by id or band hash). String ids ride the usual
+    * surrogate and come back original. */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val (dfL, idMap) = longIds(df, idCol)
+    restoreIds(shingleMinhash(dfL, idCol, textCol, shingleN, k)
+      .withColumnRenamed("id", idCol), idMap, Seq(idCol))
+  }
+
+  /** [[crossCorpusPairs]] with the kept side read from a persisted
+    * [[signatureStore]] frame instead of kept text — the
+    * ingestion-time shape. The store must have been built with the
+    * SAME k and shingleN the batch is hashed with: sig length is
+    * checked loudly against k (a mismatched store would silently
+    * mis-scale est_jaccard and band on different slices); shingleN has
+    * no in-band witness, so it rides the caller's contract. */
+  def crossCorpusPairsFromStore(newDf: DataFrame, idCol: String,
+      textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(Set(idCol, "sig", "sh").subsetOf(store.columns.toSet),
+      s"signature store must carry ($idCol, sig, sh); " +
+        s"has ${store.columns.mkString(", ")}")
+    store.select(size(col("sig"))).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"store sig length ${r.getInt(0)} != k = $k — rebuild the " +
+          "store or pass the k it was built with")
+    }
+    import org.apache.spark.storage.StorageLevel
+    val (newL, newMap) = longIds(newDf, idCol)
+    val newSig = shingleMinhash(newL, idCol, textCol, shingleN, k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptSig = store.select(col(idCol).as("id"), col("sh"),
+      col("sig"))
+    restoreIds(crossPairsFromSigs(newSig, keptSig, k, bands,
+      minJaccard), newMap, Seq("new_id"))
+  }
+
+  /** Keep exactly the new-batch docs with NO verified near-dup in the
+    * store — [[dedupAgainst]]'s incremental twin over a persisted
+    * [[signatureStore]]. The kept side needs no exact-content
+    * collapse: a kept clone's store rows carry identical signatures
+    * and band identically, so any member matches the same batches. */
+  def dedupAgainstStore(newDf: DataFrame, idCol: String,
+      textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+    val matched = crossCorpusPairsFromStore(newDf, idCol, textCol,
+      store, k, bands, shingleN, minJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    newDf.join(matched, Seq(idCol), "left_anti")
   }
 
   /** Surviving NEW rows of an incremental batch: anti-join against the

@@ -163,6 +163,51 @@ class DedupSpec extends SparkSpec {
     assert(s2 == Set(11L, 13L), s2.toString)
   }
 
+  test("signature store: the parquet round-trip answers the identical " +
+      "pair set as the text path, k mismatch fails loudly, string ids " +
+      "come back original") {
+    val kept = base.toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a genuinely novel document about streaming watermarks and state"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sig_store").toString
+    // persist the store the way a pipeline would: parquet, re-read
+    Dedup.signatureStore(kept, "doc_id", "text", k = 16, shingleN = 3)
+      .write.mode("overwrite").parquet(s"$dir/store")
+    val store = spark.read.parquet(s"$dir/store")
+    val viaStore = Dedup.crossCorpusPairsFromStore(batch, "doc_id",
+      "text", store, k = 16, bands = 8, minJaccard = 0.5)
+      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val viaText = Dedup.crossCorpusPairs(batch, kept, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(viaStore == viaText && viaStore.nonEmpty, viaStore.toString)
+    // the incremental keep-set matches too
+    val survivors = Dedup.dedupAgainstStore(batch, "doc_id", "text",
+      store, k = 16, bands = 8, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(11L))
+    // a store built at a different k is refused loudly
+    val ex = intercept[IllegalArgumentException](
+      Dedup.crossCorpusPairsFromStore(batch, "doc_id", "text", store,
+        k = 8, bands = 4, minJaccard = 0.5))
+    assert(ex.getMessage.contains("sig length"))
+    // string ids survive the surrogate round-trip on BOTH frames
+    val keptS = kept.select(concat(lit("doc-"), col("doc_id"))
+      .as("doc_id"), col("text"))
+    val batchS = batch.select(concat(lit("doc-"), col("doc_id"))
+      .as("doc_id"), col("text"))
+    val storeS = Dedup.signatureStore(keptS, "doc_id", "text", k = 16)
+    val pairsS = Dedup.crossCorpusPairsFromStore(batchS, "doc_id",
+      "text", storeS, k = 16, bands = 8, minJaccard = 0.5)
+      .select("new_id", "kept_id").as[(String, String)].collect().toSet
+    assert(pairsS.contains(("doc-10", "doc-1")), pairsS.toString)
+  }
+
   test("simhash: identical text hamming 0; near-dup small hamming") {
     val pairs = Dedup.simhashPairs(base.toDF("doc_id", "text"),
       "doc_id", "text", maxHamming = 3)
