@@ -355,6 +355,25 @@ object PipelineQueries {
       .orderBy("probe_id", "neighbor_id")
   }
 
+  /** IVF-PQ through the PERSISTED index ([[Similarity.ivfPqIndex]] +
+    * [[Similarity.knnIvfPqOnIndex]]): the q92 scenario with the index
+    * built as the stored artifact and queried separately — the oracle
+    * is q92's verbatim, so the on-index path must answer the
+    * identical top-1 set (same sample → same quantizers → same
+    * cells/codes/ADC/re-rank). */
+  def q194_ann_index(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val (model, index) = Similarity.ivfPqIndex(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ksub = 16)
+    Similarity.knnIvfPqOnIndex(probes, index, corpus, "vec_id",
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   val q92_sql: String =
     """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
       |  CAST(1.0 AS DOUBLE) AS cosine
@@ -3893,6 +3912,7 @@ object PipelineQueries {
     "q182_dup_weights" -> (q182_dup_weights _),
     "q192_dedup_report" -> (q192_dedup_report _),
     "q193_dedup_store" -> (q193_dedup_store _),
+    "q194_ann_index" -> (q194_ann_index _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -3992,6 +4012,7 @@ object PipelineQueries {
     "q182_dup_weights" -> q182_sql,
     "q192_dedup_report" -> q192_sql,
     "q193_dedup_store" -> q97_sql,
+    "q194_ann_index" -> q92_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

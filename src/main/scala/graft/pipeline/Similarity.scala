@@ -474,12 +474,74 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, shortlist: Int = 32, dim: Int = 64)
       : DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(shortlist >= k, "shortlist must be at least k")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val dsub = dim / m
+    val (model, indexed) = ivfPqIndex(corpus, idCol, vecCol, nlist, m,
+      ksub, dim)
     val pVec = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    ivfPqQuery(pVec, indexed, cVec, model, k, nprobe, shortlist, dim)
+  }
+
+  /** The persistable IVF-PQ index MODEL: the driver-side quantizers —
+    * coarse centroids (nlist × dim) + per-subspace PQ codebooks
+    * (m × ksub × dim/m). [[toFrame]] / [[IvfPqModel.fromFrame]]
+    * round-trip it through a tiny DataFrame (nlist + m·ksub rows) so
+    * the model rides parquet next to the corpus-scale index frame. */
+  final case class IvfPqModel(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]) {
+    def nlist: Int = cents.length
+    def m: Int = books.length
+    def ksub: Int = books.headOption.map(_.length).getOrElse(0)
+    def toFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val centRows = cents.zipWithIndex.toSeq.map { case (v, i) =>
+        ("cent", i, 0, v.toSeq) }
+      val bookRows = for {
+        (bk, j) <- books.zipWithIndex.toSeq
+        (c, ci) <- bk.zipWithIndex.toSeq
+      } yield ("book", j, ci, c.toSeq)
+      (centRows ++ bookRows).toDF("kind", "i", "j", "vec")
+    }
+  }
+
+  object IvfPqModel {
+    /** Rebuild from [[IvfPqModel.toFrame]] output (order-insensitive;
+      * doubles round-trip parquet bit-exactly). */
+    def fromFrame(df: DataFrame): IvfPqModel = {
+      val rows = df.select("kind", "i", "j", "vec").collect()
+      val cents = rows.filter(_.getString(0) == "cent")
+        .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toArray)
+      val bookRows = rows.filter(_.getString(0) == "book")
+      require(cents.nonEmpty && bookRows.nonEmpty,
+        "model frame must carry cent and book rows")
+      val m = bookRows.map(_.getInt(1)).max + 1
+      val books = (0 until m).map { j =>
+        bookRows.filter(_.getInt(1) == j).sortBy(_.getInt(2))
+          .map(_.getSeq[Double](3).toArray)
+      }.toArray
+      IvfPqModel(cents, books)
+    }
+  }
+
+  /** Build the persistable IVF-PQ INDEX — the other stored artifact a
+    * 100-TB retrieval pipeline writes once and queries many times
+    * (the [[graft.pipeline.Dedup.signatureStore]] of the ANN family):
+    * train both quantizers on the same bounded deterministic sample
+    * [[knnIvfPq]] uses, and return (model, index) where index =
+    * (neighbor_id, cell, codes) — one scan of the corpus, ~m bytes of
+    * codes per vector; write it parquet (bucket by cell) and the raw
+    * vectors are only ever read again for the shortlist re-rank.
+    * [[knnIvfPqOnIndex]] over the round-tripped artifacts equals
+    * [[knnIvfPq]] exactly: same sample → same quantizers → same
+    * cells, codes, ADC, and re-rank. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64)
+      : (IvfPqModel, DataFrame) = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val dsub = dim / m
     val cVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     // one bounded deterministic sample trains BOTH quantizers
@@ -491,47 +553,94 @@ object Similarity {
     val books = (0 until m).map { j =>
       kmeansL2(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, 10)
     }.toArray
-    val cn2 = books.map(_.map(c => c.map(x => x * x).sum))
-    // fused native codegen row (VectorOps.CentroidSims): the
-    // transform-over-literal-centroids form ran its lambda interpreted
-    // per centroid on every corpus row — the assignment dominated the
-    // 100x probe; value-identical by construction
-    def cellSims(v: Column): Column =
-      graft.functions.VectorOps.centroidSims(v, cents)
-    def subV(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    def lutRow(v: Column): Seq[Column] = (0 until m).map { j =>
-      val s = subV(v, j)
-      array((0 until ksub).map { c =>
-        lit(cn2(j)(c)) - lit(2.0) *
-          dot(s, array(books(j)(c).map(lit): _*))
-      }: _*)
-    }
+    val model = IvfPqModel(cents, books)
     // corpus: one scan emits (cell, id, codes) — the entire index
+    val lut = pqLutRow(model, dim) _
     val codeCols = (0 until m).map { j =>
-      val dists = lutRow(col("cv"))(j)
+      val dists = lut(col("cv"))(j)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     val indexed = cVec.repartition(shuffleN)
-      .withColumn("__sims", cellSims(col("cv")))
+      .withColumn("__sims",
+        graft.functions.VectorOps.centroidSims(col("cv"), cents))
       .withColumn("cell", (array_position(col("__sims"),
         array_max(col("__sims"))) - 1).cast("int"))
       .select(col("neighbor_id"), col("cell"),
         array(codeCols: _*).as("codes"))
-    // probes: top-nprobe cells, LUT built once per probe
+    (model, indexed)
+  }
+
+  /** Query a PERSISTED IVF-PQ index: probes rank cells against the
+    * model's centroids, build their ADC LUTs once, scan only the
+    * probed cells' code rows, and re-rank the shortlist exactly
+    * against the raw vectors (`corpus` supplies those — the only
+    * touch of the vector table, shortlist-sized). Loud guards on the
+    * index frame's shape and the model/index code-width match. */
+  def knnIvfPqOnIndex(probes: DataFrame, index: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel, k: Int, nprobe: Int = 4, shortlist: Int = 32,
+      dim: Int = 64): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.nlist,
+      s"need 1 <= nprobe <= nlist = ${model.nlist}")
+    require(shortlist >= k, "shortlist must be at least k")
+    require(Set("neighbor_id", "cell", "codes")
+        .subsetOf(index.columns.toSet),
+      "index frame must carry (neighbor_id, cell, codes); has " +
+        index.columns.mkString(", "))
+    index.select(size(col("codes"))).head(1).foreach { r =>
+      require(r.getInt(0) == model.m,
+        s"index code width ${r.getInt(0)} != model m = ${model.m} — " +
+          "the index was built with a different model")
+    }
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val cVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    ivfPqQuery(pVec,
+      index.select("neighbor_id", "cell", "codes"), cVec, model, k,
+      nprobe, shortlist, dim)
+  }
+
+  /** Per-subspace ADC lookup row: for subspace j, the ksub partial
+    * squared L2 distances ‖c‖² − 2·(v_j · c) (the ‖v_j‖² term is
+    * probe-constant and cancels in ranking). Shared by the index
+    * build (argmin → codes) and the probe LUT. */
+  private def pqLutRow(model: IvfPqModel, dim: Int)(v: Column)
+      : Seq[Column] = {
+    val dsub = dim / model.m
+    val cn2 = model.books.map(_.map(c => c.map(x => x * x).sum))
+    (0 until model.m).map { j =>
+      val s = slice(v, j * dsub + 1, dsub)
+      array((0 until model.ksub).map { c =>
+        lit(cn2(j)(c)) - lit(2.0) *
+          dot(s, array(model.books(j)(c).map(lit): _*))
+      }: _*)
+    }
+  }
+
+  /** The IVF-PQ query stage shared by [[knnIvfPq]] and
+    * [[knnIvfPqOnIndex]]: probe-side cell ranking + LUT, the cell
+    * equi-join against the code frame (AQE broadcasts the probe side
+    * at runtime when small, like knnIvf's cell join), bounded
+    * shortlist, exact re-rank. */
+  private def ivfPqQuery(pVec: DataFrame, indexed: DataFrame,
+      cVec: DataFrame, model: IvfPqModel, k: Int, nprobe: Int,
+      shortlist: Int, dim: Int): DataFrame = {
+    val shuffleN = pVec.sparkSession.sessionState.conf.numShufflePartitions
+    val lut = pqLutRow(model, dim) _
     val probed = pVec.repartition(shuffleN)
       .withColumn("__ranked", slice(reverse(array_sort(
-        transform(cellSims(col("pv")),
+        transform(
+          graft.functions.VectorOps.centroidSims(col("pv"), model.cents),
           (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
       .withColumn("cell",
         explode(transform(col("__ranked"), x => x.getField("i"))))
-      .select(col("probe_id"), col("cell"), array(lutRow(col("pv")): _*)
+      .select(col("probe_id"), col("cell"), array(lut(col("pv")): _*)
         .as("__lut"))
-    val adc = (0 until m).map { j =>
+    val adc = (0 until model.m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    // cell equi-join (not the PQ broadcast NLJ) — AQE broadcasts the
-    // probe side at runtime when it is small, like knnIvf's cell join
     val scored = probed.join(indexed, Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), adc.as("__adc"))

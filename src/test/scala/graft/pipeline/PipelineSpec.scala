@@ -707,6 +707,43 @@ class SimilaritySpec extends SparkSpec {
     assert(cleaned.filter(col("vec_id") >= 100000).count() == 0)
   }
 
+  test("IVF-PQ index persists: model + code frame round-trip parquet " +
+      "and answer knnIvfPq's exact results; mismatched index refused") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivfpq_index").toString
+    val (model, index) = Similarity.ivfPqIndex(e, "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16)
+    // persist BOTH artifacts the way a pipeline would, and reload
+    model.toFrame(spark).write.mode("overwrite")
+      .parquet(s"$tmp/model")
+    index.write.mode("overwrite").parquet(s"$tmp/index")
+    val model2 = Similarity.IvfPqModel.fromFrame(
+      spark.read.parquet(s"$tmp/model"))
+    assert(model2.nlist == 8 && model2.m == 8 && model2.ksub == 16)
+    assert(model2.cents.map(_.toSeq).toSeq ==
+      model.cents.map(_.toSeq).toSeq)
+    val index2 = spark.read.parquet(s"$tmp/index")
+    val viaIndex = Similarity.knnIvfPqOnIndex(probes, index2, e,
+      "vec_id", "embedding", model2, k = 3, nprobe = 4,
+      shortlist = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Similarity.knnIvfPq(probes, e, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 4, m = 8, ksub = 16, shortlist = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty, viaIndex.toString)
+    // an index whose code width disagrees with the model is refused
+    val narrowed = index2.withColumn("codes",
+      slice(col("codes"), 1, 4))
+    val ex = intercept[IllegalArgumentException](
+      Similarity.knnIvfPqOnIndex(probes, narrowed, e, "vec_id",
+        "embedding", model2, k = 3))
+    assert(ex.getMessage.contains("code width"))
+  }
+
   test("semanticClusterEdges: components identical to the all-pairs " +
       "scan at nlist=1 (no cell boundary), cliques collapse to linear " +
       "stars, zero vectors never star-join") {
