@@ -1031,8 +1031,12 @@ object PipelineQueries {
       .unionByName(d.filter(col("doc_id") % 20 === 1).select(
         (col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zz9")).as("text")))
+    // persisted: stands in for the MATERIALIZED parquet store a
+    // pipeline reads (the gate builds it inline for determinism; the
+    // band join + two re-attaches read it three times)
     val store = Dedup.signatureStore(kept, "doc_id", "text",
       k = 16, shingleN = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.crossCorpusPairsFromStore(batch, "doc_id", "text", store,
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
       .withColumn("jaccard", round(col("jaccard"), 6))

@@ -599,16 +599,36 @@ object Dedup {
 
   /** Keep exactly the new-batch docs with NO verified near-dup in the
     * store — [[dedupAgainst]]'s incremental twin over a persisted
-    * [[signatureStore]]. The kept side needs no exact-content
-    * collapse: a kept clone's store rows carry identical signatures
-    * and band identically, so any member matches the same batches. */
+    * [[signatureStore]].
+    *
+    * The NEW side collapses to distinct contents before the band join
+    * (the clusterEdges lesson: novelty is a function of content, and
+    * an uncollapsed batch clique of c docs would multiply every kept
+    * match c× — measured as the bipartite clique product at the 100×
+    * probe); matches re-expand through the content key, so the
+    * keep-set is IDENTICAL. The kept side is the store as given —
+    * per-member rows band correctly either way (a kept clone matches
+    * like its twin), costing one candidate per kept MEMBER of a
+    * matching clique (linear). A pipeline that wants the kept side
+    * collapsed too builds its store over the [[exactDeduped]] corpus —
+    * content identity makes that loss-free for this keep/drop
+    * decision. */
   def dedupAgainstStore(newDf: DataFrame, idCol: String,
       textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
-    val matched = crossCorpusPairsFromStore(newDf, idCol, textCol,
-      store, k, bands, shingleN, minJaccard)
-      .select(col("new_id").as(idCol)).distinct()
-    newDf.join(matched, Seq(idCol), "left_anti")
+    val newKeyed = newDf
+      .select(col(idCol), md5(col(textCol)).as("__ck"))
+    val newReps = newKeyed.groupBy(col("__ck"))
+      .agg(min(col(idCol)).as("__rep"))
+    val newRepDocs = newDf.join(
+      newReps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val matchedRep = crossCorpusPairsFromStore(newRepDocs, idCol,
+      textCol, store, k, bands, shingleN, minJaccard)
+      .select(col("new_id").as("__rep")).distinct()
+    val matchedIds = newKeyed
+      .join(newReps.join(matchedRep, "__rep"), "__ck")
+      .select(col(idCol))
+    newDf.join(matchedIds, Seq(idCol), "left_anti")
   }
 
   /** Surviving NEW rows of an incremental batch: anti-join against the

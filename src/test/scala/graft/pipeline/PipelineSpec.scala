@@ -191,6 +191,16 @@ class DedupSpec extends SparkSpec {
       store, k = 16, bands = 8, minJaccard = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(11L))
+    // new-side content collapse re-expands: clones of a matching doc
+    // and of a novel doc each answer like their representative
+    val batchCliques = batch.unionByName(Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (13L, "a genuinely novel document about streaming watermarks and state"))
+      .toDF("doc_id", "text"))
+    val s2 = Dedup.dedupAgainstStore(batchCliques, "doc_id", "text",
+      store, k = 16, bands = 8, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(11L, 13L), s2.toString)
     // a store built at a different k is refused loudly
     val ex = intercept[IllegalArgumentException](
       Dedup.crossCorpusPairsFromStore(batch, "doc_id", "text", store,
