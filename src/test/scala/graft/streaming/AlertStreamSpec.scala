@@ -77,4 +77,40 @@ class AlertStreamSpec extends SparkSpec {
     q.stop()
     assert(rows == Seq((t(3), "ALERT")))
   }
+
+  test("checkpoint restart CONTINUES the consecutive counter: an " +
+      "exceed before the stop and one after it together fire the " +
+      "2-window alert") {
+    // the EwmaStreamSpec recovery pattern applied to the alert state
+    // machine (consecutive count + last state + last window): a lost
+    // RunState would reset consecutive to 0 and never fire
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("alert_restart").toString
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    def start() = AlertStream.transitions(
+        mem.toDF().toDF("alert_id", "window_start", "value"), configs)
+      .toDF().writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    mem.addData(("lat_p99", t(0), 3.0), ("lat_p99", t(1), 7.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    // consecutive exceed #2 lands after the restart -> ALERT; then
+    // recovery -> OK (also proves lastWindowMillis restored: a replayed
+    // t(1) would otherwise re-count)
+    mem.addData(("lat_p99", t(2), 8.0), ("lat_p99", t(3), 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .orderBy("window_start").select("window_start", "state", "value")
+      .as[(Timestamp, String, Double)].collect().toSeq
+    assert(rows == Seq((t(2), "ALERT", 8.0), (t(3), "OK", 2.0)),
+      rows.toString)
+  }
 }
