@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq(1L, 3L))
   }
 
+  test("dedupStream checkpoint restart CONTINUES the dedup state: a " +
+      "key first seen before the stop stays suppressed after it") {
+    // the EwmaStreamSpec recovery pattern applied to the BUILT-IN
+    // dedup state store (dropDuplicatesWithinWatermark) — the fourth
+    // distinct state shape (agg cells, flatMapGroups state, dedup
+    // keys); a lost store would re-emit doc 4 as first-seen
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("dd_restart").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def start() = Streaming.dedupStream(
+        mem.toDF().toDF("ts", "doc_id", "text")
+          .withColumn("h", md5(lower(col("text")))),
+        "ts", Seq("h"), watermarkDelay = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    mem.addData((t("2024-01-01 00:00:01"), 1L, "Alpha Doc"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    mem.addData(
+      (t("2024-01-01 00:10:00"), 4L, "ALPHA DOC"), // dup of lifetime 1
+      (t("2024-01-01 00:10:01"), 5L, "a novel document"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(rows == Seq(1L, 5L), rows.toString)
+  }
+
   test("sessionRollup merges events into gap-bounded sessions") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
