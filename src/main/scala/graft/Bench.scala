@@ -6,14 +6,38 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (default sf0.1), forcing full execution through the
   * noop sink (a bare count() would let Catalyst prune the projections), and
   * prints one JSON line: {"metric":"total","value":N,"unit":"sec",
-  * "queries":{...},"sf":...}. The same line is also written to
-  * `bench_out.json` in the working directory — at 118 queries the line
-  * outgrew a log-tail capture once; the file is the loss-proof copy.
+  * "queries":{...},"queries_passes":{...},"concurrent":{...},"sf":...}.
+  * The same line is also written to `bench_out.json` in the working
+  * directory — at 118 queries the line outgrew a log-tail capture once;
+  * the file is the loss-proof copy.
   * A run that measures dirty (loaded start or hypervisor steal) is
   * re-measured once; a still-dirty line is diverted to
   * `bench_out-dirty.json` so the record file only ever carries a
-  * clean number. */
+  * clean number.
+  *
+  * `queries_passes` records BOTH raw pass times per query (the round-14
+  * artifact pair sat 36% apart with no way to tell pass-skew from a
+  * uniform slowdown — with both passes on the line, a future gap
+  * decomposes: bursty host = a few queries with one inflated pass;
+  * thermal/JIT = both passes uniformly high).
+  *
+  * `concurrent` is the mixed-workload figure: the 10 cheapest dashboard
+  * chart queries fired at once on the shared session (one FAIR pool per
+  * thread — LocalSession sets spark.scheduler.mode=FAIR), wall-clock vs
+  * the sum of their isolated per-query minima. A 100-TB deployment serves
+  * dashboard fan-out, not one query at a time; this measures how far the
+  * shared session is from serial cost on exactly that shape. */
 object Bench {
+
+  /** The dashboard fan-out: ten chart tiles a single HyperDX-style
+    * dashboard refresh fires together — time-bucketed series, ratios,
+    * gap fill, compare-window, gauge/rate/histogram tiles. Chosen cheap
+    * so the figure isolates CONCURRENCY cost, not one heavy query. */
+  val DashboardSet: Seq[String] = Seq(
+    "q4_timeseries", "q12_ratio", "q13_gauge", "q14_rate",
+    "q16_hist_quantile", "q18_hist_count", "q33_gap_fill",
+    "q35_ratio_per_group", "q46_share_of_total", "q118_compare_window")
+
   def main(args: Array[String]): Unit = {
     // the JSON line is machine-parsed: f-interpolation uses the default
     // locale, and a comma-decimal locale would emit "value":1,234
@@ -64,7 +88,6 @@ object Bench {
           (f.take(8).sum, if (f.length > 7) f(7) else 0L)
         } finally src.close()
       } catch { case _: Throwable => None }
-    val jiffies0 = cpuJiffies()
 
     // 1-minute load average, sampled at start and end: steal_pct alone
     // has repeatedly failed to explain ~1.16× artifact inflation —
@@ -77,6 +100,37 @@ object Bench {
         try src.getLines().next().split("\\s+").headOption.map(_.toDouble)
         finally src.close()
       } catch { case _: Throwable => None }
+
+    // The dashboard fan-out measurement: fire the 10 chart queries at
+    // once, each from its own thread in its own on-demand FAIR pool
+    // (fair ACROSS pools — round-robin task slots between the tiles,
+    // the first-result-latency shape a serving deployment wants), and
+    // time the wall to ALL complete. Caches cleared first so every tile
+    // does its real work. Returns (wall, per-query secs).
+    def concurrentRun(): (Double, Map[String, Double]) = {
+      spark.catalog.clearCache()
+      val names = DashboardSet.filter(SparkEntry.queries.contains)
+      if (names.size < DashboardSet.size)
+        System.err.println("[bench] concurrent: missing " +
+          (DashboardSet.toSet -- names).mkString(", "))
+      val times =
+        new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      val t0 = System.nanoTime()
+      val threads = names.map { n =>
+        val t = new Thread(() => {
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"dash-$n")
+          val (_, sec) = run(n, SparkEntry.queries(n))
+          times.put(n, sec)
+        }, s"bench-dash-$n")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      (wall, times.asScala.toMap)
+    }
+
     // One measurement attempt: settle, two full passes, per-query MIN.
     // The host VM shows bursty CPU steal (multi-second whole-JVM
     // freezes that land on whichever query is running — /proc/stat
@@ -85,6 +139,12 @@ object Bench {
     // a query's number. Min is the standard noise-robust estimator for
     // cold-cache-free repeated runs. Returns (json line, dirty).
     def attempt(): (String, Boolean) = {
+      // Every attempt starts cache-cold: Spark's CacheManager matches
+      // cached plans by canonicalized plan, so without this a RETRY's
+      // pass 1 would read the prior attempt's pass-2 persisted
+      // intermediates and bias the min low on exactly the path that
+      // writes the clean record line (round-14 advice).
+      spark.catalog.clearCache()
       // Load guard (the round-12 lesson: a 0.41%-steal, load1-3.8 run
       // became the round's artifact and read as a uniform 1.08×
       // regression): wait — bounded — for the host to go quiet before
@@ -92,11 +152,13 @@ object Bench {
       // 300 s bound: load1 decays on a 60 s time constant, so after a
       // prior attempt drove it to ~4 the 120 s window could not reach
       // the < 1.0 start the dirty bit requires
-      val settleDeadline = System.nanoTime() + 300L * 1000000000L
+      val settleBoundSec = 300L
+      val settleDeadline = System.nanoTime() + settleBoundSec * 1000000000L
       while (load1().exists(_ > 1.0) &&
           System.nanoTime() < settleDeadline) {
         System.err.println(s"[bench] host loaded (load1=${load1()
-          .map(l => f"$l%.2f").getOrElse("?")}) — settling up to 120s")
+          .map(l => f"$l%.2f").getOrElse("?")}) — settling up to " +
+          s"${settleBoundSec}s")
         Thread.sleep(10000L)
       }
       val load1Start = load1()
@@ -113,7 +175,23 @@ object Bench {
       }
       val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
+      // both raw pass times per query — lets a future artifact gap
+      // decompose into pass-skew (bursty host) vs uniform slowdown
+      val qsPasses = ordered.map { case (n, _) =>
+        "\"" + n + f"""":[${pass1(n)}%.3f,${pass2(n)}%.3f]"""
+      }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
+      // the mixed-workload figure, measured inside the attempt so it
+      // rides the same clean/dirty attribution as the per-query times
+      val (dashWall, dashTimes) = concurrentRun()
+      val dashIsolated = DashboardSet
+        .flatMap(results.toMap.get).filter(_ >= 0).sum
+      val dashOk = dashTimes.valuesIterator.forall(_ >= 0)
+      val concurrent =
+        f""","concurrent":{"n":${dashTimes.size},"wall_sec":$dashWall%.3f,""" +
+          f""""sum_isolated_sec":$dashIsolated%.3f,""" +
+          f""""serial_over_wall":${dashIsolated / math.max(dashWall, 1e-9)}%.2f,""" +
+          s""""all_ok":$dashOk}"""
       val stealVal = (jiffiesA, cpuJiffies()) match {
         case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
           Some((s1 - s0) * 100.0 / (t1 - t0))
@@ -138,7 +216,7 @@ object Bench {
       val isDirty =
         load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.5)
       val dirty = if (isDirty) ""","dirty":true""" else ""
-      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$stealPct$loads$dirty}""",
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_passes":$qsPasses$concurrent,"sf":"$sfDir"$stealPct$loads$dirty}""",
         isDirty)
     }
 

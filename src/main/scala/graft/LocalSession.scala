@@ -45,6 +45,15 @@ object LocalSession {
       // bucket — the multi-file case the default guards against can't
       // occur through writeBucketed.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // FAIR job scheduling — the serving posture: a dashboard fans out
+      // ~10 chart queries at once (Server runs them from a request pool,
+      // Bench measures the same shape in its concurrent section), and
+      // FIFO would let one heavy query's stages starve the others'
+      // first-result latency. Pools are created on demand (one per
+      // concurrent request; fair ACROSS pools, weight 1 each). With a
+      // single job in flight — every sequential bench/verify/test path —
+      // scheduling is identical to FIFO, so this costs nothing there.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int): SparkSession = {

@@ -582,11 +582,18 @@ object Dedup {
     require(Set(idCol, "sig", "sh").subsetOf(store.columns.toSet),
       s"signature store must carry ($idCol, sig, sh); " +
         s"has ${store.columns.mkString(", ")}")
-    store.select(size(col("sig"))).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"store sig length ${r.getInt(0)} != k = $k — rebuild the " +
-          "store or pass the k it was built with")
-    }
+    // one column-pruned pass with map-side partial agg (bounded
+    // one-row result) — a FIRST-ROW check missed mixed-width stores,
+    // e.g. two stores built at different k appended together, which
+    // would silently band on different slices and mis-scale
+    // est_jaccard for the mismatched rows
+    store.agg(min(size(col("sig"))), max(size(col("sig"))))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == k && r.getInt(1) == k,
+          s"store sig lengths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+            s"k = $k — rebuild the store (a mixed-width store means " +
+            "two stores built at different k were appended together)")
+      }
     import org.apache.spark.storage.StorageLevel
     val (newL, newMap) = longIds(newDf, idCol)
     val newSig = shingleMinhash(newL, idCol, textCol, shingleN, k)

@@ -587,11 +587,17 @@ object Similarity {
         .subsetOf(index.columns.toSet),
       "index frame must carry (neighbor_id, cell, codes); has " +
         index.columns.mkString(", "))
-    index.select(size(col("codes"))).head(1).foreach { r =>
-      require(r.getInt(0) == model.m,
-        s"index code width ${r.getInt(0)} != model m = ${model.m} — " +
-          "the index was built with a different model")
-    }
+    // min/max over ALL rows (one column-pruned pass, map-side partial
+    // agg) — a first-row check missed mixed-width indexes, e.g. two
+    // indexes built under different models appended together, which
+    // would silently mis-score ADC for the mismatched rows
+    index.agg(min(size(col("codes"))), max(size(col("codes"))))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == model.m && r.getInt(1) == model.m,
+          s"index code widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
+            s"model m = ${model.m} — the index was built (or partly " +
+            "appended) with a different model")
+      }
     val pVec = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val cVec = corpus.select(col(idCol).as("neighbor_id"),
