@@ -395,6 +395,39 @@ object PipelineQueries {
       .orderBy("probe_id", "neighbor_id")
   }
 
+  /** The frozen-model index-APPEND lifecycle, gated end-to-end
+    * ([[Similarity.indexBatch]]): the model trains ONCE on batch 1,
+    * then batches 2 and 3 are quantized under it (no re-train) and
+    * their code rows appended — the continuous-ingest shape of a
+    * persisted ANN index. The q92 planted-copy construction makes the
+    * gate deterministic under ANY model: an identical vector lands in
+    * the probe's own top-1 cell with the minimum-possible ADC
+    * (per-subspace argmin code = per-subspace LUT argmin), survives
+    * the shortlist, and re-ranks exactly at cosine 1.0. The planted
+    * ids (100000+i, i<10) spread across all three residue classes, so
+    * every appended batch's rows are load-bearing — an append that
+    * dropped or mis-celled a batch loses its copies and fails. */
+  def q196_index_append(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val b1 = corpus.filter(col("vec_id") % 3 === 0)
+    val b2 = corpus.filter(col("vec_id") % 3 === 1)
+    val b3 = corpus.filter(col("vec_id") % 3 === 2)
+    val (model, idx1) = Similarity.ivfPqIndex(b1, "vec_id",
+      "embedding", nlist = 16, m = 8, ksub = 16)
+    val idx = idx1
+      .unionByName(Similarity.indexBatch(b2, "vec_id", "embedding",
+        model))
+      .unionByName(Similarity.indexBatch(b3, "vec_id", "embedding",
+        model))
+    Similarity.knnIvfPqOnIndex(probes, idx, corpus, "vec_id",
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   val q92_sql: String =
     """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
       |  CAST(1.0 AS DOUBLE) AS cosine
@@ -1064,6 +1097,105 @@ object PipelineQueries {
       .select("new_id", "kept_id", "jaccard")
       .orderBy("new_id", "kept_id")
   }
+
+  /** The incremental-ingest LIFECYCLE, gated end-to-end
+    * ([[Dedup.ingestBatch]]): three batches arrive in order; batch 1
+    * seeds the [[Dedup.signatureStore]], each later batch dedups
+    * against the CURRENT store and appends its survivors' signature
+    * rows. The load-bearing rows are b3's planted copies of b2
+    * ORIGINALS (+2e6): their sources entered the store only via the
+    * batch-2 APPEND, so a no-append implementation keeps them and
+    * fails the gate. b3 also plants copies of b1 docs (+3e6, proving
+    * the ORIGINAL store rows still match) and b2 plants copies of b1
+    * docs (+1e6, the plain q97 shape). The oracle replays the
+    * sequential rule from scratch over text — exact shingle Jaccard
+    * via the inverted-index idiom (non-quadratic), survivors of batch
+    * n matched against b1 ∪ survivors(b2) exactly as the store
+    * accumulates them. Natural near-dup pairs in the corpus all sit
+    * at J ≥ 0.8 (measured), where the r=2/b=8 LSH miss probability is
+    * ≤ 3e-4 — the q24/q97 determinism argument. */
+  def q195_ingest_lifecycle(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val d = docs(spark, dir).select("doc_id", "text")
+    def planted(m: Long, off: Long): DataFrame =
+      d.filter(col("doc_id") % 30 === m).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"))
+    val b1 = d.filter(col("doc_id") % 3 === 0)
+    val b2 = d.filter(col("doc_id") % 3 === 1)
+      .unionByName(planted(0L, 1000000L))
+    val b3 = d.filter(col("doc_id") % 3 === 2)
+      .unionByName(planted(1L, 2000000L))
+      .unionByName(planted(6L, 3000000L))
+    // each store generation persisted: the next batch's band join plus
+    // two candidate re-attaches read it three times (q193's note), and
+    // store2's appended rows would otherwise recompute the batch-2
+    // anti-join per read
+    val store1 = Dedup.signatureStore(b1, "doc_id", "text",
+        k = 16, shingleN = 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (s2, store2) = Dedup.ingestBatch(store1, b2, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    val store2p = store2.persist(StorageLevel.MEMORY_AND_DISK)
+    val (s3, _) = Dedup.ingestBatch(store2p, b3, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    b1.select(col("doc_id"), lit(1L).as("batch"))
+      .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
+      .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
+      .orderBy("batch", "doc_id")
+  }
+
+  val q195_sql: String =
+    """WITH b1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |b2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 0),
+      |b3 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 6),
+      |alld AS (
+      |  SELECT doc_id, text, 1 AS bt FROM b1
+      |  UNION ALL SELECT doc_id, text, 2 AS bt FROM b2
+      |  UNION ALL SELECT doc_id, text, 3 AS bt FROM b3),
+      |sh AS (
+      |  SELECT doc_id, bt, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id, bt,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM alld)),
+      |ls AS (SELECT doc_id, bt, len(s) AS l FROM sh),
+      |ex AS (SELECT doc_id, bt, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT n.doc_id AS nid, n.bt AS nb, e.doc_id AS kid,
+      |    e.bt AS kb, count(*) AS i
+      |  FROM ex n JOIN ex e ON n.g = e.g AND n.bt > e.bt
+      |  GROUP BY 1, 2, 3, 4),
+      |p AS (
+      |  SELECT nid, nb, kid, kb FROM inter
+      |  JOIN ls la ON la.doc_id = inter.nid AND la.bt = inter.nb
+      |  JOIN ls lb ON lb.doc_id = inter.kid AND lb.bt = inter.kb
+      |  WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7),
+      |s2 AS (
+      |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+      |    SELECT nid FROM p WHERE nb = 2 AND kb = 1)),
+      |s3 AS (
+      |  SELECT doc_id FROM b3 WHERE doc_id NOT IN (
+      |    SELECT nid FROM p WHERE nb = 3 AND (kb = 1 OR
+      |      (kb = 2 AND kid IN (SELECT doc_id FROM s2)))))
+      |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM b1
+      |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM s2
+      |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM s3
+      |ORDER BY batch, doc_id""".stripMargin
 
   val q97_sql: String =
     """WITH kept AS (
@@ -3937,6 +4069,8 @@ object PipelineQueries {
     "q192_dedup_report" -> (q192_dedup_report _),
     "q193_dedup_store" -> (q193_dedup_store _),
     "q194_ann_index" -> (q194_ann_index _),
+    "q195_ingest_lifecycle" -> (q195_ingest_lifecycle _),
+    "q196_index_append" -> (q196_index_append _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -4037,6 +4171,10 @@ object PipelineQueries {
     "q192_dedup_report" -> q192_sql,
     "q193_dedup_store" -> q97_sql,
     "q194_ann_index" -> q92_sql,
+    "q195_ingest_lifecycle" -> q195_sql,
+    // planted-copy determinism holds under any model, incl. the
+    // batch-1-trained frozen model — same expected rows as q92
+    "q196_index_append" -> q92_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

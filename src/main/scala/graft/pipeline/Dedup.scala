@@ -638,6 +638,33 @@ object Dedup {
     newDf.join(matchedIds, Seq(idCol), "left_anti")
   }
 
+  /** ONE step of the continuous-ingest lifecycle: dedup a new batch
+    * against the persisted [[signatureStore]], then grow the store by
+    * exactly the survivors' own signature rows — the loop a 100-TB
+    * pipeline runs per arriving batch (batch N+1 must see batch N's
+    * accepted content without the kept TEXT ever being re-scanned).
+    * Returns (survivors, grownStore); write the grown store back as a
+    * parquet APPEND of its new rows (they are precisely
+    * `signatureStore(survivors)` — the prior store file is immutable).
+    *
+    * Scale shape: the store-side cost is the one band join inside
+    * [[dedupAgainstStore]]; the append re-hashes only batch-local
+    * survivor text (batch ≪ corpus — the collapsed rep hashing inside
+    * the match plus this append is ≤ 2× batch-local work and no extra
+    * kept-side work). Keep/drop here is vs-store only; within-batch
+    * duplicates are deliberately left to a separate [[minhashLsh]] +
+    * [[clusterDeduped]] pass when the caller wants them collapsed —
+    * exactly [[dedupAgainst]]'s contract. */
+  def ingestBatch(store: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      minJaccard: Double = 0.7): (DataFrame, DataFrame) = {
+    val survivors = dedupAgainstStore(newDf, idCol, textCol, store,
+      k, bands, shingleN, minJaccard)
+    val grown = store.unionByName(
+      signatureStore(survivors, idCol, textCol, k, shingleN))
+    (survivors, grown)
+  }
+
   /** Surviving NEW rows of an incremental batch: anti-join against the
     * batch's verified cross-corpus matches. Within-batch duplicates are a
     * separate pass — run [[minhashLsh]] + [[clusterDeduped]] on the

@@ -555,19 +555,51 @@ object Similarity {
     }.toArray
     val model = IvfPqModel(cents, books)
     // corpus: one scan emits (cell, id, codes) — the entire index
+    val indexed = encodeVectors(cVec.repartition(shuffleN), model, dim)
+    (model, indexed)
+  }
+
+  /** Quantize a NEW batch of vectors under a FROZEN [[IvfPqModel]] —
+    * the index-APPEND step of the continuous-ingest lifecycle: a
+    * pipeline trains the quantizers once ([[ivfPqIndex]]), then each
+    * arriving batch is encoded with the existing model (no re-train —
+    * retraining would re-cell the whole historical index) and its
+    * (neighbor_id, cell, codes) rows are parquet-appended next to the
+    * prior index files. One scan of the batch, ~m bytes/vector out;
+    * the union of per-batch encodings under one model is
+    * row-identical to encoding the accumulated corpus in one pass
+    * (same centroids → same cells, same codebooks → same codes) —
+    * spec-proven, and shared-code-true: [[ivfPqIndex]]'s own encode
+    * stage is this function. */
+  def indexBatch(batch: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel, dim: Int = 64): DataFrame = {
+    require(dim % model.m == 0,
+      s"dim=$dim must split into m=${model.m} subspaces")
+    val shuffleN =
+      batch.sparkSession.sessionState.conf.numShufflePartitions
+    encodeVectors(batch.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .repartition(shuffleN), model, dim)
+  }
+
+  /** The shared encode stage: (neighbor_id, cv) → (neighbor_id, cell,
+    * codes) under `model` — top-1 centroid via the codegen'd
+    * [[graft.functions.VectorOps.centroidSims]], per-subspace argmin
+    * code off the same LUT row the probe-side ADC uses. */
+  private def encodeVectors(cVec: DataFrame, model: IvfPqModel,
+      dim: Int): DataFrame = {
     val lut = pqLutRow(model, dim) _
-    val codeCols = (0 until m).map { j =>
+    val codeCols = (0 until model.m).map { j =>
       val dists = lut(col("cv"))(j)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val indexed = cVec.repartition(shuffleN)
+    cVec
       .withColumn("__sims",
-        graft.functions.VectorOps.centroidSims(col("cv"), cents))
+        graft.functions.VectorOps.centroidSims(col("cv"), model.cents))
       .withColumn("cell", (array_position(col("__sims"),
         array_max(col("__sims"))) - 1).cast("int"))
       .select(col("neighbor_id"), col("cell"),
         array(codeCols: _*).as("codes"))
-    (model, indexed)
   }
 
   /** Query a PERSISTED IVF-PQ index: probes rank cells against the

@@ -218,6 +218,55 @@ class DedupSpec extends SparkSpec {
     assert(pairsS.contains(("doc-10", "doc-1")), pairsS.toString)
   }
 
+  test("ingestBatch lifecycle: the batch-2 append makes its content " +
+      "visible to batch 3, the grown store equals the from-scratch " +
+      "store over the accumulated survivors, and a mixed-k append is " +
+      "refused") {
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different text about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa xx1"),
+      (11L, "a fresh second-batch document about watermarks and state stores"),
+      (12L, "another fresh second-batch piece mentioning parquet bucketing"))
+      .toDF("doc_id", "text")
+    val b3 = Seq(
+      // near-dup of 11 — in the store ONLY via the batch-2 append
+      (20L, "a fresh second-batch document about watermarks and state stores yy2"),
+      // near-dup of 1 — the ORIGINAL store rows still match
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa zz3"),
+      (22L, "genuinely new third batch content on codegen and tungsten"))
+      .toDF("doc_id", "text")
+    val store1 = Dedup.signatureStore(b1, "doc_id", "text", k = 16)
+    val (s2, store2) = Dedup.ingestBatch(store1, b2, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+    assert(s2.select("doc_id").as[Long].collect().toSet ==
+      Set(11L, 12L))
+    val (s3, store3) = Dedup.ingestBatch(store2, b3, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+    assert(s3.select("doc_id").as[Long].collect().toSet == Set(22L))
+    // append ≡ rebuild: the grown store is row-identical to the
+    // from-scratch store over b1 ∪ survivors(b2) ∪ survivors(b3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "sh", "sig")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map { case (id, sh, sig) => (id, sh.toSet, sig) }.toSet
+    val rebuilt = Dedup.signatureStore(
+      b1.unionByName(s2).unionByName(s3), "doc_id", "text", k = 16)
+    assert(rows(store3) == rows(rebuilt))
+    assert(rows(store3).map(_._1) == Set(1L, 2L, 11L, 12L, 22L))
+    // an append under a different k is refused by the width guard —
+    // min/max over ALL rows, so the mixed store can't slip through on
+    // a lucky first row
+    val mixed = store2.unionByName(
+      Dedup.signatureStore(b3, "doc_id", "text", k = 8))
+    val ex = intercept[IllegalArgumentException](
+      Dedup.ingestBatch(mixed, b3, "doc_id", "text",
+        k = 16, bands = 8, minJaccard = 0.5))
+    assert(ex.getMessage.contains("sig length"))
+  }
+
   test("simhash: identical text hamming 0; near-dup small hamming") {
     val pairs = Dedup.simhashPairs(base.toDF("doc_id", "text"),
       "doc_id", "text", maxHamming = 3)
@@ -751,6 +800,47 @@ class SimilaritySpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Similarity.knnIvfPqOnIndex(probes, narrowed, e, "vec_id",
         "embedding", model2, k = 3))
+    assert(ex.getMessage.contains("code width"))
+  }
+
+  test("indexBatch: frozen-model appends are row-identical to the " +
+      "one-pass index, the appended index answers identical queries, " +
+      "and a mixed-model append is refused") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+    val (model, idxFull) = Similarity.ivfPqIndex(e, "vec_id",
+      "embedding", nlist = 8, m = 8, ksub = 16)
+    // append ≡ rebuild: encode per-batch under the FROZEN model —
+    // same centroids → same cells, same codebooks → same codes
+    val idxApp = Similarity
+      .indexBatch(e.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", model)
+      .unionByName(Similarity.indexBatch(
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        model))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("neighbor_id", "cell", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(idxApp) == rows(idxFull) && rows(idxApp).nonEmpty)
+    // and the appended index serves the identical top-k
+    val viaApp = Similarity.knnIvfPqOnIndex(probes, idxApp, e,
+      "vec_id", "embedding", model, k = 3, nprobe = 4, shortlist = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaFull = Similarity.knnIvfPqOnIndex(probes, idxFull, e,
+      "vec_id", "embedding", model, k = 3, nprobe = 4, shortlist = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaApp == viaFull && viaApp.nonEmpty)
+    // an append quantized under a DIFFERENT model (m=4 → 4-wide
+    // codes) poisons the width guard's min/max, not just row 1
+    val (model4, _) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
+      nlist = 8, m = 4, ksub = 16)
+    val mixed = idxApp.unionByName(Similarity.indexBatch(
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", model4))
+    val ex = intercept[IllegalArgumentException](
+      Similarity.knnIvfPqOnIndex(probes, mixed, e, "vec_id",
+        "embedding", model, k = 3))
     assert(ex.getMessage.contains("code width"))
   }
 
