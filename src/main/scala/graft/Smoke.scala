@@ -150,6 +150,39 @@ object Smoke {
         s"page2http=$s2c page2rows=$s2n" +
         (if (s1c >= 300) s" body=${s1b.take(200)}" else ""))
 
+      // parallel dashboard fan-out through ONE server: 6 concurrent
+      // /query requests (within the default 7-permit cap) — all must
+      // answer 200, and the wall must not degrade to serial (the
+      // reference runs split chart queries in parallel;
+      // clickhouse/index.ts:823-875)
+      {
+        val codes =
+          new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+        val t0 = System.nanoTime()
+        val threads = (0 until 6).map { i =>
+          val t = new Thread(() => {
+            val c = new java.net.URI(
+              s"http://127.0.0.1:${server.boundPort}/query").toURL
+              .openConnection().asInstanceOf[java.net.HttpURLConnection]
+            c.setRequestMethod("POST")
+            c.setDoOutput(true)
+            c.getOutputStream.write(
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            codes.add(c.getResponseCode)
+            val st = if (c.getResponseCode < 300) c.getInputStream
+              else c.getErrorStream
+            st.readAllBytes()
+            ()
+          }, s"smoke-fanout-$i")
+          t.start(); t
+        }
+        threads.foreach(_.join(60000))
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val ok = codes.asScala.count(_ == 200)
+        println(f"[smoke] parallel: n=6 ok=$ok wall=$wall%.2fs")
+      }
+
       // the Prometheus face end-to-end (query_range + instant query +
       // label values): a Grafana datasource's first three calls — and
       // the class of bug a happy-path unit fixture can't see (round 8's

@@ -201,6 +201,85 @@ class ServerSpec extends SparkSpec
     } finally tiny.stop()
   }
 
+  test("dashboard fan-out under a runaway: 7 parallel queries fill the " +
+      "permit cap without a 429, only the runaway is cancelled, the " +
+      "stream session survives its group cancel, and /health stays " +
+      "sub-second") {
+    // threads=8 → 7 permits: 6 chart queries + 1 runaway fit exactly.
+    // 6 s deadline: a COLD first query pays planning + codegen and has
+    // been observed past 2 s in isolation — the deadline must separate
+    // "cold chart tile" from "runaway" decisively
+    val s = new Server(spark, catalog, port = 0, threads = 8,
+      maxQuerySeconds = 6)
+    s.start()
+    def postTo(path: String, body: String): (Int, String) = {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:${s.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+        .build()
+      val res = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofString())
+      (res.statusCode(), res.body())
+    }
+    try {
+      // a live stream session opened and fed BEFORE the storm — its
+      // later micro-batches are the deterministic victim a leaky group
+      // cancel would kill (cancelJobGroupAndFutureJobs must cancel
+      // only the runaway's own group)
+      val (sc, sb) = postTo("/stream/start",
+        """{"op":"heavy_hitters","params":{"window":"60","capacity":"8","k":"2"}}""")
+      assert(sc == 200, sb)
+      val sid = """"id":"([^"]+)"""".r.findFirstMatchIn(sb).get.group(1)
+      assert(postTo("/stream/feed",
+        s"""{"id":"$sid","rows":[[5,"a",1.0],[5,"a",1.0],[5,"b",1.0]]}""")
+        ._1 == 200)
+      val chartBody =
+        """{"from":"events","select":[
+          |  {"valueExpression":"*","aggFn":"count","alias":"n"}],
+          |"groupBy":["event_type"]}""".stripMargin
+      // ~2e10 transcendental ops — an order of magnitude past the 6 s
+      // deadline on this host, so the watchdog always fires first
+      val runawayBody =
+        """{"from":"events","select":[{"valueExpression":""" +
+          "\"aggregate(sequence(1, 20000000), CAST(value * 0.0 AS " +
+          "DOUBLE), (a, x) -> a + pow(sin(x), 2))\"," +
+          "\"alias\":\"w\"}]}"
+      val results =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+      val threads = (0 until 6).map { i =>
+        new Thread(() => results.put(i, postTo("/query", chartBody)),
+          s"fanout-$i")
+      } :+ new Thread(
+        () => results.put(99, postTo("/query", runawayBody)),
+        "fanout-runaway")
+      threads.foreach(_.start())
+      // /health during the storm: the reserved pool thread answers
+      // sub-second even with every query slot busy
+      Thread.sleep(300)
+      val h0 = System.nanoTime()
+      val (hc, _) = get("/health")
+      val healthSec = (System.nanoTime() - h0) / 1e9
+      assert(hc == 200 && healthSec < 1.0, f"health $healthSec%.2fs")
+      threads.foreach(_.join(60000))
+      // every chart query answered 200 with rows — seven concurrent
+      // requests never tripped the 7-permit cap
+      (0 until 6).foreach { i =>
+        val (c, b) = results.get(i)
+        assert(c == 200 && b.contains("\"n\""), s"q$i: $c $b")
+      }
+      // the runaway alone was cancelled
+      val (rc, rb) = results.get(99)
+      assert(rc == 503 && rb.contains("cancelled"), s"$rc $rb")
+      // the stream session's NEXT micro-batches still run: the group
+      // cancel took only its own (and its own future) jobs
+      assert(postTo("/stream/feed",
+        s"""{"id":"$sid","rows":[[300,"z",1.0],[600,"z",1.0]]}""")
+        ._1 == 200)
+      val (pc, pb) = postTo("/stream/poll", s"""{"id":"$sid"}""")
+      assert(pc == 200 && pb.contains(""""key":"a""""), pb)
+    } finally s.stop()
+  }
+
   test("dateRange.align snaps the range to granularity boundaries " +
       "so edge buckets are complete") {
     def total(align: Boolean): Long = {
