@@ -1135,8 +1135,11 @@ object PipelineQueries {
     val store1 = Dedup.signatureStore(b1, "doc_id", "text",
         k = 16, shingleN = 3)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (s2, store2) = Dedup.ingestBatch(store1, b2, "doc_id", "text",
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    val (s2raw, store2) = Dedup.ingestBatch(store1, b2, "doc_id",
+      "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    // survivors feed BOTH the store append and the output union —
+    // unpersisted, the batch-2 anti-join match would run twice more
+    val s2 = s2raw.persist(StorageLevel.MEMORY_AND_DISK)
     val store2p = store2.persist(StorageLevel.MEMORY_AND_DISK)
     val (s3, _) = Dedup.ingestBatch(store2p, b3, "doc_id", "text",
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
