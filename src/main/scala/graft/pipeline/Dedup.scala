@@ -650,11 +650,20 @@ object Dedup {
     * Scale shape: the store-side cost is the one band join inside
     * [[dedupAgainstStore]]; the append re-hashes only batch-local
     * survivor text (batch ≪ corpus — the collapsed rep hashing inside
-    * the match plus this append is ≤ 2× batch-local work and no extra
-    * kept-side work). Keep/drop here is vs-store only; within-batch
-    * duplicates are deliberately left to a separate [[minhashLsh]] +
-    * [[clusterDeduped]] pass when the caller wants them collapsed —
-    * exactly [[dedupAgainst]]'s contract. */
+    * the match plus this append is ≤ 2× batch-local CPU and no extra
+    * kept-side work). A hash-ONCE variant (build the batch's full
+    * (id, sh, sig) frame up front, semi-join reps and filter
+    * survivors from it) was built and MEASURED WORSE at 100×
+    * (42.8 s / 3,008 MB shuffle vs this composition's 29.9 s /
+    * 1,163 MB, SCALE.md round-15): the wide ~900 B signature rows
+    * ride two extra id-keyed shuffles (rep semi-join + survivor
+    * filter), and re-shuffling arrays costs more than re-hashing
+    * text — hashing is embarrassingly parallel map-side CPU, the
+    * shuffle is the cluster's scarce resource. Keep/drop here is
+    * vs-store only; within-batch duplicates are deliberately left to
+    * a separate [[minhashLsh]] + [[clusterDeduped]] pass when the
+    * caller wants them collapsed — exactly [[dedupAgainst]]'s
+    * contract. */
   def ingestBatch(store: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       minJaccard: Double = 0.7): (DataFrame, DataFrame) = {
