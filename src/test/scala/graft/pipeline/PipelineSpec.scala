@@ -256,6 +256,17 @@ class DedupSpec extends SparkSpec {
       b1.unionByName(s2).unionByName(s3), "doc_id", "text", k = 16)
     assert(rows(store3) == rows(rebuilt))
     assert(rows(store3).map(_._1) == Set(1L, 2L, 11L, 12L, 22L))
+    // the store survives the DISK boundary between batches — the
+    // parquet-append shape a real pipeline runs: persist the grown
+    // store, re-read it cold, and batch 3 answers identically
+    val dir = java.nio.file.Files
+      .createTempDirectory("ingest_store").toString
+    store2.write.mode("overwrite").parquet(s"$dir/store")
+    val (s3disk, _) = Dedup.ingestBatch(
+      spark.read.parquet(s"$dir/store"), b3, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+    assert(s3disk.select("doc_id").as[Long].collect().toSet ==
+      Set(22L))
     // an append under a different k is refused by the width guard —
     // min/max over ALL rows, so the mixed store can't slip through on
     // a lucky first row
@@ -832,6 +843,20 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", model, k = 3, nprobe = 4, shortlist = 64)
       .as[(Long, Long, Double)].collect().toSet
     assert(viaApp == viaFull && viaApp.nonEmpty)
+    // the appended index survives the DISK boundary: parquet both
+    // artifacts, reload cold, same answers (the real pipeline appends
+    // each batch's code rows as new parquet files next to the old)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivfpq_append").toString
+    model.toFrame(spark).write.mode("overwrite").parquet(s"$tmp/model")
+    idxApp.write.mode("overwrite").parquet(s"$tmp/index")
+    val viaDisk = Similarity.knnIvfPqOnIndex(probes,
+      spark.read.parquet(s"$tmp/index"), e, "vec_id", "embedding",
+      Similarity.IvfPqModel.fromFrame(
+        spark.read.parquet(s"$tmp/model")),
+      k = 3, nprobe = 4, shortlist = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaDisk == viaFull)
     // an append quantized under a DIFFERENT model (m=4 → 4-wide
     // codes) poisons the width guard's min/max, not just row 1
     val (model4, _) = Similarity.ivfPqIndex(e, "vec_id", "embedding",
