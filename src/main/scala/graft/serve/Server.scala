@@ -177,6 +177,14 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
     val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.setJobGroup(tag, "serve query",
       interruptOnCancel = true)
+    // one FAIR pool per POOL THREAD (bounded name set — the thread
+    // name): with spark.scheduler.mode=FAIR (LocalSession), concurrent
+    // requests round-robin task slots instead of FIFO-queueing behind
+    // one heavy query's stages — the reference's parallel split-query
+    // execution as a scheduling guarantee. Thread-local, so it rides
+    // the same per-request pool thread as the job group.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      Thread.currentThread().getName)
     val kill = watchdog.schedule(new Runnable {
       override def run(): Unit = {
         timedOut.set(true)
@@ -218,10 +226,14 @@ final class Server(spark: SparkSession, catalog: Catalog, port: Int,
   }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
+  // numbered threads: each pool thread's name doubles as its Spark
+  // FAIR-scheduler pool (withTimeout), so the name set must be bounded
+  // by `threads` — pools are created on demand and never reaped
+  private val threadSeq = new java.util.concurrent.atomic.AtomicInteger()
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     threads,
     (r: Runnable) => {
-      val t = new Thread(r, "graft-serve")
+      val t = new Thread(r, s"graft-serve-${threadSeq.getAndIncrement()}")
       t.setDaemon(true) // never keep the JVM alive past spark.stop()
       t
     })
