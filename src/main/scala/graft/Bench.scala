@@ -187,11 +187,17 @@ object Bench {
       val dashIsolated = DashboardSet
         .flatMap(results.toMap.get).filter(_ >= 0).sum
       val dashOk = dashTimes.valuesIterator.forall(_ >= 0)
+      // per-tile latencies under contention: a tile whose concurrent
+      // latency far exceeds its isolated min names the scheduling
+      // victim directly
+      val tiles = dashTimes.toSeq.sortBy(_._1)
+        .map { case (n, s) => "\"" + n + f"""":$s%.3f""" }
+        .mkString("{", ",", "}")
       val concurrent =
         f""","concurrent":{"n":${dashTimes.size},"wall_sec":$dashWall%.3f,""" +
           f""""sum_isolated_sec":$dashIsolated%.3f,""" +
           f""""serial_over_wall":${dashIsolated / math.max(dashWall, 1e-9)}%.2f,""" +
-          s""""all_ok":$dashOk}"""
+          s""""all_ok":$dashOk,"tiles":$tiles}"""
       val stealVal = (jiffiesA, cpuJiffies()) match {
         case (Some((t0, s0)), Some((t1, s1))) if t1 > t0 =>
           Some((s1 - s0) * 100.0 / (t1 - t0))
