@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.Dedup
+
+/** Continuous-ingest dedup: the [[graft.pipeline.Dedup.ingestBatch]]
+  * lifecycle as a STREAMING job — each arriving micro-batch is deduped
+  * against the persisted signature store and the store grows by the
+  * survivors' own signature rows, so batch N+1 sees batch N's accepted
+  * content without any kept text ever being re-scanned. This is the
+  * reference's collector→engine continuous-ingest boundary
+  * (docker-compose.yml's always-on pipeline) applied to corpus dedup.
+  *
+  * Storage layout (both dirs are plain parquet a batch pipeline can
+  * read with `spark.read.parquet`):
+  *
+  *   storeDir/batch=-1/…   the seed store ([[seed]])
+  *   storeDir/batch=N/…    batch N's survivors' (id, sh, sig) rows
+  *   outDir/batch=N/…      batch N's surviving documents
+  *
+  * RESTART-IDEMPOTENT by construction: every write is
+  * `mode(overwrite)` into a batchId-scoped partition directory, so a
+  * batch replayed after a crash rewrites the same content instead of
+  * appending duplicates (the foreachBatch at-least-once contract made
+  * effectively exactly-once). The store read EXCLUDES the current
+  * batchId's partition — a crashed attempt's own half-written rows
+  * must not make the replay's documents match themselves and vanish.
+  *
+  * Scale shape: one band join per micro-batch against the store
+  * (partition-discovered parquet — at 100 TB, bucket the store files
+  * by band hash and the join prunes to matching buckets); the batch
+  * side is micro-batch-sized. State lives entirely in the store
+  * parquet, not the state store — the streaming checkpoint carries
+  * only source offsets, so recovery cost is independent of corpus
+  * size. Keep/drop is vs-store only ([[graft.pipeline.Dedup.dedupAgainstStore]]'s
+  * contract); run a batch [[graft.pipeline.Dedup.minhashLsh]] pass over
+  * outDir later if within-batch duplicates matter. */
+object IngestStream {
+
+  /** Write the seed store (the already-kept corpus' signature rows)
+    * into the batch=-1 partition of `storeDir`. */
+  def seed(kept: DataFrame, idCol: String, textCol: String,
+      storeDir: String, k: Int = 16, shingleN: Int = 3): Unit =
+    Dedup.signatureStore(kept, idCol, textCol, k, shingleN)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+
+  /** Start the continuous-ingest query over a streaming frame of
+    * (idCol, textCol) documents. Returns the running query; stop it
+    * (or crash it) and restart with the same checkpointDir to resume
+    * from the next unprocessed batch. */
+  def start(stream: DataFrame, idCol: String, textCol: String,
+      storeDir: String, outDir: String, checkpointDir: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      minJaccard: Double = 0.7): StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val spark = batch.sparkSession
+      // partition-discovered read: the `batch` column comes from the
+      // directory names, letting the replay exclude its own partial
+      // partition. basePath pins discovery to the store root.
+      val store = spark.read.option("basePath", storeDir)
+        .parquet(storeDir)
+        .filter(col("batch") =!= batchId)
+        .drop("batch")
+      val survivors = Dedup.dedupAgainstStore(batch, idCol, textCol,
+          store, k, bands, shingleN, minJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        Dedup.signatureStore(survivors, idCol, textCol, k, shingleN)
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      } finally survivors.unpersist()
+      ()
+    }
+    stream.writeStream
+      .foreachBatch(step)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** The accumulated kept corpus: every batch's survivors (the seed
+    * corpus itself lives with its owner — only streamed batches write
+    * here). Convenience for tests and downstream batch jobs. */
+  def keptDocs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(outDir)
+}
