@@ -33,7 +33,7 @@ object PipelineQueries {
   }
 
   /** ONE near-dup components pass over [[corpusWithDups]] shared by
-    * q181/q182/q192 within a process — the three dedup reports are
+    * q66/q181/q182/q192 within a process — the three dedup reports are
     * restatements of the same corpus-scale
     * [[Dedup.clusterEdges]]+[[Dedup.connectedComponents]] work, and a
     * real curation run computes that table once per corpus snapshot
@@ -41,7 +41,7 @@ object PipelineQueries {
     * [[Dedup.components]] returns a checkpointed frame, so the memo
     * holds a small materialized (id, comp) table, not live lineage;
     * keyed per (session, dir) so tests with their own sessions and
-    * multi-dir runs never cross. Each report query stays an
+    * multi-dir runs never cross. Each consumer query stays an
     * independent CORRECTNESS gate (its own oracle recomputes the
     * closure from scratch); only the in-process recompute is shared. */
   private val compsMemo =
@@ -782,10 +782,9 @@ object PipelineQueries {
     * spec-proven in DedupSpec), so the sf0.1 sweep runs it without
     * exclusion. */
   def q66_dedup_clusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.clusterEdges(corpusWithDups(spark, dir), "doc_id", "text",
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7))
-      .orderBy("id")
+    // identical construction to Dedup.components over the same corpus
+    // and thresholds — the fourth consumer of the shared pass
+    sharedComponents(spark, dir).orderBy("id")
 
   val q66_sql: String =
     s"""WITH RECURSIVE corpus AS ($CorpusWithDupsSql),
