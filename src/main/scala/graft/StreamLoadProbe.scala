@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * restart specs can't show — THROUGHPUT (rows/sec across the whole
   * run) and STATE SIZE over time (`StreamingQueryProgress.
   * stateOperators`: numRowsTotal + memoryUsedBytes, sampled at each
-  * quarter of the run). Three scenarios make the bounded-state claims
+  * quarter of the run). Four scenarios make the bounded-state claims
   * measured rather than by-construction:
   *
   *   - dedup_watermarked — [[graft.streaming.Streaming.dedupStream]]
@@ -24,14 +24,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   - novelty — [[graft.streaming.NoveltyStream.monitor]]: per-key
   *     bloom state is fixed-size by construction; the probe shows
   *     memoryUsedBytes flat from first quarter to last under 1M docs.
+  *   - ingest_store — [[graft.streaming.IngestStream]]: per-batch
+  *     latency as the persisted signature store grows (the state
+  *     lives in parquet, so the curve is the store scan, not the
+  *     state store) — the measured basis for the compaction guidance
+  *     in the operator's scaladoc.
   *
   * Prints one JSON line per scenario (and echoes to
   * stream_load_out.json). Feeds in 100 micro-batches so the watermark
   * advances and eviction actually runs — one giant batch would show a
   * single state snapshot and no eviction at all.
   *
-  * Run: sbt "runMain graft.StreamLoadProbe" (SPARK_GRAFT_STREAM_ROWS
-  * to resize; default 1,000,000 per scenario). */
+  * Run: sbt "runMain graft.StreamLoadProbe [scenario ...]"
+  * (SPARK_GRAFT_STREAM_ROWS to resize; default 1,000,000 per
+  * scenario; name args filter to a subset). */
 object StreamLoadProbe {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -47,6 +53,8 @@ object StreamLoadProbe {
     val chunks = 100
     val perChunk = totalRows / chunks
     val out = new StringBuilder
+    val wanted: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
 
     def stateNow(q: StreamingQuery): (Long, Long) = {
       val ops = Option(q.lastProgress).map(_.stateOperators)
@@ -54,17 +62,15 @@ object StreamLoadProbe {
       (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
     }
 
-    /** Feed `chunks` micro-batches through `mkQuery`, sampling state at
-      * each quarter; returns the JSON line. */
-    def scenario[A](name: String,
-        feed: (Int, MemoryStream[A] => Unit) => Unit,
-        mem: MemoryStream[A],
+    /** Feed `chunks` micro-batches through the running query, sampling
+      * state at each quarter; returns the JSON line. */
+    def scenario(name: String, feedChunk: Int => Unit,
         q: StreamingQuery): String = {
       val samples = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Long, Long)]
       val t0 = System.nanoTime()
       (0 until chunks).foreach { i =>
-        feed(i, _ => ())
+        feedChunk(i)
         q.processAllAvailable()
         if ((i + 1) % (chunks / 4) == 0) {
           val (rows, bytes) = stateNow(q)
@@ -101,25 +107,25 @@ object StreamLoadProbe {
     }
 
     // watermarked dedup
-    {
+    if (wanted("dedup_watermarked")) {
       val mem = MemoryStream[(Timestamp, String)]
       val deduped = graft.streaming.Streaming.dedupStream(
         mem.toDF().toDF("ts", "key"), "ts", Seq("key"), "60 seconds")
       val q = deduped.writeStream.format("noop")
         .option("checkpointLocation", ckpt("wm")).start()
-      val line = scenario[(Timestamp, String)]("dedup_watermarked",
-        (i, _) => { mem.addData(dedupRows(i)); () }, mem, q)
+      val line = scenario("dedup_watermarked",
+        i => { mem.addData(dedupRows(i)); () }, q)
       println(line); out.append(line).append('\n')
     }
 
     // naive comparator: same feed, no watermark eviction
-    {
+    if (wanted("dedup_naive")) {
       val mem = MemoryStream[(Timestamp, String)]
       val naive = mem.toDF().toDF("ts", "key").dropDuplicates("key")
       val q = naive.writeStream.format("noop").outputMode("update")
         .option("checkpointLocation", ckpt("naive")).start()
-      val line = scenario[(Timestamp, String)]("dedup_naive",
-        (i, _) => { mem.addData(dedupRows(i)); () }, mem, q)
+      val line = scenario("dedup_naive",
+        i => { mem.addData(dedupRows(i)); () }, q)
       println(line); out.append(line).append('\n')
     }
 
@@ -143,15 +149,74 @@ object StreamLoadProbe {
         (ts, key, words.mkString(" "))
       }
     }
-    {
+    if (wanted("novelty")) {
       val mem = MemoryStream[(Timestamp, String, String)]
       val nov = graft.streaming.NoveltyStream.monitor(
         mem.toDF().toDF("ts", "k", "txt"), "ts", "k", "txt",
         windowSeconds = 60, gramN = 3)
       val q = nov.writeStream.format("noop")
         .option("checkpointLocation", ckpt("nov")).start()
-      val line = scenario[(Timestamp, String, String)]("novelty",
-        (i, _) => { mem.addData(novRows(i)); () }, mem, q)
+      val line = scenario("novelty",
+        i => { mem.addData(novRows(i)); () }, q)
+      println(line); out.append(line).append('\n')
+    }
+
+    // continuous-ingest dedup (IngestStream): the store GROWS by each
+    // batch's survivors, so per-batch wall is O(current store) — the
+    // probe records the latency at each quarter to make that growth
+    // curve (and the compaction trade it implies) a measured fact
+    // rather than a scaladoc claim. 30% of each batch duplicates the
+    // previous batch's docs, so the match path does real work.
+    if (wanted("ingest_store")) {
+      val ingestBatches = 40
+      val perBatch = math.max(totalRows / 20 / ingestBatches, 100)
+      val root = java.nio.file.Files
+        .createTempDirectory("ingest_load").toString
+      import spark.implicits._
+      graft.streaming.IngestStream.seed(
+        Seq((0L, "seed corpus document about nothing in particular zero"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/store")
+      // fully distinct token windows — a bounded vocab here would
+      // manufacture EXACT duplicate docs at wrap distance (measured:
+      // a %50000 vocab made docs 12,500 apart identical and the store
+      // correctly dropped 37.5k of 50k docs, confounding the rate)
+      def docText(i: Long): String =
+        (0 until 12).map(w => s"w${i * 12 + w}").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.IngestStream.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/store", s"$root/out", s"$root/ckpt",
+        k = 16, bands = 8, minJaccard = 0.7)
+      val lat = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val t0 = System.nanoTime()
+      (0 until ingestBatches).foreach { b =>
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { j =>
+          val id = base + j
+          // ~30% re-sends of the PREVIOUS batch's content (id
+          // shifted). The referenced position j+3 satisfies
+          // (j+3) % 10 >= 3, so the previous batch emitted it as an
+          // ORIGINAL — a re-send position would reference a text that
+          // never entered the store and nothing would match
+          if (j % 10 < 3 && j < perBatch - 5 && b > 0)
+            (1000000L + id, docText(base - perBatch + j + 3))
+          else (id, docText(id))
+        })
+        val tb = System.nanoTime()
+        q.processAllAvailable()
+        if ((b + 1) % (ingestBatches / 4) == 0)
+          lat += ((b + 1, (System.nanoTime() - tb) / 1e9))
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val kept = graft.streaming.IngestStream
+        .keptDocs(spark, s"$root/out").count()
+      val fed = ingestBatches.toLong * perBatch
+      val latJson = lat.map { case (b, s) =>
+        f"""{"batch":$b,"sec":$s%.2f}""" }.mkString("[", ",", "]")
+      val line =
+        f"""{"probe":"stream_load","scenario":"ingest_store","rows":$fed,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept,"batch_latency":$latJson}"""
       println(line); out.append(line).append('\n')
     }
 

@@ -35,7 +35,13 @@ import graft.pipeline.Dedup
   * side is micro-batch-sized. State lives entirely in the store
   * parquet, not the state store — the streaming checkpoint carries
   * only source offsets, so recovery cost is independent of corpus
-  * size. Keep/drop is vs-store only ([[graft.pipeline.Dedup.dedupAgainstStore]]'s
+  * size. Per-batch wall therefore grows with the STORE (the
+  * `ingest_store` StreamLoadProbe scenario measures the curve), and
+  * the batch=N layout accretes one directory per batch: COMPACT
+  * periodically — coalesce committed batch partitions into a new
+  * batch=-1-style base (a plain batch job; any id-disjoint union of
+  * the same rows is equivalent) and delete the consumed directories
+  * while the query is stopped. Keep/drop is vs-store only ([[graft.pipeline.Dedup.dedupAgainstStore]]'s
   * contract); run a batch [[graft.pipeline.Dedup.minhashLsh]] pass over
   * outDir later if within-batch duplicates matter. */
 object IngestStream {
