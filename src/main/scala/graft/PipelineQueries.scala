@@ -44,12 +44,16 @@ object PipelineQueries {
     * multi-dir runs never cross. Each consumer query stays an
     * independent CORRECTNESS gate (its own oracle recomputes the
     * closure from scratch); only the in-process recompute is shared. */
-  private val compsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val compsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
   private def sharedComponents(spark: SparkSession, dir: String)
       : DataFrame =
-    compsMemo.computeIfAbsent(
-      System.identityHashCode(spark) + "|" + dir,
+    // keyed by the SESSION OBJECT (reference equality), not a hash
+    // string — an identity-hash key could collide across sessions and
+    // serve one session a frame pinned in another's block manager.
+    // Entries live for the process (bounded: one small (id, comp)
+    // frame per (session, dir) a test or serve process ever touches).
+    compsMemo.computeIfAbsent((spark, dir),
       _ => Dedup.components(corpusWithDups(spark, dir), "doc_id",
         "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7))
 

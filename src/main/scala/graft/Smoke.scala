@@ -181,6 +181,7 @@ object Smoke {
         import scala.jdk.CollectionConverters._
         val ok = codes.asScala.count(_ == 200)
         println(f"[smoke] parallel: n=6 ok=$ok wall=$wall%.2fs")
+        require(ok == 6, s"parallel fan-out: only $ok of 6 answered 200")
       }
 
       // the Prometheus face end-to-end (query_range + instant query +

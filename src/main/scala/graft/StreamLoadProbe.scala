@@ -51,6 +51,9 @@ object StreamLoadProbe {
       spark.sqlContext
 
     val chunks = 100
+    require(totalRows >= chunks * 10,
+      s"need at least ${chunks * 10} rows (got $totalRows) — " +
+        "perChunk must stay positive for the timestamp arithmetic")
     val perChunk = totalRows / chunks
     val out = new StringBuilder
     val wanted: String => Boolean =
@@ -99,9 +102,14 @@ object StreamLoadProbe {
       (0 until perChunk).map { j =>
         val ts = new Timestamp(
           1700000000000L + chunk.toLong * 30000L + j * 30000L / perChunk)
+        // repeats reference position j-7 of the PREVIOUS chunk —
+        // (j-7) % 10 < 7, so that position emitted a FRESH key (a
+        // same-j reference named a key that was never emitted: the
+        // first cut measured a ~100%-unique feed, caught in review
+        // against the committed distinct-key counts)
         val key =
           if (j % 10 < 7) s"k-${base + j}"
-          else s"k-${math.max(0L, base - perChunk + j)}"
+          else s"k-${math.max(0L, base - perChunk + j - 7)}"
         (ts, key)
       }
     }

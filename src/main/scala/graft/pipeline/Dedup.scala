@@ -577,7 +577,8 @@ object Dedup {
     * no in-band witness, so it rides the caller's contract. */
   def crossCorpusPairsFromStore(newDf: DataFrame, idCol: String,
       textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
-      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+      shingleN: Int = 3, minJaccard: Double = 0.7,
+      checkWidths: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     require(Set(idCol, "sig", "sh").subsetOf(store.columns.toSet),
       s"signature store must carry ($idCol, sig, sh); " +
@@ -586,14 +587,21 @@ object Dedup {
     // one-row result) — a FIRST-ROW check missed mixed-width stores,
     // e.g. two stores built at different k appended together, which
     // would silently band on different slices and mis-scale
-    // est_jaccard for the mismatched rows
-    store.agg(min(size(col("sig"))), max(size(col("sig"))))
-      .head(1).foreach { r =>
-        require(r.getInt(0) == k && r.getInt(1) == k,
-          s"store sig lengths [${r.getInt(0)}, ${r.getInt(1)}] != " +
-            s"k = $k — rebuild the store (a mixed-width store means " +
-            "two stores built at different k were appended together)")
-      }
+    // est_jaccard for the mismatched rows. An EMPTY store yields a
+    // null agg row and is legitimate (day-zero bootstrap: nothing to
+    // match, every batch doc survives). Callers on a hot per-batch
+    // loop who already validated the store once pass
+    // checkWidths = false to skip this store-wide pass.
+    if (checkWidths)
+      store.agg(min(size(col("sig"))), max(size(col("sig"))))
+        .head(1).foreach { r =>
+          if (!r.isNullAt(0))
+            require(r.getInt(0) == k && r.getInt(1) == k,
+              s"store sig lengths [${r.getInt(0)}, ${r.getInt(1)}] " +
+                s"!= k = $k — rebuild the store (a mixed-width " +
+                "store means two stores built at different k were " +
+                "appended together)")
+        }
     import org.apache.spark.storage.StorageLevel
     val (newL, newMap) = longIds(newDf, idCol)
     val newSig = shingleMinhash(newL, idCol, textCol, shingleN, k)
@@ -622,7 +630,8 @@ object Dedup {
     * decision. */
   def dedupAgainstStore(newDf: DataFrame, idCol: String,
       textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
-      shingleN: Int = 3, minJaccard: Double = 0.7): DataFrame = {
+      shingleN: Int = 3, minJaccard: Double = 0.7,
+      checkWidths: Boolean = true): DataFrame = {
     val newKeyed = newDf
       .select(col(idCol), md5(col(textCol)).as("__ck"))
     val newReps = newKeyed.groupBy(col("__ck"))
@@ -630,7 +639,7 @@ object Dedup {
     val newRepDocs = newDf.join(
       newReps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
     val matchedRep = crossCorpusPairsFromStore(newRepDocs, idCol,
-      textCol, store, k, bands, shingleN, minJaccard)
+      textCol, store, k, bands, shingleN, minJaccard, checkWidths)
       .select(col("new_id").as("__rep")).distinct()
     val matchedIds = newKeyed
       .join(newReps.join(matchedRep, "__rep"), "__ck")
@@ -666,9 +675,10 @@ object Dedup {
     * contract. */
   def ingestBatch(store: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      minJaccard: Double = 0.7): (DataFrame, DataFrame) = {
+      minJaccard: Double = 0.7, checkWidths: Boolean = true)
+      : (DataFrame, DataFrame) = {
     val survivors = dedupAgainstStore(newDf, idCol, textCol, store,
-      k, bands, shingleN, minJaccard)
+      k, bands, shingleN, minJaccard, checkWidths)
     val grown = store.unionByName(
       signatureStore(survivors, idCol, textCol, k, shingleN))
     (survivors, grown)

@@ -611,7 +611,7 @@ object Similarity {
   def knnIvfPqOnIndex(probes: DataFrame, index: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String,
       model: IvfPqModel, k: Int, nprobe: Int = 4, shortlist: Int = 32,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, checkWidths: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= model.nlist,
       s"need 1 <= nprobe <= nlist = ${model.nlist}")
     require(shortlist >= k, "shortlist must be at least k")
@@ -622,14 +622,21 @@ object Similarity {
     // min/max over ALL rows (one column-pruned pass, map-side partial
     // agg) — a first-row check missed mixed-width indexes, e.g. two
     // indexes built under different models appended together, which
-    // would silently mis-score ADC for the mismatched rows
-    index.agg(min(size(col("codes"))), max(size(col("codes"))))
-      .head(1).foreach { r =>
-        require(r.getInt(0) == model.m && r.getInt(1) == model.m,
-          s"index code widths [${r.getInt(0)}, ${r.getInt(1)}] != " +
-            s"model m = ${model.m} — the index was built (or partly " +
-            "appended) with a different model")
-      }
+    // would silently mis-score ADC for the mismatched rows. An EMPTY
+    // index yields a null agg row and legitimately answers zero
+    // neighbors. The pass costs one index scan: a serving loop that
+    // validated its index once at load passes checkWidths = false so
+    // repeated queries keep the cells-only scan the structure exists
+    // for.
+    if (checkWidths)
+      index.agg(min(size(col("codes"))), max(size(col("codes"))))
+        .head(1).foreach { r =>
+          if (!r.isNullAt(0))
+            require(r.getInt(0) == model.m && r.getInt(1) == model.m,
+              s"index code widths [${r.getInt(0)}, ${r.getInt(1)}] " +
+                s"!= model m = ${model.m} — the index was built (or " +
+                "partly appended) with a different model")
+        }
     val pVec = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val cVec = corpus.select(col(idCol).as("neighbor_id"),

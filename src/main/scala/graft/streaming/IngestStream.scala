@@ -61,6 +61,7 @@ object IngestStream {
       storeDir: String, outDir: String, checkpointDir: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       minJaccard: Double = 0.7): StreamingQuery = {
+    val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
     val step: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
       // partition-discovered read: the `batch` column comes from the
@@ -70,8 +71,14 @@ object IngestStream {
         .parquet(storeDir)
         .filter(col("batch") =!= batchId)
         .drop("batch")
+      // the store-wide width guard costs one column-pruned store scan
+      // on top of the band join — run it on the FIRST batch of this
+      // query's lifetime (it would catch a foreign-k store dir), then
+      // skip: every later generation is this loop's own append under
+      // the same k
       val survivors = Dedup.dedupAgainstStore(batch, idCol, textCol,
-          store, k, bands, shingleN, minJaccard)
+          store, k, bands, shingleN, minJaccard,
+          checkWidths = validated.compareAndSet(false, true))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         survivors.write.mode("overwrite")

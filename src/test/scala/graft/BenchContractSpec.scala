@@ -13,10 +13,14 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.DashboardSet.distinct.size == Bench.DashboardSet.size)
   }
 
-  test("every query has an oracle or is a deliberate rows-only check") {
-    // every oracle key must point at a real query (a typo'd key would
-    // silently weaken that query's gate to rows-only)
+  test("queries and oracles are in exact 1:1 correspondence") {
+    // a typo'd oracle key would silently weaken its query's gate to
+    // rows-only; a query added without an oracle would ship ungated —
+    // every query currently carries one, so pin EXACT set equality
+    // (grow an explicit rows-only allowlist here if one ever appears)
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated.isEmpty, s"queries without oracles: $ungated")
   }
 }

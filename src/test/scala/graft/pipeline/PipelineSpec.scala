@@ -276,6 +276,14 @@ class DedupSpec extends SparkSpec {
       Dedup.ingestBatch(mixed, b3, "doc_id", "text",
         k = 16, bands = 8, minJaccard = 0.5))
     assert(ex.getMessage.contains("sig length"))
+    // day-zero bootstrap: an EMPTY store must pass the guard (null
+    // agg row, nothing to match) and keep every batch doc — the
+    // first min/max guard cut threw here
+    val (s0, store0) = Dedup.ingestBatch(
+      store1.limit(0), b3, "doc_id", "text",
+      k = 16, bands = 8, minJaccard = 0.5)
+    assert(s0.count() == b3.count())
+    assert(store0.count() == b3.count())
   }
 
   test("simhash: identical text hamming 0; near-dup small hamming") {
@@ -867,6 +875,13 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnIvfPqOnIndex(probes, mixed, e, "vec_id",
         "embedding", model, k = 3))
     assert(ex.getMessage.contains("code width"))
+    // an EMPTY index passes the guard (null agg row) and answers
+    // zero neighbors; checkWidths = false skips the index-wide pass
+    // for hot serving loops that validated at load
+    assert(Similarity.knnIvfPqOnIndex(probes, idxFull.limit(0), e,
+      "vec_id", "embedding", model, k = 3).count() == 0)
+    assert(Similarity.knnIvfPqOnIndex(probes, idxFull, e, "vec_id",
+      "embedding", model, k = 3, checkWidths = false).count() > 0)
   }
 
   test("semanticClusterEdges: components identical to the all-pairs " +
