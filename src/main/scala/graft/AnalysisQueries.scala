@@ -521,8 +521,13 @@ object AnalysisQueries {
         Seq("event_type"), gapSeconds = 600.0)
       .select(unix_timestamp(col("session_start")).as("i_start"),
         (unix_timestamp(col("session_end")) + 60L).as("i_end"))
+    // bursts are a GLOBAL sessionization of error events: their count
+    // is bounded by time-range/gap, not corpus rows — the broadcast
+    // side stays small at any scale, and the banded session side
+    // (the round-15 campaign's 436 MB @100× shuffle) never exchanges
     graft.analysis.Intervals.overlapJoin(sess, bursts,
-        "u_start", "u_end", "i_start", "i_end", bucketSeconds = 3600L)
+        "u_start", "u_end", "i_start", "i_end", bucketSeconds = 3600L,
+        broadcastRight = true)
       .groupBy(floor(col("i_start") / 86400L).cast("long").as("day"))
       .agg(count(lit(1)).as("n_overlaps"),
         countDistinct(col("user_id")).as("n_users"),

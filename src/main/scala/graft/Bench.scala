@@ -123,9 +123,23 @@ object Bench {
           val (_, sec) = run(n, SparkEntry.queries(n))
           times.put(n, sec)
         }, s"bench-dash-$n")
+        // daemon + bounded join below: a wedged tile (this path has no
+        // Server-style watchdog) must not hang the record-producing
+        // bench run, or block JVM exit after it
+        t.setDaemon(true)
         t.start(); t
       }
-      threads.foreach(_.join())
+      // generous shared deadline (the whole set completes in ~1 s on a
+      // healthy host); a tile still alive past it is recorded as -1 so
+      // the line lands with all_ok=false instead of never landing
+      val deadline = System.nanoTime() + 600L * 1000000000L
+      threads.foreach { t =>
+        t.join(math.max(1L, (deadline - System.nanoTime()) / 1000000L))
+      }
+      names.filterNot(times.containsKey).foreach { n =>
+        System.err.println(s"[bench] concurrent: $n timed out")
+        times.putIfAbsent(n, -1.0)
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
       (wall, times.asScala.toMap)
@@ -143,8 +157,13 @@ object Bench {
       // cached plans by canonicalized plan, so without this a RETRY's
       // pass 1 would read the prior attempt's pass-2 persisted
       // intermediates and bias the min low on exactly the path that
-      // writes the clean record line (round-14 advice).
+      // writes the clean record line (round-14 advice). The
+      // shared-components memo is localCheckpointed RDD state, not
+      // catalog cache — reset it too, or pass 2 / retry attempts would
+      // measure memo-warm q66/q181/q182/q192 and min-of-passes would
+      // record the warm number (round-15 advice).
       spark.catalog.clearCache()
+      PipelineQueries.resetMemo()
       // Load guard (the round-12 lesson: a 0.41%-steal, load1-3.8 run
       // became the round's artifact and read as a uniform 1.08×
       // regression): wait — bounded — for the host to go quiet before
@@ -165,9 +184,11 @@ object Bench {
       val jiffiesA = cpuJiffies()
       val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       val pass1 = ordered.map { case (n, f) => run(n, f) }.toMap
-      // drop the pipeline queries' persisted intermediates so pass 2
-      // redoes their real work instead of reading pass-1 caches
+      // drop the pipeline queries' persisted intermediates AND the
+      // shared-components memo so pass 2 redoes their real work
+      // instead of reading pass-1 caches
       spark.catalog.clearCache()
+      PipelineQueries.resetMemo()
       val pass2 = ordered.map { case (n, f) => run(n, f) }.toMap
       val results = ordered.map { case (n, _) =>
         val (a, b) = (pass1(n), pass2(n))

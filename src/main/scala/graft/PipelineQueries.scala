@@ -43,19 +43,45 @@ object PipelineQueries {
     * keyed per (session, dir) so tests with their own sessions and
     * multi-dir runs never cross. Each consumer query stays an
     * independent CORRECTNESS gate (its own oracle recomputes the
-    * closure from scratch); only the in-process recompute is shared. */
+    * closure from scratch); only the in-process recompute is shared.
+    *
+    * Memo mechanics (round-15 advice): the multi-second components job
+    * runs in the holder's lazy val, NOT inside the map's bin lock, so
+    * concurrent callers for other (session, dir) keys never stall
+    * behind it (same-key callers serialize on the holder — the point
+    * of the memo); entries for STOPPED sessions are purged lazily on
+    * every access (a weak-keyed map can't do this job: the memoized
+    * frame itself references its session, so any weak-map value would
+    * strongly pin its own key); and [[resetMemo]] is the explicit
+    * invalidation hook for a long-lived serve session whose parquet
+    * under `dir` was replaced. */
+  private final class CompsHolder(compute: () => DataFrame) {
+    lazy val frame: DataFrame = compute()
+  }
   private val compsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), CompsHolder]()
   private def sharedComponents(spark: SparkSession, dir: String)
-      : DataFrame =
-    // keyed by the SESSION OBJECT (reference equality), not a hash
-    // string — an identity-hash key could collide across sessions and
-    // serve one session a frame pinned in another's block manager.
-    // Entries live for the process (bounded: one small (id, comp)
-    // frame per (session, dir) a test or serve process ever touches).
-    compsMemo.computeIfAbsent((spark, dir),
-      _ => Dedup.components(corpusWithDups(spark, dir), "doc_id",
-        "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7))
+      : DataFrame = {
+    // drop entries whose session has been stopped — they can never be
+    // served again, and they'd otherwise pin the dead session and its
+    // checkpoint blocks for the process lifetime
+    compsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // keyed by the SESSION OBJECT (tuple equality falls back to
+    // reference equality — SparkSession doesn't override equals), not a
+    // hash string: an identity-hash key could collide across sessions
+    // and serve one session a frame pinned in another's block manager.
+    compsMemo.computeIfAbsent((spark, dir), _ => new CompsHolder(() =>
+      Dedup.components(corpusWithDups(spark, dir), "doc_id",
+        "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)))
+      .frame
+  }
+
+  /** Invalidation hook for the shared-components memo: call after the
+    * parquet under a served dir changes (corpus snapshot swap), or —
+    * the bench's use — to make a measurement pass memo-cold. Frames
+    * already handed out keep working (they're checkpointed); only the
+    * next [[sharedComponents]] call recomputes. */
+  def resetMemo(): Unit = compsMemo.clear()
 
   private val CorpusWithDupsSql =
     """SELECT doc_id, text FROM documents
@@ -434,6 +460,40 @@ object PipelineQueries {
 
   val q92_sql: String =
     """SELECT vec_id AS probe_id, vec_id + 100000 AS neighbor_id,
+      |  CAST(1.0 AS DOUBLE) AS cosine
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY probe_id, neighbor_id""".stripMargin
+
+  /** Retraction (un-keep) from the persisted ANN index
+    * ([[Similarity.retract]]) — the late-decontamination / takedown
+    * path, gated end-to-end: TWO exact copies of every probe are
+    * planted (+1e5 and +2e5), the +1e5 set is retracted, and top-1
+    * must fall to the +2e5 copy at cosine 1.0. Load-bearing by the
+    * ranking's own tie-break: equal scores resolve to the LOWER
+    * neighbor_id (TopK scaladoc), so a no-op retraction
+    * deterministically answers +1e5 and fails the gate. The corpus
+    * frame still carries the retracted rows (only the INDEX forgets
+    * them), proving candidates come from the index alone. */
+  def q198_index_retract(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e
+      .unionByName(probes.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .unionByName(probes.select(
+        (col("vec_id") + 200000).as("vec_id"), col("embedding")))
+    val (model, index) = Similarity.ivfPqIndex(corpus, "vec_id",
+      "embedding", nlist = 16, m = 8, ksub = 16)
+    val retracted = Similarity.retract(index,
+      probes.select((col("vec_id") + 100000).as("neighbor_id")))
+    Similarity.knnIvfPqOnIndex(probes, retracted, corpus, "vec_id",
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val q198_sql: String =
+    """SELECT vec_id AS probe_id, vec_id + 200000 AS neighbor_id,
       |  CAST(1.0 AS DOUBLE) AS cosine
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY probe_id, neighbor_id""".stripMargin
@@ -1202,6 +1262,146 @@ object PipelineQueries {
       |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM s2
       |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM s3
       |ORDER BY batch, doc_id""".stripMargin
+
+  /** Retraction (un-keep) from the dedup signature store
+    * ([[Dedup.retract]]) gated end-to-end — the late-decontamination /
+    * takedown path: the kept corpus' store loses its %40==1 docs, then
+    * a batch arrives planting copies of ALL %20==1 docs (ids ≡ 1 and
+    * ≡ 21 mod 40 — both residues kept before the retraction). Copies
+    * whose source was RETRACTED must survive — nothing in the
+    * retracted store matches them — while copies of still-kept
+    * sources drop, and the batch's %10==0 originals drop only on
+    * natural near-dups to the remaining kept corpus. The oracle
+    * rebuilds the store side from the surviving corpus (retract ≡
+    * rebuild — the operator contract RetractionSpec proves row-level)
+    * with the non-quadratic inverted-index Jaccard idiom, so the
+    * sweep stays exclusion-free. */
+  def q197_retract_store(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val d = docs(spark, dir).select("doc_id", "text")
+    val kept = d.filter(col("doc_id") % 10 =!= 0)
+    val store = Dedup.signatureStore(kept, "doc_id", "text",
+      k = 16, shingleN = 3)
+    val retracted = Dedup.retract(store,
+        kept.filter(col("doc_id") % 40 === 1).select("doc_id"),
+        "doc_id")
+      // persisted: the band join + two candidate re-attaches read the
+      // store three times (q193's note)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .unionByName(d.filter(col("doc_id") % 20 === 1).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text")))
+    Dedup.dedupAgainstStore(batch, "doc_id", "text", retracted,
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val q197_sql: String =
+    """WITH kept AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 10 != 0 AND doc_id % 40 != 1),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 20 = 1),
+      |alld AS (
+      |  SELECT doc_id, text, 0 AS side FROM kept
+      |  UNION ALL SELECT doc_id, text, 1 AS side FROM batch),
+      |sh AS (
+      |  SELECT doc_id, side, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id, side,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM alld)),
+      |ls AS (SELECT doc_id, side, len(s) AS l FROM sh),
+      |ex AS (SELECT doc_id, side, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT n.doc_id AS nid, k.doc_id AS kid, count(*) AS i
+      |  FROM ex n JOIN ex k ON n.g = k.g AND n.side = 1 AND k.side = 0
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT nid FROM inter
+      |  JOIN ls la ON la.doc_id = inter.nid AND la.side = 1
+      |  JOIN ls lb ON lb.doc_id = inter.kid AND lb.side = 0
+      |  WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7)
+      |SELECT doc_id FROM batch
+      |WHERE doc_id NOT IN (SELECT nid FROM p)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Temp root for the on-disk lifecycle gates, deleted at JVM exit —
+    * the returned frame reads these files lazily until the caller's
+    * action, so an eager delete would break the plan. Bounded: a few
+    * signature-store MB per gate invocation. */
+  private def tempLifecycleDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
+  /** The q195 ingest lifecycle driven through PERSISTED artifacts with
+    * a COMPACTION between batches ([[graft.streaming.IngestStream.compact]]):
+    * batch 1 seeds the on-disk store, batch 2's survivors append their
+    * signature rows and kept docs as `batch=N` partitions, both
+    * directories are compacted to a single base generation, and batch
+    * 3 dedups against the COMPACTED store. The oracle is q195's
+    * verbatim — compacted ≡ accumulated: a compaction that dropped
+    * rows lets b3's +2e6 copies of batch-2 survivors through (their
+    * matches lived only in the folded batch=0 append); one that
+    * duplicated rows duplicates output rows. Either fails the gate. */
+  def q199_compacted_lifecycle(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val d = docs(spark, dir).select("doc_id", "text")
+    def planted(m: Long, off: Long): DataFrame =
+      d.filter(col("doc_id") % 30 === m).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"))
+    val b1 = d.filter(col("doc_id") % 3 === 0)
+    val b2 = d.filter(col("doc_id") % 3 === 1)
+      .unionByName(planted(0L, 1000000L))
+    val b3 = d.filter(col("doc_id") % 3 === 2)
+      .unionByName(planted(1L, 2000000L))
+      .unionByName(planted(6L, 3000000L))
+    val root = tempLifecycleDir("q199_lifecycle")
+    val storeDir = s"$root/store"
+    val outDir = s"$root/out"
+    // the IngestStream layout, driven as a batch loop: seed, append,
+    // compact, continue — each store read lists the directory fresh
+    Dedup.signatureStore(b1, "doc_id", "text", k = 16, shingleN = 3)
+      .write.parquet(s"$storeDir/batch=-1")
+    def store(): DataFrame =
+      spark.read.option("basePath", storeDir).parquet(storeDir)
+        .drop("batch")
+    val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the lifecycle label rides INSIDE the rows (compaction keeps
+      // data columns; only the batch partition label is folded away)
+      s2.select(col("doc_id"), lit(2L).as("lifecycle"))
+        .write.parquet(s"$outDir/batch=0")
+      Dedup.signatureStore(s2, "doc_id", "text", k = 16, shingleN = 3)
+        .write.parquet(s"$storeDir/batch=0")
+    } finally s2.unpersist()
+    graft.streaming.IngestStream.compact(spark, storeDir, outDir)
+    val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    s3.select(col("doc_id"), lit(3L).as("lifecycle"))
+      .write.parquet(s"$outDir/batch=1")
+    b1.select(col("doc_id"), lit(1L).as("batch"))
+      .unionByName(spark.read.option("basePath", outDir).parquet(outDir)
+        .select(col("doc_id"), col("lifecycle").as("batch")))
+      .orderBy("batch", "doc_id")
+  }
 
   val q97_sql: String =
     """WITH kept AS (
@@ -4077,6 +4277,9 @@ object PipelineQueries {
     "q194_ann_index" -> (q194_ann_index _),
     "q195_ingest_lifecycle" -> (q195_ingest_lifecycle _),
     "q196_index_append" -> (q196_index_append _),
+    "q197_retract_store" -> (q197_retract_store _),
+    "q198_index_retract" -> (q198_index_retract _),
+    "q199_compacted_lifecycle" -> (q199_compacted_lifecycle _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -4181,6 +4384,11 @@ object PipelineQueries {
     // planted-copy determinism holds under any model, incl. the
     // batch-1-trained frozen model — same expected rows as q92
     "q196_index_append" -> q92_sql,
+    "q197_retract_store" -> q197_sql,
+    "q198_index_retract" -> q198_sql,
+    // compacted ≡ accumulated: the on-disk compacted lifecycle must
+    // answer exactly the q195 sequential-rule replay
+    "q199_compacted_lifecycle" -> q195_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

@@ -85,7 +85,12 @@ object StreamLoadProbe {
       val st = samples.map { case (pct, r, b) =>
         s"""{"pct":$pct,"state_rows":$r,"state_bytes":$b}"""
       }.mkString("[", ",", "]")
-      f"""{"probe":"stream_load","scenario":"$name","rows":$totalRows,"wall_sec":$wall%.1f,"rows_per_sec":${totalRows / wall}%.0f,"state":$st}"""
+      // report what was actually FED: perChunk truncates, so a
+      // totalRows not divisible by `chunks` feeds fewer rows than
+      // requested — rows_per_sec off the requested count would
+      // overstate throughput (round-15 advice)
+      val fed = chunks.toLong * perChunk
+      f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"state":$st}"""
     }
 
     def ckpt(tag: String): String = java.nio.file.Files
@@ -171,15 +176,27 @@ object StreamLoadProbe {
 
     // continuous-ingest dedup (IngestStream): the store GROWS by each
     // batch's survivors, so per-batch wall is O(current store) — the
-    // probe records the latency at each quarter to make that growth
-    // curve (and the compaction trade it implies) a measured fact
-    // rather than a scaladoc claim. 30% of each batch duplicates the
-    // previous batch's docs, so the match path does real work.
-    if (wanted("ingest_store")) {
-      val ingestBatches = 40
-      val perBatch = math.max(totalRows / 20 / ingestBatches, 100)
+    // probe records the latency curve to make that growth (and the
+    // compaction trade it implies) a measured fact rather than a
+    // scaladoc claim. 30% of each batch duplicates the previous
+    // batch's docs, so the match path does real work. Three shapes:
+    //   ingest_store   — 40 small batches, no maintenance (the
+    //                    round-15 drift curve's scenario)
+    //   ingest_compact — the same feed, but the query is stopped at
+    //                    the midpoint, both artifacts compacted
+    //                    (IngestStream.compact), and the query
+    //                    restarted from its checkpoint: per-batch wall
+    //                    must drop back toward the early-run numbers
+    //                    and kept-doc accounting must close identically
+    //   ingest_big     — production-shaped ~25k-doc batches: the
+    //                    round-15 567 docs/sec figure was micro-batch-
+    //                    overhead-bound at 1.25k docs/batch; the two
+    //                    batch sizes together decompose per-batch wall
+    //                    into fixed overhead vs real per-doc work
+    def ingestScenario(name: String, ingestBatches: Int, perBatch: Int,
+        compactAt: Option[Int]): Unit = {
       val root = java.nio.file.Files
-        .createTempDirectory("ingest_load").toString
+        .createTempDirectory(s"ingest_$name").toString
       import spark.implicits._
       graft.streaming.IngestStream.seed(
         Seq((0L, "seed corpus document about nothing in particular zero"))
@@ -192,13 +209,27 @@ object StreamLoadProbe {
       def docText(i: Long): String =
         (0 until 12).map(w => s"w${i * 12 + w}").mkString(" ")
       val mem = MemoryStream[(Long, String)]
-      val q = graft.streaming.IngestStream.start(
+      def start(): StreamingQuery = graft.streaming.IngestStream.start(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
         s"$root/store", s"$root/out", s"$root/ckpt",
         k = 16, bands = 8, minJaccard = 0.7)
+      var q = start()
       val lat = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      var compactSec = -1.0
+      val sampleEvery = math.max(ingestBatches / 8, 1)
       val t0 = System.nanoTime()
       (0 until ingestBatches).foreach { b =>
+        if (compactAt.contains(b)) {
+          // the maintenance window a production deployment schedules:
+          // stop, compact both artifacts (guarded against uncommitted
+          // batches via the checkpoint), restart from the offsets
+          q.stop()
+          val tc = System.nanoTime()
+          graft.streaming.IngestStream.compact(spark, s"$root/store",
+            s"$root/out", Some(s"$root/ckpt"))
+          compactSec = (System.nanoTime() - tc) / 1e9
+          q = start()
+        }
         val base = b.toLong * perBatch
         mem.addData((0 until perBatch).map { j =>
           val id = base + j
@@ -213,7 +244,7 @@ object StreamLoadProbe {
         })
         val tb = System.nanoTime()
         q.processAllAvailable()
-        if ((b + 1) % (ingestBatches / 4) == 0)
+        if ((b + 1) % sampleEvery == 0)
           lat += ((b + 1, (System.nanoTime() - tb) / 1e9))
       }
       val wall = (System.nanoTime() - t0) / 1e9
@@ -223,10 +254,22 @@ object StreamLoadProbe {
       val fed = ingestBatches.toLong * perBatch
       val latJson = lat.map { case (b, s) =>
         f"""{"batch":$b,"sec":$s%.2f}""" }.mkString("[", ",", "]")
+      val compactJson = compactAt.map(b =>
+        f""","compact_at_batch":$b,"compact_sec":$compactSec%.2f""")
+        .getOrElse("")
       val line =
-        f"""{"probe":"stream_load","scenario":"ingest_store","rows":$fed,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept,"batch_latency":$latJson}"""
+        f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"per_batch":$perBatch,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept$compactJson,"batch_latency":$latJson}"""
       println(line); out.append(line).append('\n')
     }
+    if (wanted("ingest_store"))
+      ingestScenario("ingest_store", 40,
+        math.max(totalRows / 20 / 40, 100), None)
+    if (wanted("ingest_compact"))
+      ingestScenario("ingest_compact", 40,
+        math.max(totalRows / 20 / 40, 100), Some(20))
+    if (wanted("ingest_big"))
+      ingestScenario("ingest_big", 20,
+        math.max(totalRows / 40, 100), None)
 
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_load_out.json"),

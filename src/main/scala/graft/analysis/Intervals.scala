@@ -53,12 +53,23 @@ object Intervals {
     * whose interval lengths are statically bounded (e.g. unit-interval
     * points, fixed ±span windows) pass `auditFanOut = false` to skip
     * the two audit jobs — each is a full scan of its side.
-    */
+    *
+    * `broadcastRight` is the asymmetric-cardinality fast path: when
+    * the right side is bounded (global incident/burst lists — their
+    * count grows with the TIME RANGE divided by the burst gap, not
+    * with corpus rows, so they stay broadcast-sized at 100 TB), hint
+    * it broadcast and the bucket equi-join becomes a
+    * BroadcastHashJoin — the exploded BIG side flows map-side and is
+    * never shuffled. Measured on q100 at the 100× synthesis: the
+    * overlap stage's shuffle drops from ~427 MB (both banded sides
+    * exchanged for a sort-merge join) to the right side's banded rows
+    * only (SCALE.md round-16). Semantics identical. */
   def overlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketSeconds: Long,
       maxBucketsPerInterval: Long = 100000L,
-      auditFanOut: Boolean = true): DataFrame = {
+      auditFanOut: Boolean = true,
+      broadcastRight: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
@@ -92,8 +103,9 @@ object Intervals {
 
     val lb = banded(left, lStart, lEnd)
       .withColumnRenamed("__sb", "__sbl")
-    val rb = banded(right, rStart, rEnd)
+    val rb0 = banded(right, rStart, rEnd)
       .withColumnRenamed("__sb", "__sbr")
+    val rb = if (broadcastRight) broadcast(rb0) else rb0
     lb.join(rb,
         lb("__bucket") === rb("__bucket") &&
           // each overlapping pair is counted only in the later of the two

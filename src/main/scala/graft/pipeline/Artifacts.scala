@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance operators for the batch-partitioned parquet artifacts
+  * the continuous-ingest lifecycle accretes — the
+  * [[Dedup.signatureStore]] / kept-docs / IVF-PQ-index directories that
+  * [[graft.streaming.IngestStream]] grows by one `batch=N` partition
+  * per micro-batch (the reference's observability store is immutable
+  * and has no analogue; a 100-TB curation pipeline needs both of
+  * these on day one):
+  *
+  *  - [[compactPartitioned]] coalesces every committed partition into
+  *    one new base generation. At minute-level batches the layout is
+  *    thousands of directories per week, and every store read pays
+  *    their file-listing plus one tiny-file task each — measured in
+  *    the `ingest_store` StreamLoadProbe as per-batch wall drifting
+  *    2.06→2.44 s over just 40 batches.
+  *  - [[retractPartitioned]] removes a set of ids (late
+  *    decontamination hits, takedowns) by rewriting ONLY the
+  *    partitions that contain them — the id list is takedown-sized,
+  *    so it broadcasts, and untouched partitions (the overwhelming
+  *    majority at 100 TB) keep their files byte-identical.
+  *
+  * Both operate on a STOPPED artifact (no concurrent writer — stop the
+  * ingest query first; [[graft.streaming.IngestStream]]'s checkpoint
+  * carries only source offsets, so stop → maintain → restart is safe
+  * by its restart contract). Directory swaps go through rename, the
+  * cheapest atomic primitive a filesystem offers; every crash window
+  * leaves a completed copy of the data under a documented name (see
+  * each method). On an object store without atomic rename, front these
+  * with a manifest commit (Iceberg/Delta-style) — the row-level
+  * semantics here are unchanged.
+  */
+object Artifacts {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read a batch-partitioned artifact without its partition column —
+    * the logical row set every maintenance op preserves. */
+  private def rows(spark: SparkSession, dir: String,
+      partitionCol: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir).drop(partitionCol)
+
+  /** Coalesce every `partitionCol=N` partition under `dir` into a
+    * single new base generation `partitionCol=<baseValue>` — the
+    * logical row multiset is unchanged (any id-disjoint union of the
+    * same rows is equivalent to the consumers: band joins, ANN cell
+    * scans, and keep/drop decisions are all row-set functions).
+    *
+    * `repartitionCols` co-locates rows for the artifact's read path
+    * (e.g. the IVF-PQ index by `cell`, the unit its queries scan);
+    * empty → size-shaped round-robin files. `numFiles` bounds the
+    * output file count (0 → the session's shuffle parallelism; at
+    * 100 TB pass bytes/128 MB).
+    *
+    * Swap discipline: the new base is fully written to
+    * `<dir>.compacting` first, then `<dir>` → `<dir>.old`,
+    * `<dir>.compacting` → `<dir>`, delete `<dir>.old`. Crash recovery
+    * is mechanical: `<dir>` present → nothing to do (re-run compaction
+    * if `.compacting` is a stale leftover — it is deleted and
+    * restarted here); `<dir>` missing with `<dir>.old` present →
+    * rename `.old` back (the compacted copy in `.compacting`, if
+    * complete, may be swapped in instead). Never run with a live
+    * writer on `dir`. */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      partitionCol: String = "batch", baseValue: Long = -1L,
+      repartitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit = {
+    val f = fs(spark, dir)
+    val dirP = new Path(dir)
+    require(f.exists(dirP), s"compactPartitioned: $dir does not exist" +
+      s" — if ${dir}.old exists, a prior compaction crashed between " +
+      "renames; rename it back and re-run")
+    val tmp = new Path(dir + ".compacting")
+    val old = new Path(dir + ".old")
+    f.delete(tmp, true) // stale leftover of a crashed prior attempt
+    f.delete(old, true)
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val shaped =
+      if (repartitionCols.nonEmpty)
+        rows(spark, dir, partitionCol)
+          .repartition(n, repartitionCols.map(col): _*)
+      else rows(spark, dir, partitionCol).repartition(n)
+    // one shuffle-write of the full artifact — the read side still has
+    // the old directory in place (the plan is lazy; this is the action)
+    shaped.write.mode("overwrite")
+      .parquet(new Path(tmp, s"$partitionCol=$baseValue").toString)
+    require(f.rename(dirP, old), s"rename $dir -> $old failed")
+    require(f.rename(tmp, dirP), s"rename $tmp -> $dir failed " +
+      s"(data is intact at $old)")
+    f.delete(old, true)
+  }
+
+  /** Remove every row whose `idCol` is in `ids` by rewriting only the
+    * partitions that CONTAIN a retracted id. One broadcast semi-join
+    * pass finds the hit partitions (ids are takedown-sized — list,
+    * not corpus); each hit partition is rewritten through a
+    * rename-first swap; untouched partitions keep their files
+    * byte-identical. Returns the number of rows removed.
+    *
+    * Per-partition swap discipline: `partitionCol=N` → the SIBLING
+    * `<dir>.retired-N` (outside `dir`, so partition discovery of the
+    * artifact never sees it), write the anti-joined survivors back as
+    * `partitionCol=N`, delete the sibling. Crash windows: partition
+    * missing with `<dir>.retired-N` present → the full pre-retraction
+    * copy is the sibling, rename it back and re-run. Never run with a
+    * live writer on `dir`. */
+  def retractPartitioned(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+      partitionCol: String = "batch"): Long = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val idsB = broadcast(ids.select(col(idCol)).distinct())
+    // one partition-discovered, column-pruned pass: which partitions
+    // hold retracted ids, and how many rows go (partition discovery
+    // infers small batch ids as INT — cast pins the collect type)
+    val hits = spark.read.option("basePath", dir).parquet(dir)
+      .join(idsB, Seq(idCol), "left_semi")
+      .groupBy(col(partitionCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    hits.foreach { case (b, _) =>
+      val part = new Path(dir, s"$partitionCol=$b")
+      val retired = new Path(dir + s".retired-$b")
+      f.delete(retired, true) // stale leftover of a crashed attempt
+      require(f.rename(part, retired),
+        s"rename $part -> $retired failed")
+      spark.read.parquet(retired.toString)
+        .join(idsB, Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(part.toString)
+      f.delete(retired, true)
+    }
+    hits.map(_._2).sum
+  }
+}

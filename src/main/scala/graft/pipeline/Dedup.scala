@@ -684,6 +684,45 @@ object Dedup {
     (survivors, grown)
   }
 
+  /** Compact a PERSISTED batch-partitioned [[signatureStore]]
+    * directory (the layout [[graft.streaming.IngestStream]] accretes —
+    * one `batch=N` parquet directory per micro-batch, forever) into a
+    * single new base generation. Keep/drop against the compacted store
+    * is IDENTICAL to the accumulated one: every consumer
+    * ([[crossCorpusPairsFromStore]]'s band join, the width guard) is a
+    * function of the row SET, and compaction preserves it exactly —
+    * CompactionSpec proves the equivalence on the q195 construction,
+    * and the `ingest_compact` StreamLoadProbe scenario measures the
+    * per-batch wall dropping back after the directory count resets.
+    * Run only while the ingest query is stopped (restart-safe: the
+    * streaming checkpoint holds source offsets only). */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, numFiles: Int = 0): Unit =
+    Artifacts.compactPartitioned(spark, storeDir, numFiles = numFiles)
+
+  /** Retract (un-keep) documents from a [[signatureStore]] FRAME:
+    * remove the signature rows of `ids` — the late-decontamination /
+    * takedown path. The result is row-identical to
+    * `signatureStore(corpus minus ids)` (store rows are per-id), so
+    * retract-then-ingest ≡ rebuild-from-surviving-corpus: a future
+    * batch's near-dup of a retracted doc SURVIVES, exactly as if the
+    * doc had never been kept (RetractionSpec + the q197 gate). The id
+    * list is takedown-sized — broadcast anti-join, no store shuffle. */
+  def retract(store: DataFrame, ids: DataFrame, idCol: String)
+      : DataFrame =
+    store.join(broadcast(ids.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
+  /** [[retract]] against a PERSISTED store directory: rewrites only
+    * the `batch=N` partitions containing retracted ids (untouched
+    * partitions keep their files byte-identical — at 100 TB a
+    * takedown touches a handful of the thousands of partitions).
+    * Returns the number of signature rows removed. Run only while the
+    * ingest query is stopped. */
+  def retractStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, ids: DataFrame, idCol: String): Long =
+    Artifacts.retractPartitioned(spark, storeDir, ids, idCol)
+
   /** Surviving NEW rows of an incremental batch: anti-join against the
     * batch's verified cross-corpus matches. Within-batch duplicates are a
     * separate pass — run [[minhashLsh]] + [[clusterDeduped]] on the

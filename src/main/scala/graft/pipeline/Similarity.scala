@@ -582,6 +582,42 @@ object Similarity {
       .repartition(shuffleN), model, dim)
   }
 
+  /** Compact a PERSISTED batch-partitioned IVF-PQ index directory (the
+    * layout the [[indexBatch]] append loop accretes — one `batch=N`
+    * parquet directory per appended batch) into a single new base
+    * generation, re-clustered by `cell` — the unit
+    * [[knnIvfPqOnIndex]]'s probed-cell scan reads, so compaction also
+    * restores cell locality the per-batch appends scattered. Query
+    * results are identical: the search is a function of the
+    * (neighbor_id, cell, codes) row set, which compaction preserves
+    * exactly (CompactionSpec). Run only while no appender is active. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, numFiles: Int = 0): Unit =
+    Artifacts.compactPartitioned(spark, indexDir,
+      repartitionCols = Seq("cell"), numFiles = numFiles)
+
+  /** Retract (un-keep) vectors from an IVF-PQ index FRAME: remove the
+    * code rows of `ids` — the late-decontamination / takedown path.
+    * Row-identical to re-encoding the surviving corpus under the same
+    * frozen model (code rows are per-id), so retract-then-query ≡
+    * rebuild-from-surviving-corpus (RetractionSpec + the q198 gate).
+    * Takedown-sized id list — broadcast anti-join, no index shuffle. */
+  def retract(index: DataFrame, ids: DataFrame,
+      idCol: String = "neighbor_id"): DataFrame =
+    index.join(
+      broadcast(ids.select(col(idCol).as("neighbor_id")).distinct()),
+      Seq("neighbor_id"), "left_anti")
+
+  /** [[retract]] against a PERSISTED index directory: rewrites only
+    * the `batch=N` partitions containing retracted ids. Returns the
+    * number of code rows removed. Run only while no appender is
+    * active. */
+  def retractIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame,
+      idCol: String = "neighbor_id"): Long =
+    Artifacts.retractPartitioned(spark, indexDir,
+      ids.select(col(idCol).as("neighbor_id")), "neighbor_id")
+
   /** The shared encode stage: (neighbor_id, cv) → (neighbor_id, cell,
     * codes) under `model` — top-1 centroid via the codegen'd
     * [[graft.functions.VectorOps.centroidSims]], per-subspace argmin

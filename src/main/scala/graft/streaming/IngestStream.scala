@@ -38,10 +38,12 @@ import graft.pipeline.Dedup
   * size. Per-batch wall therefore grows with the STORE (the
   * `ingest_store` StreamLoadProbe scenario measures the curve), and
   * the batch=N layout accretes one directory per batch: COMPACT
-  * periodically — coalesce committed batch partitions into a new
-  * batch=-1-style base (a plain batch job; any id-disjoint union of
-  * the same rows is equivalent) and delete the consumed directories
-  * while the query is stopped. Keep/drop is vs-store only ([[graft.pipeline.Dedup.dedupAgainstStore]]'s
+  * periodically with [[compact]] (stop the query, compact, restart —
+  * any id-disjoint union of the same rows is equivalent to the band
+  * join; CompactionSpec proves keep/drop equivalence, and the
+  * `ingest_compact` probe scenario measures the per-batch wall
+  * dropping back after the directory count resets). Keep/drop is
+  * vs-store only ([[graft.pipeline.Dedup.dedupAgainstStore]]'s
   * contract); run a batch [[graft.pipeline.Dedup.minhashLsh]] pass over
   * outDir later if within-batch duplicates matter. */
 object IngestStream {
@@ -99,4 +101,54 @@ object IngestStream {
     * here). Convenience for tests and downstream batch jobs. */
   def keptDocs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("basePath", outDir).parquet(outDir)
+
+  /** Compact both artifacts this stream accretes — the signature store
+    * and the kept-docs directory — into single base generations
+    * ([[graft.pipeline.Dedup.compactStore]] /
+    * [[graft.pipeline.Artifacts.compactPartitioned]]). Call with the
+    * query STOPPED; the checkpoint holds only source offsets, so a
+    * restart resumes from the next unprocessed batch against the
+    * compacted store, and keep/drop is unchanged (row-set-preserving —
+    * CompactionSpec).
+    *
+    * Pass `checkpointDir` to guard the one genuinely unsafe window:
+    * compacting a batch whose commit marker is MISSING (the query
+    * crashed mid-batch). Folding that batch's rows into the unlabeled
+    * base would defeat [[start]]'s own-batchId store exclusion — the
+    * crash-replay's documents would match their own half-written rows
+    * in the base and every one would vanish. The guard fails loudly
+    * and tells the operator to restart (finishing the replay), stop
+    * cleanly, then compact. COMMITTED batch ids stay restart-safe with
+    * no guard needed: a committed batch never replays. */
+  def compact(spark: SparkSession, storeDir: String, outDir: String,
+      checkpointDir: Option[String] = None, numFiles: Int = 0): Unit = {
+    checkpointDir.foreach { ck =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val commitsPath = new org.apache.hadoop.fs.Path(ck, "commits")
+      val cfs = commitsPath.getFileSystem(conf)
+      val committed: Set[Long] =
+        if (!cfs.exists(commitsPath)) Set.empty
+        else cfs.listStatus(commitsPath).toSeq
+          .map(_.getPath.getName).filter(_.forall(_.isDigit))
+          .map(_.toLong).toSet
+      def uncommitted(dir: String): Seq[Long] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .map(_.stripPrefix("batch=").toLong)
+          .filter(b => b >= 0 && !committed(b))
+      }
+      val bad = (uncommitted(storeDir) ++ uncommitted(outDir))
+        .distinct.sorted
+      require(bad.isEmpty,
+        s"uncommitted batch partition(s) ${bad.mkString(", ")} under " +
+          s"$storeDir / $outDir — the query crashed mid-batch; " +
+          "restart it to finish the replay, stop cleanly, then compact")
+    }
+    graft.pipeline.Dedup.compactStore(spark, storeDir, numFiles)
+    graft.pipeline.Artifacts.compactPartitioned(spark, outDir,
+      numFiles = numFiles)
+  }
 }

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Retraction (un-keep) from the lifecycle's persisted artifacts
+  * ([[Dedup.retract]] / [[Dedup.retractStore]] / [[Similarity.retract]]
+  * / [[Similarity.retractIndex]]): the result is row-identical to
+  * rebuilding the artifact from the surviving corpus, a later batch's
+  * near-dup of a retracted doc SURVIVES ingest (the
+  * late-decontamination / takedown semantics), and the directory-level
+  * path rewrites only the partitions that contain retracted ids. */
+class RetractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val corpus = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2L -> "completely different text about spark query engines and shuffles",
+    3L -> "a document about watermarks and state stores in streaming jobs",
+    4L -> "another piece mentioning parquet bucketing and broadcast joins")
+    .toDF("doc_id", "text")
+
+  test("retract(store) == rebuild from the surviving corpus, and " +
+      "retract-then-ingest keeps a near-dup of the retracted doc") {
+    val store = Dedup.signatureStore(corpus, "doc_id", "text")
+    val ids = Seq(3L).toDF("doc_id")
+    val retracted = Dedup.retract(store, ids, "doc_id")
+    val rebuilt = Dedup.signatureStore(
+      corpus.filter(col("doc_id") =!= 3L), "doc_id", "text")
+    assert(sortedRows(retracted) == sortedRows(rebuilt))
+
+    // the takedown semantics: a batch near-dup of retracted doc 3 now
+    // survives; a near-dup of still-kept doc 4 still drops
+    val batch = Seq(
+      30L -> "a document about watermarks and state stores in streaming jobs xx",
+      40L -> "another piece mentioning parquet bucketing and broadcast joins yy")
+      .toDF("doc_id", "text")
+    val keepsBefore = Dedup.dedupAgainstStore(batch, "doc_id", "text",
+      store, minJaccard = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(keepsBefore == Set.empty[Long])
+    val keepsAfter = Dedup.dedupAgainstStore(batch, "doc_id", "text",
+      retracted, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepsAfter == Set(30L))
+  }
+
+  test("retractStore rewrites only the hit partitions and equals the " +
+      "rebuilt store") {
+    val root = Files.createTempDirectory("retract_store").toString
+    val storeDir = s"$root/store"
+    val slices = Seq(
+      -1L -> corpus.filter(col("doc_id") <= 2L),
+      0L -> corpus.filter(col("doc_id") === 3L),
+      1L -> corpus.filter(col("doc_id") === 4L))
+    slices.foreach { case (b, df) =>
+      Dedup.signatureStore(df, "doc_id", "text")
+        .write.parquet(s"$storeDir/batch=$b")
+    }
+    def files(b: Long): Map[String, Long] =
+      new java.io.File(s"$storeDir/batch=$b").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val untouched0 = files(-1L)
+    val untouched1 = files(1L)
+
+    // retract doc 3 (lives only in batch=0) plus an id the store never
+    // held (retraction lists routinely include already-gone docs)
+    val removed = Dedup.retractStore(spark, storeDir,
+      Seq(3L, 999L).toDF("doc_id"), "doc_id")
+    assert(removed == 1L)
+
+    val after = spark.read.option("basePath", storeDir)
+      .parquet(storeDir).drop("batch")
+    val rebuilt = Dedup.signatureStore(
+      corpus.filter(col("doc_id") =!= 3L), "doc_id", "text")
+    assert(sortedRows(after) == sortedRows(rebuilt))
+    // the partitions without retracted ids kept their files
+    // byte-identical — same names, same mtimes
+    assert(files(-1L) == untouched0)
+    assert(files(1L) == untouched1)
+    // no retired-sibling leftovers
+    assert(new java.io.File(root).listFiles().toSeq
+      .forall(f => !f.getName.contains(".retired")))
+  }
+
+  test("Similarity.retract == re-encode of the surviving corpus; the " +
+      "ANN answer falls to the next copy; retractIndex matches on " +
+      "disk") {
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(d => math.sin(i * 64 + d).abs + 0.01)
+    val base = (0L until 48L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    // TWO planted copies per probe: retracting the +1000 set must move
+    // the top-1 answer to the +2000 set (tie-break picks the lower id,
+    // so a no-op retraction would keep answering +1000)
+    val copies1 = (0L until 4L).map(i => (i + 1000L, vec(i)))
+      .toDF("vec_id", "v")
+    val copies2 = (0L until 4L).map(i => (i + 2000L, vec(i)))
+      .toDF("vec_id", "v")
+    val corpus = base.unionByName(copies1).unionByName(copies2)
+    val (model, index) = Similarity.ivfPqIndex(corpus, "vec_id", "v",
+      nlist = 4, m = 8, ksub = 8)
+    val probes = base.filter(col("vec_id") < 4)
+    def top1(idx: DataFrame): Seq[(Long, Long)] =
+      Similarity.knnIvfPqOnIndex(probes, idx, corpus, "vec_id", "v",
+        model, k = 1, nprobe = 2, shortlist = 32)
+        .select("probe_id", "neighbor_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+    assert(top1(index) == (0L until 4L).map(i => (i, i + 1000L)))
+
+    val ids = (0L until 4L).map(i => (i + 1000L)).toDF("vec_id")
+    val retracted = Similarity.retract(index,
+      ids.withColumnRenamed("vec_id", "neighbor_id"))
+    val reEncoded = Similarity.indexBatch(
+      corpus.filter(col("vec_id") < 1000L || col("vec_id") >= 2000L),
+      "vec_id", "v", model)
+    assert(sortedRows(retracted.orderBy("neighbor_id")) ==
+      sortedRows(reEncoded))
+    assert(top1(retracted) == (0L until 4L).map(i => (i, i + 2000L)))
+
+    // directory-level: batches on disk, retract, same row set + answer
+    val root = Files.createTempDirectory("retract_index").toString
+    val idxDir = s"$root/index"
+    index.filter(col("neighbor_id") % 2 === 0)
+      .write.parquet(s"$idxDir/batch=-1")
+    index.filter(col("neighbor_id") % 2 === 1)
+      .write.parquet(s"$idxDir/batch=0")
+    val removed = Similarity.retractIndex(spark, idxDir,
+      ids.withColumnRenamed("vec_id", "neighbor_id"))
+    assert(removed == 4L)
+    val onDisk = spark.read.option("basePath", idxDir).parquet(idxDir)
+      .drop("batch")
+    assert(sortedRows(onDisk) == sortedRows(reEncoded))
+    assert(top1(onDisk) == (0L until 4L).map(i => (i, i + 2000L)))
+  }
+}
