@@ -25,11 +25,15 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 object ServeIngestProbe {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+    val sfDir: String = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SERVE_ROUNDS", "8").toInt
-    val spark = LocalSession.get(cpus)
+    // explicit types: with spark.implicits._ imported below, untyped
+    // vals here trip scalac's forward-reference inference (the
+    // StreamLoadProbe lesson)
+    val cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rounds: Int =
+      sys.env.getOrElse("SPARK_GRAFT_SERVE_ROUNDS", "8").toInt
+    val spark: org.apache.spark.sql.SparkSession = LocalSession.get(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
