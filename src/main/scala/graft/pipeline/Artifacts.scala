@@ -95,6 +95,35 @@ object Artifacts {
     f.delete(old, true)
   }
 
+  /** Mechanical recovery for a [[compactPartitioned]] crash, resolving
+    * the documented windows conservatively — the ORIGINAL data always
+    * wins (the compacted copy has no completeness witness without a
+    * manifest, so it is never trusted over the original):
+    *
+    *  - `dir` present: any `.compacting` / `.old` siblings are stale
+    *    leftovers (the prior attempt either completed its swap or
+    *    failed before the first rename) — delete them.
+    *  - `dir` missing, `<dir>.old` present: the crash hit between the
+    *    two renames — rename `.old` back and delete `.compacting`.
+    *
+    * Returns true if `dir` is usable afterwards. Idempotent; call at
+    * ingest-restart time before reading the artifact. */
+  def recoverCompaction(spark: SparkSession, dir: String): Boolean = {
+    val f = fs(spark, dir)
+    val dirP = new Path(dir)
+    val tmp = new Path(dir + ".compacting")
+    val old = new Path(dir + ".old")
+    if (f.exists(dirP)) {
+      f.delete(tmp, true)
+      f.delete(old, true)
+      true
+    } else if (f.exists(old)) {
+      require(f.rename(old, dirP), s"rename $old -> $dir failed")
+      f.delete(tmp, true)
+      true
+    } else false
+  }
+
   /** Remove every row whose `idCol` is in `ids` by rewriting only the
     * partitions that CONTAIN a retracted id. One broadcast semi-join
     * pass finds the hit partitions (ids are takedown-sized — list,

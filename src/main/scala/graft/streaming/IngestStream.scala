@@ -151,4 +151,19 @@ object IngestStream {
     graft.pipeline.Artifacts.compactPartitioned(spark, outDir,
       numFiles = numFiles)
   }
+
+  /** Retract (un-keep) documents from BOTH artifacts this stream
+    * accretes — signature rows from the store AND the documents
+    * themselves from the kept-docs directory — the takedown path
+    * applied to the whole lifecycle state. Only partitions containing
+    * retracted ids are rewritten ([[graft.pipeline.Artifacts.retractPartitioned]]).
+    * Call with the query STOPPED; afterwards a restart ingests as if
+    * the docs had never been kept — a future near-dup of a retracted
+    * doc survives (RetractionSpec). Returns (store rows removed,
+    * kept docs removed). */
+  def retract(spark: SparkSession, storeDir: String, outDir: String,
+      ids: DataFrame, idCol: String = "doc_id"): (Long, Long) = (
+    graft.pipeline.Dedup.retractStore(spark, storeDir, ids, idCol),
+    graft.pipeline.Artifacts.retractPartitioned(spark, outDir, ids,
+      idCol))
 }

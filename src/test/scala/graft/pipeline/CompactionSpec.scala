@@ -76,6 +76,58 @@ class CompactionSpec extends SparkSpec {
     assert(sortedRows(store()) == rowsBefore)
   }
 
+  test("recoverCompaction resolves every documented crash window " +
+      "conservatively — the original data always wins") {
+    val root = Files.createTempDirectory("recover_compact").toString
+    val storeDir = s"$root/store"
+    val d = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    Dedup.signatureStore(d, "doc_id", "text")
+      .write.parquet(s"$storeDir/batch=-1")
+    val rowsBefore = sortedRows(
+      spark.read.option("basePath", storeDir).parquet(storeDir))
+
+    def mv(a: String, b: String): Unit = {
+      assert(new java.io.File(a).renameTo(new java.io.File(b)))
+      ()
+    }
+    // window 1: crash BEFORE the first rename — dir intact, stale
+    // .compacting leftover
+    mkDirCopy(storeDir, s"$storeDir.compacting")
+    assert(Artifacts.recoverCompaction(spark, storeDir))
+    assert(!new java.io.File(s"$storeDir.compacting").exists())
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+      .parquet(storeDir)) == rowsBefore)
+
+    // window 2: crash BETWEEN the renames — dir missing, .old holds
+    // the original, .compacting holds the (untrusted) new base
+    mkDirCopy(storeDir, s"$storeDir.compacting")
+    mv(storeDir, s"$storeDir.old")
+    assert(Artifacts.recoverCompaction(spark, storeDir))
+    assert(new java.io.File(storeDir).exists())
+    assert(!new java.io.File(s"$storeDir.old").exists())
+    assert(!new java.io.File(s"$storeDir.compacting").exists())
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+      .parquet(storeDir)) == rowsBefore)
+
+    // idempotent on a healthy dir; false on a truly absent artifact
+    assert(Artifacts.recoverCompaction(spark, storeDir))
+    assert(!Artifacts.recoverCompaction(spark, s"$root/nowhere"))
+  }
+
+  private def mkDirCopy(src: String, dst: String): Unit = {
+    def copy(s: java.io.File, t: java.io.File): Unit = {
+      if (s.isDirectory) {
+        t.mkdirs()
+        s.listFiles().foreach(c => copy(c, new java.io.File(t, c.getName)))
+      } else {
+        java.nio.file.Files.copy(s.toPath, t.toPath)
+        ()
+      }
+    }
+    copy(new java.io.File(src), new java.io.File(dst))
+  }
+
   test("compactIndex preserves the (neighbor_id, cell, codes) row set " +
       "and the ANN answer over the persisted index") {
     val root = Files.createTempDirectory("compact_index").toString

@@ -90,6 +90,36 @@ class RetractionSpec extends SparkSpec {
       .forall(f => !f.getName.contains(".retired")))
   }
 
+  test("IngestStream.retract removes a doc from BOTH artifacts and a " +
+      "restarted ingest treats its near-dup as novel") {
+    val root = Files.createTempDirectory("retract_ingest").toString
+    val (storeDir, outDir) = (s"$root/store", s"$root/out")
+    // two batch generations of store + out, the IngestStream layout
+    val b0 = corpus.filter(col("doc_id") <= 2L)
+    val b1 = corpus.filter(col("doc_id") > 2L)
+    graft.streaming.IngestStream.seed(b0, "doc_id", "text", storeDir)
+    b0.write.parquet(s"$outDir/batch=-1")
+    Dedup.signatureStore(b1, "doc_id", "text")
+      .write.parquet(s"$storeDir/batch=0")
+    b1.write.parquet(s"$outDir/batch=0")
+
+    val (storeRemoved, docsRemoved) = graft.streaming.IngestStream
+      .retract(spark, storeDir, outDir, Seq(3L).toDF("doc_id"))
+    assert(storeRemoved == 1L && docsRemoved == 1L)
+    assert(graft.streaming.IngestStream.keptDocs(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+
+    // a near-dup of the retracted doc now survives a fresh batch
+    val batch = Seq(30L ->
+      "a document about watermarks and state stores in streaming jobs xx")
+      .toDF("doc_id", "text")
+    val store = spark.read.option("basePath", storeDir)
+      .parquet(storeDir).drop("batch")
+    assert(Dedup.dedupAgainstStore(batch, "doc_id", "text", store,
+        minJaccard = 0.5).select("doc_id").as[Long].collect().toSet
+      == Set(30L))
+  }
+
   test("Similarity.retract == re-encode of the surviving corpus; the " +
       "ANN answer falls to the next copy; retractIndex matches on " +
       "disk") {
