@@ -1403,6 +1403,32 @@ object PipelineQueries {
       .orderBy("batch", "doc_id")
   }
 
+  /** Incremental components maintenance gated end-to-end
+    * ([[Dedup.incrementalComponents]]): the corpus arrives in two
+    * batches; the OLD slice's component table and signature store are
+    * the carried state, the new batch contributes only its own edges
+    * (within-batch [[Dedup.clusterEdges]] + rep-collapsed store cross
+    * pairs), and the merged table must be ROW-IDENTICAL to the
+    * from-scratch closure over the full corpus — q66's oracle
+    * verbatim. Load-bearing: the planted +1e6 copies of %30==2 docs
+    * sit in the BATCH while their sources sit in OLD, so dropping the
+    * cross edges (or the prev star) splits those components and fails
+    * the hash. The historical text is never re-hashed — only the
+    * store's (id, sh, sig) rows and the (id, comp) star ride in. */
+  def q200_incremental_components(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val c = corpusWithDups(spark, dir)
+    val old = c.filter(col("doc_id") % 3 =!= 2)
+    val batch = c.filter(col("doc_id") % 3 === 2)
+    val prev = Dedup.components(old, "doc_id", "text",
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+    val store = Dedup.signatureStore(old, "doc_id", "text",
+      k = 16, shingleN = 3)
+    Dedup.incrementalComponents(prev, store, batch, "doc_id", "text",
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .orderBy("id")
+  }
+
   val q97_sql: String =
     """WITH kept AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
@@ -4280,6 +4306,7 @@ object PipelineQueries {
     "q197_retract_store" -> (q197_retract_store _),
     "q198_index_retract" -> (q198_index_retract _),
     "q199_compacted_lifecycle" -> (q199_compacted_lifecycle _),
+    "q200_incremental_components" -> (q200_incremental_components _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -4389,6 +4416,8 @@ object PipelineQueries {
     // compacted ≡ accumulated: the on-disk compacted lifecycle must
     // answer exactly the q195 sequential-rule replay
     "q199_compacted_lifecycle" -> q195_sql,
+    // incremental merge ≡ from-scratch closure over the full corpus
+    "q200_incremental_components" -> q66_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

@@ -409,6 +409,57 @@ object Dedup {
     connectedComponents(
       clusterEdges(df, idCol, textCol, k, bands, shingleN, minJaccard))
 
+  /** Incrementally maintain the near-dup component table as a batch
+    * joins the corpus — the dedup-report branch of the continuous-
+    * ingest lifecycle: merge the PREVIOUS (id, comp) table with the
+    * arriving batch's edges, never re-running pair generation over
+    * the historical corpus (the expensive stage — LSH banding over
+    * all kept text). The result is ROW-IDENTICAL to [[components]]
+    * over the full corpus (the q200 gate replays the from-scratch
+    * closure):
+    *
+    *  - within-batch edges: [[clusterEdges]] on the batch alone
+    *    (content-collapsed, non-quadratic);
+    *  - cross edges: [[crossCorpusPairsFromStore]] of the batch's
+    *    content REPS against the persisted [[signatureStore]] — the
+    *    kept text is never re-scanned; batch clones re-attach through
+    *    the batch's own content star;
+    *  - history: `prevComps` replayed as its star edges (comp — id).
+    *    Min-id labels make the star exactly the old connectivity, and
+    *    a star has diameter 2, so the merged label propagation
+    *    converges in a handful of rounds regardless of how many
+    *    batches of history the table carries.
+    *
+    * Closure equality holds because LSH candidacy is a function of
+    * CONTENT (same signatures → same bands → same candidate set on
+    * either path) and verification is exact Jaccard on both paths;
+    * labels agree because both sides take component min-ids. Cost per
+    * batch: batch-sized hashing + one band join against the store +
+    * CC over (new edges + one star row per previously-clustered doc) —
+    * at 100 TB the star rides as the compact (id, comp) table, a few
+    * percent of corpus rows. */
+  def incrementalComponents(prevComps: DataFrame, store: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      minJaccard: Double = 0.7, checkWidths: Boolean = true)
+      : DataFrame = {
+    val within = clusterEdges(batch, idCol, textCol, k, bands,
+      shingleN, minJaccard).select("id_a", "id_b")
+    // content-collapse the batch side before the band join (the
+    // dedupAgainstStore discipline); clones re-attach via the batch
+    // star inside clusterEdges' output
+    val keyed = batch.select(col(idCol), md5(col(textCol)).as("__ck"))
+    val reps = keyed.groupBy("__ck").agg(min(col(idCol)).as("__rep"))
+    val repDocs = batch.join(
+      reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val cross = crossCorpusPairsFromStore(repDocs, idCol, textCol,
+      store, k, bands, shingleN, minJaccard, checkWidths)
+      .select(col("new_id").as("id_a"), col("kept_id").as("id_b"))
+    val prevStar = prevComps.filter(col("id") =!= col("comp"))
+      .select(col("comp").as("id_a"), col("id").as("id_b"))
+    connectedComponents(within.unionByName(cross).unionByName(prevStar))
+  }
+
   /** [[clusterSizeHistogram]] over a PRECOMPUTED component table
     * (from [[components]]) — the pipeline shape: components once,
     * reports many. Only the singleton count touches `df` (one count
