@@ -63,6 +63,15 @@ object IngestStream {
       storeDir: String, outDir: String, checkpointDir: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       minJaccard: Double = 0.7): StreamingQuery = {
+    // a restart after a CRASHED compaction just works: resolve any
+    // half-finished swap before the first batch reads the store
+    // (conservative — the pre-compaction data always wins; no-op on
+    // healthy dirs, and outDir may legitimately not exist yet).
+    // Safe here because compact() requires the query stopped, so no
+    // swap can be in flight while a query is starting.
+    val sparkAtStart = stream.sparkSession
+    graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, storeDir)
+    graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
     val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
     val step: (DataFrame, Long) => Unit = { (batch, batchId) =>
       val spark = batch.sparkSession
