@@ -69,26 +69,39 @@ object Artifacts {
   def compactPartitioned(spark: SparkSession, dir: String,
       partitionCol: String = "batch", baseValue: Long = -1L,
       repartitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    swapInto(spark, dir) { tmp =>
+      val shaped =
+        if (repartitionCols.nonEmpty)
+          rows(spark, dir, partitionCol)
+            .repartition(n, repartitionCols.map(col): _*)
+        else rows(spark, dir, partitionCol).repartition(n)
+      // one shuffle-write of the full artifact — the read side still
+      // has the old directory in place (the plan is lazy; this is the
+      // action)
+      shaped.write.mode("overwrite")
+        .parquet(new Path(tmp, s"$partitionCol=$baseValue").toString)
+    }
+  }
+
+  /** The shared swap discipline: `write` fills `<dir>.compacting`,
+    * then `<dir>` → `<dir>.old`, `.compacting` → `<dir>`, delete
+    * `.old`. Every crash window leaves the original complete under a
+    * name [[recoverCompaction]] resolves (it is agnostic to WHAT was
+    * being staged — compaction and rebuild share the siblings). */
+  private[pipeline] def swapInto(spark: SparkSession, dir: String)(
+      write: String => Unit): Unit = {
     val f = fs(spark, dir)
     val dirP = new Path(dir)
-    require(f.exists(dirP), s"compactPartitioned: $dir does not exist" +
-      s" — if ${dir}.old exists, a prior compaction crashed between " +
-      "renames; rename it back and re-run")
+    require(f.exists(dirP), s"swapInto: $dir does not exist" +
+      s" — if ${dir}.old exists, a prior swap crashed between " +
+      "renames; run recoverCompaction first")
     val tmp = new Path(dir + ".compacting")
     val old = new Path(dir + ".old")
     f.delete(tmp, true) // stale leftover of a crashed prior attempt
     f.delete(old, true)
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
-    val shaped =
-      if (repartitionCols.nonEmpty)
-        rows(spark, dir, partitionCol)
-          .repartition(n, repartitionCols.map(col): _*)
-      else rows(spark, dir, partitionCol).repartition(n)
-    // one shuffle-write of the full artifact — the read side still has
-    // the old directory in place (the plan is lazy; this is the action)
-    shaped.write.mode("overwrite")
-      .parquet(new Path(tmp, s"$partitionCol=$baseValue").toString)
+    write(tmp.toString)
     require(f.rename(dirP, old), s"rename $dir -> $old failed")
     require(f.rename(tmp, dirP), s"rename $tmp -> $dir failed " +
       s"(data is intact at $old)")

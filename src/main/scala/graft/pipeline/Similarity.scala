@@ -590,11 +590,74 @@ object Similarity {
     * restores cell locality the per-batch appends scattered. Query
     * results are identical: the search is a function of the
     * (neighbor_id, cell, codes) row set, which compaction preserves
-    * exactly (CompactionSpec). Run only while no appender is active. */
+    * exactly (CompactionSpec). A co-located `_model` frame (the
+    * [[writeIndex]] layout) rides through the swap unchanged. Run
+    * only while no appender is active. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, numFiles: Int = 0): Unit =
-    Artifacts.compactPartitioned(spark, indexDir,
-      repartitionCols = Seq("cell"), numFiles = numFiles)
+      indexDir: String, numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val modelPath = new org.apache.hadoop.fs.Path(s"$indexDir/_model")
+    val hasModel = modelPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(modelPath)
+    Artifacts.swapInto(spark, indexDir) { tmp =>
+      spark.read.option("basePath", indexDir).parquet(indexDir)
+        .drop("batch")
+        .repartition(n, col("cell"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      if (hasModel)
+        spark.read.parquet(modelPath.toString).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/_model")
+    }
+  }
+
+  /** Write a (model, index) pair as ONE self-contained artifact
+    * directory: code rows under `batch=-1` (the [[indexBatch]] append
+    * layout — later appends land as `batch=N` siblings), the model
+    * frame under `_model` (underscore-prefixed: invisible to Spark's
+    * partition discovery, so the code-row read never sees it). Rows
+    * cluster by `cell`, the probed-scan unit. */
+  def writeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      model: IvfPqModel, index: DataFrame, numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    index.repartition(n, col("cell"))
+      .write.mode("overwrite").parquet(s"$dir/batch=-1")
+    model.toFrame(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_model")
+  }
+
+  /** Read a [[writeIndex]]-layout artifact back as (model, code rows —
+    * base plus every appended batch). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (IvfPqModel, DataFrame) = (
+    IvfPqModel.fromFrame(spark.read.parquet(s"$dir/_model")),
+    spark.read.option("basePath", dir).parquet(dir).drop("batch"))
+
+  /** Retrain + re-encode — the drift-refresh step that closes the
+    * index lifecycle (append → compact → retract → REBUILD): when
+    * enough appended batches have shifted the vector distribution
+    * away from the frozen quantizers (recall decays — retraining
+    * re-cells the whole index, which is exactly why [[indexBatch]]
+    * refuses to do it per batch), train fresh quantizers on the
+    * CURRENT corpus and swap a new base generation in place of the
+    * accumulated one. The swap rides the compaction discipline
+    * ([[Artifacts.swapInto]] — same `.compacting`/`.old` siblings, so
+    * [[Artifacts.recoverCompaction]] resolves a crashed rebuild too).
+    * One corpus scan (the [[ivfPqIndex]] encode), no appender may be
+    * active. Returns the new model (also persisted under `_model`). */
+  def rebuildIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, numFiles: Int = 0): IvfPqModel = {
+    val (model, index) = ivfPqIndex(corpus, idCol, vecCol, nlist, m,
+      ksub, dim)
+    Artifacts.swapInto(spark, indexDir) { tmp =>
+      writeIndex(spark, tmp, model, index, numFiles)
+    }
+    model
+  }
 
   /** Retract (un-keep) vectors from an IVF-PQ index FRAME: remove the
     * code rows of `ids` — the late-decontamination / takedown path.
