@@ -751,6 +751,28 @@ object Dedup {
       storeDir: String, numFiles: Int = 0): Unit =
     Artifacts.compactPartitioned(spark, storeDir, numFiles = numFiles)
 
+  /** Rebuild a persisted [[signatureStore]] directory from the current
+    * kept corpus — the parameter-migration step of the store
+    * lifecycle (append → compact → retract → REBUILD): changing k /
+    * shingleN / the normalization invalidates every stored signature
+    * (the width guard would refuse a mixed store), so re-hash the
+    * corpus once and swap a new base generation in via the shared
+    * discipline ([[Artifacts.swapInto]] — a crashed rebuild resolves
+    * through [[Artifacts.recoverCompaction]]). One corpus text scan;
+    * no ingest query may be running. */
+  def rebuildStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, shingleN: Int = 3,
+      numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    Artifacts.swapInto(spark, storeDir) { tmp =>
+      signatureStore(corpus, idCol, textCol, k, shingleN)
+        .repartition(n)
+        .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    }
+  }
+
   /** Retract (un-keep) documents from a [[signatureStore]] FRAME:
     * remove the signature rows of `ids` — the late-decontamination /
     * takedown path. The result is row-identical to

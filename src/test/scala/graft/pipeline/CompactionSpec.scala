@@ -76,6 +76,38 @@ class CompactionSpec extends SparkSpec {
     assert(sortedRows(store()) == rowsBefore)
   }
 
+  test("rebuildStore re-hashes the corpus under new parameters and " +
+      "swaps — the old-k store would be refused, the rebuilt one " +
+      "answers") {
+    val root = Files.createTempDirectory("rebuild_store").toString
+    val storeDir = s"$root/store"
+    val d = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "completely different text about spark query engines and shuffles")
+    Dedup.signatureStore(d, "doc_id", "text", k = 8)
+      .write.parquet(s"$storeDir/batch=-1")
+    val probe = docsDf(100L ->
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa xx")
+    def store(): org.apache.spark.sql.DataFrame =
+      spark.read.option("basePath", storeDir).parquet(storeDir)
+        .drop("batch")
+    // the k=8 store is refused at k=16 (the width guard's job) …
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstStore(probe, "doc_id", "text", store(),
+        k = 16, minJaccard = 0.5).collect()
+    }
+    assert(e.getMessage.contains("rebuild the store"))
+    // … and the rebuild migrates it: same corpus, new k, swap in place
+    Dedup.rebuildStore(spark, storeDir, d, "doc_id", "text", k = 16)
+    assert(new java.io.File(storeDir).listFiles().map(_.getName).toSeq
+      == Seq("batch=-1"))
+    assert(Dedup.dedupAgainstStore(probe, "doc_id", "text", store(),
+        k = 16, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().isEmpty)
+    assert(sortedRows(store()) == sortedRows(
+      Dedup.signatureStore(d, "doc_id", "text", k = 16)))
+  }
+
   test("recoverCompaction resolves every documented crash window " +
       "conservatively — the original data always wins") {
     val root = Files.createTempDirectory("recover_compact").toString
