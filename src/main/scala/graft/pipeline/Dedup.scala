@@ -557,48 +557,107 @@ object Dedup {
     * [[crossCorpusPairsFromStore]]: both sides are (id, sh, sig)
     * signature frames; returns (new_id, kept_id, est_jaccard,
     * jaccard). Pure extraction — the frames' ids pass through
-    * untouched. */
+    * untouched.
+    *
+    * `broadcastNew` is the micro-batch fast path: when the NEW side is
+    * batch-sized (the continuous-ingest loop), its banded rows —
+    * carrying their signatures — broadcast, and the kept side flows
+    * through ONE fused map-side stage: scan → band-explode → broadcast
+    * band join → size prune → est_jaccard → candidate projection. The
+    * store is scanned ONCE per batch, never exchanged, and never
+    * re-read for the attach joins (its sig/sh payload rides the same
+    * stage). Without the hint the planner sort-merge-joins: the
+    * store's banded rows shuffle EVERY batch — O(store) per batch, the
+    * term that dominates a 100-TB ingest loop (AQE's runtime broadcast
+    * conversion can't recover the store's shuffle WRITE, which lands
+    * before sizes are known). The narrow path's three store touches
+    * (band + two re-attaches) exist precisely because SHUFFLING wide
+    * arrays is the expensive move; a broadcast batch flips that — the
+    * wide columns stream through the scan stage without ever being
+    * exchanged, and only candidate-sized rows shuffle (the pair
+    * dedupe). Broadcast bytes: bands × (~32 B + 8k B sig) per doc —
+    * size the caller's row cap accordingly
+    * ([[graft.streaming.IngestStream]] defaults to 200k rows ≈ 250 MB
+    * at k = 16, bands = 8). Semantics identical — both paths compute
+    * the same est/jaccard expressions on the same deduped pair set. */
   private def crossPairsFromSigs(newSig: DataFrame, keptSig: DataFrame,
-      k: Int, bands: Int, minJaccard: Double): DataFrame = {
+      k: Int, bands: Int, minJaccard: Double,
+      broadcastNew: Boolean = false): DataFrame = {
     val rows = k / bands
     def bandHash(sig: Column, b: Int): Column =
       xxhash64(concat_ws(",",
         slice(sig, b * rows + 1, rows).cast("array<string>")))
+    // a store that carries the precomputed `sz` column ([[signatureStore]]
+    // writes it) lets the band stage prune `sh` — the widest store
+    // column, read here only for its size otherwise — from the scan
+    def szOf(s: DataFrame): Column =
+      if (s.columns.contains("sz")) col("sz") else size(col("sh"))
     def banded(s: DataFrame): DataFrame =
-      s.select(col("id"), size(col("sh")).as("sz"),
+      s.select(col("id"), szOf(s).as("sz"),
         posexplode(array((0 until bands).map(b =>
           bandHash(col("sig"), b)): _*))
           .as(Seq("band_idx", "band_hash")))
-    val a = banded(newSig).select(col("band_idx"), col("band_hash"),
-      col("id").as("new_id"), col("sz").as("sz_a"))
-    val b = banded(keptSig).select(col("band_idx"), col("band_hash"),
-      col("id").as("kept_id"), col("sz").as("sz_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      // EXACT size prune (can never drop a qualifying pair), then the
-      // narrow (new_id, kept_id) dedupe collapses multi-band matches
-      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
-        greatest(col("sz_a"), col("sz_b")) >= minJaccard)
-      .select("new_id", "kept_id")
-      .dropDuplicates("new_id", "kept_id")
-    val cand = pairs
-      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")),
-        Seq("new_id"))
-      .join(keptSig.select(col("id").as("kept_id"), col("sig").as("sig_b")),
-        Seq("kept_id"))
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / k)
-      .filter(col("est_jaccard") >= minJaccard / 2)
-      .select("new_id", "kept_id", "est_jaccard")
-    cand
-      .join(newSig.select(col("id").as("new_id"), col("sh").as("sh_a")),
-        Seq("new_id"))
-      .join(keptSig.select(col("id").as("kept_id"), col("sh").as("sh_b")),
-        Seq("kept_id"))
-      .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+    val estExpr =
+      aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0)),
+        lit(0.0), (acc, v) => acc + v) / k
+    val sizePrune =
+      least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")) >= minJaccard
+    if (broadcastNew) {
+      // single-scan path: batch band rows carry their signature
+      val a = newSig.select(col("id").as("new_id"),
+          szOf(newSig).as("sz_a"), col("sig").as("sig_a"),
+          posexplode(array((0 until bands).map(b =>
+            bandHash(col("sig"), b)): _*))
+            .as(Seq("band_idx", "band_hash")))
+      val b = keptSig.select(col("id").as("kept_id"),
+        szOf(keptSig).as("sz_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b"),
+        posexplode(array((0 until bands).map(bd =>
+          bandHash(col("sig"), bd)): _*))
+          .as(Seq("band_idx", "band_hash")))
+      val cand = broadcast(a).join(b, Seq("band_idx", "band_hash"))
+        .filter(sizePrune)
+        .withColumn("est_jaccard", estExpr)
+        .filter(col("est_jaccard") >= minJaccard / 2)
+        // multi-band duplicates carry identical est/sh_b (both are
+        // content functions) — candidate-sized shuffle
+        .dropDuplicates("new_id", "kept_id")
+      cand
+        .join(newSig.select(col("id").as("new_id"), col("sh").as("sh_a")),
+          Seq("new_id"))
+        .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("new_id", "kept_id", "est_jaccard", "jaccard")
+    } else {
+      val a = banded(newSig).select(col("band_idx"), col("band_hash"),
+        col("id").as("new_id"), col("sz").as("sz_a"))
+      val b = banded(keptSig).select(col("band_idx"), col("band_hash"),
+        col("id").as("kept_id"), col("sz").as("sz_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_hash"))
+        // EXACT size prune (can never drop a qualifying pair), then the
+        // narrow (new_id, kept_id) dedupe collapses multi-band matches
+        .filter(sizePrune)
+        .select("new_id", "kept_id")
+        .dropDuplicates("new_id", "kept_id")
+      val cand = pairs
+        .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")),
+          Seq("new_id"))
+        .join(keptSig.select(col("id").as("kept_id"), col("sig").as("sig_b")),
+          Seq("kept_id"))
+        .withColumn("est_jaccard", estExpr)
+        .filter(col("est_jaccard") >= minJaccard / 2)
+        .select("new_id", "kept_id", "est_jaccard")
+      cand
+        .join(newSig.select(col("id").as("new_id"), col("sh").as("sh_a")),
+          Seq("new_id"))
+        .join(keptSig.select(col("id").as("kept_id"), col("sh").as("sh_b")),
+          Seq("kept_id"))
+        .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("new_id", "kept_id", "est_jaccard", "jaccard")
+    }
   }
 
   /** The between-batches signature STORE — the compact (id, sh, sig)
@@ -617,6 +676,11 @@ object Dedup {
     val (dfL, idMap) = longIds(df, idCol)
     restoreIds(shingleMinhash(dfL, idCol, textCol, shingleN, k)
       .withColumnRenamed("id", idCol), idMap, Seq(idCol))
+      // precomputed shingle count: the band stage needs only the SIZE
+      // of `sh`, and carrying it as its own column lets that scan
+      // prune the widest store column entirely (readers fall back to
+      // size(sh) on stores written before this column existed)
+      .withColumn("sz", size(col("sh")))
   }
 
   /** [[crossCorpusPairs]] with the kept side read from a persisted
@@ -629,11 +693,13 @@ object Dedup {
   def crossCorpusPairsFromStore(newDf: DataFrame, idCol: String,
       textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minJaccard: Double = 0.7,
-      checkWidths: Boolean = true): DataFrame = {
+      checkWidths: Boolean = true,
+      broadcastNew: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     require(Set(idCol, "sig", "sh").subsetOf(store.columns.toSet),
       s"signature store must carry ($idCol, sig, sh); " +
         s"has ${store.columns.mkString(", ")}")
+    val hasSz = store.columns.contains("sz")
     // one column-pruned pass with map-side partial agg (bounded
     // one-row result) — a FIRST-ROW check missed mixed-width stores,
     // e.g. two stores built at different k appended together, which
@@ -642,25 +708,40 @@ object Dedup {
     // null agg row and is legitimate (day-zero bootstrap: nothing to
     // match, every batch doc survives). Callers on a hot per-batch
     // loop who already validated the store once pass
-    // checkWidths = false to skip this store-wide pass.
-    if (checkWidths)
-      store.agg(min(size(col("sig"))), max(size(col("sig"))))
+    // checkWidths = false to skip this store-wide pass. The same pass
+    // guards the `sz` column when present: a store mixing pre-`sz`
+    // partitions with new appends would read null sizes for the old
+    // rows and silently drop their pairs — fail loudly and point at
+    // [[rebuildStore]] instead.
+    if (checkWidths) {
+      val aggs = Seq(min(size(col("sig"))), max(size(col("sig")))) ++
+        (if (hasSz)
+          Seq(sum(when(col("sz").isNull, 1L).otherwise(0L))) else Nil)
+      store.agg(aggs.head, aggs.tail: _*)
         .head(1).foreach { r =>
-          if (!r.isNullAt(0))
+          if (!r.isNullAt(0)) {
             require(r.getInt(0) == k && r.getInt(1) == k,
               s"store sig lengths [${r.getInt(0)}, ${r.getInt(1)}] " +
                 s"!= k = $k — rebuild the store (a mixed-width " +
                 "store means two stores built at different k were " +
                 "appended together)")
+            if (hasSz)
+              require(r.getLong(2) == 0L,
+                s"store has ${r.getLong(2)} null `sz` rows — " +
+                  "partitions written before the sz column existed " +
+                  "were appended to; run rebuildStore to migrate")
+          }
         }
+    }
     import org.apache.spark.storage.StorageLevel
     val (newL, newMap) = longIds(newDf, idCol)
     val newSig = shingleMinhash(newL, idCol, textCol, shingleN, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keptSig = store.select(col(idCol).as("id"), col("sh"),
-      col("sig"))
+    val keptCols = Seq(col(idCol).as("id"), col("sh"), col("sig")) ++
+      (if (hasSz) Seq(col("sz")) else Nil)
+    val keptSig = store.select(keptCols: _*)
     restoreIds(crossPairsFromSigs(newSig, keptSig, k, bands,
-      minJaccard), newMap, Seq("new_id"))
+      minJaccard, broadcastNew), newMap, Seq("new_id"))
   }
 
   /** Keep exactly the new-batch docs with NO verified near-dup in the
@@ -682,7 +763,8 @@ object Dedup {
   def dedupAgainstStore(newDf: DataFrame, idCol: String,
       textCol: String, store: DataFrame, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, minJaccard: Double = 0.7,
-      checkWidths: Boolean = true): DataFrame = {
+      checkWidths: Boolean = true,
+      broadcastNew: Boolean = false): DataFrame = {
     val newKeyed = newDf
       .select(col(idCol), md5(col(textCol)).as("__ck"))
     val newReps = newKeyed.groupBy(col("__ck"))
@@ -690,7 +772,8 @@ object Dedup {
     val newRepDocs = newDf.join(
       newReps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
     val matchedRep = crossCorpusPairsFromStore(newRepDocs, idCol,
-      textCol, store, k, bands, shingleN, minJaccard, checkWidths)
+      textCol, store, k, bands, shingleN, minJaccard, checkWidths,
+      broadcastNew)
       .select(col("new_id").as("__rep")).distinct()
     val matchedIds = newKeyed
       .join(newReps.join(matchedRep, "__rep"), "__ck")
@@ -726,11 +809,15 @@ object Dedup {
     * contract. */
   def ingestBatch(store: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      minJaccard: Double = 0.7, checkWidths: Boolean = true)
-      : (DataFrame, DataFrame) = {
+      minJaccard: Double = 0.7, checkWidths: Boolean = true,
+      broadcastNew: Boolean = false): (DataFrame, DataFrame) = {
     val survivors = dedupAgainstStore(newDf, idCol, textCol, store,
-      k, bands, shingleN, minJaccard, checkWidths)
-    val grown = store.unionByName(
+      k, bands, shingleN, minJaccard, checkWidths, broadcastNew)
+    // align a pre-`sz` store so the union's schema matches the fresh
+    // append's (computed sizes, never null-filled)
+    val aligned = if (store.columns.contains("sz")) store
+      else store.withColumn("sz", size(col("sh")))
+    val grown = aligned.unionByName(
       signatureStore(survivors, idCol, textCol, k, shingleN))
     (survivors, grown)
   }

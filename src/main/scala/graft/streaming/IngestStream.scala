@@ -62,7 +62,8 @@ object IngestStream {
   def start(stream: DataFrame, idCol: String, textCol: String,
       storeDir: String, outDir: String, checkpointDir: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      minJaccard: Double = 0.7): StreamingQuery = {
+      minJaccard: Double = 0.7,
+      maxBroadcastRows: Long = 200000L): StreamingQuery = {
     // a restart after a CRASHED compaction just works: resolve any
     // half-finished swap before the first batch reads the store
     // (conservative — the pre-compaction data always wins; no-op on
@@ -73,8 +74,8 @@ object IngestStream {
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, storeDir)
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
     val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val step: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      val spark = batch.sparkSession
+    val step: (DataFrame, Long) => Unit = { (batch0, batchId) =>
+      val spark = batch0.sparkSession
       // partition-discovered read: the `batch` column comes from the
       // directory names, letting the replay exclude its own partial
       // partition. basePath pins discovery to the store root.
@@ -82,21 +83,36 @@ object IngestStream {
         .parquet(storeDir)
         .filter(col("batch") =!= batchId)
         .drop("batch")
-      // the store-wide width guard costs one column-pruned store scan
-      // on top of the band join — run it on the FIRST batch of this
-      // query's lifetime (it would catch a foreign-k store dir), then
-      // skip: every later generation is this loop's own append under
-      // the same k
-      val survivors = Dedup.dedupAgainstStore(batch, idCol, textCol,
-          store, k, bands, shingleN, minJaccard,
-          checkWidths = validated.compareAndSet(false, true))
+      // persist + count does double duty: the batch is read several
+      // times downstream (content keying, the rep semi-join, the
+      // survivor writes), so materializing it once pays for the size
+      // the broadcast decision needs anyway
+      val batch = batch0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        survivors.write.mode("overwrite")
-          .parquet(s"$outDir/batch=$batchId")
-        Dedup.signatureStore(survivors, idCol, textCol, k, shingleN)
-          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
-      } finally survivors.unpersist()
+        val batchRows = batch.count()
+        // the store-wide width guard costs one column-pruned store
+        // scan on top of the band join — run it on the FIRST batch of
+        // this query's lifetime (it would catch a foreign-k store dir,
+        // or a pre-`sz` store mixed with new appends), then skip:
+        // every later generation is this loop's own append under the
+        // same k. Broadcast decision per batch: a micro-batch under
+        // maxBroadcastRows hints itself broadcast through the whole
+        // match path, so the STORE — the side that grows forever — is
+        // scanned ONCE map-side and never exchanged (the per-batch
+        // O(store) shuffle that would dominate a 100-TB ingest loop).
+        val survivors = Dedup.dedupAgainstStore(batch, idCol, textCol,
+            store, k, bands, shingleN, minJaccard,
+            checkWidths = validated.compareAndSet(false, true),
+            broadcastNew = batchRows <= maxBroadcastRows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          survivors.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+          Dedup.signatureStore(survivors, idCol, textCol, k, shingleN)
+            .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        } finally survivors.unpersist()
+      } finally batch.unpersist()
       ()
     }
     stream.writeStream

@@ -218,6 +218,49 @@ class DedupSpec extends SparkSpec {
     assert(pairsS.contains(("doc-10", "doc-1")), pairsS.toString)
   }
 
+  test("broadcastNew micro-batch hint: identical pairs and keep-set, " +
+      "kept side joins broadcast; pre-sz stores fall back; a mixed " +
+      "sz store is refused loudly") {
+    val kept = base.toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "a genuinely novel document about streaming watermarks and state"))
+      .toDF("doc_id", "text")
+    val store = Dedup.signatureStore(kept, "doc_id", "text", k = 16)
+    def pairs(s: org.apache.spark.sql.DataFrame, bn: Boolean) =
+      Dedup.crossCorpusPairsFromStore(batch, "doc_id", "text", s,
+        k = 16, bands = 8, minJaccard = 0.5, broadcastNew = bn)
+    val plain = pairs(store, bn = false)
+      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val hinted = pairs(store, bn = true)
+    assert(hinted.select("new_id", "kept_id", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet == plain)
+    assert(plain.nonEmpty)
+    // the hint turns every kept-side join broadcast — the store is
+    // never exchanged (no SortMergeJoin should touch it)
+    val plan = hinted.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // keep-set parity through dedupAgainstStore too
+    assert(Dedup.dedupAgainstStore(batch, "doc_id", "text", store,
+        k = 16, bands = 8, minJaccard = 0.5, broadcastNew = true)
+      .select("doc_id").as[Long].collect().toSet == Set(11L))
+    // a store written before the sz column existed answers identically
+    // (the band stage falls back to size(sh))
+    val preSz = store.drop("sz")
+    assert(pairs(preSz, bn = true)
+      .select("new_id", "kept_id", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect().toSet == plain)
+    // …but MIXING pre-sz rows into an sz store would silently size
+    // those rows null and drop their pairs — the width-guard pass
+    // refuses it loudly instead
+    val mixed = store.unionByName(
+      preSz.withColumn("sz", lit(null).cast("int")))
+    val ex = intercept[IllegalArgumentException](pairs(mixed, bn = true))
+    assert(ex.getMessage.contains("rebuildStore"), ex.getMessage)
+  }
+
   test("ingestBatch lifecycle: the batch-2 append makes its content " +
       "visible to batch 3, the grown store equals the from-scratch " +
       "store over the accumulated survivors, and a mixed-k append is " +
