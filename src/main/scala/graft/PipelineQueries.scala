@@ -1332,18 +1332,33 @@ object PipelineQueries {
       |WHERE doc_id NOT IN (SELECT nid FROM p)
       |ORDER BY doc_id""".stripMargin
 
-  /** Temp root for the on-disk lifecycle gates, deleted at JVM exit —
-    * the returned frame reads these files lazily until the caller's
-    * action, so an eager delete would break the plan. Bounded: a few
-    * signature-store MB per gate invocation. */
+  /** Temp roots for the on-disk lifecycle gates. The returned frame
+    * reads these files lazily until the caller's action, so an eager
+    * delete would break the plan — instead retention is BOUNDED: the
+    * queue keeps the newest 8 roots and deletes older ones on the
+    * next allocation (every consumer — Verify, Bench, a serve
+    * request — materializes a gate's result before 8 further gate
+    * invocations occur), and ONE shutdown hook sweeps whatever
+    * remains. A per-invocation hook + exit-only cleanup would leak a
+    * few store-MB per call and a thread per hook in a long-lived
+    * serve process. */
+  private val lifecycleDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+  private lazy val lifecycleHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      lifecycleDirs.forEach(p => deleteRecursively(p.toFile))))
+    ()
+  }
   private def tempLifecycleDir(tag: String): String = {
+    lifecycleHook
     val p = java.nio.file.Files.createTempDirectory(tag)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(p.toFile)
-    }))
+    lifecycleDirs.add(p)
+    while (lifecycleDirs.size > 8)
+      Option(lifecycleDirs.poll()).foreach(p => deleteRecursively(p.toFile))
     p.toString
   }
 

@@ -134,10 +134,14 @@ object ServeIngestProbe {
     val (ingWall, ingJson) = measure("ingest")
     stop.set(true); feeder.join(5000L)
     val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    // PROCESSED rows, not queued: the feeder enqueues regardless of
+    // whether the stream keeps up, so fed.get() alone would overstate
+    // the ingest work that actually ran alongside the fan-out
+    val processed = q.recentProgress.map(_.numInputRows).sum
     q.stop()
 
     val line =
-      f"""{"probe":"serve_ingest","rounds":$rounds,"cpus":$cpus,$idleJson},$ingJson,"ingest_batches":$batches,"ingest_docs":${fed.get()}},"wall_ratio":${ingWall / math.max(idleWall, 1e-9)}%.2f,"sf":"$sfDir"}"""
+      f"""{"probe":"serve_ingest","rounds":$rounds,"cpus":$cpus,$idleJson},$ingJson,"ingest_batches":$batches,"ingest_docs_fed":${fed.get()},"ingest_docs_processed":$processed},"wall_ratio":${ingWall / math.max(idleWall, 1e-9)}%.2f,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("serve_ingest_out.json"),

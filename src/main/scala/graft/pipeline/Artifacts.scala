@@ -137,6 +137,38 @@ object Artifacts {
     } else false
   }
 
+  /** Mechanical recovery for a [[retractPartitioned]] crash: for each
+    * `<dir>.retired-N` sibling, if the rewritten partition COMMITTED
+    * (present with its `_SUCCESS` marker — the parquet committer
+    * writes it last) the sibling is a stale leftover of a completed
+    * rewrite — delete it; otherwise the crash hit between the rename
+    * and the rewrite — delete the partial partition and restore the
+    * sibling, so no survivor row is ever lost. Returns the number of
+    * siblings resolved. Idempotent; runs automatically at the top of
+    * every [[retractPartitioned]] and at ingest start. */
+  def recoverRetraction(spark: SparkSession, dir: String,
+      partitionCol: String = "batch"): Int = {
+    val f = fs(spark, dir)
+    val dirP = new Path(dir)
+    val parent = dirP.getParent
+    if (parent == null || !f.exists(parent)) return 0
+    val prefix = dirP.getName + ".retired-"
+    val siblings = f.listStatus(parent).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+    siblings.foreach { s =>
+      val b = s.getPath.getName.stripPrefix(prefix)
+      val part = new Path(dir, s"$partitionCol=$b")
+      if (f.exists(part) && f.exists(new Path(part, "_SUCCESS")))
+        f.delete(s.getPath, true)
+      else {
+        f.delete(part, true)
+        require(f.rename(s.getPath, part),
+          s"rename ${s.getPath} -> $part failed")
+      }
+    }
+    siblings.size
+  }
+
   /** Remove every row whose `idCol` is in `ids` by rewriting only the
     * partitions that CONTAIN a retracted id. One broadcast semi-join
     * pass finds the hit partitions (ids are takedown-sized — list,
@@ -147,14 +179,17 @@ object Artifacts {
     * Per-partition swap discipline: `partitionCol=N` → the SIBLING
     * `<dir>.retired-N` (outside `dir`, so partition discovery of the
     * artifact never sees it), write the anti-joined survivors back as
-    * `partitionCol=N`, delete the sibling. Crash windows: partition
-    * missing with `<dir>.retired-N` present → the full pre-retraction
-    * copy is the sibling, rename it back and re-run. Never run with a
-    * live writer on `dir`. */
+    * `partitionCol=N` (whose `_SUCCESS` marker is the commit
+    * witness), delete the sibling. Every crash window is resolved by
+    * [[recoverRetraction]], which also runs at the top of this method
+    * — a crashed prior retraction is repaired before the hit scan, so
+    * its rows are visible to this one. Never run with a live writer
+    * on `dir`. */
   def retractPartitioned(spark: SparkSession, dir: String,
       ids: DataFrame, idCol: String,
       partitionCol: String = "batch"): Long = {
     import spark.implicits._
+    recoverRetraction(spark, dir, partitionCol)
     val f = fs(spark, dir)
     val idsB = broadcast(ids.select(col(idCol)).distinct())
     // one partition-discovered, column-pruned pass: which partitions
@@ -168,7 +203,10 @@ object Artifacts {
     hits.foreach { case (b, _) =>
       val part = new Path(dir, s"$partitionCol=$b")
       val retired = new Path(dir + s".retired-$b")
-      f.delete(retired, true) // stale leftover of a crashed attempt
+      // recoverRetraction above resolved any leftover sibling; one
+      // existing here would mean a concurrent writer (forbidden)
+      require(!f.exists(retired),
+        s"$retired exists mid-run — concurrent retraction?")
       require(f.rename(part, retired),
         s"rename $part -> $retired failed")
       spark.read.parquet(retired.toString)

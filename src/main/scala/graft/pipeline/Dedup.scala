@@ -710,9 +710,12 @@ object Dedup {
     // loop who already validated the store once pass
     // checkWidths = false to skip this store-wide pass. The same pass
     // guards the `sz` column when present: a store mixing pre-`sz`
-    // partitions with new appends would read null sizes for the old
-    // rows and silently drop their pairs — fail loudly and point at
-    // [[rebuildStore]] instead.
+    // partitions with new appends reads null sizes for the old rows —
+    // least/greatest skip nulls, so pairs still verify correctly, but
+    // the size prune silently stops pruning those rows and the
+    // store's schema is ambiguous under parquet footer sampling (the
+    // column can appear or vanish between reads). Fail loudly and
+    // point at [[rebuildStore]] instead.
     if (checkWidths) {
       val aggs = Seq(min(size(col("sig"))), max(size(col("sig")))) ++
         (if (hasSz)

@@ -64,15 +64,17 @@ object IngestStream {
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
       minJaccard: Double = 0.7,
       maxBroadcastRows: Long = 200000L): StreamingQuery = {
-    // a restart after a CRASHED compaction just works: resolve any
-    // half-finished swap before the first batch reads the store
-    // (conservative — the pre-compaction data always wins; no-op on
+    // a restart after a CRASHED compaction or retraction just works:
+    // resolve any half-finished swap before the first batch reads the
+    // store (conservative — the original data always wins; no-op on
     // healthy dirs, and outDir may legitimately not exist yet).
-    // Safe here because compact() requires the query stopped, so no
-    // swap can be in flight while a query is starting.
+    // Safe here because both maintenance ops require the query
+    // stopped, so no swap can be in flight while a query is starting.
     val sparkAtStart = stream.sparkSession
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, storeDir)
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
+    graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, storeDir)
+    graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, outDir)
     val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
     val step: (DataFrame, Long) => Unit = { (batch0, batchId) =>
       val spark = batch0.sparkSession
@@ -109,7 +111,17 @@ object IngestStream {
         try {
           survivors.write.mode("overwrite")
             .parquet(s"$outDir/batch=$batchId")
-          Dedup.signatureStore(survivors, idCol, textCol, k, shingleN)
+          // write appends in the STORE'S OWN schema: against a store
+          // written before the `sz` column existed, appending sz-
+          // bearing rows would manufacture the mixed store the width
+          // guard refuses (old rows read sz = null under schema
+          // inference) and take the loop down on its next restart —
+          // the pre-sz store stays homogeneous (and unpruned) until
+          // the operator opts in via rebuildStore
+          val sigRows = Dedup.signatureStore(survivors, idCol,
+            textCol, k, shingleN)
+          (if (store.columns.contains("sz")) sigRows
+           else sigRows.drop("sz"))
             .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
         } finally survivors.unpersist()
       } finally batch.unpersist()
@@ -151,11 +163,19 @@ object IngestStream {
       val conf = spark.sparkContext.hadoopConfiguration
       val commitsPath = new org.apache.hadoop.fs.Path(ck, "commits")
       val cfs = commitsPath.getFileSystem(conf)
-      val committed: Set[Long] =
-        if (!cfs.exists(commitsPath)) Set.empty
+      // streaming executes batches SEQUENTIALLY (batch N+1 starts only
+      // after N commits), so the only possibly-uncommitted batch id is
+      // one BEYOND the newest commit marker. Comparing against the
+      // marker SET would misfire on long-running queries: the commit
+      // log is purged to spark.sql.streaming.minBatchesToRetain
+      // (default 100), so a store with >100 batches would flag its
+      // oldest — fully committed — partitions as crashed.
+      val maxCommit: Long = (
+        if (!cfs.exists(commitsPath)) Seq.empty[Long]
         else cfs.listStatus(commitsPath).toSeq
           .map(_.getPath.getName).filter(_.forall(_.isDigit))
-          .map(_.toLong).toSet
+          .map(_.toLong)
+      ).foldLeft(-1L)(math.max)
       def uncommitted(dir: String): Seq[Long] = {
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
@@ -163,7 +183,7 @@ object IngestStream {
         else fs.listStatus(p).toSeq.map(_.getPath.getName)
           .filter(_.startsWith("batch="))
           .map(_.stripPrefix("batch=").toLong)
-          .filter(b => b >= 0 && !committed(b))
+          .filter(b => b > maxCommit)
       }
       val bad = (uncommitted(storeDir) ++ uncommitted(outDir))
         .distinct.sorted

@@ -277,6 +277,16 @@ class CompactionSpec extends SparkSpec {
     val q3 = start()
     q3.processAllAvailable()
     q3.stop()
+    // a PURGED commit log (spark.sql.streaming.minBatchesToRetain
+    // drops old markers on long-running queries) must NOT flag old —
+    // fully committed — partitions: only ids beyond the NEWEST commit
+    // are suspect (batches execute sequentially). Delete the OLDEST
+    // marker; the guard below must still pass.
+    val oldest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .minBy(_.getFileName.toString.toLong)
+    Files.delete(oldest)
+    Files.deleteIfExists(commits.resolve(s".${oldest.getFileName}.crc"))
     graft.streaming.IngestStream.compact(spark, storeDir, outDir,
       Some(ckpt))
     assert(batchDirs(storeDir) == Seq("batch=-1"))

@@ -252,9 +252,9 @@ class DedupSpec extends SparkSpec {
     assert(pairs(preSz, bn = true)
       .select("new_id", "kept_id", "est_jaccard", "jaccard")
       .as[(Long, Long, Double, Double)].collect().toSet == plain)
-    // …but MIXING pre-sz rows into an sz store would silently size
-    // those rows null and drop their pairs — the width-guard pass
-    // refuses it loudly instead
+    // …but MIXING pre-sz rows into an sz store silently un-prunes
+    // those rows and leaves the schema footer-sampling-ambiguous —
+    // the width-guard pass refuses it loudly instead
     val mixed = store.unionByName(
       preSz.withColumn("sz", lit(null).cast("int")))
     val ex = intercept[IllegalArgumentException](pairs(mixed, bn = true))

@@ -90,6 +90,65 @@ class RetractionSpec extends SparkSpec {
       .forall(f => !f.getName.contains(".retired")))
   }
 
+  test("recoverRetraction resolves both crash windows: an uncommitted " +
+      "rewrite restores the retired sibling, a committed one drops " +
+      "it — and retractPartitioned self-recovers before its hit scan") {
+    val root = Files.createTempDirectory("recover_retract").toString
+    val storeDir = s"$root/store"
+    Dedup.signatureStore(corpus, "doc_id", "text")
+      .write.parquet(s"$storeDir/batch=-1")
+    val rowsBefore = sortedRows(spark.read
+      .option("basePath", storeDir).parquet(storeDir).drop("batch"))
+
+    // window A: crash AFTER rename, BEFORE the rewrite — partition
+    // gone, sibling holds the only copy; recovery must restore it
+    assert(new java.io.File(s"$storeDir/batch=-1")
+      .renameTo(new java.io.File(s"$storeDir.retired--1")))
+    assert(Artifacts.recoverRetraction(spark, storeDir) == 1)
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+      .parquet(storeDir).drop("batch")) == rowsBefore)
+    assert(!new java.io.File(s"$storeDir.retired--1").exists())
+
+    // window B: crash AFTER the rewrite committed (_SUCCESS present)
+    // but before the sibling delete — recovery must keep the rewrite
+    // and drop the sibling. Materialize the rewrite BEFORE the
+    // overwrite (a lazy plan would read the very files the write
+    // deletes)
+    val src = spark.read.parquet(s"$storeDir/batch=-1")
+    val rewrittenRows = Dedup.retract(src,
+      Seq(3L).toDF("doc_id"), "doc_id").collect().toSeq
+    def cp(a: String, b: String): Unit = {
+      val s = new java.io.File(a); val t = new java.io.File(b)
+      t.mkdirs()
+      s.listFiles().foreach(f => java.nio.file.Files.copy(
+        f.toPath, new java.io.File(t, f.getName).toPath))
+    }
+    cp(s"$storeDir/batch=-1", s"$storeDir.retired--1") // the backup
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rewrittenRows), src.schema)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    assert(new java.io.File(s"$storeDir/batch=-1/_SUCCESS").exists())
+    val afterRewrite = sortedRows(spark.read
+      .option("basePath", storeDir).parquet(storeDir).drop("batch"))
+    assert(Artifacts.recoverRetraction(spark, storeDir) == 1)
+    assert(!new java.io.File(s"$storeDir.retired--1").exists())
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+      .parquet(storeDir).drop("batch")) == afterRewrite)
+
+    // a NEW retraction self-recovers a window-A leftover before its
+    // hit scan, so the restored rows are visible to it
+    assert(new java.io.File(s"$storeDir/batch=-1")
+      .renameTo(new java.io.File(s"$storeDir.retired--1")))
+    val removed = Dedup.retractStore(spark, storeDir,
+      Seq(4L).toDF("doc_id"), "doc_id")
+    assert(removed == 1L)
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+        .parquet(storeDir).drop("batch")) ==
+      sortedRows(Dedup.signatureStore(
+        corpus.filter(col("doc_id") =!= 3L && col("doc_id") =!= 4L),
+        "doc_id", "text")))
+  }
+
   test("IngestStream.retract removes a doc from BOTH artifacts and a " +
       "restarted ingest treats its near-dup as novel") {
     val root = Files.createTempDirectory("retract_ingest").toString

@@ -112,4 +112,50 @@ class IngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(storeDir)
       .select("doc_id").as[Long].collect().sorted.toSeq == storeBefore)
   }
+
+  test("a pre-sz store stays homogeneous across ingest appends and " +
+      "restarts — the loop never manufactures the mixed store the " +
+      "width guard refuses") {
+    val root = Files.createTempDirectory("ingest_presz").toString
+    val inDir = s"$root/in"
+    val storeDir = s"$root/store"
+    new java.io.File(inDir).mkdirs()
+    // a store written BEFORE the sz column existed
+    graft.pipeline.Dedup.signatureStore(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .drop("sz")
+      .write.parquet(s"$storeDir/batch=-1")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def start() = IngestStream.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir),
+      "doc_id", "text", storeDir, s"$root/out", s"$root/ckpt",
+      minJaccard = 0.5)
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = Paths.get(inDir, s".$name.tmp")
+      Files.write(tmp, lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(inDir, name))
+    }
+    val q1 = start()
+    writeFile("b0.json", Seq(doc(10L,
+      "a fresh document about watermarks and state stores")))
+    q1.processAllAvailable()
+    q1.stop()
+    // the append matched the store's own schema — no sz anywhere
+    assert(!spark.read.parquet(s"$storeDir/batch=0")
+      .columns.contains("sz"))
+    // the RESTART re-validates the (still homogeneous) store: must
+    // not throw, and keep/drop still works against both generations
+    val q2 = start()
+    writeFile("b1.json", Seq(
+      doc(20L, "a fresh document about watermarks and state stores zz"),
+      doc(21L, "entirely new content on broadcast joins and skew")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$root/out/batch=1")
+      .select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
 }
