@@ -190,16 +190,61 @@ object Bench {
       spark.catalog.clearCache()
       PipelineQueries.resetMemo()
       val pass2 = ordered.map { case (n, f) => run(n, f) }.toMap
+      // Per-query retry on pass disagreement (the round-16 artifact
+      // carried a 15.7× phantom on q190 — one steal burst landed on
+      // one pass and min-of-two still recorded 17.7 s because BOTH
+      // passes were hit): any query whose two passes disagree > 3×
+      // (and whose slower pass tops 1 s — sub-second jitter flags
+      // half the line for nothing) gets two more passes under the
+      // same cache/memo discipline as a full pass. The min over all
+      // passes is the record; a query whose two SMALLEST passes still
+      // disagree > 3× after retries lands in `flagged` so the line
+      // names its own suspects instead of reading as a regression.
+      def spread3(a: Double, b: Double): Boolean =
+        a >= 0 && b >= 0 && math.max(a, b) > 1.0 &&
+          math.max(a, b) / math.max(math.min(a, b), 1e-9) > 3.0
+      val toRetry = ordered.map(_._1)
+        .filter(n => spread3(pass1(n), pass2(n)))
+      val fns = ordered.toMap
+      val retries: Map[String, Seq[Double]] =
+        if (toRetry.isEmpty) Map.empty
+        else {
+          System.err.println(s"[bench] pass spread > 3x on " +
+            s"${toRetry.mkString(", ")} — re-attempting (2 passes)")
+          (0 until 2).map { _ =>
+            spark.catalog.clearCache()
+            PipelineQueries.resetMemo()
+            toRetry.map(n => n -> run(n, fns(n))._2).toMap
+          }.foldLeft(Map.empty[String, Seq[Double]]) { (acc, m) =>
+            toRetry.map(n =>
+              n -> (acc.getOrElse(n, Seq.empty) :+ m(n))).toMap
+          }
+        }
+      def allPasses(n: String): Seq[Double] =
+        Seq(pass1(n), pass2(n)) ++ retries.getOrElse(n, Nil)
       val results = ordered.map { case (n, _) =>
-        val (a, b) = (pass1(n), pass2(n))
-        n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+        val ok = allPasses(n).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
       }
+      // still-unconfirmed after retries: the best pass has no second
+      // pass within 3× — the recorded min itself may be noise-inflated
+      val flagged = toRetry.filter { n =>
+        val ok = allPasses(n).filter(_ >= 0).sorted
+        ok.size >= 2 && ok(1) / math.max(ok(0), 1e-9) > 3.0
+      }
+      val flaggedJson =
+        if (toRetry.isEmpty) ""
+        else s""","retried":${toRetry.map("\"" + _ + "\"")
+          .mkString("[", ",", "]")},"flagged":${flagged
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
       val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
-      // both raw pass times per query — lets a future artifact gap
-      // decompose into pass-skew (bursty host) vs uniform slowdown
+      // ALL raw pass times per query (2 + any retries) — lets a future
+      // artifact gap decompose into pass-skew (bursty host) vs uniform
+      // slowdown
       val qsPasses = ordered.map { case (n, _) =>
-        "\"" + n + f"""":[${pass1(n)}%.3f,${pass2(n)}%.3f]"""
+        "\"" + n + allPasses(n).map(v => f"$v%.3f")
+          .mkString("\":[", ",", "]")
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       // the mixed-workload figure, measured inside the attempt so it
@@ -243,7 +288,7 @@ object Bench {
       val isDirty =
         load1Start.exists(_ > 1.0) || stealVal.exists(_ > 0.5)
       val dirty = if (isDirty) ""","dirty":true""" else ""
-      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_passes":$qsPasses$concurrent,"sf":"$sfDir"$stealPct$loads$dirty}""",
+      (f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_passes":$qsPasses$flaggedJson$concurrent,"sf":"$sfDir"$stealPct$loads$dirty}""",
         isDirty)
     }
 

@@ -115,6 +115,30 @@ object ServeIngestProbe {
     val mem = MemoryStream[(Long, String)]
     val fed = new java.util.concurrent.atomic.AtomicLong()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // exact processed count via a listener accumulating EVERY
+    // progress event — recentProgress retains only the last
+    // spark.sql.streaming.numRecentProgressUpdates (default 100)
+    // entries, and at ~300 ms batches a multi-minute window exceeds
+    // 100 batches, silently undercounting (round-16 advice). Keyed by
+    // query id so a stray query on the shared session can't inflate.
+    val processedByQuery = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, java.util.concurrent.atomic.AtomicLong]()
+    val progressListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit = {
+          processedByQuery
+            .computeIfAbsent(e.progress.id,
+              _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(e.progress.numInputRows)
+          ()
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(progressListener)
     val q = graft.streaming.IngestStream.start(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
       s"$root/store", s"$root/out", s"$root/ckpt",
@@ -134,11 +158,24 @@ object ServeIngestProbe {
     val (ingWall, ingJson) = measure("ingest")
     stop.set(true); feeder.join(5000L)
     val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    q.stop()
     // PROCESSED rows, not queued: the feeder enqueues regardless of
     // whether the stream keeps up, so fed.get() alone would overstate
-    // the ingest work that actually ran alongside the fan-out
-    val processed = q.recentProgress.map(_.numInputRows).sum
-    q.stop()
+    // the ingest work that actually ran alongside the fan-out. The
+    // listener bus is async — poll until the total stabilizes (two
+    // consecutive 200 ms reads equal) before trusting it.
+    def readProcessed(): Long = Option(processedByQuery.get(q.id))
+      .map(_.get()).getOrElse(0L)
+    var processed = readProcessed()
+    var settled = false
+    val drainDeadline = System.nanoTime() + 10L * 1000000000L
+    while (!settled && System.nanoTime() < drainDeadline) {
+      Thread.sleep(200L)
+      val again = readProcessed()
+      settled = again == processed
+      processed = again
+    }
+    spark.streams.removeListener(progressListener)
 
     val line =
       f"""{"probe":"serve_ingest","rounds":$rounds,"cpus":$cpus,$idleJson},$ingJson,"ingest_batches":$batches,"ingest_docs_fed":${fed.get()},"ingest_docs_processed":$processed},"wall_ratio":${ingWall / math.max(idleWall, 1e-9)}%.2f,"sf":"$sfDir"}"""

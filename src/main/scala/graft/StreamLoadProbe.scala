@@ -226,7 +226,7 @@ object StreamLoadProbe {
           q.stop()
           val tc = System.nanoTime()
           graft.streaming.IngestStream.compact(spark, s"$root/store",
-            s"$root/out", Some(s"$root/ckpt"))
+            s"$root/out", s"$root/ckpt")
           compactSec = (System.nanoTime() - tc) / 1e9
           q = start()
         }
@@ -270,6 +270,85 @@ object StreamLoadProbe {
     if (wanted("ingest_big"))
       ingestScenario("ingest_big", 20,
         math.max(totalRows / 40, 100), None)
+
+    // ingest_policy — the CADENCE is under test, not the operator:
+    // ≥80 batches; every `checkEvery` batches the query stops (the
+    // boundary IngestStream owns anyway) and CompactionPolicy —
+    // not a hard-coded midpoint — decides whether to compact. The
+    // recorded curve shows per-batch wall staying flat across the
+    // whole run because the policy keeps resetting the drift, and the
+    // events array records WHY each compaction fired.
+    def policyScenario(name: String, ingestBatches: Int, perBatch: Int,
+        checkEvery: Int): Unit = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"ingest_$name").toString
+      import spark.implicits._
+      graft.streaming.IngestStream.seed(
+        Seq((0L, "seed corpus document about nothing in particular zero"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", s"$root/store")
+      def docText(i: Long): String =
+        (0 until 12).map(w => s"w${i * 12 + w}").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      def start(): StreamingQuery = graft.streaming.IngestStream.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/store", s"$root/out", s"$root/ckpt",
+        k = 16, bands = 8, minJaccard = 0.7)
+      var q = start()
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // baseline = walls since the last compaction (or run start) —
+      // the denominator of the policy's drift arm
+      val baseline = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val events = scala.collection.mutable.ArrayBuffer.empty[String]
+      val t0 = System.nanoTime()
+      (0 until ingestBatches).foreach { b =>
+        if (b > 0 && b % checkEvery == 0) {
+          q.stop()
+          val d = graft.streaming.CompactionPolicy.evaluate(spark,
+            s"$root/store", s"$root/out", maxPartitions = 24,
+            recentWalls = walls.takeRight(5).toSeq,
+            baselineWalls = baseline.take(5).toSeq, maxDrift = 1.25)
+          if (d.compact) {
+            val tc = System.nanoTime()
+            graft.streaming.IngestStream.compact(spark,
+              s"$root/store", s"$root/out", s"$root/ckpt")
+            events += f"""{"batch":$b,"partitions":${d.partitions},"drift":${d.drift}%.2f,"reason":"${d.reason}","compact_sec":${(System.nanoTime() - tc) / 1e9}%.2f}"""
+            baseline.clear()
+          }
+          q = start()
+        }
+        val base = b.toLong * perBatch
+        mem.addData((0 until perBatch).map { j =>
+          val id = base + j
+          if (j % 10 < 3 && j < perBatch - 5 && b > 0)
+            (1000000L + id, docText(base - perBatch + j + 3))
+          else (id, docText(id))
+        })
+        val tb = System.nanoTime()
+        q.processAllAvailable()
+        val w = (System.nanoTime() - tb) / 1e9
+        walls += w
+        if (baseline.size < 5) baseline += w
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val kept = graft.streaming.IngestStream
+        .keptDocs(spark, s"$root/out").count()
+      val fed = ingestBatches.toLong * perBatch
+      val sampleEvery = math.max(ingestBatches / 16, 1)
+      val latJson = walls.zipWithIndex.collect {
+        case (s, i) if (i + 1) % sampleEvery == 0 =>
+          f"""{"batch":${i + 1},"sec":$s%.2f}"""
+      }.mkString("[", ",", "]")
+      def mean(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1 else xs.sum / xs.size
+      val line =
+        f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"per_batch":$perBatch,"batches":$ingestBatches,"check_every":$checkEvery,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept,"first8_mean_sec":${mean(walls.take(8).toSeq)}%.2f,"last8_mean_sec":${mean(walls.takeRight(8).toSeq)}%.2f,"compactions":${events.mkString("[", ",", "]")},"batch_latency":$latJson}"""
+      println(line); out.append(line).append('\n')
+    }
+    if (wanted("ingest_policy"))
+      policyScenario("ingest_policy", 80,
+        math.max(totalRows / 20 / 80, 100), 10)
 
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_load_out.json"),

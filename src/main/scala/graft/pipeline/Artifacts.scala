@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * by its restart contract). Directory swaps go through rename, the
   * cheapest atomic primitive a filesystem offers; every crash window
   * leaves a completed copy of the data under a documented name (see
-  * each method). On an object store without atomic rename, front these
-  * with a manifest commit (Iceberg/Delta-style) — the row-level
-  * semantics here are unchanged.
+  * each method). On an object store without atomic rename (where a
+  * real 100-TB corpus lives), use the [[Manifest]] layout instead —
+  * the same verbs committed by a single-object manifest replace, no
+  * directory rename anywhere (ManifestSpec proves it on a
+  * rename-auditing FileSystem); [[Manifest.adopt]] migrates this
+  * layout in place. The row-level semantics are identical.
   */
 object Artifacts {
 
@@ -137,15 +140,29 @@ object Artifacts {
     } else false
   }
 
+  /** The commit witness [[retractPartitioned]] writes itself (one
+    * empty file, created AFTER the survivor rewrite returns). The
+    * parquet committer's `_SUCCESS` is not used: clusters commonly
+    * disable it (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false`, the object-store default in several distros), and under
+    * that setting a fully committed rewrite would be indistinguishable
+    * from a partial one — recovery would silently restore the retired
+    * sibling and un-retract the documents. A marker this code owns
+    * cannot be configured away. */
+  private[pipeline] val RetractCommitted = "_RETRACT_COMMITTED"
+
   /** Mechanical recovery for a [[retractPartitioned]] crash: for each
     * `<dir>.retired-N` sibling, if the rewritten partition COMMITTED
-    * (present with its `_SUCCESS` marker — the parquet committer
-    * writes it last) the sibling is a stale leftover of a completed
-    * rewrite — delete it; otherwise the crash hit between the rename
-    * and the rewrite — delete the partial partition and restore the
-    * sibling, so no survivor row is ever lost. Returns the number of
-    * siblings resolved. Idempotent; runs automatically at the top of
-    * every [[retractPartitioned]] and at ingest start. */
+    * (present with its [[RetractCommitted]] marker — written by
+    * [[retractPartitioned]] itself after the rewrite returns, never
+    * by a configurable committer) the sibling is a stale leftover of
+    * a completed rewrite — delete it; otherwise the crash hit between
+    * the rename and the marker — delete the partial partition and
+    * restore the sibling, so no survivor row is ever lost (a rewrite
+    * that completed but missed its marker is merely redone). Returns
+    * the number of siblings resolved. Idempotent; runs automatically
+    * at the top of every [[retractPartitioned]] and at ingest
+    * start. */
   def recoverRetraction(spark: SparkSession, dir: String,
       partitionCol: String = "batch"): Int = {
     val f = fs(spark, dir)
@@ -158,7 +175,7 @@ object Artifacts {
     siblings.foreach { s =>
       val b = s.getPath.getName.stripPrefix(prefix)
       val part = new Path(dir, s"$partitionCol=$b")
-      if (f.exists(part) && f.exists(new Path(part, "_SUCCESS")))
+      if (f.exists(part) && f.exists(new Path(part, RetractCommitted)))
         f.delete(s.getPath, true)
       else {
         f.delete(part, true)
@@ -179,8 +196,10 @@ object Artifacts {
     * Per-partition swap discipline: `partitionCol=N` → the SIBLING
     * `<dir>.retired-N` (outside `dir`, so partition discovery of the
     * artifact never sees it), write the anti-joined survivors back as
-    * `partitionCol=N` (whose `_SUCCESS` marker is the commit
-    * witness), delete the sibling. Every crash window is resolved by
+    * `partitionCol=N`, then create the [[RetractCommitted]] marker
+    * inside it (the commit witness this code owns — see its doc for
+    * why the committer's `_SUCCESS` is not trusted), delete the
+    * sibling. Every crash window is resolved by
     * [[recoverRetraction]], which also runs at the top of this method
     * — a crashed prior retraction is repaired before the hit scan, so
     * its rows are visible to this one. Never run with a live writer
@@ -212,6 +231,7 @@ object Artifacts {
       spark.read.parquet(retired.toString)
         .join(idsB, Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(part.toString)
+      f.create(new Path(part, RetractCommitted)).close()
       f.delete(retired, true)
     }
     hits.map(_._2).sum

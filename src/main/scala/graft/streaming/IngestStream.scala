@@ -75,16 +75,74 @@ object IngestStream {
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
     graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, storeDir)
     graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, outDir)
+    runLoop(stream, idCol, textCol, checkpointDir, k, bands, shingleN,
+      minJaccard, maxBroadcastRows,
+      readStore = (spark, batchId) =>
+        // partition-discovered read: the `batch` column comes from the
+        // directory names, letting the replay exclude its own partial
+        // partition. basePath pins discovery to the store root.
+        spark.read.option("basePath", storeDir).parquet(storeDir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch"),
+      writeOut = (survivors, batchId) =>
+        survivors.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId"),
+      writeStore = (sigRows, batchId) =>
+        sigRows.write.mode("overwrite")
+          .parquet(s"$storeDir/batch=$batchId"))
+  }
+
+  /** [[start]] over MANIFEST-mode artifacts
+    * ([[graft.pipeline.Manifest]]) — the object-store-safe layout: a
+    * half-written batch is never visible (it has no manifest entry),
+    * so crash recovery is pure garbage collection and no directory is
+    * ever renamed. The own-batchId exclusion is still applied: a
+    * batch that committed its manifest entries but crashed before the
+    * CHECKPOINT commit replays, and must not match its prior
+    * attempt's rows ([[graft.pipeline.Manifest.append]]'s
+    * upsert-by-value then replaces them, keeping the replay
+    * idempotent). Seed the store first via
+    * [[graft.pipeline.Manifest.append]] with value -1. */
+  def startManifest(stream: DataFrame, idCol: String, textCol: String,
+      storeDir: String, outDir: String, checkpointDir: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      minJaccard: Double = 0.7,
+      maxBroadcastRows: Long = 200000L): StreamingQuery = {
+    import graft.pipeline.Manifest
+    val sparkAtStart = stream.sparkSession
+    // crash recovery in manifest mode IS garbage collection: a
+    // crashed batch/compact/retract left only unreferenced gen- dirs
+    Manifest.gc(sparkAtStart, storeDir)
+    if (Manifest.exists(sparkAtStart, outDir))
+      Manifest.gc(sparkAtStart, outDir)
+    runLoop(stream, idCol, textCol, checkpointDir, k, bands, shingleN,
+      minJaccard, maxBroadcastRows,
+      readStore = (spark, batchId) =>
+        Manifest.rows(spark, storeDir)
+          .filter(col("batch") =!= batchId)
+          .drop("batch"),
+      writeOut = (survivors, batchId) =>
+        Manifest.append(survivors.sparkSession, outDir, survivors,
+          batchId),
+      writeStore = (sigRows, batchId) =>
+        Manifest.append(sigRows.sparkSession, storeDir, sigRows,
+          batchId))
+  }
+
+  /** The shared micro-batch loop: dedup each arriving batch against
+    * the current store (excluding the batch's own prior half-written
+    * rows), write the survivors and their signature rows through the
+    * layout's writers. */
+  private def runLoop(stream: DataFrame, idCol: String,
+      textCol: String, checkpointDir: String, k: Int, bands: Int,
+      shingleN: Int, minJaccard: Double, maxBroadcastRows: Long,
+      readStore: (SparkSession, Long) => DataFrame,
+      writeOut: (DataFrame, Long) => Unit,
+      writeStore: (DataFrame, Long) => Unit): StreamingQuery = {
     val validated = new java.util.concurrent.atomic.AtomicBoolean(false)
     val step: (DataFrame, Long) => Unit = { (batch0, batchId) =>
       val spark = batch0.sparkSession
-      // partition-discovered read: the `batch` column comes from the
-      // directory names, letting the replay exclude its own partial
-      // partition. basePath pins discovery to the store root.
-      val store = spark.read.option("basePath", storeDir)
-        .parquet(storeDir)
-        .filter(col("batch") =!= batchId)
-        .drop("batch")
+      val store = readStore(spark, batchId)
       // persist + count does double duty: the batch is read several
       // times downstream (content keying, the rep semi-join, the
       // survivor writes), so materializing it once pays for the size
@@ -109,8 +167,7 @@ object IngestStream {
             broadcastNew = batchRows <= maxBroadcastRows)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          survivors.write.mode("overwrite")
-            .parquet(s"$outDir/batch=$batchId")
+          writeOut(survivors, batchId)
           // write appends in the STORE'S OWN schema: against a store
           // written before the `sz` column existed, appending sz-
           // bearing rows would manufacture the mixed store the width
@@ -120,9 +177,10 @@ object IngestStream {
           // the operator opts in via rebuildStore
           val sigRows = Dedup.signatureStore(survivors, idCol,
             textCol, k, shingleN)
-          (if (store.columns.contains("sz")) sigRows
-           else sigRows.drop("sz"))
-            .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+          writeStore(
+            if (store.columns.contains("sz")) sigRows
+            else sigRows.drop("sz"),
+            batchId)
         } finally survivors.unpersist()
       } finally batch.unpersist()
       ()
@@ -148,53 +206,119 @@ object IngestStream {
     * compacted store, and keep/drop is unchanged (row-set-preserving —
     * CompactionSpec).
     *
-    * Pass `checkpointDir` to guard the one genuinely unsafe window:
-    * compacting a batch whose commit marker is MISSING (the query
-    * crashed mid-batch). Folding that batch's rows into the unlabeled
-    * base would defeat [[start]]'s own-batchId store exclusion — the
-    * crash-replay's documents would match their own half-written rows
-    * in the base and every one would vanish. The guard fails loudly
-    * and tells the operator to restart (finishing the replay), stop
-    * cleanly, then compact. COMMITTED batch ids stay restart-safe with
-    * no guard needed: a committed batch never replays. */
+    * `checkpointDir` (REQUIRED — it is the query's own checkpoint)
+    * guards the one genuinely unsafe window: compacting a batch whose
+    * commit marker is MISSING (the query crashed mid-batch). Folding
+    * that batch's rows into the unlabeled base would defeat
+    * [[start]]'s own-batchId store exclusion — the crash-replay's
+    * documents would match their own half-written rows in the base
+    * and every one would vanish (permanent, SILENT data loss). The
+    * guard fails loudly and tells the operator to restart (finishing
+    * the replay), stop cleanly, then compact. COMMITTED batch ids
+    * stay restart-safe with no guard needed: a committed batch never
+    * replays. A layout driven as a BATCH loop (no streaming
+    * checkpoint — every write is synchronous, so no partition can be
+    * mid-batch) compacts through [[compactBatchLayout]] instead; the
+    * unsafe path is deliberately not reachable by default (round-16
+    * advice: the opt-in guard left the default unsafe). */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
-      checkpointDir: Option[String] = None, numFiles: Int = 0): Unit = {
-    checkpointDir.foreach { ck =>
-      val conf = spark.sparkContext.hadoopConfiguration
-      val commitsPath = new org.apache.hadoop.fs.Path(ck, "commits")
-      val cfs = commitsPath.getFileSystem(conf)
-      // streaming executes batches SEQUENTIALLY (batch N+1 starts only
-      // after N commits), so the only possibly-uncommitted batch id is
-      // one BEYOND the newest commit marker. Comparing against the
-      // marker SET would misfire on long-running queries: the commit
-      // log is purged to spark.sql.streaming.minBatchesToRetain
-      // (default 100), so a store with >100 batches would flag its
-      // oldest — fully committed — partitions as crashed.
-      val maxCommit: Long = (
-        if (!cfs.exists(commitsPath)) Seq.empty[Long]
-        else cfs.listStatus(commitsPath).toSeq
-          .map(_.getPath.getName).filter(_.forall(_.isDigit))
-          .map(_.toLong)
-      ).foldLeft(-1L)(math.max)
-      def uncommitted(dir: String): Seq[Long] = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(conf)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("batch="))
-          .map(_.stripPrefix("batch=").toLong)
-          .filter(b => b > maxCommit)
-      }
-      val bad = (uncommitted(storeDir) ++ uncommitted(outDir))
-        .distinct.sorted
-      require(bad.isEmpty,
-        s"uncommitted batch partition(s) ${bad.mkString(", ")} under " +
-          s"$storeDir / $outDir — the query crashed mid-batch; " +
-          "restart it to finish the replay, stop cleanly, then compact")
+      checkpointDir: String, numFiles: Int = 0): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val maxCommit = newestCommit(spark, checkpointDir)
+    def uncommitted(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(b => b > maxCommit)
     }
+    val bad = (uncommitted(storeDir) ++ uncommitted(outDir))
+      .distinct.sorted
+    require(bad.isEmpty,
+      s"uncommitted batch partition(s) ${bad.mkString(", ")} under " +
+        s"$storeDir / $outDir — the query crashed mid-batch; " +
+        "restart it to finish the replay, stop cleanly, then compact")
+    compactBatchLayout(spark, storeDir, outDir, numFiles)
+  }
+
+  /** [[compact]] without the uncommitted-batch guard — ONLY for a
+    * store/out pair driven as a synchronous BATCH loop (each `batch=N`
+    * write returned before the next began, so no partition can be a
+    * crash-replay's half; the q199 lifecycle gate's layout). For
+    * artifacts a streaming query accretes, use [[compact]] with the
+    * query's checkpoint — that path refuses the mid-batch window. */
+  def compactBatchLayout(spark: SparkSession, storeDir: String,
+      outDir: String, numFiles: Int = 0): Unit = {
     graft.pipeline.Dedup.compactStore(spark, storeDir, numFiles)
     graft.pipeline.Artifacts.compactPartitioned(spark, outDir,
       numFiles = numFiles)
+  }
+
+  /** [[compact]] for MANIFEST-mode artifacts ([[startManifest]]'s
+    * layout): fold both manifests' generations into one base each.
+    * The same uncommitted-batch guard applies — a batch whose
+    * manifest entries committed but whose CHECKPOINT commit is
+    * missing will replay, and folding its rows into the base (value
+    * -1) would defeat the replay's own-batchId exclusion exactly as
+    * in the partitioned layout. The guard reads batch ids from the
+    * MANIFEST (no directory listing): a half-written batch can't even
+    * appear there, so the only flagged state is the genuine
+    * checkpoint-lag window. */
+  def compactManifest(spark: SparkSession, storeDir: String,
+      outDir: String, checkpointDir: String, numFiles: Int = 0)
+      : Unit = {
+    import graft.pipeline.Manifest
+    val maxCommit = newestCommit(spark, checkpointDir)
+    def uncommitted(dir: String): Seq[Long] =
+      if (!Manifest.exists(spark, dir)) Seq.empty
+      else Manifest.state(spark, dir).entries.map(_.value)
+        .filter(_ > maxCommit)
+    val bad = (uncommitted(storeDir) ++ uncommitted(outDir))
+      .distinct.sorted
+    require(bad.isEmpty,
+      s"manifest batch(es) ${bad.mkString(", ")} under $storeDir / " +
+        s"$outDir have no checkpoint commit — the query crashed " +
+        "before committing; restart it to finish the replay, stop " +
+        "cleanly, then compact")
+    Manifest.compact(spark, storeDir, numFiles = numFiles)
+    if (Manifest.exists(spark, outDir))
+      Manifest.compact(spark, outDir, numFiles = numFiles)
+  }
+
+  /** [[retract]] for MANIFEST-mode artifacts: remove the ids' rows
+    * from both manifests, rewriting only hit generations — each
+    * retraction is one atomic manifest swap per artifact (readers see
+    * all of it or none). Returns (store rows removed, kept docs
+    * removed). */
+  def retractManifest(spark: SparkSession, storeDir: String,
+      outDir: String, ids: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id"): (Long, Long) = {
+    import graft.pipeline.Manifest
+    (Manifest.retract(spark, storeDir, ids, idCol),
+      if (Manifest.exists(spark, outDir))
+        Manifest.retract(spark, outDir, ids, idCol)
+      else 0L)
+  }
+
+  /** The newest committed batch id in a streaming checkpoint (-1 if
+    * none). Streaming executes batches SEQUENTIALLY (batch N+1 starts
+    * only after N commits), so the only possibly-uncommitted id is
+    * one BEYOND this; comparing against the marker SET would misfire
+    * on long-running queries whose commit log was purged to
+    * spark.sql.streaming.minBatchesToRetain. */
+  private def newestCommit(spark: SparkSession,
+      checkpointDir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commitsPath =
+      new org.apache.hadoop.fs.Path(checkpointDir, "commits")
+    val cfs = commitsPath.getFileSystem(conf)
+    (if (!cfs.exists(commitsPath)) Seq.empty[Long]
+     else cfs.listStatus(commitsPath).toSeq
+       .map(_.getPath.getName).filter(_.forall(_.isDigit))
+       .map(_.toLong)
+    ).foldLeft(-1L)(math.max)
   }
 
   /** Retract (un-keep) documents from BOTH artifacts this stream

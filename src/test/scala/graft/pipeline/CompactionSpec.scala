@@ -241,7 +241,7 @@ class CompactionSpec extends SparkSpec {
 
     // compact with the clean checkpoint: guard passes, dirs collapse
     graft.streaming.IngestStream.compact(spark, storeDir, outDir,
-      Some(ckpt))
+      ckpt)
     assert(batchDirs(storeDir) == Seq("batch=-1"))
     assert(batchDirs(outDir) == Seq("batch=-1"))
     assert(graft.streaming.IngestStream.keptDocs(spark, outDir)
@@ -270,7 +270,7 @@ class CompactionSpec extends SparkSpec {
     Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
     val e = intercept[IllegalArgumentException] {
       graft.streaming.IngestStream.compact(spark, storeDir, outDir,
-        Some(ckpt))
+        ckpt)
     }
     assert(e.getMessage.contains("uncommitted batch partition"))
     // finish the replay, stop cleanly — now compaction proceeds
@@ -288,7 +288,7 @@ class CompactionSpec extends SparkSpec {
     Files.delete(oldest)
     Files.deleteIfExists(commits.resolve(s".${oldest.getFileName}.crc"))
     graft.streaming.IngestStream.compact(spark, storeDir, outDir,
-      Some(ckpt))
+      ckpt)
     assert(batchDirs(storeDir) == Seq("batch=-1"))
     assert(graft.streaming.IngestStream.keptDocs(spark, outDir)
       .select("doc_id").as[Long].collect().toSet ==

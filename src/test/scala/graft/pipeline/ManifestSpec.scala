@@ -1,0 +1,339 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The manifest-committed artifact layout ([[Manifest]]) — the
+  * object-store-safe twin of [[Artifacts]]'s rename swap. Proves the
+  * four lifecycle verbs row-identical to their rename-mode semantics
+  * (append/upsert, compact, retract, rebuild), re-proves the
+  * CompactionSpec/RetractionSpec crash cases RENAME-LESSLY (every
+  * crash window resolves by garbage collection alone — no restore
+  * arm), and — via [[RenameAuditFileSystem]] — proves the layout's
+  * only in-place mutation is the single-FILE `_MANIFEST` replace (the
+  * primitive an object PUT provides), where the [[Artifacts]] swap
+  * demands whole-DIRECTORY renames. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val corpus = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2L -> "completely different text about spark query engines and shuffles",
+    3L -> "a document about watermarks and state stores in streaming jobs",
+    4L -> "another piece mentioning parquet bucketing and broadcast joins")
+    .toDF("doc_id", "text")
+
+  private def sigs(df: DataFrame): DataFrame =
+    Dedup.signatureStore(df, "doc_id", "text")
+
+  test("append/rows round-trip; upsert-by-value makes a replayed " +
+      "batch idempotent; the partition value filters by column") {
+    val dir = Files.createTempDirectory("manifest_rt").toString
+    Manifest.append(spark, dir, sigs(corpus.filter(col("doc_id") <= 2)),
+      -1L)
+    Manifest.append(spark, dir, sigs(corpus.filter(col("doc_id") === 3)),
+      0L)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") <= 3))))
+    // the value rides as a data column — the own-batch exclusion shape
+    assert(sortedRows(Manifest.rows(spark, dir)
+        .filter(col("batch") =!= 0L).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") <= 2))))
+
+    // a replayed batch 0 (crash after manifest commit, before the
+    // checkpoint commit) REPLACES its prior entry — no duplicates
+    Manifest.append(spark, dir, sigs(corpus.filter(col("doc_id") === 3)),
+      0L)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") <= 3))))
+    val st = Manifest.state(spark, dir)
+    assert(st.entries.map(_.value).sorted == Seq(-1L, 0L))
+    // the replaced generation is unreferenced debris; gc removes it
+    assert(Manifest.gc(spark, dir) == 1)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") <= 3))))
+  }
+
+  test("compact preserves the row multiset and keep/drop, collapses " +
+      "to one generation, and is idempotent — the CompactionSpec " +
+      "contract, rename-less") {
+    val dir = Files.createTempDirectory("manifest_compact").toString
+    Seq(-1L -> corpus.filter(col("doc_id") <= 2),
+        0L -> corpus.filter(col("doc_id") === 3),
+        1L -> corpus.filter(col("doc_id") === 4))
+      .foreach { case (v, df) =>
+        Manifest.append(spark, dir, sigs(df), v) }
+    def store(): DataFrame = Manifest.rows(spark, dir).drop("batch")
+    val probe = Seq(
+      100L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa xx",
+      103L -> "a genuinely novel document mentioning nothing seen before now")
+      .toDF("doc_id", "text")
+    def keeps(): Set[Long] =
+      Dedup.dedupAgainstStore(probe, "doc_id", "text", store(),
+        minJaccard = 0.5).select("doc_id").as[Long].collect().toSet
+    val rowsBefore = sortedRows(store())
+    assert(keeps() == Set(103L))
+
+    Manifest.compact(spark, dir)
+    val st = Manifest.state(spark, dir)
+    assert(st.entries.map(_.value) == Seq(-1L))
+    assert(sortedRows(store()) == rowsBefore)
+    assert(keeps() == Set(103L))
+    Manifest.compact(spark, dir) // idempotent
+    assert(sortedRows(store()) == rowsBefore)
+    // exactly one gen- directory remains on disk (old ones GC'd)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("gen-")) == 1)
+  }
+
+  test("retract == rebuild from the surviving corpus, rewrites only " +
+      "hit generations, and commits atomically — the RetractionSpec " +
+      "contract, rename-less") {
+    val dir = Files.createTempDirectory("manifest_retract").toString
+    Seq(-1L -> corpus.filter(col("doc_id") <= 2),
+        0L -> corpus.filter(col("doc_id") === 3),
+        1L -> corpus.filter(col("doc_id") === 4))
+      .foreach { case (v, df) =>
+        Manifest.append(spark, dir, sigs(df), v) }
+    def genFiles(value: Long): Map[String, Long] = {
+      val st = Manifest.state(spark, dir)
+      val p = st.entries.find(_.value == value).get.path
+      new java.io.File(s"$dir/$p").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedSeed = genFiles(-1L)
+    val untouched1 = genFiles(1L)
+
+    val removed = Manifest.retract(spark, dir,
+      Seq(3L, 999L).toDF("doc_id"), "doc_id")
+    assert(removed == 1L)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") =!= 3L))))
+    // untouched generations kept their files byte-identical
+    assert(genFiles(-1L) == untouchedSeed)
+    assert(genFiles(1L) == untouched1)
+    // the hit generation keeps its VALUE but points at a fresh dir
+    val st = Manifest.state(spark, dir)
+    assert(st.entries.map(_.value).sorted == Seq(-1L, 0L, 1L))
+    assert(st.entries.find(_.value == 0L).get.rows == 0L)
+  }
+
+  test("every crash window resolves by gc alone — no restore arm, no " +
+      "directory rename: the reader is never wrong in ANY " +
+      "intermediate state") {
+    val dir = Files.createTempDirectory("manifest_crash").toString
+    Manifest.append(spark, dir, sigs(corpus), -1L)
+    val rowsBefore = sortedRows(Manifest.rows(spark, dir).drop("batch"))
+
+    // crashed compact/append/rebuild: a fully- or half-written gen-
+    // directory exists but the manifest never committed. The reader
+    // reads THROUGH the manifest, so it is unaffected even before gc.
+    sigs(corpus).withColumn("batch", lit(-1L))
+      .write.parquet(s"$dir/gen--1-deadbeef")
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      rowsBefore)
+    // a crashed commit: the temp manifest was written, the atomic
+    // replace never happened — also invisible, also gc debris
+    Files.write(java.nio.file.Paths.get(dir, "_MANIFEST.tmp-crashed"),
+      "graft-manifest\t1\t99\tbatch\n".getBytes)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      rowsBefore)
+    assert(Manifest.gc(spark, dir) == 2)
+    assert(Manifest.gc(spark, dir) == 0) // idempotent
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      rowsBefore)
+
+    // crashed retract: survivors rewritten to a fresh dir, manifest
+    // not committed — the retraction simply hasn't happened yet
+    sigs(corpus.filter(col("doc_id") =!= 3L))
+      .withColumn("batch", lit(-1L))
+      .write.parquet(s"$dir/gen--1-cafe0000")
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      rowsBefore)
+    assert(Manifest.gc(spark, dir) == 1)
+    // re-running the retraction completes it
+    assert(Manifest.retract(spark, dir, Seq(3L).toDF("doc_id"),
+      "doc_id") == 1L)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus.filter(col("doc_id") =!= 3L))))
+  }
+
+  test("adopt migrates a batch=N layout in place, folds it to one " +
+      "base, and resumes after a crash between its two commits") {
+    val dir = Files.createTempDirectory("manifest_adopt").toString
+    sigs(corpus.filter(col("doc_id") <= 2))
+      .write.parquet(s"$dir/batch=-1")
+    sigs(corpus.filter(col("doc_id") > 2))
+      .write.parquet(s"$dir/batch=0")
+    val expect = sortedRows(sigs(corpus))
+    Manifest.adopt(spark, dir)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) == expect)
+    val st = Manifest.state(spark, dir)
+    assert(st.entries.map(_.value) == Seq(-1L))
+    // pre-adoption dirs are gone (folded + gc'd)
+    assert(!new java.io.File(s"$dir/batch=-1").exists())
+    assert(!new java.io.File(s"$dir/batch=0").exists())
+
+    // crash between adopt's two commits: manifest points at the old
+    // batch=N dirs; re-running adopt resumes the fold
+    val dir2 = Files.createTempDirectory("manifest_adopt2").toString
+    sigs(corpus.filter(col("doc_id") <= 2))
+      .write.parquet(s"$dir2/batch=-1")
+    sigs(corpus.filter(col("doc_id") > 2))
+      .write.parquet(s"$dir2/batch=0")
+    // hand-build the intermediate state: commit #1 only
+    Files.write(java.nio.file.Paths.get(dir2, "_MANIFEST"),
+      "graft-manifest\t1\t1\tbatch\n-1\tbatch=-1\t2\n0\tbatch=0\t2\n"
+        .getBytes)
+    Manifest.adopt(spark, dir2)
+    assert(sortedRows(Manifest.rows(spark, dir2).drop("batch")) ==
+      expect)
+    assert(Manifest.state(spark, dir2).entries.map(_.value) == Seq(-1L))
+  }
+
+  test("the layout never renames a directory: the whole lifecycle on " +
+      "a rename-auditing FS records only committer _temporary moves " +
+      "and the single-file _MANIFEST replace; the Artifacts swap on " +
+      "the same FS records whole-directory renames") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.audit.impl",
+      classOf[RenameAuditFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.audit.impl",
+      classOf[RenameAuditAbstractFs].getName)
+    val local = Files.createTempDirectory("manifest_audit").toString
+    val dir = s"audit://$local/artifact"
+
+    RenameAuditFileSystem.reset()
+    Manifest.append(spark, dir, sigs(corpus.filter(col("doc_id") <= 2)),
+      -1L)
+    Manifest.append(spark, dir, sigs(corpus.filter(col("doc_id") === 3)),
+      0L)
+    Manifest.compact(spark, dir)
+    Manifest.retract(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    Manifest.rebuild(spark, dir, sigs(corpus))
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      sortedRows(sigs(corpus)))
+    val offenders = RenameAuditFileSystem.all().filterNot {
+      case (src, dst, _) =>
+        // the output committer's internal task/job promotion (a
+        // deployment swaps the committer on an object store; the
+        // LAYOUT's protocol is what's under proof here) …
+        src.contains("/_temporary/") || dst.contains("/_temporary/") ||
+          // … and the one move the protocol itself makes: the
+          // single-FILE manifest replace (≡ an object PUT)
+          (src.contains("/_MANIFEST.tmp-") && dst.endsWith("/_MANIFEST"))
+    }
+    assert(offenders.isEmpty,
+      s"unexpected renames: ${offenders.mkString("; ")}")
+    // and the manifest replace is a FILE move, never a directory
+    assert(RenameAuditFileSystem.all()
+      .filter(_._2.endsWith("/_MANIFEST")).forall(!_._3))
+
+    // negative control: the rename-swap layout on the same FS moves
+    // whole DIRECTORIES outside _temporary — the object-store hazard
+    val swapLocal = Files.createTempDirectory("artifacts_audit").toString
+    val swapDir = s"audit://$swapLocal/store"
+    sigs(corpus).write.parquet(s"$swapDir/batch=-1")
+    RenameAuditFileSystem.reset()
+    Artifacts.compactPartitioned(spark, swapDir)
+    assert(RenameAuditFileSystem.all().exists { case (src, dst, isDir) =>
+      isDir && !src.contains("/_temporary/") &&
+        !dst.contains("/_temporary/")
+    })
+  }
+
+  test("startManifest: streaming ingest over manifest artifacts — " +
+      "keep/drop matches the partitioned layout, compactManifest's " +
+      "guard refuses a checkpoint-lagged batch, restart resumes") {
+    val root = Files.createTempDirectory("manifest_ingest").toString
+    val (inDir, storeDir, outDir, ckpt) =
+      (s"$root/in", s"$root/store", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(inDir, s".$name.tmp")
+      Files.write(tmp, lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, java.nio.file.Paths.get(inDir, name))
+      ()
+    }
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    Manifest.append(spark, storeDir, sigs(corpus.limit(1)), -1L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def start() = graft.streaming.IngestStream.startManifest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir),
+      "doc_id", "text", storeDir, outDir, ckpt, minJaccard = 0.5)
+
+    val q1 = start()
+    writeFile("b0.json", Seq(
+      doc(10L, "a fresh document about watermarks and state stores"),
+      doc(11L, "another fresh piece mentioning parquet bucketing today")))
+    q1.processAllAvailable()
+    writeFile("b1.json", Seq(
+      doc(20L, "genuinely new content on codegen and tungsten"),
+      // near-dup of batch-0's survivor: the store APPEND is live
+      doc(21L, "a fresh document about watermarks and state stores zz")))
+    q1.processAllAvailable()
+    q1.stop()
+    def kept(): Set[Long] = Manifest.rows(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept() == Set(10L, 11L, 20L))
+
+    // compact with the clean checkpoint: guard passes, one generation
+    graft.streaming.IngestStream.compactManifest(spark, storeDir,
+      outDir, ckpt)
+    assert(Manifest.state(spark, storeDir).entries.map(_.value) ==
+      Seq(-1L))
+    assert(kept() == Set(10L, 11L, 20L))
+
+    // restart on the compacted store: near-dup still drops, fresh
+    // keeps — and the manifest guard refuses a checkpoint-lagged batch
+    writeFile("b2.json", Seq(
+      doc(30L, "another fresh piece mentioning parquet bucketing today xx"),
+      doc(31L, "entirely unseen sentence about broadcast joins and skew")))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(kept() == Set(10L, 11L, 20L, 31L))
+
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    import scala.jdk.CollectionConverters._
+    val newest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(newest)
+    Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.compactManifest(spark, storeDir,
+        outDir, ckpt)
+    }
+    assert(e.getMessage.contains("no checkpoint commit"))
+    // finish the replay (upsert-by-value makes it idempotent), stop
+    // cleanly — compaction then proceeds and keep/drop is unchanged
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(kept() == Set(10L, 11L, 20L, 31L))
+    graft.streaming.IngestStream.compactManifest(spark, storeDir,
+      outDir, ckpt)
+    assert(Manifest.state(spark, storeDir).entries.map(_.value) ==
+      Seq(-1L))
+    assert(kept() == Set(10L, 11L, 20L, 31L))
+
+    // retractManifest: the takedown path over both artifacts
+    val (sr, dr) = graft.streaming.IngestStream.retractManifest(
+      spark, storeDir, outDir, Seq(20L).toDF("doc_id"))
+    assert(sr == 1L && dr == 1L)
+    assert(kept() == Set(10L, 11L, 31L))
+  }
+}

@@ -109,11 +109,12 @@ class RetractionSpec extends SparkSpec {
       .parquet(storeDir).drop("batch")) == rowsBefore)
     assert(!new java.io.File(s"$storeDir.retired--1").exists())
 
-    // window B: crash AFTER the rewrite committed (_SUCCESS present)
-    // but before the sibling delete — recovery must keep the rewrite
-    // and drop the sibling. Materialize the rewrite BEFORE the
-    // overwrite (a lazy plan would read the very files the write
-    // deletes)
+    // window B: crash AFTER the rewrite committed (the explicit
+    // _RETRACT_COMMITTED marker present — retractPartitioned writes it
+    // itself after the survivor write returns) but before the sibling
+    // delete — recovery must keep the rewrite and drop the sibling.
+    // Materialize the rewrite BEFORE the overwrite (a lazy plan would
+    // read the very files the write deletes)
     val src = spark.read.parquet(s"$storeDir/batch=-1")
     val rewrittenRows = Dedup.retract(src,
       Seq(3L).toDF("doc_id"), "doc_id").collect().toSeq
@@ -127,7 +128,28 @@ class RetractionSpec extends SparkSpec {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rewrittenRows), src.schema)
       .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+
+    // window B': the survivor write returned (the committer's
+    // _SUCCESS may even be present) but the crash hit BEFORE the
+    // explicit marker — recovery must treat the rewrite as
+    // uncommitted and restore the sibling (conservative: the rewrite
+    // is merely redone; trusting the configurable _SUCCESS here would
+    // silently un-retract on marksuccessfuljobs=false clusters)
     assert(new java.io.File(s"$storeDir/batch=-1/_SUCCESS").exists())
+    assert(!new java.io.File(
+      s"$storeDir/batch=-1/_RETRACT_COMMITTED").exists())
+    assert(Artifacts.recoverRetraction(spark, storeDir) == 1)
+    assert(sortedRows(spark.read.option("basePath", storeDir)
+      .parquet(storeDir).drop("batch")) == rowsBefore)
+
+    // now the full window B: rewrite + marker present, sibling not
+    // yet deleted — recovery keeps the rewrite and drops the sibling
+    cp(s"$storeDir/batch=-1", s"$storeDir.retired--1")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rewrittenRows), src.schema)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
+    new java.io.File(s"$storeDir/batch=-1/_RETRACT_COMMITTED")
+      .createNewFile()
     val afterRewrite = sortedRows(spark.read
       .option("basePath", storeDir).parquet(storeDir).drop("batch"))
     assert(Artifacts.recoverRetraction(spark, storeDir) == 1)
