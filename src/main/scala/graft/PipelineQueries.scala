@@ -513,6 +513,44 @@ object PipelineQueries {
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY probe_id, neighbor_id""".stripMargin
 
+  /** The frozen-model index-append lifecycle through the MANIFEST
+    * layout ([[Similarity.writeIndexManifest]] — model and code rows
+    * live together under one committed `_MANIFEST`, the
+    * object-store-safe form of q196's artifact): model trains once on
+    * batch 1 and commits WITH batch 1's rows in one swap, batches 2
+    * and 3 append under the frozen model via [[Manifest.append]], a
+    * compaction between them folds the generations (the `@model`
+    * property rides through), and the query runs off
+    * [[Similarity.readIndexManifest]]'s round-trip. q92's
+    * planted-copy construction keeps the gate deterministic under any
+    * model; a manifest losing an append, the model, or a generation
+    * in the compaction fails the cosine-1.0 rows. */
+  def q204_manifest_index(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val e = embs(spark, dir).select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 10)
+    val corpus = e.unionByName(probes.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val b1 = corpus.filter(col("vec_id") % 3 === 0)
+    val b2 = corpus.filter(col("vec_id") % 3 === 1)
+    val b3 = corpus.filter(col("vec_id") % 3 === 2)
+    val root = tempLifecycleDir("q204_manifest_index")
+    val idxDir = s"$root/index"
+    val (model, idx1) = Similarity.ivfPqIndex(b1, "vec_id",
+      "embedding", nlist = 16, m = 8, ksub = 16)
+    Similarity.writeIndexManifest(spark, idxDir, model, idx1)
+    graft.pipeline.Manifest.append(spark, idxDir,
+      Similarity.indexBatch(b2, "vec_id", "embedding", model), 0L)
+    Similarity.compactIndexManifest(spark, idxDir)
+    graft.pipeline.Manifest.append(spark, idxDir,
+      Similarity.indexBatch(b3, "vec_id", "embedding", model), 1L)
+    val (model2, idx) = Similarity.readIndexManifest(spark, idxDir)
+    Similarity.knnIvfPqOnIndex(probes, idx, corpus, "vec_id",
+      "embedding", model2, k = 1, nprobe = 4, shortlist = 32)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   /** SemDeDup at the driver gate: clones of vec_id < 20 planted
     * (+100000); identical vectors share a k-means cell at any nlist
     * (and collapse to one rep in [[Similarity.semanticClusterEdges]] —
@@ -4482,6 +4520,7 @@ object PipelineQueries {
     "q201_rebuild_store" -> (q201_rebuild_store _),
     "q202_rebuild_index" -> (q202_rebuild_index _),
     "q203_manifest_lifecycle" -> (q203_manifest_lifecycle _),
+    "q204_manifest_index" -> (q204_manifest_index _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -4601,6 +4640,8 @@ object PipelineQueries {
     "q202_rebuild_index" -> q92_sql,
     // manifest-committed ≡ rename-compacted ≡ accumulated
     "q203_manifest_lifecycle" -> q195_sql,
+    // model + rows under one committed manifest answer the q92 rows
+    "q204_manifest_index" -> q92_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,

@@ -33,11 +33,19 @@ import org.apache.spark.sql.functions._
   *                            prunes whole files)
   * }}}
   *
-  * Manifest format (TSV — one header, one line per live generation):
+  * Manifest format (TSV — one header, optional `@key	path`
+  * property lines, one line per live generation):
   * {{{
   *   graft-manifest	1	<version>	<partitionCol>
+  *   @<key>	<relative path>
   *   <value>	<relative dir name>	<rows>
   * }}}
+  * Properties name auxiliary paths that must swap ATOMICALLY with the
+  * row set — the IVF-PQ index's quantizer model is the motivating
+  * case: a rebuild retrains the model AND re-encodes every row, and a
+  * reader must never see the new model with the old codes (or vice
+  * versa); one committed manifest carries both. Property-referenced
+  * paths are live for [[gc]] exactly like entry paths.
   *
   * The commit protocol makes every crash window trivially safe, with
   * NO restore step (compare [[Artifacts.recoverCompaction]] /
@@ -77,10 +85,11 @@ object Manifest {
   final case class Entry(value: Long, path: String, rows: Long)
 
   /** The committed state: a monotonically increasing version (debug /
-    * audit trail — correctness needs only atomic replacement) plus
-    * the live entries. */
+    * audit trail — correctness needs only atomic replacement), the
+    * live entries, and auxiliary property paths (see the format note
+    * above). */
   final case class State(version: Long, partitionCol: String,
-      entries: Seq[Entry])
+      entries: Seq[Entry], props: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,12 +118,19 @@ object Manifest {
     require(head.length == 4 && head(0) == "graft-manifest" &&
       head(1) == "1", s"unrecognized manifest header at $p: " +
       lines.head)
-    val entries = lines.tail.map { l =>
+    val (propLines, entryLines) =
+      lines.tail.partition(_.startsWith("@"))
+    val props = propLines.map { l =>
+      val c = l.split('\t')
+      require(c.length == 2, s"bad manifest property at $p: $l")
+      c(0).stripPrefix("@") -> c(1)
+    }.toMap
+    val entries = entryLines.map { l =>
       val c = l.split('\t')
       require(c.length == 3, s"bad manifest line at $p: $l")
       Entry(c(0).toLong, c(1), c(2).toLong)
     }
-    State(head(2).toLong, head(3), entries)
+    State(head(2).toLong, head(3), entries, props)
   }
 
   /** Atomically replace the manifest: the new state is fully written
@@ -129,6 +145,7 @@ object Manifest {
     val tmp = new Path(dir, s"$ManifestFile.tmp-${UUID.randomUUID()}")
     val body = (
       Seq(s"graft-manifest\t1\t${st.version}\t${st.partitionCol}") ++
+        st.props.toSeq.sortBy(_._1).map { case (k, v) => s"@$k\t$v" } ++
         st.entries.map(e => s"${e.value}\t${e.path}\t${e.rows}")
       ).mkString("", "\n", "\n")
     val out = f.create(tmp, true)
@@ -166,7 +183,7 @@ object Manifest {
       s"frame already carries '$partitionCol' — the layout owns it")
     val st =
       if (exists(spark, dir)) state(spark, dir)
-      else State(0L, partitionCol, Nil)
+      else State(0L, partitionCol, Nil, Map.empty)
     require(st.partitionCol == partitionCol,
       s"manifest at $dir tracks '${st.partitionCol}', not " +
         s"'$partitionCol'")
@@ -177,7 +194,8 @@ object Manifest {
     // cadence; exact even if df was non-deterministic)
     val n = countParquet(spark, s"$dir/$gen")
     commit(spark, dir, State(st.version + 1, partitionCol,
-      st.entries.filterNot(_.value == value) :+ Entry(value, gen, n)))
+      st.entries.filterNot(_.value == value) :+ Entry(value, gen, n),
+      st.props))
   }
 
   /** Fold every live generation into one new base generation
@@ -201,25 +219,52 @@ object Manifest {
     shaped.withColumn(st.partitionCol, lit(baseValue))
       .write.mode("overwrite").parquet(s"$dir/$gen")
     commit(spark, dir, State(st.version + 1, st.partitionCol,
-      Seq(Entry(baseValue, gen, st.entries.map(_.rows).sum))))
+      Seq(Entry(baseValue, gen, st.entries.map(_.rows).sum)),
+      st.props))
     gc(spark, dir)
     ()
   }
 
   /** Replace the whole artifact with `df` as one new base generation —
     * the rebuild verb (parameter migration / quantizer retrain) in
-    * manifest form. Same crash story as [[compact]]. */
+    * manifest form; existing properties carry through. Same crash
+    * story as [[compact]]. */
   def rebuild(spark: SparkSession, dir: String, df: DataFrame,
-      baseValue: Long = -1L, numFiles: Int = 0): Unit = {
-    val st = state(spark, dir)
+      baseValue: Long = -1L, numFiles: Int = 0): Unit =
+    replaceAll(spark, dir, df, baseValue,
+      state(spark, dir).partitionCol, numFiles, Nil,
+      state(spark, dir).props)
+
+  /** The general whole-artifact swap: write `df` as the single base
+    * generation (optionally clustered by `repartitionCols` — the
+    * index's `cell`), replace the property map, commit ONCE, GC.
+    * Creates the manifest when the artifact is new — the first write
+    * of a (rows + auxiliary paths) artifact is the same one-commit
+    * swap as its rebuild. Callers stage property paths (e.g. a model
+    * directory) under `dir` BEFORE calling; a crash leaves them as
+    * unreferenced debris, never a half-swapped artifact. */
+  def replaceAll(spark: SparkSession, dir: String, df: DataFrame,
+      baseValue: Long, partitionCol: String, numFiles: Int,
+      repartitionCols: Seq[String], props: Map[String, String])
+      : Unit = {
+    val st =
+      if (exists(spark, dir)) state(spark, dir)
+      else State(0L, partitionCol, Nil, Map.empty)
+    require(st.partitionCol == partitionCol,
+      s"manifest at $dir tracks '${st.partitionCol}', not " +
+        s"'$partitionCol'")
     val n = if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
+    val shaped =
+      if (repartitionCols.nonEmpty)
+        df.repartition(n, repartitionCols.map(col): _*)
+      else df.repartition(n)
     val gen = s"gen-$baseValue-${UUID.randomUUID().toString.take(8)}"
-    df.repartition(n).withColumn(st.partitionCol, lit(baseValue))
+    shaped.withColumn(partitionCol, lit(baseValue))
       .write.mode("overwrite").parquet(s"$dir/$gen")
     val rows = countParquet(spark, s"$dir/$gen")
-    commit(spark, dir, State(st.version + 1, st.partitionCol,
-      Seq(Entry(baseValue, gen, rows))))
+    commit(spark, dir, State(st.version + 1, partitionCol,
+      Seq(Entry(baseValue, gen, rows)), props))
     gc(spark, dir)
     ()
   }
@@ -255,7 +300,7 @@ object Manifest {
       }
     }
     commit(spark, dir,
-      State(st.version + 1, st.partitionCol, rewritten))
+      State(st.version + 1, st.partitionCol, rewritten, st.props))
     gc(spark, dir)
     hits.values.sum
   }
@@ -282,10 +327,11 @@ object Manifest {
   def gc(spark: SparkSession, dir: String): Int = {
     val f = fs(spark, dir)
     val st = state(spark, dir)
-    val live = st.entries.map(_.path).toSet
+    val live = st.entries.map(_.path).toSet ++ st.props.values
     val victims = f.listStatus(new Path(dir)).toSeq.filter { s =>
       val n = s.getPath.getName
-      (n.startsWith("gen-") && !live.contains(n)) ||
+      ((n.startsWith("gen-") || n.startsWith("model-")) &&
+        !live.contains(n)) ||
         n.startsWith(s"$ManifestFile.tmp-") ||
         (n.startsWith(s"${st.partitionCol}=") && !live.contains(n))
     }

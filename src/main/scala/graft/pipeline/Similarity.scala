@@ -681,6 +681,59 @@ object Similarity {
     Artifacts.retractPartitioned(spark, indexDir,
       ids.select(col(idCol).as("neighbor_id")), "neighbor_id")
 
+  /** [[writeIndex]] in MANIFEST form ([[Manifest]] — the
+    * object-store-safe layout): the quantizer model stages to a fresh
+    * `model-<uuid>` directory and the code rows to a fresh base
+    * generation, then ONE manifest commit makes both live together —
+    * a reader can never see a new model with old codes (the
+    * rename-layout equivalent relies on the whole-directory swap).
+    * Appends land via [[Manifest.append]] (the model is untouched);
+    * compaction via [[compactIndexManifest]]; retraction via
+    * [[Manifest.retract]] with idCol `neighbor_id`. */
+  def writeIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, model: IvfPqModel, index: DataFrame,
+      numFiles: Int = 0): Unit = {
+    val modelGen =
+      s"model-${java.util.UUID.randomUUID().toString.take(8)}"
+    model.toFrame(spark).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$modelGen")
+    Manifest.replaceAll(spark, dir, index, -1L, "batch", numFiles,
+      Seq("cell"), Map("model" -> modelGen))
+  }
+
+  /** Read a [[writeIndexManifest]] artifact back as (model, code rows
+    * across every live generation). */
+  def readIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (IvfPqModel, DataFrame) = {
+    val st = Manifest.state(spark, dir)
+    val modelPath = st.props.getOrElse("model",
+      sys.error(s"manifest at $dir carries no @model property — " +
+        "not a writeIndexManifest artifact"))
+    (IvfPqModel.fromFrame(spark.read.parquet(s"$dir/$modelPath")),
+      Manifest.rows(spark, dir).drop("batch"))
+  }
+
+  /** [[compactIndex]] in manifest form: fold every appended
+    * generation into one base re-clustered by `cell` (the probed-scan
+    * unit); the `@model` property — and its directory — ride through
+    * untouched. */
+  def compactIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int = 0): Unit =
+    Manifest.compact(spark, dir, repartitionCols = Seq("cell"),
+      numFiles = numFiles)
+
+  /** [[rebuildIndex]] in manifest form: retrain on the current
+    * corpus, re-encode, and swap rows AND model in one commit. */
+  def rebuildIndexManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      numFiles: Int = 0): IvfPqModel = {
+    val (model, index) = ivfPqIndex(corpus, idCol, vecCol, nlist, m,
+      ksub, dim)
+    writeIndexManifest(spark, dir, model, index, numFiles)
+    model
+  }
+
   /** The shared encode stage: (neighbor_id, cv) → (neighbor_id, cell,
     * codes) under `model` — top-1 centroid via the codegen'd
     * [[graft.functions.VectorOps.centroidSims]], per-subspace argmin

@@ -250,6 +250,67 @@ class ManifestSpec extends SparkSpec {
     })
   }
 
+  test("index artifact in manifest form: model and rows swap in ONE " +
+      "commit — a staged-but-uncommitted rebuild serves the old pair, " +
+      "compaction carries the model, the answer tracks writeIndex") {
+    def vec(i: Long): Seq[Double] =
+      (0 until 64).map(d => math.sin(i * 64 + d).abs + 0.01)
+    val base = (0L until 48L).map(i => (i, vec(i))).toDF("vec_id", "v")
+    val copies = (0L until 4L).map(i => (i + 1000L, vec(i)))
+      .toDF("vec_id", "v")
+    val corpus = base.unionByName(copies)
+    val b1 = corpus.filter(col("vec_id") % 2 === 0)
+    val b2 = corpus.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("manifest_index").toString +
+      "/index"
+    val (model, idx1) = Similarity.ivfPqIndex(b1, "vec_id", "v",
+      nlist = 4, m = 8, ksub = 8)
+    Similarity.writeIndexManifest(spark, dir, model, idx1)
+    Manifest.append(spark, dir,
+      Similarity.indexBatch(b2, "vec_id", "v", model), 0L)
+    val probes = base.filter(col("vec_id") < 4)
+    def answer(): Seq[(Long, Long)] = {
+      val (m2, idx) = Similarity.readIndexManifest(spark, dir)
+      Similarity.knnIvfPqOnIndex(probes, idx, corpus, "vec_id", "v",
+        m2, k = 1, nprobe = 2, shortlist = 32)
+        .select("probe_id", "neighbor_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+    }
+    val expect = (0L until 4L).map(i => (i, i + 1000L))
+    assert(answer() == expect)
+    val rowsBefore = sortedRows(Manifest.rows(spark, dir).drop("batch"))
+
+    // compaction folds generations, the @model property rides through
+    Similarity.compactIndexManifest(spark, dir)
+    assert(Manifest.state(spark, dir).entries.size == 1)
+    assert(sortedRows(Manifest.rows(spark, dir).drop("batch")) ==
+      rowsBefore)
+    assert(answer() == expect)
+
+    // crashed rebuild: a NEW model directory staged, commit never
+    // happened — the artifact still serves the OLD (model, rows) pair
+    // together, and gc sweeps the staged dir
+    val modelBefore = Manifest.state(spark, dir).props("model")
+    Similarity.ivfPqIndex(corpus, "vec_id", "v",
+        nlist = 8, m = 8, ksub = 8)._1
+      .toFrame(spark).write.parquet(s"$dir/model-deadbeef")
+    assert(Manifest.state(spark, dir).props("model") == modelBefore)
+    assert(answer() == expect)
+    assert(Manifest.gc(spark, dir) == 1)
+    assert(!new java.io.File(s"$dir/model-deadbeef").exists())
+
+    // the committed rebuild swaps both at once (new model trained on
+    // the full corpus; planted copies keep the answer pinned)
+    Similarity.rebuildIndexManifest(spark, dir, corpus, "vec_id",
+      "v", nlist = 8, m = 8, ksub = 8)
+    assert(Manifest.state(spark, dir).props("model") != modelBefore)
+    assert(answer() == expect)
+    // exactly one model dir + one gen dir remain
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("model-")) == 1)
+    assert(names.count(_.startsWith("gen-")) == 1)
+  }
+
   test("startManifest: streaming ingest over manifest artifacts — " +
       "keep/drop matches the partitioned layout, compactManifest's " +
       "guard refuses a checkpoint-lagged batch, restart resumes") {
