@@ -323,17 +323,27 @@ object Manifest {
     * directories of the pre-adoption layout. This IS the crash
     * recovery: no restore arm exists because no committed data is
     * ever unreferenced. Idempotent; run at ingest start. Returns the
-    * number of paths deleted. */
-  def gc(spark: SparkSession, dir: String): Int = {
+    * number of paths deleted.
+    *
+    * `minAgeMs` is the concurrent-reader horizon: a reader in ANOTHER
+    * process that loaded an older manifest may still be scanning
+    * directories this manifest no longer references, so a deployment
+    * with concurrent readers defers deletion until debris is older
+    * than its longest scan (unreferenced debris is invisible to every
+    * NEW reader either way — deferral costs only disk). The
+    * single-actor maintenance verbs here use the default 0. */
+  def gc(spark: SparkSession, dir: String, minAgeMs: Long = 0L): Int = {
     val f = fs(spark, dir)
     val st = state(spark, dir)
     val live = st.entries.map(_.path).toSet ++ st.props.values
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = f.listStatus(new Path(dir)).toSeq.filter { s =>
       val n = s.getPath.getName
-      ((n.startsWith("gen-") || n.startsWith("model-")) &&
+      (((n.startsWith("gen-") || n.startsWith("model-")) &&
         !live.contains(n)) ||
         n.startsWith(s"$ManifestFile.tmp-") ||
-        (n.startsWith(s"${st.partitionCol}=") && !live.contains(n))
+        (n.startsWith(s"${st.partitionCol}=") && !live.contains(n))) &&
+        s.getModificationTime <= cutoff
     }
     victims.foreach(s => f.delete(s.getPath, true))
     victims.size

@@ -71,6 +71,9 @@ object IngestStream {
     // Safe here because both maintenance ops require the query
     // stopped, so no swap can be in flight while a query is starting.
     val sparkAtStart = stream.sparkSession
+    require(!graft.pipeline.Manifest.exists(sparkAtStart, storeDir),
+      s"$storeDir is a MANIFEST-mode artifact — use startManifest " +
+        "(running the partitioned loop against it would mix layouts)")
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, storeDir)
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
     graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, storeDir)
@@ -110,6 +113,10 @@ object IngestStream {
       maxBroadcastRows: Long = 200000L): StreamingQuery = {
     import graft.pipeline.Manifest
     val sparkAtStart = stream.sparkSession
+    require(Manifest.exists(sparkAtStart, storeDir),
+      s"$storeDir has no manifest — seed it with Manifest.append " +
+        "(value -1), or adopt an existing batch=N layout with " +
+        "Manifest.adopt, or use start() for the partitioned loop")
     // crash recovery in manifest mode IS garbage collection: a
     // crashed batch/compact/retract left only unreferenced gen- dirs
     Manifest.gc(sparkAtStart, storeDir)
@@ -319,6 +326,32 @@ object IngestStream {
        .map(_.getPath.getName).filter(_.forall(_.isDigit))
        .map(_.toLong)
     ).foldLeft(-1L)(math.max)
+  }
+
+  /** The policy-gated maintenance step for the stop/restart boundary:
+    * evaluate [[CompactionPolicy]] and compact only when it fires —
+    * one call for the cadence loop a deployment runs between stop()
+    * and the next [[start]]/[[startManifest]] (the `ingest_policy`
+    * probe drives exactly this decision externally; this helper is
+    * the same decision as one verb). Routes to [[compactManifest]]
+    * or [[compact]] by the store's layout. Returns the decision so
+    * the caller can log WHY. */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      outDir: String, checkpointDir: String,
+      maxPartitions: Int = 64,
+      recentWalls: Seq[Double] = Nil,
+      baselineWalls: Seq[Double] = Nil,
+      maxDrift: Double = 1.3, numFiles: Int = 0)
+      : CompactionPolicy.Decision = {
+    val d = CompactionPolicy.evaluate(spark, storeDir, outDir,
+      maxPartitions, recentWalls, baselineWalls, maxDrift)
+    if (d.compact) {
+      if (graft.pipeline.Manifest.exists(spark, storeDir))
+        compactManifest(spark, storeDir, outDir, checkpointDir,
+          numFiles)
+      else compact(spark, storeDir, outDir, checkpointDir, numFiles)
+    }
+    d
   }
 
   /** Retract (un-keep) documents from BOTH artifacts this stream

@@ -199,6 +199,86 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.state(spark, dir2).entries.map(_.value) == Seq(-1L))
   }
 
+  test("gc with a minAge horizon defers deletion of fresh debris " +
+      "(concurrent-reader deployments) and collects it once aged") {
+    val dir = Files.createTempDirectory("manifest_age").toString
+    Manifest.append(spark, dir, sigs(corpus), -1L)
+    sigs(corpus).withColumn("batch", lit(-1L))
+      .write.parquet(s"$dir/gen--1-debris00")
+    // fresh debris survives a horizon-gated sweep …
+    assert(Manifest.gc(spark, dir, minAgeMs = 3600000L) == 0)
+    assert(new java.io.File(s"$dir/gen--1-debris00").exists())
+    // … and the immediate single-actor sweep collects it
+    assert(Manifest.gc(spark, dir) == 1)
+  }
+
+  test("layout MIGRATION under a live checkpoint: partitioned ingest, " +
+      "clean stop, adopt both artifacts, startManifest resumes the " +
+      "SAME checkpoint, and keep/drop continues as if never migrated") {
+    val root = Files.createTempDirectory("manifest_migrate").toString
+    val (inDir, storeDir, outDir, ckpt) =
+      (s"$root/in", s"$root/store", s"$root/out", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Paths.get(inDir, s".$name.tmp")
+      Files.write(tmp, lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, java.nio.file.Paths.get(inDir, name))
+      ()
+    }
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+
+    // phase 1: the PARTITIONED loop, two batches
+    graft.streaming.IngestStream.seed(corpus.limit(1), "doc_id",
+      "text", storeDir)
+    val q1 = graft.streaming.IngestStream.start(stream(), "doc_id",
+      "text", storeDir, outDir, ckpt, minJaccard = 0.5)
+    writeFile("b0.json", Seq(
+      doc(10L, "a fresh document about watermarks and state stores"),
+      doc(11L, "another fresh piece mentioning parquet bucketing today")))
+    q1.processAllAvailable()
+    writeFile("b1.json", Seq(
+      doc(20L, "genuinely new content on codegen and tungsten"),
+      doc(21L, "a fresh document about watermarks and state stores zz")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: migrate BOTH artifacts in place at the clean stop
+    Manifest.adopt(spark, storeDir)
+    Manifest.adopt(spark, outDir)
+    // the layout guards route each loop to its own layout
+    val wrong = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.start(stream(), "doc_id", "text",
+        storeDir, outDir, ckpt, minJaccard = 0.5)
+    }
+    assert(wrong.getMessage.contains("use startManifest"))
+
+    // the policy-gated maintenance helper routes to the manifest
+    // path; one fresh base generation per artifact -> nothing to do
+    val d = graft.streaming.IngestStream.maybeCompact(spark, storeDir,
+      outDir, ckpt, maxPartitions = 4)
+    assert(!d.compact && d.partitions == 1)
+
+    // phase 3: the MANIFEST loop resumes the same checkpoint
+    val q2 = graft.streaming.IngestStream.startManifest(stream(),
+      "doc_id", "text", storeDir, outDir, ckpt, minJaccard = 0.5)
+    writeFile("b2.json", Seq(
+      // near-dup of a PRE-migration survivor: the adopted store must
+      // still match it
+      doc(30L, "another fresh piece mentioning parquet bucketing today xx"),
+      doc(31L, "entirely unseen sentence about broadcast joins and skew")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Manifest.rows(spark, outDir)
+        .select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 11L, 20L, 31L))
+  }
+
   test("the layout never renames a directory: the whole lifecycle on " +
       "a rename-auditing FS records only committer _temporary moves " +
       "and the single-file _MANIFEST replace; the Artifacts swap on " +
