@@ -194,13 +194,18 @@ object StreamLoadProbe {
     //                    batch sizes together decompose per-batch wall
     //                    into fixed overhead vs real per-doc work
     def ingestScenario(name: String, ingestBatches: Int, perBatch: Int,
-        compactAt: Option[Int]): Unit = {
+        compactAt: Option[Int], manifest: Boolean = false): Unit = {
       val root = java.nio.file.Files
         .createTempDirectory(s"ingest_$name").toString
       import spark.implicits._
-      graft.streaming.IngestStream.seed(
+      val seedDf =
         Seq((0L, "seed corpus document about nothing in particular zero"))
-          .toDF("doc_id", "text"),
+          .toDF("doc_id", "text")
+      if (manifest)
+        graft.pipeline.Manifest.append(spark, s"$root/store",
+          graft.pipeline.Dedup.signatureStore(seedDf, "doc_id", "text"),
+          -1L)
+      else graft.streaming.IngestStream.seed(seedDf,
         "doc_id", "text", s"$root/store")
       // fully distinct token windows — a bounded vocab here would
       // manufacture EXACT duplicate docs at wrap distance (measured:
@@ -209,10 +214,15 @@ object StreamLoadProbe {
       def docText(i: Long): String =
         (0 until 12).map(w => s"w${i * 12 + w}").mkString(" ")
       val mem = MemoryStream[(Long, String)]
-      def start(): StreamingQuery = graft.streaming.IngestStream.start(
-        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        s"$root/store", s"$root/out", s"$root/ckpt",
-        k = 16, bands = 8, minJaccard = 0.7)
+      def start(): StreamingQuery =
+        if (manifest) graft.streaming.IngestStream.startManifest(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$root/store", s"$root/out", s"$root/ckpt",
+          k = 16, bands = 8, minJaccard = 0.7)
+        else graft.streaming.IngestStream.start(
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          s"$root/store", s"$root/out", s"$root/ckpt",
+          k = 16, bands = 8, minJaccard = 0.7)
       var q = start()
       val lat = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       var compactSec = -1.0
@@ -225,8 +235,11 @@ object StreamLoadProbe {
           // batches via the checkpoint), restart from the offsets
           q.stop()
           val tc = System.nanoTime()
-          graft.streaming.IngestStream.compact(spark, s"$root/store",
-            s"$root/out", s"$root/ckpt")
+          if (manifest)
+            graft.streaming.IngestStream.compactManifest(spark,
+              s"$root/store", s"$root/out", s"$root/ckpt")
+          else graft.streaming.IngestStream.compact(spark,
+            s"$root/store", s"$root/out", s"$root/ckpt")
           compactSec = (System.nanoTime() - tc) / 1e9
           q = start()
         }
@@ -249,8 +262,11 @@ object StreamLoadProbe {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       q.stop()
-      val kept = graft.streaming.IngestStream
-        .keptDocs(spark, s"$root/out").count()
+      val kept =
+        if (manifest)
+          graft.pipeline.Manifest.rows(spark, s"$root/out").count()
+        else graft.streaming.IngestStream
+          .keptDocs(spark, s"$root/out").count()
       val fed = ingestBatches.toLong * perBatch
       val latJson = lat.map { case (b, s) =>
         f"""{"batch":$b,"sec":$s%.2f}""" }.mkString("[", ",", "]")
@@ -270,6 +286,19 @@ object StreamLoadProbe {
     if (wanted("ingest_big"))
       ingestScenario("ingest_big", 20,
         math.max(totalRows / 40, 100), None)
+    // the manifest layout's streaming cost, isolated: the ingest_store
+    // feed verbatim, artifacts manifest-committed (one footer-count
+    // job + one manifest swap per append) — compare docs/sec and the
+    // latency curve against ingest_store to price the object-store-
+    // safe commit protocol
+    if (wanted("ingest_manifest"))
+      ingestScenario("ingest_manifest", 40,
+        math.max(totalRows / 20 / 40, 100), None, manifest = true)
+    // the same at the production batch shape: the manifest's fixed
+    // per-append cost (2 commits + 2 footer counts) must amortize
+    if (wanted("ingest_manifest_big"))
+      ingestScenario("ingest_manifest_big", 20,
+        math.max(totalRows / 40, 100), None, manifest = true)
 
     // ingest_policy — the CADENCE is under test, not the operator:
     // ≥80 batches; every `checkEvery` batches the query stops (the

@@ -305,15 +305,26 @@ object Manifest {
     hits.values.sum
   }
 
-  /** Footer-only row count of one written generation — tolerating the
-    * all-rows-dropped batch, whose directory holds no parquet file at
-    * all (a schema-less read would throw). */
+  /** Footer-only row count of one written generation, read DRIVER-SIDE
+    * straight from the parquet footers (no Spark job — the first cut
+    * ran `spark.read.parquet(path).count()` per append and the two
+    * scheduling round-trips showed up as a measurable slice of the
+    * per-micro-batch manifest overhead in the ingest_manifest probe).
+    * A generation holds one write's worth of files — dozens, not
+    * thousands — so the driver loop is microseconds per file. Also
+    * tolerates the all-rows-dropped batch (no parquet file at all). */
   private def countParquet(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      0L
-    else spark.read.parquet(path).count()
+    val f = p.getFileSystem(conf)
+    f.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
   }
 
   /** Garbage-collect uncommitted debris: `gen-*` directories the
