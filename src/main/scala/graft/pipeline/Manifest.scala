@@ -409,7 +409,7 @@ object Manifest {
       .withColumn(partitionCol, lit(-1L))
       .repartition(n)
       .write.mode("overwrite").parquet(s"$dir/$gen")
-    val rows = spark.read.parquet(s"$dir/$gen").count()
+    val rows = countParquet(spark, s"$dir/$gen")
     commit(spark, dir, State(state(spark, dir).version + 1,
       partitionCol, Seq(Entry(-1L, gen, rows))))
     gc(spark, dir)
