@@ -230,7 +230,10 @@ object Bench {
       // pass within 3× — the recorded min itself may be noise-inflated
       val flagged = toRetry.filter { n =>
         val ok = allPasses(n).filter(_ >= 0).sorted
-        ok.size >= 2 && ok(1) / math.max(ok(0), 1e-9) > 3.0
+        // same 1 s floor as spread3: two sub-second passes that sit
+        // 3x apart are jitter, not a suspect record
+        ok.size >= 2 && ok(1) > 1.0 &&
+          ok(1) / math.max(ok(0), 1e-9) > 3.0
       }
       val flaggedJson =
         if (toRetry.isEmpty) ""

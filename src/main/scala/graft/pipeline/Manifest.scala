@@ -218,8 +218,11 @@ object Manifest {
     val gen = s"gen-$baseValue-${UUID.randomUUID().toString.take(8)}"
     shaped.withColumn(st.partitionCol, lit(baseValue))
       .write.mode("overwrite").parquet(s"$dir/$gen")
+    // count what LANDED (like every other committing verb) — summing
+    // the old entries' counts would silently propagate a bad fold
+    // instead of exposing it to maintenance reporting
     commit(spark, dir, State(st.version + 1, st.partitionCol,
-      Seq(Entry(baseValue, gen, st.entries.map(_.rows).sum)),
+      Seq(Entry(baseValue, gen, countParquet(spark, s"$dir/$gen"))),
       st.props))
     gc(spark, dir)
     ()
@@ -230,10 +233,11 @@ object Manifest {
     * manifest form; existing properties carry through. Same crash
     * story as [[compact]]. */
   def rebuild(spark: SparkSession, dir: String, df: DataFrame,
-      baseValue: Long = -1L, numFiles: Int = 0): Unit =
-    replaceAll(spark, dir, df, baseValue,
-      state(spark, dir).partitionCol, numFiles, Nil,
-      state(spark, dir).props)
+      baseValue: Long = -1L, numFiles: Int = 0): Unit = {
+    val st = state(spark, dir)
+    replaceAll(spark, dir, df, baseValue, st.partitionCol, numFiles,
+      Nil, st.props)
+  }
 
   /** The general whole-artifact swap: write `df` as the single base
     * generation (optionally clustered by `repartitionCols` — the
@@ -373,19 +377,52 @@ object Manifest {
     * `gen-` base. Call only at a maintenance boundary (no writer, all
     * batches committed). */
   def adopt(spark: SparkSession, dir: String,
-      partitionCol: String = "batch"): Unit = {
-    // resumable: a crash between the two commits below leaves a
-    // manifest whose entries all point at pre-adoption directories —
-    // re-running adopt skips straight to the fold
-    val resuming = exists(spark, dir) && {
-      val st = state(spark, dir)
-      st.partitionCol == partitionCol && st.entries.nonEmpty &&
-        st.entries.forall(_.path.startsWith(s"$partitionCol="))
+      partitionCol: String = "batch",
+      maxCommittedValue: Long = Long.MaxValue): Unit = {
+    // a STREAMING artifact must be adopted through
+    // [[graft.streaming.IngestStream.adoptArtifacts]], which passes
+    // the checkpoint's newest commit here: folding a partition whose
+    // checkpoint commit is missing into the base would defeat the
+    // crash-replay's own-batchId exclusion exactly as compact's guard
+    // documents (the replay's docs match their own folded rows and
+    // silently vanish). Batch-driven layouts have no mid-batch window
+    // and keep the default.
+    // Crashed MAINTENANCE must be resolved before adopting: a
+    // `.retired-N` / `.old` / `.compacting` sibling holds rows the
+    // rename layout's recovery arms would restore, and adoption would
+    // silently leave them behind (they live outside `dir`, invisible
+    // to both the listing below and gc).
+    val f = fs(spark, dir)
+    val parent = new Path(dir).getParent
+    if (parent != null && f.exists(parent)) {
+      val nm = new Path(dir).getName
+      val stale = f.listStatus(parent).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(s"$nm.retired-") ||
+          n == s"$nm.old" || n == s"$nm.compacting")
+      require(stale.isEmpty,
+        s"crashed maintenance sibling(s) ${stale.mkString(", ")} " +
+          s"next to $dir — run Artifacts.recoverCompaction/" +
+          "recoverRetraction (or restart the ingest query once) " +
+          "before adopting")
     }
-    require(resuming || !exists(spark, dir),
-      s"$dir already has a manifest")
+    // resumable BOTH ways: a crash between the two commits below
+    // leaves a manifest whose entries all point at pre-adoption
+    // directories (re-run skips to the fold); a crash AFTER the fold
+    // commit leaves a completed adoption with stale batch=N debris
+    // (re-run just finishes the gc)
+    if (exists(spark, dir)) {
+      val st = state(spark, dir)
+      require(st.partitionCol == partitionCol && st.entries.nonEmpty,
+        s"$dir already has a manifest")
+      if (st.entries.forall(_.path.startsWith("gen-"))) {
+        gc(spark, dir)
+        return
+      }
+      require(st.entries.forall(_.path.startsWith(s"$partitionCol=")),
+        s"$dir already has a manifest")
+    }
+    val resuming = exists(spark, dir)
     val entries = if (resuming) state(spark, dir).entries else {
-      val f = fs(spark, dir)
       val parts = f.listStatus(new Path(dir)).toSeq
         .map(_.getPath.getName)
         .filter(_.startsWith(s"$partitionCol="))
@@ -396,6 +433,11 @@ object Manifest {
         val v = p.stripPrefix(s"$partitionCol=").toLong
         Entry(v, p, countParquet(spark, s"$dir/$p"))
       }
+      val bad = es.map(_.value).filter(_ > maxCommittedValue)
+      require(bad.isEmpty,
+        s"partition value(s) ${bad.mkString(", ")} under $dir have " +
+          "no checkpoint commit — the query crashed mid-batch; " +
+          "restart it to finish the replay, stop cleanly, then adopt")
       commit(spark, dir, State(1L, partitionCol, es))
       es
     }

@@ -71,9 +71,11 @@ object IngestStream {
     // Safe here because both maintenance ops require the query
     // stopped, so no swap can be in flight while a query is starting.
     val sparkAtStart = stream.sparkSession
-    require(!graft.pipeline.Manifest.exists(sparkAtStart, storeDir),
-      s"$storeDir is a MANIFEST-mode artifact — use startManifest " +
-        "(running the partitioned loop against it would mix layouts)")
+    Seq(storeDir, outDir).foreach { d =>
+      require(!graft.pipeline.Manifest.exists(sparkAtStart, d),
+        s"$d is a MANIFEST-mode artifact — use startManifest " +
+          "(running the partitioned loop against it would mix layouts)")
+    }
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, storeDir)
     graft.pipeline.Artifacts.recoverCompaction(sparkAtStart, outDir)
     graft.pipeline.Artifacts.recoverRetraction(sparkAtStart, storeDir)
@@ -230,6 +232,7 @@ object IngestStream {
     * advice: the opt-in guard left the default unsafe). */
   def compact(spark: SparkSession, storeDir: String, outDir: String,
       checkpointDir: String, numFiles: Int = 0): Unit = {
+    requirePartitionedLayout(spark, storeDir, outDir, "compactManifest")
     val conf = spark.sparkContext.hadoopConfiguration
     val maxCommit = newestCommit(spark, checkpointDir)
     def uncommitted(dir: String): Seq[Long] = {
@@ -258,6 +261,7 @@ object IngestStream {
     * query's checkpoint — that path refuses the mid-batch window. */
   def compactBatchLayout(spark: SparkSession, storeDir: String,
       outDir: String, numFiles: Int = 0): Unit = {
+    requirePartitionedLayout(spark, storeDir, outDir, "compactManifest")
     graft.pipeline.Dedup.compactStore(spark, storeDir, numFiles)
     graft.pipeline.Artifacts.compactPartitioned(spark, outDir,
       numFiles = numFiles)
@@ -364,8 +368,54 @@ object IngestStream {
     * doc survives (RetractionSpec). Returns (store rows removed,
     * kept docs removed). */
   def retract(spark: SparkSession, storeDir: String, outDir: String,
-      ids: DataFrame, idCol: String = "doc_id"): (Long, Long) = (
+      ids: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
+    requirePartitionedLayout(spark, storeDir, outDir, "retractManifest")
+    (
     graft.pipeline.Dedup.retractStore(spark, storeDir, ids, idCol),
-    graft.pipeline.Artifacts.retractPartitioned(spark, outDir, ids,
-      idCol))
+      graft.pipeline.Artifacts.retractPartitioned(spark, outDir, ids,
+        idCol))
+  }
+
+  /** The rename-layout maintenance verbs must never touch a
+    * manifest-mode artifact: partition discovery would sweep in
+    * unreferenced `gen-*` debris (a crash-replay's superseded attempt
+    * = duplicated rows; a crashed append's half-write = partial
+    * rows), and the directory swap would destroy `_MANIFEST` itself.
+    * Fail loudly and name the right verb instead. */
+  private def requirePartitionedLayout(spark: SparkSession,
+      storeDir: String, outDir: String, manifestVerb: String): Unit =
+    Seq(storeDir, outDir).foreach { d =>
+      require(!graft.pipeline.Manifest.exists(spark, d),
+        s"$d is a MANIFEST-mode artifact — use $manifestVerb " +
+          "(the rename-layout verb would fold uncommitted gen- " +
+          "debris and delete the manifest)")
+    }
+
+  /** Migrate a STREAMING store/out pair to the manifest layout at a
+    * clean stop — the guarded form of [[graft.pipeline.Manifest.adopt]]
+    * for artifacts this stream accretes: resolves any crashed
+    * rename-layout maintenance first (the restore arms need the
+    * pre-adoption layout; an unresolved `.retired-N` sibling would be
+    * silently left behind), then adopts BOTH directories with the
+    * checkpoint's newest commit as the fold bound, so a mid-batch
+    * crash's partition is refused rather than folded into the base
+    * (folding it would defeat the replay's own-batchId exclusion and
+    * vanish the batch — the same window [[compact]]'s guard
+    * documents). Afterwards [[startManifest]] resumes the SAME
+    * checkpoint (ManifestSpec's migration case). */
+  def adoptArtifacts(spark: SparkSession, storeDir: String,
+      outDir: String, checkpointDir: String): Unit = {
+    graft.pipeline.Artifacts.recoverCompaction(spark, storeDir)
+    graft.pipeline.Artifacts.recoverCompaction(spark, outDir)
+    graft.pipeline.Artifacts.recoverRetraction(spark, storeDir)
+    graft.pipeline.Artifacts.recoverRetraction(spark, outDir)
+    val maxCommit = newestCommit(spark, checkpointDir)
+    graft.pipeline.Manifest.adopt(spark, storeDir,
+      maxCommittedValue = maxCommit)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    if (outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(outP))
+      graft.pipeline.Manifest.adopt(spark, outDir,
+        maxCommittedValue = maxCommit)
+  }
 }

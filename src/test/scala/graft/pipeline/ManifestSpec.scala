@@ -248,15 +248,39 @@ class ManifestSpec extends SparkSpec {
     q1.processAllAvailable()
     q1.stop()
 
-    // phase 2: migrate BOTH artifacts in place at the clean stop
-    Manifest.adopt(spark, storeDir)
-    Manifest.adopt(spark, outDir)
-    // the layout guards route each loop to its own layout
+    // phase 2: migrate BOTH artifacts in place at the clean stop —
+    // through the GUARDED verb. First prove the guard: with the
+    // newest checkpoint commit deleted, batch 1 looks mid-batch and
+    // adoption must refuse (folding it into the base would defeat the
+    // replay's own-batchId exclusion and vanish the batch)
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    import scala.jdk.CollectionConverters._
+    val newest = Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    val newestBytes = Files.readAllBytes(newest)
+    Files.delete(newest)
+    Files.deleteIfExists(commits.resolve(s".${newest.getFileName}.crc"))
+    val midBatch = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.adoptArtifacts(spark, storeDir,
+        outDir, ckpt)
+    }
+    assert(midBatch.getMessage.contains("no checkpoint commit"))
+    Files.write(newest, newestBytes) // restore the clean stop
+    graft.streaming.IngestStream.adoptArtifacts(spark, storeDir,
+      outDir, ckpt)
+    // the layout guards route each loop — and the rename-layout
+    // maintenance verbs — away from the manifest artifact
     val wrong = intercept[IllegalArgumentException] {
       graft.streaming.IngestStream.start(stream(), "doc_id", "text",
         storeDir, outDir, ckpt, minJaccard = 0.5)
     }
     assert(wrong.getMessage.contains("use startManifest"))
+    val wrongCompact = intercept[IllegalArgumentException] {
+      graft.streaming.IngestStream.compact(spark, storeDir, outDir,
+        ckpt)
+    }
+    assert(wrongCompact.getMessage.contains("use compactManifest"))
 
     // the policy-gated maintenance helper routes to the manifest
     // path; one fresh base generation per artifact -> nothing to do
