@@ -193,8 +193,17 @@ object StreamLoadProbe {
     //                    overhead-bound at 1.25k docs/batch; the two
     //                    batch sizes together decompose per-batch wall
     //                    into fixed overhead vs real per-doc work
+    //   ingest_policy  — the CADENCE under test, not the operator:
+    //                    ≥80 batches; every `policyCheckEvery` batches
+    //                    the query stops (the boundary IngestStream
+    //                    owns anyway) and IngestStream.maybeCompact —
+    //                    the policy, not a hard-coded midpoint —
+    //                    decides. The curve shows per-batch wall flat
+    //                    across the run; the events array records WHY
+    //                    each compaction fired.
     def ingestScenario(name: String, ingestBatches: Int, perBatch: Int,
-        compactAt: Option[Int], manifest: Boolean = false): Unit = {
+        compactAt: Option[Int], manifest: Boolean = false,
+        policyCheckEvery: Int = 0): Unit = {
       val root = java.nio.file.Files
         .createTempDirectory(s"ingest_$name").toString
       import spark.implicits._
@@ -224,9 +233,14 @@ object StreamLoadProbe {
           s"$root/store", s"$root/out", s"$root/ckpt",
           k = 16, bands = 8, minJaccard = 0.7)
       var q = start()
-      val lat = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // baseline = walls since the last compaction (or run start) —
+      // the denominator of the policy's drift arm
+      val baseline = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val events = scala.collection.mutable.ArrayBuffer.empty[String]
       var compactSec = -1.0
-      val sampleEvery = math.max(ingestBatches / 8, 1)
+      val sampleEvery =
+        math.max(ingestBatches / (if (policyCheckEvery > 0) 16 else 8), 1)
       val t0 = System.nanoTime()
       (0 until ingestBatches).foreach { b =>
         if (compactAt.contains(b)) {
@@ -243,6 +257,22 @@ object StreamLoadProbe {
           compactSec = (System.nanoTime() - tc) / 1e9
           q = start()
         }
+        if (policyCheckEvery > 0 && b > 0 && b % policyCheckEvery == 0) {
+          // the POLICY decides at the stop/restart boundary — the
+          // integrated verb (evaluate + layout-routed compact in one)
+          q.stop()
+          val tc = System.nanoTime()
+          val d = graft.streaming.IngestStream.maybeCompact(spark,
+            s"$root/store", s"$root/out", s"$root/ckpt",
+            maxPartitions = 24,
+            recentWalls = walls.takeRight(5).toSeq,
+            baselineWalls = baseline.take(5).toSeq, maxDrift = 1.25)
+          if (d.compact) {
+            events += f"""{"batch":$b,"partitions":${d.partitions},"drift":${d.drift}%.2f,"reason":"${d.reason}","compact_sec":${(System.nanoTime() - tc) / 1e9}%.2f}"""
+            baseline.clear()
+          }
+          q = start()
+        }
         val base = b.toLong * perBatch
         mem.addData((0 until perBatch).map { j =>
           val id = base + j
@@ -257,8 +287,9 @@ object StreamLoadProbe {
         })
         val tb = System.nanoTime()
         q.processAllAvailable()
-        if ((b + 1) % sampleEvery == 0)
-          lat += ((b + 1, (System.nanoTime() - tb) / 1e9))
+        val w = (System.nanoTime() - tb) / 1e9
+        walls += w
+        if (baseline.size < 5) baseline += w
       }
       val wall = (System.nanoTime() - t0) / 1e9
       q.stop()
@@ -268,13 +299,20 @@ object StreamLoadProbe {
         else graft.streaming.IngestStream
           .keptDocs(spark, s"$root/out").count()
       val fed = ingestBatches.toLong * perBatch
-      val latJson = lat.map { case (b, s) =>
-        f"""{"batch":$b,"sec":$s%.2f}""" }.mkString("[", ",", "]")
+      val latJson = walls.zipWithIndex.collect {
+        case (sec, i) if (i + 1) % sampleEvery == 0 =>
+          f"""{"batch":${i + 1},"sec":$sec%.2f}"""
+      }.mkString("[", ",", "]")
       val compactJson = compactAt.map(b =>
         f""","compact_at_batch":$b,"compact_sec":$compactSec%.2f""")
         .getOrElse("")
+      def mean(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1 else xs.sum / xs.size
+      val policyJson =
+        if (policyCheckEvery == 0) ""
+        else f""","batches":$ingestBatches,"check_every":$policyCheckEvery,"first8_mean_sec":${mean(walls.take(8).toSeq)}%.2f,"last8_mean_sec":${mean(walls.takeRight(8).toSeq)}%.2f,"compactions":${events.mkString("[", ",", "]")}"""
       val line =
-        f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"per_batch":$perBatch,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept$compactJson,"batch_latency":$latJson}"""
+        f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"per_batch":$perBatch,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept$compactJson$policyJson,"batch_latency":$latJson}"""
       println(line); out.append(line).append('\n')
     }
     if (wanted("ingest_store"))
@@ -300,84 +338,9 @@ object StreamLoadProbe {
       ingestScenario("ingest_manifest_big", 20,
         math.max(totalRows / 40, 100), None, manifest = true)
 
-    // ingest_policy — the CADENCE is under test, not the operator:
-    // ≥80 batches; every `checkEvery` batches the query stops (the
-    // boundary IngestStream owns anyway) and CompactionPolicy —
-    // not a hard-coded midpoint — decides whether to compact. The
-    // recorded curve shows per-batch wall staying flat across the
-    // whole run because the policy keeps resetting the drift, and the
-    // events array records WHY each compaction fired.
-    def policyScenario(name: String, ingestBatches: Int, perBatch: Int,
-        checkEvery: Int): Unit = {
-      val root = java.nio.file.Files
-        .createTempDirectory(s"ingest_$name").toString
-      import spark.implicits._
-      graft.streaming.IngestStream.seed(
-        Seq((0L, "seed corpus document about nothing in particular zero"))
-          .toDF("doc_id", "text"),
-        "doc_id", "text", s"$root/store")
-      def docText(i: Long): String =
-        (0 until 12).map(w => s"w${i * 12 + w}").mkString(" ")
-      val mem = MemoryStream[(Long, String)]
-      def start(): StreamingQuery = graft.streaming.IngestStream.start(
-        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-        s"$root/store", s"$root/out", s"$root/ckpt",
-        k = 16, bands = 8, minJaccard = 0.7)
-      var q = start()
-      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // baseline = walls since the last compaction (or run start) —
-      // the denominator of the policy's drift arm
-      val baseline = scala.collection.mutable.ArrayBuffer.empty[Double]
-      val events = scala.collection.mutable.ArrayBuffer.empty[String]
-      val t0 = System.nanoTime()
-      (0 until ingestBatches).foreach { b =>
-        if (b > 0 && b % checkEvery == 0) {
-          q.stop()
-          val d = graft.streaming.CompactionPolicy.evaluate(spark,
-            s"$root/store", s"$root/out", maxPartitions = 24,
-            recentWalls = walls.takeRight(5).toSeq,
-            baselineWalls = baseline.take(5).toSeq, maxDrift = 1.25)
-          if (d.compact) {
-            val tc = System.nanoTime()
-            graft.streaming.IngestStream.compact(spark,
-              s"$root/store", s"$root/out", s"$root/ckpt")
-            events += f"""{"batch":$b,"partitions":${d.partitions},"drift":${d.drift}%.2f,"reason":"${d.reason}","compact_sec":${(System.nanoTime() - tc) / 1e9}%.2f}"""
-            baseline.clear()
-          }
-          q = start()
-        }
-        val base = b.toLong * perBatch
-        mem.addData((0 until perBatch).map { j =>
-          val id = base + j
-          if (j % 10 < 3 && j < perBatch - 5 && b > 0)
-            (1000000L + id, docText(base - perBatch + j + 3))
-          else (id, docText(id))
-        })
-        val tb = System.nanoTime()
-        q.processAllAvailable()
-        val w = (System.nanoTime() - tb) / 1e9
-        walls += w
-        if (baseline.size < 5) baseline += w
-      }
-      val wall = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      val kept = graft.streaming.IngestStream
-        .keptDocs(spark, s"$root/out").count()
-      val fed = ingestBatches.toLong * perBatch
-      val sampleEvery = math.max(ingestBatches / 16, 1)
-      val latJson = walls.zipWithIndex.collect {
-        case (s, i) if (i + 1) % sampleEvery == 0 =>
-          f"""{"batch":${i + 1},"sec":$s%.2f}"""
-      }.mkString("[", ",", "]")
-      def mean(xs: Seq[Double]): Double =
-        if (xs.isEmpty) -1 else xs.sum / xs.size
-      val line =
-        f"""{"probe":"stream_load","scenario":"$name","rows":$fed,"per_batch":$perBatch,"batches":$ingestBatches,"check_every":$checkEvery,"wall_sec":$wall%.1f,"rows_per_sec":${fed / wall}%.0f,"kept":$kept,"first8_mean_sec":${mean(walls.take(8).toSeq)}%.2f,"last8_mean_sec":${mean(walls.takeRight(8).toSeq)}%.2f,"compactions":${events.mkString("[", ",", "]")},"batch_latency":$latJson}"""
-      println(line); out.append(line).append('\n')
-    }
     if (wanted("ingest_policy"))
-      policyScenario("ingest_policy", 80,
-        math.max(totalRows / 20 / 80, 100), 10)
+      ingestScenario("ingest_policy", 80,
+        math.max(totalRows / 20 / 80, 100), None, policyCheckEvery = 10)
 
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_load_out.json"),
