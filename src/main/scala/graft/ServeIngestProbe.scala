@@ -139,43 +139,50 @@ object ServeIngestProbe {
             .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
     spark.streams.addListener(progressListener)
-    val q = graft.streaming.IngestStream.start(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      s"$root/store", s"$root/out", s"$root/ckpt",
-      k = 16, bands = 8, minJaccard = 0.7)
-    val feeder = new Thread(() => {
-      val perBatch = 2000
-      while (!stop.get()) {
-        val base = fed.getAndAdd(perBatch.toLong)
-        mem.addData((0 until perBatch).map(j =>
-          (base + j, docText(base + j))))
-        Thread.sleep(300L)
+    // removeListener rides a finally: if the feeder or a measured
+    // fan-out throws, a listener left on the SHARED session would keep
+    // accumulating counts for every later query in the process
+    // (round-17 advice)
+    val (ingWall, ingJson, batches, processed) = try {
+      val q = graft.streaming.IngestStream.start(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$root/store", s"$root/out", s"$root/ckpt",
+        k = 16, bands = 8, minJaccard = 0.7)
+      val feeder = new Thread(() => {
+        val perBatch = 2000
+        while (!stop.get()) {
+          val base = fed.getAndAdd(perBatch.toLong)
+          mem.addData((0 until perBatch).map(j =>
+            (base + j, docText(base + j))))
+          Thread.sleep(300L)
+        }
+      }, "serve-ingest-feeder")
+      feeder.setDaemon(true); feeder.start()
+      // let the stream reach steady state before measuring
+      Thread.sleep(3000L)
+      val (ingWall, ingJson) = measure("ingest")
+      stop.set(true); feeder.join(5000L)
+      val batches =
+        Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+      q.stop()
+      // PROCESSED rows, not queued: the feeder enqueues regardless of
+      // whether the stream keeps up, so fed.get() alone would overstate
+      // the ingest work that actually ran alongside the fan-out. The
+      // listener bus is async — poll until the total stabilizes (two
+      // consecutive 200 ms reads equal) before trusting it.
+      def readProcessed(): Long = Option(processedByQuery.get(q.id))
+        .map(_.get()).getOrElse(0L)
+      var processed = readProcessed()
+      var settled = false
+      val drainDeadline = System.nanoTime() + 10L * 1000000000L
+      while (!settled && System.nanoTime() < drainDeadline) {
+        Thread.sleep(200L)
+        val again = readProcessed()
+        settled = again == processed
+        processed = again
       }
-    }, "serve-ingest-feeder")
-    feeder.setDaemon(true); feeder.start()
-    // let the stream reach steady state before measuring
-    Thread.sleep(3000L)
-    val (ingWall, ingJson) = measure("ingest")
-    stop.set(true); feeder.join(5000L)
-    val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
-    q.stop()
-    // PROCESSED rows, not queued: the feeder enqueues regardless of
-    // whether the stream keeps up, so fed.get() alone would overstate
-    // the ingest work that actually ran alongside the fan-out. The
-    // listener bus is async — poll until the total stabilizes (two
-    // consecutive 200 ms reads equal) before trusting it.
-    def readProcessed(): Long = Option(processedByQuery.get(q.id))
-      .map(_.get()).getOrElse(0L)
-    var processed = readProcessed()
-    var settled = false
-    val drainDeadline = System.nanoTime() + 10L * 1000000000L
-    while (!settled && System.nanoTime() < drainDeadline) {
-      Thread.sleep(200L)
-      val again = readProcessed()
-      settled = again == processed
-      processed = again
-    }
-    spark.streams.removeListener(progressListener)
+      (ingWall, ingJson, batches, processed)
+    } finally spark.streams.removeListener(progressListener)
 
     val line =
       f"""{"probe":"serve_ingest","rounds":$rounds,"cpus":$cpus,$idleJson},$ingJson,"ingest_batches":$batches,"ingest_docs_fed":${fed.get()},"ingest_docs_processed":$processed},"wall_ratio":${ingWall / math.max(idleWall, 1e-9)}%.2f,"sf":"$sfDir"}"""

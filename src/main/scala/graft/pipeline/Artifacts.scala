@@ -153,16 +153,30 @@ object Artifacts {
 
   /** Mechanical recovery for a [[retractPartitioned]] crash: for each
     * `<dir>.retired-N` sibling, if the rewritten partition COMMITTED
-    * (present with its [[RetractCommitted]] marker — written by
-    * [[retractPartitioned]] itself after the rewrite returns, never
-    * by a configurable committer) the sibling is a stale leftover of
-    * a completed rewrite — delete it; otherwise the crash hit between
-    * the rename and the marker — delete the partial partition and
-    * restore the sibling, so no survivor row is ever lost (a rewrite
-    * that completed but missed its marker is merely redone). Returns
-    * the number of siblings resolved. Idempotent; runs automatically
-    * at the top of every [[retractPartitioned]] and at ingest
-    * start. */
+    * (present with a commit witness — see below) the sibling is a
+    * stale leftover of a completed rewrite — delete it; otherwise the
+    * crash hit between the rename and the witness — delete the
+    * partial partition and restore the sibling, so no survivor row is
+    * ever lost (a rewrite that completed but missed its witness is
+    * merely redone when the operator re-runs the crashed retraction).
+    *
+    * Two witnesses are accepted: the explicit [[RetractCommitted]]
+    * marker (the primary — this code writes it itself, so no
+    * configuration can suppress it), and the committer's `_SUCCESS`.
+    * `_SUCCESS` is trustworthy when PRESENT — the rename moved the
+    * original partition (and its original `_SUCCESS`) aside, so a
+    * `_SUCCESS` inside a post-rename partition can only have been
+    * written by the rewrite job's own commit — it just cannot be
+    * REQUIRED, because `marksuccessfuljobs=false` deployments never
+    * write one. Accepting it keeps upgrade recovery lossless: a
+    * sibling left by a pre-marker-era crash whose rewrite fully
+    * committed (has `_SUCCESS`, predates [[RetractCommitted]]) is
+    * resolved as committed instead of being restored — which would
+    * silently un-retract those documents (round-17 advice).
+    *
+    * Returns the number of siblings resolved. Idempotent; runs
+    * automatically at the top of every [[retractPartitioned]] and at
+    * ingest start. */
   def recoverRetraction(spark: SparkSession, dir: String,
       partitionCol: String = "batch"): Int = {
     val f = fs(spark, dir)
@@ -175,7 +189,9 @@ object Artifacts {
     siblings.foreach { s =>
       val b = s.getPath.getName.stripPrefix(prefix)
       val part = new Path(dir, s"$partitionCol=$b")
-      if (f.exists(part) && f.exists(new Path(part, RetractCommitted)))
+      if (f.exists(part) &&
+        (f.exists(new Path(part, RetractCommitted)) ||
+          f.exists(new Path(part, "_SUCCESS"))))
         f.delete(s.getPath, true)
       else {
         f.delete(part, true)

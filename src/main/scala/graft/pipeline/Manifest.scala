@@ -68,15 +68,57 @@ import org.apache.spark.sql.functions._
   * matching its prior attempt's rows.)
   *
   * Same operational contract as [[Artifacts]]: one maintainer at a
-  * time, no concurrent writer. Readers in OTHER processes that loaded
-  * an older manifest keep scanning directories [[gc]] may delete —
-  * a deployment with concurrent readers defers [[gc]] by a scan
-  * horizon (the entries are already gone from the manifest, so no new
-  * reader sees them); this sandbox runs maintenance with readers
-  * stopped, like the rename layout. */
+  * time, no concurrent writer — and since round 18 the contract is a
+  * CHECKED invariant, not a convention: [[commit]] verifies the
+  * on-disk version is exactly the one the new state was derived from
+  * and refuses loudly on mismatch (optimistic concurrency — a second
+  * maintainer can fail, never corrupt). Readers in OTHER processes
+  * that loaded an older manifest keep scanning directories [[gc]] may
+  * delete — a deployment with concurrent readers defers deletion by a
+  * scan horizon (`minAgeMs`, threaded through every maintenance verb
+  * as `gcMinAgeMs`; the entries are already gone from the manifest,
+  * so no new reader sees them); this sandbox runs maintenance with
+  * readers stopped, like the rename layout. */
 object Manifest {
 
   val ManifestFile = "_MANIFEST"
+
+  /** The end-of-manifest witness: the last line of every manifest this
+    * code writes. In [[VersionedCommit]] mode it is REQUIRED on read —
+    * a version file without it is a torn (crashed or in-flight) write
+    * and is skipped, never trusted. [[RenameCommit]] mode tolerates
+    * its absence (the single-file rename is atomic, so a visible
+    * `_MANIFEST` is always complete; older artifacts lack the line). */
+  private val Trailer = "#end"
+
+  /** How [[commit]] publishes a new manifest atomically.
+    *
+    *  - [[RenameCommit]] (default): write a temp FILE, move it over
+    *    `_MANIFEST` in one single-object rename-with-overwrite —
+    *    atomic on POSIX and HDFS, and ≡ an object PUT on stores that
+    *    implement single-key rename natively. The layout's original
+    *    mode.
+    *  - [[VersionedCommit]]: no rename at all — each commit CREATES
+    *    `_MANIFEST.v<N>` with overwrite=false (conditional create:
+    *    atomic on every relevant store — HDFS create, S3/GCS/ABFS
+    *    conditional PUT / If-None-Match) and readers resolve the
+    *    highest N whose content ends with the [[Trailer]]. A torn
+    *    newer file (crashed mid-write) is skipped by readers and
+    *    retried or GC'd; the conditional create doubles as the
+    *    optimistic-concurrency gate — two maintainers racing to
+    *    commit version N, exactly one wins. For stores with NO atomic
+    *    single-file rename (S3A renames are COPY+DELETE), this is the
+    *    mode that makes the scaladoc's object-store claim true by
+    *    construction; ManifestSpec proves the whole lifecycle under a
+    *    FileSystem that REJECTS renames outright.
+    *
+    * The mode is a property of the ARTIFACT, chosen at creation
+    * ([[init]], or the first [[append]]/[[replaceAll]] which default
+    * to [[RenameCommit]]) and auto-detected from disk thereafter —
+    * every verb works on either layout unchanged. */
+  sealed trait CommitMode
+  case object RenameCommit extends CommitMode
+  case object VersionedCommit extends CommitMode
 
   /** One live generation: the logical partition value (batch id; base
     * generations use -1), the directory name relative to the artifact
@@ -94,76 +136,217 @@ object Manifest {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).exists(new Path(dir, ManifestFile))
+  /** The `_MANIFEST.v<N>` files present, newest first. */
+  private def versionFiles(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Long, Path)] = {
+    val d = new Path(dir)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      val suffix = n.stripPrefix(s"$ManifestFile.v")
+      if (n.startsWith(s"$ManifestFile.v") && suffix.nonEmpty &&
+        suffix.forall(_.isDigit)) Some(suffix.toLong -> s.getPath)
+      else None
+    }.sortBy(-_._1)
+  }
 
-  /** Read the committed state. Fails loudly on a missing manifest —
-    * a caller holding the wrong path should hear about it, not get an
-    * empty artifact. */
-  def state(spark: SparkSession, dir: String): State = {
+  /** The artifact's commit mode as recorded on disk, or `ifNew` for a
+    * directory with no manifest yet. Both layouts present at once is
+    * operator error (a half-finished hand migration) — fail loudly. */
+  private def mode(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      ifNew: CommitMode): CommitMode = {
+    val single = f.exists(new Path(dir, ManifestFile))
+    val versioned = versionFiles(f, dir).nonEmpty
+    require(!(single && versioned),
+      s"$dir has BOTH $ManifestFile and $ManifestFile.v<N> files — " +
+        "mixed commit layouts; delete the stale one before maintaining")
+    if (single) RenameCommit
+    else if (versioned) VersionedCommit
+    else ifNew
+  }
+
+  def exists(spark: SparkSession, dir: String): Boolean = {
     val f = fs(spark, dir)
-    val p = new Path(dir, ManifestFile)
-    require(f.exists(p), s"no $ManifestFile under $dir — not a " +
-      "manifest-mode artifact (init/append first, or adopt a " +
-      "batch-partitioned layout)")
+    f.exists(new Path(dir, ManifestFile)) || versionFiles(f, dir).nonEmpty
+  }
+
+  private def readText(f: org.apache.hadoop.fs.FileSystem, p: Path)
+      : String = {
     val in = f.open(p)
-    val text = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    val lines = text.split('\n').filter(_.nonEmpty).toSeq
-    require(lines.nonEmpty, s"empty manifest at $p")
+  }
+
+  /** Parse one manifest body. `requireTrailer` is the versioned-mode
+    * torn-write detector: a file not ending in [[Trailer]] parses to
+    * None (skip it — an in-flight or crashed write) instead of
+    * throwing. Rename-mode keeps the loud malformed-file errors: an
+    * atomically-replaced `_MANIFEST` is complete by construction, so
+    * anything unparseable there is genuine corruption. */
+  private def parse(text: String, where: String,
+      requireTrailer: Boolean): Option[State] = {
+    val raw = text.split('\n').filter(_.nonEmpty).toSeq
+    if (requireTrailer && (raw.isEmpty || raw.last != Trailer))
+      return None
+    val lines = if (raw.lastOption.contains(Trailer)) raw.init else raw
+    require(lines.nonEmpty, s"empty manifest at $where")
     val head = lines.head.split('\t')
     require(head.length == 4 && head(0) == "graft-manifest" &&
-      head(1) == "1", s"unrecognized manifest header at $p: " +
+      head(1) == "1", s"unrecognized manifest header at $where: " +
       lines.head)
     val (propLines, entryLines) =
       lines.tail.partition(_.startsWith("@"))
     val props = propLines.map { l =>
       val c = l.split('\t')
-      require(c.length == 2, s"bad manifest property at $p: $l")
+      require(c.length == 2, s"bad manifest property at $where: $l")
       c(0).stripPrefix("@") -> c(1)
     }.toMap
     val entries = entryLines.map { l =>
       val c = l.split('\t')
-      require(c.length == 3, s"bad manifest line at $p: $l")
+      require(c.length == 3, s"bad manifest line at $where: $l")
       Entry(c(0).toLong, c(1), c(2).toLong)
     }
-    State(head(2).toLong, head(3), entries, props)
+    Some(State(head(2).toLong, head(3), entries, props))
   }
 
-  /** Atomically replace the manifest: the new state is fully written
-    * to a uniquely-named temp FILE, then moved over `_MANIFEST` in one
-    * single-object rename with overwrite ([[FileContext]] — atomic on
-    * POSIX and HDFS; on an object store this one call is a PUT, which
-    * is atomic natively). This is the ONLY mutation the layout ever
-    * performs in place; everything else is write-new + GC. */
-  private def commit(spark: SparkSession, dir: String, st: State)
-      : Unit = {
+  /** Read the committed state. Fails loudly on a missing manifest —
+    * a caller holding the wrong path should hear about it, not get an
+    * empty artifact. In versioned mode the highest COMPLETE version
+    * wins; torn newer files (a concurrent or crashed commit mid-write)
+    * are skipped, so a reader is never wrong mid-commit. */
+  def state(spark: SparkSession, dir: String): State = {
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"$ManifestFile.tmp-${UUID.randomUUID()}")
-    val body = (
-      Seq(s"graft-manifest\t1\t${st.version}\t${st.partitionCol}") ++
-        st.props.toSeq.sortBy(_._1).map { case (k, v) => s"@$k\t$v" } ++
-        st.entries.map(e => s"${e.value}\t${e.path}\t${e.rows}")
-      ).mkString("", "\n", "\n")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(f.getUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(f.makeQualified(tmp),
-      f.makeQualified(new Path(dir, ManifestFile)),
-      Options.Rename.OVERWRITE)
+    mode(f, dir, ifNew = RenameCommit) match {
+      case RenameCommit =>
+        val p = new Path(dir, ManifestFile)
+        require(f.exists(p), s"no $ManifestFile under $dir — not a " +
+          "manifest-mode artifact (init/append first, or adopt a " +
+          "batch-partitioned layout)")
+        parse(readText(f, p), p.toString, requireTrailer = false).get
+      case VersionedCommit =>
+        val vs = versionFiles(f, dir)
+        val complete = vs.iterator.flatMap { case (n, p) =>
+          parse(readText(f, p), p.toString, requireTrailer = true)
+            .map(st => { require(st.version == n,
+              s"$p header version ${st.version} != filename v$n"); st })
+        }.take(1).toSeq
+        require(complete.nonEmpty,
+          s"only torn $ManifestFile.v<N> file(s) under $dir — a " +
+            "first commit crashed mid-write; re-run the creating verb " +
+            "(append/init), which replaces the torn version")
+        complete.head
+    }
+  }
+
+  private def render(st: State): Array[Byte] = (
+    Seq(s"graft-manifest\t1\t${st.version}\t${st.partitionCol}") ++
+      st.props.toSeq.sortBy(_._1).map { case (k, v) => s"@$k\t$v" } ++
+      st.entries.map(e => s"${e.value}\t${e.path}\t${e.rows}") ++
+      Seq(Trailer)
+    ).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+
+  /** Create an EMPTY artifact in an explicit commit mode — the one
+    * place the mode is chosen; every later verb detects it from disk.
+    * (Artifacts created implicitly by [[append]]/[[replaceAll]] get
+    * [[RenameCommit]].) */
+  def init(spark: SparkSession, dir: String, partitionCol: String,
+      commitMode: CommitMode): Unit = {
+    require(!exists(spark, dir), s"$dir already has a manifest")
+    commit(spark, dir, State(1L, partitionCol, Nil, Map.empty),
+      ifNew = commitMode)
+  }
+
+  /** Atomically publish a new manifest state, in the artifact's commit
+    * mode (see [[CommitMode]]). `st.version` MUST be exactly one past
+    * the committed version this state was derived from — the
+    * single-maintainer contract as a checked invariant:
+    *
+    *  - [[RenameCommit]]: the current on-disk version is re-read and
+    *    compared before the atomic single-file replace. (Check and
+    *    replace are two steps — the residual race window is the price
+    *    of rename mode; deployments needing a true CAS use
+    *    [[VersionedCommit]].)
+    *  - [[VersionedCommit]]: `_MANIFEST.v<st.version>` is created with
+    *    overwrite=false — the conditional create IS the version check,
+    *    atomic end-to-end. A complete file already at that version is
+    *    a concurrent maintainer's commit → refuse loudly, artifact
+    *    untouched. A TORN file there is this maintainer's own crashed
+    *    attempt (no reader ever resolved it): delete and retry once.
+    *
+    * Package-private so ManifestSpec can drive the two-maintainer
+    * interleaving directly. */
+  private[pipeline] def commit(spark: SparkSession, dir: String,
+      st: State, ifNew: CommitMode = RenameCommit): Unit = {
+    val f = fs(spark, dir)
+    val body = render(st)
+    mode(f, dir, ifNew) match {
+      case RenameCommit =>
+        val cur = if (f.exists(new Path(dir, ManifestFile)))
+          Some(state(spark, dir).version) else None
+        if (cur.getOrElse(0L) != st.version - 1)
+          throw new IllegalStateException(
+            s"concurrent maintainer on $dir: committing version " +
+              s"${st.version} but the manifest is at " +
+              s"${cur.map(_.toString).getOrElse("<none>")} (expected " +
+              s"${st.version - 1}) — the artifact allows ONE " +
+              "maintainer at a time; reload and retry")
+        val tmp =
+          new Path(dir, s"$ManifestFile.tmp-${UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(body)
+        finally out.close()
+        val fc = FileContext.getFileContext(f.getUri,
+          spark.sparkContext.hadoopConfiguration)
+        fc.rename(f.makeQualified(tmp),
+          f.makeQualified(new Path(dir, ManifestFile)),
+          Options.Rename.OVERWRITE)
+        // ChecksumFileSystem deployments (local file:) write a
+        // `.<tmp>.crc` sidecar for the temp file; the rename above
+        // moves only the data file, so without this delete every
+        // commit leaks one tiny sidecar into the artifact root
+        // (round-17 advice) — gc also sweeps the pattern for commits
+        // that crashed between rename and here
+        f.delete(new Path(dir, s".${tmp.getName}.crc"), false)
+        ()
+      case VersionedCommit =>
+        val target = new Path(dir, s"$ManifestFile.v${st.version}")
+        def createOnce(retry: Boolean): Unit = {
+          val out =
+            try f.create(target, false)
+            catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException if f.exists(target) =>
+              val complete = parse(readText(f, target),
+                target.toString, requireTrailer = true).isDefined
+              if (complete || !retry)
+                throw new IllegalStateException(
+                  s"concurrent maintainer on $dir: version " +
+                    s"${st.version} already committed at $target — " +
+                    "the artifact allows ONE maintainer at a time; " +
+                    "reload and retry")
+              // torn = our own crashed attempt (single-maintainer
+              // contract; no reader ever trusted it) — replace it
+              f.delete(target, false)
+              return createOnce(retry = false)
+            }
+          try out.write(body)
+          finally out.close()
+        }
+        createOnce(retry = true)
+    }
   }
 
   /** The artifact's logical rows — every live generation in ONE
     * multi-path parquet scan; `partitionCol` is a real data column
     * (constant per file), so filters on it prune via row-group
     * stats. */
-  def rows(spark: SparkSession, dir: String): DataFrame = {
-    val st = state(spark, dir)
+  def rows(spark: SparkSession, dir: String): DataFrame =
+    rowsOf(spark, dir, state(spark, dir))
+
+  private def rowsOf(spark: SparkSession, dir: String, st: State)
+      : DataFrame = {
     require(st.entries.nonEmpty, s"manifest at $dir lists no live " +
       "generations — append before reading")
     spark.read.parquet(st.entries.map(e => s"$dir/${e.path}"): _*)
@@ -179,23 +362,35 @@ object Manifest {
     * Creates the manifest if the artifact is new. */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       value: Long, partitionCol: String = "batch"): Unit = {
-    require(!df.columns.contains(partitionCol),
-      s"frame already carries '$partitionCol' — the layout owns it")
     val st =
       if (exists(spark, dir)) state(spark, dir)
       else State(0L, partitionCol, Nil, Map.empty)
     require(st.partitionCol == partitionCol,
       s"manifest at $dir tracks '${st.partitionCol}', not " +
         s"'$partitionCol'")
+    appendWith(spark, dir, df, value, st)
+    ()
+  }
+
+  /** [[append]]'s committing core against an ALREADY-LOADED state —
+    * the seam [[Maintainer]] uses to skip the per-append manifest
+    * re-read. Returns the state it committed. */
+  private def appendWith(spark: SparkSession, dir: String,
+      df: DataFrame, value: Long, st: State,
+      ifNew: CommitMode = RenameCommit): State = {
+    require(!df.columns.contains(st.partitionCol),
+      s"frame already carries '${st.partitionCol}' — the layout owns it")
     val gen = s"gen-$value-${UUID.randomUUID().toString.take(8)}"
-    df.withColumn(partitionCol, lit(value))
+    df.withColumn(st.partitionCol, lit(value))
       .write.mode("overwrite").parquet(s"$dir/$gen")
     // footer-only count of what actually landed (cheap at maintenance
     // cadence; exact even if df was non-deterministic)
     val n = countParquet(spark, s"$dir/$gen")
-    commit(spark, dir, State(st.version + 1, partitionCol,
+    val next = State(st.version + 1, st.partitionCol,
       st.entries.filterNot(_.value == value) :+ Entry(value, gen, n),
-      st.props))
+      st.props)
+    commit(spark, dir, next, ifNew)
+    next
   }
 
   /** Fold every live generation into one new base generation
@@ -206,7 +401,8 @@ object Manifest {
     * directories. A crash anywhere leaves the prior manifest and all
     * its data untouched; the half-written new base is [[gc]] debris. */
   def compact(spark: SparkSession, dir: String, baseValue: Long = -1L,
-      repartitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit = {
+      repartitionCols: Seq[String] = Nil, numFiles: Int = 0,
+      gcMinAgeMs: Long = 0L): Unit = {
     val st = state(spark, dir)
     val n = if (numFiles > 0) numFiles
       else spark.sessionState.conf.numShufflePartitions
@@ -224,7 +420,7 @@ object Manifest {
     commit(spark, dir, State(st.version + 1, st.partitionCol,
       Seq(Entry(baseValue, gen, countParquet(spark, s"$dir/$gen"))),
       st.props))
-    gc(spark, dir)
+    gc(spark, dir, gcMinAgeMs)
     ()
   }
 
@@ -233,10 +429,11 @@ object Manifest {
     * manifest form; existing properties carry through. Same crash
     * story as [[compact]]. */
   def rebuild(spark: SparkSession, dir: String, df: DataFrame,
-      baseValue: Long = -1L, numFiles: Int = 0): Unit = {
+      baseValue: Long = -1L, numFiles: Int = 0,
+      gcMinAgeMs: Long = 0L): Unit = {
     val st = state(spark, dir)
     replaceAll(spark, dir, df, baseValue, st.partitionCol, numFiles,
-      Nil, st.props)
+      Nil, st.props, gcMinAgeMs)
   }
 
   /** The general whole-artifact swap: write `df` as the single base
@@ -249,8 +446,8 @@ object Manifest {
     * unreferenced debris, never a half-swapped artifact. */
   def replaceAll(spark: SparkSession, dir: String, df: DataFrame,
       baseValue: Long, partitionCol: String, numFiles: Int,
-      repartitionCols: Seq[String], props: Map[String, String])
-      : Unit = {
+      repartitionCols: Seq[String], props: Map[String, String],
+      gcMinAgeMs: Long = 0L): Unit = {
     val st =
       if (exists(spark, dir)) state(spark, dir)
       else State(0L, partitionCol, Nil, Map.empty)
@@ -269,7 +466,7 @@ object Manifest {
     val rows = countParquet(spark, s"$dir/$gen")
     commit(spark, dir, State(st.version + 1, partitionCol,
       Seq(Entry(baseValue, gen, rows)), props))
-    gc(spark, dir)
+    gc(spark, dir, gcMinAgeMs)
     ()
   }
 
@@ -283,7 +480,7 @@ object Manifest {
     * per-partition rename swap can expose one). Returns rows
     * removed. */
   def retract(spark: SparkSession, dir: String, ids: DataFrame,
-      idCol: String): Long = {
+      idCol: String, gcMinAgeMs: Long = 0L): Long = {
     val st = state(spark, dir)
     val idsB = broadcast(ids.select(col(idCol)).distinct())
     val hits = rows(spark, dir)
@@ -305,7 +502,7 @@ object Manifest {
     }
     commit(spark, dir,
       State(st.version + 1, st.partitionCol, rewritten, st.props))
-    gc(spark, dir)
+    gc(spark, dir, gcMinAgeMs)
     hits.values.sum
   }
 
@@ -315,15 +512,20 @@ object Manifest {
     * scheduling round-trips showed up as a measurable slice of the
     * per-micro-batch manifest overhead in the ingest_manifest probe).
     * A generation holds one write's worth of files — dozens, not
-    * thousands — so the driver loop is microseconds per file. Also
-    * tolerates the all-rows-dropped batch (no parquet file at all). */
+    * thousands — and the footers are opened CONCURRENTLY (each open
+    * is a few ms of reader init + IO; the sequential loop was a
+    * measurable slice of the ingest_manifest gap at micro-batch
+    * cadence, where 2 appends × 32 files ran it 64 times per batch).
+    * Also tolerates the all-rows-dropped batch (no parquet file at
+    * all). */
   private def countParquet(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val f = p.getFileSystem(conf)
+    import scala.collection.parallel.CollectionConverters._
     f.listStatus(p).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+      .par.map { st =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
@@ -351,12 +553,21 @@ object Manifest {
     val f = fs(spark, dir)
     val st = state(spark, dir)
     val live = st.entries.map(_.path).toSet ++ st.props.values
+    // versioned mode: every _MANIFEST.v<K> except the resolved current
+    // one is debris — superseded committed versions (kept inside the
+    // reader horizon like any other debris) and torn crashed writes
+    val liveVersion = s"$ManifestFile.v${st.version}"
     val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = f.listStatus(new Path(dir)).toSeq.filter { s =>
       val n = s.getPath.getName
       (((n.startsWith("gen-") || n.startsWith("model-")) &&
         !live.contains(n)) ||
         n.startsWith(s"$ManifestFile.tmp-") ||
+        // ChecksumFileSystem sidecars of crashed rename-mode commits
+        // (the happy path deletes its own; see commit)
+        n.startsWith(s".$ManifestFile.tmp-") ||
+        (n.startsWith(s"$ManifestFile.v") && n != liveVersion &&
+          n.stripPrefix(s"$ManifestFile.v").forall(_.isDigit)) ||
         (n.startsWith(s"${st.partitionCol}=") && !live.contains(n))) &&
         s.getModificationTime <= cutoff
     }
@@ -456,5 +667,58 @@ object Manifest {
       partitionCol, Seq(Entry(-1L, gen, rows))))
     gc(spark, dir)
     ()
+  }
+
+  /** The artifact's [[CommitMode]] as recorded on disk (`ifNew` for a
+    * directory with no manifest yet) — lets a caller creating a
+    * SIBLING artifact (e.g. the ingest loop's kept-docs dir next to
+    * its store) match the established layout. */
+  def commitMode(spark: SparkSession, dir: String,
+      ifNew: CommitMode = RenameCommit): CommitMode =
+    mode(fs(spark, dir), dir, ifNew)
+
+  /** Single-writer maintainer with CACHED manifest state — the
+    * steady-state ingest loop's view of one artifact. The layout
+    * contract already grants the maintainer exclusive write ownership,
+    * so between its own commits the on-disk state cannot change and
+    * re-reading the manifest before every read/append (two
+    * read-modify-replace cycles plus a state read per micro-batch in
+    * [[graft.streaming.IngestStream.startManifest]]'s loop — each a
+    * GET on an object store) buys nothing. The cache is built from
+    * disk at construction and advanced in memory by each commit;
+    * recovery is automatic — a restart constructs a fresh maintainer,
+    * which reads whatever the last COMMITTED manifest says (ManifestSpec
+    * proves the rebuilt cache continues correctly across stop/
+    * restart, including after external maintenance between queries).
+    * [[commit]]'s optimistic version check stays on: if the contract
+    * is ever violated (a second writer advanced the manifest), the
+    * next append fails loudly instead of silently dropping the other
+    * writer's entries.
+    *
+    * `ifNew` sets the commit mode should the FIRST append create the
+    * artifact (pass the sibling store's mode to keep a store/out pair
+    * on one layout). */
+  final class Maintainer(spark: SparkSession, dir: String,
+      partitionCol: String = "batch",
+      ifNew: CommitMode = RenameCommit) {
+    private var cached: Option[State] =
+      if (Manifest.exists(spark, dir)) Some(Manifest.state(spark, dir))
+      else None
+
+    /** The artifact's logical rows off the CACHED state — no manifest
+      * read. Same shape as [[Manifest.rows]]. */
+    def rows(): DataFrame = {
+      val st = cached.getOrElse(throw new IllegalStateException(
+        s"no manifest at $dir and nothing appended yet"))
+      rowsOf(spark, dir, st)
+    }
+
+    /** [[Manifest.append]] driven off the cached state: one commit,
+      * zero manifest reads (plus the commit's own version check). */
+    def append(df: DataFrame, value: Long): Unit = {
+      val st = cached
+        .getOrElse(State(0L, partitionCol, Nil, Map.empty))
+      cached = Some(appendWith(spark, dir, df, value, st, ifNew))
+    }
   }
 }

@@ -119,23 +119,42 @@ object IngestStream {
       s"$storeDir has no manifest — seed it with Manifest.append " +
         "(value -1), or adopt an existing batch=N layout with " +
         "Manifest.adopt, or use start() for the partitioned loop")
+    // a crash between Manifest.adopt's two commits leaves a manifest
+    // whose entries still point at pre-adoption `batch=N` directories;
+    // Manifest.rows would mis-read those (the partition value lives in
+    // the directory NAME, not the rows — every micro-batch would die
+    // on a missing `batch` column without ever naming the fix). adopt
+    // is resumable from exactly that state — finish the fold here
+    // instead of failing later (round-17 advice).
+    Seq(storeDir, outDir).foreach { d =>
+      if (Manifest.exists(sparkAtStart, d) &&
+        !Manifest.state(sparkAtStart, d).entries
+          .forall(_.path.startsWith("gen-")))
+        Manifest.adopt(sparkAtStart, d)
+    }
     // crash recovery in manifest mode IS garbage collection: a
     // crashed batch/compact/retract left only unreferenced gen- dirs
     Manifest.gc(sparkAtStart, storeDir)
     if (Manifest.exists(sparkAtStart, outDir))
       Manifest.gc(sparkAtStart, outDir)
+    // single-writer CACHED maintainers, built after recovery so the
+    // cache reads the recovered state: the steady-state loop re-reads
+    // no manifest — each micro-batch is two commits, not two
+    // read-modify-replace cycles plus a state read (the measured
+    // 15–25% per-append manifest overhead was mostly this). The out
+    // artifact is created on first append in the STORE's commit mode,
+    // keeping the pair on one layout.
+    val storeM = new Manifest.Maintainer(sparkAtStart, storeDir)
+    val outM = new Manifest.Maintainer(sparkAtStart, outDir,
+      ifNew = Manifest.commitMode(sparkAtStart, storeDir))
     runLoop(stream, idCol, textCol, checkpointDir, k, bands, shingleN,
       minJaccard, maxBroadcastRows,
-      readStore = (spark, batchId) =>
-        Manifest.rows(spark, storeDir)
+      readStore = (_, batchId) =>
+        storeM.rows()
           .filter(col("batch") =!= batchId)
           .drop("batch"),
-      writeOut = (survivors, batchId) =>
-        Manifest.append(survivors.sparkSession, outDir, survivors,
-          batchId),
-      writeStore = (sigRows, batchId) =>
-        Manifest.append(sigRows.sparkSession, storeDir, sigRows,
-          batchId))
+      writeOut = (survivors, batchId) => outM.append(survivors, batchId),
+      writeStore = (sigRows, batchId) => storeM.append(sigRows, batchId))
   }
 
   /** The shared micro-batch loop: dedup each arriving batch against

@@ -45,3 +45,31 @@ object RenameAuditFileSystem {
 class RenameAuditAbstractFs(uri: URI, conf: Configuration)
   extends DelegateToFileSystem(uri, new RenameAuditFileSystem, conf,
     "audit", false)
+
+/** Test-only FileSystem that REJECTS file rename outright — the
+  * strictest object-store model (S3A's "rename" is a COPY+DELETE
+  * emulation; a store-native deployment has no rename primitive at
+  * all). [[Manifest.VersionedCommit]]'s whole lifecycle must run
+  * green on it: every commit is a conditional CREATE, never a move.
+  * The output committer's own `_temporary` promotion renames are
+  * exempted — a real object-store deployment swaps the committer for
+  * a direct-write one (S3A magic committer), and the LAYOUT's
+  * protocol is what's under proof here (the same argument
+  * ManifestSpec's rename audit makes). */
+class NoRenameFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: URI = URI.create("norename:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!src.toUri.getPath.contains("/_temporary/") &&
+      !dst.toUri.getPath.contains("/_temporary/"))
+      throw new UnsupportedOperationException(
+        s"this store has no rename: $src -> $dst")
+    super.rename(src, dst)
+  }
+}
+
+/** FileContext binding for `norename` — rename-mode commits reach
+  * rename through FileContext, and must fail on this store too. */
+class NoRenameAbstractFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new NoRenameFileSystem, conf,
+    "norename", false)

@@ -129,18 +129,26 @@ class RetractionSpec extends SparkSpec {
         spark.sparkContext.parallelize(rewrittenRows), src.schema)
       .write.mode("overwrite").parquet(s"$storeDir/batch=-1")
 
-    // window B': the survivor write returned (the committer's
-    // _SUCCESS may even be present) but the crash hit BEFORE the
-    // explicit marker — recovery must treat the rewrite as
-    // uncommitted and restore the sibling (conservative: the rewrite
-    // is merely redone; trusting the configurable _SUCCESS here would
-    // silently un-retract on marksuccessfuljobs=false clusters)
+    // window B': the survivor write returned — the committer's
+    // _SUCCESS is present — but the crash hit BEFORE the explicit
+    // marker. _SUCCESS inside a post-rename partition can only come
+    // from the rewrite job's own commit (the rename moved the
+    // original _SUCCESS aside with the original rows), so recovery
+    // accepts it as a commit witness and keeps the rewrite — the
+    // pre-marker-era upgrade case: restoring here would silently
+    // un-retract a fully-committed pre-upgrade rewrite (round-17
+    // advice). The marker stays primary because _SUCCESS can be
+    // configured away (marksuccessfuljobs=false), never trusted by
+    // its ABSENCE.
     assert(new java.io.File(s"$storeDir/batch=-1/_SUCCESS").exists())
     assert(!new java.io.File(
       s"$storeDir/batch=-1/_RETRACT_COMMITTED").exists())
+    val afterB1 = sortedRows(spark.read
+      .option("basePath", storeDir).parquet(storeDir).drop("batch"))
     assert(Artifacts.recoverRetraction(spark, storeDir) == 1)
+    assert(!new java.io.File(s"$storeDir.retired--1").exists())
     assert(sortedRows(spark.read.option("basePath", storeDir)
-      .parquet(storeDir).drop("batch")) == rowsBefore)
+      .parquet(storeDir).drop("batch")) == afterB1)
 
     // now the full window B: rewrite + marker present, sibling not
     // yet deleted — recovery keeps the rewrite and drops the sibling
