@@ -106,14 +106,16 @@ object IngestScaleProbe {
       v
     }
 
-    def measure(broadcastNew: Boolean): (Double, Double, Long) = {
+    def measure(broadcastNew: Boolean,
+        storeFn: () => org.apache.spark.sql.DataFrame = store _)
+        : (Double, Double, Long) = {
       val passes = (0 until 2).map { _ =>
         spark.catalog.clearCache()
         drainedShuffle()
         shuffleBytes.set(0L)
         val t = System.nanoTime()
         val kept = Dedup.dedupAgainstStore(batch, "doc_id", "text",
-          store(), k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+          storeFn(), k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
           checkWidths = false, broadcastNew = broadcastNew).count()
         val wall = (System.nanoTime() - t) / 1e9
         (wall, drainedShuffle() / 1e6, kept)
@@ -131,8 +133,51 @@ object IngestScaleProbe {
     require(bKept == sKept,
       s"paths disagree: broadcast kept $bKept, smj kept $sKept")
 
+    // the MANIFEST twin at the mature-deployment shape: the same 5M
+    // store split across 8 committed generations (a compacted base
+    // plus recent appends — what a long-running ingest between
+    // compactions looks like), read through Manifest.rows: the
+    // multi-path scan whose partition value is a DATA column, not a
+    // directory name. The broadcast dedup against it must keep the
+    // candidate-sized shuffle (byte-parity with the partitioned
+    // read — the `batch` column prunes at the parquet scan), and ONE
+    // production-shaped append prices the per-append protocol at
+    // this scale: gen write + driver-side footer count + one
+    // conditional-create manifest swap, all O(batch) and
+    // store-size-independent.
+    import graft.pipeline.Manifest
+    val mStore = s"$root/mstore"
+    Manifest.init(spark, mStore, "batch", Manifest.VersionedCommit)
+    val sigsAll = spark.read.parquet(s"$storeDir/batch=-1")
+    val tSplit = System.nanoTime()
+    (0 until 8).foreach { g =>
+      Manifest.append(spark, mStore,
+        sigsAll.filter(col("doc_id") % 8 === g), g.toLong)
+    }
+    val mBuildSec = (System.nanoTime() - tSplit) / 1e9
+    def mstoreFn() = Manifest.rows(spark, mStore).drop("batch")
+    val (mSec, mMb, mKept) = measure(broadcastNew = true,
+      storeFn = mstoreFn _)
+    println(f"[ingest_scale] manifest(8 gens): $mSec%.1f s, $mMb%.1f " +
+      f"MB shuffle, kept=$mKept")
+    require(mKept == bKept,
+      s"manifest read disagrees: $mKept vs $bKept")
+    // per-append commit cost with the signature build factored OUT
+    // (any layout pays the hashing; the manifest's own price is the
+    // gen write + footer count + swap)
+    val batchSigs = Dedup.signatureStore(batch, "doc_id", "text",
+        k = 16, shingleN = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batchSigs.count()
+    val tApp = System.nanoTime()
+    Manifest.append(spark, mStore, batchSigs, 100L)
+    val appendSec = (System.nanoTime() - tApp) / 1e9
+    batchSigs.unpersist()
+    println(f"[ingest_scale] manifest append (batch sigs): " +
+      f"$appendSec%.2f s")
+
     val line =
-      f"""{"probe":"ingest_scale","store_docs":$storeDocs,"batch_docs":$batchDocs,"store_build_sec":$buildSec%.1f,"broadcast":{"sec":$bSec%.2f,"shuffle_mb":$bMb%.1f},"smj":{"sec":$sSec%.2f,"shuffle_mb":$sMb%.1f},"kept":$bKept}"""
+      f"""{"probe":"ingest_scale","store_docs":$storeDocs,"batch_docs":$batchDocs,"store_build_sec":$buildSec%.1f,"broadcast":{"sec":$bSec%.2f,"shuffle_mb":$bMb%.1f},"smj":{"sec":$sSec%.2f,"shuffle_mb":$sMb%.1f},"manifest":{"sec":$mSec%.2f,"shuffle_mb":$mMb%.1f,"store_gens":8,"split_build_sec":$mBuildSec%.1f,"append_sec":$appendSec%.2f},"kept":$bKept}"""
     println(line)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("ingest_scale_out.json"),

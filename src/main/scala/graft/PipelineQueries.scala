@@ -1639,6 +1639,137 @@ object PipelineQueries {
       .orderBy("batch", "doc_id")
   }
 
+  /** The takedown lifecycle gated end-to-end through the MANIFEST
+    * layout in VERSIONED commit mode ([[Manifest.VersionedCommit]] —
+    * every manifest swap here is a conditional CREATE, the commit
+    * primitive stores without any rename offer; ManifestSpec proves
+    * the mode under a rename-rejecting FS, this gate proves it at
+    * data scale against the DuckDB oracle): seed, ingest batch 2,
+    * compact both artifacts, REBUILD the store at k=32 from the full
+    * kept corpus (parameter migration), RETRACT the %30==6 seed docs
+    * (store-side takedown — their kept docs live with the seed's
+    * owner, outside outDir), then ingest batch 3 against the rebuilt,
+    * retracted store at the new parameters (bands=16 keeps r=2).
+    * Load-bearing three ways: b3's +3e6 planted copies of the
+    * RETRACTED docs must SURVIVE (their only matches were retracted —
+    * a retract that dropped no rows fails the hash on exactly those
+    * ids), copies of still-kept sources must drop, and a rebuild that
+    * didn't re-hash leaves a k=16 store the width guard refuses at
+    * k=32 (the query errors). Retraction runs AFTER the rebuild so
+    * the rebuild cannot mask a broken retract. */
+  def q205_retract_lifecycle(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.pipeline.Manifest
+    val d = docs(spark, dir).select("doc_id", "text")
+    def planted(m: Long, off: Long): DataFrame =
+      d.filter(col("doc_id") % 30 === m).select(
+        (col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" zz9")).as("text"))
+    val b1 = d.filter(col("doc_id") % 3 === 0)
+    val b2 = d.filter(col("doc_id") % 3 === 1)
+      .unionByName(planted(0L, 1000000L))
+    val b3 = d.filter(col("doc_id") % 3 === 2)
+      .unionByName(planted(1L, 2000000L))
+      .unionByName(planted(6L, 3000000L))
+    val root = tempLifecycleDir("q205_retract")
+    val storeDir = s"$root/store"
+    val outDir = s"$root/out"
+    Manifest.init(spark, storeDir, "batch", Manifest.VersionedCommit)
+    Manifest.init(spark, outDir, "batch", Manifest.VersionedCommit)
+    Manifest.append(spark, storeDir,
+      Dedup.signatureStore(b1, "doc_id", "text", k = 16, shingleN = 3),
+      -1L)
+    def store(): DataFrame =
+      Manifest.rows(spark, storeDir).drop("batch")
+    val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      Manifest.append(spark, outDir,
+        s2.select(col("doc_id"), lit(2L).as("lifecycle")), 0L)
+      Manifest.append(spark, storeDir,
+        Dedup.signatureStore(s2, "doc_id", "text", k = 16,
+          shingleN = 3), 0L)
+      Manifest.compact(spark, storeDir)
+      Manifest.compact(spark, outDir)
+      // parameter migration: re-hash the CURRENT kept corpus at k=32
+      Manifest.rebuild(spark, storeDir,
+        Dedup.signatureStore(b1.unionByName(s2.select("doc_id", "text")),
+          "doc_id", "text", k = 32, shingleN = 3))
+      // takedown AFTER the rebuild — the retraction must itself
+      // remove the re-hashed rows for the planted copies to survive
+      Manifest.retract(spark, storeDir,
+        b1.filter(col("doc_id") % 30 === 6).select("doc_id"), "doc_id")
+      val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
+        k = 32, bands = 16, shingleN = 3, minJaccard = 0.7)
+      Manifest.append(spark, outDir,
+        s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
+    } finally { s2.unpersist(); () }
+    b1.filter(col("doc_id") % 30 =!= 6)
+      .select(col("doc_id"), lit(1L).as("batch"))
+      .unionByName(Manifest.rows(spark, outDir)
+        .select(col("doc_id"), col("lifecycle").as("batch")))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** q195's oracle with the takedown applied: the %30==6 seed docs
+    * leave batch 1, and batch 3's dedup no longer sees them (the
+    * `kid % 30 != 6` restriction on kb=1 pairs) — so their +3e6
+    * planted copies survive. */
+  val q205_sql: String =
+    """WITH b1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      |b2 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 0),
+      |b3 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, text || ' zz9' AS text
+      |  FROM documents WHERE doc_id % 30 = 6),
+      |alld AS (
+      |  SELECT doc_id, text, 1 AS bt FROM b1
+      |  UNION ALL SELECT doc_id, text, 2 AS bt FROM b2
+      |  UNION ALL SELECT doc_id, text, 3 AS bt FROM b3),
+      |sh AS (
+      |  SELECT doc_id, bt, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-2, 0)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS s
+      |  FROM (SELECT doc_id, bt,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM alld)),
+      |ls AS (SELECT doc_id, bt, len(s) AS l FROM sh),
+      |ex AS (SELECT doc_id, bt, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT n.doc_id AS nid, n.bt AS nb, e.doc_id AS kid,
+      |    e.bt AS kb, count(*) AS i
+      |  FROM ex n JOIN ex e ON n.g = e.g AND n.bt > e.bt
+      |  GROUP BY 1, 2, 3, 4),
+      |p AS (
+      |  SELECT nid, nb, kid, kb FROM inter
+      |  JOIN ls la ON la.doc_id = inter.nid AND la.bt = inter.nb
+      |  JOIN ls lb ON lb.doc_id = inter.kid AND lb.bt = inter.kb
+      |  WHERE CAST(i AS DOUBLE) / (la.l + lb.l - i) >= 0.7),
+      |s2 AS (
+      |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+      |    SELECT nid FROM p WHERE nb = 2 AND kb = 1)),
+      |s3 AS (
+      |  SELECT doc_id FROM b3 WHERE doc_id NOT IN (
+      |    SELECT nid FROM p WHERE nb = 3 AND (
+      |      (kb = 1 AND kid % 30 != 6) OR
+      |      (kb = 2 AND kid IN (SELECT doc_id FROM s2)))))
+      |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM b1
+      |WHERE doc_id % 30 != 6
+      |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch FROM s2
+      |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM s3
+      |ORDER BY batch, doc_id""".stripMargin
+
   val q97_sql: String =
     """WITH kept AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
@@ -4521,6 +4652,7 @@ object PipelineQueries {
     "q202_rebuild_index" -> (q202_rebuild_index _),
     "q203_manifest_lifecycle" -> (q203_manifest_lifecycle _),
     "q204_manifest_index" -> (q204_manifest_index _),
+    "q205_retract_lifecycle" -> (q205_retract_lifecycle _),
     "q185_match_mixture" -> (q185_match_mixture _),
     "q186_split_repair" -> (q186_split_repair _),
     "q188_pii_census" -> (q188_pii_census _),
@@ -4642,6 +4774,9 @@ object PipelineQueries {
     "q203_manifest_lifecycle" -> q195_sql,
     // model + rows under one committed manifest answer the q92 rows
     "q204_manifest_index" -> q92_sql,
+    // versioned commits + rebuild + takedown: the retracted sources'
+    // planted copies survive, everything else answers the q195 rule
+    "q205_retract_lifecycle" -> q205_sql,
     "q185_match_mixture" -> q185_sql,
     "q186_split_repair" -> q186_sql,
     "q188_pii_census" -> q188_sql,
