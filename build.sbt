@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags without editing the build (GC experiments in the
+  // optimization rounds; a cluster submit passes its own)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)

@@ -57,7 +57,19 @@ object LocalSession {
       .config("spark.ui.enabled", "false")
 
   def get(cores: Int): SparkSession = {
-    val s = builder(cores).getOrCreate()
+    // deployment-specific overrides without a recompile:
+    // SPARK_GRAFT_EXTRA_CONF="spark.a=x;spark.b=y". Local defaults above
+    // stay the bench-comparable configuration; a cluster run sets its
+    // own shuffle partitioning / memory here (SCALE.md) — and the
+    // optimization rounds use it for measured A/B config experiments.
+    val b = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty)
+      .foldLeft(builder(cores)) { (bld, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bld.config(k.trim, v.trim)
+      }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

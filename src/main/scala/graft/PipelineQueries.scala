@@ -15,18 +15,34 @@ import graft.pipeline.{Classifier, Clustering, Curation, Dedup, Multimodal, Perp
   * SQL as well), so the dedup paths are exercised on real positives. */
 object PipelineQueries {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
     // the documents parquet is a single input split — spread per-doc text
-    // expressions across cores
+    // expressions across cores; width sized by input bytes with the
+    // CPU-DENSE floor (graft.pipeline.Sizing): these consumers run
+    // interpreted per-doc expressions measured at orders of magnitude
+    // more CPU per byte than the hash kernels
+    val d = Queries.cat(spark, dir)("documents").df
+    d.repartition(graft.pipeline.Sizing.parallelism(d,
+      graft.pipeline.Sizing.CpuDenseFloorBytes))
+  }
+
+  /** The raw documents scan, NO repartition: for consumers that feed
+    * the Dedup/Similarity kernels, which repartition internally before
+    * their heavy per-row work — routing those through [[docs]] put a
+    * redundant exchange (and an AQE stage job) under EVERY corpus
+    * branch of every lifecycle gate; the only pre-shuffle expressions
+    * on this path (filters, md5 keys, id offsets) are a few µs per
+    * row. Heavy per-doc SQL consumers (curation, text analysis) keep
+    * using [[docs]]. */
+  private def docsRaw(spark: SparkSession, dir: String): DataFrame =
     Queries.cat(spark, dir)("documents").df
-      .repartition(spark.sessionState.conf.numShufflePartitions)
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Queries.cat(spark, dir)("embeddings").df
 
   /** documents ∪ perturbed copies of every 10th doc (planted near-dups). */
   private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 10 === 0).select(
       (col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" zz9")).as("text")))
@@ -1175,7 +1191,7 @@ object PipelineQueries {
     * determinism argument: r=2/b=8 misses ~0.35% at j=0.7 and ~4e-9 at
     * the planted pairs' ~0.95, so the all-pairs oracle matches. */
   def q97_cross_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     val kept = d.filter(col("doc_id") % 10 =!= 0)
     val batch = d.filter(col("doc_id") % 10 === 0)
       .unionByName(d.filter(col("doc_id") % 20 === 1).select(
@@ -1195,7 +1211,7 @@ object PipelineQueries {
     * verbatim: the store path must produce the identical verified
     * pair set. */
   def q193_dedup_store(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     val kept = d.filter(col("doc_id") % 10 =!= 0)
     val batch = d.filter(col("doc_id") % 10 === 0)
       .unionByName(d.filter(col("doc_id") % 20 === 1).select(
@@ -1233,7 +1249,7 @@ object PipelineQueries {
   def q195_ingest_lifecycle(spark: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     def planted(m: Long, off: Long): DataFrame =
       d.filter(col("doc_id") % 30 === m).select(
         (col("doc_id") + off).as("doc_id"),
@@ -1252,13 +1268,15 @@ object PipelineQueries {
         k = 16, shingleN = 3)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (s2raw, store2) = Dedup.ingestBatch(store1, b2, "doc_id",
-      "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
     // survivors feed BOTH the store append and the output union —
     // unpersisted, the batch-2 anti-join match would run twice more
     val s2 = s2raw.persist(StorageLevel.MEMORY_AND_DISK)
     val store2p = store2.persist(StorageLevel.MEMORY_AND_DISK)
     val (s3, _) = Dedup.ingestBatch(store2p, b3, "doc_id", "text",
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
     b1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
       .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
@@ -1332,7 +1350,7 @@ object PipelineQueries {
   def q197_retract_store(spark: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     val kept = d.filter(col("doc_id") % 10 =!= 0)
     val store = Dedup.signatureStore(kept, "doc_id", "text",
       k = 16, shingleN = 3)
@@ -1347,7 +1365,8 @@ object PipelineQueries {
         (col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zz9")).as("text")))
     Dedup.dedupAgainstStore(batch, "doc_id", "text", retracted,
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -1431,7 +1450,7 @@ object PipelineQueries {
   def q199_compacted_lifecycle(spark: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     def planted(m: Long, off: Long): DataFrame =
       d.filter(col("doc_id") % 30 === m).select(
         (col("doc_id") + off).as("doc_id"),
@@ -1453,7 +1472,8 @@ object PipelineQueries {
       spark.read.option("basePath", storeDir).parquet(storeDir)
         .drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // the lifecycle label rides INSIDE the rows (compaction keeps
@@ -1465,7 +1485,8 @@ object PipelineQueries {
     } finally s2.unpersist()
     graft.streaming.IngestStream.compactBatchLayout(spark, storeDir, outDir)
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
     s3.select(col("doc_id"), lit(3L).as("lifecycle"))
       .write.parquet(s"$outDir/batch=1")
     b1.select(col("doc_id"), lit(1L).as("batch"))
@@ -1495,7 +1516,8 @@ object PipelineQueries {
     val store = Dedup.signatureStore(old, "doc_id", "text",
       k = 16, shingleN = 3)
     Dedup.incrementalComponents(prev, store, batch, "doc_id", "text",
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       .orderBy("id")
   }
 
@@ -1516,7 +1538,7 @@ object PipelineQueries {
     * (+2e6 of batch-2 survivors, +3e6 of batch-1 docs) through. */
   def q201_rebuild_store(spark: SparkSession, dir: String)
       : DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     def planted(m: Long, off: Long): DataFrame =
       d.filter(col("doc_id") % 30 === m).select(
         (col("doc_id") + off).as("doc_id"),
@@ -1539,7 +1561,8 @@ object PipelineQueries {
     // reads, so the result this query returns — executed lazily by
     // its consumer — must not depend on them
     Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       .write.parquet(s"$root/s2")
     val s2 = spark.read.parquet(s"$root/s2")
     Dedup.signatureStore(s2, "doc_id", "text", k = 16, shingleN = 3)
@@ -1549,7 +1572,8 @@ object PipelineQueries {
     Dedup.rebuildStore(spark, storeDir, b1.unionByName(s2),
       "doc_id", "text", k = 32, shingleN = 3)
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
-      k = 32, bands = 16, shingleN = 3, minJaccard = 0.7)
+      k = 32, bands = 16, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
     b1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
       .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
@@ -1598,7 +1622,7 @@ object PipelineQueries {
   def q203_manifest_lifecycle(spark: SparkSession, dir: String)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     def planted(m: Long, off: Long): DataFrame =
       d.filter(col("doc_id") % 30 === m).select(
         (col("doc_id") + off).as("doc_id"),
@@ -1618,7 +1642,8 @@ object PipelineQueries {
     def store(): DataFrame =
       graft.pipeline.Manifest.rows(spark, storeDir).drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       graft.pipeline.Manifest.append(spark, outDir,
@@ -1630,7 +1655,8 @@ object PipelineQueries {
     graft.pipeline.Manifest.compact(spark, storeDir)
     graft.pipeline.Manifest.compact(spark, outDir)
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
-      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+      k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+      broadcastNew = true)
     graft.pipeline.Manifest.append(spark, outDir,
       s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
     b1.select(col("doc_id"), lit(1L).as("batch"))
@@ -1661,7 +1687,7 @@ object PipelineQueries {
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import graft.pipeline.Manifest
-    val d = docs(spark, dir).select("doc_id", "text")
+    val d = docsRaw(spark, dir).select("doc_id", "text")
     def planted(m: Long, off: Long): DataFrame =
       d.filter(col("doc_id") % 30 === m).select(
         (col("doc_id") + off).as("doc_id"),
@@ -1683,7 +1709,8 @@ object PipelineQueries {
     def store(): DataFrame =
       Manifest.rows(spark, storeDir).drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
-        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7)
+        k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       Manifest.append(spark, outDir,
@@ -1702,7 +1729,8 @@ object PipelineQueries {
       Manifest.retract(spark, storeDir,
         b1.filter(col("doc_id") % 30 === 6).select("doc_id"), "doc_id")
       val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
-        k = 32, bands = 16, shingleN = 3, minJaccard = 0.7)
+        k = 32, bands = 16, shingleN = 3, minJaccard = 0.7,
+        broadcastNew = true)
       Manifest.append(spark, outDir,
         s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
     } finally { s2.unpersist(); () }

@@ -19,7 +19,7 @@ object ProfileProbe {
     @volatile var jobs = 0
     case class StageCompleted(name: String, tasks: Int, wallMs: Long,
         taskMs: Long, shufReadMB: Double, shufWriteMB: Double,
-        inputMB: Double)
+        inputMB: Double, gcMs: Long = 0L, deserMs: Long = 0L)
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
     override def onStageCompleted(
         s: SparkListenerStageCompleted): Unit = {
@@ -27,12 +27,19 @@ object ProfileProbe {
       val wall = (for {
         a <- i.completionTime; b <- i.submissionTime
       } yield a - b).getOrElse(0L)
+      // the SQL-stage name is an anonfun callsite; the first graft/
+      // Dedup frame in the details stack names the operator
+      val det = i.details.linesIterator
+        .find(l => l.contains("graft.") && !l.contains("ProfileProbe"))
+        .getOrElse(i.name.takeWhile(_ != '\n')).trim.take(60)
       stages.add(StageCompleted(
-        i.name.takeWhile(_ != '\n'), i.numTasks, wall,
+        det, i.numTasks, wall,
         i.taskMetrics.executorRunTime,
         i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6,
         i.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6,
-        i.taskMetrics.inputMetrics.bytesRead / 1e6))
+        i.taskMetrics.inputMetrics.bytesRead / 1e6,
+        i.taskMetrics.jvmGCTime,
+        i.taskMetrics.executorDeserializeTime))
     }
   }
 
@@ -79,7 +86,9 @@ object ProfileProbe {
         f" taskTime=$taskSec%.2fs stageWallSum=$stageWallSec%.2fs" +
         f" shufRead=${st.map(_.shufReadMB).sum}%.1fMB" +
         f" shufWrite=${st.map(_.shufWriteMB).sum}%.1fMB" +
-        f" input=${st.map(_.inputMB).sum}%.1fMB")
+        f" input=${st.map(_.inputMB).sum}%.1fMB" +
+        f" gc=${st.map(_.gcMs).sum / 1e3}%.2fs" +
+        f" deser=${st.map(_.deserMs).sum / 1e3}%.2fs")
       if (pass == 2)
         st.sortBy(-_.wallMs).take(12).foreach { s =>
           println(f"    stage ${s.name}%-40s tasks=${s.tasks}%4d " +

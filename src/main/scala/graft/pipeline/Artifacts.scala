@@ -72,14 +72,16 @@ object Artifacts {
   def compactPartitioned(spark: SparkSession, dir: String,
       partitionCol: String = "batch", baseValue: Long = -1L,
       repartitionCols: Seq[String] = Nil, numFiles: Int = 0): Unit = {
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
     swapInto(spark, dir) { tmp =>
+      val data = rows(spark, dir, partitionCol)
+      // file count sized by artifact bytes (Sizing.writeWidth) unless
+      // the caller pinned one — a constant here wrote
+      // numShufflePartitions KB-files for small stores
+      val n = if (numFiles > 0) numFiles else Sizing.writeWidth(data)
       val shaped =
         if (repartitionCols.nonEmpty)
-          rows(spark, dir, partitionCol)
-            .repartition(n, repartitionCols.map(col): _*)
-        else rows(spark, dir, partitionCol).repartition(n)
+          data.repartition(n, repartitionCols.map(col): _*)
+        else data.repartition(n)
       // one shuffle-write of the full artifact — the read side still
       // has the old directory in place (the plan is lazy; this is the
       // action)

@@ -15,11 +15,33 @@ object Dedup {
   /** Whitespace tokens of normalized text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Target parallelism for pair-generation stages: the session's shuffle
-    * partition count (testdata parquet often arrives as ONE input split —
-    * without an explicit repartition the whole pipeline runs on one core). */
+  /** Precompiled whitespace tokenizer for the imperative kernels:
+    * `String.split("\\s+")` recompiles the regex on EVERY call (only
+    * single-char patterns take the fast path), which a JFR profile
+    * showed as measurable per-row cost — at 100 TB that is a per-row
+    * regex compile on the hottest path. Same regex, same semantics. */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** LSH band hash over signature slots b·rows+1 … b·rows+rows:
+    * xxhash64 of the raw long values. The previous form stringified
+    * every slot and concat_ws'd them per row per band — a JFR profile
+    * showed the Long→String materialization as real per-row cost
+    * (guide §1.2 step 2: per-task work on the hot path). Any
+    * deterministic function of the slice is a correct band hash: band
+    * hashes are only compared to band hashes from this same function
+    * (equal slices always collide; unequal slices collide with ~2⁻⁶⁴
+    * probability, and every candidate pair is exact-Jaccard verified
+    * downstream either way). */
+  private def bandHashLongs(sig: Column, b: Int, rows: Int): Column =
+    xxhash64((1 to rows).map(r => element_at(sig, b * rows + r)): _*)
+
+  /** Target parallelism for pair-generation stages: size-adaptive
+    * ([[Sizing.parallelism]] — the testdata parquet often arrives as ONE
+    * input split, so an explicit repartition is still needed for any
+    * parallelism at all; its WIDTH now derives from the input size
+    * instead of pinning every downstream stage to the session constant). */
   private def defaultParallelism(df: DataFrame): Int =
-    df.sparkSession.sessionState.conf.numShufflePartitions
+    Sizing.parallelism(df)
 
   /** Pair pipelines carry ids as primitive 64-bit longs (the imperative
     * kernels and the narrow (id,id) pair shuffles ship 8 bytes per side).
@@ -103,7 +125,7 @@ object Dedup {
           // Locale.ROOT: keep the kernel locale-independent like Spark's
           // lower() (a tr_TR default locale would dot-strip 'I' otherwise)
           val toks =
-            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            WsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
           val L = toks.length - (shingleN - 1)
           if (L <= 0) Iterator.empty
           else {
@@ -199,8 +221,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSh = withSig.select(col("id"), col("sh"))
     def bandHash(sig: Column, b: Int): Column =
-      xxhash64(concat_ws(",",
-        slice(sig, b * rows + 1, rows).cast("array<string>")))
+      bandHashLongs(sig, b, rows)
     // the band join carries only (id, size): shipping signature (or
     // shingle) arrays through the explode shuffle and materializing them
     // on every band-collision pair dominates the whole pipeline on
@@ -441,8 +462,8 @@ object Dedup {
   def incrementalComponents(prevComps: DataFrame, store: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      minJaccard: Double = 0.7, checkWidths: Boolean = true)
-      : DataFrame = {
+      minJaccard: Double = 0.7, checkWidths: Boolean = true,
+      broadcastNew: Boolean = false): DataFrame = {
     val within = clusterEdges(batch, idCol, textCol, k, bands,
       shingleN, minJaccard).select("id_a", "id_b")
     // content-collapse the batch side before the band join (the
@@ -453,7 +474,7 @@ object Dedup {
     val repDocs = batch.join(
       reps.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
     val cross = crossCorpusPairsFromStore(repDocs, idCol, textCol,
-      store, k, bands, shingleN, minJaccard, checkWidths)
+      store, k, bands, shingleN, minJaccard, checkWidths, broadcastNew)
       .select(col("new_id").as("id_a"), col("kept_id").as("id_b"))
     val prevStar = prevComps.filter(col("id") =!= col("comp"))
       .select(col("comp").as("id_a"), col("id").as("id_b"))
@@ -585,8 +606,7 @@ object Dedup {
       broadcastNew: Boolean = false): DataFrame = {
     val rows = k / bands
     def bandHash(sig: Column, b: Int): Column =
-      xxhash64(concat_ws(",",
-        slice(sig, b * rows + 1, rows).cast("array<string>")))
+      bandHashLongs(sig, b, rows)
     // a store that carries the precomputed `sz` column ([[signatureStore]]
     // writes it) lets the band stage prune `sh` — the widest store
     // column, read here only for its size otherwise — from the scan
@@ -854,11 +874,10 @@ object Dedup {
       storeDir: String, corpus: DataFrame, idCol: String,
       textCol: String, k: Int = 16, shingleN: Int = 3,
       numFiles: Int = 0): Unit = {
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
     Artifacts.swapInto(spark, storeDir) { tmp =>
-      signatureStore(corpus, idCol, textCol, k, shingleN)
-        .repartition(n)
+      val rebuilt = signatureStore(corpus, idCol, textCol, k, shingleN)
+      val n = if (numFiles > 0) numFiles else Sizing.writeWidth(rebuilt)
+      rebuilt.repartition(n)
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
     }
   }
@@ -938,42 +957,64 @@ object Dedup {
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager checkpoint per round: materializes the labels AND cuts the
-    // logical lineage — without it the returned plan nests every
-    // iteration's joins (thousands of plan nodes by round 5, paid at
-    // analysis time even though caches make execution cheap). With a
-    // cluster checkpoint dir configured (sc.setCheckpointDir), rounds
-    // snapshot RELIABLY to that storage and survive executor loss — the
-    // right mode on a preemptible 1000-executor cluster. Without one,
-    // localCheckpoint keeps the snapshot in executor storage: faster,
-    // but not recomputable after executor loss (the loop re-runs from
-    // scratch in that case).
+    // LAZY checkpoint per round, materialized by the convergence count:
+    // the checkpoint cuts the logical lineage — without it the returned
+    // plan nests every iteration's joins (thousands of plan nodes by
+    // round 5, paid at analysis time even though caches make execution
+    // cheap) — and marking it lazy lets the count() that every round
+    // needs anyway trigger the snapshot, ONE job per round where the
+    // eager-checkpoint + count pair was two. With a cluster checkpoint
+    // dir configured (sc.setCheckpointDir), rounds snapshot RELIABLY to
+    // that storage and survive executor loss — the right mode on a
+    // preemptible 1000-executor cluster. Without one, localCheckpoint
+    // keeps the snapshot in executor storage: faster, but not
+    // recomputable after executor loss (the loop re-runs from scratch
+    // in that case).
     val reliable =
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // reliable checkpoints stay EAGER: a lazy reliable checkpoint
+    // re-runs the round's lineage a second time to write the snapshot
+    // (RDD.checkpoint contract), which costs more than the count job
+    // the laziness saves; localCheckpoint saves its blocks during the
+    // first computation, so lazy is free there
     def snap(d: DataFrame): DataFrame =
-      if (reliable) d.checkpoint(eager = true) else d.localCheckpoint(true)
+      if (reliable) d.checkpoint(eager = true)
+      else d.localCheckpoint(eager = false)
+    // no init snapshot: round 1's plan holds the (small) distinct
+    // directly, and every later round starts from a checkpointed frame
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-    labels = snap(labels)
+    // snapshots THIS loop created, released round over round — tracked
+    // explicitly rather than via checkpointRdd(labels): scanning the
+    // round's plan for "the first LogicalRDD" would, on round 1 (whose
+    // labels are not yet checkpointed), walk into the EDGES lineage and
+    // unpersist a checkpointed frame the CALLER owns (e.g.
+    // incrementalComponents' prevComps — a real bug this tracking
+    // fixed, caught by IncrementalComponentsSpec)
+    var lastSnap: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // one fused exchange per round: own label and neighbor labels
+      // ride the same union, and a single hash aggregate takes
+      // min(comp) (the propagation step) alongside the OLD label (the
+      // unique __old row per id) — the join + groupBy + re-join shape
+      // this replaces paid two extra exchanges for the same result
       val msgs = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("__nmin"))
-      // old and new labels ride the same row, so convergence is a filter
-      // over the checkpointed result instead of an extra join
-      val stepped = snap(labels.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("__nmin"), col("comp")))
-            .as("__newc"),
-          col("comp").as("__oldc")))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("__old"))
+      val stepped = snap(
+        labels.select(col("id"), col("comp"), lit(true).as("__old"))
+          .unionByName(msgs)
+          .groupBy(col("id"))
+          .agg(min(col("comp")).as("__newc"),
+            min(when(col("__old"), col("comp"))).as("__oldc")))
       val changed = stepped.filter(col("__newc") =!= col("__oldc")).count()
       // release the PREVIOUS round's snapshot explicitly (`stepped` was
       // its last reader) — otherwise up to maxIter checkpointed label
       // copies sit in executor storage until GC
-      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
+      lastSnap.foreach(_.unpersist(blocking = false))
+      lastSnap = checkpointRdd(stepped)
       labels = stepped.select(col("id"), col("__newc").as("comp"))
       converged = changed == 0
       i += 1
@@ -1162,7 +1203,7 @@ object Dedup {
         it.map { case (id, text) =>
           java.util.Arrays.fill(counts, 0)
           val toks =
-            text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            WsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
           var t = 0
           while (t < toks.length) {
             val h = hashToken(toks(t), 42L)
@@ -1334,7 +1375,7 @@ object Dedup {
       .repartition(defaultParallelism(df))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val toks = WsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
         val L = toks.length - (k - 1)
         if (L <= 0) Iterator.empty
         else {
@@ -1432,7 +1473,7 @@ object Dedup {
       .join(spans, Seq(idCol), "left")
       .as[(Long, String, Seq[(Long, Long)])]
       .mapPartitions(_.map { case (id, text, sp) =>
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        val toks = WsPattern.split(text.trim.toLowerCase(java.util.Locale.ROOT))
         if (sp == null || sp.isEmpty)
           (id, toks.mkString(" "), 0L, 0L, toks.length.toLong)
         else {

@@ -404,9 +404,9 @@ object Manifest {
       repartitionCols: Seq[String] = Nil, numFiles: Int = 0,
       gcMinAgeMs: Long = 0L): Unit = {
     val st = state(spark, dir)
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
     val data = rows(spark, dir).drop(st.partitionCol)
+    // file count sized by artifact bytes unless the caller pinned one
+    val n = if (numFiles > 0) numFiles else Sizing.writeWidth(data)
     val shaped =
       if (repartitionCols.nonEmpty)
         data.repartition(n, repartitionCols.map(col): _*)
@@ -454,8 +454,7 @@ object Manifest {
     require(st.partitionCol == partitionCol,
       s"manifest at $dir tracks '${st.partitionCol}', not " +
         s"'$partitionCol'")
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
+    val n = if (numFiles > 0) numFiles else Sizing.writeWidth(df)
     val shaped =
       if (repartitionCols.nonEmpty)
         df.repartition(n, repartitionCols.map(col): _*)
@@ -655,12 +654,11 @@ object Manifest {
     // fold immediately: pre-adoption dirs carry the value in their
     // NAME, not their rows — read them the partition-discovery way
     // and write the one proper base generation
-    val n = spark.sessionState.conf.numShufflePartitions
     val gen = s"gen--1-${UUID.randomUUID().toString.take(8)}"
-    spark.read.option("basePath", dir)
+    val adopted = spark.read.option("basePath", dir)
       .parquet(entries.map(e => s"$dir/${e.path}"): _*)
       .withColumn(partitionCol, lit(-1L))
-      .repartition(n)
+    adopted.repartition(Sizing.writeWidth(adopted))
       .write.mode("overwrite").parquet(s"$dir/$gen")
     val rows = countParquet(spark, s"$dir/$gen")
     commit(spark, dir, State(state(spark, dir).version + 1,

@@ -61,7 +61,7 @@ object Similarity {
   private def bruteScored(probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, labelCol: Option[String])
       : DataFrame = {
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val p = probes.select(
       Seq(col(idCol).as("probe_id"),
         col(vecCol).cast("array<double>").as("pv")) ++
@@ -132,7 +132,7 @@ object Similarity {
       idCol: String, vecCol: String, labelCol: Option[String],
       nlist: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val c0 = corpus.select(
       Seq(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv")) ++
@@ -240,7 +240,7 @@ object Similarity {
   def knnLsh(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, tables: Int = 4,
       dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val pVec = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val cVec = corpus.select(col(idCol).as("neighbor_id"),
@@ -397,7 +397,7 @@ object Similarity {
       shortlist: Int = 32, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     require(shortlist >= k, "shortlist must be at least k")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val dsub = dim / m
     val pVec = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
@@ -540,7 +540,7 @@ object Similarity {
       nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64)
       : (IvfPqModel, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val dsub = dim / m
     val cVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
@@ -576,7 +576,7 @@ object Similarity {
     require(dim % model.m == 0,
       s"dim=$dim must split into m=${model.m} subspaces")
     val shuffleN =
-      batch.sparkSession.sessionState.conf.numShufflePartitions
+      Sizing.parallelism(batch, Sizing.CpuDenseFloorBytes)
     encodeVectors(batch.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .repartition(shuffleN), model, dim)
@@ -595,16 +595,15 @@ object Similarity {
     * only while no appender is active. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, numFiles: Int = 0): Unit = {
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
     val modelPath = new org.apache.hadoop.fs.Path(s"$indexDir/_model")
     val hasModel = modelPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(modelPath)
     Artifacts.swapInto(spark, indexDir) { tmp =>
-      spark.read.option("basePath", indexDir).parquet(indexDir)
-        .drop("batch")
-        .repartition(n, col("cell"))
+      val data = spark.read.option("basePath", indexDir)
+        .parquet(indexDir).drop("batch")
+      val n = if (numFiles > 0) numFiles else Sizing.writeWidth(data)
+      data.repartition(n, col("cell"))
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
       if (hasModel)
         spark.read.parquet(modelPath.toString).coalesce(1)
@@ -620,8 +619,7 @@ object Similarity {
     * cluster by `cell`, the probed-scan unit. */
   def writeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       model: IvfPqModel, index: DataFrame, numFiles: Int = 0): Unit = {
-    val n = if (numFiles > 0) numFiles
-      else spark.sessionState.conf.numShufflePartitions
+    val n = if (numFiles > 0) numFiles else Sizing.writeWidth(index)
     index.repartition(n, col("cell"))
       .write.mode("overwrite").parquet(s"$dir/batch=-1")
     model.toFrame(spark).coalesce(1)
@@ -823,7 +821,7 @@ object Similarity {
   private def ivfPqQuery(pVec: DataFrame, indexed: DataFrame,
       cVec: DataFrame, model: IvfPqModel, k: Int, nprobe: Int,
       shortlist: Int, dim: Int): DataFrame = {
-    val shuffleN = pVec.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(pVec, Sizing.CpuDenseFloorBytes)
     val lut = pqLutRow(model, dim) _
     val probed = pVec.repartition(shuffleN)
       .withColumn("__ranked", slice(reverse(array_sort(
@@ -866,7 +864,7 @@ object Similarity {
       vecCol: String, threshold: Double, nlist: Int = 16, dim: Int = 64,
       maxCellRows: Long = 1000000L): DataFrame = {
     require(maxCellRows > 0, "maxCellRows must be positive")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val cVec = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val sample = cVec.orderBy(xxhash64(col("__id")))
@@ -1085,7 +1083,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(k > 0 && shortlistFactor > 0,
       "k and shortlistFactor must be positive")
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val shuffleN = Sizing.parallelism(corpus, Sizing.CpuDenseFloorBytes)
     val med = binaryThresholds(corpus, idCol, vecCol, dim)
     // narrow signature frames: (id, sig) only — vectors re-attach after
     // the shortlist (the minhashLsh pattern)

@@ -189,7 +189,8 @@ object TextAnalysis {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text"))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+      // CPU-dense floor: MD5 per gram per row — see Sizing scaladoc
+      .repartition(Sizing.parallelism(df, Sizing.CpuDenseFloorBytes))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
