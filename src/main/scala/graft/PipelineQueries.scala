@@ -450,8 +450,12 @@ object PipelineQueries {
       (col("vec_id") + 100000).as("vec_id"), col("embedding")))
     val (model, index) = Similarity.ivfPqIndex(corpus, "vec_id",
       "embedding", nlist = 16, m = 8, ksub = 16)
+    // index frame built in-process two lines up under this same model —
+    // the serving-loop discipline (width-guard scaladoc): skip the
+    // index-wide validation scan
     Similarity.knnIvfPqOnIndex(probes, index, corpus, "vec_id",
-      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32,
+      checkWidths = false)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("probe_id", "neighbor_id")
   }
@@ -483,8 +487,12 @@ object PipelineQueries {
         model))
       .unionByName(Similarity.indexBatch(b3, "vec_id", "embedding",
         model))
+    // all three append encodes ran in-process under the one frozen
+    // model — skip the index-wide validation scan (serving-loop
+    // discipline; the disk round-trip gates q202/q204 keep it)
     Similarity.knnIvfPqOnIndex(probes, idx, corpus, "vec_id",
-      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32,
+      checkWidths = false)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("probe_id", "neighbor_id")
   }
@@ -518,7 +526,8 @@ object PipelineQueries {
     val retracted = Similarity.retract(index,
       probes.select((col("vec_id") + 100000).as("neighbor_id")))
     Similarity.knnIvfPqOnIndex(probes, retracted, corpus, "vec_id",
-      "embedding", model, k = 1, nprobe = 4, shortlist = 32)
+      "embedding", model, k = 1, nprobe = 4, shortlist = 32,
+      checkWidths = false)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("probe_id", "neighbor_id")
   }
@@ -1274,9 +1283,13 @@ object PipelineQueries {
     // unpersisted, the batch-2 anti-join match would run twice more
     val s2 = s2raw.persist(StorageLevel.MEMORY_AND_DISK)
     val store2p = store2.persist(StorageLevel.MEMORY_AND_DISK)
+    // batch 2 validated this store's widths; batch 3 reads the SAME
+    // in-process frame grown by our own append — the hot-loop
+    // discipline the width-guard scaladoc documents (skip the
+    // store-wide re-scan per batch)
     val (s3, _) = Dedup.ingestBatch(store2p, b3, "doc_id", "text",
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      checkWidths = false, broadcastNew = true)
     b1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
       .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
@@ -1484,9 +1497,12 @@ object PipelineQueries {
         .write.parquet(s"$storeDir/batch=0")
     } finally s2.unpersist()
     graft.streaming.IngestStream.compactBatchLayout(spark, storeDir, outDir)
+    // the s2 ingest validated these same rows; the compaction between
+    // preserves the row set exactly (CompactionSpec) — hot-loop
+    // discipline: skip the per-batch store-wide width re-scan
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      checkWidths = false, broadcastNew = true)
     s3.select(col("doc_id"), lit(3L).as("lifecycle"))
       .write.parquet(s"$outDir/batch=1")
     b1.select(col("doc_id"), lit(1L).as("batch"))
@@ -1654,9 +1670,12 @@ object PipelineQueries {
     } finally { s2.unpersist(); () }
     graft.pipeline.Manifest.compact(spark, storeDir)
     graft.pipeline.Manifest.compact(spark, outDir)
+    // the s2 ingest validated these same rows; the compaction between
+    // preserves the row set exactly (CompactionSpec) — hot-loop
+    // discipline: skip the per-batch store-wide width re-scan
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      checkWidths = false, broadcastNew = true)
     graft.pipeline.Manifest.append(spark, outDir,
       s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
     b1.select(col("doc_id"), lit(1L).as("batch"))

@@ -45,16 +45,16 @@ object Embeddings {
     * gates. */
   def quantizeInt8Stats(df: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val mx = array_max(transform(v, x => abs(x)))
-    val scale = mx / lit(127.0)
-    val err = transform(v, x =>
-      abs(x - floor(x / scale + lit(0.5)) * scale))
+    // one codegen pass per row (VectorOps.Int8QuantStats): the HOF form
+    // re-inlined the O(n) max-abs scale into the per-element error
+    // lambda (project collapsing), making every row O(n²) interpreted
+    val st = graft.functions.VectorOps.int8QuantStats(col(vecCol))
+    val mx = element_at(st, 1)
     df.select(col(idCol),
       size(col(vecCol)).as("n_dims"),
-      round(scale, 6).as("scale"),
+      round(mx / lit(127.0), 6).as("scale"),
       when(mx === 0.0, lit(0.0))
-        .otherwise(round(array_max(err), 6)).as("max_abs_err"))
+        .otherwise(round(element_at(st, 2), 6)).as("max_abs_err"))
   }
 
   /** Per-group embedding health: vector counts, null / NaN-bearing /

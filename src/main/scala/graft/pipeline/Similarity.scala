@@ -411,32 +411,17 @@ object Similarity {
     val books: Array[Array[Array[Double]]] = (0 until m).map { j =>
       kmeansL2(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, 10)
     }.toArray
-    val cn2: Array[Array[Double]] =
-      books.map(_.map(c => c.map(x => x * x).sum))
-    def subV(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    // encode: argmin_c ||sub − cent_c||² per subspace; the ||sub||² term
-    // is constant within the argmin and dropped. First-min tie-break
-    // (array_position) keeps codes deterministic.
-    val codeCols = (0 until m).map { j =>
-      val s = subV(col("cv"), j)
-      val dists = array((0 until ksub).map { c =>
-        lit(cn2(j)(c)) - lit(2.0) *
-          dot(s, array(books(j)(c).map(lit): _*))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // encode: argmin_c ||sub − cent_c||² per subspace (first-min
+    // tie-break); LUT: lut[j][c] = ||cent||² − 2·sub·cent — both as
+    // one-node codegen expressions (VectorOps.PqEncode / PqLut,
+    // value-identical to the unrolled form they replace; see
+    // encodeVectors' note on the driver cost of the ~2.5k-node trees)
     val codes = cVec.repartition(shuffleN)
-      .select(col("neighbor_id"), array(codeCols: _*).as("codes"))
-    // per-probe LUT: lut[j][c] = ||cent||² − 2·sub·cent (the per-probe
-    // ||sub||² constant cancels in the ranking and is dropped)
-    val lutCol = array((0 until m).map { j =>
-      val s = subV(col("pv"), j)
-      array((0 until ksub).map { c =>
-        lit(cn2(j)(c)) - lit(2.0) *
-          dot(s, array(books(j)(c).map(lit): _*))
-      }: _*)
-    }: _*)
-    val pLut = pVec.withColumn("__lut", lutCol).select("probe_id", "__lut")
+      .select(col("neighbor_id"),
+        graft.functions.VectorOps.pqEncode(col("cv"), books).as("codes"))
+    val pLut = pVec.withColumn("__lut",
+        graft.functions.VectorOps.pqLut(col("pv"), books))
+      .select("probe_id", "__lut")
     val adc = (0 until m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("codes"), j + 1) + 1)
@@ -738,18 +723,18 @@ object Similarity {
     * code off the same LUT row the probe-side ADC uses. */
   private def encodeVectors(cVec: DataFrame, model: IvfPqModel,
       dim: Int): DataFrame = {
-    val lut = pqLutRow(model, dim) _
-    val codeCols = (0 until model.m).map { j =>
-      val dists = lut(col("cv"))(j)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // one-node PQ encode (VectorOps.PqEncode — value-identical to the
+    // unrolled argmin-over-LUT expression form, which built ~2.5k
+    // Catalyst nodes per call site and dominated these queries'
+    // DRIVER time in analysis/codegen at bench scale)
     cVec
       .withColumn("__sims",
         graft.functions.VectorOps.centroidSims(col("cv"), model.cents))
       .withColumn("cell", (array_position(col("__sims"),
         array_max(col("__sims"))) - 1).cast("int"))
       .select(col("neighbor_id"), col("cell"),
-        array(codeCols: _*).as("codes"))
+        graft.functions.VectorOps.pqEncode(col("cv"), model.books)
+          .as("codes"))
   }
 
   /** Query a PERSISTED IVF-PQ index: probes rank cells against the
@@ -796,23 +781,6 @@ object Similarity {
       nprobe, shortlist, dim)
   }
 
-  /** Per-subspace ADC lookup row: for subspace j, the ksub partial
-    * squared L2 distances ‖c‖² − 2·(v_j · c) (the ‖v_j‖² term is
-    * probe-constant and cancels in ranking). Shared by the index
-    * build (argmin → codes) and the probe LUT. */
-  private def pqLutRow(model: IvfPqModel, dim: Int)(v: Column)
-      : Seq[Column] = {
-    val dsub = dim / model.m
-    val cn2 = model.books.map(_.map(c => c.map(x => x * x).sum))
-    (0 until model.m).map { j =>
-      val s = slice(v, j * dsub + 1, dsub)
-      array((0 until model.ksub).map { c =>
-        lit(cn2(j)(c)) - lit(2.0) *
-          dot(s, array(model.books(j)(c).map(lit): _*))
-      }: _*)
-    }
-  }
-
   /** The IVF-PQ query stage shared by [[knnIvfPq]] and
     * [[knnIvfPqOnIndex]]: probe-side cell ranking + LUT, the cell
     * equi-join against the code frame (AQE broadcasts the probe side
@@ -822,7 +790,6 @@ object Similarity {
       cVec: DataFrame, model: IvfPqModel, k: Int, nprobe: Int,
       shortlist: Int, dim: Int): DataFrame = {
     val shuffleN = Sizing.parallelism(pVec, Sizing.CpuDenseFloorBytes)
-    val lut = pqLutRow(model, dim) _
     val probed = pVec.repartition(shuffleN)
       .withColumn("__ranked", slice(reverse(array_sort(
         transform(
@@ -830,8 +797,9 @@ object Similarity {
           (s, i) => struct(s.as("s"), i.as("i"))))), 1, nprobe))
       .withColumn("cell",
         explode(transform(col("__ranked"), x => x.getField("i"))))
-      .select(col("probe_id"), col("cell"), array(lut(col("pv")): _*)
-        .as("__lut"))
+      .select(col("probe_id"), col("cell"),
+        graft.functions.VectorOps.pqLut(col("pv"), model.books)
+          .as("__lut"))
     val adc = (0 until model.m).map { j =>
       element_at(element_at(col("__lut"), j + 1),
         element_at(col("codes"), j + 1) + 1)
