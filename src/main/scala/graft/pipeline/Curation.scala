@@ -60,30 +60,67 @@ object Curation {
       .toDF(idCol, "__g")
   }
 
-  /** One-pass (id, n_tokens, kind, gram) emitter of the repetition-signal
-    * gram families: every 2-gram ("g2") and 3-gram ("g3") in document
-    * order with repeats, plus the non-overlapping `chunkWords`-word
-    * chunks ("ch"). Single tokenizer pass per row. */
-  private[pipeline] def repetitionGramFrame(df: DataFrame, idCol: String,
+  /** Per-document repetition numerators/denominators, computed entirely
+    * in-kernel: gram multiplicity within a document is a function of
+    * that document alone, so the previous shape — exploding every
+    * 2-gram/3-gram/chunk STRING through a corpus-scale (id, kind, gram)
+    * hash exchange plus a second per-doc rollup exchange — shipped the
+    * heaviest rows of the whole curation pipeline for values a local
+    * counting map folds in one pass. Emits one row per doc:
+    * (id, nt, max2, dup3, tot3, dupc, totc) where
+    *   max2 = count of the most frequent 2-gram (0 when none),
+    *   dup3/tot3 = 3-gram instances whose gram repeats / all instances,
+    *   dupc/totc = same over the non-overlapping `chunkWords` chunks.
+    * Zeros stand in for the old aggregate's nulls — every consumer
+    * expression coalesced nulls to 0 (numerators) or mapped null/0
+    * denominators to 0.0, so the final values are bit-identical.
+    * Tokenization matches the previous gram emitter exactly (trim,
+    * lowercase Locale.ROOT, whitespace split, no empty-token filter). */
+  private[pipeline] def repetitionStatFrame(df: DataFrame, idCol: String,
       textCol: String, chunkWords: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+")
-        val nt = toks.length
-        def grams(n: Int, kind: String) =
-          Iterator.range(0, math.max(nt - (n - 1), 0)).map(i =>
-            (id, nt, kind, toks.slice(i, i + n).mkString(" ")))
-        val nChunks = math.max((nt + chunkWords - 1) / chunkWords, 1)
-        val chunks = Iterator.range(0, nChunks).map(c =>
-          (id, nt, "ch", toks.slice(c * chunkWords,
-            c * chunkWords + chunkWords).mkString(" ")))
-        grams(2, "g2") ++ grams(3, "g3") ++ chunks
-      })
-      .toDF(idCol, "__nt", "__k", "__g")
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Array[Int]]()
+        def bump(g: String): Unit =
+          counts.computeIfAbsent(g, _ => new Array[Int](1))(0) += 1
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+")
+          val nt = toks.length
+          // 2-grams: max multiplicity
+          counts.clear()
+          var i = 0
+          while (i < nt - 1) { bump(toks(i) + " " + toks(i + 1)); i += 1 }
+          var max2 = 0L
+          counts.forEach((_, c) => if (c(0) > max2) max2 = c(0))
+          // 3-grams: duplicated-instance fraction terms
+          counts.clear()
+          i = 0
+          while (i < nt - 2) {
+            bump(toks(i) + " " + toks(i + 1) + " " + toks(i + 2)); i += 1
+          }
+          var dup3 = 0L
+          counts.forEach((_, c) => if (c(0) >= 2) dup3 += c(0))
+          val tot3 = math.max(nt - 2, 0).toLong
+          // non-overlapping chunks: duplicated-instance fraction terms
+          counts.clear()
+          val nChunks = math.max((nt + chunkWords - 1) / chunkWords, 1)
+          var cIdx = 0
+          while (cIdx < nChunks) {
+            bump(toks.slice(cIdx * chunkWords,
+              cIdx * chunkWords + chunkWords).mkString(" "))
+            cIdx += 1
+          }
+          var dupc = 0L
+          counts.forEach((_, c) => if (c(0) >= 2) dupc += c(0))
+          (id, nt, max2, dup3, tot3, dupc, nChunks.toLong)
+        }
+      }
+      .toDF(idCol, "__nt", "__max2", "__dup3", "__tot3", "__dupc",
+        "__totc")
   }
 
   // ------------------------------------------------------ decontamination
@@ -98,13 +135,61 @@ object Curation {
     * keys with Dedup.longIds first. */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
-    val benchGrams = broadcast(
-      bench.select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
-        .distinct())
-    distinctGramFrame(docs, idCol, textCol, n)
-      .join(benchGrams, Seq("__g"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+    val grams = benchGramSet(docs.sparkSession, bench, benchTextCol, n)
+    val hits = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val set = grams.value
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val seen = new java.util.HashSet[String]
+        val sb = new java.lang.StringBuilder
+        var cnt = 0L
+        var i = 0
+        val L = math.max(toks.length - (n - 1), 0)
+        while (i < L) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val g = sb.toString
+          if (set.contains(g) && seen.add(g)) cnt += 1L
+          i += 1
+        }
+        cnt
+      }
+    }
+    docs.select(col(idCol).cast("long").as(idCol),
+        hits(col(textCol)).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** The benchmark gram set collected to a broadcast variable: eval
+    * sets are small by construction (the [[contaminationHits]]
+    * contract), so the set rides one driver hop and the corpus-side
+    * sweep becomes a pure per-row membership scan — no gram explode,
+    * no semi-join exchange, no per-doc count shuffle. The cap keeps an
+    * accidentally-corpus-sized `bench` from silently OOMing the
+    * driver; gram construction is [[Dedup.shingles]] verbatim (the
+    * same normalization the previous broadcast semi-join used). */
+  private def benchGramSet(spark: org.apache.spark.sql.SparkSession,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      maxGrams: Int = 8388608)
+      : org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]] = {
+    val rows = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+      .limit(maxGrams + 1)
+      .collect()
+    require(rows.length <= maxGrams,
+      s"contamination bench produced more than $maxGrams distinct " +
+        "grams — eval sets are small by contract; split the sweep")
+    val set = new java.util.HashSet[String](rows.length * 2)
+    rows.foreach(r => set.add(r.getString(0)))
+    spark.sparkContext.broadcast(set)
   }
 
   /** Per-(doc, benchmark) contamination attribution: like
@@ -134,13 +219,40 @@ object Curation {
   }
 
   /** The corpus with every contaminated document removed — the frame a
-    * training pipeline feeds downstream after an eval-set sweep. */
+    * training pipeline feeds downstream after an eval-set sweep. A pure
+    * FILTER against the broadcast bench-gram set (short-circuiting on
+    * the first hit): the previous shape re-ran the gram kernel into a
+    * per-doc count exchange and anti-joined it back onto the corpus —
+    * two corpus-keyed exchanges for a predicate of the row itself. */
   def decontaminated(docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame =
-    docs.join(
-      contaminationHits(docs, idCol, textCol, bench, benchTextCol, n)
-        .select(col(idCol)),
-      Seq(idCol), "left_anti")
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val grams = benchGramSet(docs.sparkSession, bench, benchTextCol, n)
+    val clean = udf { text: String =>
+      if (text == null) true
+      else {
+        val set = grams.value
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        val L = math.max(toks.length - (n - 1), 0)
+        var ok = true
+        while (ok && i < L) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          if (set.contains(sb.toString)) ok = false
+          i += 1
+        }
+        ok
+      }
+    }
+    docs.filter(clean(col(textCol)))
+  }
 
   // -------------------------------------------------- repetition signals
 
@@ -153,35 +265,21 @@ object Curation {
     *   - dup_chunk_frac:  same, over non-overlapping `chunkWords`-word
     *     chunks (the duplicate-line fraction generalized to chunked text,
     *     like TextAnalysis.scrubBoilerplate).
-    * One explode over the tagged union of the three gram families, then
-    * a (doc, kind, gram) count and a per-doc conditional rollup — a
-    * single source scan and two hash shuffles regardless of family
-    * count. */
+    * One in-kernel pass over the source ([[repetitionStatFrame]]) —
+    * ZERO shuffles regardless of family count: the previous shape's
+    * two corpus-scale exchanges carried every gram string for per-doc
+    * values the kernel folds locally. */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 10): DataFrame = {
     require(chunkWords > 0, "need chunkWords > 0")
-    val counts = repetitionGramFrame(df, idCol, textCol, chunkWords)
-      .groupBy(col(idCol), col("__nt"), col("__k"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val c = col("__c")
     def frac(num: Column, den: Column): Column =
       round(when(den.isNull || den === 0, 0.0)
         .otherwise(num.cast("double") / den), 6)
-    counts
-      .groupBy(col(idCol), col("__nt"))
-      .agg(
-        max(when(col("__k") === "g2", c)).as("__max2"),
-        sum(when(col("__k") === "g3" && c >= 2, c)).as("__dup3"),
-        sum(when(col("__k") === "g3", c)).as("__tot3"),
-        sum(when(col("__k") === "ch" && c >= 2, c)).as("__dupc"),
-        sum(when(col("__k") === "ch", c)).as("__totc"))
+    repetitionStatFrame(df, idCol, textCol, chunkWords)
       .select(col(idCol),
-        frac(coalesce(col("__max2"), lit(0L)) * 2, col("__nt"))
-          .as("top_2gram_frac"),
-        frac(coalesce(col("__dup3"), lit(0L)), col("__tot3"))
-          .as("dup_3gram_frac"),
-        frac(coalesce(col("__dupc"), lit(0L)), col("__totc"))
-          .as("dup_chunk_frac"))
+        frac(col("__max2") * 2, col("__nt")).as("top_2gram_frac"),
+        frac(col("__dup3"), col("__tot3")).as("dup_3gram_frac"),
+        frac(col("__dupc"), col("__totc")).as("dup_chunk_frac"))
   }
 
   // ------------------------------------------------------------ chunking
@@ -197,11 +295,17 @@ object Curation {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       "need 0 <= overlap < maxTokens")
     val stride = maxTokens - overlap
-    val t = toks(col(textCol))
+    // tokenize ONCE per row into a materialized column: embedding the
+    // split inside the transform lambda re-ran the tokenizer per chunk
+    // element (higher-order lambdas evaluate their body per element and
+    // see no common-subexpression elimination), an O(tokens × chunks)
+    // term on long documents
+    val t = col("__toks")
     val nChunks = greatest(
       ceil((size(t) - lit(overlap)).cast("double") / stride).cast("int"),
       lit(1))
-    df.select(col(idCol),
+    df.withColumn("__toks", toks(col(textCol)))
+      .select(col(idCol),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           c => slice(t, c * stride + 1, lit(maxTokens))))
           .as(Seq("chunk_idx", "__c")))
@@ -237,19 +341,47 @@ object Curation {
       minQuality: Double = 0.75, maxDup3GramFrac: Double = 0.3,
       decontamN: Int = 13, chunkTokens: Int = 512,
       chunkOverlap: Int = 64): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val deduped = Dedup.exactDeduped(docs, idCol, textCol)
       .select(col(idCol), col(textCol))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val decon = decontaminated(deduped, idCol, textCol, bench,
       benchTextCol, decontamN)
     val quality = decon.filter(
       TextAnalysis.qualityScore(col(textCol)) >= minQuality)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val lowRep = repetitionSignals(quality, idCol, textCol)
-      .filter(col("dup_3gram_frac") <= maxDup3GramFrac)
-      .select(col(idCol))
-    val kept = quality.join(lowRep, Seq(idCol), "left_semi")
+    // repetition gate as a per-row FILTER: dup_3gram_frac is a function
+    // of the document text alone, so the previous semi-join of a
+    // separately-aggregated signal frame back onto the corpus paid two
+    // exchanges (and forced persisting `quality` for its two readers)
+    // for a predicate the row can answer itself. round matches the SQL
+    // round(x, 6) (HALF_UP on BigDecimal.valueOf) bit for bit.
+    val lowRep = udf { text: String =>
+      if (text == null) true
+      else {
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")
+        val nt = toks.length
+        val tot3 = math.max(nt - 2, 0)
+        if (tot3 == 0) 0.0 <= maxDup3GramFrac // the old frac-0.0 row
+        else {
+          val counts = new java.util.HashMap[String, Array[Int]]()
+          var i = 0
+          while (i < nt - 2) {
+            counts.computeIfAbsent(
+              toks(i) + " " + toks(i + 1) + " " + toks(i + 2),
+              _ => new Array[Int](1))(0) += 1
+            i += 1
+          }
+          var dup3 = 0L
+          counts.forEach((_, c) => if (c(0) >= 2) dup3 += c(0))
+          val frac = java.math.BigDecimal.valueOf(dup3.toDouble / tot3)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          frac <= maxDup3GramFrac
+        }
+      }
+    }
+    // every stage above is a filter/projection of the same pass —
+    // single-consumer lineage, so the multi-branch persists the old
+    // join shape needed are gone with it
+    val kept = quality.filter(lowRep(col(textCol)))
     val scrubbed = kept.withColumn(textCol,
       TextAnalysis.scrubPii(col(textCol)))
     chunkForTraining(scrubbed, idCol, textCol, chunkTokens, chunkOverlap)

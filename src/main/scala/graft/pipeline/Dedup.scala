@@ -950,13 +950,6 @@ object Dedup {
     * pair; unpaired docs are trivially their own component. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs
-      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // LAZY checkpoint per round, materialized by the convergence count:
     // the checkpoint cuts the logical lineage — without it the returned
     // plan nests every iteration's joins (thousands of plan nodes by
@@ -980,6 +973,31 @@ object Dedup {
     def snap(d: DataFrame): DataFrame =
       if (reliable) d.checkpoint(eager = true)
       else d.localCheckpoint(eager = false)
+    // Edges are SNAPSHOTTED (not merely persisted): every round's stages
+    // serialize the edge side's task binary anew, and with the full
+    // upstream lineage attached (LSH banding, minhash kernels, corpus
+    // scans) that measured ~36 ms of executor DESERIALIZE per task on
+    // the CC-heavy queries — 27 s across q200's loop, more than the
+    // tasks' own compute. The snapshot truncates the plan to a scan of
+    // materialized blocks; the count below triggers it (lazy local
+    // checkpoints materialize on their first job) and doubles as the
+    // loop-width probe.
+    val edges = snap(pairs
+      .select(col(idA).cast("long").as("src"),
+        col(idB).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(idB).cast("long").as("src"),
+          col(idA).cast("long").as("dst")))
+      .distinct())
+    // Loop aggregation width sized by the measured edge count instead
+    // of the session constant: each round shuffles ≤ nodes + edges rows
+    // of 24 bytes, so the session width (sized for corpus-scale stages)
+    // runs near-empty tasks every round at small scale — pure per-task
+    // overhead — while the cap keeps full fan-out on a real cluster.
+    // 256 Ki rows ≈ 6 MB per aggregation task.
+    val cap = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val nEdges = edges.count()
+    val w = math.min(cap.toLong, nEdges / 262144L + 1L).toInt
     // no init snapshot: round 1's plan holds the (small) distinct
     // directly, and every later round starts from a checkpointed frame
     var labels = edges.select(col("src").as("id")).distinct()
@@ -995,20 +1013,41 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // one fused exchange per round: own label and neighbor labels
-      // ride the same union, and a single hash aggregate takes
-      // min(comp) (the propagation step) alongside the OLD label (the
-      // unique __old row per id) — the join + groupBy + re-join shape
-      // this replaces paid two extra exchanges for the same result
-      val msgs = edges
+      // TWO min-propagation steps per materialization (half the
+      // snapshot/count jobs of one-step rounds — the loop's cost at
+      // bench scale is per-round job latency, not data). Min-label
+      // propagation is monotone non-increasing, so the two-step
+      // composition reaches the same unique fixpoint, and "no change
+      // across the double step" stays a sound convergence test (a
+      // step-1 change cannot be undone by step 2).
+      //
+      // Step 1: plain fused exchange — own label and neighbor labels
+      // ride one union into one hash aggregate; min(when(__old, comp))
+      // recovers the pre-step label (the unique __old row per id; every
+      // node appears in `labels`, so the row always exists).
+      val msgs1 = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"), lit(false).as("__old"))
+      val mid = labels
+        .select(col("id"), col("comp"), lit(true).as("__old"))
+        .unionByName(msgs1)
+        .repartition(w, col("id"))
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("__old"), col("comp"))).as("__oldc"))
+      // Step 2: same shape over `mid`; the original label rides the own
+      // row's __oldc (neighbors contribute null, which min() ignores).
+      val msgs2 = edges
+        .join(mid.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"),
+          lit(null).cast("long").as("__oldc"))
       val stepped = snap(
-        labels.select(col("id"), col("comp"), lit(true).as("__old"))
-          .unionByName(msgs)
+        mid.select(col("id"), col("comp"), col("__oldc"))
+          .unionByName(msgs2)
+          .repartition(w, col("id"))
           .groupBy(col("id"))
           .agg(min(col("comp")).as("__newc"),
-            min(when(col("__old"), col("comp"))).as("__oldc")))
+            min(col("__oldc")).as("__oldc")))
       val changed = stepped.filter(col("__newc") =!= col("__oldc")).count()
       // release the PREVIOUS round's snapshot explicitly (`stepped` was
       // its last reader) — otherwise up to maxIter checkpointed label
@@ -1017,9 +1056,9 @@ object Dedup {
       lastSnap = checkpointRdd(stepped)
       labels = stepped.select(col("id"), col("__newc").as("comp"))
       converged = changed == 0
-      i += 1
+      i += 2
     }
-    edges.unpersist()
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     // silent non-convergence would split clusters and KEEP duplicates —
     // fail loudly instead (a >maxIter-diameter chain is pathological but
     // possible in templated corpora)
