@@ -54,37 +54,46 @@ object Classifier {
       alpha: Double = 1.0): LinearModel = {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0, "alpha must be positive")
-    val spark = labeled.sparkSession
-    import spark.implicits._
-    // doc census straight from the labels (empty classes are a caller
-    // error — name it, don't divide by zero deep in a plan)
-    val docCensus = labeled
-      .groupBy(col(labelCol).cast("int").as("__y"))
-      .agg(count(lit(1)).as("docs"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    require(docCensus.contains(1) && docCensus.contains(0),
-      s"logCountRatio needs both classes in $labelCol; " +
-        s"saw ${docCensus.keySet}")
     val f = Dsir.hashedFeatures(
         labeled.select(col(idCol), col(textCol)), idCol, textCol, buckets)
       .join(labeled.select(col(idCol),
         col(labelCol).cast("int").as("__y")), idCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val mass = f.groupBy(col("__y")).agg(sum(col("cnt")).as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE action for the doc census (from the labels — empty classes
+    // are a caller error, name it loudly) and the per-class token mass
+    // (from the feature frame, whose persist this materializes): the
+    // previous two collects each paid a full job's scheduling latency.
+    val statRows = labeled
+      .groupBy(col(labelCol).cast("int").as("__y"))
+      .agg(count(lit(1)).as("__v"))
+      .select(lit("docs").as("__k"), col("__y"), col("__v"))
+      .unionByName(f.groupBy(col("__y"))
+        .agg(sum(col("cnt")).as("__v"))
+        .select(lit("mass").as("__k"), col("__y"), col("__v")))
+      .collect()
+    val docCensus = statRows.filter(_.getString(0) == "docs")
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    require(docCensus.contains(1) && docCensus.contains(0),
+      s"logCountRatio needs both classes in $labelCol; " +
+        s"saw ${docCensus.keySet}")
+    val mass = statRows.filter(_.getString(0) == "mass")
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
     val posTot = mass.getOrElse(1, 0L)
     val negTot = mass.getOrElse(0, 0L)
-    val weightRows = f.groupBy(col("bucket"))
+    // the weight table stays a LAZY aggregate over the persisted
+    // feature frame — it broadcasts at scoring time like the local
+    // relation it replaces, minus the ≤buckets-row collect job here.
+    // `f` deliberately stays persisted: the broadcast build reads it
+    // from cache (released via clearCache — the Dsir convention).
+    val weights = f.groupBy(col("bucket"))
       .agg(
         (log((sum(when(col("__y") === 1, col("cnt")).otherwise(0L)) +
           alpha) / (posTot + alpha * buckets)) -
          log((sum(when(col("__y") === 0, col("cnt")).otherwise(0L)) +
           alpha) / (negTot + alpha * buckets))).as("r"))
-      .as[(Long, Double)].collect()
-    f.unpersist()
     val unseenR = math.log(alpha / (posTot + alpha * buckets)) -
       math.log(alpha / (negTot + alpha * buckets))
-    LinearModel(weightRows.toSeq.toDF("bucket", "r"), unseenR,
+    LinearModel(weights, unseenR,
       math.log(docCensus(1).toDouble / docCensus(0)), buckets)
   }
 

@@ -34,34 +34,69 @@ object Dsir {
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(buckets <= (1 << 22),
+      s"hashedFeatures holds a per-task long[buckets] count array; " +
+        s"$buckets exceeds the 4Mi cap (use fewer hash buckets)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // Allocation-lean kernel (this path measured 7× the per-work CPU
+        // at 32 threads vs 8 — boxing/concat garbage amplifies under
+        // concurrent allocation): bigram digests stream token bytes +
+        // one space byte through the MessageDigest instead of building
+        // a concatenated String (UTF-8 of a concat IS the concat of
+        // UTF-8), per-token bytes are computed once, and counts fold
+        // into a reused primitive array + touched-index list instead of
+        // a boxed HashMap. Bucket value unchanged: first 4 md5 bytes,
+        // big-endian unsigned, mod buckets.
         val md = java.security.MessageDigest.getInstance("MD5")
-        def bucket(g: String): Long = {
-          val d = md.digest(g.getBytes("UTF-8"))
-          // first 8 hex chars = first 4 bytes, big-endian, unsigned
-          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          v % buckets
-        }
+        val counts = new Array[Long](buckets)
+        var touched = new Array[Int](256)
+        def bucketOf(d: Array[Byte]): Int =
+          ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % buckets).toInt
         it.flatMap { case (id, text) =>
           val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
-          val counts = new java.util.HashMap[Long, Long]
+          val tb = new Array[Array[Byte]](toks.length)
           var i = 0
           while (i < toks.length) {
-            counts.merge(bucket(toks(i)), 1L, Long.box(_) + _)
-            if (i < toks.length - 1)
-              counts.merge(bucket(toks(i) + " " + toks(i + 1)), 1L,
-                Long.box(_) + _)
+            tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
             i += 1
           }
-          val out = Array.newBuilder[(Long, Long, Long)]
-          counts.forEach((b, c) => out += ((id, b, c)))
-          out.result()
+          var nTouched = 0
+          def bump(b: Int): Unit = {
+            if (counts(b) == 0L) {
+              if (nTouched == touched.length)
+                touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+              touched(nTouched) = b
+              nTouched += 1
+            }
+            counts(b) += 1L
+          }
+          i = 0
+          while (i < tb.length) {
+            md.update(tb(i))
+            bump(bucketOf(md.digest()))
+            if (i < tb.length - 1) {
+              md.update(tb(i))
+              md.update(' '.toByte)
+              md.update(tb(i + 1))
+              bump(bucketOf(md.digest()))
+            }
+            i += 1
+          }
+          val out = new Array[(Long, Long, Long)](nTouched)
+          i = 0
+          while (i < nTouched) {
+            val b = touched(i)
+            out(i) = (id, b.toLong, counts(b))
+            counts(b) = 0L
+            i += 1
+          }
+          out
         }
       }
       .toDF(idCol, "bucket", "cnt")
@@ -113,10 +148,20 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtF = hashedFeatures(target, idCol, targetTextCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one action per corpus: the totals both the model and the smoothing
-    // floor need (and the first materialization of each persist)
-    val totR = totalCount(rawF, "raw corpus")
-    val totT = totalCount(tgtF, "target corpus")
+    // ONE action for both totals (a cross join of the two one-row
+    // aggregates): the previous per-corpus totalCount() actions each
+    // paid a full job's scheduling latency, and this single job also
+    // materializes both persists before the weight join reads them
+    val trow = rawF.agg(sum(col("cnt")))
+      .crossJoin(tgtF.agg(sum(col("cnt")))).head
+    require(!trow.isNullAt(0),
+      "DSIR: raw corpus produced no features (empty corpus or " +
+        "all-empty texts)")
+    require(!trow.isNullAt(1),
+      "DSIR: target corpus produced no features (empty corpus or " +
+        "all-empty texts)")
+    val totR = trow.getLong(0)
+    val totT = trow.getLong(1)
     val pT = tgtF.groupBy("bucket")
       .agg(log((sum(col("cnt")) + alpha) / (totT + alpha * buckets))
         .as("__lt"))
@@ -155,13 +200,19 @@ object Dsir {
       temperature: Double = 1.0, maxExact: Int = 4194304): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
     require(temperature > 0, "temperature must be positive")
-    val n = weights.count()
+    // persist before the sizing count: `weights` is the whole
+    // importance-weight pipeline, and without the cache the count ran
+    // it once for k and the returned top-k ran it all over again
+    // (released via clearCache; this exact mode is row-capped anyway)
+    val w = weights.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = w.count()
     val k = math.ceil(frac * n).toLong
     require(k <= maxExact,
       s"exact top-k selection of $k rows exceeds maxExact=$maxExact " +
         "(a global limit single-tasks the survivors); use " +
         "resampleAboveQuantile for corpus-fraction selections")
-    weights
+    w
       .withColumn("score", gumbelScore(idCol, temperature))
       .orderBy(desc("score"), col(idCol))
       .limit(k.toInt)

@@ -127,12 +127,20 @@ object Perplexity {
   def bucketExact(scored: DataFrame, idCol: String, nBuckets: Int = 3,
       maxExact: Long = 4194304L): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val n = scored.count()
+    // persist BEFORE the guard count: `scored` is the full LM-scoring
+    // pipeline (gram kernel + model joins), and without the cache the
+    // count ran it once for the row-count guard and the returned window
+    // ran it all over again — the whole scoring phase computed twice
+    // (released via clearCache, the Dsir convention; bounded by
+    // maxExact rows by this mode's contract)
+    val s = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = s.count()
     require(n <= maxExact,
       s"exact ntile over $n rows exceeds maxExact=$maxExact (a global " +
         "window single-tasks the corpus); use bucketByThresholds at scale")
     import org.apache.spark.sql.expressions.Window
-    scored.withColumn("bucket",
+    s.withColumn("bucket",
       ntile(nBuckets).over(Window.orderBy(col("ppl"), col(idCol))))
   }
 
