@@ -40,6 +40,17 @@ object PipelineQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Queries.cat(spark, dir)("embeddings").df
 
+  /** Size gate for the lifecycle gates' broadcast-ingest fast path,
+    * mirroring IngestStream's row cap: the gates' batches are a FIXED
+    * FRACTION of the corpus, so a hardcoded `broadcastNew = true`
+    * forces a multi-TB broadcast build at 100 TB (the explicit hint
+    * bypasses autoBroadcastJoinThreshold). The estimate-based gate
+    * keeps the broadcast plan at bench scale and falls back to the
+    * shuffled band join — same pair set, same output — above the cap
+    * (`spark.graft.maxBroadcastBatchBytes`). */
+  private def bcastBatch(df: DataFrame): Boolean =
+    graft.pipeline.Sizing.broadcastableBatch(df)
+
   /** documents ∪ perturbed copies of every 10th doc (planted near-dups). */
   private def corpusWithDups(spark: SparkSession, dir: String): DataFrame = {
     val d = docsRaw(spark, dir).select("doc_id", "text")
@@ -1278,7 +1289,7 @@ object PipelineQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (s2raw, store2) = Dedup.ingestBatch(store1, b2, "doc_id",
       "text", k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      broadcastNew = bcastBatch(b2))
     // survivors feed BOTH the store append and the output union —
     // unpersisted, the batch-2 anti-join match would run twice more
     val s2 = s2raw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1289,7 +1300,7 @@ object PipelineQueries {
     // store-wide re-scan per batch)
     val (s3, _) = Dedup.ingestBatch(store2p, b3, "doc_id", "text",
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      checkWidths = false, broadcastNew = true)
+      checkWidths = false, broadcastNew = bcastBatch(b3))
     b1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
       .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
@@ -1379,7 +1390,7 @@ object PipelineQueries {
         concat(col("text"), lit(" zz9")).as("text")))
     Dedup.dedupAgainstStore(batch, "doc_id", "text", retracted,
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      broadcastNew = bcastBatch(batch))
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -1486,7 +1497,7 @@ object PipelineQueries {
         .drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(b2))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // the lifecycle label rides INSIDE the rows (compaction keeps
@@ -1502,7 +1513,7 @@ object PipelineQueries {
     // discipline: skip the per-batch store-wide width re-scan
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      checkWidths = false, broadcastNew = true)
+      checkWidths = false, broadcastNew = bcastBatch(b3))
     s3.select(col("doc_id"), lit(3L).as("lifecycle"))
       .write.parquet(s"$outDir/batch=1")
     b1.select(col("doc_id"), lit(1L).as("batch"))
@@ -1533,7 +1544,7 @@ object PipelineQueries {
       k = 16, shingleN = 3)
     Dedup.incrementalComponents(prev, store, batch, "doc_id", "text",
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(batch))
       .orderBy("id")
   }
 
@@ -1578,7 +1589,7 @@ object PipelineQueries {
     // its consumer — must not depend on them
     Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(b2))
       .write.parquet(s"$root/s2")
     val s2 = spark.read.parquet(s"$root/s2")
     Dedup.signatureStore(s2, "doc_id", "text", k = 16, shingleN = 3)
@@ -1589,7 +1600,7 @@ object PipelineQueries {
       "doc_id", "text", k = 32, shingleN = 3)
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
       k = 32, bands = 16, shingleN = 3, minJaccard = 0.7,
-      broadcastNew = true)
+      broadcastNew = bcastBatch(b3))
     b1.select(col("doc_id"), lit(1L).as("batch"))
       .unionByName(s2.select(col("doc_id"), lit(2L).as("batch")))
       .unionByName(s3.select(col("doc_id"), lit(3L).as("batch")))
@@ -1659,7 +1670,7 @@ object PipelineQueries {
       graft.pipeline.Manifest.rows(spark, storeDir).drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(b2))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       graft.pipeline.Manifest.append(spark, outDir,
@@ -1675,7 +1686,7 @@ object PipelineQueries {
     // discipline: skip the per-batch store-wide width re-scan
     val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
       k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-      checkWidths = false, broadcastNew = true)
+      checkWidths = false, broadcastNew = bcastBatch(b3))
     graft.pipeline.Manifest.append(spark, outDir,
       s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
     b1.select(col("doc_id"), lit(1L).as("batch"))
@@ -1729,7 +1740,7 @@ object PipelineQueries {
       Manifest.rows(spark, storeDir).drop("batch")
     val s2 = Dedup.dedupAgainstStore(b2, "doc_id", "text", store(),
         k = 16, bands = 8, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(b2))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       Manifest.append(spark, outDir,
@@ -1749,7 +1760,7 @@ object PipelineQueries {
         b1.filter(col("doc_id") % 30 === 6).select("doc_id"), "doc_id")
       val s3 = Dedup.dedupAgainstStore(b3, "doc_id", "text", store(),
         k = 32, bands = 16, shingleN = 3, minJaccard = 0.7,
-        broadcastNew = true)
+        broadcastNew = bcastBatch(b3))
       Manifest.append(spark, outDir,
         s3.select(col("doc_id"), lit(3L).as("lifecycle")), 1L)
     } finally { s2.unpersist(); () }

@@ -71,6 +71,28 @@ object Sizing {
   def writeWidth(df: DataFrame): Int =
     width(df, TargetFileBytesKey, DefaultTargetFileBytes)
 
+  val MaxBroadcastBatchBytesKey = "spark.graft.maxBroadcastBatchBytes"
+  val DefaultMaxBroadcastBatchBytes: Long = 64L * 1024 * 1024
+
+  /** Whether a micro-batch frame is small enough for the broadcast
+    * ingest path (Dedup's `broadcastNew`), judged by the plan's size
+    * estimate against `spark.graft.maxBroadcastBatchBytes`. The
+    * broadcast payload is roughly bands × (band hash + signature +
+    * shingle array) per row — several times the raw (id, text) bytes —
+    * so the default 64 MB estimate cap lands the built relation well
+    * under IngestStream's measured ~250 MB at its 200k-row cap, far
+    * from the 8 GB broadcast hard limit. An explicit broadcast() hint
+    * BYPASSES autoBroadcastJoinThreshold, so without this gate a
+    * corpus-fraction "batch" forces a multi-TB broadcast build at
+    * scale; unknown-size frames (Long.MaxValue stats) land on false —
+    * the shuffled path is the safe default. */
+  def broadcastableBatch(df: DataFrame): Boolean = {
+    val cap = java.lang.Long.parseLong(df.sparkSession.conf.get(
+      MaxBroadcastBatchBytesKey, DefaultMaxBroadcastBatchBytes.toString))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    bytes > 0 && bytes <= cap
+  }
+
   private def width(df: DataFrame, key: String, dflt: Long): Int =
     widthFor(df, java.lang.Long.parseLong(
       df.sparkSession.conf.get(key, dflt.toString)))
