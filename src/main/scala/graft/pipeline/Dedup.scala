@@ -39,9 +39,26 @@ object Dedup {
     * ([[Sizing.parallelism]] — the testdata parquet often arrives as ONE
     * input split, so an explicit repartition is still needed for any
     * parallelism at all; its WIDTH now derives from the input size
-    * instead of pinning every downstream stage to the session constant). */
+    * instead of pinning every downstream stage to the session constant).
+    * CPU-DENSE floor (8 KB), not the 128 KB default: the shingle/minhash
+    * kernels burn orders of magnitude more CPU per input byte than the
+    * downstream hash stages (per-token hashing, per-shingle rolling
+    * hashes, k minhash passes), so the 128 KB floor starved them — a
+    * small filtered frame (q126's paragraph frame) landed on ~5
+    * partitions while the rest of the machine idled (the five touched
+    * regressions of the r18 verdict cluster exactly here). */
   private def defaultParallelism(df: DataFrame): Int =
-    Sizing.parallelism(df)
+    Sizing.parallelism(df, PairKernelFloorBytes)
+
+  /** Floor for the pair-generation kernels, between Sizing's defaults:
+    * 128 KB starves the minhash/verify-heavy paths (q126's paragraph
+    * frame landed on ~5 partitions while the machine idled — the r18
+    * verdict's touched regressions), while the 8 KB CPU-dense floor
+    * triples the gates' total task time at 32 cores (measured: q195
+    * tasks 438 → 1312, task time 13.6 s → 49 s) because the
+    * signature-store paths do only one cheap kernel pass per row.
+    * 32 KB measured best on both families. */
+  private val PairKernelFloorBytes: Long = 32L * 1024
 
   /** Pair pipelines carry ids as primitive 64-bit longs (the imperative
     * kernels and the narrow (id,id) pair shuffles ship 8 bytes per side).
