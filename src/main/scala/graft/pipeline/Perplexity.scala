@@ -45,23 +45,40 @@ object Perplexity {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty)
-        val counts = new java.util.HashMap[(String, String, String), Long]
-        var i = 0
-        while (i < toks.length) {
-          if (allUnigrams || i == 0)
-            counts.merge(("u", toks(i), ""), 1L, Long.box(_) + _)
-          if (i < toks.length - 1)
-            counts.merge(("b", toks(i) + " " + toks(i + 1), toks(i)), 1L,
-              Long.box(_) + _)
-          i += 1
+      .mapPartitions { it =>
+        // two reused string-keyed maps with mutable long cells instead
+        // of one Tuple3-keyed map with boxed-merge: the tuple + boxing
+        // garbage was the kernel's dominant allocation, which amplifies
+        // under 32-thread concurrent allocation. The bigram's context
+        // token is re-derived at emission (tokens are whitespace-split,
+        // so the gram's first space is the separator).
+        val uni = new java.util.HashMap[String, Array[Long]]
+        val bi = new java.util.HashMap[String, Array[Long]]
+        def bump(m: java.util.HashMap[String, Array[Long]],
+            g: String): Unit =
+          m.computeIfAbsent(g, _ => new Array[Long](1))(0) += 1L
+        it.flatMap { case (id, text) =>
+          uni.clear(); bi.clear()
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          var i = 0
+          while (i < toks.length) {
+            if (allUnigrams || i == 0) bump(uni, toks(i))
+            if (i < toks.length - 1) bump(bi, toks(i) + " " + toks(i + 1))
+            i += 1
+          }
+          val out =
+            new Array[(Long, String, String, String, Long)](
+              uni.size + bi.size)
+          var j = 0
+          uni.forEach { (g, c) => out(j) = (id, "u", g, "", c(0)); j += 1 }
+          bi.forEach { (g, c) =>
+            out(j) = (id, "b", g, g.substring(0, g.indexOf(' ')), c(0))
+            j += 1
+          }
+          out
         }
-        val out = Array.newBuilder[(Long, String, String, String, Long)]
-        counts.forEach((kgc, n) => out += ((id, kgc._1, kgc._2, kgc._3, n)))
-        out.result()
-      })
+      }
       .toDF(idCol, "__k", "__g", "__ctx", "__c")
   }
 

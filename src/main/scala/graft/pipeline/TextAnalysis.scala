@@ -275,12 +275,17 @@ object TextAnalysis {
     val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty)
       .distinct
     require(terms.nonEmpty, "bm25 query is empty after normalization")
+    // tokenize ONCE per row into a materialized column: each tfOf and
+    // the dl re-ran the split otherwise — (terms + 1) tokenizer passes
+    // per row per scan (the optimizer does not CSE across expressions,
+    // and CollapseProject keeps a non-cheap alias used multiple times)
     def tfOf(t: String): Column =
-      size(filter(tokens(col(textCol)), x => x === lit(t))).cast("double")
+      size(filter(col("__tk"), x => x === lit(t))).cast("double")
     val baseCols = col(idCol).as("id") +:
-      size(tokens(col(textCol))).cast("double").as("dl") +:
+      size(col("__tk")).cast("double").as("dl") +:
       terms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }
-    val base = df.select(baseCols: _*)
+    val base = df.withColumn("__tk", tokens(col(textCol)))
+      .select(baseCols: _*)
     val statAggs = count(lit(1)).cast("double").as("n_docs") +:
       avg(col("dl")).as("avgdl") +:
       terms.indices.map(i =>
