@@ -2602,8 +2602,11 @@ object PipelineQueries {
     * unchanged. Every rule's effect is visible in (n_lines,
     * n_lines_kept, n_sentences, md5(text_clean)). */
   def q125_c4(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
-    val words = split(col("text"), " ")
+    // split once per row into a materialized column — inlined into the
+    // transform lambda the tokenizer re-ran per synthetic line
+    val d = docs(spark, dir).select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("__words"))
+    val words = col("__words")
     val nl = greatest(floor(size(words) / 6).cast("int"), lit(1))
     val base = transform(sequence(lit(1), nl), i =>
       concat(array_join(slice(words, (i - 1) * 6 + 1, lit(6)), " "),
@@ -2694,14 +2697,17 @@ object PipelineQueries {
     * (dropped: its (id, 0) occurrence wins). (n_paras, n_paras_kept,
     * md5(text_clean)) gate the removal AND the reassembly. */
   def q126_para_dedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
-    val words = split(col("text"), " ")
+    // split once per row into a materialized column — inlined into the
+    // transform lambda the tokenizer re-ran per synthetic paragraph
+    val d = docs(spark, dir).select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("__words"))
+    val words = col("__words")
     val np = greatest(ceil(size(words) / 8.0).cast("int"), lit(1))
     val base = transform(sequence(lit(1), np), i =>
       array_join(slice(words, (i - 1) * 8 + 1, lit(8)), " "))
     val anchors = d.filter(col("doc_id") % 10 === 0).select(
       col("doc_id").as("anchor_id"),
-      array_join(slice(split(col("text"), " "), 1, 8), " ")
+      array_join(slice(col("__words"), 1, 8), " ")
         .as("anchor_para"))
     val paged = d.select(col("doc_id"), base.as("paras"))
       .withColumn("anchor_id",

@@ -312,14 +312,18 @@ object Dedup {
   def gramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
-      t => t =!= "")
+    // tokenize ONCE per row into a materialized column: inlining the
+    // filter(split(...)) into the transform lambda re-ran the tokenizer
+    // per gram element (HOF lambdas see no CSE) — O(tokens²) per doc
+    val toks = col("__toks")
     // sequence(1, size-n+1) DESCENDS when size < n — guard explicitly
     val grams = when(size(toks) >= n, array_distinct(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
       .otherwise(array().cast("array<string>"))
     val postings = df
+      .withColumn("__toks",
+        filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
       .select(col(idCol), explode(grams).as("__gh"))
     val first = postings.groupBy(col("__gh"))
       .agg(min(col(idCol)).as("__first"))
@@ -355,13 +359,16 @@ object Dedup {
       n: Int = 5): DataFrame = {
     require(n >= 1, "gram size must be >= 1")
     def gramSet(df: DataFrame, side: String): DataFrame = {
-      val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
-        t => t =!= "")
+      // tokenize once per row (the gramNovelty note): the inlined form
+      // re-ran the tokenizer per gram element
+      val toks = col("__toks")
       val gs = when(size(toks) >= n, array_distinct(
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
         .otherwise(array().cast("array<string>"))
-      df.select(explode(gs).as("__gh")).distinct()
+      df.withColumn("__toks",
+          filter(split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
+        .select(explode(gs).as("__gh")).distinct()
         .withColumn(side, lit(1))
     }
     gramSet(dfA, "__a").join(gramSet(dfB, "__b"), Seq("__gh"),
